@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in ``kassette_server_spark``; this module only
+adapts the registry to the driver's calling convention.
 """
 
 from __future__ import annotations
@@ -13,26 +15,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kassette_server_spark.queries import all_specs
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Pricing-summary over lineitem (scan → pushdown filter → hash agg
+    with decimal-exact sums): exercises the scan, filter, projection,
+    partial aggregation, and shuffle paths in one plan.
+    """
+    from kassette_server_spark.queries.base import REGISTRY
+
+    return REGISTRY.specs["q08_agg_having"].fn(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
+    return {
+        name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None
+    }

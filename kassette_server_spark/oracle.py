@@ -1,0 +1,85 @@
+"""Local mirror of the driver's DuckDB-oracle correctness check.
+
+Runs a QuerySpec's Spark side and its DuckDB oracle on the same parquet
+tables and compares row count + column names + order-insensitive
+values EXACTLY (no float tolerance — the driver hashes values, so any
+bitwise double difference is a failure; the query surface is designed
+for exact equality via decimal-exact aggregation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .catalog import TABLES, table_path
+from .queries.base import QuerySpec
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    detail: str = ""
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            # bytes / Decimal → canonical string
+            df[c] = s.map(lambda v: v if (v is None or isinstance(v, str)) else str(v))
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(spark: SparkSession, spec: QuerySpec, sf_dir: str) -> CompareResult:
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        return CompareResult(spec.name, True, len(sdf), -1, "rows-only (no oracle)")
+    con = duckdb_connection(sf_dir)
+    odf = con.execute(spec.oracle).fetch_df()
+    con.close()
+
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return CompareResult(
+            spec.name, False, len(sdf), len(odf),
+            f"column mismatch: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}",
+        )
+    if len(sdf) != len(odf):
+        return CompareResult(spec.name, False, len(sdf), len(odf), "row count mismatch")
+
+    a, b = _normalize(sdf), _normalize(odf)
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    except AssertionError as e:
+        msg = str(e).splitlines()
+        # find first differing cell for a concrete report
+        diff = ""
+        for c in a.columns:
+            neq = ~((a[c] == b[c]) | (a[c].isna() & b[c].isna()))
+            if neq.any():
+                i = int(neq.idxmax())
+                diff = f" first diff col={c} row={i}: spark={a[c][i]!r} oracle={b[c][i]!r}"
+                break
+        return CompareResult(spec.name, False, len(sdf), len(odf), msg[0] + diff)
+    return CompareResult(spec.name, True, len(sdf), len(odf))

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+One place to build the session so every entry point (tests, bench,
+__spark_entry__, CLI) gets identical, scale-aware settings:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast):
+  at 100 TB the static plan is always wrong somewhere; AQE re-plans from
+  runtime shuffle statistics.
+- shuffle.partitions sized to the machine for local runs; on a real
+  cluster this is overridden by AQE coalescing + the submitter's conf.
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  and are stable across machines.
+- Arrow enabled for any pandas-UDF path (vectorized Python transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return max(1, int(cpus))
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "kassette_server_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Local mode defaults; on a cluster, ``master`` / conf come from
+    spark-submit and this function only applies SQL-level settings.
+    """
+    par = default_parallelism()
+    if master is None:
+        master = f"local[{par}]"
+    if shuffle_partitions is None:
+        # ~cores locally; a 1000-executor cluster overrides via conf or
+        # relies on AQE coalescing from spark.sql.adaptive.*
+        shuffle_partitions = par
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(par))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # deterministic double formatting & no ANSI (reference coercions
+        # are non-ANSI: failed casts drop/null rather than error —
+        # SURVEY §1.2, processor/transformer.go:118-120, 168-173)
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
