@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from .base import query
-from .relational import dec
+from .relational import cents
 
 
 # Q22 field_map + field_hide + field_delete (reference T7-T9,
@@ -109,13 +109,14 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # Q26 correlated scalar subquery → decorrelated: per-nation average
-# (decimal-exact) joined back, broadcast because |nations| is tiny.
+# (exact via integer cents) joined back, broadcast because |nations| is
+# tiny.
 @query(
     "q26_correlated_subquery",
     oracle="""
     SELECT c_custkey FROM customer c
     WHERE c_acctbal > (
-      SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      SELECT CAST(sum(CAST(round(c2.c_acctbal*100) AS BIGINT)) AS BIGINT) / 100 / count(*)
       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
     """,
     doc="correlated scalar subquery (decorrelated to broadcast join)",
@@ -124,7 +125,7 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
     c = load(spark, sf, "customer")
     avgs = (
         c.groupBy("c_nationkey")
-        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("nav"))
+        .agg((F.sum(cents("c_acctbal")) / 100 / F.count("*")).alias("nav"))
     )
     return (
         c.join(F.broadcast(avgs), "c_nationkey")

@@ -20,19 +20,34 @@ from .base import query
 
 
 def dec(col: str | Column, scale: int = 2) -> Column:
-    """Exact decimal view of a 2-dp money double (see base.py)."""
+    """Exact decimal view of a 2-dp money double."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal(18,{scale})")
 
 
-def dsum(col: str | Column) -> Column:
-    """Order-insensitive exact sum of a 2-dp double, emitted as double."""
-    return F.sum(dec(col)).cast("double")
+def cents(col: str | Column) -> Column:
+    """2-dp money double → exact integer cents (long).
+
+    Long-sum is ~2.5× faster than decimal-sum in Tungsten (and exact,
+    and summation-order-independent) — the scale path for money aggs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
 
 
-# DuckDB-side equivalents of dec()/dsum() for oracle strings
-def _dsum_sql(col: str) -> str:
-    return f"CAST(sum(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+def csum(col: str | Column) -> Column:
+    """Exact sum of a 2-dp money double via long cents, emitted as double."""
+    return F.sum(cents(col)) / 100
+
+
+# DuckDB-side equivalents for oracle strings. DuckDB sums BIGINT into
+# HUGEINT, so cast back to BIGINT before the /100 double division.
+def _cents_sql(col: str) -> str:
+    return f"CAST(round({col}*100) AS BIGINT)"
+
+
+def _csum_sql(col: str) -> str:
+    return f"CAST(sum({_cents_sql(col)}) AS BIGINT) / 100"
 
 
 # ---------------------------------------------------------------------------
@@ -167,29 +182,29 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
-# Q08 hash aggregate + HAVING, decimal-exact sums (see base.py).
+# Q08 hash aggregate + HAVING, exact long-cents sums (see cents()).
 # Scale: partial agg map-side; the shuffle carries one row per
 # (flag,status) pair per task — tiny regardless of input size.
 @query(
     "q08_agg_having",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {_dsum_sql('l_quantity')} AS sq,
-           {_dsum_sql('l_extendedprice')} / count(*) AS ap,
+           {_csum_sql('l_quantity')} AS sq,
+           {_csum_sql('l_extendedprice')} / count(*) AS ap,
            count(*) AS c
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     HAVING count(*) > 10
     """,
-    doc="hash agg + having; decimal-exact double sums",
+    doc="hash agg + having; exact integer-cents double sums",
 )
 def q08(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sq"),
-            (dsum("l_extendedprice") / F.count("*")).alias("ap"),
+            csum("l_quantity").alias("sq"),
+            (csum("l_extendedprice") / F.count("*")).alias("ap"),
             F.count("*").alias("c"),
         )
         .filter(F.col("c") > 10)
@@ -249,16 +264,16 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Q12 analytic window with frame — running sum, decimal-exact so the
-# incremental vs segment-tree evaluation order of the two engines can't
-# produce different doubles.
+# Q12 analytic window with frame — running sum over exact integer
+# cents, so the incremental vs segment-tree evaluation order of the two
+# engines can't produce different doubles.
 @query(
     "q12_window_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(sum({_cents_sql('o_totalprice')}) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100 AS run
     FROM orders
     """,
     doc="running-sum window frame",
@@ -274,7 +289,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.sum(dec("o_totalprice")).over(w).cast("double").alias("run"),
+            (F.sum(cents("o_totalprice")).over(w) / 100).alias("run"),
         )
     )
 
@@ -402,28 +417,32 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Q18 scalar math — decimal-exact arithmetic so round() has identical
-# inputs in both engines (round on raw binary doubles is not portable).
+# Q18 scalar math — exact integer-cents arithmetic so round() has
+# identical inputs in both engines (round on raw binary doubles is not
+# portable: Spark rounds the shortest decimal repr, DuckDB the binary).
+# net = ep*(1-disc) rounded to cents: with P = ep_cents*(100-disc_cents)
+# (exact integer), net = round(P/100)/100; P/100 half-cases are exact
+# .5 doubles, rounded away-from-zero identically by both engines.
 @query(
     "q18_math_fns",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net,
-           CAST(abs(CAST(l_discount AS DECIMAL(18,2)) - CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS adt,
+           CAST(round({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')}) / 100) AS BIGINT) / 100 AS net,
+           abs({_cents_sql('l_discount')} - {_cents_sql('l_tax')}) / 100 AS adt,
            CAST(floor(l_quantity) AS BIGINT) AS fq,
            CAST(ceil(l_quantity) AS BIGINT) AS cq
     FROM lineitem
     """,
-    doc="scalar math functions, decimal-exact rounding",
+    doc="scalar math functions, exact integer-cents rounding",
 )
 def q18(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
-    net = F.round(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2)
+    net = F.round(cents("l_extendedprice") * (F.lit(100) - cents("l_discount")) / 100).cast("long") / 100
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        net.cast("double").alias("net"),
-        F.abs(dec("l_discount") - dec("l_tax")).cast("double").alias("adt"),
+        net.alias("net"),
+        (F.abs(cents("l_discount") - cents("l_tax")) / 100).alias("adt"),
         F.floor("l_quantity").cast("long").alias("fq"),
         F.ceil("l_quantity").cast("long").alias("cq"),
     )
