@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+All operators are pure DataFrame compositions (JVM-side, codegen'd —
+no Python UDFs) and are designed so the same algorithm is expressible
+in DuckDB SQL for the correctness oracle:
+
+- the portable hash is md5 (identical hex output in Spark and DuckDB);
+  the *scale* hash is xxhash64 (Spark-only, 8-byte longs instead of
+  32-char strings — pass ``hash_fn="xxhash64"``);
+- dot products / divisions are written with identical association so
+  IEEE doubles match bit-for-bit.
+
+Scale notes (100 TB):
+- Exact dedup is a single hash-shuffle on the text digest, not the
+  text: we group by md5/xxhash64(text) so the shuffle carries 16-byte
+  keys, not documents.
+- Pairwise shingle join (ngram_jaccard_pairs) is quadratic in docs
+  sharing a shingle — fine for corpus slices / validation, wrong as
+  the primary 100 TB dedup. MinHash-LSH is the scale path: candidate
+  generation is a self-join on (band, band_hash) buckets, so work is
+  proportional to true near-duplicates, and hot buckets are bounded by
+  the band width. Increase ``num_hashes``/``bands`` for recall,
+  xxhash64 for speed.
+- SimHash gives a per-doc 64-bit fingerprint; near-dup = hamming
+  distance ≤ k via banding on fingerprint chunks (pigeonhole), again
+  join-on-bucket rather than all-pairs.
+
+Reference parity note: the reference has no text dedup; its only dedup
+is job-ledger latest-state (jobs/jobsdb.go:557-559). These operators
+are the north-star extension (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles of a space-tokenized text column.
+
+    Pure JVM expression: split → sequence → transform/slice →
+    array_distinct. 1-based slice to mirror DuckDB list slicing.
+    """
+    toks = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest; deterministic keeper =
+    min id. Shuffles 16-byte digests, not documents."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shared-shingle join.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|), computed as long/long → double
+    division (portable bit-exact). Output (doc_a, doc_b, jaccard).
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_expr(seed: int, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        return F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"mh{seed}")
+    if hash_fn == "xxhash64":
+        return F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh{seed}")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8, hash_fn: str = "md5"
+) -> DataFrame:
+    """One row per doc with minhash columns mh0..mh{n-1}.
+
+    Single shuffle: groupBy(doc_id) computes all minima in one pass
+    (partial aggregation map-side)."""
+    return sh.groupBy("doc_id").agg(*[_minhash_expr(s, hash_fn) for s in range(num_hashes)])
+
+
+def lsh_candidates(sig: DataFrame, num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_hash).
+
+    Work scales with bucket collisions (≈ true near-dups), not |docs|².
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("bh")))
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.bh").alias("bh")
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    Candidates from LSH buckets; verification joins shingles only for
+    candidate docs (semi-join pushdown), so the exact-jaccard cost is
+    proportional to candidates, not the corpus.
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    cand = lsh_candidates(minhash_signatures(sh, num_hashes, hash_fn), num_hashes, bands)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per doc from md5(token) bits.
+
+    Per token, bit p of the 64-bit hash is nibble (p div 4) of the md5
+    hex prefix, bit (p mod 4). Fingerprint bit p = majority sign of
+    Σ(2·bit−1) over tokens. Output (doc_id, fp_hi, fp_lo) as two
+    BIGINT halves (portable across engines without uint64).
+
+    Plumbing is posexplode over 64 bit positions — rows = tokens×64,
+    all JVM-side; two partial-agg shuffles keyed by (doc, pos) then doc.
+    """
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    tok = tok.withColumn("h", F.md5(F.col("tok")))
+    pos = tok.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"),
+    )
+    # column-valued shift amounts need SQL shiftright/shiftleft (the
+    # python F.shiftright only takes a literal bit count)
+    bit = F.expr(
+        "shiftright(instr('0123456789abcdef', substring(h, CAST(p DIV 4 AS INT) + 1, 1)) - 1,"
+        " CAST(p % 4 AS INT)) % 2"
+    )
+    weights = (
+        pos.withColumn("w", bit * 2 - 1)
+        .groupBy("doc_id", "p")
+        .agg(F.sum("w").alias("w"))
+        .withColumn("b", (F.col("w") > 0).cast("long"))
+    )
+    return (
+        weights.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN p >= 32 THEN b * shiftleft(CAST(1 AS BIGINT), CAST(p - 32 AS INT)) ELSE 0 END")
+            ).alias("fp_hi"),
+            F.sum(
+                F.expr("CASE WHEN p < 32 THEN b * shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) ELSE 0 END")
+            ).alias("fp_lo"),
+        )
+    )

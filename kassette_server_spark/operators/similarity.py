@@ -1,0 +1,153 @@
+"""Vector similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline; LSH random-hyperplane
+bucketing is the approximate scale path. All arithmetic is a sequential
+left fold in double precision (F.aggregate), which DuckDB's
+list_reduce reproduces bit-for-bit — that is what makes the cosine
+values oracle-checkable.
+
+Scale notes (100 TB):
+- Brute force is O(|queries|·|corpus|·dim) — fine when the query set is
+  small (broadcast the queries, map-side compute, top-k via per-
+  partition TakeOrdered). Wrong when queries ≈ corpus.
+- The LSH path assigns each vector to a bucket by the sign pattern of
+  r deterministic hyperplanes; candidate pairs share a bucket, so the
+  join is bucket-local. Recall tunes with number of hyperplane tables.
+- Embeddings stay array<float> end-to-end (no Python round-trip);
+  cosine is computed on doubles for precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product: ((0+x1y1)+x2y2)+... — matches
+    DuckDB list_reduce association for bit-exact oracle comparison."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    queries is expected to be small → broadcast; the corpus is never
+    shuffled (map-side cross product), and top-k per query uses a
+    ranking window over |queries|·k candidate rows after a partial
+    per-partition prune would apply at scale (AQE handles the small
+    local case).
+    """
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = vectors.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: str = "lsh") -> Column:
+    """Deterministic random-hyperplane LSH bucket id (string of sign
+    bits). Hyperplane r_i component j = centered md5-derived value of
+    (seed, i, j) — deterministic, no RNG state, identical on any
+    cluster size.
+    """
+    bits = []
+    for i in range(n_planes):
+        comps = F.array(
+            *[
+                (
+                    F.conv(F.substring(F.md5(F.lit(f"{seed}|{i}|{j}")), 1, 8), 16, 10).cast("double")
+                    - F.lit(2147483647.5)
+                )
+                for j in range(dim)
+            ]
+        )
+        bits.append(F.when(dot(vec, comps) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's hyperplane
+    bucket are scored. Bucket join replaces the cross product — the
+    100 TB path (corpus shuffled once by bucket, queries broadcast)."""
+    from pyspark.sql import Window as W
+
+    c = vectors.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    c = c.withColumn("bucket", hyperplane_bucket(F.col("cv"), dim, n_planes))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = q.withColumn("bucket", hyperplane_bucket(F.col("qv"), dim, n_planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
+
+    All-pairs form for the oracle-checkable contract; at scale the same
+    threshold filter runs over LSH-bucketed candidates (lsh_topk path).
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,108 @@
+"""Text analysis operators: quality stats, language ID, token counting,
+document fingerprinting.
+
+All pure JVM expressions (split/length/array ops) — no Python in the
+hot path; each has a DuckDB-SQL equivalent for the oracle. Designed to
+run as one wide projection over the corpus (single scan, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles, tokens
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deterministic and SQL-portable (array overlap
+# counts); real deployments would swap in fastText — the *operator
+# shape* (scan → score per language → argmax) is what matters here.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+
+def _overlap_count(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality metrics: lengths, token stats, stopword ratio.
+
+    ratios are long/long → double divisions (bit-portable).
+    """
+    toks = tokens(text_col)
+    n_toks = F.size(toks).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        ((F.length(text_col) - n_toks + 1).cast("long") / n_toks).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        (F.size(F.array_distinct(toks)).cast("long") / n_toks).alias("unique_ratio"),
+        (_overlap_count(toks, EN_STOPWORDS).cast("long") / n_toks).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of marker-token hits per language.
+
+    Deterministic tie-break: higher hit count wins, then language code
+    ascending. Output (doc_id, pred_lang, hits).
+    """
+    toks = tokens(text_col)
+    scores = F.array(
+        *[
+            F.struct(
+                _overlap_count(toks, markers).cast("long").alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # argmax: sort by (hits desc, lang asc) = array_sort on (-hits, lang)
+    best = F.array_sort(
+        scores,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        best["lang"].alias("pred_lang"),
+        best["hits"].alias("hits"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate
+    (Σ ceil(len(token)/4) — the ~4-chars-per-token heuristic)."""
+    toks = tokens(text_col)
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min md5 over all
+    `window`-token rolling windows (rolling-hash selection). Docs
+    sharing a fingerprint almost surely share an 8-token span."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(F.transform(shingles(text_col, window), F.md5)).alias("fp"),
+    )

@@ -1,0 +1,317 @@
+"""North-star LLM-data-pipeline queries (SURVEY.md §2.3).
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), vector
+similarity search, text analysis, approximate aggregates, and
+multimodal-column plumbing over the `documents` and `embeddings`
+tables. Each query pairs the Spark operator (operators/*.py) with a
+DuckDB oracle implementing the *same deterministic algorithm* (md5 as
+the portable hash; sequential-fold double math), so even the
+approximate/sketch-style operators are value-checked, not just
+row-counted.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import dedup, similarity, textstats
+from .base import query
+
+# Shared DuckDB CTE fragments ------------------------------------------------
+
+_SHINGLES_CTE = """
+docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM docs),
+n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id)
+"""
+
+_DOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]), (acc, x) -> acc + x)"
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (acc, x) -> acc + x))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"{_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+
+
+# Dedup ----------------------------------------------------------------------
+
+
+@query(
+    "q30_dedup_exact_text",
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="exact content dedup by digest (shuffle 16-byte keys, not text)",
+    tags=("llmops", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf, "documents"))
+
+
+@query(
+    "q31_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, c / (na.ns + nb.ns - c) AS jaccard
+    FROM pairs
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE c / (na.ns + nb.ns - c) >= 0.8
+    """,
+    doc="3-gram Jaccard near-dup pairs (exact all-pairs on shared shingles)",
+    tags=("llmops", "dedup"),
+)
+def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=0.8)
+
+
+def _minhash_bands_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(num_hashes)
+    )
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS bh FROM sig"
+        )
+    return f"""
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({' UNION ALL '.join(band_selects)}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id)
+    """
+
+
+@query(
+    "q32_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_bands_sql()},
+    inter AS (
+      SELECT doc_a, doc_b, count(*) AS c
+      FROM cand
+      JOIN sh a ON a.doc_id = doc_a
+      JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, c / (na.ns + nb.ns - c) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE c / (na.ns + nb.ns - c) >= 0.8
+    """,
+    doc="MinHash-LSH near-dup (md5 minhash, 4 bands × 2 rows, exact verify)",
+    tags=("llmops", "dedup"),
+)
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load(spark, sf, "documents"), threshold=0.8)
+
+
+@query(
+    "q33_simhash",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    th AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    pos AS (SELECT doc_id, h, unnest(range(0, 64)) AS p FROM th),
+    bits AS (
+      SELECT doc_id, p,
+             ((strpos('0123456789abcdef', substr(h, CAST(p // 4 AS INT) + 1, 1)) - 1)
+              >> CAST(p % 4 AS INT)) & 1 AS bit
+      FROM pos),
+    weights AS (
+      SELECT doc_id, p, CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS b
+      FROM bits GROUP BY doc_id, p)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN p >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(p - 32 AS INT)) ELSE 0 END) AS BIGINT) AS fp_hi,
+           CAST(sum(CASE WHEN p < 32 THEN b * (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS fp_lo
+    FROM weights GROUP BY doc_id
+    """,
+    doc="64-bit SimHash fingerprint per doc (md5-bit majority)",
+    tags=("llmops", "dedup"),
+)
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf, "documents"))
+
+
+# Similarity search ----------------------------------------------------------
+
+
+@query(
+    "q34_ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id, {_cosine_sql('qv', 'e.v')} AS cos
+      FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored)
+    SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 10
+    """,
+    doc="brute-force cosine top-10 for query subset (broadcast queries)",
+    tags=("llmops", "similarity"),
+)
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return similarity.brute_force_topk(e, e.filter(F.col("vec_id") % 100 == 0), k=10)
+
+
+@query(
+    "q35_embedding_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql('a.v', 'b.v')} AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.v', 'b.v')} >= 0.45
+    """,
+    doc="embedding-cosine near-dup pairs above threshold",
+    tags=("llmops", "similarity"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(load(spark, sf, "embeddings"), threshold=0.45)
+
+
+# Text analysis --------------------------------------------------------------
+
+
+@query(
+    "q36_text_quality_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) - len(toks) + 1 AS BIGINT) / CAST(len(toks) AS BIGINT) AS avg_token_len,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT) AS unique_ratio,
+           CAST(len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','it','that'], t))) AS BIGINT)
+             / CAST(len(toks) AS BIGINT) AS stopword_ratio
+    FROM t
+    """,
+    doc="per-doc quality metrics: lengths, uniqueness, stopword ratio",
+    tags=("llmops", "text"),
+)
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.quality_stats(load(spark, sf, "documents"))
+
+
+def _lang_id_sql() -> str:
+    hits = []
+    for lang, markers in sorted(textstats.LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hits.append(
+            f"CAST(len(list_filter(toks, t -> list_contains([{lst}], t))) AS BIGINT) AS h_{lang}"
+        )
+    langs = sorted(textstats.LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN h_{lang} = g THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    h AS (SELECT doc_id, {', '.join(hits)} FROM t),
+    m AS (SELECT *, {g} AS g FROM h)
+    SELECT doc_id, CASE {case} END AS pred_lang, g AS hits FROM m
+    """
+
+
+@query(
+    "q37_language_id",
+    oracle=_lang_id_sql(),
+    doc="heuristic language ID: argmax marker-token hits (tie → lang asc)",
+    tags=("llmops", "text"),
+)
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.language_id(load(spark, sf, "documents"))
+
+
+@query(
+    "q38_token_counts",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS ws_tokens,
+           list_reduce(list_transform(toks, s -> CAST(ceil(length(s) / 4) AS BIGINT)),
+                       (acc, x) -> acc + x) AS bpe_tokens
+    FROM t
+    """,
+    doc="whitespace + BPE-ish (ceil(len/4)) token counting",
+    tags=("llmops", "text"),
+)
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.token_counts(load(spark, sf, "documents"))
+
+
+@query(
+    "q39_doc_fingerprint",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(
+             list_distinct(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+                                          i -> array_to_string(toks[i:i+7], ' '))),
+             s -> md5(s))) AS fp
+    FROM docs
+    """,
+    doc="winnowing-style fingerprint: min md5 over 8-token windows",
+    tags=("llmops", "text"),
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.fingerprint(load(spark, sf, "documents"), window=8)
+
+
+# Approximate aggregates (sketches differ per engine → rows-only check) ------
+
+
+@query(
+    "q40_approx_aggregates",
+    oracle=None,
+    doc="approx_count_distinct + approx percentiles (HLL/KLL sketches; "
+    "no cross-engine oracle — validated by tolerance unit test)",
+    tags=("llmops", "approx"),
+)
+def q_approx(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.99).alias("p99_value"),
+    )
+
+
+# Multimodal plumbing --------------------------------------------------------
+
+
+@query(
+    "q41_multimodal_meta",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+           'fake/rgb8' AS fmt
+    FROM documents
+    """,
+    doc="binary-column decode plumbing via mapInPandas (stub codec, real "
+    "schema/batch path — SURVEY §2.3 multimodal)",
+    tags=("llmops", "multimodal"),
+)
+def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import decode_image_meta
+
+    binary = load(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_image_meta(binary)

@@ -1,0 +1,63 @@
+"""Property tests for the LLM-pipeline operators beyond oracle parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from kassette_server_spark.catalog import load
+from kassette_server_spark.operators import dedup, similarity
+
+
+def test_lsh_recall_vs_exact(spark):
+    """LSH candidate pairs must include every pair with jaccard ≥ 0.8
+    found by the exact all-pairs method (recall check at this scale)."""
+    docs = load(spark, SF_SMOKE, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "expected planted near-dup pairs in test corpus"
+    assert exact == lsh  # md5-minhash 4x2 bands achieves full recall here
+
+
+def test_xxhash_lsh_scale_path(spark):
+    """The xxhash64 scale path finds the same verified pairs (hash
+    family changes candidates, but exact-jaccard verification fixes the
+    final answer as long as recall holds)."""
+    docs = load(spark, SF_SMOKE, "documents")
+    md5_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8, hash_fn="md5").collect()
+    }
+    xx_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8, hash_fn="xxhash64").collect()
+    }
+    assert md5_pairs == xx_pairs
+
+
+def test_approx_count_distinct_tolerance(spark):
+    ev = load(spark, SF_SMOKE, "events")
+    approx = ev.agg(F.approx_count_distinct("user_id").alias("a")).collect()[0].a
+    exact = ev.agg(F.countDistinct("user_id").alias("e")).collect()[0].e
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark):
+    """Approximate ANN returns plausible results: every (query, neighbor)
+    it emits must also appear in the exact brute-force ranking."""
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    bf = similarity.brute_force_topk(e, q, k=1000)
+    ann = similarity.lsh_topk(e, q, dim=64, k=10)
+    bf_pairs = {(r.query_id, r.neighbor_id, round(r.cos, 9)) for r in bf.collect()}
+    ann_rows = ann.collect()
+    assert ann_rows, "LSH buckets should contain at least some neighbors"
+    for r in ann_rows:
+        assert (r.query_id, r.neighbor_id, round(r.cos, 9)) in bf_pairs
