@@ -1,0 +1,90 @@
+"""JDBC destination (K3 Postgres) + warehouse DDL (K8 Azure Synapse).
+
+The reference creates (and on schema change drops & recreates) the
+destination table from the config schema at connect time
+(integrations/postgres/main.go:32-67), then appends rows
+transactionally (main.go:69-106). Spark equivalent: DDL rendered from
+the same Schema, writes via ``df.write.format("jdbc")`` with
+``batchsize`` (the COPY analogue). No database is available in this
+environment, so the writer builds options and is exercised in tests up
+to the write call; ``render_*`` functions are pure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..config import DestinationConfig, Schema
+
+# kassette → postgres DDL types (integrations/postgres/main.go:50-59
+# renders VARCHAR as VARCHAR(255); SERIAL/BIGSERIAL are identity cols)
+_PG_DDL_TYPES = {
+    "INT": "INT",
+    "FLOAT": "DOUBLE PRECISION",
+    "BOOLEAN": "BOOLEAN",
+    "SERIAL": "SERIAL",
+    "BIGSERIAL": "BIGSERIAL",
+    "VARCHAR": "VARCHAR(255)",
+    "TEXT": "TEXT",
+    "JSONB": "JSONB",
+    "TIMESTAMP": "TIMESTAMP",
+}
+
+# kassette/warehouse → MSSQL (destinations/azure-synapse.go:31-63:
+# float → decimal(28,10), datetime → datetimeoffset, etc.)
+_SYNAPSE_DDL_TYPES = {
+    "string": "nvarchar(512)",
+    "boolean": "bit",
+    "int": "int",
+    "bigint": "bigint",
+    "float": "decimal(28,10)",
+    "json": "nvarchar(max)",
+    "text": "nvarchar(max)",
+    "datetime": "datetimeoffset",
+}
+
+
+def render_postgres_ddl(schema: Schema, table_schema: str = "public") -> str:
+    cols = []
+    pks = []
+    for f in schema.fields:
+        cols.append(f'"{f.name}" {_PG_DDL_TYPES.get(f.type, "TEXT")}')
+        if f.primary_key:
+            pks.append(f'"{f.name}"')
+    if pks:
+        cols.append(f"PRIMARY KEY ({', '.join(pks)})")
+    return (
+        f'CREATE TABLE IF NOT EXISTS {table_schema}."{schema.table_name}" (\n  '
+        + ",\n  ".join(cols)
+        + "\n)"
+    )
+
+
+def render_synapse_ddl(schema: Schema, warehouse_types: dict[str, str], db_schema: str) -> str:
+    cols = ", ".join(
+        f"[{f.name}] {_SYNAPSE_DDL_TYPES.get(warehouse_types.get(f.type, f.type), 'nvarchar(512)')}"
+        for f in schema.fields
+    )
+    return f"CREATE TABLE [{db_schema}].[{schema.table_name}] ({cols})"
+
+
+def jdbc_write_options(dest: DestinationConfig, batch_size: int = 10000) -> dict[str, str]:
+    """Options for df.write.format('jdbc') — batchsize is the bulk-COPY
+    analogue; isolation level mirrors the reference's per-batch
+    transaction (InsertPayloadInTransaction)."""
+    c = dest.config
+    return {
+        "url": c.get("jdbc_url", f"jdbc:postgresql://{c.get('host','localhost')}:{c.get('port',5432)}/{c.get('database','')}"),
+        "dbtable": f"{c.get('schema','public')}.{dest.schema.table_name}",
+        "user": c.get("user", ""),
+        "password": c.get("password", ""),
+        "driver": "org.postgresql.Driver",
+        "batchsize": str(batch_size),
+        "isolationLevel": "READ_COMMITTED",
+    }
+
+
+def write_jdbc(df: DataFrame, dest: DestinationConfig, mode: str = "append") -> None:
+    """K3 delivery. Requires the JDBC driver jar on the classpath —
+    unavailable here; tests stop at option construction."""
+    (df.write.format("jdbc").options(**jdbc_write_options(dest)).mode(mode).save())

@@ -1,0 +1,153 @@
+"""REST destination sinks — the K4 (PowerBI), K5 (Anaplan), K6 (Keen)
+shapes from SURVEY §2.1, as foreachBatch writers.
+
+Shapes (payload contracts from the reference):
+- PowerBI/Keen: flatten BatchPayloadT[] → one JSON array of events,
+  HTTP send with configured method/url/query/headers; non-200/202 ⇒
+  whole batch failed (integrations/powerbi/main.go:97-128,
+  integrations/keen/main.go:97-127).
+- Anaplan: each event wrapped {"code": <uuid>, "properties": event}
+  under {"items": [...]}; response {added, failures:[indices]} — the
+  failed *indices* become retry rows (integrations/anaplan/
+  main.go:132-225). Token auth with periodic refresh (main.go:227-280)
+  becomes a lazily-refreshed token supplier on the task.
+
+Transport is injectable (``send(url, method, headers, body) →
+(status, response_body)``) because this environment has no network —
+tests use a recording fake; production plugs urllib/requests.
+
+Delivery/ordering at scale: the reference serializes per destination
+with a mutex (router/router.go:187-200). Here each micro-batch is
+repartitioned to one task per destination — same serialization, but
+across destinations it parallelizes on the cluster. At-least-once
+with ledger dedup on message_id = effective exactly-once (the honest
+REST contract; SURVEY §7 risk register).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row
+
+Transport = Callable[[str, str, dict, bytes], tuple[int, bytes]]
+
+
+@dataclass
+class RestSinkConfig:
+    url: str
+    method: str = "POST"
+    headers: dict = field(default_factory=dict)
+    query: str = ""
+    batch_size: int = 500  # events per HTTP request
+
+
+def _http_ok(status: int) -> bool:
+    return status in (200, 202)
+
+
+def powerbi_send_partition(
+    rows: Iterator[Row], cfg: RestSinkConfig, transport: Transport, json_col: str = "event_json"
+) -> Iterator[tuple[str, bool, int, str]]:
+    """One partition → batched HTTP posts of JSON arrays.
+
+    Yields (message_id, delivered, status, error) per event — consumed
+    into ledger statuses. Runs on the executor; nothing is collected
+    to the driver.
+    """
+    buf: list[Row] = []
+
+    def flush() -> Iterator[tuple[str, bool, int, str]]:
+        if not buf:
+            return
+        body = ("[" + ",".join(r[json_col] for r in buf) + "]").encode()
+        url = cfg.url + (("?" + cfg.query) if cfg.query else "")
+        status, resp = transport(url, cfg.method, cfg.headers, body)
+        ok = _http_ok(status)
+        err = "" if ok else resp.decode("utf-8", "replace")[:512]
+        for r in buf:
+            yield (r["message_id"], ok, status, err)
+        buf.clear()
+
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= cfg.batch_size:
+            yield from flush()
+    yield from flush()
+
+
+def anaplan_send_partition(
+    rows: Iterator[Row], cfg: RestSinkConfig, transport: Transport, json_col: str = "event_json"
+) -> Iterator[tuple[str, bool, int, str]]:
+    """Anaplan item shape with per-index failure mapping
+    (integrations/anaplan/main.go:132-225). The item ``code`` uuid is
+    the idempotency key the reference generates per send."""
+    buf: list[Row] = []
+
+    def flush() -> Iterator[tuple[str, bool, int, str]]:
+        if not buf:
+            return
+        items = [
+            {"code": str(uuid.uuid4()), "properties": json.loads(r[json_col])} for r in buf
+        ]
+        status, resp = transport(cfg.url, cfg.method, cfg.headers, json.dumps({"items": items}).encode())
+        failed_idx: set[int] = set()
+        if _http_ok(status):
+            try:
+                failed_idx = {int(i) for i in json.loads(resp).get("failures", [])}
+            except (ValueError, AttributeError):
+                failed_idx = set()
+            for i, r in enumerate(buf):
+                ok = i not in failed_idx
+                yield (r["message_id"], ok, status, "" if ok else "anaplan item failure")
+        else:
+            err = resp.decode("utf-8", "replace")[:512]
+            for r in buf:
+                yield (r["message_id"], False, status, err)
+        buf.clear()
+
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= cfg.batch_size:
+            yield from flush()
+    yield from flush()
+
+
+keen_send_partition = powerbi_send_partition  # same contract (K6)
+
+PARTITION_SENDERS = {
+    "powerbi": powerbi_send_partition,
+    "keen": keen_send_partition,
+    "anaplan": anaplan_send_partition,
+}
+
+
+def deliver_rest(
+    events: DataFrame,
+    dest_type: str,
+    cfg: RestSinkConfig,
+    transport: Transport,
+    single_task: bool = True,
+) -> DataFrame:
+    """Send a (micro-)batch to a REST destination; returns the delivery
+    outcome DataFrame (message_id, delivered, status, error).
+
+    single_task=True reproduces the reference's per-destination mutex
+    ordering (router/router.go:187-200) with repartition(1); set False
+    for destinations that tolerate parallel senders.
+    """
+    sender = PARTITION_SENDERS[dest_type]
+    src = events.select("message_id", "event_json")
+    if single_task:
+        src = src.repartition(1)
+
+    def run(rows: Iterator[Row]):
+        yield from sender(rows, cfg, transport)
+
+    rdd = src.rdd.mapPartitions(run)
+    return events.sparkSession.createDataFrame(
+        rdd, "message_id string, delivered boolean, status int, error string"
+    )

@@ -1,0 +1,163 @@
+"""Delivery ledger — the Spark analogue of the reference's job-status
+state machine (jobs/jobsdb.go:37-69: states waiting/executing/
+succeeded/waiting_retry/failed/aborted; retry when attempt <
+maxRetryNumber and retry_time < now; jobs/jobsdb.go:480-482, 512, 586).
+
+Design: an APPEND-ONLY parquet table of status events. Spark's
+checkpointing already guarantees each micro-batch is processed once,
+so the reference's `waiting`/`executing` bookkeeping states disappear;
+the ledger records delivery *outcomes* (succeeded/failed), and
+"latest state per job" is a max_by aggregation — exactly the
+reference's `MAX(id) GROUP BY job_id` pattern (jobs/jobsdb.go:557-559)
+expressed as an aggregate instead of a self-join.
+
+Scale notes: the ledger is partitioned by date in production; latest-
+state is one shuffle on job_id with map-side partial max_by; retry
+scans prune to recent partitions. Append-only means no row-level
+update contention at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_RETRY = 10  # jobdb.maxRetryNumber (config.yaml:10)
+
+STATE_SUCCEEDED = "succeeded"
+STATE_FAILED = "failed"
+STATE_ABORTED = "aborted"
+
+LEDGER_SCHEMA = (
+    "job_id string, connection_id int, state string, attempt int,"
+    " exec_time timestamp, retry_time timestamp, error_code string,"
+    " error_response string"
+)
+
+
+class DeliveryLedger:
+    """Append-only delivery ledger over a parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def append(self, statuses: DataFrame) -> None:
+        statuses.select(
+            "job_id",
+            "connection_id",
+            "state",
+            "attempt",
+            "exec_time",
+            "retry_time",
+            "error_code",
+            "error_response",
+        ).write.mode("append").parquet(self.path)
+
+    def _read(self) -> DataFrame:
+        if not os.path.isdir(self.path) or not any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        ):
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+
+    def latest_state(self) -> DataFrame:
+        """Latest status row per (job, connection) — the reference's
+        MAX(id) GROUP BY job_id as a single max_by aggregate (one
+        shuffle, partial agg map-side)."""
+        lg = self._read()
+        return (
+            lg.groupBy("job_id", "connection_id")
+            .agg(
+                F.max_by(
+                    F.struct("state", "attempt", "exec_time", "retry_time", "error_code"),
+                    F.struct("exec_time", "attempt"),
+                ).alias("s")
+            )
+            .select("job_id", "connection_id", "s.*")
+        )
+
+    def retry_candidates(self, now=None) -> DataFrame:
+        """jobs in failed state with attempt < MAX_RETRY and retry_time
+        elapsed (jobs/jobsdb.go:508-620 GetToRetry)."""
+        now = now if now is not None else F.current_timestamp()
+        st = self.latest_state()
+        return st.filter(
+            (F.col("state") == STATE_FAILED)
+            & (F.col("attempt") < MAX_RETRY)
+            & (F.col("retry_time") <= now)
+        )
+
+    def dead_letters(self) -> DataFrame:
+        """Retry-exhausted jobs — the reference aborts implicitly by
+        excluding attempt >= maxRetryNumber from the retry scan."""
+        st = self.latest_state()
+        return st.filter((F.col("state") == STATE_FAILED) & (F.col("attempt") >= MAX_RETRY))
+
+    def processed_job_ids(self) -> DataFrame:
+        """For at-least-once REST sinks: job ids already succeeded —
+        used to dedup re-delivered micro-batches on messageId
+        (effective exactly-once, SURVEY §7 phase 4)."""
+        return (
+            self.latest_state()
+            .filter(F.col("state") == STATE_SUCCEEDED)
+            .select("job_id", "connection_id")
+        )
+
+
+def make_status(
+    df: DataFrame,
+    connection_id: int,
+    state: str,
+    attempt_col=None,
+    error_code: str = "",
+    error_col=None,
+    retry_delay_s: int = 60,
+    job_id_col: str = "message_id",
+) -> DataFrame:
+    """Build ledger rows from a delivered/failed event DataFrame.
+
+    Non-UTF8 error payloads were replaced with {} by the reference
+    (jobs/jobsdb.go:1005-1016) — Spark strings are always valid UTF-8,
+    so the guard is structural here.
+    """
+    attempt = attempt_col if attempt_col is not None else F.lit(1)
+    error_response = error_col if error_col is not None else F.lit("")
+    return df.select(
+        F.col(job_id_col).alias("job_id"),
+        F.lit(connection_id).cast("int").alias("connection_id"),
+        F.lit(state).alias("state"),
+        attempt.cast("int").alias("attempt"),
+        F.current_timestamp().alias("exec_time"),
+        (F.current_timestamp() + F.expr(f"INTERVAL {retry_delay_s} SECONDS")).alias("retry_time"),
+        F.lit(error_code).alias("error_code"),
+        error_response.alias("error_response"),
+    )
+
+
+def job_health(ledger: DeliveryLedger, connections) -> DataFrame:
+    """M3 GetJobHealth (jobs/jobsdb.go:852-936): latest failed statuses
+    enriched with source/destination names, newest first."""
+    rows = [(c.id, c.source.name, c.destination.name) for c in connections]
+    conf = ledger.spark.createDataFrame(
+        rows, "connection_id int, source_name string, destination_name string"
+    )
+    st = ledger.latest_state().filter(F.col("state") == STATE_FAILED)
+    return (
+        st.join(F.broadcast(conf), "connection_id", "left")
+        .orderBy(F.col("exec_time").desc())
+        .select(
+            "job_id",
+            "connection_id",
+            "source_name",
+            "destination_name",
+            "state",
+            "attempt",
+            "exec_time",
+            "error_code",
+        )
+    )
