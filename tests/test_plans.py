@@ -1,0 +1,82 @@
+"""Physical-plan audits: lock in the scale properties the engine
+claims (pushdown, broadcast, top-k, partial aggregation). A regression
+that silently turns a broadcast join into a shuffle join or loses
+parquet pushdown fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from conftest import SF_SMOKE
+
+from kassette_server_spark.queries import all_specs
+
+SPECS = all_specs()
+
+
+def plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filter_and_projection_pushdown(spark):
+    p = plan(spark, "q01_scan_filter")
+    assert "PushedFilters:" in p
+    assert "l_quantity" in p.split("PushedFilters:")[1].splitlines()[0]
+    # projection pruned to the needed columns only
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
+    assert "l_tax" not in read_schema
+
+
+def test_q02_in_between_like_pushdown(spark):
+    p = plan(spark, "q02_predicates")
+    pushed = p.split("PushedFilters:")[1].splitlines()[0]
+    assert "In(o_orderstatus" in pushed
+    assert "GreaterThanOrEqual(o_totalprice" in pushed
+    assert "StringStartsWith(o_orderpriority" in pushed
+
+
+def test_q04_dims_broadcast(spark):
+    p = plan(spark, "q04_multiway_broadcast_join")
+    assert p.count("BroadcastHashJoin") >= 2  # tree + detail sections
+    assert "SortMergeJoin" not in p
+
+
+def test_q08_partial_aggregation(spark):
+    p = plan(spark, "q08_agg_having")
+    # partial (map-side) + final HashAggregate pair
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q14_topk_no_global_sort(spark):
+    p = plan(spark, "q14_topk")
+    assert "TakeOrderedAndProject" in p
+    # no full Exchange+Sort of the table for a k-row answer
+    assert "GlobalLimit" not in p
+
+
+def test_q26_decorrelated_to_broadcast(spark):
+    p = plan(spark, "q26_correlated_subquery")
+    assert "BroadcastHashJoin" in p
+
+
+def test_q34_queries_broadcast_corpus_not_shuffled(spark):
+    p = plan(spark, "q34_ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    # coercion/rule pipelines must stay inside codegen (no Python UDFs).
+    # In formatted explain, '* ' prefixes mark codegen'd operators.
+    # (higher-order array lambdas like q36's fall back to interpreted
+    # JVM expressions — still no Python round-trip, which is the claim)
+    for name in ("q18_math_fns", "q22_rules_map_hide_delete", "q36_text_quality_stats"):
+        p = plan(spark, name)
+        assert "* " in p, name  # at least one codegen'd operator
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
