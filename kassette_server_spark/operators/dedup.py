@@ -198,11 +198,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     Plumbing is posexplode over 64 bit positions — rows = tokens×64,
     all JVM-side; two partial-agg shuffles keyed by (doc, pos) then doc.
     """
-    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
-    tok = tok.withColumn("h", F.md5(F.col("tok")))
+    # pre-aggregate token multiplicity: natural text repeats tokens
+    # heavily, so summing m·(2·bit−1) over DISTINCT (doc, token) rows
+    # cuts the 64-way position explode by the repetition factor —
+    # integer-exact, so the oracle (which sums per occurrence) agrees.
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("doc_id", F.md5(F.col("tok")).alias("h"))
+        .agg(F.count("*").alias("m"))
+    )
     pos = tok.select(
         "doc_id",
         "h",
+        "m",
         F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"),
     )
     # column-valued shift amounts need SQL shiftright/shiftleft (the
@@ -212,7 +220,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         " CAST(p % 4 AS INT)) % 2"
     )
     weights = (
-        pos.withColumn("w", bit * 2 - 1)
+        pos.withColumn("w", F.col("m") * (bit * 2 - 1))
         .groupBy("doc_id", "p")
         .agg(F.sum("w").alias("w"))
         .withColumn("b", (F.col("w") > 0).cast("long"))

@@ -77,6 +77,96 @@ def session_stats(sessions: DataFrame, user_col: str = "user_id") -> DataFrame:
     )
 
 
+def sessionize_stream_count_trigger(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    count_threshold: int = 100,
+    watermark_minutes: int = 60,
+) -> DataFrame:
+    """Exact W1 parity: flush a user's session when the buffered event
+    count exceeds the threshold (processor/processor.go:380-382) OR the
+    inactivity gap elapses (W2 heap sweep → event-time timeout).
+
+    This is the applyInPandasWithState path — the one reference
+    behavior session_window can't express (count-triggered flush).
+    State per user: (n, start_us, last_us). Arrow-batched; state is
+    tuple-of-scalars so the state store stays tiny even for hot users.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def flush_sessions(key, pdfs, state):
+        import pandas as pd
+
+        user = key[0]
+        if state.hasTimedOut:
+            n, start_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "n_events": n,
+                        "session_start": pd.Timestamp(start_us, unit="us"),
+                        "session_end": pd.Timestamp(last_us, unit="us"),
+                        "flush_reason": "timeout",
+                    }
+                ]
+            )
+            return
+        n, start_us, last_us = state.get if state.exists else (0, None, None)
+        out = []
+        ts_all = pd.concat([pdf[ts_col] for pdf in pdfs]).sort_values()
+        for ts in ts_all:
+            us = ts.value // 1000
+            if last_us is not None and (us - last_us) > gap_ms * 1000:
+                out.append((user, n, start_us, last_us, "gap"))
+                n, start_us = 0, None
+            n += 1
+            start_us = us if start_us is None else start_us
+            last_us = us
+            if n >= count_threshold:
+                out.append((user, n, start_us, last_us, "count"))
+                n, start_us = 0, None  # keep last_us: next gap check continues
+        if n > 0:
+            state.update((n, start_us, last_us))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        else:
+            state.update((0, 0, last_us))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        if out:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": u,
+                        "n_events": c,
+                        "session_start": pd.Timestamp(s, unit="us"),
+                        "session_end": pd.Timestamp(e, unit="us"),
+                        "flush_reason": r,
+                    }
+                    for (u, c, s, e, r) in out
+                ]
+            )
+
+    return (
+        events.withWatermark(ts_col, f"{watermark_minutes} minutes")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            flush_sessions,
+            outputStructType=(
+                "user_id long, n_events long, session_start timestamp,"
+                " session_end timestamp, flush_reason string"
+            ),
+            stateStructType="n long, start_us long, last_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     user_col: str = "user_id",
