@@ -1,0 +1,63 @@
+"""Physical-layout operators: bucketed co-located joins and salted
+skew joins — the two layout levers that matter most at 100 TB.
+
+Bucketing: write both join sides bucketed by the join key →
+subsequent equi-joins read bucket-aligned files and skip the shuffle
+entirely (SortMergeJoin with zero Exchange). This is the engine's
+answer to the reference's per-destination physical tables: pay the
+layout cost once at write, join for free forever.
+
+Salting: a join key with a celebrity value overwhelms one task. AQE
+skew-join splits oversized partitions automatically for sort-merge
+joins; explicit salting is for the cases AQE can't see (aggregations,
+streaming state) — explode the hot side into S salt buckets and
+replicate the small side S ways.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist bucketed (and optionally sorted) by the join key."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, left_key: str, right_key: str
+) -> DataFrame:
+    """Join two same-bucketed tables — Catalyst sees matching output
+    partitionings and plans a shuffle-free join."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, lt[left_key] == rt[right_key])
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    Result is identical to ``big.join(small, key)``; the shuffle key
+    becomes (key, salt) so one hot key spreads across salt_buckets
+    tasks. Use when the skewed relation feeds an aggregation or
+    stateful op where AQE skew-join does not apply.
+    """
+    big_salted = big.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int"))
+    small_rep = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    out = big_salted.join(small_rep, [key, "_salt"])
+    return out.drop("_salt")

@@ -158,6 +158,98 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (max cosine; deterministic tie-break on centroid id).
+
+    One pass over the corpus against a broadcast centroid table —
+    at 100 TB this is the partitioning step: the corpus is written
+    clustered by `centroid_id`, so a query only scans its probed
+    clusters (partition pruning does the rest).
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    v = vectors.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("vv")).withColumn(
+        "vn", norm(F.col("vv"))
+    )
+    scored = v.join(F.broadcast(c)).select(
+        "vec_id",
+        "vv",
+        "vn",
+        "centroid_id",
+        (dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("sim"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(F.struct("centroid_id", "vv", "vn"), F.struct("sim", (-F.col("centroid_id")).alias("nid"))).alias("best")
+        )
+        .select("vec_id", F.col("best.centroid_id").alias("centroid_id"), F.col("best.vv").alias("vv"), F.col("best.vn").alias("vn"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only corpus vectors in the query's n_probe
+    nearest clusters. Work ∝ probed-cluster sizes, not corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")).withColumn(
+        "qn", norm(F.col("qv"))
+    )
+    q_probes = (
+        q.join(F.broadcast(c))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "centroid_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+            ),
+        )
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "qn", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(q_probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,

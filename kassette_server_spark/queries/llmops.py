@@ -188,6 +188,53 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(load(spark, sf, "embeddings"), threshold=0.45)
 
 
+_IVF_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (acc, x) -> acc + x))"
+
+
+@query(
+    "q52_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_IVF_NORM.format(a='v')} AS vn FROM e),
+    c AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM n WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM n WHERE vec_id % 100 = 0),
+    assign AS (
+      SELECT vec_id, centroid_id, vv, vn FROM (
+        SELECT n.vec_id, c.centroid_id, n.v AS vv, n.vn,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_DOT.format(a='n.v', b='c.cv')} / (n.vn * c.cn) DESC, c.centroid_id) AS rn
+        FROM n, c) t WHERE rn = 1),
+    probe AS (
+      SELECT query_id, qv, qn, centroid_id FROM (
+        SELECT q.query_id, q.qv, q.qn, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_DOT.format(a='q.qv', b='c.cv')} / (q.qn * c.cn) DESC, c.centroid_id) AS pr
+        FROM q, c) t WHERE pr <= 1),
+    scored AS (
+      SELECT query_id, a.vec_id AS neighbor_id,
+             {_DOT.format(a='p.qv', b='a.vv')} / (p.qn * a.vn) AS cos
+      FROM probe p JOIN assign a USING (centroid_id)
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 10
+    """,
+    doc="IVF search: coarse-quantize to centroids, probe nearest cluster "
+    "(work ∝ probed clusters, not corpus — the partitioned-ANN scale path)",
+    tags=("llmops", "similarity"),
+)
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        e,
+        queries=e.filter(F.col("vec_id") % 100 == 0),
+        centroids=e.filter(F.col("vec_id") % 50 == 0),
+        k=10,
+        n_probe=1,
+    )
+
+
 # Text analysis --------------------------------------------------------------
 
 

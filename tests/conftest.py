@@ -14,9 +14,14 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from kassette_server_spark.session import get_spark
 
-    spark = get_spark(app_name="kassette-tests", shuffle_partitions=8)
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    spark = get_spark(
+        app_name="kassette-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield spark
     spark.stop()
