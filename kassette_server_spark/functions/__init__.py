@@ -1,0 +1,26 @@
+"""kassette_server_spark.functions — the engine's scalar-function
+surface in one importable namespace.
+
+Groups the reference-parity coercions (SURVEY §1.2), identity/auth
+hashing, and the text/similarity scalar helpers so users have a single
+`from kassette_server_spark import functions as KF` entry point, the
+way `pyspark.sql.functions` works.
+"""
+
+from ..convert import (  # noqa: F401
+    convert_dest,
+    convert_source,
+    format_date_dest,
+    format_datetime_dest,
+    to_bool,
+    to_datetime_src,
+    to_float,
+    to_int,
+    to_number,
+    to_string,
+    TS_LAYOUT,
+)
+from ..misc import write_key  # noqa: F401
+from ..operators.dedup import shingles, tokens  # noqa: F401
+from ..operators.similarity import cosine, dot, norm  # noqa: F401
+from ..pipeline import md5_uuid, tolerant_timestamp  # noqa: F401

@@ -54,6 +54,38 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
     return df.mapInPandas(batches, schema=META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = "doc_id long, n_bytes long, sample_rate long, n_samples long, duration_ms long, fmt string"
+
+
+def _fake_audio_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an audio codec (librosa/ffmpeg not
+    available): metadata derived from payload length."""
+    n = len(payload)
+    sr = 16000
+    n_samples = n * 8  # pretend 8 samples per byte
+    return {
+        "n_bytes": n,
+        "sample_rate": sr,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // sr,
+        "fmt": "fake/pcm16",
+    }
+
+
+def decode_audio_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Audio twin of decode_image_meta: binary → typed metadata via
+    Arrow-batched mapInPandas; codec stubbed, plumbing real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = pdf[payload_col].map(_fake_audio_decode)
+            out = pd.DataFrame(list(metas))
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10):  # pragma: no cover - stub
     """Video frame sampling hook — requires ffmpeg; stubbed."""
     raise NotImplementedError("video codec not available in this environment")
