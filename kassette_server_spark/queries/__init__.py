@@ -16,6 +16,7 @@ from . import parity as _parity  # noqa: F401,E402
 from . import pipeline_e2e as _pipeline_e2e  # noqa: F401,E402
 from . import olap as _olap  # noqa: F401,E402
 from . import text_extra as _text_extra  # noqa: F401,E402
+from . import tpch as _tpch  # noqa: F401,E402
 
 try:  # north-star ops land incrementally; keep the core importable
     from . import llmops as _llmops  # noqa: F401,E402
