@@ -154,6 +154,37 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# q56: time-bucketed rollup (hypertable/continuous-aggregate shape):
+# hourly buckets per event type with count + exact sum. At 100 TB this
+# is THE ingest-side aggregate — partial agg per file/partition, tiny
+# shuffle, and the result is itself partition-prunable by bucket.
+@query(
+    "q56_time_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="hourly hypertable rollup: time_bucket + per-type aggregates",
+    tags=("olap", "timeseries"),
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    from .relational import cents
+
+    return (
+        load(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")) / 100).alias("sum_value"),
+        )
+    )
+
+
 # q47: as-of join — each event matched to the user's latest order
 # at-or-before the event time (union-merge implementation, one shuffle;
 # oracle = DuckDB native ASOF LEFT JOIN). Right side pre-aggregated to
