@@ -187,6 +187,76 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_near_dup(
+    sig: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints: hamming(fp_a, fp_b) ≤ k.
+
+    Candidate generation by pigeonhole banding: split the 64-bit
+    fingerprint into ``bands`` equal chunks; any pair within hamming k
+    ≤ bands−1 must agree on ≥1 chunk, so the join on (band, chunk) has
+    PERFECT recall for k < bands while scaling with collisions, not
+    |docs|². Verification = xor + bit_count on the two halves.
+
+    Input: (doc_id, fp_hi, fp_lo) from simhash(). Output:
+    (doc_a, doc_b, hamming).
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole recall requires max_hamming < bands")
+    bits_per = 64 // bands
+    mask = (1 << bits_per) - 1
+    chunk_cols = []
+    for b in range(bands):
+        off = b * bits_per
+        src, local = ("fp_lo", off) if off < 32 else ("fp_hi", off - 32)
+        chunk_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(CAST({src} AS BIGINT) >> {local}) & {mask}").alias("chunk"),
+            )
+        )
+    banded = sig.select(
+        "doc_id", "fp_hi", "fp_lo", F.explode(F.array(*chunk_cols)).alias("bc")
+    ).select("doc_id", "fp_hi", "fp_lo", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.fp_hi").alias("ha"),
+            F.col("x.fp_lo").alias("la"),
+            F.col("y.fp_hi").alias("hb"),
+            F.col("y.fp_lo").alias("lb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for dedup keys: lowercase, strip
+    punctuation, collapse whitespace — the standard pre-dedup pass in
+    training-data pipelines (pure JVM expressions)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    no_punct = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(no_punct, r"\s+", " "))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash fingerprint per doc from md5(token) bits.
 

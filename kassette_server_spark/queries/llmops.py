@@ -149,6 +149,62 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(load(spark, sf, "documents"))
 
 
+_SIMHASH_CTE = """
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tm AS (SELECT doc_id, md5(tok) AS h, count(*) AS m FROM tok GROUP BY doc_id, md5(tok)),
+pos AS (SELECT doc_id, h, m, unnest(range(0, 64)) AS p FROM tm),
+bits AS (
+  SELECT doc_id, p,
+         m * (2 * (((strpos('0123456789abcdef', substr(h, CAST(p // 4 AS INT) + 1, 1)) - 1)
+              >> CAST(p % 4 AS INT)) & 1) - 1) AS w
+  FROM pos),
+weights AS (
+  SELECT doc_id, p, CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS b
+  FROM bits GROUP BY doc_id, p),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN p >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(p - 32 AS INT)) ELSE 0 END) AS BIGINT) AS fp_hi,
+         CAST(sum(CASE WHEN p < 32 THEN b * (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS fp_lo
+  FROM weights GROUP BY doc_id)
+"""
+
+
+@query(
+    "q57_simhash_near_dup",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 6
+    """,
+    doc="SimHash hamming≤6 near-dup via pigeonhole banding (perfect "
+    "recall for k<bands; oracle is the all-pairs form — same answer)",
+    tags=("llmops", "dedup"),
+)
+def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    sig = dedup.simhash(load(spark, sf, "documents"))
+    return dedup.simhash_near_dup(sig, max_hamming=6, bands=8)
+
+
+@query(
+    "q58_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_digest
+    FROM documents
+    """,
+    doc="canonical text normalization (pre-dedup pass): lower, strip punct, squish ws",
+    tags=("llmops", "text"),
+)
+def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    norm = dedup.normalize_text("text")
+    return load(spark, sf, "documents").select(
+        "doc_id", norm.alias("norm"), F.md5(norm).alias("norm_digest")
+    )
+
+
 # Similarity search ----------------------------------------------------------
 
 
