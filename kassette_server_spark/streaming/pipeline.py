@@ -57,15 +57,22 @@ def deliver_with_ledger(
     """Dedup → deliver → record outcomes. Runs inside foreachBatch."""
     done = ledger.processed_job_ids().filter(F.col("connection_id") == conn.id).select("job_id")
     fresh = batch.join(done, batch.message_id == done.job_id, "left_anti")
+    # Fully materialize outcomes BEFORE any filtering action: the
+    # delivery runs inside the outcome DataFrame's partitions, and a
+    # partially-cached plan (limit(1) touches one partition) would
+    # re-execute the remaining partitions on the next action —
+    # re-sending to the destination. count() pins every partition.
     outcomes = deliver(fresh).cache()
+    n_total = outcomes.count()
     ok = outcomes.filter(F.col("delivered"))
     failed = outcomes.filter(~F.col("delivered"))
-    if ok.limit(1).count():
-        ledger.append(make_status(ok, conn.id, STATE_SUCCEEDED, attempt_col=attempt_col))
-    if failed.limit(1).count():
-        ledger.append(
-            make_status(failed, conn.id, STATE_FAILED, attempt_col=attempt_col, error_col=F.col("error"))
-        )
+    if n_total:
+        if ok.limit(1).count():
+            ledger.append(make_status(ok, conn.id, STATE_SUCCEEDED, attempt_col=attempt_col))
+        if failed.limit(1).count():
+            ledger.append(
+                make_status(failed, conn.id, STATE_FAILED, attempt_col=attempt_col, error_col=F.col("error"))
+            )
     outcomes.unpersist()
 
 

@@ -1,0 +1,68 @@
+"""Regression: delivery partitions must execute exactly once per
+micro-batch even though the ledger writer inspects the outcome frame
+multiple times (succeeded + failed branches)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from kassette_server_spark.config import Connection, DestinationConfig, Schema, SchemaField, SourceConfig
+from kassette_server_spark.streaming.ledger import DeliveryLedger
+from kassette_server_spark.streaming.pipeline import deliver_with_ledger, transform_micro_batch
+
+CONN = Connection(
+    id=3,
+    source=SourceConfig(id=1, name="gw", schema=Schema("e", (SchemaField("event_id", "STRING"),))),
+    destination=DestinationConfig(
+        id=2, name="pg", dest_type="postgres",
+        schema=Schema("e", (SchemaField("event_id", "VARCHAR"),)),
+    ),
+)
+
+
+def test_delivery_partitions_run_exactly_once(spark, tmp_path):
+    events = [
+        {"event_id": f"e{i}", "userId": "u", "messageId": f"m{i}"} for i in range(8)
+    ]
+    payload = json.dumps(
+        {"batch": events, "writeKey": "wk", "requestIP": "1.1.1.1",
+         "receivedAt": "2024-03-04T05:06:07.123Z"}
+    )
+    raw = spark.createDataFrame([(payload,)], ["payload"])
+    batch = transform_micro_batch(raw, CONN, clock=F.lit("2024-01-01").cast("timestamp"))
+    lg = DeliveryLedger(spark, str(tmp_path / "ledger"))
+
+    # delivery with a side-effect counter per executed row: a file per
+    # (message_id, invocation) — duplicates would collide into extras
+    marker_dir = tmp_path / "sends"
+    marker_dir.mkdir()
+
+    def deliver(df):
+        # multi-partition so partial caching would be observable
+        spread = df.repartition(4, "message_id")
+
+        def send(rows):
+            for r in rows:
+                # one marker file per send attempt (append-unique name)
+                base = str(marker_dir / r["message_id"])
+                k = 0
+                while os.path.exists(f"{base}.{k}"):
+                    k += 1
+                open(f"{base}.{k}", "w").close()
+                # odd ids fail
+                ok = int(r["message_id"][1:]) % 2 == 0
+                yield (r["message_id"], ok, 200 if ok else 500, "" if ok else "boom")
+
+        rdd = spread.rdd.mapPartitions(send)
+        return spark.createDataFrame(rdd, "message_id string, delivered boolean, status int, error string")
+
+    deliver_with_ledger(batch, CONN, lg, deliver)
+    sends = sorted(p.name for p in marker_dir.iterdir())
+    # every message sent exactly once (all markers end in .0)
+    assert len(sends) == 8 and all(s.endswith(".0") for s in sends), sends
+    latest = {r.job_id: r.state for r in lg.latest_state().collect()}
+    assert sum(1 for s in latest.values() if s == "succeeded") == 4
+    assert sum(1 for s in latest.values() if s == "failed") == 4
