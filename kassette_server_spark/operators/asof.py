@@ -83,19 +83,28 @@ def range_join_buckets(
 ) -> DataFrame:
     """left rows joined to right intervals containing left_point.
 
-    Right intervals explode into the buckets they overlap (bounded by
-    max_span_buckets — degenerate giant intervals should go through a
-    broadcast path instead); left rows land in exactly one bucket; the
-    equi-join on bucket + residual inequality filter does the rest.
+    Right intervals explode into the buckets they overlap; left rows
+    land in exactly one bucket; the equi-join on bucket + residual
+    inequality filter does the rest. An interval spanning more than
+    ``max_span_buckets`` buckets FAILS LOUDLY (assert_true) rather than
+    silently dropping matches — degenerate giant intervals should take
+    a broadcast nested-loop path or a wider bucket_width instead.
     """
     lb = F.floor(F.col(left_point) / bucket_width).cast("long")
     l_tag = left.withColumn("_bucket", lb)
     lo_b = F.floor(F.col(right_lo) / bucket_width).cast("long")
     hi_b = F.floor(F.col(right_hi) / bucket_width).cast("long")
-    span = F.least(hi_b - lo_b, F.lit(max_span_buckets))
-    r_tag = right.withColumn(
-        "_bucket", F.explode(F.sequence(lo_b, lo_b + span))
+    span = hi_b - lo_b
+    guard = F.assert_true(
+        span <= max_span_buckets,
+        F.concat(
+            F.lit(f"range_join_buckets: interval spans > {max_span_buckets} buckets "
+                  f"(bucket_width={bucket_width}); widen bucket_width or broadcast"),
+        ),
     )
+    r_tag = right.withColumn("_guard", guard).withColumn(
+        "_bucket", F.explode(F.sequence(lo_b, lo_b + span))
+    ).drop("_guard")
     joined = l_tag.join(r_tag, "_bucket").filter(
         (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
     )

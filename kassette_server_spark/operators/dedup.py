@@ -72,27 +72,12 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    threshold: float = 0.8,
-) -> DataFrame:
-    """All-pairs n-gram Jaccard ≥ threshold via shared-shingle join.
-
-    jaccard = |A∩B| / (|A|+|B|−|A∩B|), computed as long/long → double
-    division (portable bit-exact). Output (doc_a, doc_b, jaccard).
-    """
-    sh = shingle_table(df, text_col, id_col, k)
+def _jaccard_verify(sh: DataFrame, inter: DataFrame, threshold: float) -> DataFrame:
+    """Shared exact-Jaccard finisher over an intersection-count frame
+    (doc_a, doc_b, c). ONE definition keeps both the all-pairs and the
+    LSH paths bit-identical with the DuckDB oracle: jaccard =
+    c / (na + nb − c), long/long → double division."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
-    )
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
     return (
@@ -102,6 +87,28 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shared-shingle join.
+
+    Output (doc_a, doc_b, jaccard) — see _jaccard_verify.
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    return _jaccard_verify(sh, inter, threshold)
 
 
 def _minhash_expr(seed: int, hash_fn: str) -> Column:
@@ -167,7 +174,6 @@ def minhash_lsh_pairs(
     """
     sh = shingle_table(df, text_col, id_col, k)
     cand = lsh_candidates(minhash_signatures(sh, num_hashes, hash_fn), num_hashes, bands)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -176,15 +182,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
-    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verify(sh, inter, threshold)
 
 
 def simhash_near_dup(

@@ -44,7 +44,7 @@ def latest_status(status: DataFrame) -> DataFrame:
 def unprocessed(jobs: DataFrame, status: DataFrame, count: int | None = None) -> DataFrame:
     """S4 GetUnprocessed: jobs with no status row, oldest first."""
     out = jobs.join(status.select("job_id").distinct(), "job_id", "left_anti").orderBy("job_id")
-    return out.limit(count) if count else out
+    return out.limit(count) if count is not None else out
 
 
 def by_state(
@@ -53,7 +53,7 @@ def by_state(
     """S5 GetProcessed: jobs whose LATEST state is in `states`."""
     latest = latest_status(status).filter(F.col("state").isin(*states))
     out = jobs.join(latest, "job_id").orderBy("job_id")
-    return out.limit(count) if count else out
+    return out.limit(count) if count is not None else out
 
 
 def to_retry(
@@ -72,7 +72,7 @@ def to_retry(
         & (F.col("retry_time") <= now)
     )
     out = jobs.join(latest, "job_id").orderBy("job_id")
-    return out.limit(count) if count else out
+    return out.limit(count) if count is not None else out
 
 
 def compact(jobs: DataFrame, status: DataFrame) -> DataFrame:

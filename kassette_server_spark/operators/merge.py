@@ -52,7 +52,22 @@ def scd2_apply(
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: close the current row for each
     changed key and append the new version. Emulated with the same
-    anti-join + union machinery (MERGE-free)."""
+    anti-join + union machinery (MERGE-free).
+
+    Multiple updates for one key in a batch are first collapsed to the
+    latest (max ts, then max remaining columns) — otherwise the join
+    would duplicate history rows and leave two current versions.
+    """
+    others = [c for c in updates.columns if c not in keys and c != ts_col]
+    updates = (
+        updates.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(ts_col, *others), F.struct(ts_col, *others)
+            ).alias("_s")
+        )
+        .select(*keys, "_s.*")
+    )
     upd_keys = updates.select(*keys, F.col(ts_col).alias("_new_from"))
     closed = (
         target.join(upd_keys, keys, "left")

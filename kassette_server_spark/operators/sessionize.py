@@ -105,17 +105,18 @@ def sessionize_stream_count_trigger(
         if state.hasTimedOut:
             n, start_us, last_us = state.get
             state.remove()
-            yield pd.DataFrame(
-                [
-                    {
-                        "user_id": user,
-                        "n_events": n,
-                        "session_start": pd.Timestamp(start_us, unit="us"),
-                        "session_end": pd.Timestamp(last_us, unit="us"),
-                        "flush_reason": "timeout",
-                    }
-                ]
-            )
+            if n > 0:  # n == 0: count-flush already emitted everything
+                yield pd.DataFrame(
+                    [
+                        {
+                            "user_id": user,
+                            "n_events": n,
+                            "session_start": pd.Timestamp(start_us, unit="us"),
+                            "session_end": pd.Timestamp(last_us, unit="us"),
+                            "flush_reason": "timeout",
+                        }
+                    ]
+                )
             return
         n, start_us, last_us = state.get if state.exists else (0, None, None)
         out = []
@@ -123,7 +124,8 @@ def sessionize_stream_count_trigger(
         for ts in ts_all:
             us = ts.value // 1000
             if last_us is not None and (us - last_us) > gap_ms * 1000:
-                out.append((user, n, start_us, last_us, "gap"))
+                if n > 0:  # an empty buffer right after a count-flush has nothing to emit
+                    out.append((user, n, start_us, last_us, "gap"))
                 n, start_us = 0, None
             n += 1
             start_us = us if start_us is None else start_us
@@ -133,10 +135,14 @@ def sessionize_stream_count_trigger(
                 n, start_us = 0, None  # keep last_us: next gap check continues
         if n > 0:
             state.update((n, start_us, last_us))
-            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+            # event-time timeouts below the current watermark are
+            # rejected by Spark (legally-late events can put
+            # last_us + gap behind it) — clamp to watermark + 1ms
+            timeout_ms = max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(timeout_ms)
         else:
-            state.update((0, 0, last_us))
-            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+            # buffer drained by a count flush — nothing left to time out
+            state.remove()
         if out:
             yield pd.DataFrame(
                 [

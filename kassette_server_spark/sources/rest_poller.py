@@ -77,35 +77,57 @@ class RestPollerStreamReader(DataSourceStreamReader):
         start = options.get("start")
         if start is None:
             raise ValueError("rest_poller requires a 'start' option (ISO timestamp)")
-        self._start = datetime.fromisoformat(start).replace(tzinfo=None)
+        # _initial is the configured stream start (immutable — Spark may
+        # call latestOffset() BEFORE initialOffset(), so the advancing
+        # cursor must never leak into the initial offset); _cursor is
+        # the high-water mark latestOffset advances.
+        self._initial = datetime.fromisoformat(start).replace(tzinfo=None)
+        self._cursor = self._initial
         self._apis = tuple(
             a for a in options.get("apis", ",".join(DEFAULT_APIS)).split(",") if a
         )
         self._max_windows = int(options.get("max_windows", 1))
+        # the reference's lagged window: never poll windows newer than
+        # now − history (gives the upstream API time to settle); also
+        # prevents committing FUTURE windows whose data would be skipped
+        self._history = int(options.get("history_min", 0))
+        # injectable clock for tests: ISO timestamp pinning "now"
+        self._now_override = options.get("now")
+
+    def _now(self) -> datetime:
+        if self._now_override:
+            return datetime.fromisoformat(self._now_override)
+        return datetime.utcnow()
 
     def initialOffset(self) -> dict:
-        return {"window_start": self._start.isoformat()}
+        return {"window_start": self._initial.isoformat()}
 
     def latestOffset(self) -> dict:
-        # advance a bounded number of windows per micro-batch
-        # (backpressure: maxOffsetsPerTrigger analogue)
-        return {
-            "window_start": (
-                self._start + timedelta(minutes=self._interval * self._max_windows)
-            ).isoformat()
-        }
+        # advance up to max_windows per micro-batch (backpressure),
+        # clamped so no window extends past now − history: polling must
+        # trail the wall clock or committed-but-empty future windows
+        # would be permanently skipped
+        horizon = (self._now() - timedelta(minutes=self._history)).replace(
+            second=0, microsecond=0
+        )
+        target = self._cursor + timedelta(minutes=self._interval * self._max_windows)
+        if target > horizon:
+            whole = int((horizon - self._cursor).total_seconds() // (self._interval * 60))
+            target = self._cursor + timedelta(minutes=self._interval * max(whole, 0))
+        self._cursor = max(self._cursor, target)
+        return {"window_start": self._cursor.isoformat()}
 
     def partitions(self, start: dict, end: dict):
         s = datetime.fromisoformat(start["window_start"])
         e = datetime.fromisoformat(end["window_start"])
         parts = []
         w = s
-        while w < e:
+        while w < e:  # e ≤ s (e.g. restart rewound latest) → no work
             nxt = w + timedelta(minutes=self._interval)
             for api in self._apis:
                 parts.append(_WindowPartition(api, w.isoformat(), nxt.isoformat()))
             w = nxt
-        self._start = e  # local progress; the engine checkpoints offsets
+        self._cursor = max(self._cursor, e)
         return parts
 
     def commit(self, end: dict) -> None:

@@ -19,10 +19,6 @@ update contention at 1000 executors.
 
 from __future__ import annotations
 
-import os
-import time
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,11 +55,18 @@ class DeliveryLedger:
         ).write.mode("append").parquet(self.path)
 
     def _read(self) -> DataFrame:
-        if not os.path.isdir(self.path) or not any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        ):
+        # attempt the read and fall back to empty only on a genuinely
+        # missing path — directory probing would misread partitioned
+        # layouts (date=… subdirs) or remote paths (s3a/hdfs) as empty
+        # and silently break dedup/retry
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+            df.schema  # force path resolution
+            return df
+        except AnalysisException:
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
-        return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
 
     def latest_state(self) -> DataFrame:
         """Latest status row per (job, connection) — the reference's

@@ -57,6 +57,9 @@ def deliver_with_ledger(
     """Dedup → deliver → record outcomes. Runs inside foreachBatch."""
     done = ledger.processed_job_ids().filter(F.col("connection_id") == conn.id).select("job_id")
     fresh = batch.join(done, batch.message_id == done.job_id, "left_anti")
+    # client retries can land the same messageId twice in ONE micro-batch
+    # (the ledger only knows about earlier batches) — dedup within too
+    fresh = fresh.dropDuplicates(["message_id"])
     # Fully materialize outcomes BEFORE any filtering action: the
     # delivery runs inside the outcome DataFrame's partitions, and a
     # partially-cached plan (limit(1) touches one partition) would
