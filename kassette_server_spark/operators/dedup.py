@@ -220,7 +220,13 @@ def simhash_near_dup(
     ).select("doc_id", "fp_hi", "fp_lo", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     x = banded.alias("x")
     y = banded.alias("y")
-    cand = (
+    # hamming-filter BEFORE the distinct: collisions are plentiful but
+    # true near-dups are rare, so deduplicating only the survivors
+    # shrinks the distinct's shuffle by orders of magnitude
+    hamming = F.expr(
+        "bit_count(x.fp_hi ^ y.fp_hi) + bit_count(x.fp_lo ^ y.fp_lo)"
+    ).cast("long")
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -230,18 +236,10 @@ def simhash_near_dup(
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.fp_hi").alias("ha"),
-            F.col("x.fp_lo").alias("la"),
-            F.col("y.fp_hi").alias("hb"),
-            F.col("y.fp_lo").alias("lb"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
