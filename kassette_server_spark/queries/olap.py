@@ -185,6 +185,74 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# q60: per-group mode (most frequent value) — two-level aggregation
+# with a deterministic tie-break (higher count, then smaller value);
+# the max_by(struct) pattern keeps it one extra shuffle over the
+# counting agg, never a sort.
+@query(
+    "q60_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity)
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY cnt DESC, l_quantity) AS rn
+      FROM c) t
+    WHERE rn = 1
+    """,
+    doc="per-group mode via two-level agg + deterministic argmax",
+    tags=("olap",),
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    counts = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count("*").alias("cnt"))
+    )
+    best = counts.groupBy("l_returnflag").agg(
+        F.max_by(
+            F.struct("l_quantity", "cnt"),
+            F.struct(F.col("cnt"), (-F.col("l_quantity")).alias("neg")),
+        ).alias("b")
+    )
+    return best.select(
+        "l_returnflag",
+        F.col("b.l_quantity").alias("mode_qty"),
+        F.col("b.cnt").alias("cnt"),
+    )
+
+
+# q59: unpivot — wide metrics to long (measure, value) rows; Spark
+# unpivot()/stack ≡ SQL UNION ALL of one projection per measure.
+@query(
+    "q59_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'year' AS measure, CAST(year(o_orderdate) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'priority_rank' AS measure,
+           CAST(CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS DOUBLE) FROM orders
+    """,
+    doc="unpivot wide→long via stack (melt for metric tables)",
+    tags=("olap",),
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.year("o_orderdate").cast("double").alias("year"),
+        F.substring("o_orderpriority", 1, 1).cast("long").cast("double").alias("priority_rank"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "year", "priority_rank"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
 # q47: as-of join — each event matched to the user's latest order
 # at-or-before the event time (union-merge implementation, one shuffle;
 # oracle = DuckDB native ASOF LEFT JOIN). Right side pre-aggregated to

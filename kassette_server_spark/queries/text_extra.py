@@ -57,36 +57,6 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     return d.filter(F.col("pos") < 5).select("doc_id", "pos", "tok")
 
 
-# q59: unpivot — wide metrics to long (measure, value) rows; Spark
-# unpivot()/stack ≡ SQL UNION ALL of one projection per measure.
-@query(
-    "q59_unpivot",
-    oracle="""
-    SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value FROM orders
-    UNION ALL
-    SELECT o_orderkey, 'year' AS measure, CAST(year(o_orderdate) AS DOUBLE) FROM orders
-    UNION ALL
-    SELECT o_orderkey, 'priority_rank' AS measure,
-           CAST(CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS DOUBLE) FROM orders
-    """,
-    doc="unpivot wide→long via stack (melt for metric tables)",
-    tags=("olap",),
-)
-def q59(spark: SparkSession, sf: str) -> DataFrame:
-    o = load(spark, sf, "orders").select(
-        "o_orderkey",
-        F.col("o_totalprice").alias("totalprice"),
-        F.year("o_orderdate").cast("double").alias("year"),
-        F.substring("o_orderpriority", 1, 1).cast("long").cast("double").alias("priority_rank"),
-    )
-    return o.unpivot(
-        ids=["o_orderkey"],
-        values=["totalprice", "year", "priority_rank"],
-        variableColumnName="measure",
-        valueColumnName="value",
-    )
-
-
 # q51: aggregate over the exploded stream — corpus-wide token
 # frequencies (the classic wordcount as a declared operator; the
 # groupBy shuffles 16-byte-ish tokens with map-side combine).
