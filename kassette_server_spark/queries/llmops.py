@@ -422,3 +422,47 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return decode_image_meta(binary)
+
+
+# Embedding centroids --------------------------------------------------------
+
+
+# q66: per-label centroid of the embedding column — the reduce step of
+# k-means / class-prototype computation over vectors. Cross-row float
+# sums are summation-order-dependent (not oracle-able bit-exactly), so
+# each component is quantized to an exact integer (round(x*1e6), far
+# inside int64 for unit-scale embeddings) and summed as BIGINT —
+# order-insensitive and identical in both engines; only the final
+# mean division is floating-point. posexplode → groupBy(label, dim) is
+# one map-side-combined shuffle of (label, dim) keys: at 100 TB this
+# is the textbook dimension-wise partial agg, no vector ever collected
+# to the driver.
+@query(
+    "q66_embedding_centroid",
+    oracle="""
+    SELECT label, i AS dim,
+           CAST(CAST(sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                              AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1000000 AS centroid,
+           count(*) AS n
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, i
+    """,
+    doc="per-label embedding centroid via integer-quantized dim-wise agg",
+    tags=("llmops", "similarity"),
+)
+def q_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    q = e.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+    )
+    return q.groupBy("label", "dim").agg(
+        (
+            F.sum("xq").cast("double") / F.count("*").cast("double") / 1000000
+        ).alias("centroid"),
+        F.count("*").alias("n"),
+    )

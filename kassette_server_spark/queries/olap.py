@@ -253,6 +253,179 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# q61: statistical aggregates (stddev / correlation) computed from
+# exact integer-cent moments so both engines emit bit-identical doubles:
+# sums of d, t, d², t², d·t are BIGINT-exact (discount/tax are exact
+# 2-decimal values ≤ 0.10, so all moments stay far inside int64), and
+# only the final combine is floating-point — the identical scalar
+# expression on both sides. One map-side-combined shuffle, same shape
+# as any hash agg; never uses the engines' (summation-order-dependent)
+# native stddev/corr.
+@query(
+    "q61_stats_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(d) AS BIGINT) AS sd, CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(d*d) AS BIGINT) AS sdd, CAST(sum(t*t) AS BIGINT) AS stt,
+             CAST(sum(d*t) AS BIGINT) AS sdt
+      FROM (SELECT l_returnflag,
+                   CAST(round(l_discount*100) AS BIGINT) AS d,
+                   CAST(round(l_tax*100) AS BIGINT) AS t
+            FROM lineitem)
+      GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           sqrt(CAST(n*sdd - sd*sd AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) / 100 AS stddev_disc,
+           CAST(n*sdt - sd*st AS DOUBLE)
+             / (sqrt(CAST(n*sdd - sd*sd AS DOUBLE)) * sqrt(CAST(n*stt - st*st AS DOUBLE))) AS corr_disc_tax
+    FROM m
+    """,
+    doc="exact stddev/corr via integer-cent moments (order-insensitive)",
+    tags=("olap",),
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("d") * F.col("t")).alias("sdt"),
+    )
+    n, sd, st = F.col("n"), F.col("sd"), F.col("st")
+    sdd, stt, sdt = F.col("sdd"), F.col("stt"), F.col("sdt")
+    var_num_d = (n * sdd - sd * sd).cast("double")
+    var_num_t = (n * stt - st * st).cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.sqrt(var_num_d / (n * (n - 1)).cast("double")) / 100).alias("stddev_disc"),
+        ((n * sdt - sd * st).cast("double") / (F.sqrt(var_num_d) * F.sqrt(var_num_t))).alias(
+            "corr_disc_tax"
+        ),
+    )
+
+
+# q62: GROUPING SETS with grouping flags — the general form of
+# rollup/cube (q10/q44). Spark compiles this to a single Expand+agg
+# over one scan (not a UNION ALL of re-scans); per-column GROUPING()
+# flags are used instead of grouping_id() because the two engines
+# disagree on bit order.
+@query(
+    "q62_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS c,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="grouping sets (general rollup/cube) with per-column grouping flags",
+    tags=("olap",),
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("orders_q62")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS c,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        FROM orders_q62
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# q63: deterministic hash sampling — the scale path for sampling 100 TB
+# reproducibly across engines and runs (TABLESAMPLE is seed- and
+# engine-dependent; a key-hash predicate is not). First hex nibble of
+# md5(key) = '0' selects a stable ~1/16 sample; the predicate is a
+# cheap per-row expression that pipelines inside the scan stage with
+# no shuffle at all.
+@query(
+    "q63_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    """,
+    doc="deterministic md5-bucket sampling (reproducible TABLESAMPLE)",
+    tags=("olap",),
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# q64: ordered string aggregation (listagg/string_agg) — Spark's
+# collect_list is order-nondeterministic, so the deterministic form is
+# array_sort before array_join; oracle uses string_agg(... ORDER BY).
+@query(
+    "q64_string_agg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="ordered listagg via array_sort+array_join (deterministic)",
+    tags=("olap",),
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# q65: analytic-window extras — ntile, dense_rank, percent_rank,
+# cume_dist, first_value over one shared (partition, order) spec, so
+# Spark evaluates all five in a single Window exec over one shuffle.
+# percent_rank/cume_dist are exact small-integer ratios, identical
+# doubles in both engines.
+@query(
+    "q65_window_extras",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile,
+           CAST(dense_rank() OVER w AS BIGINT) AS dr,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(o_orderkey) OVER w AS first_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="ntile/dense_rank/percent_rank/cume_dist/first_value, one window",
+    tags=("olap",),
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("tile"),
+        F.dense_rank().over(w).cast("long").alias("dr"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+    )
+
+
 # q47: as-of join — each event matched to the user's latest order
 # at-or-before the event time (union-merge implementation, one shuffle;
 # oracle = DuckDB native ASOF LEFT JOIN). Right side pre-aggregated to
