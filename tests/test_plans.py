@@ -71,6 +71,30 @@ def test_q34_queries_broadcast_corpus_not_shuffled(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_q62_grouping_sets_single_scan_expand(spark):
+    # grouping sets must compile to one Expand over one scan, never a
+    # UNION ALL of per-grouping re-scans of the fact table.
+    p = plan(spark, "q62_grouping_sets")
+    assert "Expand" in p
+    # formatted explain lists each operator twice (tree + detail section)
+    assert p.count("Scan parquet") == 2
+    assert "Union" not in p
+
+
+def test_q63_hash_sample_no_shuffle(spark):
+    # deterministic sampling is a per-row predicate: it must pipeline
+    # inside the scan stage with zero exchanges.
+    p = plan(spark, "q63_hash_sample")
+    assert "Exchange" not in p
+
+
+def test_q65_single_window_exec(spark):
+    # five analytic functions over one shared spec = one Window
+    # operator and one shuffle, not five.
+    p = plan(spark, "q65_window_extras")
+    assert p.count("Window (") == 1 and p.count("Exchange (") == 1
+
+
 def test_whole_stage_codegen_on_hot_paths(spark):
     # coercion/rule pipelines must stay inside codegen (no Python UDFs).
     # In formatted explain, '* ' prefixes mark codegen'd operators.
