@@ -302,3 +302,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             ).alias("fp_lo"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation: every node converges to the smallest id reachable from
+    it, giving a deterministic cluster id (and keeper = cluster id)
+    regardless of iteration order.
+
+    ``edges`` is (doc_a, doc_b) undirected pairs, ``nodes`` the full
+    id frame (singletons become their own cluster). Each iteration is
+    one join + min-aggregate; the loop runs until a fixpoint (bounded
+    by graph diameter, ≤ ``max_iters``). Scale notes: the symmetric
+    edge frame is persisted once and reused every iteration, and labels
+    are localCheckpoint'ed per iteration so lineage (and thus task
+    binary size / recovery cost) stays O(1) instead of O(iterations) —
+    the standard Spark iterative-graph pattern. Near-dup graphs are
+    overwhelmingly tiny star components, so convergence is 2-3 rounds.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id"))
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                sym.join(labels, sym.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            merged = labels.join(nbr, "doc_id", "left").select(
+                "doc_id",
+                F.col("cluster_id").alias("old_cluster"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            merged = merged.localCheckpoint(eager=True)
+            changed = merged.filter(F.col("old_cluster") != F.col("cluster_id")).count()
+            labels = merged.select("doc_id", "cluster_id")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels

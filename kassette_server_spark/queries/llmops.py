@@ -466,3 +466,79 @@ def q_centroid(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("centroid"),
         F.count("*").alias("n"),
     )
+
+
+# Corpus curation ------------------------------------------------------------
+
+
+# q67: stratified deterministic sampling — corpus rebalancing by
+# language: downsample the dominant stratum ('en' → 1/16) while keeping
+# more of the rest (1/4), selected by the first md5 nibble of the doc
+# id so the sample is reproducible across engines, runs, and cluster
+# sizes (unlike seeded TABLESAMPLE). Pure per-row predicate: pipelines
+# in the scan, no shuffle.
+@query(
+    "q67_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          < (CASE WHEN lang = 'en' THEN '1' ELSE '4' END)
+    """,
+    doc="stratified md5-nibble sampling per language (corpus rebalance)",
+    tags=("llmops", "sampling"),
+)
+def q_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    thr = F.when(F.col("lang") == "en", F.lit("1")).otherwise(F.lit("4"))
+    return d.filter(nib < thr).select("doc_id", "lang")
+
+
+# q68: near-dup cluster assignment — the step after pair generation
+# that decides which documents to keep: connected components over the
+# MinHash-LSH pair graph via min-label propagation (operators/dedup.
+# connected_components). Deterministic fixpoint (cluster = min
+# reachable id) so it is oracle-able even though the Spark side is
+# iterative: the DuckDB oracle computes the same fixpoint with a
+# recursive CTE.
+@query(
+    "q68_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_bands_sql()},
+    inter AS (
+      SELECT doc_a, doc_b, count(*) AS c
+      FROM cand
+      JOIN sh a ON a.doc_id = doc_a
+      JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    ver AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN n na ON na.doc_id = doc_a
+      JOIN n nb ON nb.doc_id = doc_b
+      WHERE c / (na.ns + nb.ns - c) >= 0.8),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      UNION
+      SELECT doc_b, doc_a FROM ver),
+    reach(node, x) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x)
+    SELECT node AS doc_id, min(x) AS cluster_id,
+           (min(x) = node) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+    doc="near-dup clustering: connected components over MinHash pairs "
+    "(min-label propagation; oracle = recursive-CTE fixpoint)",
+    tags=("llmops", "dedup"),
+)
+def q_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    labels = dedup.connected_components(pairs, docs.select("doc_id"))
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper")
+    )

@@ -484,3 +484,43 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = range_join_buckets(ev, bands, "value", "lo", "hi", bucket_width=50.0)
     return out.select("event_id", "band_id")
+
+
+# q69: hopping (sliding) time windows — 1-hour windows every 30
+# minutes, each event contributing to exactly duration/slide = 2
+# windows. Spark's window() generates the assignments as an Expand-like
+# projection before one map-side-combined agg; the oracle replays the
+# same assignment arithmetic with an explicit range(2) cross join on
+# integer microsecond slots.
+@query(
+    "q69_hopping_window",
+    oracle="""
+    SELECT make_timestamp(s * 1800000000) AS ws,
+           make_timestamp(s * 1800000000 + 3600000000) AS we,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100 AS sum_value
+    FROM (SELECT *, (epoch_us(ts) // 1800000000) - k.i AS s
+          FROM events, range(2) k(i))
+    GROUP BY 1, 2, 3
+    """,
+    doc="hopping 1h/30min windows: per-type counts + exact sums",
+    tags=("olap", "timeseries"),
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    from .relational import cents
+
+    return (
+        load(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")) / 100).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
