@@ -261,47 +261,49 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     Σ(2·bit−1) over tokens. Output (doc_id, fp_hi, fp_lo) as two
     BIGINT halves (portable across engines without uint64).
 
-    Plumbing is posexplode over 64 bit positions — rows = tokens×64,
-    all JVM-side; two partial-agg shuffles keyed by (doc, pos) then doc.
+    Plumbing: no per-position explode at all. Each distinct (doc,
+    token-hash) row carries its 16 hex-nibble values as plain int
+    columns, and ONE groupBy(doc_id) evaluates 64 codegen'd
+    sum(m·(2·bit−1)) expressions — the shuffle is keyed by doc alone
+    (the smallest possible keyspace) and carries 64 longs per doc
+    after map-side combine. Fingerprint assembly is then a row-local
+    expression, no further shuffle. Integer-identical to the per-bit
+    per-occurrence formulation the oracle uses.
     """
     # pre-aggregate token multiplicity: natural text repeats tokens
     # heavily, so summing m·(2·bit−1) over DISTINCT (doc, token) rows
-    # cuts the 64-way position explode by the repetition factor —
+    # cuts the per-nibble work by the repetition factor —
     # integer-exact, so the oracle (which sums per occurrence) agrees.
     tok = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
         .groupBy("doc_id", F.md5(F.col("tok")).alias("h"))
         .agg(F.count("*").alias("m"))
     )
-    pos = tok.select(
+    nibs = tok.select(
         "doc_id",
-        "h",
         "m",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"),
+        *[
+            F.expr(f"instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1").alias(f"v{i}")
+            for i in range(16)
+        ],
     )
-    # column-valued shift amounts need SQL shiftright/shiftleft (the
-    # python F.shiftright only takes a literal bit count)
-    bit = F.expr(
-        "shiftright(instr('0123456789abcdef', substring(h, CAST(p DIV 4 AS INT) + 1, 1)) - 1,"
-        " CAST(p % 4 AS INT)) % 2"
+    # bit p = 4·i + j lives in nibble column v{i}; all shift amounts
+    # are literals so the whole agg stays in whole-stage codegen
+    weights = nibs.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("m") * (F.expr(f"(v{p // 4} >> {p % 4}) & 1") * 2 - 1)).alias(f"w{p}")
+            for p in range(64)
+        ]
     )
-    weights = (
-        pos.withColumn("w", F.col("m") * (bit * 2 - 1))
-        .groupBy("doc_id", "p")
-        .agg(F.sum("w").alias("w"))
-        .withColumn("b", (F.col("w") > 0).cast("long"))
+    fp_hi = sum(
+        (F.expr(f"CASE WHEN w{p} > 0 THEN CAST({1 << (p - 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        for p in range(32, 64)
     )
-    return (
-        weights.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN p >= 32 THEN b * shiftleft(CAST(1 AS BIGINT), CAST(p - 32 AS INT)) ELSE 0 END")
-            ).alias("fp_hi"),
-            F.sum(
-                F.expr("CASE WHEN p < 32 THEN b * shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) ELSE 0 END")
-            ).alias("fp_lo"),
-        )
+    fp_lo = sum(
+        (F.expr(f"CASE WHEN w{p} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        for p in range(32)
     )
+    return weights.select("doc_id", fp_hi.alias("fp_hi"), fp_lo.alias("fp_lo"))
 
 
 def connected_components(
