@@ -23,6 +23,44 @@ from .base import query
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
+# q47: as-of join — each event matched to the user's latest order
+# at-or-before the event time (union-merge implementation, one shuffle;
+# oracle = DuckDB native ASOF LEFT JOIN). Right side pre-aggregated to
+# one row per (key, time) so ties are deterministic in both engines.
+# Registered FIRST in this module: it's the custom operator that most
+# deserves a hard-signal correctness row, and module registration order
+# decides which olap spec lands inside the driver's 50-entry window.
+@query(
+    "q47_asof_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="as-of (backward) join via union-merge window",
+    tags=("olap", "asof"),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_id", F.col("user_id").alias("k"), "ts")
+    orders = (
+        load(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_backward(
+        ev, orders, key="k", left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
 # q42: top-k per group — per-partition partial top-k via ranking window
 # (the canonical replacement for a global sort at scale).
 @query(
@@ -423,41 +461,6 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
         F.first("o_orderkey").over(w).alias("first_ok"),
-    )
-
-
-# q47: as-of join — each event matched to the user's latest order
-# at-or-before the event time (union-merge implementation, one shuffle;
-# oracle = DuckDB native ASOF LEFT JOIN). Right side pre-aggregated to
-# one row per (key, time) so ties are deterministic in both engines.
-@query(
-    "q47_asof_join",
-    oracle="""
-    WITH o AS (
-      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate)
-    SELECT e.event_id, o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
-    FROM events e ASOF LEFT JOIN o
-      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-    """,
-    doc="as-of (backward) join via union-merge window",
-    tags=("olap", "asof"),
-)
-def q47(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load(spark, sf, "events").select("event_id", F.col("user_id").alias("k"), "ts")
-    orders = (
-        load(spark, sf, "orders")
-        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-    )
-    out = asof_join_backward(
-        ev, orders, key="k", left_time="ts", right_time="o_orderdate",
-        right_cols=["o_orderkey", "o_orderdate"],
-    )
-    return out.select(
-        "event_id",
-        F.col("o_orderkey").alias("last_orderkey"),
-        F.col("o_orderdate").alias("last_orderdate"),
     )
 
 

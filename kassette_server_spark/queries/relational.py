@@ -336,40 +336,37 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Q15 set operations (three separate checks).
+# Q15 set operations — UNION ALL / INTERSECT / EXCEPT in ONE spec (the
+# three results share a schema, so a tag column keeps each individually
+# hash-verified while spending a single slot in the driver's
+# 50-entry correctness window).
 @query(
-    "q15_union_all",
+    "q15_setops",
     oracle="""
-    SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier
+    SELECT 'union_all' AS op, k FROM (
+      SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, k FROM (
+      SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (
+      SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
     """,
-    doc="union all",
+    doc="set operations: union all + intersect + except (tagged union)",
 )
-def q15u(spark: SparkSession, sf: str) -> DataFrame:
+def q15(spark: SparkSession, sf: str) -> DataFrame:
     c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
     s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.unionAll(s)
-
-
-@query(
-    "q15_intersect",
-    oracle="SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier",
-    doc="intersect (distinct semantics)",
-)
-def q15i(spark: SparkSession, sf: str) -> DataFrame:
-    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
-    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.intersect(s)
-
-
-@query(
-    "q15_except",
-    oracle="SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier",
-    doc="except (distinct semantics)",
-)
-def q15e(spark: SparkSession, sf: str) -> DataFrame:
-    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
-    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.subtract(s)  # EXCEPT (set) semantics, same as DuckDB EXCEPT
+    tagged = [
+        c.unionAll(s).select(F.lit("union_all").alias("op"), "k"),
+        c.intersect(s).select(F.lit("intersect").alias("op"), "k"),
+        # subtract == EXCEPT (set/distinct) semantics, same as DuckDB
+        c.subtract(s).select(F.lit("except").alias("op"), "k"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
 
 
 # Q16 scalar string functions (all JVM-side, codegen'd — no UDFs).
