@@ -185,36 +185,67 @@ def minhash_lsh_pairs(
     return _jaccard_verify(sh, inter, threshold)
 
 
+def _fp_chunks(width: int) -> list[Column]:
+    """The 64/width aligned ``width``-bit blocks of the fingerprint,
+    least-significant first. Widths 8/16/32 never straddle the
+    fp_lo/fp_hi boundary, so each block is one shift+mask expression."""
+    n = 64 // width
+    mask = (1 << width) - 1
+    out = []
+    for b in range(n):
+        off = b * width
+        src, local = ("fp_lo", off) if off < 32 else ("fp_hi", off - 32)
+        out.append(F.expr(f"(CAST({src} AS BIGINT) >> {local}) & {mask}"))
+    return out
+
+
 def simhash_near_dup(
     sig: DataFrame,
     max_hamming: int = 6,
-    bands: int = 8,
 ) -> DataFrame:
     """Near-dup pairs from SimHash fingerprints: hamming(fp_a, fp_b) ≤ k.
 
-    Candidate generation by pigeonhole banding: split the 64-bit
-    fingerprint into ``bands`` equal chunks; any pair within hamming k
-    ≤ bands−1 must agree on ≥1 chunk, so the join on (band, chunk) has
-    PERFECT recall for k < bands while scaling with collisions, not
-    |docs|². Verification = xor + bit_count on the two halves.
+    Candidate generation by pigeonhole banding with a key space that
+    stays selective as the corpus grows (a 256-value key would put
+    N/256 docs in each bucket and degenerate to ~N²/256 — the r1
+    scale-killer):
+
+    - k ≤ 3: the 4 aligned 16-bit chunks. Any pair within hamming 3
+      differs in ≤ 3 chunks, so it agrees on ≥ 1 of the 4 → joined in
+      that band. 65,536 keys per band.
+    - 3 < k ≤ 6: Manku-style two-block keys over the 8 aligned 8-bit
+      blocks. A pair within hamming 6 has ≥ 8−6 = 2 agreeing blocks,
+      so it collides in the band for that block pair (i<j). C(8,2) =
+      28 bands, each keyed by the 16-bit concatenation — 65,536 keys
+      per band, never the raw 256-value single byte.
+
+    Both schemes have PERFECT recall (pigeonhole); precision comes from
+    the exact hamming verify (xor + bit_count) before the distinct.
 
     Input: (doc_id, fp_hi, fp_lo) from simhash(). Output:
     (doc_a, doc_b, hamming).
     """
-    if max_hamming >= bands:
-        raise ValueError("pigeonhole recall requires max_hamming < bands")
-    bits_per = 64 // bands
-    mask = (1 << bits_per) - 1
-    chunk_cols = []
-    for b in range(bands):
-        off = b * bits_per
-        src, local = ("fp_lo", off) if off < 32 else ("fp_hi", off - 32)
-        chunk_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"(CAST({src} AS BIGINT) >> {local}) & {mask}").alias("chunk"),
-            )
-        )
+    if max_hamming <= 3:
+        chunks = _fp_chunks(16)
+        chunk_cols = [
+            F.struct(F.lit(b).alias("band"), c.alias("chunk"))
+            for b, c in enumerate(chunks)
+        ]
+    elif max_hamming <= 6:
+        blocks = _fp_chunks(8)
+        chunk_cols = []
+        band_id = 0
+        for i in range(len(blocks)):
+            for j in range(i + 1, len(blocks)):
+                chunk_cols.append(
+                    F.struct(
+                        F.lit(band_id).alias("band"),
+                        (blocks[i] * 256 + blocks[j]).alias("chunk"),
+                    )
+                )
+                band_id += 1
+    else:
+        raise ValueError("simhash_near_dup supports max_hamming <= 6")
     banded = sig.select(
         "doc_id", "fp_hi", "fp_lo", F.explode(F.array(*chunk_cols)).alias("bc")
     ).select("doc_id", "fp_hi", "fp_lo", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))

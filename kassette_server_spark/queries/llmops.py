@@ -178,13 +178,14 @@ sig AS (
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 6
     """,
-    doc="SimHash hamming≤6 near-dup via pigeonhole banding (perfect "
-    "recall for k<bands; oracle is the all-pairs form — same answer)",
+    doc="SimHash hamming≤6 near-dup via Manku two-block banding (28 "
+    "bands × 16-bit keys, perfect pigeonhole recall; oracle is the "
+    "all-pairs form — same answer)",
     tags=("llmops", "dedup"),
 )
 def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     sig = dedup.simhash(load(spark, sf, "documents"))
-    return dedup.simhash_near_dup(sig, max_hamming=6, bands=8)
+    return dedup.simhash_near_dup(sig, max_hamming=6)
 
 
 @query(

@@ -42,6 +42,63 @@ def test_xxhash_lsh_scale_path(spark):
     assert md5_pairs == xx_pairs
 
 
+def _simhash_all_pairs(sig, k):
+    """Quadratic reference: exact hamming filter over every pair."""
+    a, b = sig.alias("a"), sig.alias("b")
+    h = F.expr("bit_count(a.fp_hi ^ b.fp_hi) + bit_count(a.fp_lo ^ b.fp_lo)").cast("long")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), h.alias("hamming"))
+        .filter(F.col("hamming") <= k)
+    )
+
+
+def test_simhash_banding_perfect_recall_both_schemes(spark):
+    """Both banding schemes (k≤3: 16-bit chunks; k≤6: Manku two-block
+    keys) must return EXACTLY the all-pairs hamming answer — the
+    pigeonhole recall guarantee, verified end-to-end."""
+    sig = dedup.simhash(load(spark, SF_SMOKE, "documents")).cache()
+    try:
+        for k in (3, 6):
+            exact = {(r.doc_a, r.doc_b, r.hamming) for r in _simhash_all_pairs(sig, k).collect()}
+            banded = {(r.doc_a, r.doc_b, r.hamming) for r in dedup.simhash_near_dup(sig, max_hamming=k).collect()}
+            assert banded == exact
+        assert exact, "expected planted near-dups within hamming 6"
+    finally:
+        sig.unpersist()
+
+
+def test_simhash_band_key_space_is_wide(spark):
+    """Regression lock on the r1 scale-killer: no banding key may have
+    a 256-value space. k=6 uses C(8,2)=28 two-block bands and k=3 uses
+    4 chunk bands, every key 16 bits wide (65,536 values)."""
+    chunks16 = dedup._fp_chunks(16)
+    assert len(chunks16) == 4
+    blocks8 = dedup._fp_chunks(8)
+    assert len(blocks8) == 8
+    sig = dedup.simhash(load(spark, SF_SMOKE, "documents")).limit(200)
+    for k, n_bands in ((3, 4), (6, 28)):
+        banded = sig.select(
+            "doc_id", "fp_hi", "fp_lo",
+            F.explode(F.array(*(
+                [F.struct(F.lit(b).alias("band"), c.alias("chunk"))
+                 for b, c in enumerate(dedup._fp_chunks(16))] if k <= 3 else
+                [F.struct(F.lit(i * 8 + j).alias("band"),
+                          (dedup._fp_chunks(8)[i] * 256 + dedup._fp_chunks(8)[j]).alias("chunk"))
+                 for i in range(8) for j in range(i + 1, 8)]
+            ))).alias("bc"),
+        )
+        stats = banded.agg(
+            F.countDistinct("bc.band").alias("nb"),
+            F.max("bc.chunk").alias("mx"),
+            F.min("bc.chunk").alias("mn"),
+        ).collect()[0]
+        assert stats.nb == n_bands
+        assert 0 <= stats.mn and stats.mx < 65536
+        assert stats.mx > 255  # keys genuinely use the wide space
+
+
 def test_approx_count_distinct_tolerance(spark):
     ev = load(spark, SF_SMOKE, "events")
     approx = ev.agg(F.approx_count_distinct("user_id").alias("a")).collect()[0].a
