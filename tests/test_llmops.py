@@ -115,6 +115,46 @@ def test_gemm_near_dup_identical_to_all_pairs(spark):
     assert exact == fast and exact  # same keys AND identical float values
 
 
+def test_over_cap_near_dup_routes_to_lsh_not_crossjoin(spark):
+    """Corpora above the broadcast cap must route to the distributed
+    LSH candidate generator — never the all-pairs crossJoin — and the
+    tuned recall + exact verify must reproduce the all-pairs answer on
+    this corpus (pairs AND bitwise-identical cosines)."""
+    import contextlib
+    import io
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cos for r in similarity.embedding_near_dup_pairs(e, 0.45).collect()}
+    fb = similarity.embedding_near_dup_pairs_gemm(e, 0.45, max_broadcast_rows=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fb.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    got = {(r.id_a, r.id_b): r.cos for r in fb.collect()}
+    assert exact and got == exact
+
+
+def test_brute_force_topk_partial_prune_before_window(spark):
+    """The brute-force ANN plan must pre-prune per partition (an
+    aggregate between the scoring join and the ranking window) so the
+    window's exchange carries |queries|·k·partitions rows, not the
+    full candidate set."""
+    import contextlib
+    import io
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    df = similarity.brute_force_topk(e, q, k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Window" in p
+    # partial+final pair of the collect_list aggregation
+    assert p.count("ObjectHashAggregate") >= 2 or p.count("SortAggregate") >= 2
+
+
 def test_lsh_topk_subset_of_bruteforce_universe(spark):
     """Approximate ANN returns plausible results: every (query, neighbor)
     it emits must also appear in the exact brute-force ranking."""
