@@ -100,12 +100,18 @@ def _as_bool(v: Column) -> Column:
 def to_int(v: Column) -> tuple[Column, Column]:
     t = _typeof(v)
     s = _as_string(v)
+    # the regex excludes floats (the reference's strconv.ParseInt
+    # rejects "1.5"); try_cast additionally rejects BIGINT overflow —
+    # plain cast('long') returns NULL for '99999999999999999999' while
+    # still reporting ok=true, silently dropping the reference's
+    # parse-failure (field dropped) semantics
+    str_ok = (t == "STRING") & s.rlike(_INT_RE) & s.try_cast("long").isNotNull()
     val = (
         F.when(t == "BOOLEAN", _as_bool(v).cast("long"))
         .when(_is_number(t), _as_double(v).cast("long"))  # truncates toward 0
-        .when((t == "STRING") & s.rlike(_INT_RE), s.cast("long"))
+        .when(str_ok, s.cast("long"))
     )
-    ok = (t == "BOOLEAN") | _is_number(t) | ((t == "STRING") & s.rlike(_INT_RE))
+    ok = (t == "BOOLEAN") | _is_number(t) | str_ok
     return val, ok
 
 

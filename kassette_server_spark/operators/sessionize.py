@@ -41,7 +41,13 @@ def sessionize_batch(
 ) -> DataFrame:
     """Assign session ids by inactivity gap (and optional count split).
 
-    Output: input columns + session_id (long, 1-based per user).
+    Output: input columns + session_id (long, ALWAYS numeric). Without
+    ``count_threshold`` ids are 1-based per user; with it, each
+    gap-session is split every ``count_threshold`` events and the id
+    becomes ``gap_session_id * 1_000_000 + chunk`` — still a long, so
+    downstream joins/aggregations never see a type flip (chunk counts
+    above 1e6 events/session would need a wider radix; the reference's
+    thresholds are ≤ 1e3).
     """
     w = W.partitionBy(user_col).orderBy(ts_col, *order_cols)
     prev = F.lag(ts_col).over(w)
@@ -60,11 +66,8 @@ def sessionize_batch(
             "_n", F.row_number().over(w2)
         ).withColumn(
             "session_id",
-            F.concat_ws(
-                ".",
-                F.col("session_id"),
-                ((F.col("_n") - 1) / count_threshold).cast("long"),
-            ),
+            F.col("session_id") * 1_000_000
+            + ((F.col("_n") - 1) / count_threshold).cast("long"),
         ).drop("_n")
     return out.drop("_is_new")
 

@@ -44,6 +44,16 @@ POLLER_SCHEMA = "payload string, kassette_type string, window_from timestamp, wi
 DEFAULT_APIS = ("activity-instance", "process-instance")
 
 
+def _as_naive_utc(dt: datetime) -> datetime:
+    """Normalize to naive UTC. A tz-aware input is CONVERTED
+    (astimezone), never stripped — replace(tzinfo=None) alone would
+    shift the window by the offset; and mixing aware/naive datetimes
+    in offset arithmetic raises TypeError."""
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
 @dataclass
 class PollWindow:
     start: datetime
@@ -81,7 +91,7 @@ class RestPollerStreamReader(DataSourceStreamReader):
         # call latestOffset() BEFORE initialOffset(), so the advancing
         # cursor must never leak into the initial offset); _cursor is
         # the high-water mark latestOffset advances.
-        self._initial = datetime.fromisoformat(start).replace(tzinfo=None)
+        self._initial = _as_naive_utc(datetime.fromisoformat(start))
         self._cursor = self._initial
         self._apis = tuple(
             a for a in options.get("apis", ",".join(DEFAULT_APIS)).split(",") if a
@@ -96,7 +106,7 @@ class RestPollerStreamReader(DataSourceStreamReader):
 
     def _now(self) -> datetime:
         if self._now_override:
-            return datetime.fromisoformat(self._now_override)
+            return _as_naive_utc(datetime.fromisoformat(self._now_override))
         return datetime.utcnow()
 
     def initialOffset(self) -> dict:

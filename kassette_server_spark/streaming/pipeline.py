@@ -47,6 +47,20 @@ def transform_micro_batch(df: DataFrame, conn: Connection, clock=None) -> DataFr
     return P.wrap_batch_payload(out, dest_fields)
 
 
+def materialize_outcomes(outcomes: DataFrame) -> DataFrame:
+    """Sever lineage from a side-effecting delivery frame.
+
+    localCheckpoint(eager=True) executes every partition exactly once
+    and REPLACES the plan with the materialized blocks, so later
+    actions (the succeeded/failed ledger branches, counts, retries)
+    can never re-run the HTTP sends. cache() is NOT enough — under
+    executor memory pressure cached partitions are evicted and the
+    next action silently recomputes them through deliver(), re-sending
+    to the destination; a lost checkpoint block instead fails loudly.
+    """
+    return outcomes.localCheckpoint(eager=True)
+
+
 def deliver_with_ledger(
     batch: DataFrame,
     conn: Connection,
@@ -60,12 +74,7 @@ def deliver_with_ledger(
     # client retries can land the same messageId twice in ONE micro-batch
     # (the ledger only knows about earlier batches) — dedup within too
     fresh = fresh.dropDuplicates(["message_id"])
-    # Fully materialize outcomes BEFORE any filtering action: the
-    # delivery runs inside the outcome DataFrame's partitions, and a
-    # partially-cached plan (limit(1) touches one partition) would
-    # re-execute the remaining partitions on the next action —
-    # re-sending to the destination. count() pins every partition.
-    outcomes = deliver(fresh).cache()
+    outcomes = materialize_outcomes(deliver(fresh))
     n_total = outcomes.count()
     ok = outcomes.filter(F.col("delivered"))
     failed = outcomes.filter(~F.col("delivered"))
@@ -76,7 +85,6 @@ def deliver_with_ledger(
             ledger.append(
                 make_status(failed, conn.id, STATE_FAILED, attempt_col=attempt_col, error_col=F.col("error"))
             )
-    outcomes.unpersist()
 
 
 def run_connection_stream(

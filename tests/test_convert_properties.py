@@ -26,7 +26,9 @@ def go_to_int(v):
     if isinstance(v, (int, float)):
         return int(v), True  # truncation toward zero
     if isinstance(v, str):
-        if INT_RE.match(v):
+        # strconv.ParseInt fails on int64 overflow — the field is
+        # dropped (ok=false), not silently nulled
+        if INT_RE.match(v) and -(2**63) <= int(v) < 2**63:
             return int(v), True
         return None, False
     return None, False
@@ -73,7 +75,11 @@ def gen_value(rng: random.Random):
     if kind == 4:
         return str(rng.randint(-(10**6), 10**6))
     if kind == 5:
-        return rng.choice(["12.5", "1e3", "abc", "+42", " 7", "7 ", "0x1f"])
+        return rng.choice(
+            ["12.5", "1e3", "abc", "+42", " 7", "7 ", "0x1f",
+             "99999999999999999999", "-99999999999999999999",  # BIGINT overflow
+             "9223372036854775807", "-9223372036854775808"]  # int64 bounds
+        )
     if kind == 6:
         return rng.choice(
             [

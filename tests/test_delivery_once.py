@@ -66,3 +66,38 @@ def test_delivery_partitions_run_exactly_once(spark, tmp_path):
     latest = {r.job_id: r.state for r in lg.latest_state().collect()}
     assert sum(1 for s in latest.values() if s == "succeeded") == 4
     assert sum(1 for s in latest.values() if s == "failed") == 4
+
+
+def test_outcomes_survive_cache_eviction(spark, tmp_path):
+    """Eviction simulation: after materialize_outcomes, dropping every
+    cached/persisted entry and re-running full actions must produce
+    ZERO additional sends. The r1 cache() version re-executed the
+    delivery lineage here (markers ending .1) — the materialized frame
+    must have no lineage back to the side-effecting send."""
+    from kassette_server_spark.streaming.pipeline import materialize_outcomes
+
+    marker_dir = tmp_path / "sends2"
+    marker_dir.mkdir()
+    src = spark.createDataFrame([(f"m{i}",) for i in range(8)], ["message_id"]).repartition(4)
+
+    def send(rows):
+        for r in rows:
+            base = str(marker_dir / r["message_id"])
+            k = 0
+            while os.path.exists(f"{base}.{k}"):
+                k += 1
+            open(f"{base}.{k}", "w").close()
+            yield (r["message_id"], True, 200, "")
+
+    raw = spark.createDataFrame(
+        src.rdd.mapPartitions(send), "message_id string, delivered boolean, status int, error string"
+    )
+    outcomes = materialize_outcomes(raw)
+    assert outcomes.count() == 8
+    # simulate memory-pressure eviction of anything evictable
+    spark.catalog.clearCache()
+    # repeated, different full actions over the materialized frame
+    assert outcomes.filter(F.col("delivered")).count() == 8
+    assert len(outcomes.collect()) == 8
+    sends = sorted(p.name for p in marker_dir.iterdir())
+    assert len(sends) == 8 and all(s.endswith(".0") for s in sends), sends

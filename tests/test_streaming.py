@@ -241,6 +241,9 @@ def test_sessionize_count_threshold_splits(spark):
     rows = [(1, datetime(2024, 1, 1, 0, 0, i), i) for i in range(10)]
     df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
     out = sessionize_batch(df, gap_minutes=30, count_threshold=4)
+    # the count split must NOT flip session_id to a string — same long
+    # type with or without the threshold (radix-composed id)
+    assert dict(out.dtypes)["session_id"] == "bigint"
     sizes = sorted(
         r.n_events for r in session_stats(out).collect()
     )
@@ -248,6 +251,41 @@ def test_sessionize_count_threshold_splits(spark):
 
 
 # --- custom poller DataSource ------------------------------------------------
+
+
+def test_rest_poller_tz_aware_start_and_now():
+    """Timezone-aware 'start'/'now' options are CONVERTED to UTC (not
+    offset-stripped) and mixed aware/naive arithmetic cannot raise."""
+    from datetime import datetime
+
+    from kassette_server_spark.sources.rest_poller import (
+        HAVE_DATASOURCE_API,
+        RestPollerStreamReader,
+        fake_camunda_fetcher,
+    )
+
+    if not HAVE_DATASOURCE_API:
+        pytest.skip("pyspark datasource API unavailable")
+    rdr = RestPollerStreamReader(
+        None,
+        {
+            "start": "2024-03-04T05:00:00+02:00",  # == 03:00 UTC
+            "now": "2024-03-04T05:10:00+02:00",  # == 03:10 UTC
+            "interval_min": 1,
+            "max_windows": 2,
+        },
+        fake_camunda_fetcher,
+    )
+    assert rdr.initialOffset() == {"window_start": "2024-03-04T03:00:00"}
+    assert rdr.latestOffset() == {"window_start": "2024-03-04T03:02:00"}
+    # naive 'now' alongside aware 'start' — no TypeError either way
+    rdr2 = RestPollerStreamReader(
+        None,
+        {"start": "2024-03-04T05:00:00+02:00", "now": "2024-03-04T03:10:00",
+         "interval_min": 1},
+        fake_camunda_fetcher,
+    )
+    assert rdr2.latestOffset() == {"window_start": "2024-03-04T03:01:00"}
 
 
 def test_rest_poller_datasource(spark, tmp_path):
