@@ -78,6 +78,16 @@ def main() -> None:
     gw = GatewayShim(landing, frozenset({"demo-key"}), max_batch=100)
     from datetime import datetime
 
+    # events arrive over REAL HTTP (the reference demo's curl-driven
+    # restaurant_journey.sh flow: POST /v1/batch with the write key as
+    # basic-auth user — gateway/gateway.go:606-693)
+    import urllib.request
+    from base64 import b64encode
+
+    from kassette_server_spark.sources.http_listener import IngestListener
+
+    listener = IngestListener(gw).start()
+    auth = "Basic " + b64encode(b"demo-key:").decode()
     for payload in fake_camunda_fetcher("activity-instance", datetime(2024, 3, 4, 5, 0), datetime(2024, 3, 4, 5, 1)):
         body = json.loads(payload)
         # enrich the fake events with eventlog fields
@@ -89,8 +99,13 @@ def main() -> None:
                 task_start_time="2024-03-04T05:00:00.000Z",
                 task_end_time="2024-03-04T05:01:00.000Z", task_duration=60000,
             )
-        gw.accept(body, write_key="demo-key", request_ip="127.0.0.1")
-    gw.flush()
+        req = urllib.request.Request(
+            f"{listener.address}/v1/batch", data=json.dumps(body).encode(), method="POST"
+        )
+        req.add_header("Authorization", auth)
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.status == 200
+    listener.stop()  # drains the shim buffer to the landing zone
 
     # 2. streaming pipeline → parquet "eventlog" destination + ledger
     out_dir = os.path.join(tmp, "eventlog")

@@ -124,10 +124,14 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
     n = load(spark, sf, "nation")
     r = load(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     revenue = F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / 10000
+    # supplier is NOT hinted: at TPC-H SF100k it is ~1B rows, so the
+    # broadcast decision belongs to Catalyst statistics / AQE (which
+    # still broadcasts it at small scale from file-size stats).
+    # nation/region are constant-size (25/5 rows) — always hint those.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

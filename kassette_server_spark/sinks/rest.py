@@ -36,6 +36,67 @@ from pyspark.sql import DataFrame, Row
 Transport = Callable[[str, str, dict, bytes], tuple[int, bytes]]
 
 
+def urllib_transport(url: str, method: str, headers: dict, body: bytes) -> tuple[int, bytes]:
+    """Real-socket Transport over stdlib urllib (no extra deps).
+
+    Used in production and by the in-process http.server integration
+    tests; unit tests keep injecting recording fakes. Network errors
+    surface as status 0 so the sender marks the batch failed/retryable
+    rather than crashing the task."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, method=method)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    if body and not req.has_header("Content-type"):
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:  # non-2xx still has a body
+        return e.code, e.read()
+    except (urllib.error.URLError, OSError) as e:
+        return 0, str(e).encode()
+
+
+class TokenAuthTransport:
+    """Wrap a Transport with lazily-refreshed bearer-token auth — the
+    Anaplan contract (integrations/anaplan/main.go:227-280: fetch token
+    from the auth endpoint, reuse until rejected, refresh on 401 and
+    retry the request once).
+
+    Lives ON THE TASK (one instance per partition-sender closure), so
+    each executor refreshes independently — no driver round-trip, no
+    shared mutable state across tasks."""
+
+    def __init__(self, inner: Transport, auth_url: str, auth_headers: dict | None = None):
+        self._inner = inner
+        self._auth_url = auth_url
+        self._auth_headers = dict(auth_headers or {})
+        self._token: str | None = None
+
+    def _fetch_token(self) -> str:
+        status, body = self._inner(self._auth_url, "POST", self._auth_headers, b"")
+        if status != 200:
+            raise RuntimeError(f"token auth failed: {status}")
+        # reference shape: {"tokenInfo": {"tokenValue": ...}}
+        doc = json.loads(body)
+        return doc.get("tokenInfo", {}).get("tokenValue") or doc["token"]
+
+    def __call__(self, url: str, method: str, headers: dict, body: bytes) -> tuple[int, bytes]:
+        if self._token is None:
+            self._token = self._fetch_token()
+        h = dict(headers or {})
+        h["Authorization"] = f"AnaplanAuthToken {self._token}"
+        status, resp = self._inner(url, method, h, body)
+        if status == 401:  # expired → refresh once and retry
+            self._token = self._fetch_token()
+            h["Authorization"] = f"AnaplanAuthToken {self._token}"
+            status, resp = self._inner(url, method, h, body)
+        return status, resp
+
+
 @dataclass
 class RestSinkConfig:
     url: str

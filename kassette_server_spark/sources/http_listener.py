@@ -1,0 +1,109 @@
+"""Minimal HTTP ingest listener (S1) in front of GatewayShim.
+
+The reference's gin endpoints (gateway/gateway.go:606-654) accept
+``POST /v1/{batch,identify,track,page,screen,alias,group}`` with the
+write key as the basic-auth username (gateway.go:656-693) and an empty
+password; the body is the event (or batch envelope). This listener
+reproduces exactly that HTTP surface over stdlib ThreadingHTTPServer —
+auth → wrap/enrich → batched JSONL landing files — so the reference's
+curl-driven demo flow (examples/camunda2postgres/scripts/
+restaurant_journey.sh) replays verbatim against the engine's landing
+zone. The Spark engine itself never serves HTTP; the listener is
+control-plane glue in front of the durable hand-off, matching the
+reference topology (gateway process → queue → processor).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .gateway import GatewayShim
+
+_TYPES = {"batch", "identify", "track", "page", "screen", "alias", "group"}
+
+
+def _parse_write_key(auth_header: str | None) -> str | None:
+    """Basic-auth username = write key, password ignored
+    (gateway.go:656-668)."""
+    if not auth_header or not auth_header.startswith("Basic "):
+        return None
+    try:
+        decoded = base64.b64decode(auth_header[6:]).decode()
+    except Exception:
+        return None
+    return decoded.split(":", 1)[0] or None
+
+
+class _IngestHandler(BaseHTTPRequestHandler):
+    shim: GatewayShim  # set by make_server
+    lock: threading.Lock
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_POST(self):
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        # accept /v1/<type> (reference) and bare /<type>
+        req_type = parts[-1] if parts else ""
+        if req_type not in _TYPES:
+            self._reply(404, b'{"error":"unknown endpoint"}')
+            return
+        write_key = _parse_write_key(self.headers.get("Authorization"))
+        if write_key is None:
+            self._reply(401, b'{"error":"missing write key"}')
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            self._reply(400, b'{"error":"invalid json"}')
+            return
+        ip = self.client_address[0]
+        with self.lock:  # shim buffer is not thread-safe
+            ok = self.shim.accept(body, write_key, request_ip=ip, req_type=req_type)
+        if not ok:
+            self._reply(401, b'{"error":"invalid write key"}')
+            return
+        self._reply(200, b"OK")
+
+    def _reply(self, status: int, body: bytes):
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json" if body.startswith(b"{") else "text/plain")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+class IngestListener:
+    """Own-thread HTTP server bound to (host, port); port=0 picks a
+    free port (tests). ``flush()``/``stop()`` drain the shim buffer so
+    a trailing partial batch still lands."""
+
+    def __init__(self, shim: GatewayShim, host: str = "127.0.0.1", port: int = 0):
+        handler = type(
+            "BoundIngestHandler", (_IngestHandler,), {"shim": shim, "lock": threading.Lock()}
+        )
+        self._shim = shim
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    @property
+    def address(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "IngestListener":
+        self._thread.start()
+        return self
+
+    def flush(self):
+        self._shim.flush()
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=5)
+        self._shim.flush()

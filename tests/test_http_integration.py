@@ -1,0 +1,151 @@
+"""Integration: ingest and egress over REAL sockets (stdlib
+http.server / urllib), proving the transports, write-key auth, token
+refresh (anaplan), and failure-index mapping work beyond the injected
+fakes — VERDICT r1 items 7 and 8."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from base64 import b64encode
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from kassette_server_spark.sinks.rest import (
+    RestSinkConfig,
+    TokenAuthTransport,
+    deliver_rest,
+    urllib_transport,
+)
+from kassette_server_spark.sources.gateway import GatewayShim
+from kassette_server_spark.sources.http_listener import IngestListener
+
+
+def _post(url: str, body: dict | None, write_key: str | None = None) -> int:
+    req = urllib.request.Request(url, data=json.dumps(body or {}).encode(), method="POST")
+    if write_key is not None:
+        req.add_header("Authorization", "Basic " + b64encode(f"{write_key}:".encode()).decode())
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_http_ingest_listener_to_landing_zone(tmp_path):
+    shim = GatewayShim(landing_dir=str(tmp_path / "landing"), valid_write_keys=frozenset({"wk1"}), max_batch=100)
+    lst = IngestListener(shim).start()
+    try:
+        base = lst.address
+        # reference demo shapes: a batch post and a single track post
+        assert _post(f"{base}/v1/batch", {"batch": [{"event": "seated", "messageId": "m1"}]}, "wk1") == 200
+        assert _post(f"{base}/v1/track", {"event": "ordered", "messageId": "m2"}, "wk1") == 200
+        # auth failures: wrong key → 401, missing auth → 401, bad path → 404
+        assert _post(f"{base}/v1/batch", {"batch": []}, "nope") == 401
+        assert _post(f"{base}/v1/batch", {"batch": []}) == 401
+        assert _post(f"{base}/v1/bogus", {}, "wk1") == 404
+    finally:
+        lst.stop()
+    files = list((tmp_path / "landing").glob("batch-*.json"))
+    assert files
+    lines = [json.loads(ln) for f in files for ln in f.read_text().splitlines()]
+    envelopes = [json.loads(ln["payload"]) for ln in lines]
+    assert len(envelopes) == 2
+    by_mid = {e["batch"][0]["messageId"]: e for e in envelopes}
+    assert by_mid["m1"]["writeKey"] == "wk1" and by_mid["m1"]["requestIP"]
+    # single-event post wrapped into batch[0] with the type stamped
+    assert by_mid["m2"]["batch"][0]["type"] == "track"
+    assert all("receivedAt" in e for e in envelopes)
+
+
+class _FakeDestination(BaseHTTPRequestHandler):
+    """Anaplan-ish service: POST /auth issues single-use tokens; POST
+    /items 401s on a reused token (forcing the refresh path) and fails
+    item index 0 of every batch; POST /powerbi accepts JSON arrays."""
+
+    state: dict
+    lock: threading.Lock
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n)
+        with self.lock:
+            if self.path == "/auth":
+                self.state["ntok"] += 1
+                tok = f"tok-{self.state['ntok']}"
+                self.state["fresh"] = tok
+                self._reply(200, {"tokenInfo": {"tokenValue": tok}})
+            elif self.path == "/items":
+                auth = self.headers.get("Authorization", "")
+                if auth != f"AnaplanAuthToken {self.state['fresh']}":
+                    self.state["rejects"] += 1
+                    self._reply(401, {"error": "token expired"})
+                    return
+                self.state["fresh"] = None  # single-use: next call must refresh
+                items = json.loads(body)["items"]
+                assert all("code" in i and "properties" in i for i in items)
+                self.state["item_batches"].append(len(items))
+                self._reply(200, {"added": len(items) - 1, "failures": [0]})
+            elif self.path == "/powerbi":
+                events = json.loads(body)
+                assert isinstance(events, list)
+                self.state["pbi_batches"].append(len(events))
+                self._reply(202, {})
+            else:
+                self._reply(404, {})
+
+    def _reply(self, status, doc):
+        payload = json.dumps(doc).encode()
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+
+@pytest.fixture()
+def fake_dest():
+    state = {"ntok": 0, "fresh": None, "rejects": 0, "item_batches": [], "pbi_batches": []}
+    handler = type("BoundDest", (_FakeDestination,), {"state": state, "lock": threading.Lock()})
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", state
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def _events_df(spark, n):
+    return spark.range(n).select(
+        F.concat(F.lit("m"), F.col("id")).alias("message_id"),
+        F.to_json(F.struct(F.col("id").alias("event_id"))).alias("event_json"),
+    )
+
+
+def test_anaplan_over_real_socket_with_token_refresh(spark, fake_dest):
+    base, state = fake_dest
+    transport = TokenAuthTransport(urllib_transport, base + "/auth")
+    cfg = RestSinkConfig(url=base + "/items", batch_size=4)
+    out = deliver_rest(_events_df(spark, 10), "anaplan", cfg, transport).collect()
+    assert len(out) == 10
+    # 3 HTTP batches of ≤4; index-0 of each fails, the rest succeed
+    assert sorted(state["item_batches"]) == [2, 4, 4]
+    assert sum(1 for r in out if not r.delivered) == 3
+    assert all(r.status == 200 for r in out)
+    # single-use tokens: batches 2 and 3 hit a 401 and refreshed
+    assert state["rejects"] == 2 and state["ntok"] == 3
+
+
+def test_powerbi_over_real_socket(spark, fake_dest):
+    base, state = fake_dest
+    cfg = RestSinkConfig(url=base + "/powerbi", batch_size=6)
+    out = deliver_rest(_events_df(spark, 10), "powerbi", cfg, urllib_transport).collect()
+    assert len(out) == 10 and all(r.delivered and r.status == 202 for r in out)
+    assert sorted(state["pbi_batches"]) == [4, 6]

@@ -95,6 +95,25 @@ def test_q65_single_window_exec(spark):
     assert p.count("Window (") == 1 and p.count("Exchange (") == 1
 
 
+def test_q54_selective_dims_topk(spark):
+    # TPC-H Q3 shape: pushdown of all three date/segment filters into
+    # the scans, top-10 via TakeOrdered (no global sort), partial agg.
+    p = plan(spark, "q54_tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+    pushed = p.split("PushedFilters:")
+    assert any("c_mktsegment" in seg.splitlines()[0] for seg in pushed[1:])
+
+
+def test_q55_single_agg_shuffle_constant_dims_broadcast(spark):
+    # 6-way join: nation/region always broadcast; supplier broadcast is
+    # UNHINTED (left to stats/AQE — at SF100k it is ~1B rows); exactly
+    # one aggregation pair for the final groupBy.
+    p = plan(spark, "q55_tpch_q5_local_volume")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("HashAggregate") == 4  # partial+final, tree+detail sections
+
+
 def test_whole_stage_codegen_on_hot_paths(spark):
     # coercion/rule pipelines must stay inside codegen (no Python UDFs).
     # In formatted explain, '* ' prefixes mark codegen'd operators.
