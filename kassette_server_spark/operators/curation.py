@@ -1,0 +1,207 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+contamination, quality filtering, sequence packing, TF-IDF scoring,
+and n-gram novelty.
+
+These extend the SURVEY §2.3 north-star family (the reference has no
+text curation at all — its closest surface is the rules engine T7–T9).
+Everything is pure DataFrame composition (JVM expressions, no Python
+in the hot path) and phrased so DuckDB can replay the identical
+algorithm for the correctness oracle:
+
+- integer counts everywhere possible; the only floating-point is
+  single IEEE divisions/multiplications (correctly rounded in both
+  engines ⇒ bit-exact), never transcendental functions — TF-IDF here
+  uses the raw inverse-frequency ratio tf·N/df instead of the
+  log-damped form because libm log is NOT correctly rounded and would
+  flake the cross-engine hash;
+- the portable hash is md5 over the shingle text.
+
+Scale notes (100 TB):
+- contamination joins the corpus's shingle hashes against a DISTINCT
+  benchmark-shingle set — shuffle carries 16-byte digests; benchmark
+  sets (evals) are small ⇒ Catalyst broadcasts them.
+- packing assigns docs to fixed-token shards WITHIN deterministic
+  hash buckets: a global ordered cumsum would serialize on one
+  partition, so each bucket packs independently (the standard
+  data-parallel packing layout — shard ids are (bucket, seq)).
+- tf-idf is two hash aggregations (term-per-doc, doc-frequency) and a
+  broadcast of the 1-row corpus count; top-k per doc is a ranking
+  window partitioned by doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .dedup import shingles, tokens
+
+# C4-style heuristics, tuned so the synthetic corpus exercises every
+# branch; thresholds are ordinary parameters in production.
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus doc, how many of
+    its k-token shingles appear in ANY benchmark doc (eval-set leakage
+    detection before training). Output: (doc_id, n_shared_ngrams,
+    contaminated)."""
+    bench_hashes = (
+        benchmark.select(F.explode(shingles(text_col, k)).alias("sh"))
+        .select(F.md5("sh").alias("h"))
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sh")
+    ).select("doc_id", F.md5("sh").alias("h"))
+    hits = (
+        corpus_sh.join(bench_hashes, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+    base = corpus.select(F.col(id_col).alias("doc_id"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+        (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    min_unique_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.02,
+) -> DataFrame:
+    """C4-style keep/drop decision with a reason code: docs must be
+    long enough, lexically diverse, and natural-language-like
+    (stopword presence). First failing rule names the reason —
+    deterministic and portable (all ratios are single long/long IEEE
+    divisions). Output: (doc_id, n_tokens, unique_ratio,
+    stopword_ratio, keep, reason)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_unique = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    stats = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        (n_unique / n_tokens).alias("unique_ratio"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("unique_ratio") < min_unique_ratio, "low_diversity")
+        .when(F.col("stopword_ratio") < min_stopword_ratio, "low_stopwords")
+        .otherwise("ok")
+    )
+    return stats.select(
+        "doc_id", "n_tokens", "unique_ratio", "stopword_ratio",
+        reason.alias("reason"),
+    ).withColumn("keep", F.col("reason") == "ok")
+
+
+def sequence_packing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_shard: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Greedy packing of documents into fixed-token training shards.
+
+    Docs are assigned to ``n_buckets`` deterministic hash buckets
+    (pmod(doc_id)) and packed sequentially WITHIN each bucket by a
+    running token sum — shard id = (bucket, floor(start/size)). The
+    per-bucket window keeps every partition independent (a single
+    global cumsum would serialize 100 TB onto one task); buckets map
+    1:1 to writer tasks at scale. BPE-ish token count = Σ ceil(len/4)
+    (same rule as token_counts/q38). All-integer ⇒ oracle-exact.
+
+    Output: (doc_id, bucket, n_tokens, start_offset, shard_id).
+    """
+    n_toks = F.aggregate(
+        F.transform(tokens(text_col), lambda s: F.ceil(F.length(s) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long").alias("bucket"),
+        n_toks.alias("n_tokens"),
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return base.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    ).withColumn(
+        "shard_id", F.floor(F.col("start_offset") / tokens_per_shard).cast("long")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per doc by tf·(N/df) — inverse
+    document frequency WITHOUT the log damp (libm log is not portable
+    bit-for-bit; a single long·long product and one double division
+    are). Ties break on the term string. Output: (doc_id, term,
+    score, rk)."""
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", ((F.col("tf") * F.col("n_docs")) / F.col("df")).alias("score"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Incremental-dedup novelty score: the fraction of a doc's
+    k-shingles FIRST seen in this doc (min doc_id over the corpus
+    owns a shingle). A streaming-ingest dedup pass keeps docs with
+    high novelty. Exact long/long division. Output: (doc_id,
+    n_shingles, n_novel, novelty)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sh")
+    ).select("doc_id", F.md5("sh").alias("h"))
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_novel",
+        (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+    )

@@ -24,6 +24,7 @@ from . import llmops as _llmops  # noqa: F401,E402  (q30-q41, q52, q57-58, q66-6
 from . import tpch as _tpch  # noqa: F401,E402  (q53-q55, 3 specs)
 from . import olap as _olap  # noqa: F401,E402  (q47 first → slot 50; rest overflow)
 from . import text_extra as _text_extra  # noqa: F401,E402
+from . import curation as _curation  # noqa: F401,E402  (q70-q74 corpus curation)
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -1,0 +1,163 @@
+"""Corpus-curation queries (q70–q74): benchmark contamination,
+quality filtering, sequence packing, TF-IDF top terms, n-gram novelty
+(operators/curation.py) over the documents table.
+
+Registered AFTER the core surface — these land outside the driver's
+50-entry correctness window, so their hard signal comes from the local
+oracle-parity suites (sf0.001 + sf0.01, the same compare the driver
+runs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import curation
+from .base import query
+
+
+def _shingle_sql(k: int) -> str:
+    """DuckDB k-token shingle list (mirrors dedup.shingles: 1-based
+    slice, distinct, short docs collapse to one truncated shingle)."""
+    return (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(toks[i:i+{k - 1}], ' ')))"
+    )
+
+
+@query(
+    "q70_benchmark_contamination",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, md5(unnest({_shingle_sql(8)})) AS h FROM docs),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n
+      FROM sh s JOIN bench b ON s.h = b.h
+      WHERE s.doc_id % 50 <> 0
+      GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           coalesce(h.n, 0) AS n_shared_ngrams,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+    doc="eval-set leakage: shared 8-gram count vs a benchmark slice "
+    "(digest join — the pre-training contamination sweep)",
+    tags=("llmops", "curation"),
+)
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return curation.contamination(corpus, bench, k=8)
+
+
+@query(
+    "q71_quality_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT) AS unique_ratio,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['the','a','an','of','and','to','in','is','it','that'], x))) AS BIGINT)
+               / CAST(len(toks) AS BIGINT) AS stopword_ratio
+      FROM t)
+    SELECT doc_id, n_tokens, unique_ratio, stopword_ratio,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN unique_ratio < 0.5 THEN 'low_diversity'
+                WHEN stopword_ratio < 0.02 THEN 'low_stopwords'
+                ELSE 'ok' END AS reason,
+           (CASE WHEN n_tokens < 20 THEN 'too_short'
+                 WHEN unique_ratio < 0.5 THEN 'low_diversity'
+                 WHEN stopword_ratio < 0.02 THEN 'low_stopwords'
+                 ELSE 'ok' END) = 'ok' AS keep
+    FROM s
+    """,
+    doc="C4-style quality gate: length/diversity/stopword rules with "
+    "first-failure reason codes",
+    tags=("llmops", "curation"),
+)
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.quality_filter(load(spark, sf, "documents"))
+
+
+@query(
+    "q72_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS bucket,
+             CAST(list_reduce(list_transform(string_split(text, ' '),
+                    s -> CAST(ceil(length(s) / 4) AS BIGINT)),
+                  (acc, x) -> acc + x) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+               AS start_offset
+      FROM t)
+    SELECT doc_id, bucket, n_tokens, start_offset,
+           CAST(floor(start_offset / 2048) AS BIGINT) AS shard_id
+    FROM c
+    """,
+    doc="training-shard packing: per-bucket running token sums -> "
+    "fixed-2048-token shard ids (data-parallel, no global cumsum)",
+    tags=("llmops", "curation"),
+)
+def q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.sequence_packing(load(spark, sf, "documents"))
+
+
+@query(
+    "q73_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term, (tf.tf * n.n_docs) / df.df AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+    doc="top-3 characteristic terms per doc by tf*(N/df) — log-free "
+    "IDF keeps the score IEEE-portable across engines",
+    tags=("llmops", "curation"),
+)
+def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.tfidf_top_terms(load(spark, sf, "documents"))
+
+
+@query(
+    "q74_ngram_novelty",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  md5(unnest(list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 2, 1) + 1),
+                    i -> array_to_string(toks[i:i+2], ' '))))) AS h
+           FROM docs),
+    first AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*) AS novelty
+    FROM sh s JOIN first f ON s.h = f.h
+    GROUP BY s.doc_id
+    """,
+    doc="incremental-dedup novelty: fraction of a doc's 3-shingles "
+    "first seen in it (min-owner join on digests)",
+    tags=("llmops", "curation"),
+)
+def q_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.ngram_novelty(load(spark, sf, "documents"))

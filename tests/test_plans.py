@@ -114,6 +114,24 @@ def test_q55_single_agg_shuffle_constant_dims_broadcast(spark):
     assert p.count("HashAggregate") == 4  # partial+final, tree+detail sections
 
 
+def test_q70_benchmark_set_broadcast(spark):
+    # the benchmark shingle-hash set is eval-sized — must broadcast;
+    # the corpus side is never collected or cross-joined.
+    p = plan(spark, "q70_benchmark_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q72_packing_windows_per_bucket_not_global(spark):
+    # the running token sum must partition by bucket (data-parallel
+    # packing) — a global-order window would hashpartition on nothing
+    # and serialize the corpus onto one task.
+    p = plan(spark, "q72_sequence_packing")
+    assert "Window" in p
+    assert "hashpartitioning(bucket" in p
+    assert "SinglePartition" not in p
+
+
 def test_whole_stage_codegen_on_hot_paths(spark):
     # coercion/rule pipelines must stay inside codegen (no Python UDFs).
     # In formatted explain, '* ' prefixes mark codegen'd operators.
