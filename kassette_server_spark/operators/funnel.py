@@ -1,0 +1,82 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The reference is an event CDP (gateway → transform → destinations);
+funnel and retention are the canonical questions its users ask of the
+landed events, so they are first-class declared operators here
+(the reference itself has no query layer — SURVEY §3).
+
+Scale notes (100 TB):
+- The funnel is one aggregation per step, every shuffle keyed by
+  user_id — co-partitioned end to end (AQE reuses the exchange), no
+  window over the global event stream, no per-user arrays: state per
+  user is exactly one timestamp per step.
+- Retention is two hash aggregations (first-seen per user, distinct
+  user-week activity) joined on user_id, then a tiny (cohort, offset)
+  agg. All portable arithmetic: week buckets via date_trunc, offsets
+  via day-difference / 7 as integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: for each user, the FIRST time of step
+    k that happens strictly after their first completion of step k-1.
+
+    Output: (user_id, t_<step>... , depth) — depth = number of steps
+    completed in order. Deterministic (min timestamps only), so fully
+    oracle-checkable.
+    """
+    ev = events.select(F.col(user_col).alias("user_id"), F.col(type_col).alias("et"), F.col(ts_col).alias("ts"))
+    out = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("et") == steps[0], F.col("ts"))).alias(f"t_{steps[0]}")
+    )
+    prev = f"t_{steps[0]}"
+    for step in steps[1:]:
+        nxt = (
+            ev.join(out.select("user_id", prev), "user_id")
+            .filter((F.col("et") == step) & (F.col("ts") > F.col(prev)))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{step}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+        prev = f"t_{step}"
+    depth = sum(F.col(f"t_{s}").isNotNull().cast("long") for s in steps)
+    return out.withColumn("depth", depth.cast("long"))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week they first
+    appeared; n_users = distinct users from that cohort active in
+    week cohort+offset. Output: (cohort_week, week_offset, n_users).
+    """
+    ev = events.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -69,16 +69,43 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_query_broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
-    queries is expected to be small → broadcast; the corpus is never
-    shuffled (map-side cross product), and top-k per query uses a
-    ranking window over |queries|·k candidate rows after a partial
-    per-partition prune would apply at scale (AQE handles the small
-    local case).
+    queries broadcast; the corpus is never shuffled (map-side cross
+    product). A query set past ``max_query_broadcast_rows`` (the
+    broadcast-memory bound: rows·dim·8 bytes) is processed in pmod
+    chunks of the query id and unioned — per-query results are
+    independent, so the union is IDENTICAL to the unchunked answer
+    while each pass broadcasts only one chunk. Per-partition partial
+    top-k keeps the ranking window's shuffle at
+    |queries|·k·partitions rows.
     """
     from pyspark.sql import Window as W
+
+    n_queries = queries.count()
+    if n_queries > max_query_broadcast_rows:
+        # ONE level of hash chunking, each chunk then takes the direct
+        # path unconditionally: re-splitting a chunk with a nested
+        # pmod of the same hash makes no progress (h ≡ i mod n pins
+        # h mod m for any m | n), and hash variance around the cap is
+        # harmless — the cap is a memory bound with headroom, not an
+        # exact budget.
+        n_chunks = -(-n_queries // max_query_broadcast_rows)
+        parts = [
+            brute_force_topk(
+                vectors,
+                queries.filter(F.pmod(F.xxhash64(F.lit(n_chunks), F.col(id_col)), F.lit(n_chunks)) == i),
+                k, id_col, vec_col, dim,
+                max_query_broadcast_rows=2**63 - 1,
+            )
+            for i in range(n_chunks)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # norms are precomputed once per vector (not per pair): same IEEE
     # value as an inline norm — the oracle's per-pair norm folds agree

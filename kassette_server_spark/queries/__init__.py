@@ -25,6 +25,7 @@ from . import tpch as _tpch  # noqa: F401,E402  (q53-q55, 3 specs)
 from . import olap as _olap  # noqa: F401,E402  (q47 first → slot 50; rest overflow)
 from . import text_extra as _text_extra  # noqa: F401,E402
 from . import curation as _curation  # noqa: F401,E402  (q70-q74 corpus curation)
+from . import analytics as _analytics  # noqa: F401,E402  (q75-q76 funnel/retention)
 
 
 def all_specs() -> dict[str, QuerySpec]:

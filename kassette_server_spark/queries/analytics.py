@@ -1,0 +1,60 @@
+"""Event-analytics queries (q75–q76): ordered funnel and weekly
+cohort retention over the events table (operators/funnel.py) — the
+canonical CDP questions over the reference's landed event stream.
+
+Registered after the core surface (overflow positions; hard signal
+from the local both-scale oracle-parity suites)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..operators.funnel import funnel, retention_cohorts
+from .base import query
+
+
+@query(
+    "q75_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type AS et, ts FROM events),
+    s1 AS (SELECT user_id, min(CASE WHEN et = 'view' THEN ts END) AS t_view
+           FROM ev GROUP BY user_id),
+    s2 AS (SELECT ev.user_id, min(ts) AS t_click
+           FROM ev JOIN s1 USING (user_id)
+           WHERE et = 'click' AND ts > t_view GROUP BY ev.user_id),
+    s3 AS (SELECT ev.user_id, min(ts) AS t_purchase
+           FROM ev JOIN s2 USING (user_id)
+           WHERE et = 'purchase' AND ts > t_click GROUP BY ev.user_id)
+    SELECT s1.user_id, t_view, t_click, t_purchase,
+           CAST((t_view IS NOT NULL)::BIGINT + (t_click IS NOT NULL)::BIGINT
+                + (t_purchase IS NOT NULL)::BIGINT AS BIGINT) AS depth
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    doc="strictly-ordered view->click->purchase funnel: first-completion "
+    "times per step, all shuffles co-partitioned on user_id",
+    tags=("analytics", "events"),
+)
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    return funnel(load(spark, sf, "events"))
+
+
+@query(
+    "q76_retention_cohorts",
+    oracle="""
+    WITH ev AS (SELECT user_id, ts FROM events),
+    first AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              FROM ev GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM ev)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM active JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="weekly cohort retention: first-seen week x activity-week "
+    "distinct-user counts",
+    tags=("analytics", "events"),
+)
+def q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    return retention_cohorts(load(spark, sf, "events"))

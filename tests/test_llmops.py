@@ -155,6 +155,19 @@ def test_brute_force_topk_partial_prune_before_window(spark):
     assert p.count("ObjectHashAggregate") >= 2 or p.count("SortAggregate") >= 2
 
 
+def test_brute_force_topk_query_chunking_identical(spark):
+    """Past the query-broadcast cap the query set is processed in pmod
+    chunks and unioned — the answer must be IDENTICAL (per-query
+    independence), just bounded broadcast memory."""
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0)  # 25 queries
+    whole = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+             for r in similarity.brute_force_topk(e, q, k=5).collect()}
+    chunked = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+               for r in similarity.brute_force_topk(e, q, k=5, max_query_broadcast_rows=7).collect()}
+    assert whole and chunked == whole
+
+
 def test_lsh_topk_subset_of_bruteforce_universe(spark):
     """Approximate ANN returns plausible results: every (query, neighbor)
     it emits must also appear in the exact brute-force ranking."""
