@@ -351,12 +351,20 @@ def connected_components(
     ``edges`` is (doc_a, doc_b) undirected pairs, ``nodes`` the full
     id frame (singletons become their own cluster). Each iteration is
     one join + min-aggregate; the loop runs until a fixpoint (bounded
-    by graph diameter, ≤ ``max_iters``). Scale notes: the symmetric
-    edge frame is persisted once and reused every iteration, and labels
-    are localCheckpoint'ed per iteration so lineage (and thus task
-    binary size / recovery cost) stays O(1) instead of O(iterations) —
-    the standard Spark iterative-graph pattern. Near-dup graphs are
-    overwhelmingly tiny star components, so convergence is 2-3 rounds.
+    by graph diameter, ≤ ``max_iters``). Scale notes:
+
+    - ONLY edge-endpoint nodes iterate. In a near-dup graph the
+      touched set is a tiny fraction of the corpus (pairs are rare by
+      construction), so every per-iteration join/agg runs over
+      |endpoints| rows, not |docs|; the untouched majority joins back
+      once at the end as their own singleton cluster. At 100 TB this
+      is the difference between iterating over ~10⁶ rows and ~10¹¹.
+    - The symmetric edge frame is persisted once and reused every
+      iteration; labels are localCheckpoint'ed per iteration so
+      lineage (and thus task binary size / recovery cost) stays O(1)
+      instead of O(iterations) — the standard Spark iterative-graph
+      pattern. Near-dup components are overwhelmingly tiny stars, so
+      convergence is 2-3 rounds.
     """
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -364,7 +372,9 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id"))
+    all_nodes = nodes.select(F.col(id_col).alias("doc_id"))
+    touched = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = touched.select("doc_id", F.col("doc_id").alias("cluster_id"))
     try:
         for _ in range(max_iters):
             nbr = (
@@ -386,4 +396,7 @@ def connected_components(
                 break
     finally:
         sym.unpersist()
-    return labels
+    # singletons (never in any edge) are their own cluster
+    return all_nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )

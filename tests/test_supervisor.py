@@ -1,0 +1,79 @@
+"""Supervisor reconciliation: ConfigDiff → stop/start/restart of
+per-connection streaming queries (reference config pub-sub parity)."""
+
+from __future__ import annotations
+
+from kassette_server_spark.config import Connection, DestinationConfig, Schema, SchemaField, SourceConfig
+from kassette_server_spark.sources.config_api import ConfigStore
+from kassette_server_spark.sources.configstore import ConfigDiff
+from kassette_server_spark.streaming.supervisor import StreamingSupervisor
+
+
+def _conn(cid: int, name: str = "src", enabled: bool = True) -> Connection:
+    return Connection(
+        id=cid,
+        source=SourceConfig(id=1, name=name, schema=Schema("e", (SchemaField("event_id", "STRING"),))),
+        destination=DestinationConfig(
+            id=2, name="pg", dest_type="postgres",
+            schema=Schema("e", (SchemaField("event_id", "VARCHAR"),)),
+        ),
+        enabled=enabled,
+    )
+
+
+class FakeQuery:
+    def __init__(self, cid: int, log: list):
+        self.cid = cid
+        self.log = log
+        self.stopped = False
+
+    def stop(self):
+        self.stopped = True
+        self.log.append(("stop", self.cid))
+
+
+def test_supervisor_reconciles_diffs():
+    log: list = []
+    sup = StreamingSupervisor(lambda conn: (log.append(("start", conn.id)), FakeQuery(conn.id, log))[1])
+
+    conns = {10: _conn(10), 11: _conn(11), 12: _conn(12, enabled=False)}
+    sup.start_all(conns)
+    assert log == [("start", 10), ("start", 11)]  # disabled 12 skipped
+    assert set(sup.running) == {10, 11}
+
+    # changed 10 → stop + restart; removed 11 → stop; added 13 → start
+    q10_old = sup.running[10]
+    conns2 = {10: _conn(10, name="renamed"), 12: _conn(12, enabled=False), 13: _conn(13)}
+    sup.apply(ConfigDiff(added=(13,), removed=(11,), changed=(10,)), conns2)
+    assert q10_old.stopped
+    assert set(sup.running) == {10, 13}
+    assert ("stop", 11) in log and ("start", 13) in log
+
+    # a change that disables a connection stops it and does not restart
+    sup.apply(ConfigDiff(added=(), removed=(), changed=(13,)), {13: _conn(13, enabled=False)})
+    assert set(sup.running) == {10}
+
+    sup.stop_all()
+    assert not sup.running and ("stop", 10) in log
+
+
+def test_supervisor_wired_to_config_store(tmp_path):
+    """End-to-end control plane: CRUD on the ConfigStore drives query
+    lifecycle through the on_change pub-sub."""
+    log: list = []
+    sup = StreamingSupervisor(lambda conn: (log.append(("start", conn.id)), FakeQuery(conn.id, log))[1])
+    store = ConfigStore(str(tmp_path / "cfg.json"),
+                        on_change=lambda d: sup.apply(d, store.connections()))
+
+    schema = {"table_name": "e", "schema_fields": [{"name": "event_id", "type": "STRING"}]}
+    store.create("source", {"id": 1, "name": "s", "schema": schema})
+    store.create("destination", {"id": 2, "name": "d", "type": "postgres", "schema": schema})
+    assert not sup.running  # no connection yet
+    store.create("connection", {"id": 10, "source_id": 1, "destination_id": 2})
+    assert set(sup.running) == {10}
+    # editing the source restarts the dependent connection's query
+    before = sup.running[10]
+    store.update("source", {"id": 1, "name": "s2"})
+    assert before.stopped and set(sup.running) == {10} and sup.running[10] is not before
+    store.delete("connection", 10)
+    assert not sup.running
