@@ -40,6 +40,43 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q77_quantized_ann",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_reduce(list_transform(v, x -> abs(x)), (a, x) -> greatest(a, x)) AS mx
+          FROM e),
+    qz AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(round(x * 127 / mx) AS BIGINT)) AS qv
+           FROM m),
+    n AS (SELECT vec_id, qv,
+                 sqrt(CAST(list_reduce(list_transform(qv, x -> x * x), (a, x) -> a + x) AS DOUBLE)) AS qn
+          FROM qz),
+    q AS (SELECT vec_id AS query_id, qv AS qqv, qn AS qqn FROM n WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT query_id, n.vec_id AS neighbor_id,
+             CAST(list_reduce(list_transform(list_zip(qqv, n.qv), x -> x[1] * x[2]),
+                              (a, x) -> a + x) AS DOUBLE) / (qqn * n.qn) AS qcos
+      FROM n CROSS JOIN q WHERE n.vec_id <> query_id)
+    SELECT query_id, neighbor_id, qcos, CAST(rk AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 10
+    """,
+    doc="int8 scalar-quantized cosine top-10 (4x less scan IO at "
+    "100 TB; integer dot/norms are exact, score bit-portable)",
+    tags=("llmops", "similarity"),
+)
+def q_quantized_ann(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import quantized_topk
+
+    e = load(spark, sf, "embeddings")
+    return quantized_topk(e, e.filter(F.col("vec_id") % 100 == 0), k=10)
+
+
+@query(
     "q76_retention_cohorts",
     oracle="""
     WITH ev AS (SELECT user_id, ts FROM events),

@@ -168,6 +168,23 @@ def test_brute_force_topk_query_chunking_identical(spark):
     assert whole and chunked == whole
 
 
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization must preserve the neighborhood structure:
+    strong overlap with the exact float top-10 (deterministic on this
+    corpus — pins quantization quality, not luck)."""
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {}
+    for r in similarity.brute_force_topk(e, q, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    quant = {}
+    for r in similarity.quantized_topk(e, q, k=10).collect():
+        quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(quant) == set(exact)
+    overlap = sum(len(exact[k] & quant[k]) for k in exact) / sum(len(v) for v in exact.values())
+    assert overlap >= 0.8, overlap
+
+
 def test_lsh_topk_subset_of_bruteforce_universe(spark):
     """Approximate ANN returns plausible results: every (query, neighbor)
     it emits must also appear in the exact brute-force ranking."""
