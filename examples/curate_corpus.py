@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus curation pipeline — the LLM-ops
+operators composed the way a 100 TB data pipeline would run them:
+
+  1. normalize text (pre-dedup canonical form)
+  2. exact dedup on the normalized digest
+  3. near-dup dedup: MinHash-LSH pairs → connected components →
+     keep cluster representatives
+  4. quality filter (C4-style reasons)
+  5. benchmark decontamination (8-gram overlap vs an eval slice)
+  6. sequence packing into fixed-token shards
+  7. write the curated corpus partitioned by shard bucket
+
+Run: python examples/curate_corpus.py [sf_dir]
+Prints per-stage survivor counts and the final plan summary.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kassette_server_spark.catalog import load
+from kassette_server_spark.operators import curation, dedup
+from kassette_server_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="curate-corpus")
+    docs = load(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1-2. normalize + exact dedup (keep the min doc_id per digest)
+    normed = docs.select(
+        "doc_id", "lang", dedup.normalize_text("text").alias("text")
+    )
+    keepers = (
+        dedup.exact_dedup(normed)
+        .select(F.col("keeper").alias("doc_id"))
+    )
+    uniq = normed.join(keepers, "doc_id")
+    n1 = uniq.count()
+
+    # 3. near-dup clusters over MinHash-LSH pairs; keep representatives
+    pairs = dedup.minhash_lsh_pairs(uniq, threshold=0.8).select("doc_a", "doc_b")
+    clusters = dedup.connected_components(pairs, uniq.select("doc_id"))
+    reps = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    deduped = uniq.join(reps, "doc_id")
+    n2 = deduped.count()
+
+    # 4. quality gate
+    verdicts = curation.quality_filter(deduped)
+    kept = deduped.join(verdicts.filter("keep").select("doc_id"), "doc_id")
+    n3 = kept.count()
+    reasons = {r["reason"]: r["n"] for r in
+               verdicts.groupBy("reason").agg(F.count("*").alias("n")).collect()}
+
+    # 5. decontamination vs a held-out "benchmark" slice
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contam = curation.contamination(kept, bench, k=8)
+    clean = kept.join(contam.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
+    n4 = clean.count()
+
+    # 6-7. pack into fixed-token shards, write partitioned by bucket
+    packed = curation.sequence_packing(clean)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="curated-"), "corpus")
+    (
+        clean.join(packed.select("doc_id", "bucket", "shard_id"), "doc_id")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    n5 = spark.read.parquet(out_dir).count()
+    shards = packed.select("bucket", "shard_id").distinct().count()
+
+    print(f"\ninput docs:            {n0}")
+    print(f"after exact dedup:     {n1}  (-{n0 - n1})")
+    print(f"after near-dup dedup:  {n2}  (-{n1 - n2})")
+    print(f"after quality filter:  {n3}  (-{n2 - n3}, reasons: {reasons})")
+    print(f"after decontamination: {n4}  (-{n3 - n4})")
+    print(f"written:               {n5} docs into {shards} shards at {out_dir}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
