@@ -11,9 +11,11 @@ Reproduced semantics (gateway/gateway.go):
   defaults from config.yaml:13-15) — here flush writes one JSONL file,
   whose arrival triggers the streaming micro-batch.
 
-This is deliberately NOT an HTTP server: the reference's gin layer is
-control-plane glue; the engine contract is the landing zone. Any thin
-HTTP front (or Kafka producer) that writes this shape plugs in.
+The shim itself is transport-agnostic (the engine contract is the
+landing zone; a Kafka producer writing the same shape plugs in).
+``http_listener.IngestListener`` puts the reference's actual HTTP
+surface (POST /v1/{batch,track,...}, basic-auth write keys —
+gateway/gateway.go:606-693) in front of it over a real socket.
 """
 
 from __future__ import annotations
