@@ -53,14 +53,18 @@ def contamination(
     its k-token shingles appear in ANY benchmark doc (eval-set leakage
     detection before training). Output: (doc_id, n_shared_ngrams,
     contaminated)."""
+    # xxhash64 (8-byte long), NOT md5 (32-char string): the output only
+    # depends on shingle-set identity — any collision-free hash yields
+    # identical counts, so the join keys can be 4× narrower than the
+    # oracle's md5 (which DuckDB shares) without affecting parity.
     bench_hashes = (
         benchmark.select(F.explode(shingles(text_col, k)).alias("sh"))
-        .select(F.md5("sh").alias("h"))
+        .select(F.xxhash64("sh").alias("h"))
         .distinct()
     )
     corpus_sh = corpus.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sh")
-    ).select("doc_id", F.md5("sh").alias("h"))
+    ).select("doc_id", F.xxhash64("sh").alias("h"))
     hits = (
         corpus_sh.join(bench_hashes, "h")
         .groupBy("doc_id")
@@ -189,17 +193,28 @@ def ngram_novelty(
     owns a shingle). A streaming-ingest dedup pass keeps docs with
     high novelty. Exact long/long division. Output: (doc_id,
     n_shingles, n_novel, novelty)."""
+    # 8-byte xxhash64 keys (see contamination): novelty counts are
+    # hash-independent, so the oracle's md5 and this agree exactly.
+    # NO rejoin of the exploded table and NO window over h: a doc's
+    # novel count is how many shingles it min-OWNS, which falls out of
+    # the (h → min owner) table directly. Both aggregations are
+    # map-side combined (hot shingles — common 3-grams at corpus
+    # scale — reduce to partials, never buffer a group), and the final
+    # join is per-doc row counts only.
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sh")
-    ).select("doc_id", F.md5("sh").alias("h"))
-    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        sh.join(first, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
-        )
+    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    n_shingles = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    n_novel = (
+        sh.groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_novel"))
+    )
+    per_doc = n_shingles.join(n_novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
     )
     return per_doc.select(
         "doc_id", "n_shingles", "n_novel",
