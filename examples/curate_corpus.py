@@ -61,8 +61,10 @@ def main() -> None:
     reasons = {r["reason"]: r["n"] for r in
                verdicts.groupBy("reason").agg(F.count("*").alias("n")).collect()}
 
-    # 5. decontamination vs a held-out "benchmark" slice
-    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    # 5. decontamination vs a held-out "benchmark" slice — shingled
+    # from the SAME normalized frame as the corpus: raw-vs-normalized
+    # text would produce disjoint 8-grams and silently miss leaks
+    bench = normed.filter(F.col("doc_id") % 50 == 0)
     contam = curation.contamination(kept, bench, k=8)
     clean = kept.join(contam.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
     n4 = clean.count()

@@ -62,6 +62,50 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _partition_topk_then_rank(scored: DataFrame, k: int, score_col: str) -> DataFrame:
+    """Shared finisher for broadcast-scored ANN: partition-LOCAL top-k
+    prune, then the global ranking window.
+
+    The prune is a mapInPandas pass — NOT a groupBy: an aggregation
+    keyed by (partition, query) still plans an Exchange that ships
+    every candidate (the partial agg merely packs them into arrays),
+    while mapInPandas runs inside the scoring stage with ZERO exchange
+    and keeps only k rows per (query, partition) across its Arrow
+    batches. Scores are computed JVM-side and only FILTERED here
+    (float64 is bit-exact through Arrow), and the pandas sort uses the
+    same total order as the window (score desc, neighbor_id asc), so
+    each partition emits exactly its true top-k and the final window —
+    over |queries|·k·partitions rows — returns the IDENTICAL answer to
+    the unpruned plan.
+    """
+    from pyspark.sql import Window as W
+
+    def prune(batches):
+        import pandas as pd
+
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            buf = pdf if buf is None else pd.concat((buf, pdf), ignore_index=True)
+            buf = (
+                buf.sort_values(["query_id", score_col, "neighbor_id"],
+                                ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+        if buf is not None and len(buf):
+            yield buf
+
+    pruned = scored.mapInPandas(
+        prune, schema=f"query_id long, neighbor_id long, {score_col} double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col(score_col).desc(), F.col("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", score_col, "rank")
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -78,34 +122,35 @@ def brute_force_topk(
     broadcast-memory bound: rows·dim·8 bytes) is processed in pmod
     chunks of the query id and unioned — per-query results are
     independent, so the union is IDENTICAL to the unchunked answer
-    while each pass broadcasts only one chunk. Per-partition partial
-    top-k keeps the ranking window's shuffle at
-    |queries|·k·partitions rows.
+    while each pass broadcasts only one chunk. A partition-local
+    top-k prune (see _partition_topk_then_rank) keeps the only
+    exchange at |queries|·k·partitions rows.
     """
-    from pyspark.sql import Window as W
-
-    n_queries = queries.count()
-    if n_queries > max_query_broadcast_rows:
-        # ONE level of hash chunking, each chunk then takes the direct
-        # path unconditionally: re-splitting a chunk with a nested
-        # pmod of the same hash makes no progress (h ≡ i mod n pins
-        # h mod m for any m | n), and hash variance around the cap is
-        # harmless — the cap is a memory bound with headroom, not an
-        # exact budget.
-        n_chunks = -(-n_queries // max_query_broadcast_rows)
-        parts = [
-            brute_force_topk(
-                vectors,
-                queries.filter(F.pmod(F.xxhash64(F.lit(n_chunks), F.col(id_col)), F.lit(n_chunks)) == i),
-                k, id_col, vec_col, dim,
-                max_query_broadcast_rows=2**63 - 1,
-            )
-            for i in range(n_chunks)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+    if max_query_broadcast_rows is not None:
+        n_queries = queries.count()
+        if n_queries > max_query_broadcast_rows:
+            # ONE level of hash chunking; each chunk takes the direct
+            # path (cap=None — no redundant re-count, and re-splitting
+            # by a nested pmod of the same hash could never progress:
+            # h ≡ i mod n pins h mod m for any m | n). Hash variance
+            # around the cap is harmless — it is a memory bound with
+            # headroom, not an exact budget.
+            n_chunks = -(-n_queries // max_query_broadcast_rows)
+            parts = [
+                brute_force_topk(
+                    vectors,
+                    queries.filter(
+                        F.pmod(F.xxhash64(F.lit(n_chunks), F.col(id_col)), F.lit(n_chunks)) == i
+                    ),
+                    k, id_col, vec_col, dim,
+                    max_query_broadcast_rows=None,
+                )
+                for i in range(n_chunks)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
 
     # norms are precomputed once per vector (not per pair): same IEEE
     # value as an inline norm — the oracle's per-pair norm folds agree
@@ -125,49 +170,18 @@ def brute_force_topk(
             (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    # partial top-k BEFORE the global window: per (input-partition,
-    # query) keep only the k best candidates (array_sort of a
-    # collect_list — all JVM, map-side), so the one exchange feeding
-    # the window carries |queries|·k·partitions rows instead of
-    # |queries|·|corpus|. The union of per-partition top-k sets is a
-    # superset of the global top-k under the same (cos desc, id asc)
-    # order, so the final ranking is IDENTICAL to the naive plan.
-    partial = (
-        scored.groupBy(F.spark_partition_id().alias("p"), "query_id")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct((-F.col("cos")).alias("nc"), F.col("neighbor_id").alias("nid"))
-                    )
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-        .select("query_id", F.explode("top").alias("t"))
-        .select(
-            "query_id",
-            F.col("t.nid").alias("neighbor_id"),
-            (-F.col("t.nc")).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _partition_topk_then_rank(scored, k, "cos")
 
 
-def quantize_int8(vec_col: str = "embedding", id_col: str = "vec_id"):
+def quantize_int8(vec_col: str = "embedding"):
     """Per-vector symmetric int8 scalar quantization: q_i =
-    round(x_i · 127 / max|x|), stored with the dequant scale. At
-    100 TB this is the storage/IO play — int8 vectors scan 4× less
-    than float32 and dot products stay in cheap integer SIMD; the
-    scale restores magnitude for scoring. All arithmetic is exact
-    (round to ints) + correctly-rounded IEEE division ⇒ the quantized
-    representation is bit-identical across engines.
+    round(x_i · 127 / max|x|), plus the dequant scale for consumers
+    that need magnitudes back (cosine does not — it is
+    scale-invariant). At 100 TB this is the storage/IO play — int8
+    vectors scan 4× less than float32 and dot products stay in cheap
+    integer SIMD. All arithmetic is exact (round to ints) +
+    correctly-rounded IEEE division ⇒ the quantized representation is
+    bit-identical across engines.
 
     Returns the select expressions (qvec, scale) for composition."""
     v = as_double(vec_col)
@@ -191,20 +205,19 @@ def quantized_topk(
     longs (no float-summation-order issues at all), and the only
     floating point is one sqrt and one division — correctly rounded,
     so the score is bit-identical across engines. Same shape as
-    brute_force_topk: queries broadcast, partial per-partition top-k,
-    ranking window last."""
-    from pyspark.sql import Window as W
+    brute_force_topk: queries broadcast, partition-local top-k prune,
+    ranking window last (shared _partition_topk_then_rank)."""
 
-    def prep(df: DataFrame, id_alias: str, v_alias: str, s_alias: str, n_alias: str) -> DataFrame:
-        qvec, scale = quantize_int8(vec_col, id_col)
-        out = df.select(F.col(id_col).alias(id_alias), qvec.alias(v_alias), scale.alias(s_alias))
+    def prep(df: DataFrame, id_alias: str, v_alias: str, n_alias: str) -> DataFrame:
+        qvec, _scale = quantize_int8(vec_col)  # scale cancels in cosine
+        out = df.select(F.col(id_col).alias(id_alias), qvec.alias(v_alias))
         qnorm = F.sqrt(
             F.aggregate(F.col(v_alias), F.lit(0).cast("long"), lambda a, x: a + x * x).cast("double")
         )
         return out.withColumn(n_alias, qnorm)
 
-    q = prep(queries, "query_id", "qv", "qs", "qn")
-    c = prep(vectors, "neighbor_id", "cv", "cs", "cn")
+    q = prep(queries, "query_id", "qv", "qn")
+    c = prep(vectors, "neighbor_id", "cv", "cn")
     int_dot = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -219,28 +232,7 @@ def quantized_topk(
             (int_dot.cast("double") / (F.col("qn") * F.col("cn"))).alias("qcos"),
         )
     )
-    partial = (
-        scored.groupBy(F.spark_partition_id().alias("p"), "query_id")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct((-F.col("qcos")).alias("nc"), F.col("neighbor_id").alias("nid"))
-                    )
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-        .select("query_id", F.explode("top").alias("t"))
-        .select("query_id", F.col("t.nid").alias("neighbor_id"), (-F.col("t.nc")).alias("qcos"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("neighbor_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "qcos", "rank")
-    )
+    return _partition_topk_then_rank(scored, k, "qcos")
 
 
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: str = "lsh") -> Column:

@@ -20,11 +20,15 @@ Reproduces gateway/gateway.go:324-604 with stdlib http.server:
 
 The store persists every mutation to a JSON document (the durable
 Postgres-config analogue) in the SAME shape parse_config consumes, and
-notifies subscribers with a ConfigDiff — the reference's 5 s poll +
-reflect.DeepEqual pub-sub (backendconfig/configdb.go:83-94, 494-524)
-becomes an immediate callback a query supervisor uses to restart the
-affected streaming queries. Config stays a control-plane concern: it
-reaches executors only as literals compiled into plans.
+notifies subscribers with ``(ConfigDiff, new_connections)`` in commit
+order — the reference's 5 s poll + reflect.DeepEqual pub-sub
+(backendconfig/configdb.go:83-94, 494-524) becomes an immediate
+callback the query supervisor uses to restart the affected streaming
+queries (``ConfigStore(on_change=supervisor.apply)``). Mutations that
+would leave a connection pointing at a missing source/destination are
+rejected (success=false), never persisted. Config stays a
+control-plane concern: it reaches executors only as literals compiled
+into plans.
 """
 
 from __future__ import annotations
@@ -59,7 +63,15 @@ class ConfigStore:
 
     _SECTIONS = {"source": "sources", "destination": "destinations", "connection": "connections"}
 
-    def __init__(self, path: str | None = None, on_change: Callable[[ConfigDiff], None] | None = None):
+    def __init__(
+        self,
+        path: str | None = None,
+        on_change: Callable[[ConfigDiff, dict], None] | None = None,
+    ):
+        """``on_change(diff, connections)`` is invoked in commit order
+        (under the store lock) with the typed post-change connection
+        map — exactly StreamingSupervisor.apply's signature, so
+        ``ConfigStore(on_change=supervisor.apply)`` wires directly."""
         self._path = path
         self._on_change = on_change
         self._lock = threading.RLock()
@@ -89,11 +101,31 @@ class ConfigStore:
         return None
 
     # -- mutation -----------------------------------------------------------
+    def _refs_ok(self, doc: dict) -> bool:
+        """Referential integrity: every connection must point at an
+        existing source and destination. A mutation that would leave a
+        dangling reference is REJECTED before persisting — otherwise
+        parse_config would raise on every later read and wedge the
+        store until the file is hand-edited."""
+        src_ids = {s.get("id") for s in doc["sources"]}
+        dst_ids = {d.get("id") for d in doc["destinations"]}
+        return all(
+            c.get("source_id") in src_ids and c.get("destination_id") in dst_ids
+            for c in doc["connections"]
+        )
+
     def _mutate(self, fn) -> bool:
+        # the change callback fires INSIDE the lock: concurrent HTTP
+        # mutations therefore deliver their ConfigDiffs strictly in
+        # commit order (an added-then-removed connection can never
+        # reach the supervisor as removed-then-added). RLock keeps
+        # store reads from inside the callback safe.
         with self._lock:
+            snapshot = json.loads(json.dumps(self._doc))
             old = self.connections()
             ok = fn(self._doc)
-            if not ok:
+            if not ok or not self._refs_ok(self._doc):
+                self._doc = snapshot  # roll back the in-memory edit
                 return False
             if self._path:
                 tmp = self._path + ".tmp"
@@ -101,10 +133,10 @@ class ConfigStore:
                     json.dump(self._doc, f, indent=1)
                 os.replace(tmp, self._path)
             new = self.connections()
-        if self._on_change:
-            d = diff(old, new)
-            if not d.empty:
-                self._on_change(d)
+            if self._on_change:
+                d = diff(old, new)
+                if not d.empty:
+                    self._on_change(d, new)
         return True
 
     def create(self, kind: str, obj: dict) -> bool:

@@ -28,7 +28,9 @@ def _req(method: str, url: str, body: dict | None = None):
 @pytest.fixture()
 def api(tmp_path):
     diffs = []
-    store = ConfigStore(str(tmp_path / "config.json"), on_change=diffs.append)
+    store = ConfigStore(
+        str(tmp_path / "config.json"), on_change=lambda d, conns: diffs.append(d)
+    )
     srv = ConfigAPI(store, job_health=lambda: [{"state": "succeeded", "n": 3}]).start()
     try:
         yield srv.address, store, diffs
@@ -98,8 +100,22 @@ def test_config_crud_lifecycle(api, tmp_path):
     assert store2.get("connection", 10)["source_id"] == 1
     assert store2.connections()[10].source.write_key == generate_write_key("acme", "new")
 
+    # referential integrity: mutations that would dangle a connection
+    # are rejected WITHOUT wedging the store (the r1 review bug: a
+    # persisted dangling ref made every later parse raise)
+    assert _req("DELETE", f"{base}/source/1")[1] == {"success": False}  # conn 10 refs it
+    assert _req("POST", f"{base}/connection",
+                {"id": 11, "source_id": 99, "destination_id": 2})[1] == {"success": False}
+    assert _req("PATCH", f"{base}/connection",
+                {"id": 10, "destination_id": 77})[1] == {"success": False}
+    st, conn10 = _req("GET", f"{base}/connection/10")
+    assert st == 200 and conn10["destination_id"] == 2  # rollback held
+    assert store.connections()[10].source.write_key  # store still parses
+
     # DELETE cascades a removed-connection diff
     assert _req("DELETE", f"{base}/connection/10")[1] == {"success": True}
     assert diffs[-1].removed == (10,)
     assert _req("DELETE", f"{base}/connection/10")[1] == {"success": False}
     assert _req("GET", f"{base}/connection/10")[0] == 400
+    # with the connection gone, the source delete now succeeds
+    assert _req("DELETE", f"{base}/source/1")[1] == {"success": True}

@@ -136,10 +136,10 @@ def test_over_cap_near_dup_routes_to_lsh_not_crossjoin(spark):
 
 
 def test_brute_force_topk_partial_prune_before_window(spark):
-    """The brute-force ANN plan must pre-prune per partition (an
-    aggregate between the scoring join and the ranking window) so the
-    window's exchange carries |queries|·k·partitions rows, not the
-    full candidate set."""
+    """The brute-force ANN plan must prune per PARTITION (a
+    mapInPandas inside the scoring stage — zero extra exchange) so the
+    only exchange, feeding the ranking window, carries
+    |queries|·k·partitions rows instead of the full candidate set."""
     import contextlib
     import io
 
@@ -151,8 +151,11 @@ def test_brute_force_topk_partial_prune_before_window(spark):
         df.explain("formatted")
     p = buf.getvalue()
     assert "Window" in p
-    # partial+final pair of the collect_list aggregation
-    assert p.count("ObjectHashAggregate") >= 2 or p.count("SortAggregate") >= 2
+    assert "MapInPandas" in p
+    # exactly one SHUFFLE exchange (the window's; the broadcast of the
+    # query set is not a shuffle) — a groupBy-based "partial" prune
+    # would add a second hashpartitioning that ships every candidate
+    assert p.count("hashpartitioning(") == 1
 
 
 def test_brute_force_topk_query_chunking_identical(spark):

@@ -62,8 +62,9 @@ def test_supervisor_wired_to_config_store(tmp_path):
     lifecycle through the on_change pub-sub."""
     log: list = []
     sup = StreamingSupervisor(lambda conn: (log.append(("start", conn.id)), FakeQuery(conn.id, log))[1])
-    store = ConfigStore(str(tmp_path / "cfg.json"),
-                        on_change=lambda d: sup.apply(d, store.connections()))
+    # the documented wiring: on_change delivers (diff, connections)
+    # in commit order, matching apply's signature exactly
+    store = ConfigStore(str(tmp_path / "cfg.json"), on_change=sup.apply)
 
     schema = {"table_name": "e", "schema_fields": [{"name": "event_id", "type": "STRING"}]}
     store.create("source", {"id": 1, "name": "s", "schema": schema})
