@@ -182,6 +182,112 @@ def tfidf_top_terms(
     )
 
 
+def md5_bucket(col: Column, granularity: int = 4096) -> Column:
+    """Deterministic uniform bucket in [0, 4096) from the first three
+    hex chars of md5 — the cross-engine sampling primitive. Spark side
+    uses the native base conversion ``conv(hex, 16, 10)``; the DuckDB
+    oracle, which has no hex→int cast, computes the same value with
+    ``strpos('0123456789abcdef', digit)`` arithmetic. md5 itself is
+    the portable hash (q63's coarser variant uses one digit)."""
+    assert granularity == 4096, "3 hex chars fix the granularity"
+    h = F.md5(col.cast("string"))
+    return F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted domain mixing: downsample each domain so the kept
+    corpus approaches the target mixture ``weights`` (the Pile/C4-style
+    "X% web, Y% code, Z% books" knob) at the LARGEST feasible size —
+    T = min over weighted domains of count/weight; domain s keeps
+    rate_s = w_s·T/c_s of its docs (the binding domain keeps all).
+    Selection is a deterministic md5-bucket threshold, so reruns and
+    engines agree doc-for-doc. Domains without a weight are dropped
+    (keep=false, threshold 0).
+
+    Scale: two tiny aggregations (per-domain counts → one min), both
+    map-side combined; thresholds broadcast back onto the corpus and
+    the keep decision is a per-row expression inside the scan stage —
+    NO shuffle of the documents themselves, no per-domain ranking
+    window (an exact-count variant would sort every domain's docs by
+    hash; the 1/4096-granular threshold trades ≤0.03% mixture error
+    for a pure map-side plan at 100 TB).
+
+    All arithmetic is portable: long counts, double literals, one
+    multiply + one divide (correctly-rounded IEEE), ``least`` clamp,
+    ``floor`` exact. Output: (id, domain, bucket, threshold, keep).
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{domain_col} string, w double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count("*").cast("long").alias("c"))
+    rated = counts.join(F.broadcast(wdf), domain_col, "left")
+    t = rated.filter(F.col("w").isNotNull()).agg(
+        F.min(F.col("c") / F.col("w")).alias("t")
+    )
+    thresholds = rated.crossJoin(F.broadcast(t)).select(
+        domain_col,
+        F.when(F.col("w").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.least(F.lit(1.0), (F.col("w") * F.col("t")) / F.col("c")) * 4096
+            ).cast("long")
+        )
+        .alias("threshold"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(domain_col))
+        .join(F.broadcast(thresholds), domain_col)
+        .select(
+            "doc_id",
+            domain_col,
+            md5_bucket(F.col("doc_id")).alias("bucket"),
+            "threshold",
+        )
+        .withColumn("keep", F.col("bucket") < F.col("threshold"))
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every doc
+    gets a pseudo-random shard (md5 bucket mod ``n_shards``) and a
+    pseudo-random position within it (rank by the md5 hex string) —
+    the "shuffle the corpus before writing shards" step every training
+    pipeline runs, made reproducible (same corpus ⇒ same byte layout,
+    no RNG state).
+
+    Scale: this IS Spark's writer path — ``repartition(n_shards,
+    shard)`` + ``sortWithinPartitions(h)``; expressed here as one
+    ranking window per shard so the position is a queryable column.
+    Each shard sorts |corpus|/n_shards rows and n_shards grows with
+    the cluster, so per-task work stays constant; there is exactly one
+    shuffle (by shard id) and the sort key is the 32-char digest the
+    row already carries. Output: (doc_id, shard_id, pos).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        h.alias("h"),
+        F.pmod(md5_bucket(F.col(id_col)), F.lit(n_shards)).cast("long").alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("h", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",

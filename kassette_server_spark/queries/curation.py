@@ -137,6 +137,68 @@ def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     return curation.tfidf_top_terms(load(spark, sf, "documents"))
 
 
+# shared hex-digit → int arithmetic for the DuckDB oracle (no hex→int
+# cast there; Spark uses conv(hex,16,10) — same value, see
+# operators/curation.md5_bucket)
+_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', h[1]) - 1) * 256"
+    " + (strpos('0123456789abcdef', h[2]) - 1) * 16"
+    " + (strpos('0123456789abcdef', h[3]) - 1)"
+)
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.05, "zh": 0.05}
+
+
+@query(
+    "q78_domain_mix",
+    oracle=f"""
+    WITH w AS (SELECT * FROM (VALUES
+        ('de', 0.2), ('en', 0.5), ('es', 0.2), ('fr', 0.05), ('zh', 0.05)
+      ) AS v(lang, w)),
+    c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+    t AS (SELECT min(c.c / w.w) AS t FROM c JOIN w ON c.lang = w.lang),
+    r AS (
+      SELECT c.lang,
+             CASE WHEN w.w IS NULL THEN 0
+                  ELSE CAST(floor(least(1.0, (w.w * t.t) / c.c) * 4096) AS BIGINT)
+             END AS threshold
+      FROM c LEFT JOIN w ON c.lang = w.lang CROSS JOIN t),
+    b AS (
+      SELECT doc_id, lang, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+      FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents))
+    SELECT b.doc_id, b.lang, b.bucket, r.threshold,
+           b.bucket < r.threshold AS keep
+    FROM b JOIN r ON b.lang = r.lang
+    """,
+    doc="weighted domain mixing: md5-threshold downsampling per lang "
+    "toward a target mixture at the largest feasible size (map-side "
+    "keep decision, no corpus shuffle)",
+    tags=("llmops", "curation"),
+)
+def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.domain_mix(load(spark, sf, "documents"), _MIX_WEIGHTS)
+
+
+@query(
+    "q79_shuffle_shards",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, h, CAST(({_BUCKET_SQL}) % 16 AS BIGINT) AS shard_id
+      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents))
+    SELECT doc_id, shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM b
+    """,
+    doc="deterministic global shuffle into 16 training shards: "
+    "md5-bucket shard id + in-shard rank by digest (reproducible "
+    "corpus shuffle; one exchange, per-shard sort)",
+    tags=("llmops", "curation"),
+)
+def q_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.shuffle_shards(load(spark, sf, "documents"))
+
+
 @query(
     "q74_ngram_novelty",
     oracle="""

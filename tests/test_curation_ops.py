@@ -1,0 +1,57 @@
+"""Semantics tests for the domain-mix and shuffle-shard curation
+operators (the oracle-parity suite covers cross-engine exactness;
+these pin the *behavioral* contract on hand-built frames)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kassette_server_spark.operators import curation
+
+
+def _docs(spark):
+    # domain 'a': 100 docs, domain 'b': 50 docs
+    rows = [(i, "a" if i < 100 else "b") for i in range(150)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_domain_mix_binding_domain_keeps_all(spark):
+    # equal target weights, b is half a's size -> b binds (rate 1.0,
+    # threshold 4096 == every bucket), a downsamples to ~half
+    out = curation.domain_mix(_docs(spark), {"a": 0.5, "b": 0.5}).cache()
+    by = {r["lang"]: r for r in
+          out.groupBy("lang").agg(
+              F.count("*").alias("n"),
+              F.sum(F.col("keep").cast("long")).alias("kept"),
+              F.max("threshold").alias("thr")).collect()}
+    assert by["b"]["thr"] == 4096 and by["b"]["kept"] == 50
+    assert by["a"]["thr"] == 2048  # floor(0.5 * 4096)
+    assert 0 < by["a"]["kept"] < 100
+    # the keep decision is exactly the bucket threshold
+    bad = out.filter(F.col("keep") != (F.col("bucket") < F.col("threshold"))).count()
+    assert bad == 0
+    out.unpersist()
+
+
+def test_domain_mix_unweighted_domain_dropped(spark):
+    out = curation.domain_mix(_docs(spark), {"a": 1.0})
+    b = out.filter(F.col("lang") == "b")
+    assert b.count() == 50
+    assert b.filter(F.col("keep")).count() == 0
+    assert b.agg(F.max("threshold")).first()[0] == 0
+
+
+def test_shuffle_shards_contiguous_positions_and_determinism(spark):
+    df = _docs(spark)
+    out1 = curation.shuffle_shards(df, n_shards=8).cache()
+    # every doc exactly once
+    assert out1.count() == 150
+    assert out1.select("doc_id").distinct().count() == 150
+    # positions within a shard are exactly 1..n_s
+    per = out1.groupBy("shard_id").agg(
+        F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+    assert per.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+    # deterministic: a second run is row-identical
+    out2 = curation.shuffle_shards(df, n_shards=8)
+    assert out1.exceptAll(out2).count() == 0 and out2.exceptAll(out1).count() == 0
+    out1.unpersist()

@@ -132,6 +132,26 @@ def test_q72_packing_windows_per_bucket_not_global(spark):
     assert "SinglePartition" not in p
 
 
+def test_q78_mix_thresholds_broadcast_no_corpus_shuffle(spark):
+    # per-domain thresholds are a handful of rows — they must reach the
+    # corpus via broadcast; the documents themselves are never sort-
+    # merge-joined or cartesian-joined, so the keep decision stays
+    # inside the scan stage.
+    p = plan(spark, "q78_domain_mix")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q79_shuffle_one_exchange_per_shard_sort(spark):
+    # exactly one shuffle of the corpus (hashpartitioning on shard_id
+    # feeding the ranking window); no global single-partition sort.
+    p = plan(spark, "q79_shuffle_shards")
+    assert "Window" in p
+    assert "hashpartitioning(shard_id" in p
+    assert "SinglePartition" not in p
+
+
 def test_whole_stage_codegen_on_hot_paths(spark):
     # coercion/rule pipelines must stay inside codegen (no Python UDFs).
     # In formatted explain, '* ' prefixes mark codegen'd operators.
