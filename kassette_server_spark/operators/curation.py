@@ -288,6 +288,159 @@ def shuffle_shards(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.65,
+    max_top_bigram_frac: float = 0.07,
+) -> DataFrame:
+    """Gopher-style repetition filter: flag docs whose token stream is
+    dominated by repeats — ``dup_word_frac`` (1 − unique/total tokens)
+    and ``top_bigram_frac`` (share of the most frequent bigram among
+    all bigrams). Boilerplate, keyword-stuffed, and template pages
+    score high on both; either threshold flags the doc.
+
+    Shape: unique/total come from array expressions in the scan stage;
+    the bigram mode needs a count-per-(doc, bigram), done as explode →
+    two hash aggregations. The shuffle key is ``xxhash64(bigram)`` —
+    8 bytes instead of the bigram text (counts only depend on bigram
+    identity, so any collision-free hash gives identical results; the
+    DuckDB oracle groups on the raw text). Both aggs are map-side
+    combined; no join — per-doc constants (n_tokens, n_unique) ride
+    through the aggregations as ``max``. Docs shorter than 2 tokens
+    follow the shingle convention (one truncated "bigram" = the lone
+    token), so every doc yields exactly one output row.
+
+    All fractions are single long/long IEEE divisions ⇒ cross-engine
+    exact. Output: (doc_id, n_tokens, dup_word_frac, n_bigrams,
+    top_bigram_frac, flagged).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks).cast("long")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.explode(bigrams).alias("bg"),
+    ).select("doc_id", "n_tokens", "n_unique", F.xxhash64("bg").alias("h"))
+    per_bigram = exploded.groupBy("doc_id", "h").agg(
+        F.count("*").alias("c"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_unique").alias("n_unique"),
+    )
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_unique").alias("n_unique"),
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+    )
+    dup = (F.col("n_tokens") - F.col("n_unique")) / F.col("n_tokens")
+    topf = F.col("top_bigram_count") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        dup.alias("dup_word_frac"),
+        "n_bigrams",
+        topf.alias("top_bigram_frac"),
+        ((dup > max_dup_word_frac) | (topf > max_top_bigram_frac)).alias("flagged"),
+    )
+
+
+# Redaction patterns restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, alternation — no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"555-[0-9]{4}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII redaction pass: replace emails, NANP-555 phone numbers, and
+    IPv4 addresses with typed placeholders and count what was removed
+    (the audit trail a compliance pipeline keeps). Counts are taken on
+    the ORIGINAL text (all three patterns), then redaction applies
+    email → phone → ip so a later pattern never matches inside an
+    earlier placeholder.
+
+    Pure per-row JVM expressions in the scan stage — no shuffle, no
+    Python; at 100 TB this is a map-only pass that pipelines with
+    whatever scan feeds it. Output: (doc_id, clean_text, n_emails,
+    n_phones, n_ips, had_pii).
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).cast("long")
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0))).cast("long")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("had_pii"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style chunking: split each document's token stream into
+    overlapping windows of ``window`` tokens every ``stride`` tokens
+    (overlap = window − stride). Chunk count is
+    ``1 + ceil(max(n − window, 0) / stride)`` so every token is
+    covered and a doc shorter than one window still yields one chunk.
+
+    Scale: explode over a per-row integer sequence — the chunk table
+    is produced inside the scan stage with no shuffle and no Python;
+    output size is a bounded multiple (window/stride) of the input.
+    All-integer start arithmetic ⇒ oracle-exact against DuckDB's
+    ``range``/list-slice replay. Output: (doc_id, chunk_id,
+    chunk_text, chunk_tokens).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks).cast("long")
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - window, F.lit(0)) + (stride - 1)) / stride
+        ).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_id") * stride + 1).cast("int"), window
+    )
+    return base.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",

@@ -200,6 +200,136 @@ def q_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q80_repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+                 list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                                i -> array_to_string(toks[i:i+1], ' ')) AS bgs
+          FROM t),
+    e AS (SELECT doc_id, n_tokens, n_unique, unnest(bgs) AS bg FROM s),
+    c AS (SELECT doc_id, bg, count(*) AS c,
+                 max(n_tokens) AS n_tokens, max(n_unique) AS n_unique
+          FROM e GROUP BY doc_id, bg),
+    d AS (SELECT doc_id, max(n_tokens) AS n_tokens, max(n_unique) AS n_unique,
+                 CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS topc
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           (n_tokens - n_unique) / CAST(n_tokens AS DOUBLE) AS dup_word_frac,
+           n_bigrams,
+           topc / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+           ((n_tokens - n_unique) / CAST(n_tokens AS DOUBLE) > 0.65
+            OR topc / CAST(n_bigrams AS DOUBLE) > 0.07) AS flagged
+    FROM d
+    """,
+    doc="Gopher-style repetition filter: duplicate-word fraction + "
+    "top-bigram share (explode -> two map-combined aggs on 8-byte "
+    "bigram hashes)",
+    tags=("llmops", "curation"),
+)
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.repetition_stats(load(spark, sf, "documents"))
+
+
+# Deterministic PII injection so the scrub actually redacts on the
+# synthetic corpus (which contains no natural emails/phones/IPs); the
+# Spark query applies the identical expression before the operator.
+_PII_INJECT_SQL = """
+    SELECT doc_id, text
+      || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+      AS text
+    FROM documents
+"""
+
+# %-format (NOT f-string/str.format): the regex bodies contain {m,n}
+# repetition braces.
+_PII_ORACLE = """
+    WITH injected AS (%s)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '%s', '<EMAIL>', 'g'), '%s', '<PHONE>', 'g'),
+             '%s', '<IP>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '%s')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '%s')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '%s')) AS BIGINT) AS n_ips,
+           (len(regexp_extract_all(text, '%s'))
+            + len(regexp_extract_all(text, '%s'))
+            + len(regexp_extract_all(text, '%s'))) > 0 AS had_pii
+    FROM injected
+""" % (
+    _PII_INJECT_SQL,
+    curation.PII_EMAIL, curation.PII_PHONE, curation.PII_IPV4,
+    curation.PII_EMAIL, curation.PII_PHONE, curation.PII_IPV4,
+    curation.PII_EMAIL, curation.PII_PHONE, curation.PII_IPV4,
+)
+
+
+def _inject_pii(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 2 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" host 10.0."), (did % 256).cast("string"),
+                    F.lit("."), (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "q81_pii_scrub",
+    oracle=_PII_ORACLE,
+    doc="PII redaction with audit counts: email/phone/IPv4 -> typed "
+    "placeholders, map-only scan-stage pass (RE2/Java-portable "
+    "patterns; deterministic injection exercises every branch)",
+    tags=("llmops", "curation"),
+)
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.pii_scrub(_inject_pii(load(spark, sf, "documents")))
+
+
+@query(
+    "q82_chunk_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS n_chunks
+          FROM t),
+    e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM s)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
+           CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS chunk_tokens
+    FROM e
+    """,
+    doc="RAG chunking: overlapping 32-token windows every 24 tokens "
+    "(scan-stage explode, all-integer starts, no shuffle)",
+    tags=("llmops", "curation"),
+)
+def q_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.chunk_documents(load(spark, sf, "documents"))
+
+
+@query(
     "q74_ngram_novelty",
     oracle="""
     WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

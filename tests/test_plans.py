@@ -152,6 +152,32 @@ def test_q79_shuffle_one_exchange_per_shard_sort(spark):
     assert "SinglePartition" not in p
 
 
+def test_q80_repetition_two_aggs_no_join(spark):
+    # bigram mode = explode -> two hash aggregations (both with a
+    # map-side partial); per-doc constants ride through as max — no
+    # join anywhere, and the shuffle key is the 8-byte xxhash64.
+    p = plan(spark, "q80_repetition_filter")
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final x two levels
+    assert "xxhash64" in p
+
+
+def test_q81_pii_scrub_map_only(spark):
+    # redaction is a pure scan-stage expression pass: no exchange, no
+    # aggregation, no Python eval.
+    p = plan(spark, "q81_pii_scrub")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q82_chunking_scan_stage_explode(spark):
+    # the chunk table is generated inside the scan stage: one
+    # Generate (explode), no exchange of the corpus.
+    p = plan(spark, "q82_chunk_documents")
+    assert "Generate" in p
+    assert "Exchange" not in p
+
+
 def test_whole_stage_codegen_on_hot_paths(spark):
     # coercion/rule pipelines must stay inside codegen (no Python UDFs).
     # In formatted explain, '* ' prefixes mark codegen'd operators.
