@@ -32,7 +32,7 @@ are the north-star extension (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -72,12 +72,14 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def _jaccard_verify(sh: DataFrame, inter: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_verify(counts: DataFrame, inter: DataFrame, threshold: float) -> DataFrame:
     """Shared exact-Jaccard finisher over an intersection-count frame
-    (doc_a, doc_b, c). ONE definition keeps both the all-pairs and the
-    LSH paths bit-identical with the DuckDB oracle: jaccard =
-    c / (na + nb − c), long/long → double division."""
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    (doc_a, doc_b, c) and a per-doc shingle-count frame (doc_id, ns).
+    ONE definition keeps both the all-pairs and the LSH paths
+    bit-identical with the DuckDB oracle: jaccard = c / (na + nb − c),
+    long/long → double division. Callers produce ``counts`` from
+    whatever aggregation they already run (the LSH path piggybacks it
+    on the minhash groupBy, saving a corpus scan)."""
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
     return (
@@ -108,7 +110,8 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("c"))
     )
-    return _jaccard_verify(sh, inter, threshold)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    return _jaccard_verify(counts, inter, threshold)
 
 
 def _minhash_expr(seed: int, hash_fn: str) -> Column:
@@ -170,10 +173,17 @@ def minhash_lsh_pairs(
 
     Candidates from LSH buckets; verification joins shingles only for
     candidate docs (semi-join pushdown), so the exact-jaccard cost is
-    proportional to candidates, not the corpus.
+    proportional to candidates, not the corpus. The per-doc shingle
+    counts the Jaccard denominator needs ride the SAME groupBy that
+    computes the minhash signature — one corpus-wide aggregation, not
+    two.
     """
     sh = shingle_table(df, text_col, id_col, k)
-    cand = lsh_candidates(minhash_signatures(sh, num_hashes, hash_fn), num_hashes, bands)
+    sig = sh.groupBy("doc_id").agg(
+        F.count("*").alias("ns"),
+        *[_minhash_expr(s, hash_fn) for s in range(num_hashes)],
+    )
+    cand = lsh_candidates(sig, num_hashes, bands)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -182,7 +192,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    return _jaccard_verify(sh, inter, threshold)
+    return _jaccard_verify(sig.select("doc_id", "ns"), inter, threshold)
 
 
 def _fp_chunks(width: int) -> list[Column]:
@@ -359,43 +369,54 @@ def connected_components(
       |endpoints| rows, not |docs|; the untouched majority joins back
       once at the end as their own singleton cluster. At 100 TB this
       is the difference between iterating over ~10⁶ rows and ~10¹¹.
-    - The symmetric edge frame is persisted once and reused every
-      iteration; labels are localCheckpoint'ed per iteration so
-      lineage (and thus task binary size / recovery cost) stays O(1)
-      instead of O(iterations) — the standard Spark iterative-graph
-      pattern. Near-dup components are overwhelmingly tiny stars, so
-      convergence is 2-3 rounds.
+    - The symmetric edge frame is localCheckpoint'ed once: every
+      iteration's join then plans against a materialized RDD instead
+      of re-planning the whole upstream candidate pipeline (with an
+      LSH feed that lineage is hundreds of operators — O(1) plans keep
+      driver/codegen time flat across iterations). Labels are
+      localCheckpoint'ed per iteration for the same reason.
+    - The fixpoint check rides the checkpoint action via
+      ``Observation`` — one job per iteration, not a materialize +
+      a separate changed-count. Near-dup components are
+      overwhelmingly tiny stars, so convergence is 2-3 rounds.
     """
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     all_nodes = nodes.select(F.col(id_col).alias("doc_id"))
     touched = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = touched.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    try:
-        for _ in range(max_iters):
-            nbr = (
-                sym.join(labels, sym.src == labels.doc_id)
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.min("cluster_id").alias("nbr_min"))
-            )
-            merged = labels.join(nbr, "doc_id", "left").select(
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        obs = Observation()
+        merged = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
                 "doc_id",
                 F.col("cluster_id").alias("old_cluster"),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            merged = merged.localCheckpoint(eager=True)
-            changed = merged.filter(F.col("old_cluster") != F.col("cluster_id")).count()
-            labels = merged.select("doc_id", "cluster_id")
-            if changed == 0:
-                break
-    finally:
-        sym.unpersist()
+            .observe(
+                obs,
+                F.sum((F.col("old_cluster") != F.col("cluster_id")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+        )
+        merged = merged.localCheckpoint(eager=True)
+        changed = obs.get["changed"]
+        labels = merged.select("doc_id", "cluster_id")
+        if not changed:
+            break
     # singletons (never in any edge) are their own cluster
     return all_nodes.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
