@@ -421,3 +421,27 @@ def connected_components(
     return all_nodes.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
     )
+
+
+def exact_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST-seen row per content
+    digest, across micro-batches, with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` on the md5 digest is the
+    streaming counterpart of :func:`exact_dedup`: digest state is
+    evicted once the event-time watermark passes it, so state size is
+    bounded by the duplicate horizon (the ingest-pipeline contract:
+    re-sent batches arrive within minutes, not days), not by corpus
+    size. The digest is 16 bytes per in-horizon key — the same
+    shuffle-narrowing trick as the batch path.
+    """
+    return (
+        stream.withColumn("digest", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )

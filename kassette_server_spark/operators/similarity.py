@@ -606,3 +606,55 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-quantize the
+    corpus to IVF cells, then WITHIN each cell mark a vector as a
+    duplicate if some lower-id cell-mate sits at cosine ≥ threshold;
+    ``dup_of`` is the smallest such id, keeper = no such neighbor.
+    This is the greedy cell-local form of the published recipe
+    (cluster, then prune near-identical embeddings per cluster) —
+    deterministic regardless of partitioning.
+
+    Scale: the pairwise stage is a self-join ON ``centroid_id``, so
+    work is Σ|cell|², never |corpus|²; at 100 TB the corpus is stored
+    clustered by centroid_id (see ivf_assign), making the self-join
+    co-partitioned with zero extra exchange, and cell sizes are
+    bounded by the centroid count you choose. Norms are computed once
+    per vector in the assignment pass and reused for every pair.
+
+    Output: (vec_id, centroid_id, dup_of, keep).
+    """
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("vec_id").alias("aid"), "centroid_id",
+        F.col("vv").alias("av"), F.col("vn").alias("an"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("bid"), "centroid_id",
+        F.col("vv").alias("bv"), F.col("vn").alias("bn"),
+    )
+    dup = (
+        a.join(b, "centroid_id")
+        .filter(F.col("aid") < F.col("bid"))
+        .select(
+            "bid",
+            "aid",
+            (dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .groupBy(F.col("bid").alias("vec_id"))
+        .agg(F.min("aid").alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dup, "vec_id", "left")
+        .select("vec_id", "centroid_id", "dup_of", F.col("dup_of").isNull().alias("keep"))
+    )

@@ -95,3 +95,42 @@ def q_quantized_ann(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_retention(spark: SparkSession, sf: str) -> DataFrame:
     return retention_cohorts(load(spark, sf, "events"))
+
+
+_DOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]), (acc, x) -> acc + x)"
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (acc, x) -> acc + x))"
+
+
+@query(
+    "q83_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_NORM.format(a='v')} AS vn FROM e),
+    c AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM n WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, centroid_id, vv, vn FROM (
+        SELECT n.vec_id, c.centroid_id, n.v AS vv, n.vn,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_DOT.format(a='n.v', b='c.cv')} / (n.vn * c.cn) DESC, c.centroid_id) AS rn
+        FROM n, c) t WHERE rn = 1),
+    dup AS (
+      SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+      FROM assign a JOIN assign b USING (centroid_id)
+      WHERE a.vec_id < b.vec_id
+        AND {_DOT.format(a='a.vv', b='b.vv')} / (a.vn * b.vn) >= 0.45
+      GROUP BY b.vec_id)
+    SELECT s.vec_id, s.centroid_id, d.dup_of, d.dup_of IS NULL AS keep
+    FROM assign s LEFT JOIN dup d USING (vec_id)
+    """,
+    doc="SemDeDup: IVF-cell-scoped cosine dedup (self-join on "
+    "centroid_id => work is sum(cell^2), never corpus^2; keeper = "
+    "min-id neighborhood representative)",
+    tags=("llmops", "similarity"),
+)
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import semantic_dedup
+
+    e = load(spark, sf, "embeddings")
+    return semantic_dedup(e, centroids=e.filter(F.col("vec_id") % 50 == 0), threshold=0.45)

@@ -178,6 +178,20 @@ def test_q82_chunking_scan_stage_explode(spark):
     assert "Exchange" not in p
 
 
+def test_q83_semantic_dedup_cell_join_not_allpairs(spark):
+    # the pairwise stage must join ON centroid_id (work = sum cell^2),
+    # never a cartesian product over the corpus. (The assignment stage
+    # legitimately uses a BroadcastNestedLoopJoin: every vector scores
+    # every BROADCAST centroid — that's the IVF coarse quantization,
+    # linear in the corpus.)
+    p = plan(spark, "q83_semantic_dedup")
+    assert "CartesianProduct" not in p
+    # equi-join for the pairwise stage, keyed on centroid_id
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "Left keys" in p
+    assert "centroid_id" in p.split("Left keys")[1].splitlines()[0]
+
+
 def test_whole_stage_codegen_on_hot_paths(spark):
     # coercion/rule pipelines must stay inside codegen (no Python UDFs).
     # In formatted explain, '* ' prefixes mark codegen'd operators.
