@@ -34,23 +34,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader only
-# accepts as LongType (spark.sql.legacy.parquet.nanosAsLong). We convert
-# nanos → microsecond TimestampType with *integer* division (double math
-# on epoch-nanos loses precision above 2^53), matching DuckDB's own
-# nanos→micros truncation so oracle comparisons line up.
-_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns whose physical parquet type has varied across
+# driver data generations: TIMESTAMP(NANOS) (readable only as LongType
+# via spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+# without UTC adjustment (read as TIMESTAMP_NTZ). Normalize every
+# generation to session-zoned TimestampType so downstream queries and
+# the DuckDB oracle (naive timestamps, UTC session) agree:
+# - long epoch-nanos → integer-divide to micros (double math loses
+#   precision above 2^53), matching DuckDB's nanos→micros truncation;
+# - TIMESTAMP_NTZ → reinterpret in the UTC session zone (same wall
+#   clock, so values collected by the driver compare equal).
+_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    nanos_cols = _NANOS_TS_COLUMNS.get(name, ())
-    if nanos_cols:
+    ts_cols = _TS_COLUMNS.get(name, ())
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    for c in ts_cols:
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        elif dtype is not None and dtype != "timestamp":
+            # timestamp_ntz (or date): cast interprets the naive value in
+            # the session time zone (UTC) — no instant shift.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

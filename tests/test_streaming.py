@@ -208,12 +208,12 @@ def test_stream_sessionize_matches_batch(spark):
     batch = session_stats(sessionize_batch(events, gap_minutes=30))
 
     # streaming file source needs a directory; glob-filter to the one
-    # table and apply the same nanos→micros conversion catalog.load does
+    # table and apply the same ts normalization catalog.load does
     stream = (
-        spark.readStream.schema("event_id long, ts long, user_id long")
+        spark.readStream.schema("event_id long, ts timestamp_ntz, user_id long")
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_SMOKE)
-        .select("user_id", F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"), "event_id")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id")
     )
     agg = sessionize_stream(stream, gap_minutes=30, watermark_minutes=60)
     q = (
