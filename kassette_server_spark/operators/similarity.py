@@ -614,6 +614,7 @@ def semantic_dedup(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: coarse-quantize the
     corpus to IVF cells, then WITHIN each cell mark a vector as a
@@ -624,25 +625,54 @@ def semantic_dedup(
     deterministic regardless of partitioning.
 
     Scale: the pairwise stage is a self-join ON ``centroid_id``, so
-    work is Σ|cell|², never |corpus|²; at 100 TB the corpus is stored
-    clustered by centroid_id (see ivf_assign), making the self-join
-    co-partitioned with zero extra exchange, and cell sizes are
-    bounded by the centroid count you choose. Norms are computed once
-    per vector in the assignment pass and reused for every pair.
+    work is Σ|cell|², never |corpus|². Real corpora cluster badly
+    around boilerplate, so one hot centroid would make a single cell
+    quadratic; ``max_cell_rows`` caps that: any cell larger than the
+    cap is split deterministically into ``ceil(|cell|/cap)`` sub-cells
+    keyed by ``id mod n_sub`` (SQL-expressible, partitioning-independent)
+    and the greedy rule applies per sub-cell — work per cell becomes
+    ~|cell|·cap and the skewed key fans out across the cluster. The
+    published recipe bounds work per cluster the same way (fixed
+    cluster count ⇒ bounded cluster size); cross-sub-cell pairs are the
+    accepted recall trade and only appear for over-cap cells. Cells at
+    or under the cap (every tested SF) are bit-identical to the
+    unbounded form. The cell-count side input is one map-combined agg
+    on centroid_id, broadcast back (≤ |centroids| rows). At 100 TB the
+    corpus is stored clustered by centroid_id (see ivf_assign), making
+    the self-join co-partitioned with zero extra exchange. Norms are
+    computed once per vector in the assignment pass and reused for
+    every pair.
 
     Output: (vec_id, centroid_id, dup_of, keep).
     """
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    pair_keys = ["centroid_id"]
+    if max_cell_rows is not None:
+        # cell size via a window (not a separate count branch — the
+        # assignment pass is expensive and must not be recomputed a
+        # third time); the window shuffle is on centroid_id, which the
+        # pairwise self-join reuses as its leading key.
+        from pyspark.sql import Window as W
+
+        cell_w = W.partitionBy("centroid_id")
+        assigned = assigned.withColumn(
+            "_sub",
+            F.pmod(
+                F.col("vec_id"),
+                F.ceil(F.count("*").over(cell_w) / F.lit(max_cell_rows)).cast("long"),
+            ).cast("int"),
+        )
+        pair_keys = ["centroid_id", "_sub"]
     a = assigned.select(
-        F.col("vec_id").alias("aid"), "centroid_id",
+        F.col("vec_id").alias("aid"), *pair_keys,
         F.col("vv").alias("av"), F.col("vn").alias("an"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("bid"), "centroid_id",
+        F.col("vec_id").alias("bid"), *pair_keys,
         F.col("vv").alias("bv"), F.col("vn").alias("bn"),
     )
     dup = (
-        a.join(b, "centroid_id")
+        a.join(b, pair_keys)
         .filter(F.col("aid") < F.col("bid"))
         .select(
             "bid",

@@ -200,3 +200,65 @@ def test_lsh_topk_subset_of_bruteforce_universe(spark):
     assert ann_rows, "LSH buckets should contain at least some neighbors"
     for r in ann_rows:
         assert (r.query_id, r.neighbor_id, round(r.cos, 9)) in bf_pairs
+
+
+def test_semantic_dedup_hot_cell_bounded(spark):
+    """One hot centroid must not create a quadratic cell. With
+    max_cell_rows set, an over-cap cell splits deterministically into
+    ceil(|cell|/cap) sub-cells on vec_id mod n_sub, the greedy min-id
+    rule applies per sub-cell, the pairwise stage stays an equi-join
+    (no cartesian), and the answer is partitioning-independent."""
+    import contextlib
+    import io
+    import math
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    # every vector assigns to the single centroid => one maximally hot cell
+    hot_centroid = e.filter(F.col("vec_id") == 0)
+    cap = 50
+    out = similarity.semantic_dedup(e, hot_centroid, threshold=0.45, max_cell_rows=cap)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    # the only nested-loop join allowed is the vectors x centroids
+    # assignment scoring (centroids broadcast); the PAIRWISE stage must
+    # be an equi-join carrying the sub-cell key
+    assert "CartesianProduct" not in p
+    assert "_sub" in p
+
+    got = {r.vec_id: (r.dup_of, r.keep) for r in out.collect()}
+
+    # pandas reference of the declared per-sub-cell greedy semantics
+    rows = e.select("vec_id", "embedding").collect()
+    n_sub = math.ceil(len(rows) / cap)
+    vec = {r.vec_id: r.embedding for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    want = {}
+    ids = sorted(vec)
+    for b in ids:
+        dup_of = None
+        for a in ids:
+            if a >= b or a % n_sub != b % n_sub:
+                continue
+            if cos(vec[a], vec[b]) >= 0.45:
+                dup_of = a
+                break
+        want[b] = (dup_of, dup_of is None)
+    assert got == want
+    assert any(not keep for _, keep in got.values()), "expected planted dups"
+
+    # under-cap cells are bit-identical to the unbounded form
+    base = similarity.semantic_dedup(e, hot_centroid, threshold=0.45, max_cell_rows=None)
+    big = similarity.semantic_dedup(
+        e.repartition(7), hot_centroid, threshold=0.45, max_cell_rows=10**9
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(base) == as_set(big)
