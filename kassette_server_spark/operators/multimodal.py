@@ -3,10 +3,16 @@ columns with typed metadata.
 
 The Spark-side contract is real and tested — BinaryType columns,
 Arrow-batched mapInPandas with bounded batch sizes, explicit output
-schemas — while the actual codecs (PIL/ffmpeg/librosa) are NOT in this
-environment, so decoding is stubbed: `decode_image_meta` uses a
-deterministic fake derived from the payload bytes, and the codec hooks
-raise NotImplementedError where a real library would plug in.
+schemas. Two tiers of codecs:
+
+- REAL stdlib codecs for PNG (signature, CRC-validated chunk walk,
+  IDAT decompression + scanline-length verify) and PCM WAV (RIFF chunk
+  walk, fmt block) — see encode_png/parse_png_meta/encode_wav/
+  parse_wav_meta and the sniffing decode_media_meta.
+- Stubbed hooks where the environment lacks the library (JPEG/video
+  need PIL/ffmpeg): `decode_image_meta` keeps its deterministic fake
+  for the plumbing-only contract (q41), and frame_sample raises
+  NotImplementedError at the plug point.
 
 Scale notes (100 TB of media):
 - Binary payloads ride in parquet/Arrow pages; mapInPandas streams
@@ -89,3 +95,221 @@ def decode_audio_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
 def frame_sample(df: DataFrame, every_n: int = 10):  # pragma: no cover - stub
     """Video frame sampling hook — requires ffmpeg; stubbed."""
     raise NotImplementedError("video codec not available in this environment")
+
+
+# --- real stdlib codecs ------------------------------------------------------
+#
+# The environment has no PIL/ffmpeg, but PNG and WAV are stdlib-parseable:
+# PNG is length-prefixed chunks with CRC-32 (zlib.crc32) and a zlib-
+# compressed scanline stream; WAV is RIFF chunks with a fixed-layout
+# `fmt ` block. These are REAL codecs — they validate signatures and
+# CRCs, walk the chunk structure, and (PNG) decompress the pixel stream
+# and verify its exact scanline length — not length-derived fakes.
+
+import struct
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(width: int, height: int, pixels: bytes | None = None) -> bytes:
+    """Minimal valid 8-bit grayscale PNG writer (stdlib only).
+
+    ``pixels`` is row-major width*height bytes (default: a deterministic
+    gradient). Output opens in any PNG reader.
+    """
+    if pixels is None:
+        pixels = bytes((x + y) % 256 for y in range(height) for x in range(width))
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">II5B", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )  # filter byte 0 per scanline
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png_meta(payload: bytes) -> dict:
+    """Real PNG decode: signature + per-chunk CRC validation, IHDR
+    fields, and full IDAT decompression with exact scanline-length
+    verification. Raises ValueError on any corruption."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, []
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">II5B", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, bit_depth, color_type, _, _, interlace = ihdr
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = 1 + (width * channels * bit_depth + 7) // 8  # +1 filter byte
+    if interlace == 0 and len(raw) != stride * height:
+        raise ValueError("pixel stream length mismatch")
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "channels": channels,
+        "fmt": "png",
+    }
+
+
+def encode_wav(
+    n_samples: int,
+    sample_rate: int = 16000,
+    channels: int = 1,
+    samples: bytes | None = None,
+) -> bytes:
+    """Minimal PCM-16 WAV writer (RIFF/fmt/data, stdlib struct only)."""
+    if samples is None:
+        samples = b"".join(
+            struct.pack("<h", ((i * 257) % 32768) - 16384)
+            for i in range(n_samples * channels)
+        )
+    block_align = channels * 2
+    data_size = len(samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_size)
+        + samples
+    )
+
+
+def parse_wav_meta(payload: bytes) -> dict:
+    """Real WAV decode: walks RIFF chunks, reads the fmt block, and
+    derives sample count/duration from the data chunk size."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF header")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_size = length
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"not PCM (format {audio_format})")
+    n_samples = data_size // block_align
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // sample_rate,
+        "fmt": "wav",
+    }
+
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, kind string, width long, height long, "
+    "sample_rate long, n_samples long, duration_ms long"
+)
+
+
+def decode_media_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Binary media column → typed metadata, sniffing the container by
+    magic bytes and running the matching REAL stdlib parser. Unknown
+    formats yield kind='unknown' with null fields (corrupt files must
+    not kill a 100 TB scan; filter on kind downstream)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                row = {
+                    "doc_id": doc_id,
+                    "kind": "unknown",
+                    "width": None,
+                    "height": None,
+                    "sample_rate": None,
+                    "n_samples": None,
+                    "duration_ms": None,
+                }
+                try:
+                    if payload[:8] == PNG_SIG:
+                        m = parse_png_meta(payload)
+                        row.update(kind="png", width=m["width"], height=m["height"])
+                    elif payload[:4] == b"RIFF":
+                        m = parse_wav_meta(payload)
+                        row.update(
+                            kind="wav",
+                            sample_rate=m["sample_rate"],
+                            n_samples=m["n_samples"],
+                            duration_ms=m["duration_ms"],
+                        )
+                except ValueError:
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
+
+
+def encode_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-media payload generator (for round-trip specs
+    and fixtures): even ids → an actual PNG, size 8+(id%32) x
+    8+((3·id)%24), gray gradient pixels; odd ids → an actual PCM-16 WAV,
+    sample_rate 8000+100·(id%80), 256+(id%1024) samples. Because the
+    bytes are real containers, the decode side exercises the full
+    signature/CRC/chunk-walk path, and an oracle can recompute the
+    expected metadata from the id formulas alone."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for v in pdf[id_col]:
+                i = int(v)
+                if i % 2 == 0:
+                    payloads.append(encode_png(8 + i % 32, 8 + (i * 3) % 24))
+                else:
+                    payloads.append(encode_wav(256 + i % 1024, 8000 + 100 * (i % 80)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, payload binary")

@@ -262,3 +262,46 @@ def test_semantic_dedup_hot_cell_bounded(spark):
     )
     as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert as_set(base) == as_set(big)
+
+
+def test_stdlib_codecs_round_trip_and_reject_corruption():
+    """The PNG/WAV codecs are real: they round-trip through genuine
+    container bytes, validate CRCs, and reject corruption."""
+    import pytest
+
+    from kassette_server_spark.operators import multimodal as mm
+
+    png = mm.encode_png(17, 9)
+    m = mm.parse_png_meta(png)
+    assert (m["width"], m["height"], m["bit_depth"], m["channels"]) == (17, 9, 8, 1)
+
+    # flip one pixel-stream byte: CRC must catch it
+    bad = bytearray(png)
+    bad[len(png) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm.parse_png_meta(bytes(bad))
+    with pytest.raises(ValueError):
+        mm.parse_png_meta(b"GIF89a" + png)
+
+    wav = mm.encode_wav(n_samples=480, sample_rate=16000, channels=2)
+    a = mm.parse_wav_meta(wav)
+    assert (a["sample_rate"], a["channels"], a["n_samples"], a["duration_ms"]) == (
+        16000, 2, 480, 30,
+    )
+    with pytest.raises(ValueError):
+        mm.parse_wav_meta(wav[4:])
+
+
+def test_decode_media_meta_survives_corrupt_payloads(spark):
+    """A corrupt blob in a 100 TB scan must yield kind='unknown', not a
+    task failure."""
+    from kassette_server_spark.operators import multimodal as mm
+
+    rows = [
+        (1, bytearray(mm.encode_png(8, 8))),
+        (2, bytearray(b"\x89PNG\r\n\x1a\x00garbage")),  # bad signature tail
+        (3, bytearray(b"RIFFxxxx")),  # truncated RIFF
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.kind for r in mm.decode_media_meta(df).collect()}
+    assert got == {1: "png", 2: "unknown", 3: "unknown"}
