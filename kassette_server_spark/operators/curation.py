@@ -257,7 +257,7 @@ def domain_mix(
 def shuffle_shards(
     df: DataFrame,
     id_col: str = "doc_id",
-    n_shards: int = 16,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle into training shards: every doc
     gets a pseudo-random shard (md5 bucket mod ``n_shards``) and a
@@ -269,11 +269,16 @@ def shuffle_shards(
     Scale: this IS Spark's writer path — ``repartition(n_shards,
     shard)`` + ``sortWithinPartitions(h)``; expressed here as one
     ranking window per shard so the position is a queryable column.
-    Each shard sorts |corpus|/n_shards rows and n_shards grows with
-    the cluster, so per-task work stays constant; there is exactly one
-    shuffle (by shard id) and the sort key is the 32-char digest the
-    row already carries. Output: (doc_id, shard_id, pos).
+    Each shard sorts |corpus|/n_shards rows, so per-task work stays
+    constant only if n_shards grows with the cluster — the default is
+    therefore derived from the session's defaultParallelism (one shard
+    per task slot) rather than a fixed constant; pass an explicit
+    n_shards for a reproducible layout across cluster sizes. There is
+    exactly one shuffle (by shard id) and the sort key is the 32-char
+    digest the row already carries. Output: (doc_id, shard_id, pos).
     """
+    if n_shards is None:
+        n_shards = df.sparkSession.sparkContext.defaultParallelism
     h = F.md5(F.col(id_col).cast("string"))
     base = df.select(
         F.col(id_col).alias("doc_id"),

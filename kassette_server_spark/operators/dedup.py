@@ -445,3 +445,131 @@ def exact_dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["digest"])
     )
+
+
+def minhash_signature_col(text_col: Column | str = "text", k: int = 3, num_hashes: int = 8) -> Column:
+    """Per-ROW minhash signature as array<long> — pure expressions, no
+    cross-row aggregation, so it is computable on a stream. Component i
+    = min over the doc's k-token shingles of xxhash64(seed=i, shingle),
+    the same hash family as the batch scale path (hash_fn='xxhash64')."""
+    sh = shingles(text_col, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda x, s=s: F.xxhash64(F.lit(s), x)))
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming NEAR-dup suppression: the watermarked MinHash-band
+    counterpart of :func:`minhash_lsh_pairs` (the batch scale path).
+
+    Per row (streaming-safe, no cross-row agg): compute the minhash
+    signature, band it, and explode to one row per (band_id, band_hash)
+    bucket. Each bucket is a stateful group (applyInPandasWithState,
+    EventTimeTimeout): state holds the signatures of KEPT docs that
+    hashed into the bucket within the duplicate horizon; an arriving
+    doc whose signature matches a stored one on ≥ threshold of its
+    components (the Broder minhash estimate of Jaccard) is marked
+    ``dup_of`` that doc, else it joins the state. State is evicted when
+    the event-time watermark passes the bucket's last activity plus the
+    horizon — so state size is bounded by in-horizon distinct buckets,
+    never corpus size.
+
+    Returns the per-bucket verdict stream ``(doc_id, ts, dup_of,
+    est_jaccard)``. A doc appears once per band; because the explode
+    happens inside the micro-batch, ALL of a doc's band rows land in
+    the same batch, so the final per-doc reduction (suppressed iff ANY
+    bucket matched) is batch-local and exact — apply
+    :func:`minhash_stream_doc_verdicts` inside ``foreachBatch`` (a
+    second *stateful* agg after this operator would hit Spark's
+    chained-stateful restrictions; the batch-local groupBy doesn't).
+
+    Like the batch path, suppression is greedy first-seen-wins; a later
+    doc may be marked dup_of a doc that was itself suppressed in a
+    different band (duplicate chains — same structure the batch
+    pipeline resolves with connected components when it matters).
+    """
+    import pandas as pd
+
+    horizon_ms = int(pd.Timedelta(watermark).total_seconds() * 1000)
+    rpb = num_hashes // bands
+    sig = minhash_signature_col(text_col, k, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(F.lit(b), *[F.col("sig")[b * rpb + r] for r in range(rpb)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        stream.select(
+            F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"), sig.alias("sig")
+        )
+        .withWatermark("ts", watermark)
+        .select("doc_id", "ts", "sig", F.explode(F.array(*band_cols)).alias("b"))
+        .select("doc_id", "ts", "sig", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
+    )
+
+    def bucket(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, sigs = state.get if state.exists else ((), ())
+        ids, sigs = list(ids), [list(s) for s in sigs]
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(["ts", "doc_id"])
+        out = []
+        max_ts_ms = 0
+        for r in rows.itertuples():
+            # plain-int copies: numpy scalars don't survive the state
+            # row's pickle round trip to the JVM
+            s = [int(v) for v in r.sig]
+            dup_of, best = None, 0.0
+            for pid, psig in zip(ids, sigs):
+                est = sum(a == b for a, b in zip(s, psig)) / num_hashes
+                if est >= threshold and (dup_of is None or pid < dup_of):
+                    dup_of, best = pid, est
+            if dup_of is None:
+                ids.append(int(r.doc_id))
+                sigs.append(s)
+            out.append((int(r.doc_id), r.ts, dup_of, best if dup_of is not None else None))
+            max_ts_ms = max(max_ts_ms, int(r.ts.value // 1_000_000))
+        state.update((ids, sigs))
+        # evict once the watermark passes last activity + horizon (must
+        # stay ahead of the current watermark to be accepted)
+        state.setTimeoutTimestamp(
+            max(max_ts_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "ts", "dup_of", "est_jaccard"]
+        )
+
+    return banded.groupBy("band_id", "bh").applyInPandasWithState(
+        bucket,
+        outputStructType="doc_id long, ts timestamp, dup_of long, est_jaccard double",
+        stateStructType="ids array<long>, sigs array<array<long>>",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def minhash_stream_doc_verdicts(verdicts: DataFrame) -> DataFrame:
+    """Batch-local per-doc reduction of the per-bucket verdict stream
+    (use inside foreachBatch): a doc is kept iff NO bucket matched;
+    dup_of = the smallest matching keeper."""
+    return (
+        verdicts.groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"), F.max("est_jaccard").alias("est_jaccard"))
+        .withColumn("keep", F.col("dup_of").isNull())
+    )

@@ -196,7 +196,9 @@ def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     tags=("llmops", "curation"),
 )
 def q_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
-    return curation.shuffle_shards(load(spark, sf, "documents"))
+    # explicit shard count: the oracle's layout must not depend on the
+    # verifying session's parallelism
+    return curation.shuffle_shards(load(spark, sf, "documents"), n_shards=16)
 
 
 @query(

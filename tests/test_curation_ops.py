@@ -107,3 +107,58 @@ def test_exact_dedup_stream_first_seen_wins(spark, tmp_path):
     assert len(got & {1, 2}) == 1
     assert {3, 5} <= got
     assert 4 not in got and len(got) == 3
+
+
+def test_minhash_dedup_stream_cross_batch_suppression(spark, tmp_path):
+    """Streaming near-dup: a re-phrased (not byte-identical) document
+    arriving in a LATER micro-batch within the horizon must be
+    suppressed as a near-dup of the first-seen doc; novel docs pass.
+    State survives via the checkpoint across separate runs."""
+    from kassette_server_spark.operators.dedup import (
+        minhash_dedup_stream,
+        minhash_stream_doc_verdicts,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " ok"  # high shingle overlap -> near-dup, not exact-dup
+    other = "completely different content about spark structured streaming state"
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base, 100)], "doc_id long, text string, ts_s long"
+    ).write.json(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts_s long")
+        .option("recursiveFileLookup", "true")
+        .json(str(src))
+        .select("doc_id", "text", F.timestamp_seconds(F.col("ts_s")).alias("ts"))
+    )
+    verdicts = minhash_dedup_stream(stream, threshold=0.8, watermark="10 minutes")
+    sink = str(tmp_path / "out")
+
+    def drain():
+        def write_batch(batch_df, batch_id):
+            minhash_stream_doc_verdicts(batch_df).write.mode("append").json(sink)
+
+        q = (
+            verdicts.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # second RUN (fresh query, same checkpoint): near-dup of doc 1 + a novel doc
+    spark.createDataFrame(
+        [(2, near, 200), (3, other, 300)], "doc_id long, text string, ts_s long"
+    ).write.json(str(src / "b2"))
+    drain()
+
+    got = {r.doc_id: (r.keep, r.dup_of) for r in spark.read.json(sink).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, 1), got
+    assert got[3] == (True, None)
