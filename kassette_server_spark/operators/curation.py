@@ -36,6 +36,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .dedup import shingles, tokens
+from .layout import ensure_scan_parallelism
 
 # C4-style heuristics, tuned so the synthetic corpus exercises every
 # branch; thresholds are ordinary parameters in production.
@@ -62,9 +63,11 @@ def contamination(
         .select(F.xxhash64("sh").alias("h"))
         .distinct()
     )
-    corpus_sh = corpus.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sh")
-    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    corpus_sh = ensure_scan_parallelism(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select("doc_id", F.explode(shingles(text_col, k)).alias("sh")).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
     hits = (
         corpus_sh.join(bench_hashes, "h")
         .groupBy("doc_id")
@@ -165,7 +168,9 @@ def tfidf_top_terms(
     bit-for-bit; a single long·long product and one double division
     are). Ties break on the term string. Output: (doc_id, term,
     score, rk)."""
-    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+    toks = ensure_scan_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", F.explode(tokens(text_col)).alias("term")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     docfreq = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
@@ -327,8 +332,10 @@ def repetition_stats(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
     )
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"),
+    exploded = ensure_scan_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
         n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.explode(bigrams).alias("bg"),
@@ -465,9 +472,11 @@ def ngram_novelty(
     # map-side combined (hot shingles — common 3-grams at corpus
     # scale — reduce to partials, never buffer a group), and the final
     # join is per-doc row counts only.
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sh")
-    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    sh = ensure_scan_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select("doc_id", F.explode(shingles(text_col, k)).alias("sh")).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
     n_shingles = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     n_novel = (
         sh.groupBy("h")

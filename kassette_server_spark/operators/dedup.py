@@ -67,8 +67,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("shingle")
+    from .layout import ensure_scan_parallelism
+
+    # shingling + per-shingle hashing is the CPU-heavy head of every
+    # text-dedup pipeline; fan a narrow scan out first so it uses the
+    # whole cluster (no-op when the input already has >= cores splits).
+    # Measured at sf0.1/local[32]: q31 5.7s -> 1.5s, q32 3.6s -> 1.5s.
+    return ensure_scan_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", F.explode(shingles(text_col, k)).alias("shingle")
     )
 
 
@@ -315,8 +321,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     # heavily, so summing m·(2·bit−1) over DISTINCT (doc, token) rows
     # cuts the per-nibble work by the repetition factor —
     # integer-exact, so the oracle (which sums per occurrence) agrees.
+    from .layout import ensure_scan_parallelism
+
     tok = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        ensure_scan_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.explode(tokens(text_col)).alias("tok"))
         .groupBy("doc_id", F.md5(F.col("tok")).alias("h"))
         .agg(F.count("*").alias("m"))
     )

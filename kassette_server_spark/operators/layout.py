@@ -61,3 +61,26 @@ def salted_join(
     small_rep = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
     out = big_salted.join(small_rep, [key, "_salt"])
     return out.drop("_salt")
+
+
+def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow scan out to the cluster before CPU-heavy per-row work.
+
+    A single-row-group parquet file (or any input with fewer splits
+    than cores) serializes its scan stage on one task; per-row-expensive
+    map work above it (JSON encode/decode, shingling, per-shingle
+    hashing) then runs on one core while the rest idle. If the plan's
+    scan has fewer partitions than ``min_partitions`` (default: the
+    session's defaultParallelism), insert a round-robin repartition —
+    a negligible shuffle for the small inputs that exhibit the problem,
+    and a no-op branch at 100 TB where inputs already carry far more
+    splits than cores. Call it AFTER the filters/projections you want
+    pushed into the scan, and only ahead of genuinely CPU-bound
+    pipelines: for cheap map work the extra exchange costs more than it
+    buys.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

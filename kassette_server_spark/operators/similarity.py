@@ -304,9 +304,13 @@ def ivf_assign(
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
-    v = vectors.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("vv")).withColumn(
-        "vn", norm(F.col("vv"))
-    )
+    from .layout import ensure_scan_parallelism
+
+    # per-vector scoring against every centroid is the CPU-heavy head;
+    # fan a narrow scan out first (no-op at scale)
+    v = ensure_scan_parallelism(
+        vectors.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("vv"))
+    ).withColumn("vn", norm(F.col("vv")))
     scored = v.join(F.broadcast(c)).select(
         "vec_id",
         "vv",

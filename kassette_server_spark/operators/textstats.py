@@ -102,7 +102,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w
     """Winnowing-style document fingerprint: min md5 over all
     `window`-token rolling windows (rolling-hash selection). Docs
     sharing a fingerprint almost surely share an 8-token span."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    from .layout import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id",
         F.array_min(F.transform(shingles(text_col, window), F.md5)).alias("fp"),
     )

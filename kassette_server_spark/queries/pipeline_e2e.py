@@ -74,7 +74,12 @@ _MD5_UUID_SQL = (
     tags=("pipeline",),
 )
 def q28(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load(spark, sf, "events")
+    from ..operators.layout import ensure_scan_parallelism
+
+    # the envelope build + parse is pure per-row CPU (JSON round trip);
+    # single-row-group test files would otherwise serialize it on one
+    # task (no-op at scale where the input has >= cores splits)
+    ev = ensure_scan_parallelism(load(spark, sf, "events"))
     fmt = lambda c: F.date_format(c, TS_LAYOUT)  # noqa: E731
     envelope = F.to_json(
         F.struct(

@@ -44,6 +44,14 @@ class _IngestHandler(BaseHTTPRequestHandler):
     def log_message(self, *a):  # quiet
         pass
 
+    def do_GET(self):
+        # liveness probe, no auth (gateway/gateway.go:334 GET /health
+        # replies {"status":"ok"})
+        if self.path.split("?")[0].rstrip("/") in ("", "/health"):
+            self._reply(200, b'{"status":"ok"}')
+        else:
+            self._reply(404, b'{"error":"unknown endpoint"}')
+
     def do_POST(self):
         parts = [p for p in self.path.split("?")[0].split("/") if p]
         # accept /v1/<type> (reference) and bare /<type>

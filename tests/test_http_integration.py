@@ -47,6 +47,10 @@ def test_http_ingest_listener_to_landing_zone(tmp_path):
         assert _post(f"{base}/v1/batch", {"batch": []}, "nope") == 401
         assert _post(f"{base}/v1/batch", {"batch": []}) == 401
         assert _post(f"{base}/v1/bogus", {}, "wk1") == 404
+        # liveness probe: no auth required (gateway/gateway.go:334)
+        with urllib.request.urlopen(f"{base}/health", timeout=10) as r:
+            assert r.status == 200
+            assert json.loads(r.read()) == {"status": "ok"}
     finally:
         lst.stop()
     files = list((tmp_path / "landing").glob("batch-*.json"))
