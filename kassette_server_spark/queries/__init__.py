@@ -25,70 +25,81 @@ from . import analytics as _analytics  # noqa: F401,E402  (q75-q77, q83)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Slots 1-28 stay pinned to the
-# core relational/parity/e2e contract; the remaining 22 rotate so every
-# spec family earns a hard-signal row across rounds. Round-4 window:
-# promote the round-2 curation/analytics family (q70-q83, previously
-# repo-oracle only) and 8 never-checked OLAP extras; rotate out the
-# twice-driver-green llmops/tpch specs (q30-q39, q41, q52-q58, q66-q68 —
-# still locked by tests/test_oracle_parity*.py at sf0.001 AND sf0.01)
-# and q40 (no-oracle by design: sketches can't hash-match — keeping it
-# inside the window burns a slot that can never turn green).
+# order (VERDICT r2 "Next round #1/#2"). Round-5 window (VERDICT r4 #1):
+# retire every piece of hard-signal debt — q84 (never driver-checked),
+# q47 (last driver row is the r3 FAIL; fix landed r4), q40 (now a
+# deterministic portable HLL that CAN hash-match), the r1-only-green
+# OLAP extras (q51/q56/q59-q65/q69, three rounds stale) and the
+# r2/r3-green llmops/tpch family (q30-q39, q41, q52-q55, q57-q58,
+# q66-q68, absent from the r4 window). A 6-slot pinned core keeps the
+# relational contract continuously checked; the 11 remaining slots
+# refresh the heaviest r4-green specs so nothing drifts >2 rounds
+# without a hard row. Rotated-out specs (q02-q27 core, q43-q46/q49/q50
+# OLAP, q71/q73-q75/q78-q81 curation — all driver-green r4) stay locked
+# by tests/test_oracle_parity*.py at sf0.001 AND sf0.01 every CI run.
 _WINDOW: tuple[str, ...] = (
-    # slots 1-28: pinned core surface (driver-green r1+r2)
+    # slots 1-6: pinned core (driver-green r1, r2, r4)
     "q01_scan_filter",
-    "q02_predicates",
     "q03_inner_join",
-    "q04_multiway_broadcast_join",
-    "q05_left_join",
-    "q06_semi_join",
-    "q07_anti_join",
     "q08_agg_having",
-    "q09_count_distinct",
-    "q10_rollup",
     "q11_window_rank",
-    "q12_window_running_sum",
-    "q13_window_lag",
-    "q14_topk",
-    "q15_setops",
-    "q16_string_fns",
-    "q17_date_fns",
-    "q18_math_fns",
-    "q19_case_nullif",
-    "q20_json_extract",
-    "q21_cast_semantics",
-    "q22_rules_map_hide_delete",
-    "q23_timestamp_skew",
     "q24_sessionize",
+    "q28_pipeline_e2e",
+    # slots 7-9: hard-signal debt — never-green / red / newly hashable
+    "q84_multimodal_decode",
+    "q47_asof_join",
+    "q40_approx_aggregates",
+    # slots 10-19: r1-only-green OLAP extras (three rounds stale)
+    "q51_token_frequencies",
+    "q56_time_rollup",
+    "q59_unpivot",
+    "q60_mode_per_group",
+    "q61_stats_moments",
+    "q62_grouping_sets",
+    "q63_hash_sample",
+    "q64_string_agg",
+    "q65_window_extras",
+    "q69_hopping_window",
+    # slots 20-39: llmops/tpch family (green r2+r3, absent r4)
+    "q30_dedup_exact_text",
+    "q31_dedup_ngram_jaccard",
+    "q32_dedup_minhash_lsh",
+    "q33_simhash",
+    "q34_ann_cosine_topk",
+    "q35_embedding_near_dup",
+    "q36_text_quality_stats",
+    "q37_language_id",
+    "q38_token_counts",
+    "q39_doc_fingerprint",
+    "q41_multimodal_meta",
+    "q52_ivf_topk",
+    "q53_tpch_q1_pricing_summary",
+    "q54_tpch_q3_shipping_priority",
+    "q55_tpch_q5_local_volume",
+    "q57_simhash_near_dup",
+    "q58_normalize_text",
+    "q66_embedding_centroid",
+    "q67_stratified_sample",
+    "q68_near_dup_clusters",
+    # slots 40-50: heaviest r4-green specs, refreshed so no spec's
+    # newest green row ages past 2 rounds
     "q25_dedup_exact",
     "q26_correlated_subquery",
     "q27_exists",
-    "q28_pipeline_e2e",
-    # slots 29-42: round-2 curation/analytics family (first driver check)
+    "q42_topk_per_group",
+    "q48_range_join",
     "q70_benchmark_contamination",
-    "q71_quality_filter",
     "q72_sequence_packing",
-    "q73_tfidf_top_terms",
-    "q74_ngram_novelty",
-    "q75_funnel",
     "q76_retention_cohorts",
     "q77_quantized_ann",
-    "q78_domain_mix",
-    "q79_shuffle_shards",
-    "q80_repetition_filter",
-    "q81_pii_scrub",
     "q82_chunk_documents",
     "q83_semantic_dedup",
-    # slots 43-50: OLAP extras never driver-checked before
-    "q42_topk_per_group",
-    "q43_pivot",
-    "q44_cube",
-    "q45_exact_median",
-    "q46_histogram",
-    "q48_range_join",
-    "q49_regexp_extract",
-    "q50_posexplode",
 )
+
+# The driver checks exactly the first 50; a wrong-sized window silently
+# wastes slots (too small) or pushes debt out of the gate (too large).
+assert len(_WINDOW) == 50, f"window must be exactly 50 specs, got {len(_WINDOW)}"
+assert len(set(_WINDOW)) == 50, "window contains duplicates"
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -104,6 +105,39 @@ def test_approx_count_distinct_tolerance(spark):
     approx = ev.agg(F.approx_count_distinct("user_id").alias("a")).collect()[0].a
     exact = ev.agg(F.countDistinct("user_id").alias("e")).collect()[0].e
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_hll_sketch_accuracy_and_merge(spark):
+    """Deterministic HLL (q40): estimate within the expected error band
+    and registers merge associatively (union+max == whole-corpus)."""
+    from kassette_server_spark.operators import sketches
+
+    ev = load(spark, SF_SMOKE, "events")
+    exact = ev.agg(F.countDistinct("event_id").alias("e")).collect()[0].e
+    est = sketches.hll_count_distinct(ev, "event_id", p=9).collect()[0]
+    # n ~ 2m at sf0.001 → raw-HLL bias zone; 15 % bound is generous but
+    # still catches register-math bugs (a broken rank gives ~2x error).
+    assert abs(est.approx_distinct - exact) / exact < 0.15
+
+    # Mergeability: split the corpus, build per-split register tables,
+    # merge with groupBy(reg).max — must equal the single-pass sketch.
+    lo = sketches.hll_registers(ev.where(F.col("event_id") % 2 == 0), "event_id")
+    hi = sketches.hll_registers(ev.where(F.col("event_id") % 2 == 1), "event_id")
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("reg")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    merged_est = sketches.hll_estimate(merged, p=9).collect()[0]
+    assert merged_est == est
+
+
+def test_hll_rejects_bad_precision(spark):
+    from kassette_server_spark.operators import sketches
+
+    ev = load(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError):
+        sketches.hll_registers(ev, "event_id", p=3)
 
 
 def test_gemm_near_dup_identical_to_all_pairs(spark):
