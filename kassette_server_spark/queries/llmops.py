@@ -428,32 +428,39 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     return decode_image_meta(binary)
 
 
-# q84: REAL stdlib codecs (no PIL/ffmpeg needed): even doc_ids become
-# actual PNG files (signature, CRC-validated chunks, zlib pixel stream),
-# odd ids actual PCM-16 WAVs (RIFF/fmt/data), generated from id-derived
-# formulas; decode_media_meta then sniffs magic bytes and runs the real
-# parser — CRC check, chunk walk, IDAT decompression + scanline-length
-# verify. The oracle recomputes the expected metadata from the same id
-# formulas, so a hash match proves the encode→decode round trip through
-# genuine container bytes. Both stages are Arrow-batched mapInPandas
-# over (doc_id) — at 100 TB the payloads live in parquet binary columns
-# and this is one scan-stage map, no shuffle.
+# q84: REAL stdlib codecs (no PIL/ffmpeg needed): doc_id % 3 routes each
+# id to an actual PNG (signature, CRC-validated chunks, zlib pixel
+# stream), PCM-16 WAV (RIFF/fmt/data) or JPEG (marker segments incl.
+# SOF0/SOF2 frame header), generated from id-derived formulas;
+# decode_media_meta then sniffs magic bytes and runs the real parser —
+# CRC check, chunk walk, IDAT decompression + scanline-length verify,
+# JPEG marker walk. The oracle recomputes the expected metadata from
+# the same id formulas, so a hash match proves the encode→decode round
+# trip through genuine container bytes. Both stages are Arrow-batched
+# mapInPandas over (doc_id) — at 100 TB the payloads live in parquet
+# binary columns and this is one scan-stage map, no shuffle.
 @query(
     "q84_multimodal_decode",
     oracle="""
     SELECT doc_id,
-      CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
-      CASE WHEN doc_id % 2 = 0 THEN CAST(8 + doc_id % 32 AS BIGINT) END AS width,
-      CASE WHEN doc_id % 2 = 0 THEN CAST(8 + (doc_id * 3) % 24 AS BIGINT) END AS height,
-      CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + 100 * (doc_id % 80) AS BIGINT) END AS sample_rate,
-      CASE WHEN doc_id % 2 = 1 THEN CAST(256 + doc_id % 1024 AS BIGINT) END AS n_samples,
-      CASE WHEN doc_id % 2 = 1
+      CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS kind,
+      CASE doc_id % 3
+        WHEN 0 THEN CAST(8 + doc_id % 32 AS BIGINT)
+        WHEN 2 THEN CAST(16 + doc_id % 100 AS BIGINT)
+      END AS width,
+      CASE doc_id % 3
+        WHEN 0 THEN CAST(8 + (doc_id * 3) % 24 AS BIGINT)
+        WHEN 2 THEN CAST(16 + (doc_id * 7) % 100 AS BIGINT)
+      END AS height,
+      CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + 100 * (doc_id % 80) AS BIGINT) END AS sample_rate,
+      CASE WHEN doc_id % 3 = 1 THEN CAST(256 + doc_id % 1024 AS BIGINT) END AS n_samples,
+      CASE WHEN doc_id % 3 = 1
            THEN CAST((256 + doc_id % 1024) * 1000 // (8000 + 100 * (doc_id % 80)) AS BIGINT)
       END AS duration_ms
     FROM documents
     """,
-    doc="real PNG/WAV encode->decode round trip via stdlib codecs "
-    "(SURVEY §2.3 multimodal; CRC + chunk-structure validation)",
+    doc="real PNG/WAV/JPEG encode->decode round trip via stdlib codecs "
+    "(SURVEY §2.3 multimodal; CRC/chunk/marker-structure validation)",
     tags=("llmops", "multimodal"),
 )
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:

@@ -326,16 +326,74 @@ def test_stdlib_codecs_round_trip_and_reject_corruption():
         mm.parse_wav_meta(wav[4:])
 
 
-def test_decode_media_meta_survives_corrupt_payloads(spark):
-    """A corrupt blob in a 100 TB scan must yield kind='unknown', not a
-    task failure."""
+def test_jpeg_codec_round_trip_and_reject_corruption():
+    """The JPEG marker-walk parser reads real SOF0/SOF2 frame headers
+    and rejects structural corruption."""
+    import pytest
+
     from kassette_server_spark.operators import multimodal as mm
 
+    base = mm.encode_jpeg(640, 480, components=3, progressive=False)
+    m = mm.parse_jpeg_meta(base)
+    assert (m["width"], m["height"], m["components"], m["progressive"]) == (
+        640, 480, 3, False,
+    )
+    prog = mm.parse_jpeg_meta(mm.encode_jpeg(33, 77, components=1, progressive=True))
+    assert (prog["width"], prog["height"], prog["components"], prog["progressive"]) == (
+        33, 77, 1, True,
+    )
+
+    with pytest.raises(ValueError):  # bad SOI
+        mm.parse_jpeg_meta(b"\xff\xd9" + base[2:])
+    with pytest.raises(ValueError):  # truncated mid-segment
+        mm.parse_jpeg_meta(base[:10])
+    # SOF stripped out entirely → missing frame header
+    sof_at = base.find(b"\xff\xc0")
+    (sof_len,) = __import__("struct").unpack_from(">H", base, sof_at + 2)
+    with pytest.raises(ValueError):
+        mm.parse_jpeg_meta(base[:sof_at] + base[sof_at + 2 + sof_len :])
+    # SOF length inconsistent with its component count
+    mangled = bytearray(base)
+    mangled[sof_at + 9] = 4  # claims 4 components, segment sized for 3
+    with pytest.raises(ValueError):
+        mm.parse_jpeg_meta(bytes(mangled))
+    with pytest.raises(ValueError):
+        mm.encode_jpeg(0, 10)
+
+
+def test_decode_media_meta_survives_corrupt_payloads(spark):
+    """A corrupt blob in a 100 TB scan must yield kind='unknown', not a
+    task failure — including payloads that pass the magic-byte sniff
+    but die deeper in the parser (struct/zlib/zero-division paths)."""
+    import struct as _struct
+
+    from kassette_server_spark.operators import multimodal as mm
+
+    # a WAV whose fmt block claims block_align=0 and sample_rate=0:
+    # passes the RIFF sniff, must not ZeroDivisionError the task
+    zero_wav = bytearray(mm.encode_wav(n_samples=4, sample_rate=8000))
+    fmt_at = bytes(zero_wav).find(b"fmt ")
+    _struct.pack_into("<HHIIHH", zero_wav, fmt_at + 8, 1, 1, 0, 0, 0, 16)
+    # a PNG with a truncated chunk header after a valid signature:
+    # previously struct.error, must degrade to unknown
+    trunc_png = bytearray(mm.PNG_SIG + b"\x00\x00")
     rows = [
         (1, bytearray(mm.encode_png(8, 8))),
         (2, bytearray(b"\x89PNG\r\n\x1a\x00garbage")),  # bad signature tail
         (3, bytearray(b"RIFFxxxx")),  # truncated RIFF
+        (4, bytearray(mm.encode_jpeg(32, 16))),
+        (5, bytearray(b"\xff\xd8\xff\xee\x00\x03")),  # JPEG sniff, truncated
+        (6, zero_wav),
+        (7, trunc_png),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r.kind for r in mm.decode_media_meta(df).collect()}
-    assert got == {1: "png", 2: "unknown", 3: "unknown"}
+    assert got == {
+        1: "png",
+        2: "unknown",
+        3: "unknown",
+        4: "jpeg",
+        5: "unknown",
+        6: "unknown",
+        7: "unknown",
+    }
