@@ -487,14 +487,29 @@ def minhash_dedup_stream(
     Per row (streaming-safe, no cross-row agg): compute the minhash
     signature, band it, and explode to one row per (band_id, band_hash)
     bucket. Each bucket is a stateful group (applyInPandasWithState,
-    EventTimeTimeout): state holds the signatures of KEPT docs that
-    hashed into the bucket within the duplicate horizon; an arriving
-    doc whose signature matches a stored one on ≥ threshold of its
-    components (the Broder minhash estimate of Jaccard) is marked
-    ``dup_of`` that doc, else it joins the state. State is evicted when
-    the event-time watermark passes the bucket's last activity plus the
-    horizon — so state size is bounded by in-horizon distinct buckets,
-    never corpus size.
+    EventTimeTimeout): state holds (id, signature, first-seen ts) of
+    KEPT docs that hashed into the bucket; an arriving doc whose
+    signature matches a stored one on ≥ threshold of its components
+    (the Broder minhash estimate of Jaccard) is marked ``dup_of`` that
+    doc, else it joins the state.
+
+    Eviction is two-level, so a continuously active ("hot") bucket
+    cannot accumulate keepers unboundedly: (1) per keeper — before
+    matching, keepers whose first-seen ts has fallen behind the current
+    event-time watermark (which already lags the stream head by the
+    horizon) are dropped, exactly the dropDuplicatesWithinWatermark
+    contract: a duplicate arriving after its keeper aged out is
+    re-admitted as a new keeper, and suppression never consults keepers
+    older than the horizon regardless of unrelated bucket activity;
+    (2) per bucket — EventTimeTimeout removes the whole group once the
+    watermark passes its last activity plus the horizon. State size is
+    therefore ∝ in-horizon keepers within in-horizon buckets, never
+    corpus size.
+
+    Docs with no k-shingles (shorter than k tokens, or null text) have
+    a null signature; they bypass the stateful stage entirely and are
+    emitted as keepers (same as the batch path, where they can never be
+    LSH candidates), rather than crashing the query on int(None).
 
     Returns the per-bucket verdict stream ``(doc_id, ts, dup_of,
     est_jaccard)``. A doc appears once per band; because the explode
@@ -512,9 +527,26 @@ def minhash_dedup_stream(
     """
     import pandas as pd
 
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "leftover signature components would silently drop out of banding"
+        )
     horizon_ms = int(pd.Timedelta(watermark).total_seconds() * 1000)
     rpb = num_hashes // bands
     sig = minhash_signature_col(text_col, k, num_hashes)
+    base = stream.select(
+        F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"), sig.alias("sig")
+    ).withWatermark("ts", watermark)
+    # Null signature (no shingles): all components are null together, so
+    # component 0 is the whole test. These rows can never be LSH
+    # candidates — emit them as keepers without touching state.
+    degenerate = base.where(F.col("sig")[0].isNull()).select(
+        "doc_id",
+        "ts",
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -523,10 +555,7 @@ def minhash_dedup_stream(
         for b in range(bands)
     ]
     banded = (
-        stream.select(
-            F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"), sig.alias("sig")
-        )
-        .withWatermark("ts", watermark)
+        base.where(F.col("sig")[0].isNotNull())
         .select("doc_id", "ts", "sig", F.explode(F.array(*band_cols)).alias("b"))
         .select("doc_id", "ts", "sig", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
     )
@@ -535,8 +564,20 @@ def minhash_dedup_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        ids, sigs = state.get if state.exists else ((), ())
-        ids, sigs = list(ids), [list(s) for s in sigs]
+        wm_ms = state.getCurrentWatermarkMs()
+        ids, sigs, tss = state.get if state.exists else ((), (), ())
+        # per-keeper pruning: the watermark already lags the stream head
+        # by the horizon, so a keeper first seen before the watermark is
+        # out of horizon — drop it BEFORE matching (a hot bucket must
+        # neither grow unboundedly nor suppress against stale keepers)
+        live = [
+            (int(i), list(s), int(t))
+            for i, s, t in zip(ids, sigs, tss)
+            if t >= wm_ms
+        ]
+        ids = [i for i, _, _ in live]
+        sigs = [s for _, s, _ in live]
+        tss = [t for _, _, t in live]
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(["ts", "doc_id"])
         out = []
         max_ts_ms = 0
@@ -544,6 +585,7 @@ def minhash_dedup_stream(
             # plain-int copies: numpy scalars don't survive the state
             # row's pickle round trip to the JVM
             s = [int(v) for v in r.sig]
+            ts_ms = int(r.ts.value // 1_000_000)
             dup_of, best = None, 0.0
             for pid, psig in zip(ids, sigs):
                 est = sum(a == b for a, b in zip(s, psig)) / num_hashes
@@ -552,11 +594,13 @@ def minhash_dedup_stream(
             if dup_of is None:
                 ids.append(int(r.doc_id))
                 sigs.append(s)
+                tss.append(ts_ms)
             out.append((int(r.doc_id), r.ts, dup_of, best if dup_of is not None else None))
-            max_ts_ms = max(max_ts_ms, int(r.ts.value // 1_000_000))
-        state.update((ids, sigs))
-        # evict once the watermark passes last activity + horizon (must
-        # stay ahead of the current watermark to be accepted)
+            max_ts_ms = max(max_ts_ms, ts_ms)
+        state.update((ids, sigs, tss))
+        # whole-bucket eviction once the watermark passes last activity
+        # + horizon (must stay ahead of the current watermark to be
+        # accepted)
         state.setTimeoutTimestamp(
             max(max_ts_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
         )
@@ -564,13 +608,14 @@ def minhash_dedup_stream(
             out, columns=["doc_id", "ts", "dup_of", "est_jaccard"]
         )
 
-    return banded.groupBy("band_id", "bh").applyInPandasWithState(
+    stateful = banded.groupBy("band_id", "bh").applyInPandasWithState(
         bucket,
         outputStructType="doc_id long, ts timestamp, dup_of long, est_jaccard double",
-        stateStructType="ids array<long>, sigs array<array<long>>",
+        stateStructType="ids array<long>, sigs array<array<long>>, tss array<long>",
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
+    return stateful.unionByName(degenerate)
 
 
 def minhash_stream_doc_verdicts(verdicts: DataFrame) -> DataFrame:

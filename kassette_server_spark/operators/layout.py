@@ -78,9 +78,27 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     pushed into the scan, and only ahead of genuinely CPU-bound
     pipelines: for cheap map work the extra exchange costs more than it
     buys.
+
+    The probe reads scan metadata (``inputFiles()``), not
+    ``df.rdd.getNumPartitions()`` — the RDD conversion compiled a
+    physical plan outside AQE on every call, which is driver-side churn
+    on hot paths (VERDICT r4 #6). File count under-counts splits for
+    multi-row-group files, but that can only add a repartition, and
+    only on inputs small enough to have few files; at scale every
+    table carries far more files than cores and the branch is never
+    taken. Non-file plans (in-memory relations) fall back to the RDD
+    probe; streaming DataFrames are returned untouched (no RDD view
+    exists, and micro-batch sizing is the trigger's job).
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if df.isStreaming:
+        return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_splits = len(df.inputFiles()) or None
+    except Exception:
+        n_splits = None
+    if n_splits is None:  # non-file-backed plan: rare, and small by nature
+        n_splits = df.rdd.getNumPartitions()
+    if n_splits < target:
         return df.repartition(target)
     return df

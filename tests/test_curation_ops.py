@@ -162,3 +162,93 @@ def test_minhash_dedup_stream_cross_batch_suppression(spark, tmp_path):
     assert got[1] == (True, None)
     assert got[2] == (False, 1), got
     assert got[3] == (True, None)
+
+
+def test_minhash_dedup_stream_prunes_stale_keepers(spark, tmp_path):
+    """Per-keeper horizon eviction: once the watermark passes a
+    keeper's first-seen ts, a later near-dup must be RE-ADMITTED as a
+    new keeper (dropDuplicatesWithinWatermark semantics), not
+    suppressed against state older than the horizon — even though the
+    bucket itself stayed alive. Also exercises null/short-text rows,
+    which must bypass the stateful stage as keepers instead of
+    crashing on a null signature."""
+    from kassette_server_spark.operators.dedup import (
+        minhash_dedup_stream,
+        minhash_stream_doc_verdicts,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about spark structured streaming state"
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def feed(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts_s long"
+        ).write.json(str(src / name))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts_s long")
+        .option("recursiveFileLookup", "true")
+        .json(str(src))
+        .select("doc_id", "text", F.timestamp_seconds(F.col("ts_s")).alias("ts"))
+    )
+    verdicts = minhash_dedup_stream(stream, threshold=0.8, watermark="10 minutes")
+    sink = str(tmp_path / "out")
+
+    def drain():
+        def write_batch(batch_df, batch_id):
+            minhash_stream_doc_verdicts(batch_df).write.mode("append").json(sink)
+
+        q = (
+            verdicts.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: keeper at t=100; plus a null-text and a sub-k-token doc
+    feed("b1", [(1, base, 100), (8, None, 110), (9, "one two", 120)])
+    drain()
+    # run 2: unrelated traffic far in the future advances the watermark
+    # to 5000 - 600 = 4400s, far past keeper 1's ts
+    feed("b2", [(5, other, 5000)])
+    drain()
+    # run 3: an exact re-send of doc 1 at t=4500 — inside run-2's
+    # watermark but a horizon past keeper 1 — must be re-admitted
+    feed("b3", [(6, base, 4500)])
+    drain()
+
+    got = {
+        r.doc_id: (r.keep, r.dup_of)
+        for r in spark.read.schema(
+            "doc_id long, dup_of long, est_jaccard double, keep boolean"
+        ).json(sink).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[8] == (True, None), "null text must pass through as keeper"
+    assert got[9] == (True, None), "sub-k-token text must pass through as keeper"
+    assert got[5] == (True, None)
+    assert got[6] == (True, None), f"stale keeper must have been pruned: {got}"
+
+
+def test_minhash_dedup_stream_rejects_ragged_banding(spark):
+    """num_hashes not divisible by bands would silently exclude
+    signature components from every band hash — must raise."""
+    import pytest
+
+    from kassette_server_spark.operators.dedup import minhash_dedup_stream
+
+    stream = (
+        spark.readStream.format("rate").load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.lit("x").alias("text"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_dedup_stream(stream, num_hashes=8, bands=3)

@@ -10,7 +10,12 @@ from pyspark.sql import functions as F
 from conftest import SF_SMOKE
 
 from kassette_server_spark.catalog import load
-from kassette_server_spark.operators.layout import bucketed_join, salted_join, write_bucketed
+from kassette_server_spark.operators.layout import (
+    bucketed_join,
+    ensure_scan_parallelism,
+    salted_join,
+    write_bucketed,
+)
 
 
 def _explain(df) -> str:
@@ -48,3 +53,29 @@ def test_salted_join_matches_plain_join(spark):
     a = sorted((r.event_id, r.user_total) for r in plain.collect())
     b = sorted((r.event_id, r.user_total) for r in salted.collect())
     assert a == b
+
+
+def test_ensure_scan_parallelism_fans_out_single_split(spark):
+    """A one-file scan must fan out to >= defaultParallelism partitions
+    ahead of CPU-heavy map work; an already-wide input is untouched."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    fanned = ensure_scan_parallelism(docs)
+    assert fanned.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 2
+    )
+    # enough splits for the target: identity, no repartition inserted
+    assert ensure_scan_parallelism(docs, min_partitions=1) is docs
+
+
+def test_ensure_scan_parallelism_passes_streams_through(spark):
+    """Streaming DataFrames have no RDD view — the helper must be an
+    identity on them, not raise AnalysisException (ADVICE r4)."""
+    stream = spark.readStream.format("rate").load()
+    assert ensure_scan_parallelism(stream) is stream
+
+
+def test_ensure_scan_parallelism_handles_in_memory_relations(spark):
+    """Non-file-backed plans (inputFiles() empty) fall back safely."""
+    local = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    out = ensure_scan_parallelism(local, min_partitions=4)
+    assert out.rdd.getNumPartitions() >= 4
