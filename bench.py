@@ -39,15 +39,25 @@ def main() -> None:
     run_to_completion(specs["q01_scan_filter"].fn(spark, sf_dir))
 
     # best-of-2: first run pays whole-stage-codegen compilation for the
-    # plan shape, second measures steady-state engine throughput.
+    # plan shape, second measures steady-state engine throughput. The
+    # iterative/fixpoint specs swing ±50 % from per-job scheduler
+    # overhead on this box, so they report MEDIAN-of-3 instead — a
+    # round-over-round regression on them then means plan work changed,
+    # not that the scheduler had a bad day (VERDICT r4 #7).
+    high_variance = {"q57_simhash_near_dup", "q68_near_dup_clusters"}
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in sorted(specs):
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(3 if name in high_variance else 2):
             t0 = time.perf_counter()
             run_to_completion(specs[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        if name in high_variance:
+            timings[name] = round(sorted(samples)[1], 4)  # median of 3
+            spreads[name] = round(max(samples) - min(samples), 4)
+        else:
+            timings[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -58,6 +68,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "median_of_3": sorted(high_variance),
+                "spread_sec": spreads,
+                "variance_note": "median-of-3 specs are iterative "
+                "(fixpoint CC / banded verify) and swing with per-job "
+                "scheduler overhead; all others are best-of-2",
             }
         )
     )

@@ -45,6 +45,9 @@ _SYNAPSE_DDL_TYPES = {
 
 
 def render_postgres_ddl(schema: Schema, table_schema: str = "public") -> str:
+    """Engine-preferred Postgres DDL: quoted identifiers, schema
+    qualification, and a table-level PRIMARY KEY constraint (valid for
+    composite keys, which the reference's inline form is not)."""
     cols = []
     pks = []
     for f in schema.fields:
@@ -58,6 +61,32 @@ def render_postgres_ddl(schema: Schema, table_schema: str = "public") -> str:
         + ",\n  ".join(cols)
         + "\n)"
     )
+
+
+def render_postgres_ddl_reference(schema: Schema) -> str:
+    """Byte-for-byte the DDL the reference's Postgres destination
+    executes at connect time (integrations/postgres/main.go:49-62):
+    the kassette type name is used RAW as the Postgres column type
+    (FLOAT/TEXT/JSONB/TIMESTAMP/SERIAL are all valid Postgres type
+    names; VARCHAR gets "(255)" appended), identifiers are unquoted,
+    PRIMARY KEY is rendered inline per field, columns join on a bare
+    comma, and the statement ends with a semicolon. Locked by a golden
+    test so dialect drift against the reference is caught in CI.
+
+    Quirk preserved deliberately: two primary-key fields render two
+    inline PRIMARY KEY clauses — invalid Postgres, exactly as the
+    reference would emit (it has no composite-key guard). Use
+    :func:`render_postgres_ddl` for new deployments.
+    """
+    defs = []
+    for f in schema.fields:
+        d = f"{f.name} {f.type}"
+        if f.type == "VARCHAR":
+            d += "(255)"
+        if f.primary_key:
+            d += " PRIMARY KEY"
+        defs.append(d)
+    return f"CREATE TABLE IF NOT EXISTS {schema.table_name} ({','.join(defs)});"
 
 
 def render_synapse_ddl(schema: Schema, warehouse_types: dict[str, str], db_schema: str) -> str:

@@ -61,36 +61,86 @@ def urllib_transport(url: str, method: str, headers: dict, body: bytes) -> tuple
 
 
 class TokenAuthTransport:
-    """Wrap a Transport with lazily-refreshed bearer-token auth — the
-    Anaplan contract (integrations/anaplan/main.go:227-280: fetch token
-    from the auth endpoint, reuse until rejected, refresh on 401 and
-    retry the request once).
+    """Wrap a Transport with bearer-token auth on the Anaplan contract.
+
+    The reference keeps tokens fresh two ways: a background ticker
+    re-authenticates every ``tokenRefreshInterval`` (20 s) seconds via
+    the refresh endpoint, falling back to full basic auth when the
+    refresh fails (integrations/anaplan/main.go:115-130, 77-113), and
+    delivery still survives an expired token because failures re-queue.
+    Executors must not run background threads, so the engine folds the
+    ticker into the send path: before each request, a token older than
+    ``refresh_interval_s`` is refreshed PROACTIVELY (refresh endpoint
+    first, full auth as fallback — the authenticate(true)/(false)
+    ladder); a 401 still triggers one reactive refresh + retry as a
+    belt-and-braces.
 
     Lives ON THE TASK (one instance per partition-sender closure), so
     each executor refreshes independently — no driver round-trip, no
     shared mutable state across tasks."""
 
-    def __init__(self, inner: Transport, auth_url: str, auth_headers: dict | None = None):
+    def __init__(
+        self,
+        inner: Transport,
+        auth_url: str,
+        auth_headers: dict | None = None,
+        refresh_url: str | None = None,
+        refresh_interval_s: float = 20.0,
+        clock: Callable[[], float] | None = None,
+    ):
+        import time
+
         self._inner = inner
         self._auth_url = auth_url
         self._auth_headers = dict(auth_headers or {})
+        self._refresh_url = refresh_url
+        self._interval = refresh_interval_s
+        self._clock = clock or time.monotonic
         self._token: str | None = None
+        self._fetched_at: float = 0.0
 
-    def _fetch_token(self) -> str:
-        status, body = self._inner(self._auth_url, "POST", self._auth_headers, b"")
-        if status != 200:
-            raise RuntimeError(f"token auth failed: {status}")
+    @staticmethod
+    def _parse_token(body: bytes) -> str:
         # reference shape: {"tokenInfo": {"tokenValue": ...}}
         doc = json.loads(body)
         return doc.get("tokenInfo", {}).get("tokenValue") or doc["token"]
 
+    def _fetch_token(self) -> str:
+        """authenticate(false): full basic auth against the auth URL."""
+        status, body = self._inner(self._auth_url, "POST", self._auth_headers, b"")
+        if status != 200:
+            raise RuntimeError(f"token auth failed: {status}")
+        self._fetched_at = self._clock()
+        return self._parse_token(body)
+
+    def _refresh_token(self) -> str:
+        """authenticate(true): POST the refresh URL bearing the current
+        token; any failure falls back to full auth (main.go:121-127)."""
+        if self._refresh_url is None or self._token is None:
+            return self._fetch_token()
+        h = dict(self._auth_headers)
+        h["Authorization"] = f"AnaplanAuthToken {self._token}"
+        status, body = self._inner(self._refresh_url, "POST", h, b"")
+        if status != 200:
+            return self._fetch_token()
+        try:
+            token = self._parse_token(body)
+        except (ValueError, KeyError):
+            return self._fetch_token()
+        self._fetched_at = self._clock()
+        return token
+
     def __call__(self, url: str, method: str, headers: dict, body: bytes) -> tuple[int, bytes]:
         if self._token is None:
             self._token = self._fetch_token()
+        elif self._clock() - self._fetched_at >= self._interval:
+            # proactive pre-refresh: the reference's 20 s ticker cadence,
+            # evaluated at send time instead of on a background thread
+            self._token = self._refresh_token()
         h = dict(headers or {})
         h["Authorization"] = f"AnaplanAuthToken {self._token}"
         status, resp = self._inner(url, method, h, body)
-        if status == 401:  # expired → refresh once and retry
+        if status == 401:  # expired despite pre-refresh → once more, reactively
             self._token = self._fetch_token()
             h["Authorization"] = f"AnaplanAuthToken {self._token}"
             status, resp = self._inner(url, method, h, body)

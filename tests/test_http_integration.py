@@ -147,6 +147,73 @@ def test_anaplan_over_real_socket_with_token_refresh(spark, fake_dest):
     assert state["rejects"] == 2 and state["ntok"] == 3
 
 
+def test_token_pre_refreshes_before_send_not_after_401():
+    """Proactive refresh (reference's 20 s ticker): once the token is
+    past its TTL the NEXT send must carry a fresh token obtained from
+    the refresh endpoint — the destination never sees the stale token,
+    so no 401 round-trip happens."""
+    calls = []
+    now = [0.0]
+
+    def transport(url, method, headers, body):
+        calls.append((url, headers.get("Authorization")))
+        if url.endswith("/auth"):
+            return 200, b'{"tokenInfo": {"tokenValue": "t1"}}'
+        if url.endswith("/refresh"):
+            assert headers["Authorization"] == "AnaplanAuthToken t1"
+            return 200, b'{"tokenInfo": {"tokenValue": "t2"}}'
+        # the data endpoint accepts any known token (never a stale one)
+        assert headers["Authorization"] in (
+            "AnaplanAuthToken t1",
+            "AnaplanAuthToken t2",
+        )
+        return 200, b'{"added": 1, "failures": []}'
+
+    t = TokenAuthTransport(
+        transport,
+        "https://x/auth",
+        refresh_url="https://x/refresh",
+        refresh_interval_s=20.0,
+        clock=lambda: now[0],
+    )
+    assert t("https://x/items", "POST", {}, b"{}")[0] == 200
+    assert calls[-1][1] == "AnaplanAuthToken t1"
+    now[0] = 10.0  # inside TTL: no refresh traffic
+    t("https://x/items", "POST", {}, b"{}")
+    assert not any(u.endswith("/refresh") for u, _ in calls)
+    now[0] = 25.0  # past TTL: refresh BEFORE the data request
+    t("https://x/items", "POST", {}, b"{}")
+    assert [u.split("/")[-1] for u, _ in calls[-2:]] == ["refresh", "items"]
+    assert calls[-1][1] == "AnaplanAuthToken t2"
+
+
+def test_token_refresh_falls_back_to_full_auth():
+    """authenticate(true) failing must fall back to authenticate(false)
+    — the reference's refresh-loop ladder (main.go:121-127)."""
+    calls = []
+    now = [0.0]
+
+    def transport(url, method, headers, body):
+        calls.append(url.split("/")[-1])
+        if url.endswith("/auth"):
+            return 200, b'{"tokenInfo": {"tokenValue": "t-full"}}'
+        if url.endswith("/refresh"):
+            return 500, b"boom"
+        return 200, b"{}"
+
+    t = TokenAuthTransport(
+        transport,
+        "https://x/auth",
+        refresh_url="https://x/refresh",
+        refresh_interval_s=20.0,
+        clock=lambda: now[0],
+    )
+    t("https://x/items", "POST", {}, b"{}")
+    now[0] = 30.0
+    t("https://x/items", "POST", {}, b"{}")
+    assert calls == ["auth", "items", "refresh", "auth", "items"]
+
+
 def test_powerbi_over_real_socket(spark, fake_dest):
     base, state = fake_dest
     cfg = RestSinkConfig(url=base + "/powerbi", batch_size=6)

@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kassette_server_spark.config import DestinationConfig, Schema, SchemaField
-from kassette_server_spark.sinks.jdbc import jdbc_write_options, write_jdbc
+from kassette_server_spark.sinks.jdbc import (
+    jdbc_write_options,
+    render_postgres_ddl,
+    render_postgres_ddl_reference,
+    write_jdbc,
+)
 
 
 def _dest(tmp_path) -> DestinationConfig:
@@ -88,3 +93,86 @@ def test_jdbc_roundtrip_real_postgres(spark, tmp_path):
         .load()
     )
     assert back.count() >= 10
+
+
+# The destination schema seeded by the reference's own docker-compose
+# example (examples/camunda2postgres/sql/my_camunda2postgres.sql:175),
+# unescaped — the most-used real K3 config in the wild.
+_CAMUNDA_EVENTLOG_SCHEMA_JSON = (
+    '{"table_name":"eventlog", "schema_fields":['
+    '{"name":"event_id","type":"VARCHAR","mode":"view","primary_key":false},'
+    '{"name":"process_instance","type":"VARCHAR","mode":"view","primary_key":false},'
+    '{"name":"task_name","type":"VARCHAR","mode":"view","primary_key":false},'
+    '{"name":"task_type","type":"VARCHAR","mode":"view","primary_key":false},'
+    '{"name":"task_seq","type":"BIGSERIAL","mode":"view","primary_key":false},'
+    '{"name":"process_id","type":"VARCHAR","mode":"view","primary_key":false},'
+    '{"name":"process_name","type":"VARCHAR","mode":"view","primary_key":false},'
+    '{"name":"assignee","type":"VARCHAR","mode":"view","primary_key":false},'
+    '{"name":"task_start_time","type":"TIMESTAMP","mode":"view","primary_key":false},'
+    '{"name":"task_end_time","type":"TIMESTAMP","mode":"view","primary_key":false},'
+    '{"name":"task_duration","type":"INT","mode":"view","primary_key":false},'
+    '{"name":"business_key","type":"VARCHAR","mode":"view","primary_key":false}]}'
+)
+
+
+def test_postgres_ddl_reference_golden():
+    """Dialect parity with the reference's connect-time DDL
+    (integrations/postgres/main.go:49-62): kassette types used raw,
+    VARCHAR(255), unquoted identifiers, comma-joined, semicolon —
+    byte-for-byte on the reference's own example schema."""
+    schema = Schema.from_json(_CAMUNDA_EVENTLOG_SCHEMA_JSON)
+    assert render_postgres_ddl_reference(schema) == (
+        "CREATE TABLE IF NOT EXISTS eventlog ("
+        "event_id VARCHAR(255),"
+        "process_instance VARCHAR(255),"
+        "task_name VARCHAR(255),"
+        "task_type VARCHAR(255),"
+        "task_seq BIGSERIAL,"
+        "process_id VARCHAR(255),"
+        "process_name VARCHAR(255),"
+        "assignee VARCHAR(255),"
+        "task_start_time TIMESTAMP,"
+        "task_end_time TIMESTAMP,"
+        "task_duration INT,"
+        "business_key VARCHAR(255));"
+    )
+
+
+def test_postgres_ddl_reference_inline_primary_key():
+    """Inline per-field PRIMARY KEY and the raw FLOAT/JSONB type names
+    (all §1.2 rows), exactly as the reference emits them."""
+    schema = Schema(
+        "jobs",
+        (
+            SchemaField("id", "SERIAL", primary_key=True),
+            SchemaField("score", "FLOAT"),
+            SchemaField("payload", "JSONB"),
+            SchemaField("note", "TEXT"),
+            SchemaField("ok", "BOOLEAN"),
+        ),
+    )
+    assert render_postgres_ddl_reference(schema) == (
+        "CREATE TABLE IF NOT EXISTS jobs ("
+        "id SERIAL PRIMARY KEY,"
+        "score FLOAT,"
+        "payload JSONB,"
+        "note TEXT,"
+        "ok BOOLEAN);"
+    )
+
+
+def test_postgres_ddl_engine_variant_quotes_and_composite_pk():
+    """The engine-preferred renderer fixes the reference's composite-PK
+    quirk with a table-level constraint and quotes identifiers."""
+    schema = Schema(
+        "ledger",
+        (
+            SchemaField("job_id", "INT", primary_key=True),
+            SchemaField("attempt", "INT", primary_key=True),
+            SchemaField("state", "VARCHAR"),
+        ),
+    )
+    ddl = render_postgres_ddl(schema)
+    assert 'PRIMARY KEY ("job_id", "attempt")' in ddl
+    assert ddl.count("PRIMARY KEY") == 1
+    assert '"state" VARCHAR(255)' in ddl
