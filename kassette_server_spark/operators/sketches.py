@@ -115,6 +115,142 @@ def hll_count_distinct(df: DataFrame, col: str, p: int = 9) -> DataFrame:
     return hll_estimate(hll_registers(df, col, p), p)
 
 
+def countmin_registers(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch register table: (d, reg, cnt), <= depth*width rows.
+
+    Row d of the sketch hashes the value with seed d (md5 of
+    ``d:value``) into ``width`` counters. Counters are exact integers,
+    so the sketch — unlike the frequency *estimates* of probabilistic
+    implementations with engine-private hashing — is bit-identical
+    across engines and mergeable by ``groupBy(d, reg).sum(cnt)``.
+
+    Scale: one map-side-combined shuffle of at most depth*width keys,
+    independent of input size — the CMS contract at 100 TB.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    _hash60(F.concat_ws(":", F.lit(str(d)), F.col(col).cast("string")))
+                    % width
+                ).alias("reg"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.reg").alias("reg"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    values: DataFrame, registers: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates: est(v) = min over d of counter[d][h_d(v)].
+
+    ``registers`` is tiny (<= depth*width rows) and broadcast, so the
+    probe is a map-side join however large ``values`` is. Estimates
+    over-count (CMS guarantee: est >= true, est <= true + eps*N w.h.p.)
+    but are exact integers computed identically everywhere.
+    """
+    probes = values.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            _hash60(
+                                F.concat_ws(
+                                    ":", F.lit(str(d)), F.col(col).cast("string")
+                                )
+                            )
+                            % width
+                        ).alias("reg"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(col, F.col("c.d").alias("d"), F.col("c.reg").alias("reg"))
+    return (
+        probes.join(F.broadcast(registers), ["d", "reg"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def bloom_bits(df: DataFrame, col: str, k: int = 3, m_bits: int = 1 << 14) -> DataFrame:
+    """Bloom-filter bit set as a DataFrame of set positions: (bit).
+
+    Position j of value v for seed s is md5-derived (``s:v``) mod m.
+    The bit set is exact integers → portable, and mergeable by UNION
+    DISTINCT. At most ``min(k * |distinct v|, m_bits)`` rows — the
+    whole filter for m=2^14 is <= 16 Ki rows, broadcastable.
+    """
+    if k < 1 or m_bits < 2:
+        raise ValueError(f"need k >= 1 and m_bits >= 2, got k={k}, m={m_bits}")
+    positions = F.array(
+        *[
+            (
+                _hash60(F.concat_ws(":", F.lit(str(s)), F.col(col).cast("string")))
+                % m_bits
+            )
+            for s in range(k)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(positions).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    values: DataFrame, bits: DataFrame, col: str, k: int = 3, m_bits: int = 1 << 14
+) -> DataFrame:
+    """Membership probe: in_bloom(v) = all k bit positions set.
+
+    ``bits`` is broadcast; the probe never shuffles ``values`` — the
+    standard pre-join filter shape (probe the filter map-side, only
+    survivors reach the expensive join). False positives are possible
+    (and deterministic, same everywhere); false negatives are not.
+    """
+    probes = values.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        _hash60(
+                            F.concat_ws(":", F.lit(str(s)), F.col(col).cast("string"))
+                        )
+                        % m_bits
+                    )
+                    for s in range(k)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy(col)
+        .agg(F.count("*").alias("nbits"))
+    )
+    return values.select(col).distinct().join(hits, col, "left").select(
+        F.col(col), (F.coalesce(F.col("nbits"), F.lit(0)) == k).alias("in_bloom")
+    )
+
+
 def hll_oracle_sql(table: str, col: str, p: int = 9) -> str:
     """DuckDB SQL computing the *identical* estimate (same constants,
     same integer path) for the oracle side of the correctness gate."""

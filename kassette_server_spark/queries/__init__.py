@@ -16,9 +16,9 @@ from .base import REGISTRY, QuerySpec
 from . import relational as _relational  # noqa: F401,E402  (q01-q21)
 from . import parity as _parity  # noqa: F401,E402  (q22-q27)
 from . import pipeline_e2e as _pipeline_e2e  # noqa: F401,E402  (q28)
-from . import llmops as _llmops  # noqa: F401,E402  (q30-q41, q52, q57-58, q66-68)
+from . import llmops as _llmops  # noqa: F401,E402  (q30-q41, q52, q57-58, q66-68, q85-86)
 from . import tpch as _tpch  # noqa: F401,E402  (q53-q55)
-from . import olap as _olap  # noqa: F401,E402  (q42-q51, q56, q59-q65, q69)
+from . import olap as _olap  # noqa: F401,E402  (q42-q51, q56, q59-q65, q69, q87)
 from . import text_extra as _text_extra  # noqa: F401,E402
 from . import curation as _curation  # noqa: F401,E402  (q70-q74, q78-q82)
 from . import analytics as _analytics  # noqa: F401,E402  (q75-q77, q83)

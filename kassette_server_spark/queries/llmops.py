@@ -403,6 +403,110 @@ def q_approx(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.hll_count_distinct(load(spark, sf, "events"), "event_id", p=9)
 
 
+# Portable 60-bit md5 hash, DuckDB side (same value as sketches._hash60)
+def _h60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# q85: Count-Min sketch heavy hitters. Counters are exact integers over
+# md5-derived registers, so the frequency ESTIMATES (not just the
+# sketch) are bit-identical across engines — same trick as q40's HLL.
+# Shuffle is bounded by depth*width (4*256 cells) regardless of input
+# size; the register table is broadcast for the probe. est >= exact is
+# the CMS guarantee (over-count only), visible in the output columns.
+@query(
+    "q85_countmin_heavy_hitters",
+    oracle=f"""
+    WITH regs AS (
+      SELECT d, reg, count(*) AS cnt FROM (
+        SELECT t.d AS d,
+               {_h60_sql("CAST(t.d AS VARCHAR) || ':' || event_type")} % 256 AS reg
+        FROM events CROSS JOIN range(4) t(d)
+        WHERE event_type IS NOT NULL) GROUP BY d, reg
+    ), est AS (
+      SELECT v.event_type, min(r.cnt) AS est_count
+      FROM (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL) v
+      CROSS JOIN range(4) t(d)
+      JOIN regs r
+        ON r.d = t.d
+       AND r.reg = {_h60_sql("CAST(t.d AS VARCHAR) || ':' || v.event_type")} % 256
+      GROUP BY v.event_type
+    )
+    SELECT e.event_type, e.est_count, x.exact_count
+    FROM est e
+    JOIN (SELECT event_type, count(*) AS exact_count FROM events GROUP BY event_type) x
+      USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="deterministic Count-Min sketch frequency estimates (4x256 md5 "
+    "registers, exact-integer counters) vs exact counts",
+    tags=("llmops", "approx"),
+)
+def q_countmin(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    regs = sketches.countmin_registers(ev, "event_type", depth=4, width=256)
+    vals = ev.where(F.col("event_type").isNotNull()).select("event_type").distinct()
+    est = sketches.countmin_estimate(vals, regs, "event_type", depth=4, width=256)
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_count"))
+    return est.join(exact, "event_type").select(
+        "event_type", "est_count", "exact_count"
+    ).orderBy("event_type")
+
+
+# q86: Bloom-filter membership as a pre-join filter — build the bit set
+# over the orders side (distinct md5 bit positions, <= 2^14 rows,
+# broadcast), probe every customer key map-side, compare against the
+# exact semi-join truth. False positives are deterministic (same md5
+# everywhere) so even they hash-match; false negatives are impossible,
+# which the oracle's has_orders column proves per row. At 100 TB this
+# is the classic shape: the big probe side never shuffles, only
+# bloom-surviving keys proceed to the real join.
+@query(
+    "q86_bloom_membership",
+    oracle=f"""
+    WITH bits AS (
+      SELECT DISTINCT
+        {_h60_sql("CAST(t.s AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)")} % 16384 AS bit
+      FROM orders CROSS JOIN range(3) t(s)
+    ), probes AS (
+      SELECT c_custkey,
+        {_h60_sql("CAST(t.s AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)")} % 16384 AS bit
+      FROM customer CROSS JOIN range(3) t(s)
+    ), hits AS (
+      SELECT c_custkey, count(*) AS nbits
+      FROM probes JOIN bits USING (bit) GROUP BY c_custkey
+    )
+    SELECT c.c_custkey,
+           coalesce(h.nbits, 0) = 3 AS in_bloom,
+           c.c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
+    FROM customer c LEFT JOIN hits h USING (c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="deterministic Bloom pre-join filter (k=3, m=2^14 md5 bits) "
+    "probed against the exact semi-join truth",
+    tags=("llmops", "approx"),
+)
+def q_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer").select("c_custkey")
+    bits = sketches.bloom_bits(load(spark, sf, "orders"), "o_custkey", k=3, m_bits=1 << 14)
+    probe = sketches.bloom_probe(cust, bits, "c_custkey", k=3, m_bits=1 << 14)
+    oc = (
+        load(spark, sf, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_orders", F.lit(True))
+    )
+    return (
+        probe.join(oc, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "in_bloom",
+            F.coalesce("has_orders", F.lit(False)).alias("has_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 # Multimodal plumbing --------------------------------------------------------
 
 

@@ -527,3 +527,45 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# q87: full outer join — the one join type the declared surface lacked
+# (inner q03, left q05, semi q06, anti q07, asof q47, range q48). Both
+# sides are filtered so each contributes exclusive keys: parts with
+# size > 40 that never shipped a qty-50 line (left-only), qty-50 lines
+# whose part is size <= 40 (right-only), and the overlap. The lineitem
+# side pre-aggregates to one row per part before the join — at scale
+# the full-outer shuffle then carries one row per key per side, not
+# the fact table.
+@query(
+    "q87_full_outer_join",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_size FROM part WHERE p_size > 40),
+         l AS (SELECT l_partkey, count(*) AS n_li
+               FROM lineitem WHERE l_quantity > 49 GROUP BY l_partkey)
+    SELECT coalesce(p.p_partkey, l.l_partkey) AS partkey,
+           p.p_size AS p_size, l.n_li AS n_li
+    FROM p FULL OUTER JOIN l ON p.p_partkey = l.l_partkey
+    ORDER BY partkey
+    """,
+    doc="full outer join with exclusive keys on both sides, "
+    "right side pre-aggregated per key",
+    tags=("olap", "join"),
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").where(F.col("p_size") > 40).select("p_partkey", "p_size")
+    li = (
+        load(spark, sf, "lineitem")
+        .where(F.col("l_quantity") > 49)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_li"))
+    )
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "full_outer")
+        .select(
+            F.coalesce("p_partkey", "l_partkey").alias("partkey"),
+            "p_size",
+            "n_li",
+        )
+        .orderBy("partkey")
+    )

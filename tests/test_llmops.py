@@ -140,6 +140,49 @@ def test_hll_rejects_bad_precision(spark):
         sketches.hll_registers(ev, "event_id", p=3)
 
 
+def test_countmin_overestimates_only_and_merges(spark):
+    """CMS guarantees est >= exact for every value; register tables
+    from disjoint splits merge by sum to the whole-corpus sketch."""
+    from kassette_server_spark.operators import sketches
+
+    ev = load(spark, SF_SMOKE, "events")
+    regs = sketches.countmin_registers(ev, "event_type", depth=4, width=64)
+    vals = ev.where(F.col("event_type").isNotNull()).select("event_type").distinct()
+    est = sketches.countmin_estimate(vals, regs, "event_type", depth=4, width=64)
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact"))
+    rows = est.join(exact, "event_type").collect()
+    assert rows and all(r.est_count >= r.exact for r in rows)
+
+    lo = sketches.countmin_registers(
+        ev.where(F.col("event_id") % 2 == 0), "event_type", depth=4, width=64
+    )
+    hi = sketches.countmin_registers(
+        ev.where(F.col("event_id") % 2 == 1), "event_type", depth=4, width=64
+    )
+    merged = lo.unionByName(hi).groupBy("d", "reg").agg(F.sum("cnt").alias("cnt"))
+    whole = {(r.d, r.reg): r.cnt for r in regs.collect()}
+    assert {(r.d, r.reg): r.cnt for r in merged.collect()} == whole
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every key present in the build side must probe in_bloom=True;
+    false positives are allowed (and counted) but bounded."""
+    from kassette_server_spark.operators import sketches
+
+    orders = load(spark, SF_SMOKE, "orders")
+    cust = load(spark, SF_SMOKE, "customer").select("c_custkey")
+    bits = sketches.bloom_bits(orders, "o_custkey", k=3, m_bits=1 << 14)
+    probe = sketches.bloom_probe(cust, bits, "c_custkey", k=3, m_bits=1 << 14)
+    truth = {r.o_custkey for r in orders.select("o_custkey").distinct().collect()}
+    rows = probe.collect()
+    members = [r for r in rows if r.c_custkey in truth]
+    assert members and all(r.in_bloom for r in members), "false negative!"
+    non_members = [r for r in rows if r.c_custkey not in truth]
+    fp = sum(1 for r in non_members if r.in_bloom)
+    # k=3, m=2^14, n<=1000 build keys → FP rate well under 1 %; allow 5 %
+    assert fp <= max(1, len(non_members) // 20)
+
+
 def test_gemm_near_dup_identical_to_all_pairs(spark):
     """The GEMM-prefiltered near-dup operator must produce EXACTLY the
     all-pairs fold result (same pairs, bitwise-same cosines)."""
