@@ -251,6 +251,66 @@ def bloom_probe(
     )
 
 
+def binned_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: tuple[tuple[str, int, int], ...] = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+    bin_width: float = 1.0,
+    num_bins: int = 1024,
+) -> DataFrame:
+    """Deterministic mergeable quantile estimates via an equi-width
+    histogram sketch — the portable stand-in for percentile_approx's
+    KLL (whose sketch is engine-private and can't be oracle-checked).
+
+    Each value lands in ``clamp(floor(v / bin_width), 0, num_bins-1)``;
+    bin counts are exact integers, mergeable by sum. Quantile q=num/den
+    resolves to the smallest bin whose cumulative count reaches
+    ceil(q*N), compared in pure integers (``cum*den >= N*num``), and
+    the estimate is the bin midpoint — error bounded by bin_width/2,
+    bit-identical across engines.
+
+    Scale: the only data-sized stage is the bin groupBy (map-side
+    combined, <= num_bins keys); the cumulative window runs over
+    <= num_bins rows, bounded regardless of input size.
+    """
+    if num_bins < 2 or bin_width <= 0:
+        raise ValueError(f"need num_bins >= 2 and bin_width > 0, got {num_bins}/{bin_width}")
+    from pyspark.sql import Window
+
+    b = F.least(
+        F.greatest(F.floor(F.col(col) / bin_width).cast("long"), F.lit(0)),
+        F.lit(num_bins - 1),
+    )
+    bins = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bins.select("bin", F.sum("cnt").over(w).alias("cum"))
+    tot = bins.agg(F.sum("cnt").alias("n"))
+    qdf = df.sparkSession.createDataFrame(
+        list(quantiles), "label string, num long, den long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") * F.col("den") >= F.col("n") * F.col("num"))
+        .groupBy("label", "n")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "label",
+            (F.col("bin") * F.lit(bin_width) + F.lit(bin_width / 2)).alias("est"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("label")
+    )
+
+
 def hll_oracle_sql(table: str, col: str, p: int = 9) -> str:
     """DuckDB SQL computing the *identical* estimate (same constants,
     same integer path) for the oracle side of the correctness gate."""

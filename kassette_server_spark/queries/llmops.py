@@ -507,6 +507,42 @@ def q_bloom(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# q88: binned-quantile sketch — the portable percentile estimator (the
+# original q40 used percentile_approx, whose KLL sketch is
+# engine-private; this one's histogram is exact integers and the
+# threshold test is pure integer arithmetic, so the p50/p90/p99
+# estimates hash-match). Mergeable by bin-count sum; cumulative window
+# runs over <= 1024 rows however large the input.
+@query(
+    "q88_approx_quantiles",
+    oracle="""
+    WITH bins AS (
+      SELECT least(greatest(CAST(floor(value / 1.0) AS BIGINT), 0), 1023) AS bin,
+             count(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), cum AS (
+      SELECT bin, sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM bins
+    ), tot AS (SELECT sum(cnt) AS n FROM bins),
+       qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+              v(label, num, den))
+    SELECT q.label,
+           CAST(min(c.bin) * 1.0 + 0.5 AS DOUBLE) AS est,
+           CAST(t.n AS BIGINT) AS n
+    FROM cum c CROSS JOIN tot t CROSS JOIN qs q
+    WHERE c.cum * q.den >= t.n * q.num
+    GROUP BY q.label, t.n
+    ORDER BY q.label
+    """,
+    doc="deterministic binned-quantile sketch (1024 exact-integer bins, "
+    "integer threshold test): p50/p90/p99 estimates hash-match",
+    tags=("llmops", "approx"),
+)
+def q_binned_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.binned_quantiles(load(spark, sf, "events"), "value")
+
+
 # Multimodal plumbing --------------------------------------------------------
 
 

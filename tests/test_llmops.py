@@ -164,6 +164,22 @@ def test_countmin_overestimates_only_and_merges(spark):
     assert {(r.d, r.reg): r.cnt for r in merged.collect()} == whole
 
 
+def test_binned_quantiles_close_to_exact(spark):
+    """Histogram-sketch quantiles must land within bin_width of the
+    exact percentiles."""
+    from kassette_server_spark.operators import sketches
+
+    ev = load(spark, SF_SMOKE, "events")
+    got = {r.label: r.est for r in sketches.binned_quantiles(ev, "value").collect()}
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    ).collect()[0]
+    for label in ("p50", "p90", "p99"):
+        assert abs(got[label] - getattr(exact, label)) <= 1.0, (label, got)
+
+
 def test_bloom_no_false_negatives(spark):
     """Every key present in the build side must probe in_bloom=True;
     false positives are allowed (and counted) but bounded."""
