@@ -201,3 +201,32 @@ def test_whole_stage_codegen_on_hot_paths(spark):
         p = plan(spark, name)
         assert "* " in p, name  # at least one codegen'd operator
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_q85_countmin_probe_broadcast(spark):
+    """The CMS register table is broadcast for the probe — the values
+    side must never shuffle toward a SortMergeJoin."""
+    p = plan(spark, "q85_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # register build is map-side combined: paired HashAggregate
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q86_bloom_probe_broadcast_no_probe_shuffle(spark):
+    """Bloom bits broadcast; the (big) probe side joins map-side —
+    the whole point of a pre-join filter at 100 TB."""
+    p = plan(spark, "q86_bloom_membership")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q88_quantile_window_after_bounded_agg(spark):
+    """The cumulative window runs over the <= num_bins register rows
+    (post-aggregation), never over the raw input."""
+    p = plan(spark, "q88_approx_quantiles")
+    # bin build is map-side combined
+    assert p.count("HashAggregate") >= 2
+    # single Window node, fed by the bin aggregate, not the scan
+    assert p.count("Window") >= 1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

@@ -319,3 +319,69 @@ def test_rest_poller_datasource(spark, tmp_path):
     kinds = {r.kassette_type for r in rows}
     assert kinds == {"activity-instance", "process-instance"}
     assert all(json.loads(r.payload)["batch"] for r in rows)
+
+
+def test_interval_stream_join_attribution(spark, tmp_path):
+    """Stream-stream interval join: clicks within the attribution
+    window match their impression; late clicks don't; with left_outer
+    the unmatched impression appears with null click columns once the
+    watermark proves no match can arrive."""
+    from kassette_server_spark.streaming.join import interval_stream_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    schema = "event_id long, user_id long, ts_s long"
+
+    # impressions at t=1000 (u1) and t=1000 (u2); clicks: u1 at +300s
+    # (inside 10 min), u2 at +900s (outside); a far-future row on each
+    # side advances both watermarks so outer results can finalize
+    spark.createDataFrame(
+        [(1, 1, 1000), (2, 2, 1000), (99, 9, 100000)], schema
+    ).write.json(str(imp_dir / "b1"))
+    spark.createDataFrame(
+        [(11, 1, 1300), (12, 2, 1900), (98, 9, 100000)], schema
+    ).write.json(str(clk_dir / "b1"))
+
+    def stream(d):
+        return (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .json(str(d))
+            .select(
+                "event_id", "user_id",
+                F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            )
+        )
+
+    joined = interval_stream_join(
+        stream(imp_dir), stream(clk_dir), key="user_id",
+        within="10 minutes", watermark="20 minutes", how="left_outer",
+    )
+    sink = str(tmp_path / "out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("json")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.schema(
+        "event_id long, user_id long, ts_s long, r_event_id long, r_user_id long"
+    ).json(sink).collect()
+    got = {r.event_id: r.r_event_id for r in rows}
+    assert got[1] == 11  # u1 click inside the window attributes
+    assert got[2] is None  # u2 click was 15 min late -> unmatched impression
+    assert 99 in got  # watermark-advancer impression also emitted
+
+
+def test_interval_stream_join_rejects_unknown_how(spark):
+    from kassette_server_spark.streaming.join import interval_stream_join
+
+    s = spark.readStream.format("rate").load().select(
+        F.col("value").alias("user_id"), F.col("timestamp").alias("ts")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        interval_stream_join(s, s, key="user_id", how="full_outer")
