@@ -81,13 +81,15 @@ _WINDOW: tuple[str, ...] = (
     "q66_embedding_centroid",
     "q67_stratified_sample",
     "q68_near_dup_clusters",
-    # slots 40-50: heaviest r4-green specs, refreshed so no spec's
+    # slots 40-43: round-5 additions — first driver check (deterministic
+    # CMS/Bloom/binned-quantile sketches + full outer join)
+    "q85_countmin_heavy_hitters",
+    "q86_bloom_membership",
+    "q87_full_outer_join",
+    "q88_approx_quantiles",
+    # slots 44-50: heaviest r4-green specs, refreshed so no spec's
     # newest green row ages past 2 rounds
     "q25_dedup_exact",
-    "q26_correlated_subquery",
-    "q27_exists",
-    "q42_topk_per_group",
-    "q48_range_join",
     "q70_benchmark_contamination",
     "q72_sequence_packing",
     "q76_retention_cohorts",
