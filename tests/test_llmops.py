@@ -456,3 +456,33 @@ def test_decode_media_meta_survives_corrupt_payloads(spark):
         6: "unknown",
         7: "unknown",
     }
+
+
+def test_sketches_cross_engine_on_random_corpora(spark):
+    """Randomized portability: the HLL estimate must be bit-identical
+    between Spark and DuckDB on arbitrary value distributions, not just
+    the fixed testdata — catches hash-formula drift (hex parsing,
+    bin() semantics, rounding) on inputs with unicode, empty strings,
+    skew, and duplicates."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from kassette_server_spark.operators import sketches
+
+    rng = random.Random(20260813)
+    pools = [
+        [f"user-{rng.randrange(50)}" for _ in range(2000)],  # heavy dups
+        [f"{rng.random():.12f}" for _ in range(3000)],  # near-unique
+        ["", "á", "日本語", "x" * 300] * 250 + [str(i) for i in range(500)],
+    ]
+    for i, values in enumerate(pools):
+        pdf = pd.DataFrame({"v": values})
+        sdf = spark.createDataFrame(pdf)
+        got = sketches.hll_count_distinct(sdf, "v", p=9).toPandas()
+        con = duckdb.connect()
+        con.register("events", pdf)
+        want = con.execute(sketches.hll_oracle_sql("events", "v", p=9)).fetch_df()
+        con.close()
+        assert got.to_dict("records") == want.to_dict("records"), f"pool {i}"
