@@ -311,6 +311,95 @@ def binned_quantiles(
     )
 
 
+def binned_quantiles_by(
+    df: DataFrame,
+    col: str,
+    by: str,
+    quantiles: tuple[tuple[str, int, int], ...] = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+    bin_width: float = 1.0,
+    num_bins: int = 1024,
+) -> DataFrame:
+    """Per-group quantile estimates from per-group histograms.
+
+    Same integer-exact construction as :func:`binned_quantiles`, keyed
+    by ``by``: the groupBy shuffles (group, bin) keys (map-side
+    combined, <= groups*num_bins), the cumulative window partitions by
+    group over <= num_bins rows each, and the per-group totals join
+    back broadcast. Output: (by, label, est, n).
+    """
+    if num_bins < 2 or bin_width <= 0:
+        raise ValueError(f"need num_bins >= 2 and bin_width > 0, got {num_bins}/{bin_width}")
+    from pyspark.sql import Window
+
+    b = F.least(
+        F.greatest(F.floor(F.col(col) / bin_width).cast("long"), F.lit(0)),
+        F.lit(num_bins - 1),
+    )
+    bins = (
+        df.where(F.col(col).isNotNull() & F.col(by).isNotNull())
+        .groupBy(F.col(by), b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.select(by, "bin", F.sum("cnt").over(w).alias("cum"))
+    tot = bins.groupBy(by).agg(F.sum("cnt").alias("n"))
+    qdf = df.sparkSession.createDataFrame(
+        list(quantiles), "label string, num long, den long"
+    )
+    return (
+        cum.join(F.broadcast(tot), by)
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") * F.col("den") >= F.col("n") * F.col("num"))
+        .groupBy(by, "label", "n")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            by,
+            "label",
+            (F.col("bin") * F.lit(bin_width) + F.lit(bin_width / 2)).alias("est"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy(by, "label")
+    )
+
+
+def hll_merge_into_store(
+    batch_df: DataFrame, col: str, store_path: str, p: int = 9
+) -> None:
+    """foreachBatch body: fold a micro-batch's HLL registers into a
+    persistent register store — streaming distinct-count maintenance.
+
+    The merge is the HLL union (groupBy(reg).max), so the store always
+    equals the single-pass sketch of everything ever seen, regardless
+    of batch boundaries or restarts re-delivering data (max is
+    idempotent — re-merging the same rows changes nothing, which is
+    what makes this safe under at-least-once foreachBatch). The store
+    is <= 2^p rows, so the collect-then-rewrite is bounded driver work,
+    not a data-sized materialization.
+    """
+    spark = batch_df.sparkSession
+    new = hll_registers(batch_df, col, p)
+    try:
+        old = spark.read.parquet(store_path)
+        merged = old.unionByName(new).groupBy("reg").agg(
+            F.max("m_rank").alias("m_rank")
+        )
+    except Exception:  # first batch: no store yet
+        merged = new
+    # materialize before overwriting the path we just read
+    rows = merged.collect()
+    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+        store_path
+    )
+
+
 def hll_oracle_sql(table: str, col: str, p: int = 9) -> str:
     """DuckDB SQL computing the *identical* estimate (same constants,
     same integer path) for the oracle side of the correctness gate."""

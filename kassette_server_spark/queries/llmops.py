@@ -543,6 +543,43 @@ def q_binned_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.binned_quantiles(load(spark, sf, "events"), "value")
 
 
+# q89: the per-group variant — one histogram per event_type, cumulative
+# window partitioned by group over <= num_bins rows each, per-group
+# totals joined back broadcast. The (group, bin) shuffle is map-side
+# combined and bounded by groups*num_bins, independent of input rows.
+@query(
+    "q89_quantiles_per_group",
+    oracle="""
+    WITH bins AS (
+      SELECT event_type,
+             least(greatest(CAST(floor(value / 1.0) AS BIGINT), 0), 1023) AS bin,
+             count(*) AS cnt
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM bins
+    ), tot AS (SELECT event_type, sum(cnt) AS n FROM bins GROUP BY event_type),
+       qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+              v(label, num, den))
+    SELECT c.event_type, q.label,
+           CAST(min(c.bin) * 1.0 + 0.5 AS DOUBLE) AS est,
+           CAST(t.n AS BIGINT) AS n
+    FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs q
+    WHERE c.cum * q.den >= t.n * q.num
+    GROUP BY c.event_type, q.label, t.n
+    ORDER BY c.event_type, q.label
+    """,
+    doc="per-group binned-quantile sketch: p50/p90/p99 of value per "
+    "event_type, (group, bin)-bounded shuffle",
+    tags=("llmops", "approx"),
+)
+def q_quantiles_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.binned_quantiles_by(load(spark, sf, "events"), "value", "event_type")
+
+
 # Multimodal plumbing --------------------------------------------------------
 
 

@@ -385,3 +385,56 @@ def test_interval_stream_join_rejects_unknown_how(spark):
     )
     with pytest.raises(ValueError, match="unsupported"):
         interval_stream_join(s, s, key="user_id", how="full_outer")
+
+
+def test_streaming_hll_store_equals_single_pass(spark, tmp_path):
+    """Streaming sketch maintenance: merging per-micro-batch HLL
+    registers into a store must equal the single-pass sketch over
+    everything seen — across separate runs, and idempotently under
+    re-delivery (max-merge)."""
+    from kassette_server_spark.operators import sketches
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "hll_store")
+    schema = "doc_id long, ts_s long"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .json(str(src))
+            .select(F.col("doc_id"), F.timestamp_seconds("ts_s").alias("ts"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: sketches.hll_merge_into_store(bdf, "doc_id", store)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(i, 100 + i) for i in range(500)], schema).write.json(
+        str(src / "b1")
+    )
+    drain()
+    spark.createDataFrame(
+        [(i, 700 + i) for i in range(250, 750)], schema  # 250 overlap
+    ).write.json(str(src / "b2"))
+    drain()
+
+    streamed = sketches.hll_estimate(spark.read.parquet(store), p=9).collect()[0]
+    whole = spark.createDataFrame([(i,) for i in range(750)], "doc_id long")
+    single_pass = sketches.hll_count_distinct(whole, "doc_id", p=9).collect()[0]
+    assert streamed == single_pass
+
+    # re-deliver batch 2 wholesale (at-least-once): store must not move
+    redelivered = spark.createDataFrame(
+        [(i,) for i in range(250, 750)], "doc_id long"
+    )
+    sketches.hll_merge_into_store(redelivered, "doc_id", store)
+    again = sketches.hll_estimate(spark.read.parquet(store), p=9).collect()[0]
+    assert again == streamed
