@@ -1,0 +1,191 @@
+"""Differential fuzzing: seeded random queries over a portable SQL
+subset, executed as the IDENTICAL text by Spark SQL and DuckDB, results
+diffed exactly.
+
+The 88 declared specs pin hand-chosen shapes; this harness sweeps the
+combinatorial space around them (random projections, predicates, FK
+joins, integer aggregates, sort orders) and would surface semantic
+divergences none of the fixed oracles happen to cover — cast widths,
+predicate tri-state logic, join duplicate semantics, grouped-aggregate
+edge cases.
+
+Grammar constraints that keep the subset genuinely portable:
+- integer/string/date columns only — no doubles (float summation order
+  is engine-dependent), no division;
+- every query ends with a total ORDER BY over all selected columns
+  with explicit NULLS FIRST (Spark ASC defaults nulls-first, DuckDB
+  nulls-last — the one syntax-compatible trap found while building
+  this);
+- aggregates are count/sum/min/max over integer columns, sum cast to
+  BIGINT on both sides by construction (inputs are int32/int64);
+- literals are sampled from the actual column domains with a fixed
+  seed, so predicates are selective but not degenerate.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from conftest import SF_SMOKE
+
+from kassette_server_spark.catalog import load
+
+SEED = 20260813
+N_QUERIES = 100
+
+# (table, integer cols, string cols, date cols)
+TABLES = {
+    "customer": (["c_custkey", "c_nationkey"], ["c_name", "c_mktsegment"], []),
+    "orders": (["o_orderkey", "o_custkey"], ["o_orderstatus", "o_orderpriority"], ["o_orderdate"]),
+    "nation": (["n_nationkey", "n_regionkey"], ["n_name"], []),
+    "region": (["r_regionkey"], ["r_name"], []),
+    "part": (["p_partkey", "p_size"], ["p_brand", "p_type"], []),
+}
+# FK joins with join-key names per side
+JOINS = [
+    ("customer", "orders", "c_custkey", "o_custkey"),
+    ("nation", "customer", "n_nationkey", "c_nationkey"),
+    ("region", "nation", "r_regionkey", "n_regionkey"),
+]
+
+
+def _domains(sf_dir: str) -> dict:
+    """Sample literal pools per column from the real data (seeded)."""
+    con = duckdb.connect()
+    out = {}
+    for t, (ints, strs, dates) in TABLES.items():
+        for c in ints + strs + dates:
+            rows = con.execute(
+                f"SELECT DISTINCT {c} FROM read_parquet('{sf_dir}/{t}.parquet') "
+                f"ORDER BY {c} LIMIT 200"
+            ).fetchall()
+            out[(t, c)] = [r[0] for r in rows if r[0] is not None]
+    con.close()
+    return out
+
+
+def _lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if hasattr(v, "isoformat") and not hasattr(v, "hour"):
+        return f"DATE '{v.isoformat()}'"
+    if hasattr(v, "isoformat"):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    return str(v)
+
+
+def _predicate(rng: random.Random, t: str, alias: str, domains: dict) -> str:
+    ints, strs, dates = TABLES[t]
+    col_type = rng.choice(["int", "str"] + (["date"] if dates else []))
+    if col_type == "int":
+        c = rng.choice(ints)
+        v = rng.choice(domains[(t, c)])
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"{alias}.{c} {op} {_lit(v)}"
+    if col_type == "date":
+        c = rng.choice(dates)
+        v = rng.choice(domains[(t, c)])
+        return f"{alias}.{c} {rng.choice(['<', '>='])} {_lit(v)}"
+    c = rng.choice(strs)
+    pool = domains[(t, c)]
+    kind = rng.choice(["eq", "in", "like"])
+    if kind == "eq":
+        return f"{alias}.{c} = {_lit(rng.choice(pool))}"
+    if kind == "in":
+        vals = rng.sample(pool, min(3, len(pool)))
+        return f"{alias}.{c} IN ({', '.join(_lit(v) for v in vals)})"
+    prefix = str(rng.choice(pool))[:2].replace("'", "''").replace("%", "").replace("_", "")
+    return f"{alias}.{c} LIKE '{prefix}%'"
+
+
+def _gen_query(rng: random.Random, domains: dict) -> str:
+    if rng.random() < 0.5:  # single table
+        t = rng.choice(list(TABLES))
+        aliases = [(t, "t0")]
+        from_sql = f"{t} t0"
+    else:
+        lt, rt, lk, rk = rng.choice(JOINS)
+        how = rng.choice(["JOIN", "LEFT JOIN"])
+        aliases = [(lt, "t0"), (rt, "t1")]
+        from_sql = f"{lt} t0 {how} {rt} t1 ON t0.{lk} = t1.{rk}"
+
+    preds = [
+        _predicate(rng, t, a, domains)
+        for t, a in aliases
+        for _ in range(rng.randrange(0, 2))
+    ]
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+
+    if rng.random() < 0.5:  # grouped aggregate
+        gt, ga = rng.choice(aliases)
+        ints, strs, _ = TABLES[gt]
+        gcol = f"{ga}.{rng.choice(strs + ints)}"
+        at, aa = rng.choice(aliases)
+        acol = f"{aa}.{rng.choice(TABLES[at][0])}"
+        aggs = [
+            "count(*) AS cnt",
+            f"CAST(sum({acol}) AS BIGINT) AS s",
+            f"min({acol}) AS mn",
+            f"max({acol}) AS mx",
+        ]
+        sel = [f"{gcol} AS g"] + rng.sample(aggs, rng.randrange(1, 4))
+        body = (
+            f"SELECT {', '.join(sel)} FROM {from_sql}{where} GROUP BY {gcol}"
+        )
+        order_cols = ["g"]
+    else:  # projection
+        cols = []
+        for t, a in aliases:
+            ints, strs, dates = TABLES[t]
+            pool = ints + strs + dates
+            for c in rng.sample(pool, min(rng.randrange(1, 4), len(pool))):
+                cols.append(f"{a}.{c} AS {a}_{c}")
+        body = f"SELECT {', '.join(cols)} FROM {from_sql}{where}"
+        order_cols = [c.split(" AS ")[1] for c in cols]
+
+    order = ", ".join(f"{c} NULLS FIRST" for c in order_cols)
+    limit = f" LIMIT {rng.choice([50, 500])}" if rng.random() < 0.3 else ""
+    return f"{body} ORDER BY {order}{limit}"
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("datetime", "object")):
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark):
+    for t in TABLES:
+        load(spark, SF_SMOKE, t).createOrReplaceTempView(t)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield spark, con
+    con.close()
+
+
+def test_differential_fuzz(fuzz_env):
+    spark, con = fuzz_env
+    rng = random.Random(SEED)
+    domains = _domains(SF_SMOKE)
+    failures = []
+    for i in range(N_QUERIES):
+        sql = _gen_query(rng, domains)
+        got = _normalize(spark.sql(sql).toPandas())
+        want = _normalize(con.execute(sql).fetch_df())
+        try:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        except AssertionError as e:
+            failures.append((i, sql, str(e).splitlines()[0]))
+    assert not failures, "\n".join(
+        f"[{i}] {sql}\n    {err}" for i, sql, err in failures[:5]
+    ) + f"\n({len(failures)}/{N_QUERIES} diverged)"
