@@ -23,4 +23,16 @@ from ..convert import (  # noqa: F401
 from ..misc import write_key  # noqa: F401
 from ..operators.dedup import shingles, tokens  # noqa: F401
 from ..operators.similarity import cosine, dot, norm  # noqa: F401
+from ..operators.sketches import (  # noqa: F401
+    binned_quantiles,
+    binned_quantiles_by,
+    bloom_bits,
+    bloom_probe,
+    countmin_estimate,
+    countmin_registers,
+    hll_count_distinct,
+    hll_estimate,
+    hll_merge_into_store,
+    hll_registers,
+)
 from ..pipeline import md5_uuid, tolerant_timestamp  # noqa: F401

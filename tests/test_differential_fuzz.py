@@ -84,6 +84,10 @@ def _predicate(rng: random.Random, t: str, alias: str, domains: dict) -> str:
     if col_type == "int":
         c = rng.choice(ints)
         v = rng.choice(domains[(t, c)])
+        if rng.random() < 0.2:
+            v2 = rng.choice(domains[(t, c)])
+            lo, hi = sorted((v, v2))
+            return f"{alias}.{c} BETWEEN {_lit(lo)} AND {_lit(hi)}"
         op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
         return f"{alias}.{c} {op} {_lit(v)}"
     if col_type == "date":
@@ -102,6 +106,19 @@ def _predicate(rng: random.Random, t: str, alias: str, domains: dict) -> str:
     return f"{alias}.{c} LIKE '{prefix}%'"
 
 
+def _subquery_predicate(rng: random.Random, t: str, alias: str, domains: dict) -> str | None:
+    """Semi/anti-join shape via [NOT] IN (SELECT fk FROM other WHERE ...)."""
+    for lt, rt, lk, rk in JOINS:
+        if lt == t:
+            inner_pred = _predicate(rng, rt, "s", domains)
+            neg = "NOT " if rng.random() < 0.3 else ""
+            return (
+                f"{alias}.{lk} {neg}IN "
+                f"(SELECT s.{rk} FROM {rt} s WHERE {inner_pred})"
+            )
+    return None
+
+
 def _gen_query(rng: random.Random, domains: dict) -> str:
     if rng.random() < 0.5:  # single table
         t = rng.choice(list(TABLES))
@@ -118,9 +135,13 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
         for t, a in aliases
         for _ in range(rng.randrange(0, 2))
     ]
+    if len(aliases) == 1 and rng.random() < 0.25:
+        sub = _subquery_predicate(rng, aliases[0][0], aliases[0][1], domains)
+        if sub:
+            preds.append(sub)
     where = f" WHERE {' AND '.join(preds)}" if preds else ""
 
-    if rng.random() < 0.5:  # grouped aggregate
+    if rng.random() < 0.5:  # grouped aggregate (sometimes with HAVING)
         gt, ga = rng.choice(aliases)
         ints, strs, _ = TABLES[gt]
         gcol = f"{ga}.{rng.choice(strs + ints)}"
@@ -133,11 +154,16 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
             f"max({acol}) AS mx",
         ]
         sel = [f"{gcol} AS g"] + rng.sample(aggs, rng.randrange(1, 4))
+        having = (
+            f" HAVING count(*) > {rng.choice([1, 3, 10])}"
+            if rng.random() < 0.3
+            else ""
+        )
         body = (
-            f"SELECT {', '.join(sel)} FROM {from_sql}{where} GROUP BY {gcol}"
+            f"SELECT {', '.join(sel)} FROM {from_sql}{where} GROUP BY {gcol}{having}"
         )
         order_cols = ["g"]
-    else:  # projection
+    else:  # projection (sometimes a UNION ALL of two predicate slices)
         cols = []
         for t, a in aliases:
             ints, strs, dates = TABLES[t]
@@ -146,6 +172,13 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
                 cols.append(f"{a}.{c} AS {a}_{c}")
         body = f"SELECT {', '.join(cols)} FROM {from_sql}{where}"
         order_cols = [c.split(" AS ")[1] for c in cols]
+        if len(aliases) == 1 and rng.random() < 0.2:
+            t, a = aliases[0]
+            p2 = _predicate(rng, t, a, domains)
+            body = (
+                f"SELECT * FROM ({body} UNION ALL "
+                f"SELECT {', '.join(cols)} FROM {from_sql} WHERE {p2}) u"
+            )
 
     order = ", ".join(f"{c} NULLS FIRST" for c in order_cols)
     limit = f" LIMIT {rng.choice([50, 500])}" if rng.random() < 0.3 else ""
