@@ -37,19 +37,32 @@ from kassette_server_spark.catalog import load
 SEED = 20260813
 N_QUERIES = 100
 
-# (table, integer cols, string cols, date cols)
+# (table, integer cols, string cols, date cols) — doubles deliberately
+# excluded (float summation order is engine-dependent)
 TABLES = {
     "customer": (["c_custkey", "c_nationkey"], ["c_name", "c_mktsegment"], []),
     "orders": (["o_orderkey", "o_custkey"], ["o_orderstatus", "o_orderpriority"], ["o_orderdate"]),
     "nation": (["n_nationkey", "n_regionkey"], ["n_name"], []),
     "region": (["r_regionkey"], ["r_name"], []),
     "part": (["p_partkey", "p_size"], ["p_brand", "p_type"], []),
+    "lineitem": (
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        ["l_returnflag", "l_linestatus"],
+        ["l_shipdate"],
+    ),
 }
 # FK joins with join-key names per side
 JOINS = [
     ("customer", "orders", "c_custkey", "o_custkey"),
     ("nation", "customer", "n_nationkey", "c_nationkey"),
     ("region", "nation", "r_regionkey", "n_regionkey"),
+    ("part", "lineitem", "p_partkey", "l_partkey"),
+    ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+]
+# dim → fact → fact chains for 3-way joins
+CHAINS = [
+    ("customer", "orders", "lineitem", "c_custkey", "o_custkey", "o_orderkey", "l_orderkey"),
+    ("nation", "customer", "orders", "n_nationkey", "c_nationkey", "c_custkey", "o_custkey"),
 ]
 
 
@@ -120,15 +133,23 @@ def _subquery_predicate(rng: random.Random, t: str, alias: str, domains: dict) -
 
 
 def _gen_query(rng: random.Random, domains: dict) -> str:
-    if rng.random() < 0.5:  # single table
+    shape = rng.random()
+    if shape < 0.45:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
         from_sql = f"{t} t0"
-    else:
+    elif shape < 0.85:  # FK pair
         lt, rt, lk, rk = rng.choice(JOINS)
         how = rng.choice(["JOIN", "LEFT JOIN"])
         aliases = [(lt, "t0"), (rt, "t1")]
         from_sql = f"{lt} t0 {how} {rt} t1 ON t0.{lk} = t1.{rk}"
+    else:  # 3-way chain
+        a, b, c, k1l, k1r, k2l, k2r = rng.choice(CHAINS)
+        aliases = [(a, "t0"), (b, "t1"), (c, "t2")]
+        from_sql = (
+            f"{a} t0 JOIN {b} t1 ON t0.{k1l} = t1.{k1r} "
+            f"JOIN {c} t2 ON t1.{k2l} = t2.{k2r}"
+        )
 
     preds = [
         _predicate(rng, t, a, domains)
