@@ -31,6 +31,7 @@ from ..operators.sketches import (  # noqa: F401
     countmin_estimate,
     countmin_registers,
     hll_count_distinct,
+    hll_count_distinct_by,
     hll_estimate,
     hll_merge_into_store,
     hll_registers,

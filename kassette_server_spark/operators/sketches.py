@@ -115,6 +115,52 @@ def hll_count_distinct(df: DataFrame, col: str, p: int = 9) -> DataFrame:
     return hll_estimate(hll_registers(df, col, p), p)
 
 
+def hll_count_distinct_by(
+    df: DataFrame, col: str, by: str, p: int = 9
+) -> DataFrame:
+    """Per-group deterministic approx-count-distinct (q90): one HLL
+    register set per group — the count-distinct-by-dimension dashboard
+    shape. The shuffle carries at most ``groups * 2^p`` register rows
+    (map-side combined), never the input; per-group sketches remain
+    individually mergeable across partitions/days by groupBy(by, reg).max.
+
+    Output: (by, approx_distinct, zero_registers, scaled_sum).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    scale = wbits + 1
+    hv = _hash60(F.col(col))
+    w = F.shiftright(hv, p)
+    rank = F.when(w == 0, F.lit(scale)).otherwise(F.lit(scale) - F.length(F.bin(w)))
+    regs = (
+        df.where(F.col(col).isNotNull() & F.col(by).isNotNull())
+        .select(F.col(by), (hv % m).alias("reg"), rank.alias("rank"))
+        .groupBy(by, "reg")
+        .agg(F.max("rank").alias("m_rank"))
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+    agg = regs.groupBy(by).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - m_rank)")).alias(
+            "present_sum"
+        ),
+        F.count("*").alias("nreg"),
+    )
+    scaled_sum = (
+        F.coalesce(F.col("present_sum"), F.lit(0))
+        + (F.lit(m) - F.col("nreg")) * F.lit(1 << scale)
+    )
+    return agg.select(
+        by,
+        F.floor(alpha * m * m * F.lit(float(1 << scale)) / scaled_sum)
+        .cast("long")
+        .alias("approx_distinct"),
+        (F.lit(m) - F.col("nreg")).cast("long").alias("zero_registers"),
+        scaled_sum.cast("long").alias("scaled_sum"),
+    ).orderBy(by)
+
+
 def countmin_registers(
     df: DataFrame, col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:

@@ -16,7 +16,7 @@ from .base import REGISTRY, QuerySpec
 from . import relational as _relational  # noqa: F401,E402  (q01-q21)
 from . import parity as _parity  # noqa: F401,E402  (q22-q27)
 from . import pipeline_e2e as _pipeline_e2e  # noqa: F401,E402  (q28)
-from . import llmops as _llmops  # noqa: F401,E402  (q30-q41, q52, q57-58, q66-68, q85-86, q88-89)
+from . import llmops as _llmops  # noqa: F401,E402  (q30-q41, q52, q57-58, q66-68, q85-86, q88-90)
 from . import tpch as _tpch  # noqa: F401,E402  (q53-q55)
 from . import olap as _olap  # noqa: F401,E402  (q42-q51, q56, q59-q65, q69, q87)
 from . import text_extra as _text_extra  # noqa: F401,E402

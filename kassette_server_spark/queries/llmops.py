@@ -580,6 +580,47 @@ def q_quantiles_per_group(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.binned_quantiles_by(load(spark, sf, "events"), "value", "event_type")
 
 
+# q90: per-group HLL — distinct users per event type, one register set
+# per group; shuffle <= groups * 2^p register rows however large the
+# input. Same bit-exact construction as q40, partitioned.
+@query(
+    "q90_hll_per_group",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ), regs AS (
+      SELECT event_type, hv % 512 AS reg,
+             max(CASE WHEN hv // 512 = 0 THEN 52
+                 ELSE 52 - length(bin(hv // 512)) END) AS m_rank
+      FROM h GROUP BY event_type, reg
+    ), s AS (
+      SELECT event_type,
+             CAST(sum(CAST(1 AS BIGINT) << (52 - m_rank)) AS BIGINT) AS present_sum,
+             count(*) AS nreg
+      FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(floor(0.7213 / (1.0 + 1.079 / 512) * 512 * 512 * 4503599627370496.0
+                / (coalesce(present_sum, 0) + (512 - nreg) * (CAST(1 AS BIGINT) << 52)))
+                AS BIGINT) AS approx_distinct,
+           CAST(512 - nreg AS BIGINT) AS zero_registers,
+           CAST(coalesce(present_sum, 0) + (512 - nreg) * (CAST(1 AS BIGINT) << 52)
+                AS BIGINT) AS scaled_sum
+    FROM s
+    ORDER BY event_type
+    """,
+    doc="per-group deterministic HLL: distinct users per event_type, "
+    "register shuffle bounded by groups*2^p",
+    tags=("llmops", "approx"),
+)
+def q_hll_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.hll_count_distinct_by(
+        load(spark, sf, "events"), "user_id", "event_type", p=9
+    )
+
+
 # Multimodal plumbing --------------------------------------------------------
 
 
