@@ -50,6 +50,11 @@ TABLES = {
         ["l_returnflag", "l_linestatus"],
         ["l_shipdate"],
     ),
+    # events: integer/string columns only — ts is TIMESTAMP(NANOS) in the
+    # raw parquet (engine-side normalization is catalog.load's job, and
+    # DuckDB reads the nanos directly: deliberately out of fuzz scope),
+    # value is a double (excluded like all doubles)
+    "events": (["event_id", "user_id"], ["event_type"], []),
 }
 # FK joins with join-key names per side
 JOINS = [
@@ -188,11 +193,33 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
         cols = []
         for t, a in aliases:
             ints, strs, dates = TABLES[t]
-            pool = ints + strs + dates
-            for c in rng.sample(pool, min(rng.randrange(1, 4), len(pool))):
-                cols.append(f"{a}.{c} AS {a}_{c}")
+            for c in rng.sample(ints, min(rng.randrange(0, 3), len(ints))):
+                # scalar fns over ints: abs / arithmetic (null-safe in
+                # both engines: null in -> null out)
+                expr = rng.choice(
+                    [f"{a}.{c}", f"abs({a}.{c} - {rng.randrange(100)})",
+                     f"{a}.{c} + {rng.randrange(10)}", f"{a}.{c} % 7"]
+                )
+                cols.append(f"{expr} AS {a}_{c}")
+            for c in rng.sample(strs, min(rng.randrange(0, 3), len(strs))):
+                expr = rng.choice(
+                    [f"{a}.{c}", f"upper({a}.{c})", f"lower({a}.{c})",
+                     f"CAST(length({a}.{c}) AS BIGINT)",
+                     f"substr({a}.{c}, 1, {rng.randrange(1, 6)})"]
+                )
+                cols.append(f"{expr} AS {a}_{c}")
+            for c in rng.sample(dates, min(rng.randrange(0, 2), len(dates))):
+                expr = rng.choice(
+                    [f"{a}.{c}", f"CAST(year({a}.{c}) AS BIGINT)",
+                     f"CAST(month({a}.{c}) AS BIGINT)"]
+                )
+                cols.append(f"{expr} AS {a}_{c}")
+        if not cols:  # ensure at least one column
+            t, a = aliases[0]
+            c = TABLES[t][0][0]
+            cols.append(f"{a}.{c} AS {a}_{c}")
         body = f"SELECT {', '.join(cols)} FROM {from_sql}{where}"
-        order_cols = [c.split(" AS ")[1] for c in cols]
+        order_cols = [c.rsplit(" AS ", 1)[1] for c in cols]
         if len(aliases) == 1 and rng.random() < 0.2:
             t, a = aliases[0]
             p2 = _predicate(rng, t, a, domains)
