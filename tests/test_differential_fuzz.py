@@ -137,8 +137,50 @@ def _subquery_predicate(rng: random.Random, t: str, alias: str, domains: dict) -
     return None
 
 
+# unique sort key per table (total order tiebreaker for row_number)
+UNIQUE_KEY = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+    "part": "p_partkey",
+    "lineitem": None,  # (l_orderkey, l_linenumber) — handled below
+    "events": "event_id",
+}
+
+
+def _gen_window_query(rng: random.Random, domains: dict) -> str:
+    """Window shapes that stay deterministic under ties:
+    - row_number over a provably-unique total order (pk tiebreaker);
+    - sum/count with the default RANGE frame (peers aggregate together,
+      so tie order cannot matter);
+    - lag over the same unique order.
+    Frame-default semantics are a classic engine-divergence area."""
+    t = rng.choice([x for x in TABLES if UNIQUE_KEY[x]])
+    ints, strs, dates = TABLES[t]
+    pk = UNIQUE_KEY[t]
+    part = rng.choice(strs + ints)
+    ordc = rng.choice(ints + dates)
+    kind = rng.choice(["row_number", "sum_range", "lag"])
+    if kind == "row_number":
+        win = f"row_number() OVER (PARTITION BY {part} ORDER BY {ordc} NULLS FIRST, {pk} NULLS FIRST)"
+    elif kind == "sum_range":
+        acol = rng.choice(ints)
+        win = f"CAST(sum({acol}) OVER (PARTITION BY {part} ORDER BY {ordc}) AS BIGINT)"
+    else:
+        acol = rng.choice(ints)
+        win = f"lag({acol}) OVER (PARTITION BY {part} ORDER BY {ordc} NULLS FIRST, {pk} NULLS FIRST)"
+    pred = _predicate(rng, t, "t0", domains)
+    return (
+        f"SELECT t0.{pk} AS pk, {win} AS w FROM {t} t0 WHERE {pred} "
+        f"ORDER BY pk NULLS FIRST, w NULLS FIRST"
+    )
+
+
 def _gen_query(rng: random.Random, domains: dict) -> str:
     shape = rng.random()
+    if shape < 0.12:  # window functions over a single table
+        return _gen_window_query(rng, domains)
     if shape < 0.45:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
