@@ -627,3 +627,67 @@ def minhash_stream_doc_verdicts(verdicts: DataFrame) -> DataFrame:
         .agg(F.min("dup_of").alias("dup_of"), F.max("est_jaccard").alias("est_jaccard"))
         .withColumn("keep", F.col("dup_of").isNull())
     )
+
+
+def positional_kgrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """(id, pos, gram): every *full* k-token gram with its 1-based
+    token position. Pure JVM (split → sequence → slice → posexplode);
+    docs shorter than k tokens emit no grams — mirrored by the
+    oracle's ``range(1, greatest(len - k + 2, 1))`` upper-exclusive
+    emptiness."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "gram")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "gram")
+
+
+def duplicated_span_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Substring-level duplication profile per document (the signal
+    behind suffix-array substring dedup — Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022: a span
+    duplicated anywhere in the corpus marks its occurrences for
+    removal).
+
+    A position is *duplicated* iff its k-token gram occurs more than
+    once corpus-wide (within-doc repetition counts too, as in the
+    paper). Output per doc: total gram positions, duplicated
+    positions, and their ratio.
+
+    Scale shape — this is the distributed stand-in for the paper's
+    monolithic suffix array: one groupBy on a 16-byte gram digest
+    (map-side combined partial counts), one broadcast-free re-join of
+    per-gram totals back to positions, one per-doc aggregate. The
+    shuffle carries digests + counts, never document text. At 100 TB
+    the gram table dwarfs the corpus (~|tokens| rows), which is
+    exactly the suffix-array cost too; partial aggregation and the
+    digest-only payload keep each exchange row at ~24 bytes.
+    """
+    grams = positional_kgrams(df, text_col, id_col, k).withColumn(
+        "g", F.xxhash64("gram")
+    )
+    totals = grams.groupBy("g").agg(F.count("*").alias("occ"))
+    per_doc = (
+        grams.join(totals, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("occ") > 1).cast("long")).alias("dup_grams"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams").cast("long"),
+        F.col("dup_grams").cast("long"),
+        (F.col("dup_grams") / F.col("n_grams")).alias("dup_ratio"),
+    )

@@ -80,3 +80,37 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between event types:
+    for each user's event stream ordered by (ts, event_id), count
+    (previous type → current type) pairs; a user's first event counts
+    as a transition from the synthetic '_start' state.
+
+    The workhorse of session path analysis ("what do users do after
+    checkout?"). One window partitioned by user (a single hash
+    shuffle on user_id — at 100 TB that is the same shuffle
+    sessionization already pays, and AQE reuses the exchange when
+    composed), then a small (|types|²-keyed, map-side-combined) agg.
+    The (ts, id) ordering key makes lag() deterministic under
+    same-timestamp bursts.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    )
+    return (
+        events.withColumn(
+            "prev_type", F.coalesce(F.lag(type_col).over(w), F.lit("_start"))
+        )
+        .groupBy(F.col("prev_type"), F.col(type_col).alias("cur_type"))
+        .agg(F.count("*").alias("transitions"))
+    )

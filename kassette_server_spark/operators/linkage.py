@@ -1,0 +1,111 @@
+"""Blocked fuzzy joins (record linkage / entity resolution).
+
+The reference has no fuzzy-match operator; this is part of the
+LLM-pipeline extension surface (SURVEY.md §2.3): canonicalizing noisy
+entity strings (author names, URLs, product titles) before dedup or
+joining is a standard corpus-curation step. The scale problem is that
+edit distance admits no hash join: a naive implementation is an
+all-pairs cross join (10^8 names → 10^16 comparisons).
+
+The classic fix is *blocking*: generate one or more cheap equality
+keys per row such that any pair within the distance threshold shares
+at least one key, join on each key (a plain shuffled equi-join Spark
+executes as hash joins), union + distinct the candidate pairs, then
+verify with the exact distance only on candidates.
+
+``segment_blocking_keys`` implements pigeonhole segmenting over a
+character span: split the span into ``d+1`` contiguous segments; a
+pair within substitution distance ``d`` must agree exactly on at
+least one segment (one of the d edits cannot touch all d+1 segments).
+This guarantee is exact for equal-length strings under substitutions
+(Hamming); insertions/deletions shift segment boundaries, for which
+the full PassJoin scheme (Li, Deng, Feng: "PassJoin: A Partition-based
+Method for Similarity Joins", PVLDB 2012) matches segments against a
+±d positional neighborhood — the verify step below is already the
+general one (levenshtein), so extending recall to indels is only a
+keys-generation change.
+
+Scale shape: candidates = Σ_k Σ_block |block|² over each key k —
+bounded by the entropy of the blocking keys, never |df|². Degenerate
+(low-entropy) segments are the operator's cost knob, exactly like a
+skewed join key; callers pick the segmented span to point at the
+informative part of the string (the digit suffix of an ID, the local
+part of an email), the same judgment call every production linkage
+system exposes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def segment_blocking_keys(
+    col: Column | str, start: int, length: int, max_dist: int = 1
+) -> list[Column]:
+    """Pigeonhole blocking keys: ``max_dist + 1`` contiguous segments
+    of ``col[start : start+length]`` (1-based, like substring). Each
+    key is tagged with its segment ordinal so segment 0 of one string
+    never equi-matches segment 1 of another."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_seg = max_dist + 1
+    base, rem = divmod(length, n_seg)
+    keys: list[Column] = []
+    pos = start
+    for i in range(n_seg):
+        seg_len = base + (1 if i < rem else 0)
+        keys.append(F.concat_ws("|", F.lit(i), F.substring(c, pos, seg_len)))
+        pos += seg_len
+    return keys
+
+
+def fuzzy_self_join_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    blocking_keys: list[Column],
+    max_dist: int = 1,
+) -> DataFrame:
+    """Self-join rows whose ``str_col`` values are within levenshtein
+    ``max_dist``, using blocked candidate generation.
+
+    Returns (a_id, b_id, dist) with a_id < b_id, exact distances,
+    distinct pairs. Each blocking key drives one equi-join; the union
+    of per-key candidates is dedup'd on the (a, b) pair BEFORE the
+    levenshtein verify so each candidate pair is scored once even when
+    it collides in several blocks.
+
+    Plan: K shuffled equi-joins on (key) + one distinct on the pair +
+    a codegen'd levenshtein filter. No cross join anywhere — the plan
+    lock in tests/test_round5_ops.py asserts it.
+    """
+    sides = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(str_col).alias("_s"),
+        *[bk.alias(f"_bk{i}") for i, bk in enumerate(blocking_keys)],
+    )
+    cand = None
+    for i in range(len(blocking_keys)):
+        a = sides.select(
+            F.col(f"_bk{i}").alias("_k"),
+            F.col("_id").alias("a_id"),
+            F.col("_s").alias("_sa"),
+        )
+        b = sides.select(
+            F.col(f"_bk{i}").alias("_k"),
+            F.col("_id").alias("b_id"),
+            F.col("_s").alias("_sb"),
+        )
+        c = a.join(b, "_k").where(F.col("a_id") < F.col("b_id")).drop("_k")
+        cand = c if cand is None else cand.unionByName(c)
+    assert cand is not None, "need at least one blocking key"
+    verified = (
+        cand.distinct()
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .where(F.col("dist") <= max_dist)
+    )
+    return verified.select(
+        F.col("a_id").cast("long"),
+        F.col("b_id").cast("long"),
+        F.col("dist").cast("int"),
+    )

@@ -475,3 +475,106 @@ def hll_oracle_sql(table: str, col: str, p: int = 9) -> str:
                 AS BIGINT) AS scaled_sum
     FROM s
     """
+
+
+def hll_union_registers(ra: DataFrame, rb: DataFrame) -> DataFrame:
+    """Register-level sketch union: full outer join on the register
+    index, max of ranks. This *is* HLL's mergeability — the union
+    sketch is exactly what a single pass over A ∪ B would have built,
+    so estimates compose without re-reading data (the property that
+    makes per-day sketches roll up to per-month for free)."""
+    a = ra.select("reg", F.col("m_rank").alias("_ra"))
+    b = rb.select("reg", F.col("m_rank").alias("_rb"))
+    return a.join(b, "reg", "full_outer").select(
+        "reg",
+        F.greatest(
+            F.coalesce(F.col("_ra"), F.lit(0)), F.coalesce(F.col("_rb"), F.lit(0))
+        ).alias("m_rank"),
+    )
+
+
+def hll_set_algebra(a: DataFrame, b: DataFrame, col: str, p: int = 9) -> DataFrame:
+    """Distinct-count set algebra from two HLL sketches: |A|, |B|,
+    |A ∪ B| (register max-merge) and |A ∩ B| by inclusion-exclusion
+    (the standard sketch-level intersection — HLLs cannot intersect
+    directly, and the estimate error compounds; that is intrinsic to
+    the method, not this implementation).
+
+    One row: (approx_a, approx_b, approx_union, approx_intersect) —
+    all derived from ≤ 3·2^p register rows, so the whole computation
+    after the two register scans is driver-trivial regardless of input
+    size. approx_intersect is clamped at 0 (inclusion-exclusion can go
+    negative for near-disjoint sets).
+    """
+    ra = hll_registers(a, col, p)
+    rb = hll_registers(b, col, p)
+    ru = hll_union_registers(ra, rb)
+    ea = hll_estimate(ra, p).select(F.col("approx_distinct").alias("approx_a"))
+    eb = hll_estimate(rb, p).select(F.col("approx_distinct").alias("approx_b"))
+    eu = hll_estimate(ru, p).select(F.col("approx_distinct").alias("approx_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "approx_a",
+            "approx_b",
+            "approx_union",
+            F.greatest(
+                F.col("approx_a") + F.col("approx_b") - F.col("approx_union"),
+                F.lit(0).cast("long"),
+            ).alias("approx_intersect"),
+        )
+    )
+
+
+def _hll_regs_cte(src_sql: str, col: str, p: int) -> str:
+    """DuckDB register-table subquery mirroring ``hll_registers``."""
+    m = 1 << p
+    scale = _HASH_BITS - p + 1
+    return f"""(
+      SELECT hv % {m} AS reg,
+             max(CASE WHEN hv // {m} = 0 THEN {scale}
+                 ELSE {scale} - length(bin(hv // {m})) END) AS m_rank
+      FROM (
+        SELECT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, {_HASH_HEX_CHARS})
+                    AS BIGINT) AS hv
+        FROM {src_sql} WHERE {col} IS NOT NULL
+      ) GROUP BY reg
+    )"""
+
+
+def _hll_est_expr(regs_name: str, p: int, alias: str) -> str:
+    """DuckDB scalar-subquery estimate mirroring ``hll_estimate``."""
+    m = 1 << p
+    scale = _HASH_BITS - p + 1
+    return f"""(
+      SELECT CAST(floor(0.7213 / (1.0 + 1.079 / {m}) * {m} * {m} * {float(1 << scale)!r}
+              / (coalesce(sum(CAST(1 AS BIGINT) << ({scale} - m_rank)), 0)
+                 + ({m} - count(*)) * (CAST(1 AS BIGINT) << {scale})))
+              AS BIGINT)
+      FROM {regs_name}
+    ) AS {alias}"""
+
+
+def hll_algebra_oracle_sql(src_a: str, src_b: str, col: str, p: int = 9) -> str:
+    """DuckDB SQL computing the identical set-algebra estimates.
+    ``src_a`` / ``src_b`` are table expressions (table name or
+    parenthesized subquery) each exposing ``col``."""
+    return f"""
+    WITH ra AS (SELECT * FROM {_hll_regs_cte(src_a, col, p)}),
+         rb AS (SELECT * FROM {_hll_regs_cte(src_b, col, p)}),
+         ru AS (
+           SELECT coalesce(ra.reg, rb.reg) AS reg,
+                  greatest(coalesce(ra.m_rank, 0), coalesce(rb.m_rank, 0)) AS m_rank
+           FROM ra FULL OUTER JOIN rb USING (reg)
+         ),
+         e AS (
+           SELECT {_hll_est_expr('ra', p, 'approx_a')},
+                  {_hll_est_expr('rb', p, 'approx_b')},
+                  {_hll_est_expr('ru', p, 'approx_union')}
+         )
+    SELECT approx_a, approx_b, approx_union,
+           greatest(approx_a + approx_b - approx_union, CAST(0 AS BIGINT))
+             AS approx_intersect
+    FROM e
+    """
