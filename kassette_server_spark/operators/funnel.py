@@ -114,3 +114,52 @@ def event_transitions(
         .groupBy(F.col("prev_type"), F.col(type_col).alias("cur_type"))
         .agg(F.count("*").alias("transitions"))
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touch: str = "click",
+    max_gap_seconds: int = 3600,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event is
+    credited to the user's most recent ``touch`` event STRICTLY before
+    it (rows frame ending at 1 PRECEDING) and within
+    ``max_gap_seconds``; outside the window the conversion is organic
+    (null touch).
+
+    Same single user-keyed shuffle as sessionization — the window
+    carries two running last_values (ignorenulls), per-user state is
+    O(1). The (ts, id) ordering key pins same-timestamp bursts.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) == touch
+    annotated = events.withColumn(
+        "_touch_id", F.last(F.when(is_touch, F.col(id_col)), ignorenulls=True).over(w)
+    ).withColumn(
+        "_touch_ts", F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w)
+    )
+    gap = (
+        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_touch_ts"))
+    ).cast("long")
+    in_window = F.col("_touch_ts").isNotNull() & (gap <= max_gap_seconds)
+    return (
+        annotated.where(F.col(type_col) == conversion)
+        .select(
+            F.col(id_col).alias("conversion_id"),
+            F.col(user_col),
+            F.col(ts_col),
+            F.when(in_window, F.col("_touch_id")).alias("touch_id"),
+            F.when(in_window, gap).alias("gap_seconds"),
+        )
+    )

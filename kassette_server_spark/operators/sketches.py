@@ -578,3 +578,70 @@ def hll_algebra_oracle_sql(src_a: str, src_b: str, col: str, p: int = 9) -> str:
              AS approx_intersect
     FROM e
     """
+
+
+def countmin_merge_into_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    col: str,
+    store_path: str,
+    depth: int = 4,
+    width: int = 256,
+) -> bool:
+    """foreachBatch body: fold a micro-batch's Count-Min registers into
+    a persistent store — streaming heavy-hitter maintenance.
+
+    Unlike the HLL store (max-merge, naturally idempotent), CMS
+    counters are ADDITIVE: re-merging a replayed batch would double
+    count. The store therefore fences on the foreachBatch ``batch_id``
+    (carried as a constant ``merged_through`` column on every register
+    row, so store + fence live in ONE dataset and one atomic-ish
+    directory overwrite): a batch at or below the high-water mark is
+    skipped, which is exactly Spark's documented foreachBatch
+    exactly-once recipe. Returns whether the batch was merged.
+
+    The single-dataset layout keeps the crash window to one write: a
+    failure mid-overwrite loses the store (rebuildable by replay from
+    the checkpointed source), never silently double-counts.
+    """
+    spark = batch_df.sparkSession
+    new = countmin_registers(batch_df, col, depth, width)
+    try:
+        old = spark.read.parquet(store_path)
+        hwm = old.agg(F.max("merged_through")).collect()[0][0]
+        if hwm is not None and batch_id <= hwm:
+            return False  # replayed batch: already folded in
+        merged = (
+            old.select("d", "reg", "cnt")
+            .unionByName(new)
+            .groupBy("d", "reg")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    except Exception:  # first batch: no store yet
+        merged = new
+    rows = merged.collect()  # bounded: <= depth*width rows
+    out = spark.createDataFrame(rows, merged.schema).withColumn(
+        "merged_through", F.lit(int(batch_id))
+    )
+    out.write.mode("overwrite").parquet(store_path)
+    return True
+
+
+def bloom_merge_into_store(
+    batch_df: DataFrame, col: str, store_path: str, k: int = 3, m_bits: int = 1 << 14
+) -> None:
+    """foreachBatch body: OR a micro-batch's Bloom bits into a
+    persistent filter. Set-union is idempotent (like the HLL max), so
+    at-least-once replays are safe without fencing; the store is
+    <= m_bits rows of one int."""
+    spark = batch_df.sparkSession
+    new = bloom_bits(batch_df, col, k, m_bits)
+    try:
+        old = spark.read.parquet(store_path)
+        merged = old.unionByName(new).distinct()
+    except Exception:  # first batch
+        merged = new
+    rows = merged.collect()  # bounded: <= m_bits rows
+    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+        store_path
+    )

@@ -227,3 +227,70 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("double").alias("y"),
     )
     return kmeans_fit(pts, ["x", "y"], k=4, iters=2, id_col="id")
+
+
+# q97: salted join — the skew-mitigation shape (operators/layout.py:
+# big side salted, small side replicated salt_buckets ways, shuffle key
+# (key, salt)) with the oracle being the PLAIN join + aggregate, so the
+# hash-match proves salting is result-invariant. Money summed as exact
+# long cents per the relational.py convention.
+@query(
+    "q97_salted_join",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100
+             AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    doc="skew-salted equi-join, result-identical to the plain join",
+    tags=("layout",),
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.layout import salted_join
+
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    joined = salted_join(li, supp, "l_suppkey", salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100).alias(
+            "revenue"
+        ),
+    )
+
+
+# q98: last-touch attribution — every purchase credited to the user's
+# most recent click strictly before it and within 1 hour; organic
+# purchases keep null touch. Deterministic under same-ts bursts via the
+# (ts, event_id) ordering key on both engines.
+@query(
+    "q98_attribution",
+    oracle="""
+    SELECT event_id AS conversion_id, user_id, ts,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND date_diff('second', last_click_ts, ts) <= 3600
+                THEN last_click END AS touch_id,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND date_diff('second', last_click_ts, ts) <= 3600
+                THEN date_diff('second', last_click_ts, ts) END AS gap_seconds
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER w AS last_click,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS) OVER w AS last_click_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ) z
+    WHERE event_type = 'purchase'
+    """,
+    doc="last-touch attribution (1h window, strictly-preceding click)",
+    tags=("analytics",),
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.funnel import last_touch_attribution
+
+    return last_touch_attribution(load(spark, sf, "events"))

@@ -174,3 +174,125 @@ def test_event_transitions_orders_ties_by_event_id(spark):
         ("a", "b"): 1,
         ("b", "c"): 1,
     }
+
+
+# ---------- streaming sketch store maintenance ----------
+
+
+def test_countmin_store_replay_fenced(spark, tmp_path):
+    from kassette_server_spark.operators import sketches
+
+    store = str(tmp_path / "cms_store")
+    b0 = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "v string")
+    b1 = spark.createDataFrame([("a",)] * 3 + [("c",)] * 4, "v string")
+
+    assert sketches.countmin_merge_into_store(b0, 0, "v", store)
+    assert sketches.countmin_merge_into_store(b1, 1, "v", store)
+    regs = spark.read.parquet(store).select("d", "reg", "cnt")
+    probe = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    est = {
+        r.v: r.est_count
+        for r in sketches.countmin_estimate(probe, regs, "v").collect()
+    }
+    assert est == {"a": 8, "b": 2, "c": 4}  # CMS exact here (no collisions forced)
+
+    # at-least-once replay of batch 1: additive merge MUST be fenced
+    assert not sketches.countmin_merge_into_store(b1, 1, "v", store)
+    regs2 = spark.read.parquet(store).select("d", "reg", "cnt")
+    est2 = {
+        r.v: r.est_count
+        for r in sketches.countmin_estimate(probe, regs2, "v").collect()
+    }
+    assert est2 == est
+
+
+def test_bloom_store_replay_idempotent(spark, tmp_path):
+    from kassette_server_spark.operators import sketches
+
+    store = str(tmp_path / "bloom_store")
+    b0 = spark.createDataFrame([("x",), ("y",)], "v string")
+    sketches.bloom_merge_into_store(b0, "v", store)
+    n1 = spark.read.parquet(store).count()
+    sketches.bloom_merge_into_store(b0, "v", store)  # replay
+    assert spark.read.parquet(store).count() == n1
+    bits = spark.read.parquet(store)
+    probe = spark.createDataFrame([("x",), ("zzz",)], "v string")
+    got = {r.v: r.in_bloom for r in sketches.bloom_probe(probe, bits, "v").collect()}
+    assert got["x"] is True
+    # "zzz" may false-positive in principle, but not at 2 entries / 16Ki bits
+    assert got["zzz"] is False
+
+
+# ---------- randomized cross-checks ----------
+
+
+def test_fuzzy_join_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = "abc"
+    names = [
+        (i, "".join(rng.choice(alphabet) for _ in range(6))) for i in range(120)
+    ]
+    df = spark.createDataFrame(names, ["id", "name"])
+    keys = segment_blocking_keys("name", start=1, length=6, max_dist=1)
+    got = {
+        (r.a_id, r.b_id)
+        for r in fuzzy_self_join_pairs(df, "id", "name", keys, max_dist=1).collect()
+    }
+
+    def lev(a, b):  # classic DP, small strings only
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    # ground truth restricted to the blocking guarantee: equal-length
+    # strings (always true here) within 1 substitution — plus anything
+    # else the blocked join found must still verify at lev <= 1.
+    want = {
+        (a, b)
+        for (a, na), (b, nb) in itertools.combinations(names, 2)
+        if sum(x != y for x, y in zip(na, nb)) <= 1
+    }
+    assert want <= got
+    by_id = dict(names)
+    for a, b in got:
+        assert lev(by_id[a], by_id[b]) <= 1
+
+
+def test_kmeans_matches_numpy_reference_random(spark):
+    import random
+
+    rng = random.Random(42)
+    pts = [(i, float(rng.randrange(0, 1000)), float(rng.randrange(0, 1000)))
+           for i in range(300)]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    k, iters = 5, 3
+    got = {r.cid: (r.n, r.c_x, r.c_y) for r in
+           kmeans_fit(df, ["x", "y"], k=k, iters=iters).collect()}
+
+    # driver-side reference with identical semantics (init = k smallest
+    # ids, ties -> smaller cid, exact integer sums)
+    centroids = {j: (pts[j][1], pts[j][2]) for j in range(k)}
+    assign = {}
+    for _ in range(iters):
+        assign = {}
+        for pid, x, y in pts:
+            best = min(
+                centroids.items(),
+                key=lambda kv: ((x - kv[1][0]) ** 2 + (y - kv[1][1]) ** 2, kv[0]),
+            )[0]
+            assign.setdefault(best, []).append((x, y))
+        centroids = {
+            c: (sum(p[0] for p in ps) / len(ps), sum(p[1] for p in ps) / len(ps))
+            for c, ps in assign.items()
+        }
+    want = {
+        c: (len(ps), sum(p[0] for p in ps) / len(ps), sum(p[1] for p in ps) / len(ps))
+        for c, ps in assign.items()
+    }
+    assert got == want
