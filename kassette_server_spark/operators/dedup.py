@@ -665,20 +665,26 @@ def duplicated_span_stats(
     positions, and their ratio.
 
     Scale shape — this is the distributed stand-in for the paper's
-    monolithic suffix array: one groupBy on a 16-byte gram digest
-    (map-side combined partial counts), one broadcast-free re-join of
-    per-gram totals back to positions, one per-doc aggregate. The
-    shuffle carries digests + counts, never document text. At 100 TB
-    the gram table dwarfs the corpus (~|tokens| rows), which is
-    exactly the suffix-array cost too; partial aggregation and the
-    digest-only payload keep each exchange row at ~24 bytes.
+    monolithic suffix array: ONE shuffle of (id, digest) rows keyed by
+    the 8-byte gram digest, where a window count over the digest
+    partition tags every position with its corpus-wide occurrence
+    count (no separate totals table, no re-join), then one per-doc
+    aggregate. The exchanges carry digests + ids, never document text
+    — ~16 bytes per token position, which is also the suffix-array
+    cost. The gram build is CPU-heavy per row (slice + concat per
+    position), so the scan is fanned out first
+    (operators/layout.ensure_scan_parallelism).
     """
-    grams = positional_kgrams(df, text_col, id_col, k).withColumn(
-        "g", F.xxhash64("gram")
-    )
-    totals = grams.groupBy("g").agg(F.count("*").alias("occ"))
+    from pyspark.sql import Window
+
+    from .layout import ensure_scan_parallelism
+
+    grams = positional_kgrams(
+        ensure_scan_parallelism(df.select(id_col, text_col)), text_col, id_col, k
+    ).select("id", F.xxhash64("gram").alias("g"))
+    occ = F.count("*").over(Window.partitionBy("g"))
     per_doc = (
-        grams.join(totals, "g")
+        grams.withColumn("occ", occ)
         .groupBy("id")
         .agg(
             F.count("*").alias("n_grams"),

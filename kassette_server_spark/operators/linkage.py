@@ -41,21 +41,48 @@ from pyspark.sql import functions as F
 
 
 def segment_blocking_keys(
-    col: Column | str, start: int, length: int, max_dist: int = 1
+    col: Column | str,
+    start: int,
+    length: int,
+    max_dist: int = 1,
+    n_segments: int | None = None,
 ) -> list[Column]:
-    """Pigeonhole blocking keys: ``max_dist + 1`` contiguous segments
-    of ``col[start : start+length]`` (1-based, like substring). Each
-    key is tagged with its segment ordinal so segment 0 of one string
-    never equi-matches segment 1 of another."""
+    """Pigeonhole blocking keys over ``col[start : start+length]``
+    (1-based, like substring): split the span into ``n_segments``
+    contiguous segments and emit one composite key per
+    ``n_segments - max_dist``-subset of them. A pair within
+    substitution distance d damages at most d segments, so at least
+    one subset is fully intact and its composite key equi-matches.
+
+    ``n_segments`` defaults to ``max_dist + 1`` — subsets of size 1,
+    the classic pigeonhole. RAISING it is the selectivity knob
+    (PassJoin's insight): with s segments each composite key spans
+    ``s - d`` of them, so its entropy is the PRODUCT of the segment
+    entropies — candidates collapse from Σ|block|² on single
+    low-entropy segments toward the true-match count, at the price of
+    C(s, s-d) equi-joins instead of d+1. With s = span length (one
+    char per segment), a pair at full distance d matches exactly one
+    subset — near-zero candidate redundancy. Keys are tagged with the
+    subset ordinal so different subsets never cross-match.
+    """
+    import itertools
+
     c = F.col(col) if isinstance(col, str) else col
-    n_seg = max_dist + 1
+    n_seg = max_dist + 1 if n_segments is None else n_segments
+    if n_seg <= max_dist:
+        raise ValueError(f"need n_segments > max_dist, got {n_seg} <= {max_dist}")
+    if n_seg > length:
+        raise ValueError(f"n_segments {n_seg} exceeds span length {length}")
     base, rem = divmod(length, n_seg)
-    keys: list[Column] = []
+    segs: list[Column] = []
     pos = start
     for i in range(n_seg):
         seg_len = base + (1 if i < rem else 0)
-        keys.append(F.concat_ws("|", F.lit(i), F.substring(c, pos, seg_len)))
+        segs.append(F.substring(c, pos, seg_len))
         pos += seg_len
+    keys: list[Column] = []
+    for si, subset in enumerate(itertools.combinations(range(n_seg), n_seg - max_dist)):
+        keys.append(F.concat_ws("|", F.lit(si), *[segs[j] for j in subset]))
     return keys
 
 
@@ -70,13 +97,16 @@ def fuzzy_self_join_pairs(
     ``max_dist``, using blocked candidate generation.
 
     Returns (a_id, b_id, dist) with a_id < b_id, exact distances,
-    distinct pairs. Each blocking key drives one equi-join; the union
-    of per-key candidates is dedup'd on the (a, b) pair BEFORE the
-    levenshtein verify so each candidate pair is scored once even when
-    it collides in several blocks.
+    distinct pairs. Each blocking key drives one equi-join; candidates
+    are verified with levenshtein FIRST (codegen'd, cheap per pair)
+    and only survivors reach the distinct — a pair colliding in
+    several blocks is scored more than once, but the dedup shuffle
+    then carries only true matches (ids + dist, no strings) instead of
+    the full candidate set, which is the right trade at scale: the
+    match set is orders of magnitude smaller than the candidate set.
 
-    Plan: K shuffled equi-joins on (key) + one distinct on the pair +
-    a codegen'd levenshtein filter. No cross join anywhere — the plan
+    Plan: K shuffled equi-joins on (key) + a codegen'd levenshtein
+    filter + one narrow distinct. No cross join anywhere — the plan
     lock in tests/test_round5_ops.py asserts it.
     """
     sides = df.select(
@@ -99,13 +129,11 @@ def fuzzy_self_join_pairs(
         c = a.join(b, "_k").where(F.col("a_id") < F.col("b_id")).drop("_k")
         cand = c if cand is None else cand.unionByName(c)
     assert cand is not None, "need at least one blocking key"
-    verified = (
-        cand.distinct()
-        .withColumn("dist", F.levenshtein("_sa", "_sb"))
-        .where(F.col("dist") <= max_dist)
+    verified = cand.withColumn("dist", F.levenshtein("_sa", "_sb")).where(
+        F.col("dist") <= max_dist
     )
     return verified.select(
         F.col("a_id").cast("long"),
         F.col("b_id").cast("long"),
         F.col("dist").cast("int"),
-    )
+    ).distinct()

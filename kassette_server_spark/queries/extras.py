@@ -44,7 +44,9 @@ from .base import query
 )
 def q91(spark: SparkSession, sf: str) -> DataFrame:
     cust = load(spark, sf, "customer")
-    keys = segment_blocking_keys("c_name", start=14, length=5, max_dist=1)
+    keys = segment_blocking_keys(
+        "c_name", start=14, length=5, max_dist=1, n_segments=5
+    )
     return fuzzy_self_join_pairs(cust, "c_custkey", "c_name", keys, max_dist=1)
 
 
