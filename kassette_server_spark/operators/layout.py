@@ -102,3 +102,35 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     if n_splits < target:
         return df.repartition(target)
     return df
+
+
+def zorder_key(x, y, bits: int = 10):
+    """Morton (Z-order) interleave of two non-negative ints, ``bits``
+    bits each → a 2·bits-bit locality key.
+
+    The multi-dimensional clustering lever: sort/partition a table by
+    ``zorder_key(a, b)`` at write time and range predicates on EITHER
+    column prune to a bounded set of key ranges — the property Delta's
+    OPTIMIZE ZORDER exploits, built from pure bit arithmetic (exact,
+    engine-portable; shift amounts are literals so the whole expression
+    codegens). x occupies even bits, y odd bits.
+    """
+    x = x.cast("long") if hasattr(x, "cast") else F.col(x).cast("long")
+    y = y.cast("long") if hasattr(y, "cast") else F.col(y).cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def zorder_key_sql(x_expr: str, y_expr: str, bits: int = 10) -> str:
+    """DuckDB expression computing the identical Morton key."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((CAST({x_expr} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST({y_expr} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)

@@ -1,0 +1,69 @@
+"""Deterministic weighted sampling for corpus curation.
+
+Priority sampling (Duffield–Lund–Thorup, JACM 2007): each item gets
+priority ``q = w / u`` with ``u`` uniform in (0, 1]; the top-k items by
+priority are a weight-proportional sample supporting unbiased
+subset-sum estimation with threshold ``tau`` = the (k+1)-th priority.
+
+Why this scheme here (vs Efraimidis–Spirakis ``u^(1/w)``): the
+priority is ONE IEEE division of two exactly-representable doubles —
+``w`` integer-valued, ``u`` a dyadic rational built from 52 md5 bits —
+so it is bit-identical across engines (division is correctly rounded
+everywhere), whereas ``pow``/``ln`` are libm-dependent. Determinism
+makes the sample reproducible run-to-run and auditable, which is what
+a 100 TB data-mixing pipeline needs.
+
+Scale shape: priority is computed map-side (md5 + one division per
+row, codegen'd); the top-k is a sort-limit, which Spark plans as
+TakeOrderedAndProject — per-partition partial top-k, only
+|partitions|·k rows leave the scan stage. No shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_U_HEX_CHARS = 13  # 52 bits: the largest md5 prefix exactly representable in a double
+_U_DENOM = float(1 << 52)
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k rows by deterministic priority ``w / u``.
+
+    ``weight_col`` must be positive. Output: (id, weight, priority),
+    priority strictly descending (ties impossible short of an md5
+    collision on the id).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, _U_HEX_CHARS), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(_U_DENOM)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col),
+            (F.col(weight_col).cast("double") / u).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def priority_sample_oracle_sql(
+    table: str, id_col: str, weight_col: str, k: int = 100
+) -> str:
+    """DuckDB SQL for the identical sample (same 52-bit md5 ``u``)."""
+    h = f"CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, {_U_HEX_CHARS}) AS BIGINT)"
+    u = f"(CAST({h} + 1 AS DOUBLE) / {_U_DENOM!r})"
+    return f"""
+    SELECT {id_col}, {weight_col},
+           CAST({weight_col} AS DOUBLE) / {u} AS priority
+    FROM {table}
+    ORDER BY priority DESC, {id_col} LIMIT {k}
+    """

@@ -1,0 +1,147 @@
+"""Round-5 session-3 specs (q99–q104): retrieval, weighted sampling,
+grouped regression, graph centrality, Z-order layout, robust outliers.
+
+Determinism strategy per spec (each oracle computes the IDENTICAL
+algorithm, not just a semantically-equivalent one):
+
+* q99  — fixed-order float adds + 6-dp rounding (ln is the only
+         non-exact-rounded op in the tree).
+* q100 — ONE IEEE division of exactly-representable doubles; bit-exact.
+* q101 — exact BIGINT sufficient statistics, then a shared double
+         expression tree; bit-exact.
+* q102 — integer micro-unit ranks, integer division; bit-exact.
+* q103 — pure bit arithmetic; bit-exact.
+* q104 — exact medians + exact-rounded add/sub/abs/mul; bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.graph import pagerank_fixedpoint, pagerank_oracle_sql
+from ..operators.layout import zorder_key, zorder_key_sql
+from ..operators.retrieval import bm25_oracle_sql, bm25_topk
+from ..operators.sampling import priority_sample, priority_sample_oracle_sql
+from ..operators.stats import (
+    grouped_ols,
+    grouped_ols_oracle_sql,
+    mad_outliers,
+    mad_outliers_oracle_sql,
+)
+from .base import query
+
+_BM25_TERMS = ("spark", "join", "window", "hash")
+
+
+@query(
+    "q99_bm25_retrieval",
+    oracle=bm25_oracle_sql(_BM25_TERMS, k=50),
+    doc="BM25 top-50 docs for a fixed query-term set (broadcast corpus "
+    "stats, map-side scoring, partial top-k)",
+    tags=("retrieval", "llm"),
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    return bm25_topk(load(spark, sf, "documents"), _BM25_TERMS, k=50)
+
+
+@query(
+    "q100_priority_sample",
+    oracle=priority_sample_oracle_sql("documents", "doc_id", "n_chars", k=100),
+    doc="deterministic weighted priority sample (Duffield-Lund-Thorup, "
+    "md5-dyadic u, top-k by w/u)",
+    tags=("sampling", "llm"),
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    return priority_sample(load(spark, sf, "documents"), "doc_id", "n_chars", k=100)
+
+
+@query(
+    "q101_grouped_regression",
+    oracle=grouped_ols_oracle_sql(
+        "lineitem", "l_suppkey", "l_quantity", "round(l_extendedprice)"
+    ),
+    doc="per-supplier OLS of price on quantity via exact-integer "
+    "sufficient statistics (one map-combined groupBy)",
+    tags=("stats",),
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return grouped_ols(
+        li, "l_suppkey", F.col("l_quantity"), F.round(F.col("l_extendedprice"))
+    )
+
+
+# Bipartite procurement graph: part ⇄ supplier edges from distinct
+# lineitem pairs, both directions (undirected PageRank). Node ids are
+# ints: part → 2·key, supplier → 2·key + 1.
+_PAGERANK_EDGES_SQL = """
+    SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    UNION ALL
+    SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+@query(
+    "q102_pagerank",
+    oracle=pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iters=3),
+    doc="3-iteration fixed-point integer PageRank on the part-supplier "
+    "bipartite graph (order-free integer sums, localCheckpoint loop)",
+    tags=("graph",),
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = (2 * F.col("l_partkey")).alias("p")
+    s = (2 * F.col("l_suppkey") + 1).alias("s")
+    ids = pairs.select(p, s)
+    edges = ids.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
+        ids.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    return pagerank_fixedpoint(edges, iters=3)
+
+
+@query(
+    "q103_zorder_stats",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT ({zorder_key_sql("l_partkey % 1024", "l_suppkey % 1024")}) AS zkey,
+             l_partkey % 1024 AS px, l_suppkey % 1024 AS sy
+      FROM lineitem
+    )
+    SELECT zkey >> 14 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(px) AS min_x, MAX(px) AS max_x,
+           MIN(sy) AS min_y, MAX(sy) AS max_y
+    FROM keyed GROUP BY zkey >> 14
+    """,
+    doc="Morton/Z-order clustering key + per-bucket dimension ranges "
+    "(the locality property file-skipping relies on)",
+    tags=("layout",),
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    keyed = li.select(
+        zorder_key(F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024).alias("zkey"),
+        (F.col("l_partkey") % 1024).alias("px"),
+        (F.col("l_suppkey") % 1024).alias("sy"),
+    )
+    return keyed.groupBy(F.shiftright(F.col("zkey"), 14).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("px").alias("min_x"),
+        F.max("px").alias("max_x"),
+        F.min("sy").alias("min_y"),
+        F.max("sy").alias("max_y"),
+    )
+
+
+@query(
+    "q104_value_outliers",
+    oracle=mad_outliers_oracle_sql("events", "event_type", "value", c=3.0),
+    doc="per-event-type robust outlier profile: exact median + MAD, "
+    "|x-med| > 3*MAD flags (broadcast group-stats joins)",
+    tags=("stats", "llm"),
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    return mad_outliers(load(spark, sf, "events"), "event_type", "value", c=3.0)

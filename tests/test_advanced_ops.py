@@ -1,0 +1,186 @@
+"""Behavioral + plan tests for the q99–q104 operator family
+(retrieval, sampling, regression, graph, layout, robust stats).
+
+Oracle parity at two SFs is covered by test_oracle_parity*.py; these
+tests lock the SCALE properties (broadcast stats, partial top-k, no
+corpus shuffle) and the algorithmic guarantees (weight bias, exact
+recovery, rank monotonicity) that a hash-match alone doesn't prove.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from kassette_server_spark.catalog import load
+from kassette_server_spark.operators.graph import SCALE, pagerank_fixedpoint
+from kassette_server_spark.operators.layout import zorder_key
+from kassette_server_spark.operators.retrieval import bm25_topk
+from kassette_server_spark.operators.sampling import priority_sample
+from kassette_server_spark.operators.stats import grouped_ols, mad_outliers
+from kassette_server_spark.queries import all_specs
+
+SPECS = all_specs()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------- q99 BM25 ----------
+
+
+def test_bm25_stats_broadcast_and_partial_topk(spark):
+    p = _plan(spark, "q99_bm25_retrieval")
+    # the one-row corpus-stats side must broadcast, never shuffle docs
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # top-k is TakeOrderedAndProject (per-partition partial top-k)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bm25_scores_rank_relevant_docs_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark join spark"),  # dense in query terms
+            (2, "spark table row"),  # one term
+            (3, "cat dog fish bird"),  # no terms → filtered out
+            (4, "window hash window hash window hash"),
+        ],
+        "doc_id int, text string",
+    )
+    out = bm25_topk(docs, ("spark", "join", "window", "hash"), k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # zero-score docs excluded
+    assert set(ids) == {1, 2, 4}
+    assert ids.index(2) == len(ids) - 1  # weakest match ranks last
+
+
+# ---------- q100 priority sampling ----------
+
+
+def test_priority_sample_is_weight_biased_and_deterministic(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    s1 = priority_sample(docs, "doc_id", "n_chars", k=50)
+    s2 = priority_sample(docs, "doc_id", "n_chars", k=50)
+    rows1, rows2 = s1.collect(), s2.collect()
+    assert [r.doc_id for r in rows1] == [r.doc_id for r in rows2]  # reproducible
+    # weight bias: sampled docs skew longer than the corpus average
+    avg_all = docs.agg(F.avg("n_chars")).first()[0]
+    avg_sample = sum(r.n_chars for r in rows1) / len(rows1)
+    assert avg_sample > avg_all
+    # priorities strictly descending (ties impossible via md5)
+    pr = [r.priority for r in rows1]
+    assert all(a > b for a, b in zip(pr, pr[1:]))
+    assert all(r.priority >= r.n_chars for r in rows1)  # u <= 1 ⇒ q >= w
+
+
+def test_priority_sample_plan_is_partial_topk(spark):
+    p = _plan(spark, "q100_priority_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # map-side score + partial top-k: no shuffle
+
+
+# ---------- q101 grouped OLS ----------
+
+
+def test_grouped_ols_recovers_exact_line(spark):
+    # y = 3x + 7 exactly → slope/intercept/r2 recovered bit-exactly
+    rows = [(g, x, 3 * x + 7) for g in (1, 2) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, "g int, x int, y int")
+    out = {r.grp: r for r in grouped_ols(df, "g", F.col("x"), F.col("y")).collect()}
+    for g in (1, 2):
+        assert out[g].slope == 3.0
+        assert out[g].intercept == 7.0
+        assert out[g].r2 == 1.0
+
+
+def test_grouped_ols_filters_degenerate_groups(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 1), (1, 5, 2), (2, 1, 4), (2, 2, 4)],
+        "g int, x int, y int",
+    )
+    # group 1: constant x; group 2: constant y — both excluded
+    assert grouped_ols(df, "g", F.col("x"), F.col("y")).count() == 0
+
+
+def test_grouped_ols_single_aggregation_pass(spark):
+    p = _plan(spark, "q101_grouped_regression")
+    assert p.count("Exchange (") == 1  # one shuffle: the groupBy
+    assert p.count("HashAggregate") >= 2  # map-side partials
+
+
+# ---------- q102 PageRank ----------
+
+
+def test_pagerank_hub_outranks_leaves_and_is_deterministic(spark):
+    # star graph: hub 0 ↔ leaves 1..5 (symmetric edges)
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    r1 = {r.node: r.rank for r in pagerank_fixedpoint(df, iters=3).collect()}
+    r2 = {r.node: r.rank for r in pagerank_fixedpoint(df, iters=3).collect()}
+    assert r1 == r2
+    assert all(r1[0] > r1[i] for i in range(1, 6))
+    # leaves are symmetric → identical integer ranks
+    assert len({r1[i] for i in range(1, 6)}) == 1
+    # total mass bounded by n·SCALE (teleport + damped inflow, truncation leaks down)
+    assert sum(r1.values()) <= 6 * SCALE
+
+
+def test_pagerank_truncation_is_conservative(spark):
+    # a node with no in-edges holds exactly the teleport mass
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    r = {x.node: x.rank for x in pagerank_fixedpoint(df, iters=3).collect()}
+    assert r[1] == SCALE - 850_000  # teleport only
+
+
+# ---------- q103 Z-order ----------
+
+
+def test_zorder_key_interleaves_and_preserves_locality(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x int, y int"
+    )
+    rows = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")
+    ).collect()
+    for r in rows:
+        # decode: even bits → x, odd bits → y
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(3))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(3))
+        assert (x, y) == (r.x, r.y)
+    # locality: each quadrant (top 2 key bits) is a 4x4 dimension box
+    by_quad: dict[int, list] = {}
+    for r in rows:
+        by_quad.setdefault(r.z >> 4, []).append(r)
+    for q, rs in by_quad.items():
+        assert max(x.x for x in rs) - min(x.x for x in rs) <= 3
+        assert max(x.y for x in rs) - min(x.y for x in rs) <= 3
+
+
+# ---------- q104 MAD outliers ----------
+
+
+def test_mad_outliers_flags_injected_anomaly(spark):
+    vals = [(1, float(v)) for v in (10, 11, 12, 13, 14, 1000)]
+    df = spark.createDataFrame(vals, "g int, v double")
+    r = mad_outliers(df, "g", "v", c=3.0).first()
+    assert r.n == 6
+    assert r.med == 12.5
+    assert r.n_outliers == 1  # only the 1000
+    assert r.max_abs_dev == 987.5
+
+
+def test_mad_outliers_group_stats_broadcast(spark):
+    p = _plan(spark, "q104_value_outliers")
+    # both join-backs of tiny per-group stats must broadcast
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
