@@ -36,9 +36,12 @@ from ..operators.sketches import (  # noqa: F401
     hll_merge_into_store,
     hll_registers,
 )
+from ..operators.affinity import copurchase_pairs  # noqa: F401
 from ..operators.graph import pagerank_fixedpoint  # noqa: F401
+from ..operators.profiling import profile_columns  # noqa: F401
 from ..operators.layout import zorder_key  # noqa: F401
 from ..operators.retrieval import bm25_topk  # noqa: F401
 from ..operators.sampling import priority_sample  # noqa: F401
 from ..operators.stats import grouped_ols, mad_outliers  # noqa: F401
+from ..operators.textstats import token_entropy_by  # noqa: F401
 from ..pipeline import md5_uuid, tolerant_timestamp  # noqa: F401

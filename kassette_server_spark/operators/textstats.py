@@ -108,3 +108,75 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w
         "doc_id",
         F.array_min(F.transform(shingles(text_col, window), F.md5)).alias("fp"),
     )
+
+
+def token_entropy_by(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy (nats) of the token distribution per group —
+    the distribution-shift signal for corpus mixing: a source whose
+    entropy collapses is boilerplate; one that spikes is noise.
+
+    Cross-engine float discipline: a float SUM over tokens is
+    order-dependent, so the per-token contributions p·ln(p) are folded
+    in SORTED token order via an explicit left fold (Spark
+    ``aggregate`` over ``array_sort(collect_list(...))``, DuckDB
+    ``list_reduce`` over ``list(... ORDER BY tok)``) — same order, same
+    association, bit-identical before the final 6-dp round absorbs the
+    last-ulp ``ln`` libm difference. The folded array is one row per
+    DISTINCT token per group (vocabulary-sized, not corpus-sized), so
+    collect_list is bounded; token counting itself is a
+    map-side-combined groupBy.
+
+    Output: (grp, n_tokens, n_distinct, entropy).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = tok.groupBy("grp", "tok").agg(F.count("*").alias("cnt"))
+    # exact integer total per group: order-free, computed with a window
+    # so the (grp, tok) rows stay in their partitions
+    with_tot = counts.withColumn("tot", F.sum("cnt").over(Window.partitionBy("grp")))
+    p = F.col("cnt").cast("double") / F.col("tot").cast("double")
+    contrib = with_tot.select(
+        "grp", "tot", "tok", (p * F.log(p)).alias("c")
+    )
+    arr = contrib.groupBy("grp").agg(
+        F.first("tot").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.array_sort(F.collect_list(F.struct("tok", "c"))).alias("l"),
+    )
+    folded = F.aggregate(
+        F.transform(F.col("l"), lambda s: s.getField("c")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return arr.select(
+        "grp", "n_tokens", "n_distinct", F.round(-folded, 6).alias("entropy")
+    )
+
+
+def token_entropy_oracle_sql(table: str, group_col: str, text_col: str = "text") -> str:
+    """DuckDB SQL: identical sorted-order fold (list_reduce)."""
+    return f"""
+    WITH tok AS (
+      SELECT {group_col} AS grp, unnest(string_split({text_col}, ' ')) AS tok
+      FROM {table}
+    ),
+    counts AS (SELECT grp, tok, COUNT(*) AS cnt FROM tok GROUP BY grp, tok),
+    with_tot AS (
+      SELECT grp, tok, cnt, SUM(cnt) OVER (PARTITION BY grp) AS tot FROM counts
+    ),
+    arr AS (
+      SELECT grp, any_value(tot) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             list((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                  * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) ORDER BY tok) AS l
+      FROM with_tot GROUP BY grp
+    )
+    SELECT grp, CAST(n_tokens AS BIGINT) AS n_tokens, n_distinct,
+           round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l), (acc, x) -> acc + x), 6)
+             AS entropy
+    FROM arr
+    """

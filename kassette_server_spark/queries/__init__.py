@@ -23,7 +23,7 @@ from . import text_extra as _text_extra  # noqa: F401,E402
 from . import curation as _curation  # noqa: F401,E402  (q70-q74, q78-q82)
 from . import analytics as _analytics  # noqa: F401,E402  (q75-q77, q83)
 from . import extras as _extras  # noqa: F401,E402  (q91-q96)
-from . import advanced as _advanced  # noqa: F401,E402  (q99-q104)
+from . import advanced as _advanced  # noqa: F401,E402  (q99-q108)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import

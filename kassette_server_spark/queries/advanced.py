@@ -1,5 +1,7 @@
-"""Round-5 session-3 specs (q99–q104): retrieval, weighted sampling,
-grouped regression, graph centrality, Z-order layout, robust outliers.
+"""Round-5 session-3 specs (q99–q108): retrieval, weighted sampling,
+grouped regression, graph centrality, Z-order layout, robust outliers,
+time-range rolling windows, co-purchase mining, table profiling,
+distribution entropy.
 
 Determinism strategy per spec (each oracle computes the IDENTICAL
 algorithm, not just a semantically-equivalent one):
@@ -12,6 +14,10 @@ algorithm, not just a semantically-equivalent one):
 * q102 — integer micro-unit ranks, integer division; bit-exact.
 * q103 — pure bit arithmetic; bit-exact.
 * q104 — exact medians + exact-rounded add/sub/abs/mul; bit-exact.
+* q105 — exact-cents integer window sums over a time-RANGE frame.
+* q106 — pure integer pair counts; bit-exact.
+* q107 — pure integer profile counts; bit-exact.
+* q108 — sorted-order deterministic float fold + 6-dp round.
 """
 
 from __future__ import annotations
@@ -20,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.affinity import copurchase_oracle_sql, copurchase_pairs
 from ..operators.graph import pagerank_fixedpoint, pagerank_oracle_sql
+from ..operators.profiling import profile_columns, profile_oracle_sql
+from ..operators.textstats import token_entropy_by, token_entropy_oracle_sql
 from ..operators.layout import zorder_key, zorder_key_sql
 from ..operators.retrieval import bm25_oracle_sql, bm25_topk
 from ..operators.sampling import priority_sample, priority_sample_oracle_sql
@@ -134,6 +143,90 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         F.min("sy").alias("min_y"),
         F.max("sy").alias("max_y"),
     )
+
+
+@query(
+    "q105_rolling_time_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_cents_1h
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) AS tus FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+    doc="per-user 1-hour trailing count/sum (time-RANGE window frame, "
+    "exact cents; one user-keyed shuffle)",
+    tags=("timeseries",),
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # RANGE frame on the epoch-micros ordering: peers (equal ts) are
+    # included in each other's frames in BOTH engines
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-3_599_999_999, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("sum_cents_1h"),
+    )
+
+
+@query(
+    "q106_copurchase_pairs",
+    oracle=copurchase_oracle_sql("lineitem", "l_orderkey", "l_partkey", min_support=2),
+    doc="market-basket co-purchase pairs (basket-keyed self-join, "
+    "fan-out bounded by basket size, exact support counts)",
+    tags=("affinity",),
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    return copurchase_pairs(
+        load(spark, sf, "lineitem"), "l_orderkey", "l_partkey", min_support=2
+    )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "q107_table_profile",
+    oracle=profile_oracle_sql("orders", _PROFILE_COLS),
+    doc="one-pass per-column profile (rows/nulls/exact ndv via a "
+    "single multi-distinct aggregate, stack-unpivoted)",
+    tags=("profiling",),
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    return profile_columns(load(spark, sf, "orders"), _PROFILE_COLS)
+
+
+@query(
+    "q108_entropy_by_source",
+    oracle=token_entropy_oracle_sql("documents", "source"),
+    doc="per-source token-distribution entropy via a sorted-order "
+    "deterministic float fold (aggregate/list_reduce)",
+    tags=("textstats", "llm"),
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    return token_entropy_by(load(spark, sf, "documents"), "source")
 
 
 @query(

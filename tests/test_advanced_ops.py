@@ -184,3 +184,98 @@ def test_mad_outliers_group_stats_broadcast(spark):
     # both join-backs of tiny per-group stats must broadcast
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
+
+
+# ---------- q105 rolling time window ----------
+
+
+def test_rolling_window_counts_only_trailing_hour(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "u1", base, 100.0),
+        (2, "u1", base + dt.timedelta(minutes=30), 50.0),
+        (3, "u1", base + dt.timedelta(minutes=61), 25.0),  # ev1 aged out
+        (4, "u2", base, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, user_id string, ts timestamp, value double")
+    from pyspark.sql import Window
+
+    ev = df.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus").rangeBetween(-3_599_999_999, Window.currentRow)
+    out = {r.event_id: r for r in ev.select(
+        "event_id", F.count("*").over(w).alias("n"), F.sum("cents").over(w).alias("s")
+    ).collect()}
+    assert (out[1].n, out[1].s) == (1, 10000)
+    assert (out[2].n, out[2].s) == (2, 15000)
+    assert (out[3].n, out[3].s) == (2, 7500)  # ev1 outside the hour
+    assert (out[4].n, out[4].s) == (1, 1000)
+
+
+# ---------- q106 co-purchase ----------
+
+
+def test_copurchase_pairs_counts_and_dedups(spark):
+    from kassette_server_spark.operators.affinity import copurchase_pairs
+
+    rows = [
+        (1, 10), (1, 20), (1, 20),  # dup line: counts once
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item int")
+    out = {(r.item_a, r.item_b): r.support
+           for r in copurchase_pairs(df, "basket", "item", min_support=1).collect()}
+    assert out[(10, 20)] == 2
+    assert out[(10, 30)] == 1
+    assert (20, 10) not in out  # ordered pairs only
+
+
+def test_copurchase_no_cartesian(spark):
+    p = _plan(spark, "q106_copurchase_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------- q107 profiling ----------
+
+
+def test_profile_columns_single_scan(spark):
+    p = _plan(spark, "q107_table_profile")
+    # one pass over the table (each scan appears twice in formatted
+    # output: once in the tree, once in the detail section)
+    assert p.count("Scan parquet") == 2
+    assert "Expand" in p  # the multi-distinct strategy
+
+
+def test_profile_columns_counts_nulls_and_ndv(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "k int, v string"
+    )
+    from kassette_server_spark.operators.profiling import profile_columns
+
+    out = {r.col_name: r for r in profile_columns(df, ("k", "v")).collect()}
+    assert (out["k"].n_rows, out["k"].n_nulls, out["k"].ndv) == (4, 0, 4)
+    assert (out["v"].n_rows, out["v"].n_nulls, out["v"].ndv) == (4, 1, 2)
+
+
+# ---------- q108 entropy ----------
+
+
+def test_token_entropy_values(spark):
+    import math
+
+    from kassette_server_spark.operators.textstats import token_entropy_by
+
+    df = spark.createDataFrame(
+        [("s1", "a a b b"), ("s2", "a a a a")], "source string, text string"
+    )
+    out = {r.grp: r for r in token_entropy_by(df, "source").collect()}
+    assert out["s1"].n_tokens == 4 and out["s1"].n_distinct == 2
+    assert abs(out["s1"].entropy - math.log(2)) < 1e-6  # uniform over 2
+    assert out["s2"].entropy == 0.0  # degenerate distribution
