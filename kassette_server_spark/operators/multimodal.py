@@ -414,6 +414,12 @@ def decode_media_meta(
                             n_samples=m["n_samples"],
                             duration_ms=m["duration_ms"],
                         )
+                    elif payload[:6] in GIF_SIGS:
+                        m = parse_gif_meta(payload)
+                        row.update(kind="gif", width=m["width"], height=m["height"])
+                    elif payload[:2] == BMP_SIG:
+                        m = parse_bmp_meta(payload)
+                        row.update(kind="bmp", width=m["width"], height=m["height"])
                 except (
                     ValueError,
                     struct.error,
@@ -458,6 +464,181 @@ def encode_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             16 + i % 100, 16 + (i * 7) % 100, progressive=i % 2 == 0
                         )
                     )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
+# --- GIF (stdlib-only, real container structure) ---------------------------
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def encode_gif(width: int, height: int, n_frames: int = 1) -> bytes:
+    """Minimal structurally-valid GIF89a writer: header, logical screen
+    descriptor (no global color table), ``n_frames`` image descriptors
+    each with a stub LZW data stream, trailer. Every block is
+    length-consistent so the parser's walk exercises real structure."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("dimensions must fit in uint16")
+    if n_frames < 1:
+        raise ValueError("need at least one frame")
+    lsd = struct.pack("<HHBBB", width, height, 0x00, 0, 0)  # no GCT
+    frame = (
+        b"\x2c"  # image separator
+        + struct.pack("<HHHHB", 0, 0, width, height, 0x00)  # descriptor, no LCT
+        + b"\x02"  # LZW minimum code size
+        + b"\x02\x44\x01"  # one data sub-block (stub codes)
+        + b"\x00"  # block terminator
+    )
+    return b"GIF89a" + lsd + frame * n_frames + b"\x3b"
+
+
+def parse_gif_meta(payload: bytes) -> dict:
+    """Real GIF header decode: signature, logical screen descriptor,
+    then a full block walk (extensions' sub-block chains, image
+    descriptors incl. local color tables, LZW sub-blocks) to the
+    trailer. Raises ValueError on structural corruption."""
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF: bad signature")
+    if len(payload) < 14:
+        raise ValueError("truncated logical screen descriptor")
+    width, height, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if width == 0 or height == 0:
+        raise ValueError("zero GIF dimensions")
+    pos = 13
+    if packed & 0x80:  # global color table: 3·2^(N+1) bytes
+        pos += 3 * (2 << (packed & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("unterminated sub-block chain")
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return p
+            if p + size > len(payload):
+                raise ValueError("truncated sub-block")
+            p += size
+
+    n_frames = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated extension")
+            pos = skip_subblocks(pos + 1)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated image descriptor")
+            _l, _t, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            if fw == 0 or fh == 0:
+                raise ValueError("zero frame dimensions")
+            pos += 9
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            n_frames += 1
+        else:
+            raise ValueError(f"unknown block {block:#x}")
+    if n_frames == 0:
+        raise ValueError("no image frames")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "animated": n_frames > 1,
+        "fmt": "gif",
+    }
+
+
+# --- BMP (stdlib-only) ------------------------------------------------------
+
+BMP_SIG = b"BM"
+_BMP_VALID_BPP = (1, 4, 8, 16, 24, 32)
+
+
+def encode_bmp(width: int, height: int, bpp: int = 24) -> bytes:
+    """Minimal valid BMP (BITMAPINFOHEADER, bottom-up, uncompressed):
+    14-byte file header + 40-byte info header + zeroed pixel array with
+    rows padded to 4 bytes — offsets and sizes all consistent."""
+    if width <= 0 or height <= 0:
+        raise ValueError("dimensions must be positive")
+    if bpp not in _BMP_VALID_BPP:
+        raise ValueError(f"unsupported bpp {bpp}")
+    row_bytes = ((width * bpp + 31) // 32) * 4
+    pixel_bytes = row_bytes * height
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + pixel_bytes, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    return header + info + b"\x00" * pixel_bytes
+
+
+def parse_bmp_meta(payload: bytes) -> dict:
+    """Real BMP header decode: file header + BITMAPINFOHEADER with
+    planes/bpp/offset/size consistency checks. Negative height (a legal
+    top-down bitmap) is normalized. Raises ValueError on corruption."""
+    if payload[:2] != BMP_SIG:
+        raise ValueError("not a BMP: bad signature")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP headers")
+    file_size, _r1, _r2, offset = struct.unpack_from("<IHHI", payload, 2)
+    hdr_size, width, height, planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("unsupported DIB header")
+    if planes != 1:
+        raise ValueError("planes must be 1")
+    if bpp not in _BMP_VALID_BPP:
+        raise ValueError(f"invalid bpp {bpp}")
+    if width <= 0 or height == 0:
+        raise ValueError("invalid BMP dimensions")
+    if offset > len(payload) or file_size < offset:
+        raise ValueError("inconsistent offsets")
+    return {
+        "width": width,
+        "height": abs(height),
+        "top_down": height < 0,
+        "bpp": bpp,
+        "fmt": "bmp",
+    }
+
+
+def encode_media_payloads_ext(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Five-codec variant of encode_media_payloads, routed by
+    doc_id % 5: 0 → PNG, 1 → WAV, 2 → JPEG, 3 → GIF
+    (4+(id%64) x 4+((5·id)%48)), 4 → BMP (4+((3·id)%50) x 4+(id%40),
+    24 bpp). Same contract: real containers, oracle-computable
+    metadata from the id formulas alone."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for v in pdf[id_col]:
+                i = int(v)
+                m = i % 5
+                if m == 0:
+                    payloads.append(encode_png(8 + i % 32, 8 + (i * 3) % 24))
+                elif m == 1:
+                    payloads.append(encode_wav(256 + i % 1024, 8000 + 100 * (i % 80)))
+                elif m == 2:
+                    payloads.append(
+                        encode_jpeg(
+                            16 + i % 100, 16 + (i * 7) % 100, progressive=i % 2 == 0
+                        )
+                    )
+                elif m == 3:
+                    payloads.append(encode_gif(4 + i % 64, 4 + (i * 5) % 48))
+                else:
+                    payloads.append(encode_bmp(4 + (i * 3) % 50, 4 + i % 40))
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
 
     return df.mapInPandas(batches, schema=f"{id_col} long, payload binary")

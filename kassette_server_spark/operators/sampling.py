@@ -67,3 +67,46 @@ def priority_sample_oracle_sql(
     FROM {table}
     ORDER BY priority DESC, {id_col} LIMIT {k}
     """
+
+
+def priority_sample_merge_into_store(
+    batch_df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    store_path: str,
+    k: int = 100,
+) -> None:
+    """foreachBatch body: maintain the top-k priority sample over an
+    unbounded stream — streaming weighted sampling without replacement.
+
+    Works because top-k-by-priority is a MERGEABLE summary (like the
+    HLL register store): top_k(A ∪ B) = top_k(top_k(A) ∪ top_k(B)),
+    and the priority is a pure function of (id, weight), so re-merging
+    re-delivered rows is idempotent — the store after any sequence of
+    at-least-once micro-batches equals the single-pass batch sample of
+    everything ever seen. State is exactly k rows; the
+    collect-then-rewrite is bounded driver work.
+
+    Rows re-appearing with a CHANGED weight get a new priority; the
+    dedup below keeps the highest-priority occurrence per id so a
+    reweighted item cannot occupy two slots.
+    """
+    spark = batch_df.sparkSession
+    new = priority_sample(batch_df, id_col, weight_col, k)
+    try:
+        old = spark.read.parquet(store_path)
+        merged = old.unionByName(new)
+    except Exception:  # first batch: no store yet
+        merged = new
+    top = (
+        merged.groupBy(id_col)
+        .agg(
+            F.max("priority").alias("priority"),
+            F.max_by(weight_col, "priority").alias(weight_col),
+        )
+        .select(id_col, weight_col, "priority")
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k)
+    )
+    rows = top.collect()
+    spark.createDataFrame(rows, top.schema).write.mode("overwrite").parquet(store_path)

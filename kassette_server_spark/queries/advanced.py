@@ -219,6 +219,45 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q109_multimodal_decode_ext",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'jpeg'
+                      WHEN 3 THEN 'gif' ELSE 'bmp' END AS kind,
+      CASE doc_id % 5
+        WHEN 0 THEN CAST(8 + doc_id % 32 AS BIGINT)
+        WHEN 2 THEN CAST(16 + doc_id % 100 AS BIGINT)
+        WHEN 3 THEN CAST(4 + doc_id % 64 AS BIGINT)
+        WHEN 4 THEN CAST(4 + (doc_id * 3) % 50 AS BIGINT)
+      END AS width,
+      CASE doc_id % 5
+        WHEN 0 THEN CAST(8 + (doc_id * 3) % 24 AS BIGINT)
+        WHEN 2 THEN CAST(16 + (doc_id * 7) % 100 AS BIGINT)
+        WHEN 3 THEN CAST(4 + (doc_id * 5) % 48 AS BIGINT)
+        WHEN 4 THEN CAST(4 + doc_id % 40 AS BIGINT)
+      END AS height,
+      CASE WHEN doc_id % 5 = 1 THEN CAST(8000 + 100 * (doc_id % 80) AS BIGINT)
+      END AS sample_rate,
+      CASE WHEN doc_id % 5 = 1 THEN CAST(256 + doc_id % 1024 AS BIGINT)
+      END AS n_samples,
+      CASE WHEN doc_id % 5 = 1
+           THEN CAST((256 + doc_id % 1024) * 1000 // (8000 + 100 * (doc_id % 80))
+                     AS BIGINT)
+      END AS duration_ms
+    FROM documents
+    """,
+    doc="five-codec (PNG/WAV/JPEG/GIF/BMP) encode->decode round trip "
+    "via real stdlib container codecs (block-walk/offset validation)",
+    tags=("llmops", "multimodal"),
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import decode_media_meta, encode_media_payloads_ext
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    return decode_media_meta(encode_media_payloads_ext(docs))
+
+
+@query(
     "q108_entropy_by_source",
     oracle=token_entropy_oracle_sql("documents", "source"),
     doc="per-source token-distribution entropy via a sorted-order "

@@ -486,3 +486,73 @@ def test_sketches_cross_engine_on_random_corpora(spark):
         want = con.execute(sketches.hll_oracle_sql("events", "v", p=9)).fetch_df()
         con.close()
         assert got.to_dict("records") == want.to_dict("records"), f"pool {i}"
+
+
+def test_gif_codec_round_trip_and_reject_corruption():
+    """GIF: signature + LSD + full block walk to the trailer; corrupt
+    structure degrades to ValueError, never a crash."""
+    import pytest
+
+    from kassette_server_spark.operators import multimodal as mm
+
+    m = mm.parse_gif_meta(mm.encode_gif(17, 9))
+    assert (m["width"], m["height"], m["n_frames"], m["animated"]) == (17, 9, 1, False)
+    anim = mm.parse_gif_meta(mm.encode_gif(64, 48, n_frames=4))
+    assert anim["n_frames"] == 4 and anim["animated"]
+
+    base = mm.encode_gif(17, 9)
+    with pytest.raises(ValueError):
+        mm.parse_gif_meta(base[:-1])  # trailer gone
+    with pytest.raises(ValueError):
+        mm.parse_gif_meta(base[:8])  # truncated LSD
+    with pytest.raises(ValueError):
+        mm.parse_gif_meta(b"GIF89a" + b"\x00" * 20)  # zero dimensions
+    mangled = bytearray(base)
+    mangled[13] = 0xAA  # neither extension, image, nor trailer
+    with pytest.raises(ValueError):
+        mm.parse_gif_meta(bytes(mangled))
+
+
+def test_bmp_codec_round_trip_and_reject_corruption():
+    import pytest
+
+    from kassette_server_spark.operators import multimodal as mm
+
+    m = mm.parse_bmp_meta(mm.encode_bmp(33, 21))
+    assert (m["width"], m["height"], m["bpp"], m["top_down"]) == (33, 21, 24, False)
+
+    import struct as _s
+
+    base = mm.encode_bmp(33, 21)
+    # top-down (negative height) is legal and normalized
+    neg = bytearray(base)
+    neg[22:26] = _s.pack("<i", -21)
+    td = mm.parse_bmp_meta(bytes(neg))
+    assert td["height"] == 21 and td["top_down"]
+
+    with pytest.raises(ValueError):
+        mm.parse_bmp_meta(base[:30])  # truncated info header
+    bad_planes = bytearray(base)
+    bad_planes[26:28] = _s.pack("<H", 3)
+    with pytest.raises(ValueError):
+        mm.parse_bmp_meta(bytes(bad_planes))
+    bad_bpp = bytearray(base)
+    bad_bpp[28:30] = _s.pack("<H", 13)
+    with pytest.raises(ValueError):
+        mm.parse_bmp_meta(bytes(bad_bpp))
+
+
+def test_decode_media_meta_sniffs_gif_and_bmp(spark):
+    from kassette_server_spark.operators import multimodal as mm
+
+    rows = [
+        (1, mm.encode_gif(10, 20)),
+        (2, mm.encode_bmp(30, 40)),
+        (3, mm.encode_gif(10, 20)[:8]),  # corrupt → unknown, not a crash
+        (4, b"BM" + b"\x00" * 10),  # corrupt BMP → unknown
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in mm.decode_media_meta(df).collect()}
+    assert (out[1].kind, out[1].width, out[1].height) == ("gif", 10, 20)
+    assert (out[2].kind, out[2].width, out[2].height) == ("bmp", 30, 40)
+    assert out[3].kind == "unknown" and out[4].kind == "unknown"

@@ -438,3 +438,70 @@ def test_streaming_hll_store_equals_single_pass(spark, tmp_path):
     sketches.hll_merge_into_store(redelivered, "doc_id", store)
     again = sketches.hll_estimate(spark.read.parquet(store), p=9).collect()[0]
     assert again == streamed
+
+
+def test_streaming_priority_sample_store_equals_single_pass(spark, tmp_path):
+    """Streaming weighted sampling: the top-k priority store after any
+    sequence of micro-batches must equal the single-pass batch sample
+    over everything seen (mergeable summary), and re-delivery must not
+    move it (priorities are pure functions of the row)."""
+    from kassette_server_spark.operators.sampling import (
+        priority_sample,
+        priority_sample_merge_into_store,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "ps_store")
+    schema = "doc_id long, w long"
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).json(str(src))
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: priority_sample_merge_into_store(
+                    bdf, "doc_id", "w", store, k=20
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [(i, 10 + (i * 7) % 90) for i in range(300)]
+    b2 = [(i, 10 + (i * 7) % 90) for i in range(200, 600)]  # 100 overlap
+    spark.createDataFrame(b1, schema).write.json(str(src / "b1"))
+    drain()
+    spark.createDataFrame(b2, schema).write.json(str(src / "b2"))
+    drain()
+
+    streamed = spark.read.parquet(store).orderBy(F.desc("priority")).collect()
+    whole = spark.createDataFrame(sorted(set(b1 + b2)), schema)
+    single = priority_sample(whole, "doc_id", "w", k=20).collect()
+    assert [(r.doc_id, r.w, r.priority) for r in streamed] == [
+        (r.doc_id, r.w, r.priority) for r in single
+    ]
+
+    # re-deliver batch 2 wholesale: store must not move
+    priority_sample_merge_into_store(
+        spark.createDataFrame(b2, schema), "doc_id", "w", store, k=20
+    )
+    again = spark.read.parquet(store).orderBy(F.desc("priority")).collect()
+    assert [(r.doc_id, r.priority) for r in again] == [
+        (r.doc_id, r.priority) for r in streamed
+    ]
+
+    # a reweighted id may only improve its priority and occupies one slot
+    heavy = [(5, 100000)]
+    priority_sample_merge_into_store(
+        spark.createDataFrame(heavy, schema), "doc_id", "w", store, k=20
+    )
+    final = spark.read.parquet(store).collect()
+    assert sum(1 for r in final if r.doc_id == 5) == 1
+    assert max(r.priority for r in final) == next(
+        r.priority for r in final if r.doc_id == 5
+    )
