@@ -69,6 +69,25 @@ def main() -> None:
     clean = kept.join(contam.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
     n4 = clean.count()
 
+    # 5b. audit the surviving distribution: per-source token entropy
+    # (a source whose entropy collapsed is boilerplate that slipped the
+    # repetition gate) and a one-pass column profile of the output
+    from kassette_server_spark.operators.profiling import profile_columns
+    from kassette_server_spark.operators.sampling import priority_sample
+    from kassette_server_spark.operators.textstats import token_entropy_by
+
+    src_docs = docs.select("doc_id", "source").join(clean.select("doc_id"), "doc_id")
+    entropy = token_entropy_by(
+        clean.join(src_docs.select("doc_id", "source"), "doc_id"), "source"
+    )
+    profile = profile_columns(clean, ("doc_id", "lang", "text"))
+
+    # 5c. weighted mixing sample: deterministic priority sample by
+    # length — the reproducible "pick k docs ∝ weight" primitive a
+    # mixing recipe is built from
+    weighted = clean.select("doc_id", F.length("text").alias("w"))
+    sample = priority_sample(weighted, "doc_id", "w", k=min(100, n4))
+
     # 6-7. pack into fixed-token shards, write partitioned by bucket
     packed = curation.sequence_packing(clean)
     out_dir = os.path.join(tempfile.mkdtemp(prefix="curated-"), "corpus")
@@ -86,6 +105,13 @@ def main() -> None:
     print(f"after near-dup dedup:  {n2}  (-{n1 - n2})")
     print(f"after quality filter:  {n3}  (-{n2 - n3}, reasons: {reasons})")
     print(f"after decontamination: {n4}  (-{n3 - n4})")
+    print("entropy by source:     "
+          + ", ".join(f"{r.grp}={r.entropy:.3f}" for r in
+                      sorted(entropy.collect(), key=lambda r: r.grp)[:5]) + ", ...")
+    print("profile:               "
+          + ", ".join(f"{r.col_name}(nulls={r.n_nulls}, ndv={r.ndv})"
+                      for r in profile.collect()))
+    print(f"mixing sample:         {sample.count()} docs by length-weighted priority")
     print(f"written:               {n5} docs into {shards} shards at {out_dir}")
     spark.stop()
 
