@@ -43,5 +43,10 @@ from ..operators.layout import zorder_key  # noqa: F401
 from ..operators.retrieval import bm25_topk  # noqa: F401
 from ..operators.sampling import priority_sample  # noqa: F401
 from ..operators.stats import grouped_ols, mad_outliers  # noqa: F401
-from ..operators.textstats import token_entropy_by  # noqa: F401
+from ..operators.asof import asof_join_forward  # noqa: F401
+from ..operators.sampling import (  # noqa: F401
+    priority_sample_merge_into_store,
+    stratified_priority_sample,
+)
+from ..operators.textstats import token_entropy_by, token_kl_divergence_by  # noqa: F401
 from ..pipeline import md5_uuid, tolerant_timestamp  # noqa: F401

@@ -109,3 +109,78 @@ def range_join_buckets(
         (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
     )
     return joined.drop("_bucket")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """left columns + the EARLIEST right_cols at-or-after left_time —
+    the forward as-of direction (e.g. "next order after this event"),
+    optionally bounded: matches farther than ``tolerance_us``
+    microseconds ahead are nulled (DuckDB `ASOF ... ON l.t <= r.t`
+    plus a tolerance CASE is the oracle shape).
+
+    Same union-merge cost envelope as the backward join — one key
+    shuffle + one sort, no per-key buffers: the window walks time
+    DESCENDING so "last right row seen" is the smallest right_time ≥
+    left_time; ties at equal times match (right sorts first). The
+    matched right TIME is carried alongside the payload struct so the
+    tolerance check is a row-local expression, not a second join.
+    """
+    lt = F.col(left_time)
+    r_dtypes = dict(right.dtypes)
+    l_dtypes = dict(left.dtypes)
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        lt.alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{r_dtypes[c]}" for c in right_cols) + ">"
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{l_dtypes[c]}" for c in left.columns) + ">"
+        ).alias("_l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    merged = l_tag.unionByName(r_tag)
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.desc("_t"), "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # both carries in ONE projection so Catalyst plans a single Window
+    # exec (same partition/order spec), not two passes
+    carried = merged.select(
+        "*",
+        F.last("_r", ignorenulls=True).over(w).alias("_last_r"),
+        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_last_rt"),
+    )
+    if tolerance_us is not None:
+        merged_t_type = dict(carried.dtypes)["_t"]
+        if merged_t_type.startswith("timestamp"):
+            ahead = F.unix_micros(F.col("_last_rt").cast("timestamp")) - F.unix_micros(
+                F.col("_t").cast("timestamp")
+            )
+        else:
+            ahead = F.col("_last_rt") - F.col("_t")
+        carried = carried.withColumn(
+            "_last_r",
+            F.when(ahead <= F.lit(tolerance_us), F.col("_last_r")),
+        )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col("_l.*"), *[F.col("_last_r")[c].alias(c) for c in right_cols]
+    )

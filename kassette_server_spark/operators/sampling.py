@@ -110,3 +110,60 @@ def priority_sample_merge_into_store(
     )
     rows = top.collect()
     spark.createDataFrame(rows, top.schema).write.mode("overwrite").parquet(store_path)
+
+
+def stratified_priority_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weight_col: str,
+    k_per_stratum: int = 20,
+) -> DataFrame:
+    """Deterministic weighted top-k WITHIN each stratum — the mixing
+    primitive "k docs per language/domain, ∝ weight".
+
+    Same bit-exact priority as priority_sample; the per-stratum top-k
+    is a rank window over the stratum partition — ONE shuffle keyed by
+    stratum, state bounded by the window frame. (For heavily skewed
+    strata pre-prune with a per-partition top-k as in
+    similarity._partition_topk_then_rank.)
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, _U_HEX_CHARS), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(_U_DENOM)
+    scored = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col),
+        F.col(weight_col),
+        (F.col(weight_col).cast("double") / u).alias("priority"),
+    )
+    w = Window.partitionBy("stratum").orderBy(F.col("priority").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_per_stratum)
+        .select("stratum", id_col, weight_col, "priority")
+    )
+
+
+def stratified_priority_oracle_sql(
+    table: str,
+    stratum_col: str,
+    id_col: str,
+    weight_col: str,
+    k_per_stratum: int = 20,
+) -> str:
+    h = f"CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, {_U_HEX_CHARS}) AS BIGINT)"
+    u = f"(CAST({h} + 1 AS DOUBLE) / {_U_DENOM!r})"
+    return f"""
+    SELECT stratum, {id_col}, {weight_col}, priority FROM (
+      SELECT {stratum_col} AS stratum, {id_col}, {weight_col},
+             CAST({weight_col} AS DOUBLE) / {u} AS priority,
+             row_number() OVER (PARTITION BY {stratum_col}
+                                ORDER BY CAST({weight_col} AS DOUBLE) / {u} DESC,
+                                         {id_col}) AS rk
+      FROM {table}
+    ) WHERE rk <= {k_per_stratum}
+    """

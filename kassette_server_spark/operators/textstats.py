@@ -180,3 +180,78 @@ def token_entropy_oracle_sql(table: str, group_col: str, text_col: str = "text")
              AS entropy
     FROM arr
     """
+
+
+def token_kl_divergence_by(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """KL(P_group ‖ P_corpus) of token distributions (nats) — the
+    drift score for corpus mixing: how far each source's unigram
+    distribution sits from the blend it feeds.
+
+    Same determinism discipline as token_entropy_by: exact integer
+    counts, a broadcast corpus-distribution join (vocabulary-sized),
+    and per-token p·ln(p/q) contributions folded in SORTED token order
+    so the float sum is order-deterministic; 6-dp round absorbs ln
+    ulps. P_group is absolutely continuous wrt P_corpus by
+    construction (every group token is a corpus token), so q > 0.
+
+    Output: (grp, n_tokens, kl).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = tok.groupBy("grp", "tok").agg(F.count("*").alias("cnt"))
+    corpus = counts.groupBy("tok").agg(F.sum("cnt").alias("ccnt"))
+    corpus_tot = corpus.agg(F.sum("ccnt").alias("ctot"))
+    joined = (
+        counts.withColumn("tot", F.sum("cnt").over(Window.partitionBy("grp")))
+        .join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(corpus_tot))
+    )
+    p = F.col("cnt").cast("double") / F.col("tot").cast("double")
+    q = F.col("ccnt").cast("double") / F.col("ctot").cast("double")
+    contrib = joined.select("grp", "tot", "tok", (p * F.log(p / q)).alias("c"))
+    arr = contrib.groupBy("grp").agg(
+        F.first("tot").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("tok", "c"))).alias("l"),
+    )
+    folded = F.aggregate(
+        F.transform(F.col("l"), lambda s: s.getField("c")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return arr.select("grp", "n_tokens", F.round(folded, 6).alias("kl"))
+
+
+def token_kl_oracle_sql(table: str, group_col: str, text_col: str = "text") -> str:
+    """DuckDB SQL: identical counts, joins, and sorted fold."""
+    return f"""
+    WITH tok AS (
+      SELECT {group_col} AS grp, unnest(string_split({text_col}, ' ')) AS tok
+      FROM {table}
+    ),
+    counts AS (SELECT grp, tok, COUNT(*) AS cnt FROM tok GROUP BY grp, tok),
+    corpus AS (SELECT tok, SUM(cnt) AS ccnt FROM counts GROUP BY tok),
+    ctot AS (SELECT SUM(ccnt) AS ctot FROM corpus),
+    joined AS (
+      SELECT c.grp, c.tok, c.cnt,
+             SUM(c.cnt) OVER (PARTITION BY c.grp) AS tot,
+             k.ccnt, t.ctot
+      FROM counts c JOIN corpus k USING (tok), ctot t
+    ),
+    arr AS (
+      SELECT grp, any_value(tot) AS n_tokens,
+             list((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                  * ln((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                       / (CAST(ccnt AS DOUBLE) / CAST(ctot AS DOUBLE)))
+                  ORDER BY tok) AS l
+      FROM joined GROUP BY grp
+    )
+    SELECT grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+                             (acc, x) -> acc + x), 6) AS kl
+    FROM arr
+    """

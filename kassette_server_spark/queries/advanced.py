@@ -29,10 +29,20 @@ from ..catalog import load
 from ..operators.affinity import copurchase_oracle_sql, copurchase_pairs
 from ..operators.graph import pagerank_fixedpoint, pagerank_oracle_sql
 from ..operators.profiling import profile_columns, profile_oracle_sql
-from ..operators.textstats import token_entropy_by, token_entropy_oracle_sql
+from ..operators.textstats import (
+    token_entropy_by,
+    token_entropy_oracle_sql,
+    token_kl_divergence_by,
+    token_kl_oracle_sql,
+)
 from ..operators.layout import zorder_key, zorder_key_sql
 from ..operators.retrieval import bm25_oracle_sql, bm25_topk
-from ..operators.sampling import priority_sample, priority_sample_oracle_sql
+from ..operators.sampling import (
+    priority_sample,
+    priority_sample_oracle_sql,
+    stratified_priority_oracle_sql,
+    stratified_priority_sample,
+)
 from ..operators.stats import (
     grouped_ols,
     grouped_ols_oracle_sql,
@@ -216,6 +226,84 @@ _PROFILE_COLS = (
 )
 def q107(spark: SparkSession, sf: str) -> DataFrame:
     return profile_columns(load(spark, sf, "orders"), _PROFILE_COLS)
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "q110_asof_forward_tolerance",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id,
+      CASE WHEN o.o_orderdate IS NOT NULL
+             AND epoch_us(o.o_orderdate) - epoch_us(CAST(e.ts AS TIMESTAMP))
+                 <= {_WEEK_US}
+           THEN o.o_orderkey END AS next_orderkey,
+      CASE WHEN o.o_orderdate IS NOT NULL
+             AND epoch_us(o.o_orderdate) - epoch_us(CAST(e.ts AS TIMESTAMP))
+                 <= {_WEEK_US}
+           THEN o.o_orderdate END AS next_orderdate
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+    doc="forward as-of join with a 7-day tolerance (union-merge window, "
+    "matched time carried for a row-local tolerance check)",
+    tags=("olap", "asof"),
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.asof import asof_join_forward
+
+    ev = load(spark, sf, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    orders = (
+        load(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_forward(
+        ev,
+        orders,
+        key="k",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tolerance_us=_WEEK_US,
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_orderdate").alias("next_orderdate"),
+    )
+
+
+@query(
+    "q111_stratified_weighted_sample",
+    oracle=stratified_priority_oracle_sql(
+        "documents", "lang", "doc_id", "n_chars", k_per_stratum=20
+    ),
+    doc="per-language deterministic weighted top-k (priority sampling "
+    "within strata; one stratum-keyed shuffle)",
+    tags=("sampling", "llm"),
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    return stratified_priority_sample(
+        load(spark, sf, "documents"), "lang", "doc_id", "n_chars", k_per_stratum=20
+    )
+
+
+@query(
+    "q112_kl_divergence_by_source",
+    oracle=token_kl_oracle_sql("documents", "source"),
+    doc="per-source KL(P_source || P_corpus) over token distributions "
+    "(sorted-order deterministic fold, broadcast corpus distribution)",
+    tags=("textstats", "llm"),
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    return token_kl_divergence_by(load(spark, sf, "documents"), "source")
 
 
 @query(

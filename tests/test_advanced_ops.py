@@ -279,3 +279,87 @@ def test_token_entropy_values(spark):
     assert out["s1"].n_tokens == 4 and out["s1"].n_distinct == 2
     assert abs(out["s1"].entropy - math.log(2)) < 1e-6  # uniform over 2
     assert out["s2"].entropy == 0.0  # degenerate distribution
+
+
+# ---------- q110 forward as-of with tolerance ----------
+
+
+def test_asof_forward_matches_next_and_respects_tolerance(spark):
+    from kassette_server_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, "k1", 100), (2, "k1", 250), (3, "k1", 900), (4, "k2", 100)],
+        "id int, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k1", 100, "a"), ("k1", 300, "b"), ("k1", 1000, "c")],
+        "k string, rt long, v string",
+    )
+    out = {r.id: r for r in asof_join_forward(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols=["rt", "v"], tolerance_us=100,
+    ).collect()}
+    assert out[1].v == "a"  # exact-time tie matches forward
+    assert out[2].v == "b"  # next at 300, within 100
+    assert out[3].v == "c"  # next at 1000, within 100
+    assert out[4].v is None  # no right rows for k2
+    # without tolerance the 900→1000 gap still matches; with a tighter
+    # tolerance it must not
+    tight = {r.id: r for r in asof_join_forward(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols=["rt", "v"], tolerance_us=50,
+    ).collect()}
+    assert tight[2].v == "b"  # 250→300 gap is exactly 50: inclusive boundary
+    assert tight[3].v is None  # 900→1000 gap is 100 > 50
+
+
+def test_asof_forward_single_shuffle(spark):
+    p = _plan(spark, "q110_asof_forward_tolerance")
+    assert "CartesianProduct" not in p
+    assert p.count("Window (") == 1  # one union-merge window, no per-key subqueries
+
+
+# ---------- q111 stratified sampling ----------
+
+
+def test_stratified_sample_caps_per_stratum(spark):
+    from kassette_server_spark.operators.sampling import stratified_priority_sample
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = stratified_priority_sample(docs, "lang", "doc_id", "n_chars", 5)
+    counts = {r.stratum: r.n for r in
+              out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 5 for n in counts.values())
+    assert len(counts) == docs.select("lang").distinct().count()
+    # consistency with the global sampler: a doc's priority is the same
+    from kassette_server_spark.operators.sampling import priority_sample
+
+    g = {r.doc_id: r.priority for r in
+         priority_sample(docs, "doc_id", "n_chars", k=10000).collect()}
+    for r in out.collect():
+        assert g[r.doc_id] == r.priority
+
+
+# ---------- q112 KL divergence ----------
+
+
+def test_kl_divergence_zero_for_identical_distribution(spark):
+    from kassette_server_spark.operators.textstats import token_kl_divergence_by
+
+    # two groups with IDENTICAL token distributions → corpus equals each
+    # group → KL = 0 for both
+    df = spark.createDataFrame(
+        [("a", "x x y z"), ("b", "x x y z")], "source string, text string"
+    )
+    out = {r.grp: r.kl for r in token_kl_divergence_by(df, "source").collect()}
+    assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_kl_divergence_positive_for_skewed_group(spark):
+    from kassette_server_spark.operators.textstats import token_kl_divergence_by
+
+    df = spark.createDataFrame(
+        [("a", "x x x x"), ("b", "x y z w")], "source string, text string"
+    )
+    out = {r.grp: r.kl for r in token_kl_divergence_by(df, "source").collect()}
+    assert out["a"] > 0 and out["b"] > 0  # both diverge from the blend
