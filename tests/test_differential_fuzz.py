@@ -2,7 +2,7 @@
 subset, executed as the IDENTICAL text by Spark SQL and DuckDB, results
 diffed exactly.
 
-The 88 declared specs pin hand-chosen shapes; this harness sweeps the
+The 111 declared specs pin hand-chosen shapes; this harness sweeps the
 combinatorial space around them (random projections, predicates, FK
 joins, integer aggregates, sort orders) and would surface semantic
 divergences none of the fixed oracles happen to cover — cast widths,
@@ -35,7 +35,7 @@ from conftest import SF_SMOKE
 from kassette_server_spark.catalog import load
 
 SEED = 20260813
-N_QUERIES = 100
+N_QUERIES = 140
 
 # (table, integer cols, string cols, date cols) — doubles deliberately
 # excluded (float summation order is engine-dependent)
@@ -125,11 +125,17 @@ def _predicate(rng: random.Random, t: str, alias: str, domains: dict) -> str:
 
 
 def _subquery_predicate(rng: random.Random, t: str, alias: str, domains: dict) -> str | None:
-    """Semi/anti-join shape via [NOT] IN (SELECT fk FROM other WHERE ...)."""
+    """Semi/anti-join shape via [NOT] IN (SELECT fk ...) or correlated
+    [NOT] EXISTS — the two decorrelation paths engines plan differently."""
     for lt, rt, lk, rk in JOINS:
         if lt == t:
             inner_pred = _predicate(rng, rt, "s", domains)
             neg = "NOT " if rng.random() < 0.3 else ""
+            if rng.random() < 0.4:
+                return (
+                    f"{neg}EXISTS (SELECT 1 FROM {rt} s "
+                    f"WHERE s.{rk} = {alias}.{lk} AND {inner_pred})"
+                )
             return (
                 f"{alias}.{lk} {neg}IN "
                 f"(SELECT s.{rk} FROM {rt} s WHERE {inner_pred})"
@@ -220,6 +226,7 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
             f"CAST(sum({acol}) AS BIGINT) AS s",
             f"min({acol}) AS mn",
             f"max({acol}) AS mx",
+            f"CAST(count(DISTINCT {acol}) AS BIGINT) AS dv",
         ]
         sel = [f"{gcol} AS g"] + rng.sample(aggs, rng.randrange(1, 4))
         having = (
@@ -227,10 +234,30 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
             if rng.random() < 0.3
             else ""
         )
-        body = (
-            f"SELECT {', '.join(sel)} FROM {from_sql}{where} GROUP BY {gcol}{having}"
-        )
-        order_cols = ["g"]
+        g2_pool = [
+            f"{a}.{c}" for t2, a in aliases for c in TABLES[t2][1]
+            # a DUPLICATE grouping expression in ROLLUP(x, x) is
+            # genuinely ambiguous (which instance is nulled at level 1?)
+            # and the engines disagree — found by this fuzzer; keep the
+            # grammar to distinct expressions
+            if f"{a}.{c}" != gcol
+        ]
+        if rng.random() < 0.25 and g2_pool:
+            # ROLLUP: super-aggregate null rows are a classic
+            # cross-engine divergence area (null vs grouping flags)
+            g2 = rng.choice(g2_pool)
+            sel = [f"{gcol} AS g", f"{g2} AS g2"] + sel[1:]
+            body = (
+                f"SELECT {', '.join(sel)} FROM {from_sql}{where} "
+                f"GROUP BY ROLLUP ({gcol}, {g2}){having}"
+            )
+            order_cols = ["g", "g2"]
+        else:
+            body = (
+                f"SELECT {', '.join(sel)} FROM {from_sql}{where} "
+                f"GROUP BY {gcol}{having}"
+            )
+            order_cols = ["g"]
     else:  # projection (sometimes a UNION ALL of two predicate slices)
         cols = []
         for t, a in aliases:
@@ -240,14 +267,21 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
                 # both engines: null in -> null out)
                 expr = rng.choice(
                     [f"{a}.{c}", f"abs({a}.{c} - {rng.randrange(100)})",
-                     f"{a}.{c} + {rng.randrange(10)}", f"{a}.{c} % 7"]
+                     f"{a}.{c} + {rng.randrange(10)}", f"{a}.{c} % 7",
+                     f"{a}.{c} & {rng.randrange(1, 64)}",
+                     f"{a}.{c} | {rng.randrange(1, 64)}",
+                     f"CASE WHEN {a}.{c} % 2 = 0 THEN {a}.{c} ELSE -{a}.{c} END",
+                     f"coalesce(nullif({a}.{c}, {rng.randrange(50)}), -1)"]
                 )
                 cols.append(f"{expr} AS {a}_{c}")
             for c in rng.sample(strs, min(rng.randrange(0, 3), len(strs))):
                 expr = rng.choice(
                     [f"{a}.{c}", f"upper({a}.{c})", f"lower({a}.{c})",
                      f"CAST(length({a}.{c}) AS BIGINT)",
-                     f"substr({a}.{c}, 1, {rng.randrange(1, 6)})"]
+                     f"substr({a}.{c}, 1, {rng.randrange(1, 6)})",
+                     f"{a}.{c} || '#' || {a}.{c}",
+                     f"replace({a}.{c}, 'a', '@')",
+                     f"trim(substr({a}.{c}, 1, {rng.randrange(2, 8)}))"]
                 )
                 cols.append(f"{expr} AS {a}_{c}")
             for c in rng.sample(dates, min(rng.randrange(0, 2), len(dates))):
