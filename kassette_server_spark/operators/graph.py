@@ -39,11 +39,20 @@ def pagerank_fixedpoint(
     damping_ppm: int = DEFAULT_DAMPING_PPM,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """``iters`` synchronous PageRank iterations over (src, dst) edges.
 
     Nodes are every id appearing as src or dst. Returns (node, rank)
     with rank in micro-units; initial rank 1.0, teleport (1−d).
+
+    ``broadcast_ranks``: localCheckpoint'ed rank frames carry no size
+    statistics, so Catalyst will NOT auto-broadcast them — each
+    iteration plans a sort-merge join even when the node set is tiny.
+    Pass True when the node count is known-bounded (dimension-like
+    graphs: parts, suppliers, domains) to hint the rank side into a
+    broadcast-hash join; leave False for open-ended node sets (URLs,
+    users) where the rank table itself is big data.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
@@ -60,8 +69,9 @@ def pagerank_fixedpoint(
     teleport = SCALE - damping_ppm
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
     for _ in range(iters):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            ed.join(ranks, ed.src == ranks.node)
+            ed.join(rank_side, ed.src == rank_side.node)
             .select(
                 "dst",
                 F.expr(f"(rank * {damping_ppm}) div (outdeg * {SCALE})").alias("c"),

@@ -119,7 +119,10 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     edges = ids.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
         ids.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
-    return pagerank_fixedpoint(edges, iters=3)
+    # parts ∪ suppliers is a bounded dimension-like node set, so hint
+    # the (stats-less, checkpointed) rank side into a broadcast join:
+    # 4.7 s → 2.9 s at sf0.1 (BASELINE.md r5 notes)
+    return pagerank_fixedpoint(edges, iters=3, broadcast_ranks=True)
 
 
 @query(
