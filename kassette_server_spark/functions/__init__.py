@@ -42,7 +42,12 @@ from ..operators.profiling import profile_columns  # noqa: F401
 from ..operators.layout import zorder_key  # noqa: F401
 from ..operators.retrieval import bm25_topk  # noqa: F401
 from ..operators.sampling import priority_sample  # noqa: F401
-from ..operators.stats import grouped_ols, mad_outliers  # noqa: F401
+from ..operators.stats import (  # noqa: F401
+    chi_square_by,
+    grouped_ols,
+    mad_outliers,
+    winsorized_stats,
+)
 from ..operators.asof import asof_join_forward  # noqa: F401
 from ..operators.sampling import (  # noqa: F401
     priority_sample_merge_into_store,

@@ -175,3 +175,187 @@ def mad_outliers_oracle_sql(
     FROM dev d JOIN mad m ON d.grp = m.grp
     GROUP BY d.grp
     """
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: tuple[int, int] = (5, 100),
+    hi_pct: tuple[int, int] = (95, 100),
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group winsorization profile with EXACT order-statistic
+    percentile boundaries (type-1 lower quantile: the smallest value
+    whose cumulative count reaches ⌈q·n⌉) over integer-scaled values.
+
+    Everything is integer arithmetic — the quantile test is
+    ``cum·den ≥ n·num``, the clip is min/max, the winsorized sum is a
+    BIGINT — so the result is bit-exact across engines and
+    partitionings. Scale shape: one (group, value) groupBy (map-side
+    combined, keyspace = distinct values per group), a cumulative
+    window over those distinct values, and a broadcast join of the
+    2-row-per-group boundary table back over the facts.
+
+    Output: (grp, n, lo, hi, n_clipped_low, n_clipped_high, wsum).
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * scale).cast("long").alias("v"),
+    ).where(F.col(value_col).isNotNull())
+    counts = vals.groupBy("grp", "v").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select("grp", "v", F.sum("cnt").over(w).alias("cum"))
+    tot = counts.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    lo_num, lo_den = lo_pct
+    hi_num, hi_den = hi_pct
+    bounds = (
+        cum.join(F.broadcast(tot), "grp")
+        .groupBy("grp", "n")
+        .agg(
+            F.min(F.when(F.col("cum") * lo_den >= F.col("n") * lo_num, F.col("v"))).alias("lo"),
+            F.min(F.when(F.col("cum") * hi_den >= F.col("n") * hi_num, F.col("v"))).alias("hi"),
+        )
+    )
+    clipped = vals.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "n",
+        "lo",
+        "hi",
+        F.greatest(F.least(F.col("v"), F.col("hi")), F.col("lo")).alias("cv"),
+        (F.col("v") < F.col("lo")).cast("long").alias("below"),
+        (F.col("v") > F.col("hi")).cast("long").alias("above"),
+    )
+    return clipped.groupBy("grp").agg(
+        F.first("n").cast("long").alias("n"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.sum("below").alias("n_clipped_low"),
+        F.sum("above").alias("n_clipped_high"),
+        F.sum("cv").alias("wsum"),
+    )
+
+
+def winsorized_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    lo_pct: tuple[int, int] = (5, 100),
+    hi_pct: tuple[int, int] = (95, 100),
+    scale: int = 100,
+) -> str:
+    lo_num, lo_den = lo_pct
+    hi_num, hi_den = hi_pct
+    return f"""
+    WITH vals AS (
+      SELECT {group_col} AS grp,
+             CAST(round({value_col} * {scale}) AS BIGINT) AS v
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    counts AS (SELECT grp, v, COUNT(*) AS cnt FROM vals GROUP BY grp, v),
+    cum AS (
+      SELECT grp, v, SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM counts
+    ),
+    tot AS (SELECT grp, SUM(cnt) AS n FROM counts GROUP BY grp),
+    bounds AS (
+      SELECT c.grp, any_value(t.n) AS n,
+             MIN(CASE WHEN c.cum * {lo_den} >= t.n * {lo_num} THEN c.v END) AS lo,
+             MIN(CASE WHEN c.cum * {hi_den} >= t.n * {hi_num} THEN c.v END) AS hi
+      FROM cum c JOIN tot t ON c.grp = t.grp
+      GROUP BY c.grp
+    )
+    SELECT v.grp AS grp, CAST(any_value(b.n) AS BIGINT) AS n,
+           any_value(b.lo) AS lo, any_value(b.hi) AS hi,
+           CAST(SUM(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           CAST(SUM(GREATEST(LEAST(v.v, b.hi), b.lo)) AS BIGINT) AS wsum
+    FROM vals v JOIN bounds b ON v.grp = b.grp
+    GROUP BY v.grp
+    """
+
+
+def chi_square_by(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Per-row-category chi-square contribution of the (row × col)
+    contingency table — the independence diagnostic "does language
+    composition differ by source?".
+
+    Observed counts are exact integers; expected counts and the
+    (o−e)²/e terms are a fixed double tree; the per-row sum over
+    column categories folds in SORTED category order (the same
+    determinism pattern as token entropy). Output:
+    (rcat, n_row, chi2_part) — Σ chi2_part is the full statistic.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("rcat"), F.col(col_col).alias("ccat")
+    ).agg(F.count("*").alias("o"))
+    rows = cells.groupBy("rcat").agg(F.sum("o").alias("nr"))
+    cols = cells.groupBy("ccat").agg(F.sum("o").alias("nc"))
+    grand = cells.agg(F.sum("o").alias("n"))
+    # EMPTY cells still contribute (0−e)²/e — materialize the full
+    # category cross product (marginals are tiny: broadcast×broadcast)
+    # and left-join the observed counts onto it
+    full = rows.crossJoin(F.broadcast(cols))
+    j = (
+        full.join(cells, ["rcat", "ccat"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .join(F.broadcast(grand))
+    )
+    e = (F.col("nr").cast("double") * F.col("nc").cast("double")) / F.col("n").cast(
+        "double"
+    )
+    o = F.col("o").cast("double")
+    contrib = j.select(
+        "rcat", "nr", "ccat", (((o - e) * (o - e)) / e).alias("c")
+    )
+    arr = contrib.groupBy("rcat").agg(
+        F.first("nr").cast("long").alias("n_row"),
+        F.array_sort(F.collect_list(F.struct("ccat", "c"))).alias("l"),
+    )
+    folded = F.aggregate(
+        F.transform(F.col("l"), lambda s: s.getField("c")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return arr.select("rcat", "n_row", F.round(folded, 6).alias("chi2_part"))
+
+
+def chi_square_oracle_sql(table: str, row_col: str, col_col: str) -> str:
+    return f"""
+    WITH cells AS (
+      SELECT {row_col} AS rcat, {col_col} AS ccat, COUNT(*) AS o
+      FROM {table} GROUP BY {row_col}, {col_col}
+    ),
+    rows_ AS (SELECT rcat, SUM(o) AS nr FROM cells GROUP BY rcat),
+    cols_ AS (SELECT ccat, SUM(o) AS nc FROM cells GROUP BY ccat),
+    grand AS (SELECT SUM(o) AS n FROM cells),
+    full_ AS (
+      SELECT r.rcat, r.nr, k.ccat, k.nc, COALESCE(c.o, 0) AS o
+      FROM rows_ r CROSS JOIN cols_ k
+      LEFT JOIN cells c ON c.rcat = r.rcat AND c.ccat = k.ccat
+    ),
+    contrib AS (
+      SELECT f.rcat, f.nr, f.ccat,
+             ((CAST(f.o AS DOUBLE)
+               - (CAST(f.nr AS DOUBLE) * CAST(f.nc AS DOUBLE)) / CAST(g.n AS DOUBLE))
+              * (CAST(f.o AS DOUBLE)
+               - (CAST(f.nr AS DOUBLE) * CAST(f.nc AS DOUBLE)) / CAST(g.n AS DOUBLE)))
+             / ((CAST(f.nr AS DOUBLE) * CAST(f.nc AS DOUBLE)) / CAST(g.n AS DOUBLE))
+               AS c
+      FROM full_ f, grand g
+    ),
+    arr AS (
+      SELECT rcat, CAST(any_value(nr) AS BIGINT) AS n_row,
+             list(c ORDER BY ccat) AS l
+      FROM contrib GROUP BY rcat
+    )
+    SELECT rcat, n_row,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+                             (acc, x) -> acc + x), 6) AS chi2_part
+    FROM arr
+    """

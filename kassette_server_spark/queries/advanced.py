@@ -44,10 +44,14 @@ from ..operators.sampling import (
     stratified_priority_sample,
 )
 from ..operators.stats import (
+    chi_square_by,
+    chi_square_oracle_sql,
     grouped_ols,
     grouped_ols_oracle_sql,
     mad_outliers,
     mad_outliers_oracle_sql,
+    winsorized_oracle_sql,
+    winsorized_stats,
 )
 from .base import query
 
@@ -307,6 +311,28 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
+
+
+@query(
+    "q113_winsorized_stats",
+    oracle=winsorized_oracle_sql("events", "event_type", "value"),
+    doc="per-type winsorization at exact p05/p95 order statistics "
+    "(integer quantile test, broadcast boundary join, exact cents sum)",
+    tags=("stats", "llm"),
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    return winsorized_stats(load(spark, sf, "events"), "event_type", "value")
+
+
+@query(
+    "q114_chi_square_contingency",
+    oracle=chi_square_oracle_sql("documents", "lang", "source"),
+    doc="lang x source chi-square contributions (exact contingency "
+    "counts, broadcast marginals, sorted-order deterministic fold)",
+    tags=("stats",),
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    return chi_square_by(load(spark, sf, "documents"), "lang", "source")
 
 
 @query(

@@ -363,3 +363,52 @@ def test_kl_divergence_positive_for_skewed_group(spark):
     )
     out = {r.grp: r.kl for r in token_kl_divergence_by(df, "source").collect()}
     assert out["a"] > 0 and out["b"] > 0  # both diverge from the blend
+
+
+# ---------- q113 winsorization ----------
+
+
+def test_winsorized_stats_exact_boundaries_and_clipping(spark):
+    from kassette_server_spark.operators.stats import winsorized_stats
+
+    # 20 values 1..20 (scale=1): p05 → ceil(0.05*20)=1st value = 1,
+    # p95 → ceil(0.95*20)=19th value = 19; only 20 clips high
+    df = spark.createDataFrame([(1, float(v)) for v in range(1, 21)], "g int, v double")
+    r = winsorized_stats(df, "g", "v", scale=1).first()
+    assert (r.n, r.lo, r.hi) == (20, 1, 19)
+    assert (r.n_clipped_low, r.n_clipped_high) == (0, 1)
+    assert r.wsum == sum(range(1, 20)) + 19  # 20 clipped to 19
+
+
+def test_winsorized_outlier_containment(spark):
+    from kassette_server_spark.operators.stats import winsorized_stats
+
+    vals = [(1, 10.0)] * 98 + [(1, 1e9), (1, -1e9)]
+    df = spark.createDataFrame(vals, "g int, v double")
+    r = winsorized_stats(df, "g", "v").first()
+    # one extreme clipped on each side; winsorized sum is tame
+    assert r.n_clipped_low == 1 and r.n_clipped_high == 1
+    assert r.wsum == 100 * 1000  # all values effectively 10.00 → cents
+
+
+# ---------- q114 chi-square ----------
+
+
+def test_chi_square_zero_under_independence(spark):
+    from kassette_server_spark.operators.stats import chi_square_by
+
+    # perfectly independent 2x2: all expected == observed
+    rows = [("a", "x")] * 4 + [("a", "y")] * 4 + [("b", "x")] * 4 + [("b", "y")] * 4
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {x.rcat: x.chi2_part for x in chi_square_by(df, "r", "c").collect()}
+    assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_chi_square_detects_association(spark):
+    from kassette_server_spark.operators.stats import chi_square_by
+
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10  # perfect association
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {x.rcat: x.chi2_part for x in chi_square_by(df, "r", "c").collect()}
+    # full chi2 for a perfectly-associated 2x2 with n=20 is 20
+    assert abs(sum(out.values()) - 20.0) < 1e-6
