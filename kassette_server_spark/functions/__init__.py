@@ -37,7 +37,8 @@ from ..operators.sketches import (  # noqa: F401
     hll_registers,
 )
 from ..operators.affinity import copurchase_pairs  # noqa: F401
-from ..operators.graph import pagerank_fixedpoint  # noqa: F401
+from ..operators.funnel import peak_concurrency  # noqa: F401
+from ..operators.graph import hierarchy_closure, pagerank_fixedpoint  # noqa: F401
 from ..operators.profiling import profile_columns  # noqa: F401
 from ..operators.layout import zorder_key  # noqa: F401
 from ..operators.retrieval import bm25_topk  # noqa: F401

@@ -163,3 +163,63 @@ def last_touch_attribution(
             F.when(in_window, gap).alias("gap_seconds"),
         )
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    group_col: str,
+    start_col,
+    end_col,
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per group, via the
+    classic sweep line: each interval contributes (+1 at start, −1 at
+    end), a running sum ordered by (time, delta) walks the timeline,
+    and the peak is its max. An interval ENDING at t does not overlap
+    one STARTING at t (−1 sorts before +1).
+
+    Scale shape: the event-point union is map-side; the only shuffle
+    is the group partition for the running-sum window. Integer deltas
+    ⇒ the running values are a deterministic ±1 walk (the default
+    RANGE frame aggregates tied points together identically in every
+    engine), so the result is bit-exact. State is the window frame,
+    not the interval set.
+
+    ``start_col``/``end_col``: integer (e.g. epoch-micros) columns.
+    Output: (grp, n_intervals, peak).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col).alias("grp")
+    starts = df.select(g, start_col.alias("t"), F.lit(1).alias("delta"))
+    ends = df.select(g, end_col.alias("t"), F.lit(-1).alias("delta"))
+    points = starts.unionByName(ends)
+    w = Window.partitionBy("grp").orderBy("t", "delta")
+    walked = points.select(
+        "grp", F.sum("delta").over(w).alias("open"), "delta"
+    )
+    return walked.groupBy("grp").agg(
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+        F.max("open").cast("long").alias("peak"),
+    )
+
+
+def peak_concurrency_oracle_sql(
+    intervals_sql: str,
+) -> str:
+    """DuckDB SQL for the identical sweep. ``intervals_sql``: SELECT
+    producing (grp, t_start, t_end) with integer times."""
+    return f"""
+    WITH iv AS ({intervals_sql}),
+    points AS (
+      SELECT grp, t_start AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT grp, t_end AS t, -1 AS delta FROM iv
+    ),
+    walked AS (
+      SELECT grp, SUM(delta) OVER (PARTITION BY grp ORDER BY t, delta) AS open
+      FROM points
+    )
+    SELECT grp, CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(MAX(open) AS BIGINT) AS peak
+    FROM walked GROUP BY grp
+    """

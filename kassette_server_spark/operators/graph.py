@@ -119,3 +119,95 @@ def pagerank_oracle_sql(
             f"FROM nodes n LEFT JOIN c{i + 1} c ON c.dst = n.node)"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
+
+
+def hierarchy_closure(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_depth: int = 12,
+) -> DataFrame:
+    """Root / depth / path-sum for every node of a parent-pointer
+    hierarchy — the BOM-explosion / org-chart traversal Spark lacks a
+    recursive CTE for.
+
+    Iterative pointer-chasing (the CC/PageRank loop discipline): each
+    pass joins the frontier's current ancestor against the
+    (id → parent) table, accumulating depth and path_sum; rows whose
+    ancestor has no parent (root) leave the frontier, so the work
+    SHRINKS as chains resolve. ``max_depth`` passes bound the loop —
+    raise for deeper DAGs, or double-hop (pointer-jumping) if depth is
+    log-scale. localCheckpoint per pass keeps the plan O(1).
+
+    All arithmetic is integer (depth counter, path accumulation), so
+    results are bit-identical to the oracle's WITH RECURSIVE.
+
+    Output: (id, root, depth, path_sum) — path_sum includes both
+    endpoints.
+    """
+    edges = nodes.select(
+        F.col(id_col).alias("nid"), F.col(parent_col).alias("npar")
+    ).localCheckpoint(eager=False)
+    # Requires a WELL-FORMED hierarchy: every non-null parent exists as
+    # an id (a dangling parent would terminate here as a root, where
+    # the recursive-CTE oracle drops the row).
+    # state: (id, anc, depth, path_sum); done when anc's parent is null
+    state = edges.select(
+        F.col("nid").alias("id"),
+        F.col("nid").alias("anc"),
+        F.lit(0).cast("long").alias("depth"),
+        F.col("nid").cast("long").alias("path_sum"),
+    )
+    done = None
+    for _ in range(max_depth):
+        step = state.join(edges, state.anc == edges.nid, "left").select(
+            "id",
+            F.col("npar").alias("next_anc"),
+            F.col("anc"),
+            "depth",
+            "path_sum",
+        )
+        finished = step.where(F.col("next_anc").isNull()).select(
+            "id", F.col("anc").alias("root"), "depth", "path_sum"
+        )
+        done = finished if done is None else done.unionByName(finished)
+        state = (
+            step.where(F.col("next_anc").isNotNull())
+            .select(
+                "id",
+                F.col("next_anc").alias("anc"),
+                (F.col("depth") + 1).alias("depth"),
+                (F.col("path_sum") + F.col("next_anc")).alias("path_sum"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        done = done.localCheckpoint(eager=False)
+        # early exit once every chain has resolved — the isEmpty probe
+        # materializes the checkpoint the next pass would need anyway,
+        # and saves the remaining (max_depth − actual_depth) empty
+        # passes, each of which still schedules real jobs
+        if state.isEmpty():
+            break
+    return done
+
+
+def hierarchy_oracle_sql(nodes_sql: str, max_depth: int = 12) -> str:
+    """DuckDB WITH RECURSIVE computing the identical closure.
+    ``nodes_sql``: SELECT producing (id, parent) where parent is NULL
+    or refers to another id."""
+    return f"""
+    WITH RECURSIVE nodes AS ({nodes_sql}),
+    walk AS (
+      SELECT id, id AS anc, CAST(0 AS BIGINT) AS depth,
+             CAST(id AS BIGINT) AS path_sum, 0 AS steps
+      FROM nodes
+      UNION ALL
+      SELECT w.id, n.parent AS anc, w.depth + 1,
+             w.path_sum + n.parent, w.steps + 1
+      FROM walk w JOIN nodes n ON n.id = w.anc
+      WHERE n.parent IS NOT NULL AND w.steps < {max_depth}
+    )
+    SELECT w.id, w.anc AS root, w.depth, w.path_sum
+    FROM walk w JOIN nodes n ON n.id = w.anc
+    WHERE n.parent IS NULL
+    """

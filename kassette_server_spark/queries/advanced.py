@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.affinity import copurchase_oracle_sql, copurchase_pairs
-from ..operators.graph import pagerank_fixedpoint, pagerank_oracle_sql
+from ..operators.funnel import peak_concurrency, peak_concurrency_oracle_sql
+from ..operators.graph import (
+    hierarchy_closure,
+    hierarchy_oracle_sql,
+    pagerank_fixedpoint,
+    pagerank_oracle_sql,
+)
 from ..operators.profiling import profile_columns, profile_oracle_sql
 from ..operators.textstats import (
     token_entropy_by,
@@ -311,6 +317,49 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
+
+
+# q115: parent(p) = p DIV 10 (NULL at the root band 1..9) builds a
+# well-formed 10-ary hierarchy over the real partkey domain — contiguous
+# keys ⇒ every parent exists, so the iterative walk and the recursive
+# CTE agree exactly (see hierarchy_closure's dangling-parent note).
+_HIER_NODES_SQL = (
+    "SELECT p_partkey AS id, NULLIF(p_partkey // 10, 0) AS parent FROM part"
+)
+
+
+@query(
+    "q115_hierarchy_closure",
+    oracle=hierarchy_oracle_sql(_HIER_NODES_SQL),
+    doc="recursive-hierarchy closure (root/depth/path-sum) via "
+    "iterative frontier-shrinking pointer chase vs WITH RECURSIVE",
+    tags=("graph",),
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    nodes = load(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.nullif(F.expr("p_partkey div 10"), F.lit(0)).alias("parent"),
+    )
+    return hierarchy_closure(nodes)
+
+
+@query(
+    "q116_peak_concurrency",
+    oracle=peak_concurrency_oracle_sql(
+        "SELECT event_type AS grp, epoch_us(CAST(ts AS TIMESTAMP)) AS t_start, "
+        "epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS t_end FROM events"
+    ),
+    doc="peak simultaneously-open 1h event intervals per type "
+    "(sweep-line +1/-1 walk, one group-keyed window shuffle)",
+    tags=("timeseries",),
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "event_type", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    return peak_concurrency(
+        ev, "event_type", F.col("tus"), F.col("tus") + 3_600_000_000
+    )
 
 
 @query(

@@ -412,3 +412,51 @@ def test_chi_square_detects_association(spark):
     out = {x.rcat: x.chi2_part for x in chi_square_by(df, "r", "c").collect()}
     # full chi2 for a perfectly-associated 2x2 with n=20 is 20
     assert abs(sum(out.values()) - 20.0) < 1e-6
+
+
+# ---------- q115 hierarchy closure ----------
+
+
+def test_hierarchy_closure_depths_and_paths(spark):
+    from kassette_server_spark.operators.graph import hierarchy_closure
+
+    # chain 1→2→3 (parent pointers), plus isolated root 7
+    df = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (7, None)], "id long, parent long"
+    )
+    out = {r.id: r for r in hierarchy_closure(df).collect()}
+    assert (out[1].root, out[1].depth, out[1].path_sum) == (1, 0, 1)
+    assert (out[2].root, out[2].depth, out[2].path_sum) == (1, 1, 3)
+    assert (out[3].root, out[3].depth, out[3].path_sum) == (1, 2, 6)
+    assert (out[7].root, out[7].depth) == (7, 0)
+    assert len(out) == 4  # every node resolved exactly once
+
+
+def test_hierarchy_closure_frontier_shrinks(spark):
+    from kassette_server_spark.operators.graph import hierarchy_closure
+
+    # wide tree: 1 root, 10 children, 100 grandchildren
+    rows = [(1, None)] + [(i, 1) for i in range(2, 12)] + [
+        (i, 2 + (i % 10)) for i in range(12, 112)
+    ]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    out = hierarchy_closure(df)
+    assert out.count() == 111
+    assert out.where("root = 1").count() == 111
+    assert out.groupBy("depth").count().orderBy("depth").collect()[2][1] == 100
+
+
+# ---------- q116 peak concurrency ----------
+
+
+def test_peak_concurrency_sweep(spark):
+    from kassette_server_spark.operators.funnel import peak_concurrency
+
+    # [0,10) [5,15) [20,30): peak 2; a boundary touch [30,40) does NOT
+    # overlap the interval ending at 30
+    rows = [("a", 0, 10), ("a", 5, 15), ("a", 20, 30), ("a", 30, 40), ("b", 0, 100)]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    out = {r.grp: r for r in
+           peak_concurrency(df, "g", F.col("s"), F.col("e")).collect()}
+    assert (out["a"].n_intervals, out["a"].peak) == (4, 2)
+    assert (out["b"].n_intervals, out["b"].peak) == (1, 1)
