@@ -54,5 +54,9 @@ from ..operators.sampling import (  # noqa: F401
     priority_sample_merge_into_store,
     stratified_priority_sample,
 )
-from ..operators.textstats import token_entropy_by, token_kl_divergence_by  # noqa: F401
+from ..operators.textstats import (  # noqa: F401
+    bigram_logprob_by_doc,
+    token_entropy_by,
+    token_kl_divergence_by,
+)
 from ..pipeline import md5_uuid, tolerant_timestamp  # noqa: F401

@@ -255,3 +255,111 @@ def token_kl_oracle_sql(table: str, group_col: str, text_col: str = "text") -> s
                              (acc, x) -> acc + x), 6) AS kl
     FROM arr
     """
+
+
+def bigram_logprob_by_doc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average bigram log-probability under an add-one-
+    smoothed LM fit on the corpus itself — the perplexity-style quality
+    signal (CCNet-style filtering): gibberish and boilerplate both land
+    far from the corpus LM's bulk.
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), V = distinct unigrams.
+    score(doc) = Σ ln p over the doc's bigrams / n_bigrams.
+
+    Determinism: counts and V are exact integers; each ln term is a
+    fixed expression; the per-doc sum folds over the doc's bigram array
+    in POSITION order (row-local — the array is built by a positional
+    transform, no collect_list involved), so the float sum is
+    order-deterministic; final 6-dp round absorbs ln ulps.
+
+    Scale: the bigram LM table is vocabulary² — broadcast for natural-
+    language vocabularies after a frequency cut; here it's joined
+    broadcast. Docs with < 2 tokens are dropped (no bigrams).
+
+    Output: (doc_id, n_bigrams, avg_logprob).
+    """
+    toks = tokens(text_col)
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda w, i: F.struct(
+                    w.alias("w1"), F.element_at(toks, i + 2).alias("w2")
+                ),
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", "pos", "g.w1", "g.w2")
+    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uni = bi.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        grams.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.col("cb") + F.lit(1)).cast("double")
+                / (F.col("cu") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    arr = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("l"),
+    )
+    folded = F.aggregate(
+        F.transform(F.col("l"), lambda s: s.getField("lp")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return arr.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(folded / F.col("n_bigrams").cast("double"), 6).alias("avg_logprob"),
+    )
+
+
+def bigram_logprob_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB SQL: identical counts, smoothing, and position-ordered
+    fold."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id, string_split({text_col}, ' ') AS t FROM {table}
+    ),
+    grams AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM toks, unnest(CAST(range(1, greatest(len(t), 1)) AS BIGINT[])) AS u(i)
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS cb FROM grams GROUP BY w1, w2),
+    uni AS (SELECT w1, SUM(cb) AS cu FROM bi GROUP BY w1),
+    vocab AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(string_split({text_col}, ' ')) AS w FROM {table})
+    ),
+    scored AS (
+      SELECT g.doc_id, g.pos,
+             ln(CAST(b.cb + 1 AS DOUBLE) / CAST(u.cu + vc.v AS DOUBLE)) AS lp
+      FROM grams g JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+                   JOIN uni u ON g.w1 = u.w1, vocab vc
+    ),
+    arr AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             list(lp ORDER BY pos) AS l
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+                             (acc, x) -> acc + x)
+                 / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob
+    FROM arr
+    """

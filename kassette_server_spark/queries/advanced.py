@@ -36,6 +36,8 @@ from ..operators.graph import (
 )
 from ..operators.profiling import profile_columns, profile_oracle_sql
 from ..operators.textstats import (
+    bigram_logprob_by_doc,
+    bigram_logprob_oracle_sql,
     token_entropy_by,
     token_entropy_oracle_sql,
     token_kl_divergence_by,
@@ -317,6 +319,18 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
+
+
+@query(
+    "q117_bigram_logprob",
+    oracle=bigram_logprob_oracle_sql("documents"),
+    doc="per-doc average bigram log-probability under a corpus-fit "
+    "add-one LM (perplexity-style quality signal; broadcast LM table, "
+    "position-ordered deterministic fold)",
+    tags=("textstats", "llm"),
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    return bigram_logprob_by_doc(load(spark, sf, "documents"))
 
 
 # q115: parent(p) = p DIV 10 (NULL at the root band 1..9) builds a

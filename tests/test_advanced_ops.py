@@ -460,3 +460,25 @@ def test_peak_concurrency_sweep(spark):
            peak_concurrency(df, "g", F.col("s"), F.col("e")).collect()}
     assert (out["a"].n_intervals, out["a"].peak) == (4, 2)
     assert (out["b"].n_intervals, out["b"].peak) == (1, 1)
+
+
+# ---------- q117 bigram LM ----------
+
+
+def test_bigram_logprob_separates_inlier_from_gibberish(spark):
+    import math
+
+    from kassette_server_spark.operators.textstats import bigram_logprob_by_doc
+
+    # corpus dominated by "a b" bigrams; doc 3 is an unseen-order
+    # permutation → much lower probability under the corpus LM
+    rows = [(1, "a b a b a b"), (2, "a b a b"), (3, "b a b a"), (4, "x")]
+    out = {r.doc_id: r for r in
+           bigram_logprob_by_doc(spark.createDataFrame(rows, "doc_id int, text string")).collect()}
+    assert 4 not in out  # single-token doc has no bigrams
+    assert out[1].n_bigrams == 5
+    assert out[1].avg_logprob > out[3].avg_logprob  # inlier scores higher
+    # hand-check: corpus-wide c('a b')=6, c('b a')=5, c(a ·)=6,
+    # c(b ·)=5, V=3 (a,b,x); doc1 = 3x 'a b' + 2x 'b a'
+    expect = (3 * math.log(7 / 9) + 2 * math.log(6 / 8)) / 5
+    assert abs(out[1].avg_logprob - expect) < 1e-6
