@@ -645,3 +645,98 @@ def bloom_merge_into_store(
     spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
         store_path
     )
+
+
+def hist_bins(
+    df: DataFrame, col: str, bin_width: float = 1.0, num_bins: int = 1024
+) -> DataFrame:
+    """The (bin, cnt) histogram registers behind binned_quantiles —
+    exposed for streaming maintenance. Exact integers, sum-mergeable,
+    ≤ num_bins rows."""
+    b = F.least(
+        F.greatest(F.floor(F.col(col) / bin_width).cast("long"), F.lit(0)),
+        F.lit(num_bins - 1),
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_merge_into_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    col: str,
+    store_path: str,
+    bin_width: float = 1.0,
+    num_bins: int = 1024,
+) -> bool:
+    """foreachBatch body: fold a micro-batch's histogram bins into a
+    persistent store — streaming quantile maintenance (p50/p99 latency
+    over an unbounded stream with ≤ num_bins rows of state).
+
+    Histogram counters are ADDITIVE like Count-Min's, so the store
+    reuses the same ``merged_through`` batch-id fence as
+    countmin_merge_into_store (Spark's documented foreachBatch
+    exactly-once recipe): a replayed batch at or below the high-water
+    mark is skipped rather than double-counted. Returns whether the
+    batch was merged.
+    """
+    spark = batch_df.sparkSession
+    new = hist_bins(batch_df, col, bin_width, num_bins)
+    try:
+        old = spark.read.parquet(store_path)
+        hwm = old.agg(F.max("merged_through")).collect()[0][0]
+        if hwm is not None and batch_id <= hwm:
+            return False
+        merged = (
+            old.select("bin", "cnt")
+            .unionByName(new)
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    except Exception:  # first batch: no store yet
+        merged = new
+    rows = merged.collect()  # bounded: <= num_bins rows
+    out = spark.createDataFrame(rows, merged.schema).withColumn(
+        "merged_through", F.lit(int(batch_id))
+    )
+    out.write.mode("overwrite").parquet(store_path)
+    return True
+
+
+def hist_store_quantiles(
+    store: DataFrame,
+    quantiles: tuple[tuple[str, int, int], ...] = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Quantile estimates from a (bin, cnt) store — the identical
+    integer threshold rule as binned_quantiles, so a streamed store
+    yields bit-for-bit the single-pass batch estimates."""
+    from pyspark.sql import Window
+
+    bins = store.select("bin", "cnt")
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bins.select("bin", F.sum("cnt").over(w).alias("cum"))
+    tot = bins.agg(F.sum("cnt").alias("n"))
+    qdf = store.sparkSession.createDataFrame(
+        list(quantiles), "label string, num long, den long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") * F.col("den") >= F.col("n") * F.col("num"))
+        .groupBy("label", "n")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "label",
+            (F.col("bin") * F.lit(bin_width) + F.lit(bin_width / 2)).alias("est"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("label")
+    )

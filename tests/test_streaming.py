@@ -505,3 +505,83 @@ def test_streaming_priority_sample_store_equals_single_pass(spark, tmp_path):
     assert max(r.priority for r in final) == next(
         r.priority for r in final if r.doc_id == 5
     )
+
+
+def test_streaming_histogram_store_quantiles_equal_single_pass(spark, tmp_path):
+    """Streaming quantile maintenance: the fenced (bin, cnt) store after
+    a run of micro-batches yields the IDENTICAL integer-rule quantile
+    estimates as a single batch pass, and a replayed batch id is fenced
+    out rather than double-counted."""
+    from kassette_server_spark.operators.sketches import (
+        binned_quantiles,
+        hist_merge_into_store,
+        hist_store_quantiles,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "hist_store")
+    schema = "v double"
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).json(str(src))
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: hist_merge_into_store(bdf, bid, "v", store)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [(float(i % 97),) for i in range(400)]
+    b2 = [(float((i * 13) % 311),) for i in range(300)]
+    spark.createDataFrame(b1, schema).write.json(str(src / "b1"))
+    drain()
+    spark.createDataFrame(b2, schema).write.json(str(src / "b2"))
+    drain()
+
+    streamed = hist_store_quantiles(spark.read.parquet(store)).collect()
+    single = binned_quantiles(
+        spark.createDataFrame(b1 + b2, schema), "v"
+    ).collect()
+    assert [(r.label, r.est, r.n) for r in streamed] == [
+        (r.label, r.est, r.n) for r in single
+    ]
+
+    # replay the highest batch id: fence must reject it
+    last_bid = (
+        spark.read.parquet(store).agg(F.max("merged_through")).collect()[0][0]
+    )
+    merged = hist_merge_into_store(
+        spark.createDataFrame(b2, schema), last_bid, "v", store
+    )
+    assert merged is False
+    again = hist_store_quantiles(spark.read.parquet(store)).collect()
+    assert [(r.label, r.est, r.n) for r in again] == [
+        (r.label, r.est, r.n) for r in streamed
+    ]
+
+
+def test_priority_sample_topk_is_mergeable(spark):
+    """The algebraic property the streaming sample store relies on:
+    top_k(A ∪ B) == top_k(top_k(A) ∪ top_k(B))."""
+    from kassette_server_spark.operators.sampling import priority_sample
+
+    a = spark.createDataFrame([(i, 5 + (i * 11) % 200) for i in range(250)], "id long, w long")
+    b = spark.createDataFrame([(i, 5 + (i * 11) % 200) for i in range(200, 500)], "id long, w long")
+    whole = a.unionByName(b).dropDuplicates(["id"])
+    direct = [(r.id, r.priority) for r in priority_sample(whole, "id", "w", 25).collect()]
+    pa = priority_sample(a, "id", "w", 25)
+    pb = priority_sample(b, "id", "w", 25)
+    remerged = [
+        (r.id, r.priority)
+        for r in priority_sample(
+            pa.unionByName(pb).dropDuplicates(["id"]), "id", "w", 25
+        ).collect()
+    ]
+    assert direct == remerged
