@@ -37,6 +37,7 @@ from ..operators.sketches import (  # noqa: F401
     hll_registers,
 )
 from ..operators.affinity import copurchase_pairs  # noqa: F401
+from ..operators.clustering import power_iteration_top_component  # noqa: F401
 from ..operators.funnel import peak_concurrency  # noqa: F401
 from ..operators.graph import hierarchy_closure, pagerank_fixedpoint  # noqa: F401
 from ..operators.profiling import profile_columns  # noqa: F401

@@ -110,3 +110,117 @@ def kmeans_fit(
         for c in feature_cols
     ]
     return final.select(F.col("cid").cast("long"), "n", *ctr)
+
+
+def power_iteration_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+    x_scale: int = 10_000,
+    v_scale: int = 100_000,
+) -> DataFrame:
+    """Top principal direction of X'X by ``iters`` fixed-point power
+    iterations — the distributed-PCA reduce step (whitening, SemDeDup
+    axes, embedding drift) made engine-reproducible.
+
+    Float power iteration is summation-order-dependent twice per pass
+    (the dot products and the Σ_rows accumulation); here every
+    accumulation is EXACT integer arithmetic: embeddings quantize to
+    ``round(x·x_scale)``, the direction to ``round(v·v_scale)``,
+    per-row dots are Σ Xᵢ·Vᵢ over int64 (row-local, exact), the new
+    direction w_j = Σ_rows Xⱼ·dot is an exact int64 sum, and ‖w‖² is an
+    exact DECIMAL(38,0) sum; the ONLY floats are the final
+    sqrt + scale + round per component — IEEE exact-rounded, identical
+    everywhere. Magnitudes: |w| ≲ rows·maxX·maxDot stays inside int64
+    to ~10⁴ rows at these scales per component — drop x_scale (or
+    widen the sums to DECIMAL) for larger corpora.
+
+    Per iteration: one broadcast join of the 1-row-per-vector dot table
+    (broadcastable when the corpus is bounded; co-partitioned row join
+    at 100 TB) and two map-combined groupBys (64-key and row-key). The
+    exploded X is localCheckpoint'ed once and reused by all passes.
+
+    Output: (dim, vj) — the unit direction × v_scale, 1-based dims.
+    """
+    x = (
+        df.select(
+            F.col(id_col).alias("rid"),
+            F.posexplode(F.col(vec_col)).alias("pos", "xval"),
+        )
+        .select(
+            "rid",
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("xval") * x_scale).cast("long").alias("xi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dims = x.select("dim").distinct()
+    n_dims = dims.count()  # bounded: embedding dimensionality
+    seed = int(round(v_scale / n_dims**0.5))
+    v = dims.select("dim", F.lit(seed).cast("long").alias("vj"))
+    for _ in range(iters):
+        dot = (
+            x.join(F.broadcast(v), "dim")
+            .groupBy("rid")
+            .agg(F.sum(F.col("xi") * F.col("vj")).alias("dot"))
+        )
+        w = (
+            x.join(F.broadcast(dot), "rid")
+            .groupBy("dim")
+            .agg(F.sum(F.col("xi") * F.col("dot")).alias("w"))
+        )
+        norm = w.agg(
+            F.sqrt(
+                F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select(
+                "dim",
+                F.round(F.col("w").cast("double") * v_scale / F.col("nrm"))
+                .cast("long")
+                .alias("vj"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v
+
+
+def power_iteration_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_dims: int = 64,
+    iters: int = 3,
+    x_scale: int = 10_000,
+    v_scale: int = 100_000,
+) -> str:
+    """DuckDB SQL unrolling the identical integer iterations."""
+    seed = int(round(v_scale / n_dims**0.5))
+    ctes = [
+        f"""x AS (
+          SELECT {id_col} AS rid, u.i AS dim,
+                 CAST(round({vec_col}[u.i] * {x_scale}) AS BIGINT) AS xi
+          FROM {table}, unnest(CAST(range(1, {n_dims} + 1) AS BIGINT[])) AS u(i)
+        )""",
+        f"v0 AS (SELECT DISTINCT dim, CAST({seed} AS BIGINT) AS vj FROM x)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"d{i + 1} AS (SELECT x.rid, SUM(x.xi * v.vj) AS dot "
+            f"FROM x JOIN v{i} v USING (dim) GROUP BY x.rid)"
+        )
+        ctes.append(
+            f"w{i + 1} AS (SELECT x.dim, SUM(x.xi * d.dot) AS w "
+            f"FROM x JOIN d{i + 1} d USING (rid) GROUP BY x.dim)"
+        )
+        ctes.append(
+            f"n{i + 1} AS (SELECT sqrt(CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nrm FROM w{i + 1})"
+        )
+        ctes.append(
+            f"v{i + 1} AS (SELECT dim, CAST(round(CAST(w AS DOUBLE) * {v_scale} / nrm) AS BIGINT) AS vj "
+            f"FROM w{i + 1}, n{i + 1})"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT dim, vj FROM v{iters}"

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.affinity import copurchase_oracle_sql, copurchase_pairs
+from ..operators.clustering import (
+    power_iteration_oracle_sql,
+    power_iteration_top_component,
+)
 from ..operators.funnel import peak_concurrency, peak_concurrency_oracle_sql
 from ..operators.graph import (
     hierarchy_closure,
@@ -319,6 +323,18 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
+
+
+@query(
+    "q118_power_iteration_pca",
+    oracle=power_iteration_oracle_sql(),
+    doc="top principal direction of the embedding matrix via 3 "
+    "exact-integer power iterations (quantized dots, DECIMAL norm, "
+    "broadcast per-pass state)",
+    tags=("embedding", "llm"),
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    return power_iteration_top_component(load(spark, sf, "embeddings"))
 
 
 @query(

@@ -482,3 +482,34 @@ def test_bigram_logprob_separates_inlier_from_gibberish(spark):
     # c(b ·)=5, V=3 (a,b,x); doc1 = 3x 'a b' + 2x 'b a'
     expect = (3 * math.log(7 / 9) + 2 * math.log(6 / 8)) / 5
     assert abs(out[1].avg_logprob - expect) < 1e-6
+
+
+# ---------- q118 power iteration ----------
+
+
+def test_power_iteration_finds_dominant_direction(spark):
+    import numpy as np
+
+    from kassette_server_spark.operators.clustering import (
+        power_iteration_top_component,
+    )
+
+    # synthetic: variance concentrated along a known direction
+    rng = np.random.RandomState(7)
+    true_dir = np.zeros(16)
+    true_dir[3] = 0.8
+    true_dir[11] = 0.6
+    pts = [
+        (i, (float(c) * true_dir + rng.normal(0, 0.01, 16)).tolist())
+        for i, c in enumerate(rng.normal(0, 1, 400))
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = power_iteration_top_component(df)
+    v = np.zeros(16)
+    for r in out.collect():
+        v[r.dim - 1] = r.vj
+    cos = abs(v @ true_dir) / (np.linalg.norm(v) * np.linalg.norm(true_dir))
+    assert cos > 0.999  # converged onto the planted direction
+    # determinism: a second run is bit-identical
+    again = {(r.dim, r.vj) for r in power_iteration_top_component(df).collect()}
+    assert again == {(r.dim, r.vj) for r in out.collect()}
