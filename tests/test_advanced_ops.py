@@ -513,3 +513,40 @@ def test_power_iteration_finds_dominant_direction(spark):
     # determinism: a second run is bit-identical
     again = {(r.dim, r.vj) for r in power_iteration_top_component(df).collect()}
     assert again == {(r.dim, r.vj) for r in out.collect()}
+
+
+# ---------- plan locks for the session-3 tail (q105-q118) ----------
+
+
+def test_rolling_window_single_user_shuffle(spark):
+    p = _plan(spark, "q105_rolling_time_window")
+    assert p.count("Window (") == 1
+    assert p.count("Exchange (") == 1  # the user partition
+
+
+def test_entropy_and_kl_no_cartesian_no_python(spark):
+    for name in ("q108_entropy_by_source", "q112_kl_divergence_by_source"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p
+        assert "PythonUDF" not in p  # folds are JVM higher-order funcs
+        assert "SortMergeJoin" not in p  # corpus tables broadcast
+
+
+def test_winsorized_boundaries_broadcast(spark):
+    p = _plan(spark, "q113_winsorized_stats")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_peak_concurrency_single_window_pass(spark):
+    p = _plan(spark, "q116_peak_concurrency")
+    assert p.count("Window (") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_bigram_lm_tables_broadcast(spark):
+    p = _plan(spark, "q117_bigram_logprob")
+    # bi/uni/vocab LM tables must all broadcast onto the gram stream
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row vocab join
+    assert "SortMergeJoin" not in p
