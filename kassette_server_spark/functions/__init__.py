@@ -42,6 +42,7 @@ from ..operators.funnel import peak_concurrency  # noqa: F401
 from ..operators.graph import hierarchy_closure, pagerank_fixedpoint  # noqa: F401
 from ..operators.profiling import profile_columns  # noqa: F401
 from ..operators.layout import zorder_key  # noqa: F401
+from ..operators.linkage import sorted_neighborhood_pairs  # noqa: F401
 from ..operators.retrieval import bm25_topk  # noqa: F401
 from ..operators.sampling import priority_sample  # noqa: F401
 from ..operators.stats import (  # noqa: F401

@@ -38,6 +38,10 @@ from ..operators.graph import (
     pagerank_fixedpoint,
     pagerank_oracle_sql,
 )
+from ..operators.linkage import (
+    sorted_neighborhood_oracle_sql,
+    sorted_neighborhood_pairs,
+)
 from ..operators.profiling import profile_columns, profile_oracle_sql
 from ..operators.textstats import (
     bigram_logprob_by_doc,
@@ -323,6 +327,19 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
+
+
+@query(
+    "q119_sorted_neighborhood",
+    oracle=sorted_neighborhood_oracle_sql("customer", "c_custkey", "c_name"),
+    doc="sorted-neighborhood linkage blocking (prefix blocks, windowed "
+    "lead comparisons, edit-distance verify; candidates = rows x w)",
+    tags=("linkage", "llm"),
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    return sorted_neighborhood_pairs(
+        load(spark, sf, "customer"), "c_custkey", "c_name"
+    )
 
 
 @query(

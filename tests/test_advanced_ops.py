@@ -550,3 +550,35 @@ def test_bigram_lm_tables_broadcast(spark):
     assert p.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in p  # the 1-row vocab join
     assert "SortMergeJoin" not in p
+
+
+# ---------- q119 sorted neighborhood ----------
+
+
+def test_sorted_neighborhood_finds_adjacent_typos(spark):
+    from kassette_server_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "Customer#000000001"),
+        (2, "Customer#000000002"),  # lev 1 from #1, adjacent in sort
+        (3, "Customer#000000009"),
+        (4, "Zebra#999"),  # different block prefix
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {(r.a_id, r.b_id): r.dist
+           for r in sorted_neighborhood_pairs(df, "id", "name").collect()}
+    assert out[(1, 2)] == 1
+    assert out[(2, 3)] == 1
+    assert out[(1, 3)] == 1
+    assert not any(4 in p for p in out)  # cross-block never compared
+
+
+def test_sorted_neighborhood_candidate_count_is_linear(spark):
+    from kassette_server_spark.operators.linkage import sorted_neighborhood_pairs
+
+    # n rows, window w → at most n·w candidate pairs regardless of
+    # distance threshold (the scale contract)
+    rows = [(i, f"K{i:06d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted_neighborhood_pairs(df, "id", "name", window=3, max_dist=99).count()
+    assert got <= 200 * 3
