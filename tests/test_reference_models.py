@@ -1,0 +1,165 @@
+"""Third-implementation checks: seeded-random inputs run through the
+Spark operator AND an independent pure-Python model of the same
+deterministic algorithm, compared EXACTLY.
+
+The DuckDB oracles already give engine-vs-engine parity; these models
+are deliberately written from the algorithm's definition (not from the
+operator's code shape), so a bug mirrored into both SQL texts — the
+failure mode oracle parity can't see — still gets caught.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_zorder_random_roundtrip(spark):
+    from kassette_server_spark.operators.layout import zorder_key
+
+    rng = random.Random(42)
+    pts = [(rng.randrange(1 << 10), rng.randrange(1 << 10)) for _ in range(500)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    rows = df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 10).alias("z")).collect()
+
+    def model(x, y):
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r.z == model(r.x, r.y)
+
+
+def _py_priority(doc_id, w):
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16)
+    u = (h + 1) / float(1 << 52)
+    return w / u
+
+
+def test_priority_sample_matches_python_model(spark):
+    from kassette_server_spark.operators.sampling import priority_sample
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1, 500)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = [(r.id, r.priority) for r in priority_sample(df, "id", "w", 30).collect()]
+    want = sorted(
+        ((i, _py_priority(i, w)) for i, w in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:30]
+    assert got == want  # bit-exact, including the division
+
+
+def test_pagerank_matches_python_model(spark):
+    from kassette_server_spark.operators.graph import (
+        DEFAULT_DAMPING_PPM,
+        SCALE,
+        pagerank_fixedpoint,
+    )
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.rank for r in pagerank_fixedpoint(df, iters=3).collect()}
+
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: SCALE for n in nodes}
+    for _ in range(3):
+        inflow: dict[int, int] = {}
+        for s, d in edges:
+            inflow[d] = inflow.get(d, 0) + (rank[s] * DEFAULT_DAMPING_PPM) // (
+                outdeg[s] * SCALE
+            )
+        rank = {n: (SCALE - DEFAULT_DAMPING_PPM) + inflow.get(n, 0) for n in nodes}
+    assert got == rank
+
+
+def test_hierarchy_closure_matches_python_model(spark):
+    from kassette_server_spark.operators.graph import hierarchy_closure
+
+    rng = random.Random(3)
+    # random forest: node i's parent is a strictly-smaller id (or root)
+    nodes = [(0, None)] + [
+        (i, rng.randrange(i) if rng.random() < 0.8 else None) for i in range(1, 120)
+    ]
+    df = spark.createDataFrame(nodes, "id long, parent long")
+    got = {r.id: (r.root, r.depth, r.path_sum) for r in hierarchy_closure(df).collect()}
+
+    par = dict(nodes)
+    for i, _ in nodes:
+        depth, psum, a = 0, i, i
+        while par[a] is not None:
+            a = par[a]
+            depth += 1
+            psum += a
+        assert got[i] == (a, depth, psum)
+    assert len(got) == len(nodes)
+
+
+def test_winsorized_stats_matches_python_model(spark):
+    from kassette_server_spark.operators.stats import winsorized_stats
+
+    rng = random.Random(5)
+    rows = [(g, round(rng.uniform(0, 50), 2)) for g in (1, 2, 3) for _ in range(150)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {r.grp: r for r in winsorized_stats(df, "g", "v").collect()}
+
+    for g in (1, 2, 3):
+        vals = sorted(
+            int(round(v * 100)) for gg, v in rows if gg == g
+        )
+        n = len(vals)
+
+        def qbound(num, den):
+            # smallest value whose cumulative count reaches ceil(q*n):
+            # index = ceil(n*num/den) in 1-based order statistics
+            k = -(-n * num // den)
+            return vals[k - 1]
+
+        lo, hi = qbound(5, 100), qbound(95, 100)
+        clipped = [min(max(v, lo), hi) for v in vals]
+        r = got[g]
+        assert (r.n, r.lo, r.hi) == (n, lo, hi)
+        assert r.n_clipped_low == sum(1 for v in vals if v < lo)
+        assert r.n_clipped_high == sum(1 for v in vals if v > hi)
+        assert r.wsum == sum(clipped)
+
+
+def test_hll_estimate_matches_python_model(spark):
+    from kassette_server_spark.operators.sketches import hll_count_distinct
+
+    rng = random.Random(13)
+    ids = [rng.randrange(10_000) for _ in range(3_000)]
+    df = spark.createDataFrame([(i,) for i in ids], "v long")
+    got = hll_count_distinct(df, "v", p=9).collect()[0]
+
+    # independent model: md5 60-bit hash, register = h mod 512,
+    # rank = scale - bitlength(h div 512) (scale = 60-9+1)
+    m, scale = 1 << 9, 60 - 9 + 1
+    regs: dict[int, int] = {}
+    for v in set(ids):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        reg, rest = h % m, h // m
+        rank = scale if rest == 0 else scale - rest.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rank)
+    # the operator's exact formulation: raw HLL (no small-range
+    # correction — documented), integer scaled harmonic sum, one
+    # float division, floor
+    import math
+
+    present = sum(1 << (scale - r) for r in regs.values())
+    nreg = len(regs)
+    denom = present + (m - nreg) * (1 << scale)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = math.floor(alpha * m * m * float(1 << scale) / denom)
+    assert got.approx_distinct == est
+    assert got.zero_registers == m - nreg
+    assert got.scaled_sum == denom
