@@ -163,3 +163,93 @@ def test_hll_estimate_matches_python_model(spark):
     assert got.approx_distinct == est
     assert got.zero_registers == m - nreg
     assert got.scaled_sum == denom
+
+
+def test_grouped_ols_matches_python_model(spark):
+    from kassette_server_spark.operators.stats import grouped_ols
+
+    rng = random.Random(17)
+    rows = [(g, rng.randrange(1, 60), rng.randrange(1, 9000)) for g in (1, 2) for _ in range(80)]
+    df = spark.createDataFrame(rows, "g int, x int, y int")
+    got = {r.grp: r for r in grouped_ols(df, "g", F.col("x"), F.col("y")).collect()}
+
+    for g in (1, 2):
+        xs = [(x, y) for gg, x, y in rows if gg == g]
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        sy = sum(y for _, y in xs)
+        sxx = sum(x * x for x, _ in xs)
+        sxy = sum(x * y for x, y in xs)
+        syy = sum(y * y for _, y in xs)
+        # identical double expression tree (python float ops are the
+        # same IEEE ops)
+        cov_n = float(n) * float(sxy) - float(sx) * float(sy)
+        var_x = float(n) * float(sxx) - float(sx) * float(sx)
+        var_y = float(n) * float(syy) - float(sy) * float(sy)
+        slope = cov_n / var_x
+        assert got[g].slope == slope
+        assert got[g].intercept == (float(sy) - slope * float(sx)) / float(n)
+        assert got[g].r2 == (cov_n * cov_n) / (var_x * var_y)
+
+
+def test_peak_concurrency_matches_python_model(spark):
+    from kassette_server_spark.operators.funnel import peak_concurrency
+
+    rng = random.Random(23)
+    rows = [("g", s := rng.randrange(1000), s + rng.randrange(1, 120)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = peak_concurrency(df, "g", F.col("s"), F.col("e")).first()
+
+    points = sorted(
+        [(s, 1) for _, s, _ in rows] + [(e, -1) for _, _, e in rows]
+    )
+    peak = cur = 0
+    i = 0
+    while i < len(points):  # RANGE-frame semantics: tied points together
+        j = i
+        while j < len(points) and points[j][0] == points[i][0] and points[j][1] == points[i][1]:
+            cur += points[j][1]
+            j += 1
+        peak = max(peak, cur)
+        i = j
+    assert (got.n_intervals, got.peak) == (300, peak)
+
+
+def test_copurchase_matches_python_model(spark):
+    from itertools import combinations
+
+    from kassette_server_spark.operators.affinity import copurchase_pairs
+
+    rng = random.Random(29)
+    rows = [(rng.randrange(60), rng.randrange(25)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "basket int, item int")
+    got = {(r.item_a, r.item_b): r.support
+           for r in copurchase_pairs(df, "basket", "item", 1).collect()}
+
+    baskets: dict[int, set] = {}
+    for b, it in rows:
+        baskets.setdefault(b, set()).add(it)
+    want: dict[tuple, int] = {}
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+def test_mad_outliers_matches_python_model(spark):
+    import statistics
+
+    from kassette_server_spark.operators.stats import mad_outliers
+
+    rng = random.Random(31)
+    rows = [(1, round(rng.uniform(0, 100), 2)) for _ in range(201)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = mad_outliers(df, "g", "v", c=3.0).first()
+
+    vals = [v for _, v in rows]
+    med = statistics.median(vals)
+    adev = [abs(v - med) for v in vals]
+    mad = statistics.median(adev)
+    assert got.med == med and got.mad == mad
+    assert got.n_outliers == sum(1 for d in adev if d > 3.0 * mad)
+    assert got.max_abs_dev == max(adev)
