@@ -281,17 +281,24 @@ def bigram_logprob_by_doc(
     Output: (doc_id, n_bigrams, avg_logprob).
     """
     toks = tokens(text_col)
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.transform(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda w, i: F.struct(
-                    w.alias("w1"), F.element_at(toks, i + 2).alias("w2")
-                ),
-            )
-        ).alias("pos", "g"),
-    ).select("doc_id", "pos", "g.w1", "g.w2")
+    # the gram stream feeds BOTH the LM fit (bi counts) and the scoring
+    # join; checkpoint it so the tokenize+explode pass runs once, not
+    # per consumer
+    grams = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda w, i: F.struct(
+                        w.alias("w1"), F.element_at(toks, i + 2).alias("w2")
+                    ),
+                )
+            ).alias("pos", "g"),
+        )
+        .select("doc_id", "pos", "g.w1", "g.w2")
+        .localCheckpoint(eager=False)
+    )
     bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     uni = bi.groupBy("w1").agg(F.sum("cb").alias("cu"))
     vocab = (
