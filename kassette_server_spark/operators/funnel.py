@@ -170,21 +170,27 @@ def peak_concurrency(
     group_col: str,
     start_col,
     end_col,
+    bucket_width: int = 1 << 32,
 ) -> DataFrame:
     """Peak number of simultaneously-open intervals per group, via the
     classic sweep line: each interval contributes (+1 at start, −1 at
-    end), a running sum ordered by (time, delta) walks the timeline,
+    end), the running sum ordered by (time, delta) walks the timeline,
     and the peak is its max. An interval ENDING at t does not overlap
     one STARTING at t (−1 sorts before +1).
 
-    Scale shape: the event-point union is map-side; the only shuffle
-    is the group partition for the running-sum window. Integer deltas
-    ⇒ the running values are a deterministic ±1 walk (the default
-    RANGE frame aggregates tied points together identically in every
-    engine), so the result is bit-exact. State is the window frame,
-    not the interval set.
+    Scale shape — TWO-LEVEL prefix sum, not one sequential walk: a
+    single `Window.partitionBy(grp)` serializes each group on one task
+    (fatal when groups are few and hot). Instead the timeline splits
+    into ``bucket_width`` time buckets: the local walk runs per
+    (grp, bucket) — embarrassingly parallel — and a second tiny window
+    over the per-bucket totals (n_buckets rows per group) supplies each
+    bucket's starting offset; peak = max(offset + local peak). Exact
+    same result as the sequential walk (tied points share a bucket, so
+    the engines' identical RANGE-frame tie handling is preserved) —
+    locked by the Python sweep model in tests/test_reference_models.py.
 
-    ``start_col``/``end_col``: integer (e.g. epoch-micros) columns.
+    ``start_col``/``end_col``: integer (e.g. epoch-micros) columns;
+    default bucket ≈ 1.2 h of microseconds.
     Output: (grp, n_intervals, peak).
     """
     from pyspark.sql import Window
@@ -192,14 +198,33 @@ def peak_concurrency(
     g = F.col(group_col).alias("grp")
     starts = df.select(g, start_col.alias("t"), F.lit(1).alias("delta"))
     ends = df.select(g, end_col.alias("t"), F.lit(-1).alias("delta"))
-    points = starts.unionByName(ends)
-    w = Window.partitionBy("grp").orderBy("t", "delta")
-    walked = points.select(
-        "grp", F.sum("delta").over(w).alias("open"), "delta"
+    points = starts.unionByName(ends).withColumn(
+        "bkt", F.expr(f"t div {bucket_width}")
     )
-    return walked.groupBy("grp").agg(
-        (F.count("*") / 2).cast("long").alias("n_intervals"),
-        F.max("open").cast("long").alias("peak"),
+    w_local = Window.partitionBy("grp", "bkt").orderBy("t", "delta")
+    walked = points.select(
+        "grp", "bkt", "delta", F.sum("delta").over(w_local).alias("lrun")
+    )
+    per_bucket = walked.groupBy("grp", "bkt").agg(
+        F.count("*").alias("npts"),
+        F.sum("delta").alias("btot"),
+        F.max("lrun").alias("bmax"),
+    )
+    w_off = (
+        Window.partitionBy("grp")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_bucket.select(
+        "grp",
+        "npts",
+        (F.coalesce(F.sum("btot").over(w_off), F.lit(0)) + F.col("bmax")).alias(
+            "bpeak"
+        ),
+    )
+    return offs.groupBy("grp").agg(
+        (F.sum("npts") / 2).cast("long").alias("n_intervals"),
+        F.max("bpeak").cast("long").alias("peak"),
     )
 
 

@@ -538,9 +538,12 @@ def test_winsorized_boundaries_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_peak_concurrency_single_window_pass(spark):
+def test_peak_concurrency_two_level_windows(spark):
     p = _plan(spark, "q116_peak_concurrency")
-    assert p.count("Window (") == 1
+    # two-level prefix sum BY DESIGN: the parallel per-(grp,bucket)
+    # local walk plus the tiny per-group bucket-offset window — one
+    # global per-group window would serialize hot groups
+    assert p.count("Window (") == 2
     assert "CartesianProduct" not in p
 
 
