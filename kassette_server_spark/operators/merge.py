@@ -88,3 +88,54 @@ def scd2_apply(
         .withColumn(current_col, F.lit(True))
     )
     return closed.unionByName(opened.select(*closed.columns))
+
+
+def scd2_merge_into_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    store_path: str,
+    ts_col: str = "valid_from",
+) -> bool:
+    """foreachBatch body: maintain an SCD2 dimension table from a CDC
+    change feed — streaming history tracking.
+
+    Applying a change batch is NOT idempotent (replaying it would close
+    the rows it just opened against themselves), so the store carries
+    the same ``merged_through`` batch-id fence as the additive sketch
+    stores (Spark's documented foreachBatch exactly-once recipe): a
+    replayed batch at or below the high-water mark is skipped. Returns
+    whether the batch was applied.
+
+    State is the dimension's full history — dimension-sized by
+    definition, not stream-sized. The collect-and-rewrite is
+    appropriate for control-plane-scale dimensions (the reference's
+    config/destination tables); for fact-scale SCD2 swap the rewrite
+    for a partitioned storage merge, keeping the same fence.
+    """
+    spark = batch_df.sparkSession
+    others = [c for c in batch_df.columns if c not in keys and c != ts_col]
+    opened_schema = batch_df.select(
+        *keys,
+        ts_col,
+        *others,
+    )
+    try:
+        old = spark.read.parquet(store_path)
+        hwm = old.agg(F.max("merged_through")).collect()[0][0]
+        if hwm is not None and batch_id <= hwm:
+            return False
+        target = old.drop("merged_through")
+    except Exception:  # first batch: empty dimension
+        target = (
+            opened_schema.withColumn("valid_to", F.lit(None).cast("timestamp"))
+            .withColumn("is_current", F.lit(True))
+            .limit(0)
+        )
+    merged = scd2_apply(target, batch_df, keys, ts_col)
+    rows = merged.collect()
+    out = spark.createDataFrame(rows, merged.schema).withColumn(
+        "merged_through", F.lit(int(batch_id))
+    )
+    out.write.mode("overwrite").parquet(store_path)
+    return True

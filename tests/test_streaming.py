@@ -585,3 +585,77 @@ def test_priority_sample_topk_is_mergeable(spark):
         ).collect()
     ]
     assert direct == remerged
+
+
+def test_streaming_scd2_store_equals_batch_apply(spark, tmp_path):
+    """Streaming CDC → SCD2: the fenced dimension store after a run of
+    change batches equals applying the same batches in order with the
+    batch operator, and a replayed batch id does not corrupt history."""
+    import datetime as dt
+
+    from kassette_server_spark.operators.merge import (
+        scd2_apply,
+        scd2_merge_into_store,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "scd2_store")
+    schema = "k long, valid_from timestamp, attr string"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).json(str(src))
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: scd2_merge_into_store(bdf, bid, ["k"], store)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [(1, t0, "a"), (2, t0, "x")]
+    b2 = [(1, t0 + dt.timedelta(days=1), "b"), (3, t0 + dt.timedelta(days=1), "z")]
+    spark.createDataFrame(b1, schema).write.json(str(src / "b1"))
+    drain()
+    spark.createDataFrame(b2, schema).write.json(str(src / "b2"))
+    drain()
+
+    def snap(df):
+        return sorted(
+            (r.k, r.valid_from, r.attr, r.valid_to, r.is_current)
+            for r in df.collect()
+        )
+
+    got = snap(spark.read.parquet(store).drop("merged_through"))
+    empty = (
+        spark.createDataFrame(b1, schema)
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .limit(0)
+    )
+    want = snap(
+        scd2_apply(
+            scd2_apply(empty, spark.createDataFrame(b1, schema), ["k"]),
+            spark.createDataFrame(b2, schema),
+            ["k"],
+        )
+    )
+    assert got == want
+    # history sanity: key 1 has a closed v1 and a current v2
+    k1 = [r for r in got if r[0] == 1]
+    assert len(k1) == 2
+    assert sum(1 for r in k1 if r[4]) == 1
+
+    # replay the last batch id: fence must reject and store not move
+    last_bid = spark.read.parquet(store).agg(F.max("merged_through")).collect()[0][0]
+    applied = scd2_merge_into_store(
+        spark.createDataFrame(b2, schema), last_bid, ["k"], store
+    )
+    assert applied is False
+    assert snap(spark.read.parquet(store).drop("merged_through")) == got
