@@ -39,7 +39,11 @@ from ..operators.sketches import (  # noqa: F401
 from ..operators.affinity import copurchase_pairs  # noqa: F401
 from ..operators.clustering import power_iteration_top_component  # noqa: F401
 from ..operators.funnel import peak_concurrency  # noqa: F401
-from ..operators.graph import hierarchy_closure, pagerank_fixedpoint  # noqa: F401
+from ..operators.graph import (  # noqa: F401
+    hierarchy_closure,
+    hierarchy_closure_jump,
+    pagerank_fixedpoint,
+)
 from ..operators.profiling import profile_columns  # noqa: F401
 from ..operators.layout import zorder_key  # noqa: F401
 from ..operators.linkage import sorted_neighborhood_pairs  # noqa: F401

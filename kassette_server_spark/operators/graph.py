@@ -211,3 +211,60 @@ def hierarchy_oracle_sql(nodes_sql: str, max_depth: int = 12) -> str:
     FROM walk w JOIN nodes n ON n.id = w.anc
     WHERE n.parent IS NULL
     """
+
+
+def hierarchy_closure_jump(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_depth: int = 4096,
+) -> DataFrame:
+    """Pointer-jumping variant of :func:`hierarchy_closure` — the
+    log-depth scale path: each pass composes the jump table with
+    itself (2^k-step ancestors), so a depth-d hierarchy resolves in
+    ⌈log₂ d⌉ self-joins instead of d frontier passes. Use when chains
+    are DEEP (long org chains, linked-list-like histories); the
+    frontier chase wins when depth is small because its per-pass work
+    shrinks while every jump pass joins the full node table.
+
+    Same exact integer outputs (id, root, depth, path_sum) — locked
+    against the chase version and the Python model in tests.
+    """
+    import math
+
+    # jump state per node: ancestor after ≤2^k steps, steps actually
+    # taken, id-sum over the traversed path EXCLUDING the node itself.
+    # Roots are absorbing: (a=v, d=0, s=0) composes as identity.
+    t = nodes.select(
+        F.col(id_col).alias("v"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("a"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("d"),
+        F.coalesce(F.col(parent_col), F.lit(0)).cast("long").alias("s"),
+    ).localCheckpoint(eager=False)
+    passes = max(1, math.ceil(math.log2(max_depth)))
+    for _ in range(passes):
+        u = t.select(
+            F.col("v").alias("u_v"),
+            F.col("a").alias("u_a"),
+            F.col("d").alias("u_d"),
+            F.col("s").alias("u_s"),
+        )
+        t = (
+            t.join(u, t.a == u.u_v)
+            .select(
+                "v",
+                F.col("u_a").alias("a"),
+                (F.col("d") + F.col("u_d")).alias("d"),
+                (F.col("s") + F.col("u_s")).alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return t.select(
+        F.col("v").alias("id"),
+        F.col("a").alias("root"),
+        F.col("d").alias("depth"),
+        (F.col("s") + F.col("v")).alias("path_sum"),
+    )

@@ -253,3 +253,25 @@ def test_mad_outliers_matches_python_model(spark):
     assert got.med == med and got.mad == mad
     assert got.n_outliers == sum(1 for d in adev if d > 3.0 * mad)
     assert got.max_abs_dev == max(adev)
+
+
+def test_hierarchy_jump_equals_chase_and_model(spark):
+    from kassette_server_spark.operators.graph import (
+        hierarchy_closure,
+        hierarchy_closure_jump,
+    )
+
+    rng = random.Random(19)
+    # deep chain (0←1←2←...←63) plus a random shallow forest
+    nodes = [(0, None)] + [(i, i - 1) for i in range(1, 64)] + [
+        (100 + i, (100 + rng.randrange(i)) if rng.random() < 0.7 else None)
+        for i in range(1, 60)
+    ] + [(100, None)]
+    df = spark.createDataFrame(nodes, "id long, parent long")
+    chase = {r.id: (r.root, r.depth, r.path_sum)
+             for r in hierarchy_closure(df, max_depth=70).collect()}
+    jump = {r.id: (r.root, r.depth, r.path_sum)
+            for r in hierarchy_closure_jump(df, max_depth=70).collect()}
+    assert jump == chase
+    # spot-check the deep chain against the closed form
+    assert jump[63] == (0, 63, sum(range(64)))
