@@ -329,6 +329,126 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
 
 
+# q120: collocation mining — PMI over corpus bigrams. Each output row's
+# only float is ONE ln on a ratio of exact integers (no cross-row float
+# sums anywhere), rounded to 6 dp; counts reuse the positional-bigram
+# construction of q117/q92. Map-combined groupBys + a broadcast unigram
+# join; top-k by support is TakeOrderedAndProject.
+@query(
+    "q120_collocations_pmi",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM toks, unnest(CAST(range(1, greatest(len(t), 1)) AS BIGINT[])) AS u(i)
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS n FROM grams GROUP BY w1, w2),
+    tot AS (SELECT SUM(n) AS nn FROM bi),
+    u1 AS (SELECT w1 AS w, SUM(n) AS c1 FROM bi GROUP BY w1),
+    u2 AS (SELECT w2 AS w, SUM(n) AS c2 FROM bi GROUP BY w2)
+    SELECT b.w1, b.w2, b.n,
+           round(ln((CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE))
+                    / (CAST(u1.c1 AS DOUBLE) * CAST(u2.c2 AS DOUBLE))), 6) AS pmi
+    FROM bi b JOIN u1 ON u1.w = b.w1 JOIN u2 ON u2.w = b.w2, tot t
+    WHERE b.n >= 5
+    ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50
+    """,
+    doc="top-50 collocations by pointwise mutual information (exact "
+    "bigram/unigram counts, one ln per row, broadcast marginals)",
+    tags=("textstats", "llm"),
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import tokens
+
+    toks = tokens("text")
+    grams = load(spark, sf, "documents").select(
+        F.explode(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda w, i: F.struct(
+                    w.alias("w1"), F.element_at(toks, i + 2).alias("w2")
+                ),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = bi.agg(F.sum("n").alias("nn"))
+    u1 = bi.groupBy("w1").agg(F.sum("n").alias("c1"))
+    u2 = bi.groupBy("w2").agg(F.sum("n").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n").cast("double") * F.col("nn").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(tot))
+        .where(F.col("n") >= 5)
+        .select("w1", "w2", "n", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+# q121: association rules over the co-purchase pairs — confidence and
+# lift are exact-rounded divisions of exact integers (no ln at all).
+@query(
+    "q121_association_rules",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                   FROM lineitem),
+    isup AS (SELECT item, COUNT(*) AS ci FROM items GROUP BY item),
+    nb AS (SELECT COUNT(DISTINCT basket) AS n FROM items),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS sup
+      FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item HAVING COUNT(*) >= 3
+    )
+    SELECT p.item_a, p.item_b, p.sup,
+           CAST(p.sup AS DOUBLE) / ia.ci AS conf_a_to_b,
+           CAST(p.sup AS DOUBLE) / ib.ci AS conf_b_to_a,
+           (CAST(p.sup AS DOUBLE) * nb.n) / (CAST(ia.ci AS DOUBLE) * ib.ci) AS lift
+    FROM pairs p JOIN isup ia ON ia.item = p.item_a
+                 JOIN isup ib ON ib.item = p.item_b, nb
+    """,
+    doc="association rules (confidence both directions + lift) over "
+    "co-purchase pairs; exact-rounded divisions, broadcast item supports",
+    tags=("affinity",),
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    items = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    isup = items.groupBy("item").agg(F.count("*").alias("ci"))
+    nb = items.agg(F.countDistinct("basket").alias("n"))
+    pairs = copurchase_pairs(
+        load(spark, sf, "lineitem"), "l_orderkey", "l_partkey", min_support=3
+    ).withColumnRenamed("support", "sup")
+    ia = isup.select(F.col("item").alias("item_a"), F.col("ci").alias("ca"))
+    ib = isup.select(F.col("item").alias("item_b"), F.col("ci").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .join(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "sup",
+            (F.col("sup").cast("double") / F.col("ca")).alias("conf_a_to_b"),
+            (F.col("sup").cast("double") / F.col("cb")).alias("conf_b_to_a"),
+            (
+                (F.col("sup").cast("double") * F.col("n"))
+                / (F.col("ca").cast("double") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
+
+
 @query(
     "q119_sorted_neighborhood",
     oracle=sorted_neighborhood_oracle_sql("customer", "c_custkey", "c_name"),

@@ -585,3 +585,34 @@ def test_sorted_neighborhood_candidate_count_is_linear(spark):
     df = spark.createDataFrame(rows, "id long, name string")
     got = sorted_neighborhood_pairs(df, "id", "name", window=3, max_dist=99).count()
     assert got <= 200 * 3
+
+
+# ---------- q120/q121 collocations + association rules ----------
+
+
+def test_pmi_spec_ranks_exclusive_pair_first(spark):
+    # the corpus text is drawn from a small vocab, so q120's top
+    # collocation must be a pair whose PMI beats independent pairing;
+    # sanity-check shape and ordering invariants on the real spec
+    out = SPECS["q120_collocations_pmi"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= 50
+    pmis = [r.pmi for r in out]
+    assert pmis == sorted(pmis, reverse=True)  # ranked by PMI desc
+    assert all(r.n >= 5 for r in out)  # support floor applied
+
+
+def test_association_rules_hand_check(spark):
+    from kassette_server_spark.operators.affinity import copurchase_pairs
+
+    # 4 baskets: {1,2} x3, {1,3} x1 → rule 1→2 conf 0.75, 2→1 conf 1.0
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2), (13, 1), (13, 3)]
+    df = spark.createDataFrame(rows, "basket int, item int")
+    items = df.distinct()
+    pairs = copurchase_pairs(df, "basket", "item", 1)
+    sup = {(r.item_a, r.item_b): r.support for r in pairs.collect()}
+    assert sup[(1, 2)] == 3 and sup[(1, 3)] == 1
+    # confidence/lift math on exact counts (the q121 expression)
+    c1, c2, n = 4, 3, 4
+    assert sup[(1, 2)] / c1 == 0.75
+    assert sup[(1, 2)] / c2 == 1.0
+    assert (sup[(1, 2)] * n) / (c1 * c2) == 1.0
