@@ -106,12 +106,12 @@ _WINDOW: tuple[str, ...] = (
 )
 
 # R6 ROTATION PLAN (write it down while the debt is fresh): the r5
-# session-3 operators q99-q116 (18 specs) ship this round WITHOUT a
+# session-3 operators q99-q121 (23 specs) ship this round WITHOUT a
 # window slot — the 50 slots were committed to retiring q84/q47/q40 and
 # the three-rounds-stale OLAP/llmops families first. All 18 are locked
 # by test_oracle_parity*.py at sf0.001+sf0.01 every CI run and were
 # hand-verified green at sf0.1 (BASELINE.md r5 notes). Next round's
-# window: pin the q01/q03/q08/q11/q24/q28 core, rotate IN q99-q116 +
+# window: pin the q01/q03/q08/q11/q24/q28 core, rotate IN q99-q121 +
 # q98 + the displaced r4-greens (q25/q70/q72/q76/q77/q82/q83), fill
 # the rest with whatever is then ≥2 rounds stale.
 
