@@ -38,7 +38,7 @@ from ..operators.sketches import (  # noqa: F401
 )
 from ..operators.affinity import copurchase_pairs  # noqa: F401
 from ..operators.clustering import power_iteration_top_component  # noqa: F401
-from ..operators.funnel import peak_concurrency  # noqa: F401
+from ..operators.funnel import peak_concurrency, timed_funnel  # noqa: F401
 from ..operators.graph import (  # noqa: F401
     hierarchy_closure,
     hierarchy_closure_jump,
@@ -47,6 +47,7 @@ from ..operators.graph import (  # noqa: F401
 from ..operators.profiling import profile_columns  # noqa: F401
 from ..operators.layout import zorder_key  # noqa: F401
 from ..operators.linkage import sorted_neighborhood_pairs  # noqa: F401
+from ..operators.merge import scd2_merge_into_store, snapshot_diff  # noqa: F401
 from ..operators.retrieval import bm25_topk  # noqa: F401
 from ..operators.sampling import priority_sample  # noqa: F401
 from ..operators.stats import (  # noqa: F401

@@ -248,3 +248,109 @@ def peak_concurrency_oracle_sql(
            CAST(MAX(open) AS BIGINT) AS peak
     FROM walked GROUP BY grp
     """
+
+
+def timed_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    window_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel with a CONVERSION WINDOW per transition: a user advances
+    to step k+1 only with an event strictly after their step-k time and
+    within ``window_us`` microseconds of it — the standard product-
+    analytics funnel (q75's strict-order funnel has no time bound).
+
+    One pass per step: the per-user step-k times (one row per user)
+    broadcast back over the events for the conditional min of step
+    k+1 — |steps| broadcast joins + grouped mins, no window functions,
+    no self-join of the event table with itself.
+
+    Output: (user, stage, t_first, t_last) where stage = deepest step
+    reached (1-based), t_first/t_last its entry times.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.unix_micros(F.col(ts_col)).alias("t"),
+    )
+    reached = (
+        ev.where(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t1"))
+    )
+    times = [("t1", reached)]
+    cur = reached
+    for k, step in enumerate(steps[1:], start=2):
+        col = f"t{k}"
+        prev = f"t{k - 1}"
+        nxt = (
+            ev.where(F.col("et") == step)
+            .join(F.broadcast(cur.select("u", F.col(prev))), "u")
+            .where(
+                (F.col("t") > F.col(prev))
+                & (F.col("t") <= F.col(prev) + F.lit(window_us))
+            )
+            .groupBy("u")
+            .agg(F.min("t").alias(col), F.first(prev).alias(prev))
+        )
+        cur = nxt
+        times.append((col, nxt))
+    # deepest stage per user: left-join the chain back together
+    out = times[0][1]
+    for col, df in times[1:]:
+        out = out.join(df.select("u", col), "u", "left")
+    # deepest-first CASE: the first non-null t_k wins
+    stage = F.lit(1)
+    for k in range(2, len(steps) + 1):  # ascending so later whens override
+        stage = F.when(F.col(f"t{k}").isNotNull(), F.lit(k)).otherwise(stage)
+    last_t = F.coalesce(*[F.col(f"t{k}") for k in range(len(steps), 0, -1)])
+    return out.select(
+        F.col("u").alias("user_id"),
+        stage.alias("stage"),
+        F.col("t1").alias("t_first"),
+        last_t.alias("t_last"),
+    )
+
+
+def timed_funnel_oracle_sql(
+    table: str,
+    steps: tuple[str, ...],
+    window_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB SQL for the identical windowed funnel."""
+    ctes = [
+        f"""ev AS (SELECT {user_col} AS u, {type_col} AS et,
+                  epoch_us(CAST({ts_col} AS TIMESTAMP)) AS t FROM {table})""",
+        f"s1 AS (SELECT u, MIN(t) AS t1 FROM ev WHERE et = '{steps[0]}' GROUP BY u)",
+    ]
+    for k, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"""s{k} AS (
+              SELECT e.u, MIN(e.t) AS t{k}, any_value(p.t{k - 1}) AS t{k - 1}
+              FROM ev e JOIN s{k - 1} p ON e.u = p.u
+              WHERE e.et = '{step}' AND e.t > p.t{k - 1}
+                AND e.t <= p.t{k - 1} + {window_us}
+              GROUP BY e.u
+            )"""
+        )
+    joins = "s1" + "".join(
+        f" LEFT JOIN (SELECT u, t{k} FROM s{k}) j{k} USING (u)"
+        for k in range(2, len(steps) + 1)
+    )
+    stage = "CASE " + " ".join(
+        f"WHEN t{k} IS NOT NULL THEN {k}"
+        for k in range(len(steps), 1, -1)
+    ) + " ELSE 1 END"
+    last_t = "COALESCE(" + ", ".join(
+        f"t{k}" for k in range(len(steps), 0, -1)
+    ) + ")"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u AS user_id, {stage} AS stage, t1 AS t_first, {last_t} AS t_last FROM {joins}"
+    )

@@ -139,3 +139,74 @@ def scd2_merge_into_store(
     )
     out.write.mode("overwrite").parquet(store_path)
     return True
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Row-level diff of two table snapshots — the data-versioning
+    primitive behind CDC backfills, reconciliation checks, and
+    "what changed between yesterday's and today's load".
+
+    Full outer join on the key, change detection via an md5 row digest
+    of every non-key column (null-safe: values join with a sentinel so
+    NULL ≠ ''). Output only differing rows: (keys..., change) with
+    change ∈ {added, removed, changed}. Exact strings/integers — engine
+    portable.
+
+    Scale shape: one co-partitioned full outer join on the key; digests
+    are computed map-side so the shuffle carries (key, 16-byte digest),
+    never the full row twice.
+    """
+    others = sorted(c for c in old.columns if c not in keys)
+    if sorted(c for c in new.columns if c not in keys) != others:
+        raise ValueError("snapshots must share a schema")
+
+    def digest(df: DataFrame) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in others
+                ],
+            )
+        )
+        return df.select(*keys, h.alias("_h"))
+
+    o = digest(old).withColumnRenamed("_h", "_ho")
+    n = digest(new).withColumnRenamed("_h", "_hn")
+    j = o.join(n, keys, "full_outer")
+    return j.select(
+        *keys,
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .alias("change"),
+    ).where(F.col("change").isNotNull())
+
+
+def snapshot_diff_oracle_sql(
+    old_sql: str, new_sql: str, keys: list[str], other_cols: list[str]
+) -> str:
+    """DuckDB SQL computing the identical diff (same digest recipe)."""
+    others = sorted(other_cols)
+    dig = "md5(concat_ws(chr(31), " + ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in others
+    ) + "))"
+    keylist = ", ".join(keys)
+    on = " AND ".join(f"o.{k} = n.{k}" for k in keys)
+    keysel = ", ".join(f"COALESCE(o.{k}, n.{k}) AS {k}" for k in keys)
+    return f"""
+    WITH o AS (SELECT {keylist}, {dig} AS h FROM ({old_sql})),
+    n AS (SELECT {keylist}, {dig} AS h FROM ({new_sql}))
+    SELECT * FROM (
+      SELECT {keysel},
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed' END AS change
+      FROM o FULL OUTER JOIN n ON {on}
+    ) WHERE change IS NOT NULL
+    """

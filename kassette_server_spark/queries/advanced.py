@@ -31,7 +31,12 @@ from ..operators.clustering import (
     power_iteration_oracle_sql,
     power_iteration_top_component,
 )
-from ..operators.funnel import peak_concurrency, peak_concurrency_oracle_sql
+from ..operators.funnel import (
+    peak_concurrency,
+    peak_concurrency_oracle_sql,
+    timed_funnel_oracle_sql,
+)
+from ..operators.merge import snapshot_diff_oracle_sql
 from ..operators.graph import (
     hierarchy_closure,
     hierarchy_oracle_sql,
@@ -327,6 +332,73 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
+
+
+# q122: snapshot diff — the "new" snapshot is derived from orders by a
+# deterministic synthetic change set (delete keys %97, bump price on
+# %101, insert copies of %103 at key+10M), so both engines diff the
+# identical pair of relations.
+_DIFF_NEW_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 103 = 0
+"""
+
+
+@query(
+    "q122_snapshot_diff",
+    oracle=snapshot_diff_oracle_sql(
+        "SELECT * FROM orders",
+        _DIFF_NEW_SQL,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority"],
+    ),
+    doc="row-level snapshot diff (added/removed/changed via md5 row "
+    "digests; one co-partitioned full outer join on the key)",
+    tags=("versioning",),
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.merge import snapshot_diff
+
+    old = load(spark, sf, "orders")
+    new = old.where("o_orderkey % 97 != 0").withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        old.where("o_orderkey % 103 = 0").withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+_FUNNEL_WINDOW_US = 48 * 3600 * 1_000_000
+
+
+@query(
+    "q123_timed_funnel",
+    oracle=timed_funnel_oracle_sql(
+        "events", ("view", "click", "purchase"), _FUNNEL_WINDOW_US
+    ),
+    doc="conversion funnel with a 48h window per transition (per-step "
+    "broadcast of one-row-per-user times, no event self-join)",
+    tags=("analytics",),
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.funnel import timed_funnel
+
+    return timed_funnel(
+        load(spark, sf, "events"), ("view", "click", "purchase"), _FUNNEL_WINDOW_US
+    )
 
 
 # q120: collocation mining — PMI over corpus bigrams. Each output row's

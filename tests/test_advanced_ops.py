@@ -616,3 +616,53 @@ def test_association_rules_hand_check(spark):
     assert sup[(1, 2)] / c1 == 0.75
     assert sup[(1, 2)] / c2 == 1.0
     assert (sup[(1, 2)] * n) / (c1 * c2) == 1.0
+
+
+# ---------- q122/q123 snapshot diff + timed funnel ----------
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from kassette_server_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], "k int, s string, v int"
+    )
+    out = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged: absent
+
+
+def test_snapshot_diff_null_sensitivity(spark):
+    from kassette_server_spark.operators.merge import snapshot_diff
+
+    # NULL vs '' must be a real change (sentinel-guarded digest)
+    old = spark.createDataFrame([(1, None)], "k int, s string")
+    new = spark.createDataFrame([(1, "")], "k int, s string")
+    out = snapshot_diff(old, new, ["k"]).collect()
+    assert len(out) == 1 and out[0].change == "changed"
+
+
+def test_timed_funnel_window_gates_progression(spark):
+    import datetime as dt
+
+    from kassette_server_spark.operators.funnel import timed_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1: view→click (1h)→purchase (1h): reaches stage 3
+        (1, "u1", t0, "view"), (2, "u1", t0 + h, "click"), (3, "u1", t0 + 2 * h, "purchase"),
+        # u2: click comes 80h after view → outside 48h window, stage 1
+        (4, "u2", t0, "view"), (5, "u2", t0 + 80 * h, "click"),
+        # u3: purchase BEFORE click → not a strict progression past 2
+        (6, "u3", t0, "view"), (7, "u3", t0 + 2 * h, "purchase"), (8, "u3", t0 + 3 * h, "click"),
+        # u4: never views → absent from output
+        (9, "u4", t0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, user_id string, ts timestamp, event_type string")
+    out = {r.user_id: r.stage for r in timed_funnel(
+        df, ("view", "click", "purchase"), 48 * 3600 * 1_000_000
+    ).collect()}
+    assert out == {"u1": 3, "u2": 1, "u3": 2}
