@@ -52,8 +52,10 @@ from ..operators.retrieval import bm25_topk  # noqa: F401
 from ..operators.sampling import priority_sample  # noqa: F401
 from ..operators.stats import (  # noqa: F401
     chi_square_by,
+    gini_by_group,
     grouped_ols,
     mad_outliers,
+    rfm_scores,
     winsorized_stats,
 )
 from ..operators.asof import asof_join_forward  # noqa: F401

@@ -359,3 +359,224 @@ def chi_square_oracle_sql(table: str, row_col: str, col_col: str) -> str:
                              (acc, x) -> acc + x), 6) AS chi2_part
     FROM arr
     """
+
+
+def _quintile_thresholds(vals: DataFrame, col: str) -> DataFrame:
+    """ONE-row frame (t1..t4): exact order-statistic quintile cuts of
+    ``vals[col]`` — smallest value whose cumulative count reaches
+    ⌈k·n/5⌉. Same integer rule as winsorized_stats; no global
+    row_number, so no single-partition sort at scale."""
+    from pyspark.sql import Window
+
+    counts = vals.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select("v", F.sum("cnt").over(w).alias("cum"))
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 5 >= F.col("n") * k, F.col("v"))
+            ).alias(f"t{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM segmentation — the CDP workhorse: per customer, quintile
+    scores for Recency (days since last order, lower = better),
+    Frequency (order count) and Monetary (total cents), each scored
+    1–5 against EXACT order-statistic quintile cuts of the customer
+    population (no ntile over a global sort — that serializes on one
+    task; the threshold frames are one broadcast row per metric).
+
+    The reference date is the corpus max order date (broadcast), so
+    the result is a pure function of the data. All integers until the
+    output; segment = r*100 + f*10 + m.
+
+    Output: (cust, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score, segment).
+    """
+    base = orders.select(
+        F.col(cust_col).alias("cust"),
+        F.col(date_col).alias("d"),
+        F.round(F.col(amount_col) * 100).cast("long").alias("cents"),
+    )
+    ref = base.agg(F.max("d").alias("ref_d"))
+    per_cust = (
+        base.join(F.broadcast(ref))
+        .groupBy("cust")
+        .agg(
+            F.min(F.datediff(F.col("ref_d"), F.col("d"))).cast("long").alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+
+    def score(col: str, invert: bool) -> F.Column:
+        t = [F.col(f"{col}_t{k}") for k in (1, 2, 3, 4)]
+        raw = (
+            F.lit(1)
+            + (F.col(col) > t[0]).cast("int")
+            + (F.col(col) > t[1]).cast("int")
+            + (F.col(col) > t[2]).cast("int")
+            + (F.col(col) > t[3]).cast("int")
+        )
+        return (F.lit(6) - raw) if invert else raw
+
+    out = per_cust
+    for metric in ("recency_days", "frequency", "monetary_cents"):
+        th = _quintile_thresholds(per_cust, metric).select(
+            *[F.col(f"t{k}").alias(f"{metric}_t{k}") for k in (1, 2, 3, 4)]
+        )
+        out = out.join(F.broadcast(th))
+    r = score("recency_days", invert=True)  # recent (small) = high score
+    f = score("frequency", invert=False)
+    m = score("monetary_cents", invert=False)
+    return out.select(
+        "cust",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+        (r * 100 + f * 10 + m).cast("long").alias("segment"),
+    )
+
+
+def rfm_oracle_sql(
+    table: str = "orders",
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> str:
+    """DuckDB SQL: identical exact-quintile RFM."""
+
+    def th_cte(metric: str) -> str:
+        return f"""{metric}_th AS (
+          SELECT {", ".join(f"MIN(CASE WHEN cum * 5 >= n * {k} THEN v END) AS {metric}_t{k}" for k in (1, 2, 3, 4))}
+          FROM (
+            SELECT v, SUM(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM (SELECT {metric} AS v, COUNT(*) AS cnt FROM per_cust GROUP BY {metric})
+          ), (SELECT COUNT(*) AS n FROM per_cust)
+        )"""
+
+    scores = {
+        "recency_days": "(6 - (1 + " + " + ".join(
+            f"CASE WHEN recency_days > recency_days_t{k} THEN 1 ELSE 0 END" for k in (1, 2, 3, 4)
+        ) + "))",
+        "frequency": "(1 + " + " + ".join(
+            f"CASE WHEN frequency > frequency_t{k} THEN 1 ELSE 0 END" for k in (1, 2, 3, 4)
+        ) + ")",
+        "monetary_cents": "(1 + " + " + ".join(
+            f"CASE WHEN monetary_cents > monetary_cents_t{k} THEN 1 ELSE 0 END" for k in (1, 2, 3, 4)
+        ) + ")",
+    }
+    r, f_, m = scores["recency_days"], scores["frequency"], scores["monetary_cents"]
+    return f"""
+    WITH base AS (
+      SELECT {cust_col} AS cust, {date_col} AS d,
+             CAST(round({amount_col} * 100) AS BIGINT) AS cents
+      FROM {table}
+    ),
+    ref AS (SELECT MAX(d) AS ref_d FROM base),
+    per_cust AS (
+      SELECT cust,
+             CAST(MIN(date_diff('day', CAST(d AS DATE), CAST(ref_d AS DATE))) AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(cents) AS monetary_cents
+      FROM base, ref GROUP BY cust
+    ),
+    {th_cte("recency_days")},
+    {th_cte("frequency")},
+    {th_cte("monetary_cents")}
+    SELECT cust, recency_days, CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary_cents AS BIGINT) AS monetary_cents,
+           CAST({r} AS BIGINT) AS r_score,
+           CAST({f_} AS BIGINT) AS f_score,
+           CAST({m} AS BIGINT) AS m_score,
+           CAST({r} * 100 + {f_} * 10 + {m} AS BIGINT) AS segment
+    FROM per_cust, recency_days_th, frequency_th, monetary_cents_th
+    """
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Gini concentration index of ``value_col`` over the
+    entities in ``id_col`` — "how concentrated is revenue across
+    customers, per nation".
+
+    Exact integer formulation: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    with xᵢ ascending, ranks from a PER-GROUP window (ties broken by
+    id, identical in both engines) — no global sort. Numerator and
+    denominator are exact BIGINTs; the single division is
+    exact-rounded. Output: (grp, n, total, gini).
+    """
+    from pyspark.sql import Window
+
+    per_ent = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("ent"),
+            F.round(F.col(value_col) * scale).cast("long").alias("x"),
+        )
+        .groupBy("grp", "ent")
+        .agg(F.sum("x").alias("x"))
+    )
+    w = Window.partitionBy("grp").orderBy("x", "ent")
+    ranked = per_ent.select("grp", "x", F.row_number().over(w).alias("i"))
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    gini = (
+        (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx")).cast("double")
+    )
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("total"),
+        gini.alias("gini"),
+    )
+
+
+def gini_oracle_sql(
+    joined_sql: str,
+    scale: int = 100,
+) -> str:
+    """DuckDB SQL for the identical per-group Gini.
+    ``joined_sql``: SELECT producing (grp, ent, val)."""
+    return f"""
+    WITH per_ent AS (
+      SELECT grp, ent, SUM(CAST(round(val * {scale}) AS BIGINT)) AS x
+      FROM ({joined_sql}) GROUP BY grp, ent
+    ),
+    ranked AS (
+      SELECT grp, x, row_number() OVER (PARTITION BY grp ORDER BY x, ent) AS i
+      FROM per_ent
+    ),
+    agg AS (
+      SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six
+      FROM ranked GROUP BY grp
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total,
+           CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
+    FROM agg
+    """

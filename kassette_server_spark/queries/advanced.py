@@ -67,10 +67,14 @@ from ..operators.sampling import (
 from ..operators.stats import (
     chi_square_by,
     chi_square_oracle_sql,
+    gini_by_group,
+    gini_oracle_sql,
     grouped_ols,
     grouped_ols_oracle_sql,
     mad_outliers,
     mad_outliers_oracle_sql,
+    rfm_oracle_sql,
+    rfm_scores,
     winsorized_oracle_sql,
     winsorized_stats,
 )
@@ -332,6 +336,36 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
+
+
+@query(
+    "q124_rfm_segmentation",
+    oracle=rfm_oracle_sql(),
+    doc="RFM customer segmentation scored 1-5 against exact "
+    "order-statistic quintile cuts (broadcast threshold rows, no "
+    "global-sort ntile)",
+    tags=("analytics",),
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    return rfm_scores(load(spark, sf, "orders"))
+
+
+@query(
+    "q125_revenue_gini",
+    oracle=gini_oracle_sql(
+        "SELECT c.c_nationkey AS grp, o.o_custkey AS ent, o.o_totalprice AS val "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ),
+    doc="per-nation revenue Gini index (exact integer rank-weighted "
+    "sums, per-group window, one exact-rounded division)",
+    tags=("stats",),
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    j = load(spark, sf, "orders").join(
+        load(spark, sf, "customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return gini_by_group(j, "c_nationkey", "o_custkey", "o_totalprice")
 
 
 # q122: snapshot diff — the "new" snapshot is derived from orders by a

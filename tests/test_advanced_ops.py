@@ -666,3 +666,37 @@ def test_timed_funnel_window_gates_progression(spark):
         df, ("view", "click", "purchase"), 48 * 3600 * 1_000_000
     ).collect()}
     assert out == {"u1": 3, "u2": 1, "u3": 2}
+
+
+# ---------- q124/q125 RFM + Gini ----------
+
+
+def test_rfm_scores_bounds_and_monotonicity(spark):
+    from kassette_server_spark.operators.stats import rfm_scores
+
+    out = rfm_scores(load(spark, SF_SMOKE, "orders")).collect()
+    assert all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+               for r in out)
+    assert all(r.segment == r.r_score * 100 + r.f_score * 10 + r.m_score
+               for r in out)
+    # monotonicity: a 5 m_score customer spends at least as much as a 1
+    hi = min(r.monetary_cents for r in out if r.m_score == 5)
+    lo = max(r.monetary_cents for r in out if r.m_score == 1)
+    assert hi >= lo
+    # recency inverts: the most recent buyers get the HIGH score
+    recent = max(r.recency_days for r in out if r.r_score == 5)
+    stale = min(r.recency_days for r in out if r.r_score == 1)
+    assert recent <= stale
+
+
+def test_gini_extremes(spark):
+    from kassette_server_spark.operators.stats import gini_by_group
+
+    # perfectly equal group → gini 0; fully concentrated group → (n-1)/n
+    rows = [(1, i, 10.0) for i in range(5)] + [
+        (2, 0, 50.0), (2, 1, 0.0), (2, 2, 0.0), (2, 3, 0.0), (2, 4, 0.0)
+    ]
+    df = spark.createDataFrame(rows, "g int, ent int, v double")
+    out = {r.grp: r.gini for r in gini_by_group(df, "g", "ent", "v").collect()}
+    assert out[1] == 0.0
+    assert out[2] == (5 - 1) / 5  # 0.8
