@@ -370,3 +370,67 @@ def bigram_logprob_oracle_sql(
                  / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob
     FROM arr
     """
+
+
+def ewma_by_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per group — the
+    time-series smoothing recurrence EWMA_t = α·x_t + (1−α)·EWMA_{t−1}
+    (EWMA_0 = x_0), evaluated as a deterministic left fold over the
+    group's series in ``order_col`` order.
+
+    A recurrence is inherently sequential, but the folded array is one
+    row per ORDER KEY per group (e.g. daily buckets — bounded), not
+    per event; the heavy lifting (bucketing/counting) happens before
+    in ordinary parallel aggregations. Every fold step is two
+    multiplies and an add on doubles — IEEE exact-rounded, same order,
+    same association in DuckDB's list_reduce — so the smoothed value
+    is bit-identical before the final 6-dp round.
+
+    Output: (grp, n_points, last_value, ewma).
+    """
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("o"),
+        value_col.cast("double").alias("x"),
+    )
+    arr = rows.groupBy("grp").agg(
+        F.count("*").alias("n_points"),
+        F.max_by("x", "o").alias("last_value"),
+        F.array_sort(F.collect_list(F.struct("o", "x"))).alias("l"),
+    )
+    series = F.transform(F.col("l"), lambda s: s.getField("x"))
+    folded = F.aggregate(
+        F.slice(series, 2, F.greatest(F.size(series) - 1, F.lit(0))),
+        F.element_at(series, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return arr.select(
+        "grp", "n_points", "last_value", F.round(folded, 6).alias("ewma")
+    )
+
+
+def ewma_oracle_sql(
+    series_sql: str,
+    alpha: float = 0.3,
+) -> str:
+    """DuckDB SQL for the identical fold. ``series_sql``: SELECT
+    producing (grp, o, x) with x DOUBLE."""
+    return f"""
+    WITH rows_ AS ({series_sql}),
+    arr AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_points,
+             max_by(x, o) AS last_value,
+             list(x ORDER BY o) AS l
+      FROM rows_ GROUP BY grp
+    )
+    SELECT grp, n_points, last_value,
+           round(list_reduce(l, (acc, x) -> {alpha!r} * x + {1.0 - alpha!r} * acc), 6)
+             AS ewma
+    FROM arr
+    """

@@ -339,6 +339,34 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q128_ewma_daily_counts",
+    oracle=__import__(
+        "kassette_server_spark.operators.textstats", fromlist=["ewma_oracle_sql"]
+    ).ewma_oracle_sql(
+        """SELECT event_type AS grp,
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS o,
+                  CAST(COUNT(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1, 2"""
+    ),
+    doc="EWMA-smoothed daily event counts per type (deterministic "
+    "sequential fold over day-bounded series)",
+    tags=("timeseries",),
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.textstats import ewma_by_group
+
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("o"),
+        )
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    return ewma_by_group(daily, "grp", "o", F.col("x"))
+
+
+@query(
     "q124_rfm_segmentation",
     oracle=rfm_oracle_sql(),
     doc="RFM customer segmentation scored 1-5 against exact "

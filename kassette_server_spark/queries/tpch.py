@@ -137,3 +137,104 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name")
         .agg(revenue.alias("revenue"))
     )
+
+
+# q126 ≈ TPC-H Q7: bilateral shipping volume between two nations by
+# year. Supplier/customer nations resolve through two BROADCAST nation
+# joins (dimension side), the fact chain joins on its keys; revenue is
+# the cents-exact discounted price.
+@query(
+    "q126_tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum({_cents_sql('l.l_extendedprice')} * (100 - {_cents_sql('l.l_discount')})) AS BIGINT) / 10000
+             AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+      AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+      AND n1.n_name <> n2.n_name
+      AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7 bilateral volume shipping (broadcast nation dims, "
+    "cents-exact revenue)",
+    tags=("tpch",),
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .where(
+            F.col("supp_nation").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+            & F.col("cust_nation").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+    )
+    rev = F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / 10000
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(rev.alias("revenue"))
+
+
+# q127 ≈ TPC-H Q10: returned-item revenue per customer in a quarter,
+# top 20. Sort-limit is TakeOrderedAndProject; ties broken by custkey.
+@query(
+    "q127_tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum({_cents_sql('l.l_extendedprice')} * (100 - {_cents_sql('l.l_discount')})) AS BIGINT) / 10000
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 returned-item reporting (top-20 by revenue, "
+    "deterministic tiebreak)",
+    tags=("tpch",),
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf, "nation")
+    rev = F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))) / 10000
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

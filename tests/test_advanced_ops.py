@@ -700,3 +700,34 @@ def test_gini_extremes(spark):
     out = {r.grp: r.gini for r in gini_by_group(df, "g", "ent", "v").collect()}
     assert out[1] == 0.0
     assert out[2] == (5 - 1) / 5  # 0.8
+
+
+# ---------- q126-q128 TPC-H extras + EWMA ----------
+
+
+def test_tpch_q7_q10_broadcast_dims(spark):
+    for name in ("q126_tpch_q7_volume_shipping", "q127_tpch_q10_returned_items"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p  # nation dims broadcast
+        assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in _plan(spark, "q127_tpch_q10_returned_items")
+
+
+def test_ewma_recurrence_values(spark):
+    from kassette_server_spark.operators.textstats import ewma_by_group
+
+    rows = [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)]
+    df = spark.createDataFrame(rows, "g int, o int, x double")
+    r = ewma_by_group(df, "g", "o", F.col("x"), alpha=0.5).first()
+    # EWMA: 10 → 0.5*20+0.5*10=15 → 0.5*30+0.5*15=22.5
+    assert (r.n_points, r.last_value, r.ewma) == (3, 30.0, 22.5)
+
+
+def test_ewma_order_matters_and_is_deterministic(spark):
+    from kassette_server_spark.operators.textstats import ewma_by_group
+
+    rows = [(1, o, float(v)) for o, v in ((3, 10), (1, 30), (2, 20))]
+    df = spark.createDataFrame(rows, "g int, o int, x double")
+    r = ewma_by_group(df, "g", "o", F.col("x"), alpha=0.5).first()
+    # folds in o-order 30,20,10 → 30 → 25 → 17.5 (NOT input order)
+    assert r.ewma == 17.5
