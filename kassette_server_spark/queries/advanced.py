@@ -338,6 +338,104 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
 
 
+# q129: cohort lifetime value — the money extension of q76's retention:
+# cohort = first-order month per customer; LTV(offset) = cumulative
+# cents per cohort through month offset. Exact integer cents end to
+# end; the cumulative window runs over ≤ n_months rows per cohort.
+@query(
+    "q129_cohort_ltv",
+    oracle="""
+    WITH first_m AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+      SELECT f.cohort,
+             CAST((year(o.o_orderdate) - year(f.cohort)) * 12
+                  + (month(o.o_orderdate) - month(f.cohort)) AS BIGINT) AS offset_m,
+             SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort, offset_m,
+           CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY offset_m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents
+    FROM monthly
+    """,
+    doc="monthly cohort lifetime value (exact-cents cumulative revenue "
+    "per cohort-month offset; bounded cumulative window)",
+    tags=("analytics",),
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf, "orders")
+    first_m = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    monthly = (
+        o.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            )
+            .cast("long")
+            .alias("offset_m"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "cohort", "offset_m", F.sum("cents").over(w).cast("long").alias("cum_cents")
+    )
+
+
+# q130: contribution analysis (ratio-to-report) — each nation's share
+# of total revenue. Exact integer sums; the two divisions are
+# exact-rounded; the 1-row total broadcasts.
+@query(
+    "q130_revenue_contribution",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation,
+             SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ),
+    tot AS (SELECT SUM(cents) AS tc FROM rev)
+    SELECT nation, CAST(cents AS BIGINT) AS cents,
+           CAST(cents AS DOUBLE) / CAST(tc AS DOUBLE) AS share
+    FROM rev, tot
+    """,
+    doc="revenue contribution per nation (ratio-to-report with a "
+    "broadcast one-row total; exact cents)",
+    tags=("analytics",),
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    rev = (
+        load(spark, sf, "orders")
+        .join(
+            load(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").alias("tc"))
+    return rev.join(F.broadcast(tot)).select(
+        "nation",
+        F.col("cents").cast("long").alias("cents"),
+        (F.col("cents").cast("double") / F.col("tc").cast("double")).alias("share"),
+    )
+
+
 @query(
     "q128_ewma_daily_counts",
     oracle=__import__(

@@ -731,3 +731,24 @@ def test_ewma_order_matters_and_is_deterministic(spark):
     r = ewma_by_group(df, "g", "o", F.col("x"), alpha=0.5).first()
     # folds in o-order 30,20,10 → 30 → 25 → 17.5 (NOT input order)
     assert r.ewma == 17.5
+
+
+# ---------- q129/q130 cohort LTV + contribution ----------
+
+
+def test_cohort_ltv_is_cumulative_and_monotone(spark):
+    rows = SPECS["q129_cohort_ltv"].fn(spark, SF_SMOKE).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append((r.offset_m, r.cum_cents))
+    for series in by_cohort.values():
+        series.sort()
+        cums = [c for _, c in series]
+        assert cums == sorted(cums)  # cumulative → monotone nondecreasing
+        assert cums[0] > 0
+
+
+def test_revenue_contribution_sums_to_one(spark):
+    rows = SPECS["q130_revenue_contribution"].fn(spark, SF_SMOKE).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    assert all(0 < r.share < 1 for r in rows)
