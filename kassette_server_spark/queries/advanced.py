@@ -338,6 +338,91 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
 
 
+# q131: three-step path counts (the Sankey feed) — extends q95's
+# 2-step transitions with a second lead(); same single user-keyed
+# shuffle, (|types|³)-bounded output.
+@query(
+    "q131_event_trigrams",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS s1, t2 AS s2, t3 AS s3,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY event_type, t2, t3
+    """,
+    doc="3-step user path counts (double lead over one user-keyed "
+    "window; types^3-bounded output)",
+    tags=("analytics",),
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = load(spark, sf, "events").select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    return (
+        ordered.where(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# q132: transition latency — how long each (prev → cur) hop takes:
+# exact micros gap sums per transition pair, one window + one
+# map-combined groupBy; mean is the single exact-rounded division.
+@query(
+    "q132_transition_latency",
+    oracle="""
+    WITH hops AS (
+      SELECT lag(event_type) OVER w AS prev_type, event_type AS cur_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_type, cur_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS mean_gap_us
+    FROM hops WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, cur_type
+    """,
+    doc="per-transition latency stats (exact micros gap sums over one "
+    "user-keyed window; mean = one exact-rounded division)",
+    tags=("analytics", "timeseries"),
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts",
+        F.unix_micros(F.col("ts")).alias("tus"),
+    )
+    hops = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("cur_type"),
+        (F.col("tus") - F.lag("tus").over(w)).alias("gap_us"),
+    )
+    return (
+        hops.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "cur_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+            (F.sum("gap_us").cast("double") / F.count("*")).alias("mean_gap_us"),
+        )
+    )
+
+
 # q129: cohort lifetime value — the money extension of q76's retention:
 # cohort = first-order month per customer; LTV(offset) = cumulative
 # cents per cohort through month offset. Exact integer cents end to

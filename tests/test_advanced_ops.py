@@ -752,3 +752,43 @@ def test_revenue_contribution_sums_to_one(spark):
     rows = SPECS["q130_revenue_contribution"].fn(spark, SF_SMOKE).collect()
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
     assert all(0 < r.share < 1 for r in rows)
+
+
+# ---------- q131/q132 trigram paths + transition latency ----------
+
+
+def test_trigram_counts_and_latency_hand_check(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, "u1", t0, "a"), (2, "u1", t0 + m, "b"), (3, "u1", t0 + 3 * m, "c"),
+        (4, "u2", t0, "a"), (5, "u2", t0 + 2 * m, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id string, ts timestamp, event_type string"
+    )
+    df.createOrReplaceTempView("_ev_tmp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        df.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .where(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .collect()
+    )
+    assert [(r.s1, r.s2, r.s3) for r in tri] == [("a", "b", "c")]  # only u1 has 3
+    ev = df.select("user_id", "event_type", "event_id", "ts",
+                   F.unix_micros("ts").alias("tus"))
+    hops = ev.select(
+        F.lag("event_type").over(w).alias("p"),
+        F.col("event_type").alias("c"),
+        (F.col("tus") - F.lag("tus").over(w)).alias("g"),
+    ).where(F.col("p").isNotNull())
+    gaps = {(r.p, r.c): r.g for r in hops.collect() if r.p == "b"}
+    assert gaps[("b", "c")] == 2 * 60 * 1_000_000  # u1: b→c took 2 min
