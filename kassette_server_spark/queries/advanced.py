@@ -338,6 +338,212 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
 
 
+# q133: Holt linear trend — the two-accumulator (level, trend)
+# recurrence as a STRUCT fold, same ordered-fold determinism as q128's
+# EWMA. The trend update is EXPANDED algebraically
+# (t' = ab·x + b(1−a)(l+t) − b·l + (1−b)·t), and the accumulator is a
+# 2-element DOUBLE ARRAY, not a struct: DuckDB 1.0 evaluates a struct
+# literal's fields SEQUENTIALLY against a mutating accumulator inside
+# list_reduce (the 't' field would see the UPDATED 'l' — found while
+# building this spec, verified with a 3-element hand case); array
+# construction is positional and immune. Spark mirrors with an array
+# accumulator so the trees match.
+_HOLT_A, _HOLT_B = 0.5, 0.3
+
+
+@query(
+    "q133_holt_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS grp,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS o,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_points,
+             list(x ORDER BY o) AS l
+      FROM daily GROUP BY grp
+    )
+    SELECT grp, n_points,
+           round(f[1], 6) AS level, round(f[2], 6) AS trend
+    FROM (
+      SELECT grp, n_points,
+             list_reduce(
+               list_prepend([l[1], CAST(0.0 AS DOUBLE)],
+                            list_transform(l[2:len(l)],
+                                           v -> [v, CAST(0.0 AS DOUBLE)])),
+               (acc, x) -> [
+                 {_HOLT_A!r} * x[1] + {1 - _HOLT_A!r} * (acc[1] + acc[2]),
+                 {_HOLT_A * _HOLT_B!r} * x[1]
+                   + {_HOLT_B * (1 - _HOLT_A)!r} * (acc[1] + acc[2])
+                   - {_HOLT_B!r} * acc[1] + {1 - _HOLT_B!r} * acc[2]
+               ]) AS f
+      FROM arr
+    )
+    """,
+    doc="Holt linear trend (level+trend struct fold over day-bounded "
+    "series; duplicated level subtree evaluated identically)",
+    tags=("timeseries",),
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("o"),
+        )
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    arr = daily.groupBy("grp").agg(
+        F.count("*").alias("n_points"),
+        F.array_sort(F.collect_list(F.struct("o", "x"))).alias("l"),
+    )
+    series = F.transform(F.col("l"), lambda s: s.getField("x"))
+    a, b = _HOLT_A, _HOLT_B
+
+    def step(acc, x):
+        l_, t_ = F.element_at(acc, 1), F.element_at(acc, 2)
+        new_l = F.lit(a) * x + F.lit(1 - a) * (l_ + t_)
+        new_t = (
+            F.lit(a * b) * x
+            + F.lit(b * (1 - a)) * (l_ + t_)
+            - F.lit(b) * l_
+            + F.lit(1 - b) * t_
+        )
+        return F.array(new_l, new_t)
+
+    folded = F.aggregate(
+        F.slice(series, 2, F.greatest(F.size(series) - 1, F.lit(0))),
+        F.array(F.element_at(series, 1), F.lit(0.0)),
+        step,
+    )
+    return arr.select(
+        "grp",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(F.element_at(folded, 1), 6).alias("level"),
+        F.round(F.element_at(folded, 2), 6).alias("trend"),
+    )
+
+
+# q134: rolling volatility — 7-day RANGE window mean/std of daily
+# counts from INTEGER window sums (Σx, Σx² exact), variance via the
+# shared double tree; deterministic with no fold needed.
+@query(
+    "q134_rolling_volatility",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp,
+             date_diff('day', DATE '1995-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS day_n,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT grp, CAST(day_n AS BIGINT) AS day_n,
+           CAST(n7 AS BIGINT) AS n7,
+           CAST(sx AS DOUBLE) / n7 AS mean7,
+           (CAST(n7 AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n7 AS DOUBLE) * CAST(n7 AS DOUBLE)) AS var7
+    FROM (
+      SELECT grp, day_n,
+             COUNT(*) OVER w AS n7, SUM(x) OVER w AS sx,
+             SUM(x * x) OVER w AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY grp ORDER BY day_n
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    """,
+    doc="7-day rolling mean/variance of daily counts (integer RANGE "
+    "window sums, shared double tree — no fold required)",
+    tags=("timeseries",),
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("day_n"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.partitionBy("grp").orderBy("day_n").rangeBetween(-6, 0)
+    sums = daily.select(
+        "grp",
+        F.col("day_n").cast("long").alias("day_n"),
+        F.count("*").over(w).alias("n7"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    n7 = F.col("n7").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return sums.select(
+        "grp",
+        "day_n",
+        F.col("n7").cast("long").alias("n7"),
+        (sx / F.col("n7")).alias("mean7"),
+        ((n7 * sxx - sx * sx) / (n7 * n7)).alias("var7"),
+    )
+
+
+# q135: month-over-month revenue growth per nation — exact cents,
+# lag over the per-nation month series, one exact-rounded division.
+@query(
+    "q135_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_nationkey AS nation,
+             date_trunc('month', o.o_orderdate) AS m,
+             SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, m, CAST(cents AS BIGINT) AS cents,
+           CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS growth
+    FROM (
+      SELECT nation, m, cents,
+             lag(cents) OVER (PARTITION BY nation ORDER BY m) AS prev
+      FROM monthly
+    ) WHERE prev IS NOT NULL
+    """,
+    doc="month-over-month revenue growth per nation (exact cents, lag "
+    "+ one exact-rounded division)",
+    tags=("analytics", "timeseries"),
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    monthly = (
+        load(spark, sf, "orders")
+        .join(load(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("m")
+    return (
+        monthly.withColumn("prev", F.lag("cents").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "nation",
+            "m",
+            F.col("cents").cast("long").alias("cents"),
+            (
+                (F.col("cents") - F.col("prev")).cast("double")
+                / F.col("prev").cast("double")
+            ).alias("growth"),
+        )
+    )
+
+
 # q131: three-step path counts (the Sankey feed) — extends q95's
 # 2-step transitions with a second lead(); same single user-keyed
 # shuffle, (|types|³)-bounded output.
