@@ -338,6 +338,203 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
 
 
+# q136: day-of-week seasonality — per (type, dow): total and share of
+# the type's events (exact counts, one exact-rounded division). dayofweek
+# numbering differs across engines, so both sides derive dow from the
+# epoch-day number ((day_n + 3) % 7: 1995-01-01 was a Sunday → 0=Sun).
+@query(
+    "q136_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS grp,
+             (date_diff('day', DATE '1995-01-01',
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))) % 7
+               AS dow,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, SUM(n) AS tn FROM d GROUP BY grp)
+    SELECT d.grp AS grp, CAST(d.dow AS BIGINT) AS dow, CAST(d.n AS BIGINT) AS n,
+           CAST(d.n AS DOUBLE) / CAST(t.tn AS DOUBLE) AS share
+    FROM d JOIN tot t ON d.grp = t.grp
+    """,
+    doc="day-of-week activity profile per type (engine-neutral dow "
+    "from epoch-day arithmetic; exact counts, one division)",
+    tags=("timeseries",),
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            (
+                F.datediff(
+                    F.date_trunc("day", F.col("ts")).cast("date"),
+                    F.lit("1995-01-01").cast("date"),
+                )
+                % 7
+            )
+            .cast("long")
+            .alias("dow"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = d.groupBy("grp").agg(F.sum("n").alias("tn"))
+    return d.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "dow",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("tn").cast("double")).alias("share"),
+    )
+
+
+# q137: cross-correlation of daily count series between event-type
+# pairs — Pearson r from exact integer moments over day-aligned
+# series (inner join on day), the same sufficient-statistics
+# discipline as q101's OLS. |types|² pairs, each a handful of sums.
+@query(
+    "q137_cross_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t,
+             date_diff('day', DATE '1995-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n,
+             SUM(a.x) AS sx, SUM(b.x) AS sy,
+             SUM(a.x * a.x) AS sxx, SUM(b.x * b.x) AS syy,
+             SUM(a.x * b.x) AS sxy
+      FROM daily a JOIN daily b ON a.d = b.d AND a.t < b.t
+      GROUP BY a.t, b.t
+    )
+    SELECT ta, tb, CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr
+    FROM pairs
+    """,
+    doc="pairwise Pearson correlation of daily count series (exact "
+    "integer moments over day-aligned joins, shared double tree)",
+    tags=("stats", "timeseries"),
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    a = daily.select(
+        F.col("t").alias("ta"), F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("t").alias("tb"), F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    pairs = (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("ta") < F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return pairs.select("ta", "tb", F.col("n").cast("long").alias("n"), corr.alias("corr"))
+
+
+# q138: referential-integrity audit — the data-quality gate a pipeline
+# runs before publishing: orphan counts in both directions plus key
+# duplication, all exact integers from anti-join shapes.
+@query(
+    "q138_integrity_audit",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n
+    UNION ALL
+    SELECT 'lineitems_without_order',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_without_lineitems',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'duplicate_order_keys',
+           CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+                 (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+                 WHERE c > 1) AS BIGINT)
+    """,
+    doc="referential-integrity audit (orphans both directions + key "
+    "duplication; anti-join shapes, exact counts)",
+    tags=("quality",),
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    li = load(spark, sf, "lineitem")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"), F.count("*").cast("long").alias("n")
+        )
+
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .where("c > 1")
+        .agg(
+            F.lit("duplicate_order_keys").alias("check_name"),
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    # one declarative plan: four audit branches unioned, no driver
+    # actions — the anti-joins broadcast/shuffle per Catalyst
+    return (
+        check(
+            "orders_without_customer",
+            o.join(c, F.col("o_custkey") == F.col("c_custkey"), "left_anti"),
+        )
+        .unionByName(
+            check(
+                "lineitems_without_order",
+                li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"),
+            )
+        )
+        .unionByName(
+            check(
+                "orders_without_lineitems",
+                o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti"),
+            )
+        )
+        .unionByName(dup)
+    )
+
+
 # q133: Holt linear trend — the two-accumulator (level, trend)
 # recurrence as a STRUCT fold, same ordered-fold determinism as q128's
 # EWMA. The trend update is EXPANDED algebraically

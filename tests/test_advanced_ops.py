@@ -834,3 +834,52 @@ def test_mom_growth_definition(spark):
     rows = SPECS["q135_mom_growth"].fn(spark, SF_SMOKE).collect()
     assert all(r.growth > -1.0 for r in rows)  # revenue can't go below -100%
     assert len(rows) > 0
+
+
+# ---------- q136-q138 seasonality / correlation / integrity ----------
+
+
+def test_dow_shares_sum_to_one_per_type(spark):
+    rows = SPECS["q136_dow_seasonality"].fn(spark, SF_SMOKE).collect()
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, 0.0)
+        by_grp[r.grp] += r.share
+        assert 0 <= r.dow <= 6
+    assert all(abs(s - 1.0) < 1e-9 for s in by_grp.values())
+
+
+def test_cross_correlation_bounds_and_self_pairs_absent(spark):
+    rows = SPECS["q137_cross_correlation"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # C(5,2) type pairs
+    assert all(-1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9 for r in rows)
+    assert all(r.ta < r.tb for r in rows)
+
+
+def test_integrity_audit_clean_testdata(spark):
+    out = {r.check_name: r.n for r in
+           SPECS["q138_integrity_audit"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == {
+        "orders_without_customer", "lineitems_without_order",
+        "orders_without_lineitems", "duplicate_order_keys",
+    }
+    # the generated TPC-H-ish data is referentially clean
+    assert out["orders_without_customer"] == 0
+    assert out["lineitems_without_order"] == 0
+    assert out["duplicate_order_keys"] == 0
+
+
+def test_integrity_audit_detects_planted_violations(spark):
+    from kassette_server_spark.queries.advanced import q138  # reuse shape
+
+    o = spark.createDataFrame([(1, 10), (2, 99), (2, 98)], "o_orderkey long, o_custkey long")
+    c = spark.createDataFrame([(10,)], "c_custkey long")
+    li = spark.createDataFrame([(1, 1), (7, 1)], "l_orderkey long, l_linenumber long")
+    # inline the same check construction
+    orphans_o = o.join(c, F.col("o_custkey") == F.col("c_custkey"), "left_anti").count()
+    orphans_l = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti").count()
+    dup = (o.groupBy("o_orderkey").agg(F.count("*").alias("c")).where("c > 1")
+           .agg(F.sum(F.col("c") - 1).alias("d")).first().d)
+    assert orphans_o == 2  # both custkey-99/98 orders
+    assert orphans_l == 1  # lineitem 7
+    assert dup == 1  # duplicated orderkey 2
