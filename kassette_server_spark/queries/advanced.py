@@ -338,6 +338,44 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     return token_kl_divergence_by(load(spark, sf, "documents"), "source")
 
 
+# q139: conversion-time stats — composes q123's timed funnel: among
+# users who completed the funnel, exact mean and exact median of the
+# total view→purchase time. Integer micros sums + the engine-shared
+# median; one division.
+@query(
+    "q139_conversion_time_stats",
+    oracle=f"""
+    WITH funnel AS ({timed_funnel_oracle_sql("events", ("view", "click", "purchase"), 48 * 3600 * 1_000_000)}),
+    conv AS (
+      SELECT t_last - t_first AS dur_us FROM funnel WHERE stage = 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) AS mean_us,
+           median(CAST(dur_us AS DOUBLE)) AS median_us
+    FROM conv
+    """,
+    doc="view-to-purchase conversion-time stats over completed timed "
+    "funnels (exact micros sums, exact median)",
+    tags=("analytics",),
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.funnel import timed_funnel
+
+    f = timed_funnel(
+        load(spark, sf, "events"), ("view", "click", "purchase"), _FUNNEL_WINDOW_US
+    )
+    conv = f.where(F.col("stage") == 3).select(
+        (F.col("t_last") - F.col("t_first")).alias("dur_us")
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.sum("dur_us").cast("long").alias("total_us"),
+        (F.sum("dur_us").cast("double") / F.count("*")).alias("mean_us"),
+        F.median(F.col("dur_us").cast("double")).alias("median_us"),
+    )
+
+
 # q136: day-of-week seasonality — per (type, dow): total and share of
 # the type's events (exact counts, one exact-rounded division). dayofweek
 # numbering differs across engines, so both sides derive dow from the
