@@ -275,3 +275,113 @@ def test_hierarchy_jump_equals_chase_and_model(spark):
     assert jump == chase
     # spot-check the deep chain against the closed form
     assert jump[63] == (0, 63, sum(range(64)))
+
+
+def test_gini_matches_python_model(spark):
+    from kassette_server_spark.operators.stats import gini_by_group
+
+    rng = random.Random(37)
+    rows = [(g, e, round(rng.uniform(0, 500), 2)) for g in (1, 2) for e in range(40)]
+    df = spark.createDataFrame(rows, "g int, ent int, v double")
+    got = {r.grp: r for r in gini_by_group(df, "g", "ent", "v").collect()}
+
+    for g in (1, 2):
+        per = sorted(
+            (int(round(v * 100)), e) for gg, e, v in rows if gg == g
+        )
+        n = len(per)
+        sx = sum(x for x, _ in per)
+        six = sum((i + 1) * x for i, (x, _) in enumerate(per))
+        want = float(2 * six - (n + 1) * sx) / float(n * sx)
+        assert got[g].gini == want and got[g].n == n and got[g].total == sx
+
+
+def test_ewma_matches_python_model(spark):
+    from kassette_server_spark.operators.textstats import ewma_by_group
+
+    rng = random.Random(41)
+    rows = [(1, o, float(rng.randrange(1, 100))) for o in range(50)]
+    df = spark.createDataFrame(rows, "g int, o int, x double")
+    got = ewma_by_group(df, "g", "o", F.col("x"), alpha=0.3).first()
+
+    vals = [x for _, _, x in sorted(rows)]
+    acc = vals[0]
+    for x in vals[1:]:
+        acc = 0.3 * x + 0.7 * acc  # same IEEE ops, same order
+    assert got.ewma == round(acc, 6)
+    assert got.last_value == vals[-1]
+
+
+def test_snapshot_diff_matches_python_model(spark):
+    from kassette_server_spark.operators.merge import snapshot_diff
+
+    rng = random.Random(43)
+    old = [(k, f"s{rng.randrange(5)}", rng.randrange(100)) for k in range(80)]
+    new = [
+        (k, (s if rng.random() < 0.7 else f"s{rng.randrange(5)}"), v)
+        for k, s, v in old
+        if rng.random() < 0.9
+    ] + [(100 + k, "x", k) for k in range(5)]
+    odf = spark.createDataFrame(old, "k long, s string, v long")
+    ndf = spark.createDataFrame(new, "k long, s string, v long")
+    got = {r.k: r.change for r in snapshot_diff(odf, ndf, ["k"]).collect()}
+
+    om = {k: (s, v) for k, s, v in old}
+    nm = {k: (s, v) for k, s, v in new}
+    want = {}
+    for k in om.keys() | nm.keys():
+        if k not in om:
+            want[k] = "added"
+        elif k not in nm:
+            want[k] = "removed"
+        elif om[k] != nm[k]:
+            want[k] = "changed"
+    assert got == want
+
+
+def test_timed_funnel_matches_python_model(spark):
+    from kassette_server_spark.operators.funnel import timed_funnel
+
+    rng = random.Random(47)
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    steps = ("view", "click", "purchase")
+    window_us = 3600 * 1_000_000
+    rows = []
+    eid = 0
+    for u in range(30):
+        for _ in range(rng.randrange(1, 9)):
+            eid += 1
+            rows.append(
+                (eid, f"u{u}", t0 + dt.timedelta(seconds=rng.randrange(0, 20000)),
+                 rng.choice(steps))
+            )
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id string, ts timestamp, event_type string"
+    )
+    got = {r.user_id: r.stage for r in
+           timed_funnel(df, steps, window_us).collect()}
+
+    # model: per user, min view time; then conditional mins per step
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for _, u, ts, et in rows:
+        by_user[u].append((int(ts.timestamp() * 1_000_000), et))
+    want = {}
+    for u, evs in by_user.items():
+        t1 = min((t for t, e in evs if e == "view"), default=None)
+        if t1 is None:
+            continue
+        stage, prev = 1, t1
+        for k, step in enumerate(steps[1:], start=2):
+            nxt = min(
+                (t for t, e in evs if e == step and prev < t <= prev + window_us),
+                default=None,
+            )
+            if nxt is None:
+                break
+            stage, prev = k, nxt
+        want[u] = stage
+    assert got == want
