@@ -330,11 +330,30 @@ def fuzz_env(spark):
     con.close()
 
 
+def _is_known_rollup_empty_divergence(
+    sql: str, got: pd.DataFrame, want: pd.DataFrame
+) -> bool:
+    """GROUP BY ROLLUP over an EMPTY input: the SQL standard's ()
+    grouping set aggregates globally and yields ONE grand-total row
+    (DuckDB and PostgreSQL do this); Spark yields NOTHING. Found by
+    this fuzzer (seed 55001177); treated as a documented engine
+    divergence, not a failure."""
+    if "ROLLUP" not in sql:
+        return False
+    one, zero = (want, got) if len(got) == 0 else (got, want)
+    if len(zero) != 0 or len(one) != 1:
+        return False
+    row = one.iloc[0]
+    # the grand-total row: every group key null-ish, every count zero
+    return all(str(v) in ("None", "nan", "NaT", "<NA>", "0", "0.0") for v in row)
+
+
 def test_differential_fuzz(fuzz_env):
     spark, con = fuzz_env
     rng = random.Random(SEED)
     domains = _domains(SF_SMOKE)
     failures = []
+    known = 0
     for i in range(N_QUERIES):
         sql = _gen_query(rng, domains)
         got = _normalize(spark.sql(sql).toPandas())
@@ -342,7 +361,10 @@ def test_differential_fuzz(fuzz_env):
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
         except AssertionError as e:
+            if _is_known_rollup_empty_divergence(sql, got, want):
+                known += 1
+                continue
             failures.append((i, sql, str(e).splitlines()[0]))
     assert not failures, "\n".join(
         f"[{i}] {sql}\n    {err}" for i, sql, err in failures[:5]
-    ) + f"\n({len(failures)}/{N_QUERIES} diverged)"
+    ) + f"\n({len(failures)}/{N_QUERIES} diverged, {known} known-divergent)"
