@@ -27,94 +27,79 @@ from . import advanced as _advanced  # noqa: F401,E402  (q99-q139)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-5 window (VERDICT r4 #1):
-# retire every piece of hard-signal debt — q84 (never driver-checked),
-# q47 (last driver row is the r3 FAIL; fix landed r4), q40 (now a
-# deterministic portable HLL that CAN hash-match), the r1-only-green
-# OLAP extras (q51/q56/q59-q65/q69, three rounds stale) and the
-# r2/r3-green llmops/tpch family (q30-q39, q41, q52-q55, q57-q58,
-# q66-q68, absent from the r4 window). A 6-slot pinned core keeps the
-# relational contract continuously checked; the 11 remaining slots
-# refresh the heaviest r4-green specs so nothing drifts >2 rounds
-# without a hard row. Rotated-out specs (q02-q27 core, q43-q46/q49/q50
-# OLAP, q71/q73-q75/q78-q81 curation — all driver-green r4) stay locked
-# by tests/test_oracle_parity*.py at sf0.001 AND sf0.01 every CI run.
+# order (VERDICT r2 "Next round #1/#2"). Round-6 window (VERDICT r5
+# "Next round #1", executed verbatim): pin the 6-slot relational core,
+# then spend ALL 44 remaining slots on the 44 specs that have never had
+# a driver CORRECTNESS row — q89, q90, q98, q99-q139. It is exactly 44,
+# so the whole hard-signal debt retires in one window and cumulative
+# driver coverage reaches 138/138. Everything rotated out (q02-q27,
+# q30-q97 — all driver-green r4 or r5) stays locked by
+# tests/test_oracle_parity*.py at sf0.001 AND sf0.01 every CI run.
 _WINDOW: tuple[str, ...] = (
-    # slots 1-6: pinned core (driver-green r1, r2, r4)
+    # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
     "q03_inner_join",
     "q08_agg_having",
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-9: hard-signal debt — never-green / red / newly hashable
-    "q84_multimodal_decode",
-    "q47_asof_join",
-    "q40_approx_aggregates",
-    # slots 10-19: r1-only-green OLAP extras (three rounds stale)
-    "q51_token_frequencies",
-    "q56_time_rollup",
-    "q59_unpivot",
-    "q60_mode_per_group",
-    "q61_stats_moments",
-    "q62_grouping_sets",
-    "q63_hash_sample",
-    "q64_string_agg",
-    "q65_window_extras",
-    "q69_hopping_window",
-    # slots 20-39: llmops/tpch family (green r2+r3, absent r4)
-    "q30_dedup_exact_text",
-    "q31_dedup_ngram_jaccard",
-    "q32_dedup_minhash_lsh",
-    "q33_simhash",
-    "q34_ann_cosine_topk",
-    "q35_embedding_near_dup",
-    "q36_text_quality_stats",
-    "q37_language_id",
-    "q38_token_counts",
-    "q39_doc_fingerprint",
-    "q41_multimodal_meta",
-    "q52_ivf_topk",
-    "q53_tpch_q1_pricing_summary",
-    "q54_tpch_q3_shipping_priority",
-    "q55_tpch_q5_local_volume",
-    "q57_simhash_near_dup",
-    "q58_normalize_text",
-    "q66_embedding_centroid",
-    "q67_stratified_sample",
-    "q68_near_dup_clusters",
-    # slots 40-43: round-5 additions — first driver check (deterministic
-    # CMS/Bloom/binned-quantile sketches + full outer join)
-    "q85_countmin_heavy_hitters",
-    "q86_bloom_membership",
-    "q87_full_outer_join",
-    "q88_approx_quantiles",
-    # slots 44-50: the round-5 session-2 operators (q91-q97) take the
-    # refresh slots so they get a hard driver row in their FIRST round
-    # (the r4 verdict's q84 lesson: never ship an operator without a
-    # driver check window slot). The displaced r4-green heavies
-    # (q25/q70/q72/q76/q77/q82/q83) are 1 round stale after r5 and
-    # rotate back in r6; with q98 they stay locked meanwhile by
-    # tests/test_oracle_parity*.py at sf0.001 AND sf0.01.
-    "q91_fuzzy_match",
-    "q92_substring_dedup",
-    "q93_hll_set_algebra",
-    "q94_scd2_history",
-    "q95_event_transitions",
-    "q96_kmeans",
-    "q97_salted_join",
+    # slots 7-9: r5 additions that missed the r5 window
+    "q89_quantiles_per_group",
+    "q90_hll_per_group",
+    "q98_attribution",
+    # slots 10-50: the entire session-3 surface (q99-q139), shipping its
+    # first hard driver row (the r4 verdict's q84 lesson: never leave an
+    # operator on repo-oracle evidence longer than one round).
+    "q99_bm25_retrieval",
+    "q100_priority_sample",
+    "q101_grouped_regression",
+    "q102_pagerank",
+    "q103_zorder_stats",
+    "q104_value_outliers",
+    "q105_rolling_time_window",
+    "q106_copurchase_pairs",
+    "q107_table_profile",
+    "q108_entropy_by_source",
+    "q109_multimodal_decode_ext",
+    "q110_asof_forward_tolerance",
+    "q111_stratified_weighted_sample",
+    "q112_kl_divergence_by_source",
+    "q113_winsorized_stats",
+    "q114_chi_square_contingency",
+    "q115_hierarchy_closure",
+    "q116_peak_concurrency",
+    "q117_bigram_logprob",
+    "q118_power_iteration_pca",
+    "q119_sorted_neighborhood",
+    "q120_collocations_pmi",
+    "q121_association_rules",
+    "q122_snapshot_diff",
+    "q123_timed_funnel",
+    "q124_rfm_segmentation",
+    "q125_revenue_gini",
+    "q126_tpch_q7_volume_shipping",
+    "q127_tpch_q10_returned_items",
+    "q128_ewma_daily_counts",
+    "q129_cohort_ltv",
+    "q130_revenue_contribution",
+    "q131_event_trigrams",
+    "q132_transition_latency",
+    "q133_holt_trend",
+    "q134_rolling_volatility",
+    "q135_mom_growth",
+    "q136_dow_seasonality",
+    "q137_cross_correlation",
+    "q138_integrity_audit",
+    "q139_conversion_time_stats",
 )
 
-# R6 ROTATION PLAN (write it down while the debt is fresh): the r5
-# session-3 operators q99-q139 (40 specs) ship this round WITHOUT a
-# window slot — the 50 slots were committed to retiring q84/q47/q40 and
-# the three-rounds-stale OLAP/llmops families first. All 40 are locked
-# by test_oracle_parity*.py at sf0.001+sf0.01 every CI run and were
-# hand-verified green at sf0.1 (BASELINE.md r5 notes). Next round's
-# window: pin the q01/q03/q08/q11/q24/q28 core, rotate IN as many of
-# q99-q139 as fit +
-# q98 + the displaced r4-greens (q25/q70/q72/q76/q77/q82/q83), fill
-# the rest with whatever is then ≥2 rounds stale.
+# R7 ROTATION PLAN (write it down while the state is fresh): after r6,
+# every registered spec has ≥1 driver-green row and the oldest rows are
+# the r4 greens (q02-q27 non-core, q42-q50, q70-q83), two rounds stale
+# by r7. Next window: pin the q01/q03/q08/q11/q24/q28 core, give any
+# NEW r6 spec a slot in its first round (standing policy), then fill
+# with the then-oldest rows — r4 greens first, r5 greens after. Nothing
+# should ever be >2 rounds without a row while the surface stays ≤150.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).

@@ -1239,14 +1239,15 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q117_bigram_logprob",
-    oracle=bigram_logprob_oracle_sql("documents"),
+    oracle=bigram_logprob_oracle_sql("documents", min_count=2),
     doc="per-doc average bigram log-probability under a corpus-fit "
-    "add-one LM (perplexity-style quality signal; broadcast LM table, "
-    "position-ordered deterministic fold)",
+    "add-one LM with a min_count=2 frequency cut (perplexity-style "
+    "quality signal; pruned-LM join left to AQE, position-ordered "
+    "deterministic fold)",
     tags=("textstats", "llm"),
 )
 def q117(spark: SparkSession, sf: str) -> DataFrame:
-    return bigram_logprob_by_doc(load(spark, sf, "documents"))
+    return bigram_logprob_by_doc(load(spark, sf, "documents"), min_count=2)
 
 
 # q115: parent(p) = p DIV 10 (NULL at the root band 1..9) builds a

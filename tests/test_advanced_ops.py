@@ -547,12 +547,17 @@ def test_peak_concurrency_two_level_windows(spark):
     assert "CartesianProduct" not in p
 
 
-def test_bigram_lm_tables_broadcast(spark):
+def test_bigram_lm_no_static_broadcast_hint(spark):
+    # VERDICT r5 #2: the LM tables are corpus-sized — a static broadcast
+    # hint on bi/uni is a driver OOM at open-vocab scale. The logical
+    # plan must carry NO ResolvedHint on them (AQE may still convert at
+    # runtime when the built side measures small); only the 1-row vocab
+    # scalar keeps an explicit broadcast.
+    df = SPECS["q117_bigram_logprob"].fn(spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
     p = _plan(spark, "q117_bigram_logprob")
-    # bi/uni/vocab LM tables must all broadcast onto the gram stream
-    assert p.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in p  # the 1-row vocab join
-    assert "SortMergeJoin" not in p
 
 
 # ---------- q119 sorted neighborhood ----------
@@ -666,6 +671,22 @@ def test_timed_funnel_window_gates_progression(spark):
         df, ("view", "click", "purchase"), 48 * 3600 * 1_000_000
     ).collect()}
     assert out == {"u1": 3, "u2": 1, "u3": 2}
+
+
+def test_timed_funnel_no_static_broadcast_by_default(spark):
+    # VERDICT r5 #1: the per-user step-times frame is data-dependent
+    # cardinality — a forced broadcast OOMs at web scale. Default plan
+    # must carry no ResolvedHint; broadcast_step_times=True re-adds it
+    # for known-bounded populations.
+    from kassette_server_spark.catalog import load as _load
+    from kassette_server_spark.operators.funnel import timed_funnel
+
+    ev = _load(spark, SF_SMOKE, "events")
+    steps = ("view", "click", "purchase")
+    plain = timed_funnel(ev, steps, 1_000_000)
+    assert "ResolvedHint" not in plain._jdf.queryExecution().optimizedPlan().toString()
+    hinted = timed_funnel(ev, steps, 1_000_000, broadcast_step_times=True)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
 
 
 # ---------- q124/q125 RFM + Gini ----------
