@@ -74,7 +74,17 @@ def pagerank_fixedpoint(
             ed.join(rank_side, ed.src == rank_side.node)
             .select(
                 "dst",
-                F.expr(f"(rank * {damping_ppm}) div (outdeg * {SCALE})").alias("c"),
+                # DECIMAL(38,0) widening (ADVICE r5): a hub's rank can
+                # approach n*SCALE, so a BIGINT product rank*damping_ppm
+                # would wrap silently past ~10^7 nodes (Spark, ANSI off)
+                # while DuckDB errors. 38-digit headroom covers
+                # n*SCALE*damping_ppm for any n < 10^26; `div` truncates
+                # back to BIGINT (ranks are nonnegative, so truncation
+                # == floor == the oracle's HUGEINT `//`).
+                F.expr(
+                    f"(cast(rank as decimal(38,0)) * {damping_ppm})"
+                    f" div (outdeg * {SCALE})"
+                ).alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
@@ -111,7 +121,7 @@ def pagerank_oracle_sql(
     ]
     for i in range(iters):
         ctes.append(
-            f"c{i + 1} AS (SELECT ed.dst, SUM((r.rank * {damping_ppm}) // (ed.outdeg * {SCALE})) AS inflow "
+            f"c{i + 1} AS (SELECT ed.dst, SUM(CAST((CAST(r.rank AS HUGEINT) * {damping_ppm}) // (ed.outdeg * {SCALE}) AS BIGINT)) AS inflow "
             f"FROM ed JOIN r{i} r ON r.node = ed.src GROUP BY ed.dst)"
         )
         ctes.append(

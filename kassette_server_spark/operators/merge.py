@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .store import read_store, write_store
+
 
 def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """Rows of ``updates`` win on key collision; unmatched target rows
@@ -112,6 +114,13 @@ def scd2_merge_into_store(
     appropriate for control-plane-scale dimensions (the reference's
     config/destination tables); for fact-scale SCD2 swap the rewrite
     for a partitioned storage merge, keeping the same fence.
+
+    Persistence goes through the crash-safe generation store
+    (store.py, ADVICE r5): a crash mid-rewrite can no longer present a
+    corrupt directory that the next read would misclassify as "first
+    batch" — which would silently reset BOTH the history and the fence
+    and re-apply replayed batches. Only a never-committed store starts
+    empty; genuine read errors propagate.
     """
     spark = batch_df.sparkSession
     others = [c for c in batch_df.columns if c not in keys and c != ts_col]
@@ -120,13 +129,13 @@ def scd2_merge_into_store(
         ts_col,
         *others,
     )
-    try:
-        old = spark.read.parquet(store_path)
+    old = read_store(spark, store_path)
+    if old is not None:
         hwm = old.agg(F.max("merged_through")).collect()[0][0]
         if hwm is not None and batch_id <= hwm:
             return False
         target = old.drop("merged_through")
-    except Exception:  # first batch: empty dimension
+    else:  # first batch: empty dimension
         target = (
             opened_schema.withColumn("valid_to", F.lit(None).cast("timestamp"))
             .withColumn("is_current", F.lit(True))
@@ -137,7 +146,7 @@ def scd2_merge_into_store(
     out = spark.createDataFrame(rows, merged.schema).withColumn(
         "merged_through", F.lit(int(batch_id))
     )
-    out.write.mode("overwrite").parquet(store_path)
+    write_store(out, store_path, int(batch_id))
     return True
 
 
@@ -151,10 +160,14 @@ def snapshot_diff(
     "what changed between yesterday's and today's load".
 
     Full outer join on the key, change detection via an md5 row digest
-    of every non-key column (null-safe: values join with a sentinel so
-    NULL ≠ ''). Output only differing rows: (keys..., change) with
-    change ∈ {added, removed, changed}. Exact strings/integers — engine
-    portable.
+    of every non-key column. The per-value encoding is INJECTIVE
+    (ADVICE r5): each value becomes ``s<charlen>:<value>`` and NULL
+    becomes ``n``, so fields are self-delimiting — no separator a value
+    could contain, no sentinel string a value could equal. (The earlier
+    \\x1f-separated recipe let ('a\\x1fb','c') alias ('a','b\\x1fc')
+    and a literal '\\x00null' collide with NULL.) Output only differing
+    rows: (keys..., change) with change ∈ {added, removed, changed}.
+    Exact strings/integers — engine portable.
 
     Scale shape: one co-partitioned full outer join on the key; digests
     are computed map-side so the shuffle carries (key, 16-byte digest),
@@ -165,16 +178,15 @@ def snapshot_diff(
         raise ValueError("snapshots must share a schema")
 
     def digest(df: DataFrame) -> DataFrame:
-        h = F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                    for c in others
-                ],
+        parts = []
+        for c in others:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.coalesce(
+                    F.concat(F.lit("s"), F.length(s), F.lit(":"), s), F.lit("n")
+                )
             )
-        )
-        return df.select(*keys, h.alias("_h"))
+        return df.select(*keys, F.md5(F.concat(*parts)).alias("_h"))
 
     o = digest(old).withColumnRenamed("_h", "_ho")
     n = digest(new).withColumnRenamed("_h", "_hn")
@@ -191,10 +203,12 @@ def snapshot_diff(
 def snapshot_diff_oracle_sql(
     old_sql: str, new_sql: str, keys: list[str], other_cols: list[str]
 ) -> str:
-    """DuckDB SQL computing the identical diff (same digest recipe)."""
+    """DuckDB SQL computing the identical diff (same injective
+    length-prefixed digest recipe)."""
     others = sorted(other_cols)
-    dig = "md5(concat_ws(chr(31), " + ", ".join(
-        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in others
+    dig = "md5(concat(" + ", ".join(
+        f"coalesce('s' || length(CAST({c} AS VARCHAR)) || ':' "
+        f"|| CAST({c} AS VARCHAR), 'n')" for c in others
     ) + "))"
     keylist = ", ".join(keys)
     on = " AND ".join(f"o.{k} = n.{k}" for k in keys)

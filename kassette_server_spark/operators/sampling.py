@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .store import next_generation, read_store, write_store
+
 _U_HEX_CHARS = 13  # 52 bits: the largest md5 prefix exactly representable in a double
 _U_DENOM = float(1 << 52)
 
@@ -93,11 +95,8 @@ def priority_sample_merge_into_store(
     """
     spark = batch_df.sparkSession
     new = priority_sample(batch_df, id_col, weight_col, k)
-    try:
-        old = spark.read.parquet(store_path)
-        merged = old.unionByName(new)
-    except Exception:  # first batch: no store yet
-        merged = new
+    old = read_store(spark, store_path)
+    merged = old.unionByName(new) if old is not None else new
     top = (
         merged.groupBy(id_col)
         .agg(
@@ -109,7 +108,8 @@ def priority_sample_merge_into_store(
         .limit(k)
     )
     rows = top.collect()
-    spark.createDataFrame(rows, top.schema).write.mode("overwrite").parquet(store_path)
+    out = spark.createDataFrame(rows, top.schema)
+    write_store(out, store_path, next_generation(store_path))
 
 
 def stratified_priority_sample(

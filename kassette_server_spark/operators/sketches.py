@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .store import next_generation, read_store, write_store
+
 # 15 hex chars = 60 bits keeps the parsed hash strictly below 2^63 so
 # the BIGINT cast is exact and positive in both engines.
 _HASH_HEX_CHARS = 15
@@ -428,22 +430,23 @@ def hll_merge_into_store(
     idempotent — re-merging the same rows changes nothing, which is
     what makes this safe under at-least-once foreachBatch). The store
     is <= 2^p rows, so the collect-then-rewrite is bounded driver work,
-    not a data-sized materialization.
+    not a data-sized materialization. Persistence goes through the
+    crash-safe generation store (store.py): a crash mid-write leaves
+    the previous committed generation readable.
     """
     spark = batch_df.sparkSession
     new = hll_registers(batch_df, col, p)
-    try:
-        old = spark.read.parquet(store_path)
+    old = read_store(spark, store_path)
+    if old is not None:
         merged = old.unionByName(new).groupBy("reg").agg(
             F.max("m_rank").alias("m_rank")
         )
-    except Exception:  # first batch: no store yet
+    else:  # first batch: no committed store yet
         merged = new
-    # materialize before overwriting the path we just read
+    # materialize before rewriting the store we just read
     rows = merged.collect()
-    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
-        store_path
-    )
+    out = spark.createDataFrame(rows, merged.schema)
+    write_store(out, store_path, next_generation(store_path))
 
 
 def hll_oracle_sql(table: str, col: str, p: int = 9) -> str:
@@ -600,14 +603,15 @@ def countmin_merge_into_store(
     skipped, which is exactly Spark's documented foreachBatch
     exactly-once recipe. Returns whether the batch was merged.
 
-    The single-dataset layout keeps the crash window to one write: a
-    failure mid-overwrite loses the store (rebuildable by replay from
-    the checkpointed source), never silently double-counts.
+    Store + fence live in ONE dataset committed through the generation
+    store (store.py): a crash mid-write leaves the previous committed
+    generation — with its fence — intact, so recovery can never
+    re-apply a batch the committed state already contains.
     """
     spark = batch_df.sparkSession
     new = countmin_registers(batch_df, col, depth, width)
-    try:
-        old = spark.read.parquet(store_path)
+    old = read_store(spark, store_path)
+    if old is not None:
         hwm = old.agg(F.max("merged_through")).collect()[0][0]
         if hwm is not None and batch_id <= hwm:
             return False  # replayed batch: already folded in
@@ -617,13 +621,13 @@ def countmin_merge_into_store(
             .groupBy("d", "reg")
             .agg(F.sum("cnt").alias("cnt"))
         )
-    except Exception:  # first batch: no store yet
+    else:  # first batch: no committed store yet
         merged = new
     rows = merged.collect()  # bounded: <= depth*width rows
     out = spark.createDataFrame(rows, merged.schema).withColumn(
         "merged_through", F.lit(int(batch_id))
     )
-    out.write.mode("overwrite").parquet(store_path)
+    write_store(out, store_path, int(batch_id))
     return True
 
 
@@ -633,18 +637,15 @@ def bloom_merge_into_store(
     """foreachBatch body: OR a micro-batch's Bloom bits into a
     persistent filter. Set-union is idempotent (like the HLL max), so
     at-least-once replays are safe without fencing; the store is
-    <= m_bits rows of one int."""
+    <= m_bits rows of one int. Persisted via the crash-safe generation
+    store (store.py)."""
     spark = batch_df.sparkSession
     new = bloom_bits(batch_df, col, k, m_bits)
-    try:
-        old = spark.read.parquet(store_path)
-        merged = old.unionByName(new).distinct()
-    except Exception:  # first batch
-        merged = new
+    old = read_store(spark, store_path)
+    merged = old.unionByName(new).distinct() if old is not None else new
     rows = merged.collect()  # bounded: <= m_bits rows
-    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
-        store_path
-    )
+    out = spark.createDataFrame(rows, merged.schema)
+    write_store(out, store_path, next_generation(store_path))
 
 
 def hist_bins(
@@ -681,12 +682,13 @@ def hist_merge_into_store(
     countmin_merge_into_store (Spark's documented foreachBatch
     exactly-once recipe): a replayed batch at or below the high-water
     mark is skipped rather than double-counted. Returns whether the
-    batch was merged.
+    batch was merged. Committed through the generation store
+    (store.py) so a crash mid-write preserves fence + counters.
     """
     spark = batch_df.sparkSession
     new = hist_bins(batch_df, col, bin_width, num_bins)
-    try:
-        old = spark.read.parquet(store_path)
+    old = read_store(spark, store_path)
+    if old is not None:
         hwm = old.agg(F.max("merged_through")).collect()[0][0]
         if hwm is not None and batch_id <= hwm:
             return False
@@ -696,13 +698,13 @@ def hist_merge_into_store(
             .groupBy("bin")
             .agg(F.sum("cnt").alias("cnt"))
         )
-    except Exception:  # first batch: no store yet
+    else:  # first batch: no committed store yet
         merged = new
     rows = merged.collect()  # bounded: <= num_bins rows
     out = spark.createDataFrame(rows, merged.schema).withColumn(
         "merged_through", F.lit(int(batch_id))
     )
-    out.write.mode("overwrite").parquet(store_path)
+    write_store(out, store_path, int(batch_id))
     return True
 
 

@@ -384,14 +384,18 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
 # q136: day-of-week seasonality — per (type, dow): total and share of
 # the type's events (exact counts, one exact-rounded division). dayofweek
 # numbering differs across engines, so both sides derive dow from the
-# epoch-day number ((day_n + 3) % 7: 1995-01-01 was a Sunday → 0=Sun).
+# day count since the 1995-01-01 anchor — itself a Sunday, so plain
+# day_n % 7 gives 0=Sun. Both engines' % keeps the dividend's sign, so
+# the ((x % 7) + 7) % 7 wrap keeps pre-anchor timestamps in 0..6 too
+# (ADVICE r5).
 @query(
     "q136_dow_seasonality",
     oracle="""
     WITH d AS (
       SELECT event_type AS grp,
-             (date_diff('day', DATE '1995-01-01',
-                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))) % 7
+             (((date_diff('day', DATE '1995-01-01',
+                          CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)))
+               % 7) + 7) % 7
                AS dow,
              COUNT(*) AS n
       FROM events GROUP BY 1, 2
@@ -411,9 +415,13 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(
             F.col("event_type").alias("grp"),
             (
-                F.datediff(
-                    F.date_trunc("day", F.col("ts")).cast("date"),
-                    F.lit("1995-01-01").cast("date"),
+                (
+                    F.datediff(
+                        F.date_trunc("day", F.col("ts")).cast("date"),
+                        F.lit("1995-01-01").cast("date"),
+                    )
+                    % 7
+                    + 7
                 )
                 % 7
             )

@@ -337,13 +337,17 @@ def _is_known_rollup_empty_divergence(
     grouping set aggregates globally and yields ONE grand-total row
     (DuckDB and PostgreSQL do this); Spark yields NOTHING. Found by
     this fuzzer (seed 55001177); treated as a documented engine
-    divergence, not a failure."""
+    divergence, not a failure.
+
+    DIRECTION MATTERS (ADVICE r5): the divergence is specifically
+    Spark-empty / DuckDB-one-grand-total-row. A Spark regression
+    emitting a spurious all-null row where DuckDB correctly returns
+    nothing must FAIL, not be classified as known."""
     if "ROLLUP" not in sql:
         return False
-    one, zero = (want, got) if len(got) == 0 else (got, want)
-    if len(zero) != 0 or len(one) != 1:
+    if len(got) != 0 or len(want) != 1:  # got=Spark, want=DuckDB
         return False
-    row = one.iloc[0]
+    row = want.iloc[0]
     # the grand-total row: every group key null-ish, every count zero
     return all(str(v) in ("None", "nan", "NaT", "<NA>", "0", "0.0") for v in row)
 

@@ -20,6 +20,7 @@ from kassette_server_spark.operators.linkage import (
     segment_blocking_keys,
 )
 from kassette_server_spark.operators.sketches import hll_set_algebra
+from kassette_server_spark.operators.store import read_store
 from kassette_server_spark.queries import all_specs
 
 from conftest import SF_SMOKE
@@ -188,7 +189,7 @@ def test_countmin_store_replay_fenced(spark, tmp_path):
 
     assert sketches.countmin_merge_into_store(b0, 0, "v", store)
     assert sketches.countmin_merge_into_store(b1, 1, "v", store)
-    regs = spark.read.parquet(store).select("d", "reg", "cnt")
+    regs = read_store(spark, store).select("d", "reg", "cnt")
     probe = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
     est = {
         r.v: r.est_count
@@ -198,7 +199,7 @@ def test_countmin_store_replay_fenced(spark, tmp_path):
 
     # at-least-once replay of batch 1: additive merge MUST be fenced
     assert not sketches.countmin_merge_into_store(b1, 1, "v", store)
-    regs2 = spark.read.parquet(store).select("d", "reg", "cnt")
+    regs2 = read_store(spark, store).select("d", "reg", "cnt")
     est2 = {
         r.v: r.est_count
         for r in sketches.countmin_estimate(probe, regs2, "v").collect()
@@ -212,10 +213,10 @@ def test_bloom_store_replay_idempotent(spark, tmp_path):
     store = str(tmp_path / "bloom_store")
     b0 = spark.createDataFrame([("x",), ("y",)], "v string")
     sketches.bloom_merge_into_store(b0, "v", store)
-    n1 = spark.read.parquet(store).count()
+    n1 = read_store(spark, store).count()
     sketches.bloom_merge_into_store(b0, "v", store)  # replay
-    assert spark.read.parquet(store).count() == n1
-    bits = spark.read.parquet(store)
+    assert read_store(spark, store).count() == n1
+    bits = read_store(spark, store)
     probe = spark.createDataFrame([("x",), ("zzz",)], "v string")
     got = {r.v: r.in_bloom for r in sketches.bloom_probe(probe, bits, "v").collect()}
     assert got["x"] is True

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from conftest import SF_SMOKE
 
 from kassette_server_spark.catalog import load
+from kassette_server_spark.operators.store import read_store
 from kassette_server_spark.config import Connection, DestinationConfig, Schema, SchemaField, SourceConfig
 from kassette_server_spark.operators.sessionize import sessionize_batch, session_stats, sessionize_stream
 from kassette_server_spark.sinks.rest import RestSinkConfig, deliver_rest
@@ -426,7 +427,7 @@ def test_streaming_hll_store_equals_single_pass(spark, tmp_path):
     ).write.json(str(src / "b2"))
     drain()
 
-    streamed = sketches.hll_estimate(spark.read.parquet(store), p=9).collect()[0]
+    streamed = sketches.hll_estimate(read_store(spark, store), p=9).collect()[0]
     whole = spark.createDataFrame([(i,) for i in range(750)], "doc_id long")
     single_pass = sketches.hll_count_distinct(whole, "doc_id", p=9).collect()[0]
     assert streamed == single_pass
@@ -436,7 +437,7 @@ def test_streaming_hll_store_equals_single_pass(spark, tmp_path):
         [(i,) for i in range(250, 750)], "doc_id long"
     )
     sketches.hll_merge_into_store(redelivered, "doc_id", store)
-    again = sketches.hll_estimate(spark.read.parquet(store), p=9).collect()[0]
+    again = sketches.hll_estimate(read_store(spark, store), p=9).collect()[0]
     assert again == streamed
 
 
@@ -479,7 +480,7 @@ def test_streaming_priority_sample_store_equals_single_pass(spark, tmp_path):
     spark.createDataFrame(b2, schema).write.json(str(src / "b2"))
     drain()
 
-    streamed = spark.read.parquet(store).orderBy(F.desc("priority")).collect()
+    streamed = read_store(spark, store).orderBy(F.desc("priority")).collect()
     whole = spark.createDataFrame(sorted(set(b1 + b2)), schema)
     single = priority_sample(whole, "doc_id", "w", k=20).collect()
     assert [(r.doc_id, r.w, r.priority) for r in streamed] == [
@@ -490,7 +491,7 @@ def test_streaming_priority_sample_store_equals_single_pass(spark, tmp_path):
     priority_sample_merge_into_store(
         spark.createDataFrame(b2, schema), "doc_id", "w", store, k=20
     )
-    again = spark.read.parquet(store).orderBy(F.desc("priority")).collect()
+    again = read_store(spark, store).orderBy(F.desc("priority")).collect()
     assert [(r.doc_id, r.priority) for r in again] == [
         (r.doc_id, r.priority) for r in streamed
     ]
@@ -500,7 +501,7 @@ def test_streaming_priority_sample_store_equals_single_pass(spark, tmp_path):
     priority_sample_merge_into_store(
         spark.createDataFrame(heavy, schema), "doc_id", "w", store, k=20
     )
-    final = spark.read.parquet(store).collect()
+    final = read_store(spark, store).collect()
     assert sum(1 for r in final if r.doc_id == 5) == 1
     assert max(r.priority for r in final) == next(
         r.priority for r in final if r.doc_id == 5
@@ -545,7 +546,7 @@ def test_streaming_histogram_store_quantiles_equal_single_pass(spark, tmp_path):
     spark.createDataFrame(b2, schema).write.json(str(src / "b2"))
     drain()
 
-    streamed = hist_store_quantiles(spark.read.parquet(store)).collect()
+    streamed = hist_store_quantiles(read_store(spark, store)).collect()
     single = binned_quantiles(
         spark.createDataFrame(b1 + b2, schema), "v"
     ).collect()
@@ -555,13 +556,13 @@ def test_streaming_histogram_store_quantiles_equal_single_pass(spark, tmp_path):
 
     # replay the highest batch id: fence must reject it
     last_bid = (
-        spark.read.parquet(store).agg(F.max("merged_through")).collect()[0][0]
+        read_store(spark, store).agg(F.max("merged_through")).collect()[0][0]
     )
     merged = hist_merge_into_store(
         spark.createDataFrame(b2, schema), last_bid, "v", store
     )
     assert merged is False
-    again = hist_store_quantiles(spark.read.parquet(store)).collect()
+    again = hist_store_quantiles(read_store(spark, store)).collect()
     assert [(r.label, r.est, r.n) for r in again] == [
         (r.label, r.est, r.n) for r in streamed
     ]
@@ -632,7 +633,7 @@ def test_streaming_scd2_store_equals_batch_apply(spark, tmp_path):
             for r in df.collect()
         )
 
-    got = snap(spark.read.parquet(store).drop("merged_through"))
+    got = snap(read_store(spark, store).drop("merged_through"))
     empty = (
         spark.createDataFrame(b1, schema)
         .withColumn("valid_to", F.lit(None).cast("timestamp"))
@@ -653,9 +654,9 @@ def test_streaming_scd2_store_equals_batch_apply(spark, tmp_path):
     assert sum(1 for r in k1 if r[4]) == 1
 
     # replay the last batch id: fence must reject and store not move
-    last_bid = spark.read.parquet(store).agg(F.max("merged_through")).collect()[0][0]
+    last_bid = read_store(spark, store).agg(F.max("merged_through")).collect()[0][0]
     applied = scd2_merge_into_store(
         spark.createDataFrame(b2, schema), last_bid, ["k"], store
     )
     assert applied is False
-    assert snap(spark.read.parquet(store).drop("merged_through")) == got
+    assert snap(read_store(spark, store).drop("merged_through")) == got
