@@ -32,6 +32,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    # The result JSON must be the ONLY stdout line (the driver parses
+    # stdout; VERDICT r5 #6 — BENCH_r4/r5 archived `parsed: null`
+    # because JVM launcher banners share fd 1). Park the real stdout on
+    # a spare fd and point fd 1 at stderr BEFORE the JVM forks, so
+    # every banner/warning — Python or JVM child — lands on stderr.
+    result_fd = os.dup(1)
+    os.dup2(2, 1)
+
     spark = get_spark(app_name="kassette-bench")
     specs = all_specs()
 
@@ -60,23 +68,23 @@ def main() -> None:
             timings[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "median_of_3": sorted(high_variance),
-                "spread_sec": spreads,
-                "variance_note": "median-of-3 specs are iterative "
-                "(fixpoint CC / banded verify) and swing with per-job "
-                "scheduler overhead; all others are best-of-2",
-            }
-        )
+    doc = json.dumps(
+        {
+            "metric": "declared_query_set_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "median_of_3": sorted(high_variance),
+            "spread_sec": spreads,
+            "variance_note": "median-of-3 specs are iterative "
+            "(fixpoint CC / banded verify) and swing with per-job "
+            "scheduler overhead; all others are best-of-2",
+        }
     )
     spark.stop()
+    os.write(result_fd, (doc + "\n").encode())
+    os.close(result_fd)
 
 
 if __name__ == "__main__":

@@ -446,6 +446,50 @@ def test_hierarchy_closure_frontier_shrinks(spark):
     assert out.groupBy("depth").count().orderBy("depth").collect()[2][1] == 100
 
 
+def test_hierarchy_closure_dangling_parent_contract(spark):
+    """VERDICT r5 #8: a dangling parent (non-null, exists as nobody's
+    id) makes the chase and the recursive-CTE oracle diverge BY
+    CONTRACT — pin all three behaviors so the divergence can never
+    surface silently: the chase keeps the chain with the dangling id
+    as root, the oracle drops the chain, validate=True raises."""
+    import duckdb
+    import pytest
+
+    from kassette_server_spark.operators.graph import (
+        hierarchy_closure,
+        hierarchy_oracle_sql,
+    )
+
+    # 2's parent 99 exists as nobody's id; 1 is a clean root; 3→1 clean
+    rows = [(1, None), (2, 99), (3, 1)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+
+    # chase: the dangling chain RESOLVES, reporting 99 as its root and
+    # counting the hop onto the nonexistent node
+    got = {r.id: (r.root, r.depth, r.path_sum) for r in hierarchy_closure(df).collect()}
+    assert got[2] == (99, 1, 101)
+    assert got[1] == (1, 0, 1) and got[3] == (1, 1, 4)
+
+    # oracle: the SAME input DROPS node 2 entirely (the final
+    # `WHERE n.parent IS NULL` join never matches the dangling anc)
+    nodes_sql = (
+        "SELECT * FROM (VALUES (1, NULL), (2, 99), (3, 1)) AS t(id, parent)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.connect().execute(hierarchy_oracle_sql(nodes_sql)).fetchall()
+    }
+    assert 2 not in want, "oracle now keeps dangling chains — contract changed"
+    assert want[1] == (1, 0, 1) and want[3] == (1, 1, 4)
+
+    # validation mode: loud, names the count
+    with pytest.raises(ValueError, match="1 dangling parent"):
+        hierarchy_closure(df, validate=True)
+    # a well-formed hierarchy passes validation unchanged
+    clean = spark.createDataFrame([(1, None), (3, 1)], "id long, parent long")
+    assert hierarchy_closure(clean, validate=True).count() == 2
+
+
 # ---------- q116 peak concurrency ----------
 
 

@@ -2,12 +2,15 @@
 subset, executed as the IDENTICAL text by Spark SQL and DuckDB, results
 diffed exactly.
 
-The 111 declared specs pin hand-chosen shapes; this harness sweeps the
+The 138 declared specs pin hand-chosen shapes; this harness sweeps the
 combinatorial space around them (random projections, predicates, FK
-joins, integer aggregates, sort orders) and would surface semantic
-divergences none of the fixed oracles happen to cover — cast widths,
-predicate tri-state logic, join duplicate semantics, grouped-aggregate
-edge cases.
+joins, integer aggregates, window functions with explicit frames,
+ROLLUP/CUBE/GROUPING SETS, string functions, sort orders) and would
+surface semantic divergences none of the fixed oracles happen to cover
+— cast widths, predicate tri-state logic, join duplicate semantics,
+grouped-aggregate edge cases, window frame defaults and null ordering
+(the areas where Spark/DuckDB dialect divergence actually bites,
+per VERDICT r5 #5).
 
 Grammar constraints that keep the subset genuinely portable:
 - integer/string/date columns only — no doubles (float summation order
@@ -35,7 +38,7 @@ from conftest import SF_SMOKE
 from kassette_server_spark.catalog import load
 
 SEED = 20260813
-N_QUERIES = 140
+N_QUERIES = 160
 
 # (table, integer cols, string cols, date cols) — doubles deliberately
 # excluded (float summation order is engine-dependent)
@@ -157,25 +160,55 @@ UNIQUE_KEY = {
 
 def _gen_window_query(rng: random.Random, domains: dict) -> str:
     """Window shapes that stay deterministic under ties:
-    - row_number over a provably-unique total order (pk tiebreaker);
-    - sum/count with the default RANGE frame (peers aggregate together,
-      so tie order cannot matter);
-    - lag over the same unique order.
-    Frame-default semantics are a classic engine-divergence area."""
+    - row_number / lag / lead / first_value over a provably-unique
+      total order (pk tiebreaker);
+    - rank / dense_rank over the sort key alone (rank depends only on
+      key values, never on tie order);
+    - sum with the default RANGE frame (peers aggregate together, so
+      tie order cannot matter) and with an explicit ROWS frame over the
+      unique order.
+    Frame-default semantics and window null ordering are classic
+    engine-divergence areas — every ORDER BY inside OVER() carries an
+    explicit NULLS FIRST (Spark ASC defaults nulls-first, DuckDB
+    nulls-last; with a RANGE/ROWS frame that changes the VALUES, not
+    just the order)."""
     t = rng.choice([x for x in TABLES if UNIQUE_KEY[x]])
     ints, strs, dates = TABLES[t]
     pk = UNIQUE_KEY[t]
     part = rng.choice(strs + ints)
     ordc = rng.choice(ints + dates)
-    kind = rng.choice(["row_number", "sum_range", "lag"])
+    uniq = f"ORDER BY {ordc} NULLS FIRST, {pk} NULLS FIRST"
+    kind = rng.choice(
+        ["row_number", "sum_range", "lag", "lead", "rank", "dense_rank",
+         "rows_frame", "first_value"]
+    )
+    acol = rng.choice(ints)
     if kind == "row_number":
-        win = f"row_number() OVER (PARTITION BY {part} ORDER BY {ordc} NULLS FIRST, {pk} NULLS FIRST)"
+        win = f"row_number() OVER (PARTITION BY {part} {uniq})"
     elif kind == "sum_range":
-        acol = rng.choice(ints)
-        win = f"CAST(sum({acol}) OVER (PARTITION BY {part} ORDER BY {ordc}) AS BIGINT)"
-    else:
-        acol = rng.choice(ints)
-        win = f"lag({acol}) OVER (PARTITION BY {part} ORDER BY {ordc} NULLS FIRST, {pk} NULLS FIRST)"
+        win = (
+            f"CAST(sum({acol}) OVER (PARTITION BY {part} "
+            f"ORDER BY {ordc} NULLS FIRST) AS BIGINT)"
+        )
+    elif kind == "lag":
+        win = f"lag({acol}) OVER (PARTITION BY {part} {uniq})"
+    elif kind == "lead":
+        win = f"lead({acol}) OVER (PARTITION BY {part} {uniq})"
+    elif kind == "rank":
+        win = f"rank() OVER (PARTITION BY {part} ORDER BY {ordc} NULLS FIRST)"
+    elif kind == "dense_rank":
+        win = f"dense_rank() OVER (PARTITION BY {part} ORDER BY {ordc} NULLS FIRST)"
+    elif kind == "rows_frame":
+        n = rng.choice([1, 2, 5])
+        win = (
+            f"CAST(sum({acol}) OVER (PARTITION BY {part} {uniq} "
+            f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW) AS BIGINT)"
+        )
+    else:  # first_value over the unique total order
+        win = (
+            f"first_value({acol}) OVER (PARTITION BY {part} {uniq} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
     pred = _predicate(rng, t, "t0", domains)
     return (
         f"SELECT t0.{pk} AS pk, {win} AS w FROM {t} t0 WHERE {pred} "
@@ -185,7 +218,7 @@ def _gen_window_query(rng: random.Random, domains: dict) -> str:
 
 def _gen_query(rng: random.Random, domains: dict) -> str:
     shape = rng.random()
-    if shape < 0.12:  # window functions over a single table
+    if shape < 0.18:  # window functions over a single table
         return _gen_window_query(rng, domains)
     if shape < 0.45:  # single table
         t = rng.choice(list(TABLES))
@@ -242,14 +275,26 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
             # grammar to distinct expressions
             if f"{a}.{c}" != gcol
         ]
-        if rng.random() < 0.25 and g2_pool:
-            # ROLLUP: super-aggregate null rows are a classic
-            # cross-engine divergence area (null vs grouping flags)
+        if rng.random() < 0.35 and g2_pool:
+            # grouping sets: super-aggregate null rows are a classic
+            # cross-engine divergence area (null vs grouping flags).
+            # ROLLUP / CUBE / explicit GROUPING SETS all exercised; the
+            # explicit form always includes () so the empty-input
+            # divergence checker's one-grand-total-row shape holds for
+            # every variant.
             g2 = rng.choice(g2_pool)
+            gs = rng.choice(
+                [
+                    f"ROLLUP ({gcol}, {g2})",
+                    f"CUBE ({gcol}, {g2})",
+                    f"GROUPING SETS (({gcol}, {g2}), ({gcol}), ())",
+                    f"GROUPING SETS (({gcol}), ({g2}), ())",
+                ]
+            )
             sel = [f"{gcol} AS g", f"{g2} AS g2"] + sel[1:]
             body = (
                 f"SELECT {', '.join(sel)} FROM {from_sql}{where} "
-                f"GROUP BY ROLLUP ({gcol}, {g2}){having}"
+                f"GROUP BY {gs}{having}"
             )
             order_cols = ["g", "g2"]
         else:
@@ -275,13 +320,24 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
                 )
                 cols.append(f"{expr} AS {a}_{c}")
             for c in rng.sample(strs, min(rng.randrange(0, 3), len(strs))):
+                # portable string fns only: identical name+semantics in
+                # Spark and DuckDB (position via the ANSI `IN` form;
+                # int-returning fns cast to BIGINT on both sides by
+                # construction since Spark returns INT, DuckDB BIGINT)
                 expr = rng.choice(
                     [f"{a}.{c}", f"upper({a}.{c})", f"lower({a}.{c})",
                      f"CAST(length({a}.{c}) AS BIGINT)",
                      f"substr({a}.{c}, 1, {rng.randrange(1, 6)})",
                      f"{a}.{c} || '#' || {a}.{c}",
                      f"replace({a}.{c}, 'a', '@')",
-                     f"trim(substr({a}.{c}, 1, {rng.randrange(2, 8)}))"]
+                     f"trim(substr({a}.{c}, 1, {rng.randrange(2, 8)}))",
+                     f"reverse({a}.{c})",
+                     f"lpad({a}.{c}, {rng.randrange(5, 15)}, '.')",
+                     f"rpad({a}.{c}, {rng.randrange(5, 15)}, '.')",
+                     f"repeat(substr({a}.{c}, 1, 2), {rng.randrange(1, 4)})",
+                     f"CAST(position('{rng.choice('aeiou')}' IN {a}.{c}) AS BIGINT)",
+                     f"concat_ws('-', {a}.{c}, {a}.{c})",
+                     f"ltrim(rtrim({a}.{c}))"]
                 )
                 cols.append(f"{expr} AS {a}_{c}")
             for c in rng.sample(dates, min(rng.randrange(0, 2), len(dates))):
@@ -342,8 +398,12 @@ def _is_known_rollup_empty_divergence(
     DIRECTION MATTERS (ADVICE r5): the divergence is specifically
     Spark-empty / DuckDB-one-grand-total-row. A Spark regression
     emitting a spurious all-null row where DuckDB correctly returns
-    nothing must FAIL, not be classified as known."""
-    if "ROLLUP" not in sql:
+    nothing must FAIL, not be classified as known.
+
+    Applies to every grouping-set spelling whose set list includes the
+    () set: ROLLUP, CUBE, and the explicit GROUPING SETS form (the
+    grammar always includes () there)."""
+    if not any(k in sql for k in ("ROLLUP", "CUBE", "GROUPING SETS")):
         return False
     if len(got) != 0 or len(want) != 1:  # got=Spark, want=DuckDB
         return False
