@@ -5,9 +5,17 @@ destination table from the config schema at connect time
 (integrations/postgres/main.go:32-67), then appends rows
 transactionally (main.go:69-106). Spark equivalent: DDL rendered from
 the same Schema, writes via ``df.write.format("jdbc")`` with
-``batchsize`` (the COPY analogue). No database is available in this
-environment, so the writer builds options and is exercised in tests up
-to the write call; ``render_*`` functions are pure.
+``batchsize`` (the COPY analogue). Execution evidence in CI:
+
+- the full writer path (driver load, DDL, batched inserts, read-back)
+  runs against embedded Derby (tests/test_jdbc_roundtrip.py), and
+  against real Postgres wherever $KASSETTE_PG_URL plus the
+  org.postgresql driver jar exist;
+- the POSTGRES DIALECT — both DDL renderers, the reference's insert
+  shape and transaction semantics, its schema-change drop/recreate —
+  executes against a throwaway REAL PostgreSQL 15 server booted
+  locally per test run (tests/test_real_postgres.py; this container
+  ships the server binaries but no JDBC jar and no network).
 """
 
 from __future__ import annotations
