@@ -224,3 +224,83 @@ def snapshot_diff_oracle_sql(
       FROM o FULL OUTER JOIN n ON {on}
     ) WHERE change IS NOT NULL
     """
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    version_ts: str,
+) -> DataFrame:
+    """Temporal (point-in-time) join: each fact row paired with the
+    dimension VERSION in effect at ``fact_ts`` — the batch query every
+    SCD2 dimension exists to answer ("what was this customer's tier
+    when the order shipped?"), and the validity-interval sibling of
+    the as-of join (asof.py joins to the nearest-preceding EVENT; this
+    joins to the version whose [valid_from, next valid_from) interval
+    CONTAINS the fact).
+
+    Mechanics: ``versions`` gets a ``lead(version_ts)`` close-out per
+    key (exactly how scd2_apply's valid_to is defined — an open last
+    version matches everything after its valid_from), then ONE
+    co-partitioned equi-join on ``keys`` with the residual
+    ``valid_from <= fact_ts < valid_to`` filter. Inner semantics:
+    facts before their key's first version (or with no key) drop.
+
+    Scale shape: the shuffle is the plain equi-join on ``keys`` —
+    versions-per-key is bounded by change history, so the residual
+    filter fans each fact out to at most that many candidates before
+    pruning, and NO interval bucketing is needed (contrast
+    asof.range_join_buckets, which exists for intervals NOT anchored
+    to an equi-key). Version-table skew follows key skew; AQE's skew
+    join handles it, and a dimension-sized ``versions`` side is
+    broadcast by AQE automatically.
+
+    Column contract: ``facts`` and ``versions`` share ONLY the key
+    columns; ``fact_ts`` and ``version_ts`` must be differently named.
+    Output: all fact columns + the matched version's non-key columns
+    (including ``version_ts``).
+    """
+    from pyspark.sql import Window
+
+    overlap = (set(facts.columns) & set(versions.columns)) - set(keys)
+    if overlap or fact_ts == version_ts:
+        raise ValueError(
+            f"facts/versions must share only key columns (clash: {sorted(overlap) or fact_ts})"
+        )
+    w = Window.partitionBy(*keys).orderBy(version_ts)
+    v = versions.withColumn("_valid_to", F.lead(version_ts).over(w))
+    return (
+        facts.join(v, on=keys)
+        .where(
+            (F.col(fact_ts) >= F.col(version_ts))
+            & (F.col("_valid_to").isNull() | (F.col(fact_ts) < F.col("_valid_to")))
+        )
+        .drop("_valid_to")
+    )
+
+
+def point_in_time_oracle_sql(
+    facts_sql: str,
+    versions_sql: str,
+    keys: list[str],
+    fact_ts: str,
+    version_ts: str,
+    select: str,
+) -> str:
+    """DuckDB SQL computing the identical point-in-time join (same
+    lead() close-out, same half-open interval)."""
+    part = ", ".join(keys)
+    on = " AND ".join(f"f.{k} = v.{k}" for k in keys)
+    return f"""
+    WITH v AS (
+      SELECT *, lead({version_ts}) OVER (PARTITION BY {part} ORDER BY {version_ts}) AS _valid_to
+      FROM ({versions_sql})
+    ),
+    f AS ({facts_sql})
+    SELECT {select}
+    FROM f JOIN v ON {on}
+      AND f.{fact_ts} >= v.{version_ts}
+      AND (v._valid_to IS NULL OR f.{fact_ts} < v._valid_to)
+    """

@@ -167,3 +167,75 @@ def stratified_priority_oracle_sql(
       FROM {table}
     ) WHERE rk <= {k_per_stratum}
     """
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs to be REPRODUCIBLE and STABLE: a document
+    keeps its split across reruns, re-partitioning, cluster resizing,
+    and incremental corpus growth (none of which is true of
+    ``df.randomSplit``, whose assignment depends on partitioning).
+
+    ``u = md5(salt ':' id)`` truncated to the same 52-bit
+    exactly-double-representable prefix as priority_sample; the id
+    falls into the half-open cumulative-fraction interval of its
+    split, in ``fractions``' declared order. Changing ``salt`` draws
+    an independent split; holdout contamination across salts is
+    md5-collision improbable.
+
+    Map-only (no shuffle, no state): each row's split is a pure
+    function of its id. Output: input columns + ``split``.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            _U_HEX_CHARS,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = h.cast("double") / F.lit(_U_DENOM)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        expr = (
+            F.when(u < F.lit(cum), F.lit(name))
+            if expr is None
+            else expr.when(u < F.lit(cum), F.lit(name))
+        )
+    split = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", split)
+
+
+def dataset_split_oracle_sql(
+    table: str,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> str:
+    """DuckDB SQL assigning the identical split (same 52-bit md5 u)."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    h = (
+        f"CAST('0x' || substr(md5('{salt}' || ':' || CAST({id_col} AS VARCHAR)), "
+        f"1, {_U_HEX_CHARS}) AS BIGINT)"
+    )
+    u = f"(CAST({h} AS DOUBLE) / {_U_DENOM!r})"
+    names = list(fractions)
+    cases = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"

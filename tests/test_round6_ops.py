@@ -1,0 +1,110 @@
+"""Unit tests for the round-6 operators: point-in-time join and the
+deterministic dataset splitter (their registry specs are oracle-locked
+in test_oracle_parity; these pin the contracts and edge cases)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from kassette_server_spark.operators.merge import point_in_time_join
+from kassette_server_spark.operators.sampling import dataset_split
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", date(2025, 1, 1), "bronze"),
+            ("c1", date(2025, 3, 1), "silver"),
+            ("c1", date(2025, 6, 1), "gold"),
+            ("c2", date(2025, 2, 1), "bronze"),
+        ],
+        "k string, vf date, tier string",
+    )
+
+
+def test_point_in_time_join_interval_semantics(spark):
+    facts = spark.createDataFrame(
+        [
+            ("f0", "c1", date(2024, 12, 31)),  # before first version: drops
+            ("f1", "c1", date(2025, 1, 1)),    # ON valid_from: inclusive
+            ("f2", "c1", date(2025, 2, 28)),   # mid-interval
+            ("f3", "c1", date(2025, 3, 1)),    # next version's start: half-open
+            ("f4", "c1", date(2026, 1, 1)),    # open last version matches
+            ("f5", "c2", date(2025, 2, 2)),
+            ("f6", "c3", date(2025, 2, 2)),    # unknown key: drops
+        ],
+        "fid string, k string, ts date",
+    )
+    out = {
+        r.fid: r.tier
+        for r in point_in_time_join(facts, _dim(spark), ["k"], "ts", "vf").collect()
+    }
+    assert out == {
+        "f1": "bronze",
+        "f2": "bronze",
+        "f3": "silver",
+        "f4": "gold",
+        "f5": "bronze",
+    }
+
+
+def test_point_in_time_join_exactly_one_version_per_fact(spark):
+    """Every surviving fact matches exactly one version — the lead()
+    close-out makes intervals partition the timeline per key."""
+    facts = spark.createDataFrame(
+        [(i, "c1", date(2025, 1 + i % 11, 1 + i % 27)) for i in range(200)],
+        "fid long, k string, ts date",
+    )
+    out = point_in_time_join(facts, _dim(spark), ["k"], "ts", "vf")
+    assert out.groupBy("fid").count().where("count > 1").count() == 0
+
+
+def test_point_in_time_join_rejects_column_clash(spark):
+    facts = spark.createDataFrame([("c1", date(2025, 1, 2), "x")], "k string, ts date, tier string")
+    with pytest.raises(ValueError, match="clash.*tier"):
+        point_in_time_join(facts, _dim(spark), ["k"], "ts", "vf")
+    same_ts = spark.createDataFrame([("c1", date(2025, 1, 2))], "k string, vf date")
+    with pytest.raises(ValueError, match="clash"):
+        point_in_time_join(same_ts, _dim(spark), ["k"], "vf", "vf")
+
+
+def test_dataset_split_deterministic_and_partition_stable(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in dataset_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in dataset_split(df.repartition(17), "doc_id").collect()
+    }
+    assert a == b, "split assignment must not depend on partitioning"
+    # growth-stable: the first 1000 ids keep their splits in a bigger corpus
+    big = spark.range(4000).withColumnRenamed("id", "doc_id")
+    c = {r.doc_id: r.split for r in dataset_split(big, "doc_id").collect()}
+    assert all(c[i] == a[i] for i in range(2000))
+
+
+def test_dataset_split_fractions_and_salt(spark):
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r.split: r["count"]
+        for r in dataset_split(
+            df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).groupBy("split").count().collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    # a different salt draws an independent assignment
+    s1 = {r.doc_id: r.split for r in dataset_split(df, "doc_id", salt="a").collect()}
+    s2 = {r.doc_id: r.split for r in dataset_split(df, "doc_id", salt="b").collect()}
+    assert any(s1[i] != s2[i] for i in range(5000))
+    with pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(df, "doc_id", {"train": 0.5, "test": 0.4})
+
+
+def test_dataset_split_map_only_plan(spark):
+    """The split must be a pure map — no Exchange in the plan."""
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = dataset_split(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
