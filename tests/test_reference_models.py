@@ -385,3 +385,54 @@ def test_timed_funnel_matches_python_model(spark):
             stage, prev = k, nxt
         want[u] = stage
     assert got == want
+
+
+def test_point_in_time_join_matches_python_model(spark):
+    """Random version histories + random facts vs a brute-force scan
+    model (for each fact: the max version_ts <= fact_ts per key)."""
+    from kassette_server_spark.operators.merge import point_in_time_join
+
+    rng = random.Random(1106)
+    versions = []
+    for k in range(20):
+        for ts in sorted(rng.sample(range(1000), rng.randrange(1, 8))):
+            versions.append((k, ts, f"v{k}-{ts}"))
+    facts = [(i, rng.randrange(22), rng.randrange(1100)) for i in range(500)]
+
+    vdf = spark.createDataFrame(versions, "k long, vf long, tag string")
+    fdf = spark.createDataFrame(facts, "fid long, k long, ts long")
+    got = {
+        r.fid: (r.vf, r.tag)
+        for r in point_in_time_join(fdf, vdf, ["k"], "ts", "vf").collect()
+    }
+
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, ts, tag in versions:
+        by_key.setdefault(k, []).append((ts, tag))
+    want = {}
+    for fid, k, ts in facts:
+        eligible = [(vts, tag) for vts, tag in by_key.get(k, []) if vts <= ts]
+        if eligible:
+            want[fid] = max(eligible)
+    assert got == want
+
+
+def test_dataset_split_matches_python_model(spark):
+    from kassette_server_spark.operators.sampling import dataset_split
+
+    fractions = {"train": 0.7, "val": 0.2, "test": 0.1}
+    df = spark.range(3000).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.split for r in dataset_split(df, "doc_id", fractions, salt="m").collect()}
+
+    def model(i):
+        h = int(hashlib.md5(f"m:{i}".encode()).hexdigest()[:13], 16)
+        u = h / float(1 << 52)
+        cum = 0.0
+        names = list(fractions)
+        for name in names[:-1]:
+            cum += fractions[name]
+            if u < cum:
+                return name
+        return names[-1]
+
+    assert got == {i: model(i) for i in range(3000)}

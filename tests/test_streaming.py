@@ -660,3 +660,60 @@ def test_streaming_scd2_store_equals_batch_apply(spark, tmp_path):
     )
     assert applied is False
     assert snap(read_store(spark, store).drop("merged_through")) == got
+
+
+def test_streaming_point_in_time_join_stream_static(spark, tmp_path):
+    """point_in_time_join composes with Structured Streaming as a
+    stream-static join: streaming facts against a static version
+    table. The lead() close-out runs on the STATIC side only (window
+    functions are illegal on a stream; here they never touch one), so
+    the micro-batch plan is the same co-partitioned equi-join +
+    residual interval filter as the batch path — per-batch results
+    must equal the batch operator on the same rows."""
+    from kassette_server_spark.operators.merge import point_in_time_join
+
+    versions = spark.createDataFrame(
+        [("c1", 10, "bronze"), ("c1", 20, "silver"), ("c2", 15, "basic")],
+        "k string, vf long, tier string",
+    )
+    src = tmp_path / "facts"
+    src.mkdir()
+    schema = "fid long, k string, ts long"
+    facts = [
+        (1, "c1", 5),   # before first version: drops
+        (2, "c1", 10),  # inclusive start
+        (3, "c1", 19),
+        (4, "c1", 25),
+        (5, "c2", 16),
+        (6, "c9", 16),  # unknown key: drops
+    ]
+    spark.createDataFrame(facts, schema).write.json(str(src / "b1"))
+
+    got: dict[int, str] = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            got[r.fid] = r.tier
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .json(str(src))
+    )
+    joined = point_in_time_join(stream, versions, ["k"], "ts", "vf")
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_pit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        r.fid: r.tier
+        for r in point_in_time_join(
+            spark.createDataFrame(facts, schema), versions, ["k"], "ts", "vf"
+        ).collect()
+    }
+    assert got == batch == {2: "bronze", 3: "bronze", 4: "silver", 5: "basic"}
