@@ -8,8 +8,9 @@ operators composed the way a 100 TB data pipeline would run them:
      keep cluster representatives
   4. quality filter (C4-style reasons)
   5. benchmark decontamination (8-gram overlap vs an eval slice)
+  5d. deterministic train/val/test split (salted md5, map-only)
   6. sequence packing into fixed-token shards
-  7. write the curated corpus partitioned by shard bucket
+  7. write the curated corpus partitioned by (split, shard bucket)
 
 Run: python examples/curate_corpus.py [sf_dir]
 Prints per-stage survivor counts and the final plan summary.
@@ -88,12 +89,24 @@ def main() -> None:
     weighted = clean.select("doc_id", F.length("text").alias("w"))
     sample = priority_sample(weighted, "doc_id", "w", k=min(100, n4))
 
-    # 6-7. pack into fixed-token shards, write partitioned by bucket
+    # 5d. reproducible train/val/test assignment BEFORE packing (val
+    # and test must never share a packed shard with train): map-only,
+    # stable across reruns and corpus growth
+    from kassette_server_spark.operators.sampling import dataset_split
+
+    split_docs = dataset_split(clean, "doc_id")
+    split_counts = {
+        r.split: r["count"]
+        for r in split_docs.groupBy("split").count().collect()
+    }
+
+    # 6-7. pack each split into fixed-token shards, write partitioned
+    # by (split, bucket)
     packed = curation.sequence_packing(clean)
     out_dir = os.path.join(tempfile.mkdtemp(prefix="curated-"), "corpus")
     (
-        clean.join(packed.select("doc_id", "bucket", "shard_id"), "doc_id")
-        .write.partitionBy("bucket")
+        split_docs.join(packed.select("doc_id", "bucket", "shard_id"), "doc_id")
+        .write.partitionBy("split", "bucket")
         .mode("overwrite")
         .parquet(out_dir)
     )
@@ -112,6 +125,7 @@ def main() -> None:
           + ", ".join(f"{r.col_name}(nulls={r.n_nulls}, ndv={r.ndv})"
                       for r in profile.collect()))
     print(f"mixing sample:         {sample.count()} docs by length-weighted priority")
+    print(f"split:                 {split_counts}")
     print(f"written:               {n5} docs into {shards} shards at {out_dir}")
     spark.stop()
 
