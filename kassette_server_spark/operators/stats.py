@@ -111,14 +111,21 @@ def mad_outliers(
     group_col: str,
     value_col: str,
     c: float = 3.0,
+    broadcast_group_stats: bool = True,
 ) -> DataFrame:
     """Per-group robust outlier profile via median absolute deviation.
 
     Two grouped exact-median passes (values, then absolute deviations)
-    joined back by group — the group cardinality is small (one row per
-    group after pass 1), so the join back over the fact rows
-    broadcasts. Output per group: n, med, mad, n_outliers
-    (|x − med| > c·MAD), max_abs_dev.
+    joined back by group. The stats frames are one row per GROUP, so
+    the default broadcast join-back is right whenever the grouping key
+    is a category (event types, sources, nations). Grouping by a
+    high-cardinality key (users, documents) makes the stats frame
+    data-sized — set ``broadcast_group_stats=False`` to take the
+    co-partitioned shuffle join instead (both sides are already keyed
+    by grp; AQE still converts to broadcast when it measures small) —
+    the same gating discipline as timed_funnel's broadcast_step_times.
+    Output per group: n, med, mad, n_outliers (|x − med| > c·MAD),
+    max_abs_dev.
     """
     rows = df.select(
         F.col(group_col).alias("grp"), F.col(value_col).cast("double").alias("v")
@@ -126,7 +133,9 @@ def mad_outliers(
     med = rows.groupBy("grp").agg(
         F.count("*").alias("n"), F.median("v").alias("med")
     )
-    dev = rows.join(F.broadcast(med), "grp").select(
+    if broadcast_group_stats:
+        med = F.broadcast(med)
+    dev = rows.join(med, "grp").select(
         "grp", "n", "med", F.abs(F.col("v") - F.col("med")).alias("adev")
     )
     mad = dev.groupBy("grp").agg(
@@ -134,9 +143,11 @@ def mad_outliers(
         F.first("med").alias("med"),
         F.median("adev").alias("mad"),
     )
+    if broadcast_group_stats:
+        mad = F.broadcast(mad)
     return (
         dev.select("grp", "adev")
-        .join(F.broadcast(mad), "grp")
+        .join(mad, "grp")
         .groupBy("grp")
         .agg(
             F.first("n").alias("n"),
@@ -184,6 +195,7 @@ def winsorized_stats(
     lo_pct: tuple[int, int] = (5, 100),
     hi_pct: tuple[int, int] = (95, 100),
     scale: int = 100,
+    broadcast_group_stats: bool = True,
 ) -> DataFrame:
     """Per-group winsorization profile with EXACT order-statistic
     percentile boundaries (type-1 lower quantile: the smallest value
@@ -194,8 +206,12 @@ def winsorized_stats(
     BIGINT — so the result is bit-exact across engines and
     partitionings. Scale shape: one (group, value) groupBy (map-side
     combined, keyspace = distinct values per group), a cumulative
-    window over those distinct values, and a broadcast join of the
-    2-row-per-group boundary table back over the facts.
+    window over those distinct values, and a join of the
+    2-row-per-group boundary table back over the facts — broadcast by
+    default (right for category-cardinality groups); for
+    high-cardinality grouping keys set ``broadcast_group_stats=False``
+    and the join-back co-partitions on grp with AQE deciding (same
+    gating discipline as timed_funnel's broadcast_step_times).
 
     Output: (grp, n, lo, hi, n_clipped_low, n_clipped_high, wsum).
     """
@@ -213,15 +229,19 @@ def winsorized_stats(
     tot = counts.groupBy("grp").agg(F.sum("cnt").alias("n"))
     lo_num, lo_den = lo_pct
     hi_num, hi_den = hi_pct
+    if broadcast_group_stats:
+        tot = F.broadcast(tot)
     bounds = (
-        cum.join(F.broadcast(tot), "grp")
+        cum.join(tot, "grp")
         .groupBy("grp", "n")
         .agg(
             F.min(F.when(F.col("cum") * lo_den >= F.col("n") * lo_num, F.col("v"))).alias("lo"),
             F.min(F.when(F.col("cum") * hi_den >= F.col("n") * hi_num, F.col("v"))).alias("hi"),
         )
     )
-    clipped = vals.join(F.broadcast(bounds), "grp").select(
+    if broadcast_group_stats:
+        bounds = F.broadcast(bounds)
+    clipped = vals.join(bounds, "grp").select(
         "grp",
         "n",
         "lo",
