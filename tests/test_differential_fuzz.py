@@ -33,7 +33,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from conftest import SF_SMOKE
+from conftest import SF_CORRECT, SF_SMOKE
 
 from kassette_server_spark.catalog import load
 
@@ -373,17 +373,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
 
 
-@pytest.fixture(scope="module")
-def fuzz_env(spark):
+def _make_env(spark, sf_dir: str):
     for t in TABLES:
-        load(spark, SF_SMOKE, t).createOrReplaceTempView(t)
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    yield spark, con
-    con.close()
+    return con
 
 
 def _is_known_rollup_empty_divergence(
@@ -412,23 +410,40 @@ def _is_known_rollup_empty_divergence(
     return all(str(v) in ("None", "nan", "NaT", "<NA>", "0", "0.0") for v in row)
 
 
-def test_differential_fuzz(fuzz_env):
-    spark, con = fuzz_env
-    rng = random.Random(SEED)
-    domains = _domains(SF_SMOKE)
-    failures = []
-    known = 0
-    for i in range(N_QUERIES):
-        sql = _gen_query(rng, domains)
-        got = _normalize(spark.sql(sql).toPandas())
-        want = _normalize(con.execute(sql).fetch_df())
-        try:
-            pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
-        except AssertionError as e:
-            if _is_known_rollup_empty_divergence(sql, got, want):
-                known += 1
-                continue
-            failures.append((i, sql, str(e).splitlines()[0]))
-    assert not failures, "\n".join(
-        f"[{i}] {sql}\n    {err}" for i, sql, err in failures[:5]
-    ) + f"\n({len(failures)}/{N_QUERIES} diverged, {known} known-divergent)"
+def _run_fuzz(spark, sf_dir: str, n_queries: int, seed: int) -> None:
+    con = _make_env(spark, sf_dir)
+    try:
+        rng = random.Random(seed)
+        domains = _domains(sf_dir)
+        failures = []
+        known = 0
+        for i in range(n_queries):
+            sql = _gen_query(rng, domains)
+            got = _normalize(spark.sql(sql).toPandas())
+            want = _normalize(con.execute(sql).fetch_df())
+            try:
+                pd.testing.assert_frame_equal(
+                    got, want, check_dtype=False, check_exact=True
+                )
+            except AssertionError as e:
+                if _is_known_rollup_empty_divergence(sql, got, want):
+                    known += 1
+                    continue
+                failures.append((i, sql, str(e).splitlines()[0]))
+        assert not failures, "\n".join(
+            f"[{i}] {sql}\n    {err}" for i, sql, err in failures[:5]
+        ) + f"\n({len(failures)}/{n_queries} diverged, {known} known-divergent)"
+    finally:
+        con.close()
+
+
+def test_differential_fuzz(spark):
+    _run_fuzz(spark, SF_SMOKE, N_QUERIES, SEED)
+
+
+def test_differential_fuzz_sf001(spark):
+    """A second, independently-seeded sweep at 10x the data (sf0.01):
+    tie-heavy groups, wider value domains, and fuller join fan-out
+    reach divergence classes (overflow promotion, tie ordering under
+    LIMIT-free total sorts) that the sf0.001 corpus can't populate."""
+    _run_fuzz(spark, SF_CORRECT, 40, SEED + 1)
