@@ -222,3 +222,54 @@ def test_schema_change_drops_and_recreates(pg):
         "WHERE table_name = 'evolving' ORDER BY ordinal_position"
     )
     assert cols == [["a"], ["b"]]
+
+
+def test_distributed_copy_write_roundtrip(spark, pg):
+    """The COPY-per-partition bulk path (sinks/postgres_copy.py)
+    executed for real: 8 parallel partitions stream into one table;
+    read-back count, checksum, and quoting/NULL edge cases verified."""
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.sinks.postgres_copy import write_postgres_copy
+
+    pg.sql("DROP TABLE IF EXISTS copy_sink")
+    pg.sql("CREATE TABLE copy_sink (id INT, label TEXT, score DOUBLE PRECISION)")
+    df = (
+        spark.range(1000)
+        .repartition(8)
+        .select(
+            F.col("id").cast("int"),
+            F.concat(F.lit("row-"), F.col("id")).alias("label"),
+            (F.col("id") * 0.25).alias("score"),
+        )
+    )
+    psql_args = ["psql", "-h", pg.root, "-p", str(PORT), "-U", "kassette", "postgres"]
+    n = write_postgres_copy(df, "copy_sink", psql_args)
+    assert n == 1000
+    assert pg.sql("SELECT count(*), CAST(sum(id) AS BIGINT) FROM copy_sink") == [
+        ["1000", str(sum(range(1000)))]
+    ]
+    assert pg.sql("SELECT label FROM copy_sink WHERE id = 7") == [["row-7"]]
+    assert float(pg.sql("SELECT sum(score) FROM copy_sink")[0][0]) == sum(
+        i * 0.25 for i in range(1000)
+    )
+
+    # quoting/NULL edge cases: embedded quote, comma, newline, empty
+    # string vs NULL — all must survive the CSV dialect round trip
+    pg.sql("DROP TABLE IF EXISTS copy_edge")
+    pg.sql("CREATE TABLE copy_edge (id INT, t TEXT)")
+    edge = spark.createDataFrame(
+        [(1, 'he said "hi"'), (2, "a,b,c"), (3, "line1\nline2"), (4, ""), (5, None)],
+        "id int, t string",
+    )
+    assert write_postgres_copy(edge, "copy_edge", psql_args) == 5
+    assert pg.sql("SELECT t = 'a,b,c' FROM copy_edge WHERE id = 2") == [["t"]]
+    got = {
+        int(r[0]): r[1]
+        for r in pg.sql("SELECT id, coalesce(t, '<NULL>') FROM copy_edge WHERE id IN (4, 5)")
+    }
+    assert got == {4: "", 5: "<NULL>"}
+    assert pg.sql("SELECT length(t) FROM copy_edge WHERE id = 3") == [["11"]]
+    assert pg.sql("""SELECT t = 'he said "hi"' FROM copy_edge WHERE id = 1""") == [["t"]]
+    # empty DataFrame: zero rows, no spawned COPY, no error
+    assert write_postgres_copy(edge.limit(0), "copy_edge", psql_args) == 0
