@@ -1,2 +1,3 @@
 """Sink implementations: REST destination shapes (PowerBI/Anaplan/Keen),
-JDBC/warehouse DDL, S3/parquet, delivery-ledger writers."""
+JDBC/warehouse DDL, Postgres COPY bulk path, S3/parquet,
+delivery-ledger writers."""

@@ -15,7 +15,10 @@ the same Schema, writes via ``df.write.format("jdbc")`` with
   shape and transaction semantics, its schema-change drop/recreate —
   executes against a throwaway REAL PostgreSQL 15 server booted
   locally per test run (tests/test_real_postgres.py; this container
-  ships the server binaries but no JDBC jar and no network).
+  ships the server binaries but no JDBC jar and no network);
+- a real DISTRIBUTED write also executes in CI: the COPY-per-partition
+  bulk path (sinks/postgres_copy.py) round-trips against that server —
+  the scale-preferred ingest whenever the psql client is on executors.
 """
 
 from __future__ import annotations
