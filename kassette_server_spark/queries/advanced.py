@@ -1142,7 +1142,12 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("g")
     ).select("g.w1", "g.w2")
-    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    # bi feeds FOUR consumers (tot, u1, u2, final join): checkpoint so
+    # the tokenize→explode→count pipeline runs once, not four times
+    # (measured 2.4→1.9 s steady-state, 8.4→2.6 s first-run at sf0.1)
+    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=False
+    )
     tot = bi.agg(F.sum("n").alias("nn"))
     u1 = bi.groupBy("w1").agg(F.sum("n").alias("c1"))
     u2 = bi.groupBy("w2").agg(F.sum("n").alias("c2"))
@@ -1190,6 +1195,11 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     tags=("affinity",),
 )
 def q121(spark: SparkSession, sf: str) -> DataFrame:
+    # NOTE: the three identical distinct-subplans below (item supports,
+    # basket count, pair mining) are deduplicated by Catalyst's
+    # ReusedExchange — a localCheckpoint of `items` was tried and
+    # MEASURED SLOWER (1.6 → 2.4 s at sf0.1) because it breaks that
+    # reuse and adds materialization; keep the declarative form.
     items = (
         load(spark, sf, "lineitem")
         .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
