@@ -47,10 +47,10 @@ from ..operators.graph import (  # noqa: F401
 from ..operators.profiling import profile_columns  # noqa: F401
 from ..operators.layout import zorder_key  # noqa: F401
 from ..operators.linkage import sorted_neighborhood_pairs  # noqa: F401
-from ..operators.merge import scd2_merge_into_store, snapshot_diff  # noqa: F401
+from ..operators.merge import point_in_time_join, scd2_merge_into_store, snapshot_diff  # noqa: F401
 from ..operators.store import next_generation, read_store, write_store  # noqa: F401
 from ..operators.retrieval import bm25_topk  # noqa: F401
-from ..operators.sampling import priority_sample  # noqa: F401
+from ..operators.sampling import dataset_split, priority_sample  # noqa: F401
 from ..operators.stats import (  # noqa: F401
     chi_square_by,
     gini_by_group,
