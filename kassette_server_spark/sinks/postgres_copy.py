@@ -93,3 +93,28 @@ def write_postgres_copy(
         lambda it: _copy_partition(it, columns, table, psql_args)
     ).collect()
     return sum(counts)
+
+
+def psql_args_from_dest(dest) -> list[str]:
+    """Build the psql connection prefix from a K3 DestinationConfig,
+    honoring the same config keys the reference's Connect reads
+    (integrations/postgres/main.go:76: host, port, user, database;
+    password travels via PGPASSWORD in the executor environment — set
+    it there, never on a command line)."""
+    c = dest.config
+    args = ["psql"]
+    if c.get("host"):
+        args += ["-h", str(c["host"])]
+    if c.get("port"):
+        args += ["-p", str(c["port"])]
+    if c.get("user"):
+        args += ["-U", str(c["user"])]
+    args.append(str(c.get("database", "postgres")))
+    return args
+
+
+def write_postgres_copy_dest(df: DataFrame, dest) -> int:
+    """K3 delivery through the COPY bulk path, config-driven like
+    write_jdbc: table from the destination schema, connection from the
+    destination config."""
+    return write_postgres_copy(df, dest.schema.table_name, psql_args_from_dest(dest))

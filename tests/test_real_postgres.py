@@ -273,3 +273,30 @@ def test_distributed_copy_write_roundtrip(spark, pg):
     assert pg.sql("""SELECT t = 'he said "hi"' FROM copy_edge WHERE id = 1""") == [["t"]]
     # empty DataFrame: zero rows, no spawned COPY, no error
     assert write_postgres_copy(edge.limit(0), "copy_edge", psql_args) == 0
+
+
+def test_copy_dest_config_driven(spark, pg):
+    """The COPY path speaks the K3 destination-config model: table
+    from the schema, connection from the reference's config keys."""
+    from kassette_server_spark.config import DestinationConfig, Schema, SchemaField
+    from kassette_server_spark.sinks.postgres_copy import write_postgres_copy_dest
+
+    pg.sql("DROP TABLE IF EXISTS destlog")
+    dest = DestinationConfig(
+        id=9,
+        name="pg_copy",
+        dest_type="postgres",
+        schema=Schema("destlog", (SchemaField("event_id", "VARCHAR"), SchemaField("seq", "INT"))),
+        config={"host": pg.root, "port": PORT, "user": "kassette", "database": "postgres"},
+    )
+    from kassette_server_spark.sinks.jdbc import render_postgres_ddl_reference
+
+    pg.sql(render_postgres_ddl_reference(dest.schema))
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).select(
+        F.concat(F.lit("e"), F.col("id")).alias("event_id"),
+        F.col("id").cast("int").alias("seq"),
+    )
+    assert write_postgres_copy_dest(df, dest) == 50
+    assert pg.sql("SELECT count(*), min(seq), max(seq) FROM destlog") == [["50", "0", "49"]]
