@@ -300,3 +300,56 @@ def test_copy_dest_config_driven(spark, pg):
     )
     assert write_postgres_copy_dest(df, dest) == 50
     assert pg.sql("SELECT count(*), min(seq), max(seq) FROM destlog") == [["50", "0", "49"]]
+
+
+def test_streaming_pipeline_delivers_to_real_postgres(spark, pg, tmp_path):
+    """Flagship K3 e2e: the streaming connection pipeline (transform →
+    ledger-dedup → deliver → outcome ledger) lands micro-batches in a
+    REAL Postgres via the COPY bulk path, and the crash/restart replay
+    is deduped by the ledger — verified by row counts IN the database,
+    not in a parquet stand-in."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from test_streaming import CONN, envelope, ev
+    from kassette_server_spark.sinks.postgres_copy import write_postgres_copy
+    from kassette_server_spark.streaming.ledger import DeliveryLedger
+    from kassette_server_spark.streaming.pipeline import run_connection_stream
+
+    pg.sql("DROP TABLE IF EXISTS stream_sink")
+    pg.sql("CREATE TABLE stream_sink (message_id TEXT, event_json TEXT)")
+    psql_args = ["psql", "-h", pg.root, "-p", str(PORT), "-U", "kassette", "postgres"]
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    lg = DeliveryLedger(spark, str(tmp_path / "ledger"))
+
+    def deliver(df):
+        write_postgres_copy(
+            df.select("message_id", "event_json"), "stream_sink", psql_args
+        )
+        return df.select(
+            "message_id",
+            F.lit(True).alias("delivered"),
+            F.lit(200).alias("status"),
+            F.lit("").alias("error"),
+        )
+
+    (src_dir / "b1.json").write_text(json.dumps({"payload": envelope([ev(1), ev(2)])}) + "\n")
+    q = run_connection_stream(spark, CONN, str(src_dir), ckpt, lg, deliver)
+    q.awaitTermination(60)
+    assert pg.sql("SELECT count(*) FROM stream_sink") == [["2"]]
+
+    # crash + restart from checkpoint; m2 re-sent by the client but
+    # ledger-deduped, so the database must gain exactly one row
+    (src_dir / "b2.json").write_text(json.dumps({"payload": envelope([ev(2), ev(3)])}) + "\n")
+    q2 = run_connection_stream(spark, CONN, str(src_dir), ckpt, lg, deliver)
+    q2.awaitTermination(60)
+    assert pg.sql(
+        "SELECT count(*), count(DISTINCT message_id) FROM stream_sink"
+    ) == [["3", "3"]]
+    assert pg.sql(
+        "SELECT event_json IS NOT NULL FROM stream_sink WHERE message_id = 'm3'"
+    ) == [["t"]]
