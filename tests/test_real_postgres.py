@@ -34,7 +34,11 @@ from kassette_server_spark.sinks.jdbc import (
     render_postgres_ddl_reference,
 )
 
-PORT = 5917
+# pid-derived so a stale server from a killed previous run can never
+# hold the port and silently turn this module into skips
+import os
+
+PORT = 5400 + (os.getpid() % 500)
 
 
 def _have_pg() -> bool:
