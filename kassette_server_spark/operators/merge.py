@@ -259,8 +259,12 @@ def point_in_time_join(
 
     Column contract: ``facts`` and ``versions`` share ONLY the key
     columns; ``fact_ts`` and ``version_ts`` must be differently named.
-    Output: all fact columns + the matched version's non-key columns
-    (including ``version_ts``).
+    ``versions`` must be UNIQUE per (keys, version_ts): two versions at
+    the same instant would race for the same interval under lead()'s
+    tie order (nondeterministic across partitionings) — collapse
+    duplicates first, the way scd2_apply and q140's min() aggregation
+    do. Output: all fact columns + the matched version's non-key
+    columns (including ``version_ts``).
     """
     from pyspark.sql import Window
 

@@ -29,7 +29,10 @@ any node with the Postgres client installed.
 
 CSV encoding: Postgres CSV mode. NULL is the UNQUOTED empty string, so
 non-null values are always quoted (QUOTE_ALL) to keep '' distinct
-from NULL.
+from NULL. Values go through Python ``str()`` — right for
+text/int/float/bool/date/timestamp (Postgres parses all of their
+canonical Python renderings, including 'True'/'False' booleans);
+cast binary/array/struct columns to text/json in the frame first.
 """
 
 from __future__ import annotations
