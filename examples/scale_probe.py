@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Scaling probe: run headline operators at 1x and Nx the sf0.1 data
+and report wall-clock + throughput, so the "scales linearly" claims in
+SCALE.md are MEASURED, not asserted.
+
+The Nx corpus is built by exploding each row N ways with shifted ids
+(pure plan-side, no files written): id spaces stay disjoint, so dedup
+cardinalities, join fan-outs, and group counts scale the way a real
+bigger corpus would rather than collapsing onto the same keys. This is
+a performance artifact only — correctness is the oracle suite's job,
+and the synthetic frames never feed an oracle spec.
+
+Run: python examples/scale_probe.py [N] [sf_dir]
+Prints one line per (operator, scale) and the 8x/1x runtime ratio —
+linear scaling shows a ratio near N (amortized per-row cost flat);
+a ratio far above N exposes a super-linear stage (the thing this
+probe exists to catch).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kassette_server_spark.catalog import load
+from kassette_server_spark.session import get_spark
+
+
+def amplify(df: DataFrame, n: int, id_cols: list[str]) -> DataFrame:
+    """n disjoint shifted copies (id spaces offset by copy * 10^9)."""
+    if n == 1:
+        return df
+    rep = df.withColumn("_copy", F.explode(F.array(*[F.lit(i) for i in range(n)])))
+    for c in id_cols:
+        rep = rep.withColumn(c, F.col(c) + F.col("_copy") * F.lit(1_000_000_000))
+    return rep.drop("_copy")
+
+
+def run(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale-probe")
+
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+
+    def probes(scale: int) -> dict[str, tuple[DataFrame, int]]:
+        l = amplify(li, scale, ["l_orderkey"])
+        e = amplify(ev, scale, ["event_id", "user_id"])
+        d = amplify(docs, scale, ["doc_id"])
+        from kassette_server_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+        from kassette_server_spark.operators.merge import point_in_time_join
+        from kassette_server_spark.operators.sampling import dataset_split, priority_sample
+        from kassette_server_spark.operators.sessionize import sessionize_batch
+
+        # pricing-summary agg (scan + partial agg shape)
+        agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+        )
+        # fact-fact equi-join (shuffle join shape)
+        o = amplify(load(spark, sf_dir, "orders"), scale, ["o_orderkey", "o_custkey"])
+        join = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        # sessionize (per-user window shape)
+        sess = sessionize_batch(e.select("user_id", "ts", "event_id"), gap_minutes=30)
+        # exact dedup (digest shuffle shape)
+        ded = exact_dedup(d.select("doc_id", "text"))
+        # MinHash-LSH candidate pairs (banded self-join shape)
+        mh = minhash_lsh_pairs(d.select("doc_id", "text"), threshold=0.8)
+        # priority sample (zero-shuffle partial top-k shape)
+        ps = priority_sample(d.select("doc_id", F.length("text").alias("w")), "doc_id", "w", 100)
+        # dataset split + audit (map-only + single agg)
+        sp = dataset_split(d, "doc_id").groupBy("split").count()
+        # point-in-time join (co-partitioned interval join shape)
+        vers = o.groupBy("o_custkey", F.col("o_orderdate").alias("vf")).agg(
+            F.min("o_orderpriority").alias("p")
+        )
+        pit = point_in_time_join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"), vers,
+            ["o_custkey"], "o_orderdate", "vf",
+        )
+        rows_l, rows_e, rows_d, rows_o = (
+            600_000 * scale, 100_000 * scale, 5_000 * scale, 150_000 * scale
+        )
+        return {
+            "agg_pricing": (agg, rows_l),
+            "join_fact_fact": (join, rows_l + rows_o),
+            "sessionize": (sess, rows_e),
+            "exact_dedup": (ded, rows_d),
+            "minhash_lsh": (mh, rows_d),
+            "priority_sample": (ps, rows_d),
+            "dataset_split": (sp, rows_d),
+            "point_in_time": (pit, rows_o),
+        }
+
+    # warmup
+    run(probes(1)["agg_pricing"][0])
+
+    results: dict[str, dict[int, float]] = {}
+    for scale in (1, n):
+        for name, (df, rows) in probes(scale).items():
+            best = min(run(df) for _ in range(2))
+            results.setdefault(name, {})[scale] = best
+            print(f"{name:16s} {scale}x  {best:7.2f} s  {rows / best / 1e6:8.2f} M rows/s")
+
+    print(f"\nruntime ratio at {n}x the data (linear scaling => ratio <= ~{n}):")
+    for name, r in results.items():
+        ratio = r[n] / r[1]
+        flag = "" if ratio <= n * 1.5 else "  <-- SUPER-LINEAR"
+        print(f"{name:16s} {ratio:5.1f}x{flag}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
