@@ -100,9 +100,16 @@ def main() -> None:
         for r in split_docs.groupBy("split").count().collect()
     }
 
-    # 6-7. pack each split into fixed-token shards, write partitioned
-    # by (split, bucket)
-    packed = curation.sequence_packing(clean)
+    # 6-7. pack EACH SPLIT separately into fixed-token shards (packing
+    # the unsplit corpus would let one shard's token window span a
+    # train doc and a val/test doc — exactly the leak the early split
+    # exists to prevent), write partitioned by (split, bucket)
+    packed = None
+    for s in split_counts:
+        p = curation.sequence_packing(
+            split_docs.where(F.col("split") == s)
+        ).withColumn("split", F.lit(s))
+        packed = p if packed is None else packed.unionByName(p)
     out_dir = os.path.join(tempfile.mkdtemp(prefix="curated-"), "corpus")
     (
         split_docs.join(packed.select("doc_id", "bucket", "shard_id"), "doc_id")
@@ -111,7 +118,7 @@ def main() -> None:
         .parquet(out_dir)
     )
     n5 = spark.read.parquet(out_dir).count()
-    shards = packed.select("bucket", "shard_id").distinct().count()
+    shards = packed.select("split", "bucket", "shard_id").distinct().count()
 
     print(f"\ninput docs:            {n0}")
     print(f"after exact dedup:     {n1}  (-{n0 - n1})")

@@ -273,6 +273,14 @@ def point_in_time_join(
         raise ValueError(
             f"facts/versions must share only key columns (clash: {sorted(overlap) or fact_ts})"
         )
+    if "_valid_to" in facts.columns or "_valid_to" in versions.columns:
+        # the internal close-out column would silently overwrite (or
+        # ambiguously shadow) a user column of the same name
+        raise ValueError(
+            "'_valid_to' is reserved by point_in_time_join; rename the "
+            "input column (an SCD2 dimension's own valid_to close-out "
+            "is recomputed here from version_ts)"
+        )
     w = Window.partitionBy(*keys).orderBy(version_ts)
     v = versions.withColumn("_valid_to", F.lead(version_ts).over(w))
     return (

@@ -190,13 +190,20 @@ def dataset_split(
 
     Map-only (no shuffle, no state): each row's split is a pure
     function of its id. Output: input columns + ``split``.
+
+    NULL ids: md5 of NULL is NULL, every threshold comparison is NULL,
+    and the assignment falls through to the LAST declared split — BY
+    CONSTRUCTION identically in both engines (``concat`` propagates
+    NULL here; ``concat_ws`` would NOT — it skips null arguments, which
+    made Spark hash the bare salt while the oracle fell to the ELSE
+    branch, a cross-engine divergence found in the round-6 self-review).
     """
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     if abs(sum(fractions.values()) - 1.0) > 1e-9:
         raise ValueError("fractions must sum to 1")
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
             1,
             _U_HEX_CHARS,
         ),
@@ -224,14 +231,20 @@ def dataset_split_oracle_sql(
     fractions: dict[str, float] | None = None,
     salt: str = "split",
 ) -> str:
-    """DuckDB SQL assigning the identical split (same 52-bit md5 u)."""
+    """DuckDB SQL assigning the identical split (same 52-bit md5 u,
+    same NULL-id fall-through to the last split, same input
+    validation)."""
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
     h = (
         f"CAST('0x' || substr(md5('{salt}' || ':' || CAST({id_col} AS VARCHAR)), "
         f"1, {_U_HEX_CHARS}) AS BIGINT)"
     )
     u = f"(CAST({h} AS DOUBLE) / {_U_DENOM!r})"
     names = list(fractions)
+    if len(names) == 1:  # CASE with zero WHENs is invalid SQL
+        return f"SELECT *, '{names[0]}' AS split FROM {table}"
     cases = []
     cum = 0.0
     for name in names[:-1]:

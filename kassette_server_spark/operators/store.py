@@ -47,14 +47,34 @@ _GEN_RE = re.compile(r"^gen-(\d+)$")
 
 
 def committed_generations(store_path: str) -> list[int]:
-    """Sorted generation numbers with a ``_SUCCESS`` commit marker."""
+    """Sorted generation numbers with a ``_SUCCESS`` commit marker.
+
+    A populated directory that is NOT generation-laid-out (e.g. a
+    flat-parquet store written by the pre-generation code, or an
+    unrelated path) raises instead of reading as "no commits": treating
+    it as first-batch would silently discard existing state AND its
+    replay fence — the exact bug this module exists to prevent. Migrate
+    a legacy store by moving its files under ``<path>/gen-0/`` (they
+    already contain Spark's ``_SUCCESS`` marker).
+    """
     if not os.path.isdir(store_path):
         return []
     out = []
+    foreign = []
     for d in os.listdir(store_path):
         m = _GEN_RE.match(d)
-        if m and os.path.exists(os.path.join(store_path, d, "_SUCCESS")):
-            out.append(int(m.group(1)))
+        if m:
+            if os.path.exists(os.path.join(store_path, d, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        else:
+            foreign.append(d)
+    if foreign and not out:
+        raise RuntimeError(
+            f"store at {store_path!r} is not generation-laid-out "
+            f"(found {sorted(foreign)[:5]}); refusing to treat existing "
+            "state as 'first batch' — move legacy parquet under "
+            f"{store_path}/gen-0/ to migrate"
+        )
     return sorted(out)
 
 

@@ -22,6 +22,17 @@ DataFrame API cannot express (foreachPartition/mapPartitions is the
 sanctioned escape hatch). The rows themselves never transit Python
 row-at-a-time anywhere else in the sink path.
 
+Process hygiene (round-6 review findings, fixed here): psql's stderr
+goes to a temp FILE, not a pipe — an undrained stderr pipe can fill
+and deadlock the stream mid-partition — and a psql that dies early
+(bad table, type mismatch) surfaces its ACTUAL Postgres error: the
+write loop catches the resulting BrokenPipeError and falls through to
+the stderr report instead of failing with an opaque pipe error.
+Identifiers are double-quoted (escaped) in the COPY statement, so
+mixed-case / reserved-word table and column names work exactly as
+they do through the quoted-identifier DDL renderer, and
+config-supplied names cannot inject SQL.
+
 Executed for real in CI: tests/test_real_postgres.py boots a local
 PostgreSQL 15 server and round-trips data through this path, including
 quoting/NULL edge cases. ``psql`` must be on executor PATH — true on
@@ -40,44 +51,66 @@ from __future__ import annotations
 import csv
 import io
 import subprocess
+import tempfile
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 
 
-def _csv_field(v) -> str:
-    """One non-null value, CSV-quoted (embedded quotes/commas/newlines
-    per the RFC dialect Postgres speaks)."""
-    s = io.StringIO()
-    csv.writer(s, quoting=csv.QUOTE_ALL, lineterminator="").writerow([v])
-    return s.getvalue()
+def quote_ident(name: str) -> str:
+    """Postgres identifier quoting (doubles embedded quotes)."""
+    return '"' + name.replace('"', '""') + '"'
 
 
 def _copy_partition(
     rows: Iterator, columns: list[str], table: str, psql_args: list[str]
 ) -> Iterator[int]:
     proc: subprocess.Popen | None = None
+    errfile = None
     n = 0
-    collist = ", ".join(columns)
+    collist = ", ".join(quote_ident(c) for c in columns)
+    # one reusable buffer+writer per partition — a fresh StringIO per
+    # field would dominate per-row cost on the bulk path
+    fbuf = io.StringIO()
+    fwriter = csv.writer(fbuf, quoting=csv.QUOTE_ALL, lineterminator="")
+
+    def field(v) -> str:
+        if v is None:
+            return ""  # unquoted empty = NULL in Postgres CSV mode
+        fbuf.seek(0)
+        fbuf.truncate()
+        fwriter.writerow([v])
+        return fbuf.getvalue()
+
+    broken = False
     for r in rows:
         if proc is None:  # lazily spawn: empty partitions cost nothing
+            errfile = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
             proc = subprocess.Popen(
                 [*psql_args, "-v", "ON_ERROR_STOP=1", "-X", "-c",
-                 f"COPY {table} ({collist}) FROM STDIN WITH (FORMAT csv)"],
+                 f"COPY {quote_ident(table)} ({collist}) FROM STDIN WITH (FORMAT csv)"],
                 stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
-                stderr=subprocess.PIPE, text=True,
+                stderr=errfile, text=True,
             )
-        line = ",".join(
-            "" if v is None else _csv_field(v) for v in (r[c] for c in columns)
-        )
-        proc.stdin.write(line + "\n")
+        try:
+            proc.stdin.write(",".join(field(r[c]) for c in columns) + "\n")
+        except BrokenPipeError:
+            # psql died mid-stream: stop writing, report ITS error below
+            broken = True
+            break
         n += 1
     if proc is None:
         return iter([0])
-    proc.stdin.close()
-    err = proc.stderr.read()
-    if proc.wait() != 0:
-        raise RuntimeError(f"COPY failed: {err.strip()[:500]}")
+    try:
+        proc.stdin.close()
+    except BrokenPipeError:
+        broken = True
+    rc = proc.wait()
+    errfile.seek(0)
+    err = errfile.read()
+    errfile.close()
+    if rc != 0 or broken:
+        raise RuntimeError(f"COPY failed (rc={rc}): {err.strip()[:500]}")
     return iter([n])
 
 

@@ -357,3 +357,38 @@ def test_streaming_pipeline_delivers_to_real_postgres(spark, pg, tmp_path):
     assert pg.sql(
         "SELECT event_json IS NOT NULL FROM stream_sink WHERE message_id = 'm3'"
     ) == [["t"]]
+
+
+def test_copy_error_reporting_and_quoted_identifiers(spark, pg):
+    """Round-6 self-review fixes, executed against the real engine:
+    a failing COPY surfaces the actual Postgres error (not an opaque
+    BrokenPipeError), and mixed-case / reserved-word identifiers work
+    because the COPY statement quotes them like the DDL renderer."""
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.sinks.postgres_copy import write_postgres_copy
+
+    psql_args = ["psql", "-h", pg.root, "-p", str(PORT), "-U", "kassette", "postgres"]
+    df = spark.range(10).select(F.col("id").cast("int"))
+
+    # nonexistent table: the RuntimeError must carry Postgres's message
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no_such_table"):
+        write_postgres_copy(df, "no_such_table", psql_args)
+
+    # type mismatch mid-stream (text into int) likewise reports the cause
+    pg.sql("DROP TABLE IF EXISTS strict_sink")
+    pg.sql("CREATE TABLE strict_sink (id INT)")
+    bad = spark.createDataFrame([("xyz",)], "id string")
+    with _pytest.raises(Exception, match="invalid input syntax|COPY failed"):
+        write_postgres_copy(bad, "strict_sink", psql_args)
+    assert pg.sql("SELECT count(*) FROM strict_sink") == [["0"]]
+
+    # mixed-case table + reserved-word column, created quoted, written
+    # through the quoted COPY path
+    pg.sql('DROP TABLE IF EXISTS "MixedCase"')
+    pg.sql('CREATE TABLE "MixedCase" ("order" INT, "user" TEXT)')
+    mixed = spark.createDataFrame([(1, "a"), (2, "b")], ["order", "user"])
+    assert write_postgres_copy(mixed, "MixedCase", psql_args) == 2
+    assert pg.sql('SELECT count(*), max("order") FROM "MixedCase"') == [["2", "2"]]

@@ -108,3 +108,56 @@ def test_dataset_split_map_only_plan(spark):
     df = spark.range(100).withColumnRenamed("id", "doc_id")
     plan = dataset_split(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dataset_split_null_ids_match_oracle(spark):
+    """NULL ids fall through to the LAST split in BOTH engines (the
+    concat_ws variant diverged here — round-6 self-review finding)."""
+    import duckdb
+
+    from kassette_server_spark.operators.sampling import dataset_split_oracle_sql
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "doc_id long"
+    )
+    got = [
+        (r.doc_id, r.split)
+        for r in dataset_split(df, "doc_id", {"train": 0.5, "test": 0.5}).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT)")
+    con.execute("INSERT INTO t VALUES (1), (2), (NULL), (NULL)")
+    want = con.execute(
+        dataset_split_oracle_sql("t", "doc_id", {"train": 0.5, "test": 0.5})
+    ).fetchall()
+    key = lambda x: (x[0] is None, x[0], x[1])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert all(s == "test" for i, s in got if i is None)
+
+    # single-split boundary: operator and oracle both accept it
+    one = dataset_split(df, "doc_id", {"all": 1.0})
+    assert {r.split for r in one.collect()} == {"all"}
+    rows = con.execute(dataset_split_oracle_sql("t", "doc_id", {"all": 1.0})).fetchall()
+    assert {r[1] for r in rows} == {"all"}
+    con.close()
+
+
+def test_point_in_time_join_reserves_valid_to(spark):
+    facts = spark.createDataFrame([("c1", date(2025, 1, 2))], "k string, ts date")
+    dim = spark.createDataFrame(
+        [("c1", date(2025, 1, 1), date(2025, 2, 1))], "k string, vf date, _valid_to date"
+    )
+    with pytest.raises(ValueError, match="_valid_to.*reserved"):
+        point_in_time_join(facts, dim, ["k"], "ts", "vf")
+
+
+def test_store_refuses_legacy_flat_layout(spark, tmp_path):
+    """A flat-parquet store from the pre-generation code must raise,
+    not silently read as 'first batch' (which would discard state AND
+    the replay fence — round-6 self-review finding)."""
+    from kassette_server_spark.operators.store import read_store
+
+    legacy = str(tmp_path / "legacy_store")
+    spark.createDataFrame([(1, 5)], "reg int, m_rank int").write.parquet(legacy)
+    with pytest.raises(RuntimeError, match="not generation-laid-out"):
+        read_store(spark, legacy)
