@@ -161,3 +161,35 @@ def test_store_refuses_legacy_flat_layout(spark, tmp_path):
     spark.createDataFrame([(1, 5)], "reg int, m_rank int").write.parquet(legacy)
     with pytest.raises(RuntimeError, match="not generation-laid-out"):
         read_store(spark, legacy)
+
+
+def test_store_crash_mid_write_recovers(spark, tmp_path):
+    """Simulated crash: an UNCOMMITTED generation directory (no
+    _SUCCESS) must be invisible to readers and reclaimed by the next
+    write at that generation."""
+    from kassette_server_spark.operators import sketches
+    from kassette_server_spark.operators.store import committed_generations, read_store
+
+    store = str(tmp_path / "cms")
+    b0 = spark.createDataFrame([("a",)], "v string")
+    assert sketches.countmin_merge_into_store(b0, 0, "v", store)
+    before = sorted((r.d, r.reg, r.cnt) for r in read_store(spark, store).collect())
+
+    # crash mid-write of batch 1: half-written dir, no _SUCCESS marker
+    import os
+
+    half = os.path.join(store, "gen-1")
+    os.makedirs(half)
+    with open(os.path.join(half, "part-00000.parquet"), "w") as f:
+        f.write("garbage, not parquet")
+    assert committed_generations(store) == [0]
+    assert sorted(
+        (r.d, r.reg, r.cnt) for r in read_store(spark, store).collect()
+    ) == before
+
+    # retry of batch 1 reclaims the dir and commits cleanly
+    b1 = spark.createDataFrame([("b",)], "v string")
+    assert sketches.countmin_merge_into_store(b1, 1, "v", store)
+    assert committed_generations(store) == [1]
+    total = read_store(spark, store).agg({"cnt": "sum"}).collect()[0][0]
+    assert total == 2 * 4  # two values x depth(=4 default) rows, no duplication
