@@ -1,0 +1,189 @@
+"""The composed server: the reference's whole topology in one object.
+
+A user of the reference runs ONE process that exposes an HTTP ingest
+gateway and a config control plane, and keeps a delivery pipeline per
+configured connection (main.go + gateway/gateway.go + backendconfig +
+processor + router). This module is the Spark-native equivalent,
+assembled entirely from pieces that are individually tested elsewhere:
+
+    HTTP gateway (sources/http_listener + gateway shim: write-key
+        auth, envelope enrichment, request batching)
+      → JSONL landing zone (the durable hand-off; a Kafka topic at
+        scale — the engine contract is only the landed shape)
+      → one Structured Streaming query per connection
+        (streaming/pipeline.run_connection_stream: transform →
+        ledger-dedup → deliver → outcome ledger)
+      → destination senders (REST / JDBC / Postgres COPY / files)
+
+    config control plane (sources/config_api: CRUD + /health)
+      → StreamingSupervisor (streaming/supervisor): config diffs stop
+        removed/changed queries and (re)start from checkpoints.
+
+``deliver_factory`` injects the per-connection sender; the default
+lands delivered events as JSON files under ``work_dir/delivered/<conn
+id>/`` (distributed write, no driver materialization) so the composed
+server runs end-to-end with zero external services. Production configs
+plug in sinks.rest.deliver_rest / sinks.jdbc.write_jdbc /
+sinks.postgres_copy.write_postgres_copy_dest — each is the already-
+tested K-path; the factory only chooses by ``dest_type``.
+
+Run standalone: ``python -m kassette_server_spark --work-dir /tmp/ks``
+(prints both addresses; Ctrl-C stops). The e2e test
+(tests/test_server_composed.py) boots the whole object in-process,
+POSTs config over HTTP, POSTs events over HTTP, and reads them back
+from the destination.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import Connection
+from .sources.config_api import ConfigAPI, ConfigStore
+from .sources.gateway import GatewayShim
+from .sources.http_listener import IngestListener
+from .streaming.ledger import DeliveryLedger, job_health
+from .streaming.pipeline import run_connection_stream
+from .streaming.supervisor import StreamingSupervisor
+
+
+def default_deliver_factory(work_dir: str):
+    """Per-connection sender: JSON files under work_dir/delivered/<id>
+    (swap for REST/JDBC/COPY senders via KassetteServer(deliver_factory=...))."""
+
+    def factory(conn: Connection):
+        out_dir = os.path.join(work_dir, "delivered", str(conn.id))
+
+        def deliver(df: DataFrame) -> DataFrame:
+            df.write.mode("append").json(out_dir)
+            return df.select(
+                "message_id",
+                F.lit(True).alias("delivered"),
+                F.lit(200).alias("status"),
+                F.lit("").alias("error"),
+            )
+
+        return deliver
+
+    return factory
+
+
+class KassetteServer:
+    """Boot/stop the composed topology; see module docstring."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        write_keys: frozenset[str],
+        host: str = "127.0.0.1",
+        gateway_port: int = 0,
+        config_port: int = 0,
+        config_path: str | None = None,
+        deliver_factory=None,
+        available_now: bool = False,
+    ):
+        self.spark = spark
+        self.work_dir = work_dir
+        self.landing = os.path.join(work_dir, "landing")
+        os.makedirs(self.landing, exist_ok=True)
+        self.ledger = DeliveryLedger(spark, os.path.join(work_dir, "ledger"))
+        factory = deliver_factory or default_deliver_factory(work_dir)
+
+        def start_query(conn: Connection):
+            return run_connection_stream(
+                spark,
+                conn,
+                self.landing,
+                os.path.join(work_dir, "ckpt", str(conn.id)),
+                self.ledger,
+                factory(conn),
+                available_now=available_now,
+            )
+
+        self.supervisor = StreamingSupervisor(start=start_query)
+        self.store = ConfigStore(
+            path=config_path or os.path.join(work_dir, "config.json"),
+            on_change=self.supervisor.apply,
+        )
+        self.gateway = GatewayShim(self.landing, valid_write_keys=write_keys)
+        self.ingest = IngestListener(self.gateway, host=host, port=gateway_port)
+        self.config_api = ConfigAPI(
+            self.store,
+            host=host,
+            port=config_port,
+            job_health=lambda: [
+                r.asDict()
+                for r in job_health(self.ledger, self.store.connections()).collect()
+            ],
+        )
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self) -> "KassetteServer":
+        self.supervisor.start_all(self.store.connections())
+        self.ingest.start()
+        self.config_api.start()
+        return self
+
+    def tick(self) -> None:
+        """Flush the gateway batch buffer on its timeout (the reference
+        flushes on maxBatchSize OR batchTimeoutInMS; size-triggered
+        flushes happen inside accept())."""
+        self.ingest.flush()
+
+    def stop(self) -> None:
+        self.ingest.stop()
+        self.config_api.stop()
+        self.supervisor.stop_all()
+
+    # -- addresses ----------------------------------------------------------
+    @property
+    def gateway_address(self) -> str:
+        return self.ingest.address
+
+    @property
+    def config_address(self) -> str:
+        return self.config_api.address
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description="kassette_server_spark composed server")
+    ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--gateway-port", type=int, default=8080)
+    ap.add_argument("--config-port", type=int, default=8081)
+    ap.add_argument("--write-key", action="append", default=[], help="repeatable")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="kassette-server")
+    srv = KassetteServer(
+        spark,
+        args.work_dir,
+        write_keys=frozenset(args.write_key or ["dev-key"]),
+        host=args.host,
+        gateway_port=args.gateway_port,
+        config_port=args.config_port,
+    ).start()
+    print(f"gateway:     {srv.gateway_address}")
+    print(f"config API:  {srv.config_address}")
+    try:
+        while True:
+            time.sleep(0.5)
+            srv.tick()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
