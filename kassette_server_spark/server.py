@@ -72,6 +72,56 @@ def default_deliver_factory(work_dir: str):
     return factory
 
 
+def dispatching_deliver_factory(work_dir: str):
+    """Production-shaped sender dispatch: a postgres destination with
+    connection config gets the real K3 path — the reference's
+    connect-time DDL (byte-exact renderer) executed once at query
+    start, then the typed destination columns COPY'd per micro-batch,
+    with a failed batch reported failed as one unit (the reference's
+    per-batch transaction contract, so the ledger's retry/DLQ ladder
+    applies). Anything else falls back to the JSON-file sender."""
+    import subprocess
+
+    from .sinks.jdbc import render_postgres_ddl_reference
+    from .sinks.postgres_copy import psql_args_from_dest, write_postgres_copy_dest
+
+    file_factory = default_deliver_factory(work_dir)
+
+    def factory(conn: Connection):
+        dest = conn.destination
+        if dest.dest_type != "postgres" or not dest.config.get("host"):
+            return file_factory(conn)
+
+        # connect-time DDL, exactly when the reference runs it
+        # (integrations/postgres/main.go Connect -> createDestinationTable)
+        ddl = render_postgres_ddl_reference(dest.schema)
+        p = subprocess.run(
+            [*psql_args_from_dest(dest), "-v", "ON_ERROR_STOP=1", "-X", "-c", ddl],
+            capture_output=True, text=True,
+        )
+        if p.returncode != 0:
+            raise RuntimeError(f"destination DDL failed: {p.stderr.strip()[:300]}")
+        fields = [f.name for f in dest.schema.fields]
+
+        def deliver(df: DataFrame) -> DataFrame:
+            present = [c for c in fields if c in df.columns]
+            try:
+                write_postgres_copy_dest(df.select(*present), dest)
+                ok, status, err = True, 200, ""
+            except Exception as e:  # whole batch fails as one unit
+                ok, status, err = False, 500, str(e)[:200]
+            return df.select(
+                "message_id",
+                F.lit(ok).alias("delivered"),
+                F.lit(status).alias("status"),
+                F.lit(err).alias("error"),
+            )
+
+        return deliver
+
+    return factory
+
+
 class KassetteServer:
     """Boot/stop the composed topology; see module docstring."""
 

@@ -392,3 +392,83 @@ def test_copy_error_reporting_and_quoted_identifiers(spark, pg):
     mixed = spark.createDataFrame([(1, "a"), (2, "b")], ["order", "user"])
     assert write_postgres_copy(mixed, "MixedCase", psql_args) == 2
     assert pg.sql('SELECT count(*), max("order") FROM "MixedCase"') == [["2", "2"]]
+
+
+def test_composed_server_delivers_typed_events_to_real_postgres(spark, pg, tmp_path):
+    """Capstone: the COMPOSED server (HTTP gateway + config control
+    plane + streaming pipeline) against a REAL Postgres destination —
+    connect-time DDL rendered by the byte-exact reference renderer,
+    typed destination columns COPY'd per micro-batch, ledger dedup
+    across a replayed send. The full reference topology, real database."""
+    import base64
+    import json as _json
+    import time
+    import urllib.request
+
+    from kassette_server_spark.server import KassetteServer, dispatching_deliver_factory
+
+    def req(method, url, body=None, headers=None):
+        data = _json.dumps(body).encode() if body is not None else None
+        r = urllib.request.Request(url, data=data, method=method, headers=headers or {})
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            return resp.status
+
+    pg.sql("DROP TABLE IF EXISTS evlive")
+    srv = KassetteServer(
+        spark, str(tmp_path), write_keys=frozenset({"wk"}),
+        deliver_factory=dispatching_deliver_factory(str(tmp_path)),
+    ).start()
+    try:
+        cfg = srv.config_address
+        schema = {
+            "table_name": "evlive",
+            "schema_fields": [
+                {"name": "event_id", "type": "VARCHAR", "mode": "view", "primary_key": False},
+                {"name": "n", "type": "INT", "mode": "view", "primary_key": False},
+            ],
+        }
+        src_schema = dict(schema, schema_fields=[
+            {"name": "event_id", "type": "STRING", "mode": "view", "primary_key": False},
+            {"name": "n", "type": "INT", "mode": "view", "primary_key": False},
+        ])
+        assert req("POST", f"{cfg}/source", {"id": 1, "name": "s", "write_key": "wk", "schema": src_schema}) == 200
+        assert req("POST", f"{cfg}/destination", {
+            "id": 2, "name": "pg", "type": "postgres", "schema": schema,
+            "config": {"host": pg.root, "port": PORT, "user": "kassette", "database": "postgres"},
+        }) == 200
+        assert req("POST", f"{cfg}/connection", {"id": 10, "source_id": 1, "destination_id": 2}) == 200
+
+        # connect-time DDL already ran (query start): table exists
+        assert pg.sql(
+            "SELECT count(*) FROM information_schema.tables WHERE table_name = 'evlive'"
+        ) == [["1"]]
+
+        auth = {"Authorization": "Basic " + base64.b64encode(b"wk:").decode()}
+        ev = lambda i: {  # noqa: E731
+            "event_id": f"e{i}", "n": i, "userId": "u1", "messageId": f"m{i}",
+            "originalTimestamp": "2024-03-04T05:00:00.000Z",
+            "sentAt": "2024-03-04T05:00:00.000Z",
+        }
+        assert req("POST", f"{srv.gateway_address}/v1/batch", {"batch": [ev(1), ev(2)]}, auth) == 200
+        srv.tick()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if pg.sql("SELECT count(*) FROM evlive") == [["2"]]:
+                break
+            time.sleep(1.0)
+        assert pg.sql("SELECT count(*) FROM evlive") == [["2"]]
+        assert pg.sql("SELECT n FROM evlive WHERE event_id = 'e2'") == [["2"]]
+
+        # client replay of m2 (+ a new m3): ledger dedups, DB gains ONE row
+        assert req("POST", f"{srv.gateway_address}/v1/batch", {"batch": [ev(2), ev(3)]}, auth) == 200
+        srv.tick()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if pg.sql("SELECT count(*) FROM evlive") == [["3"]]:
+                break
+            time.sleep(1.0)
+        assert pg.sql(
+            "SELECT count(*), count(DISTINCT event_id) FROM evlive"
+        ) == [["3", "3"]]
+    finally:
+        srv.stop()
