@@ -221,6 +221,9 @@ def main(argv: list[str] | None = None) -> None:
         host=args.host,
         gateway_port=args.gateway_port,
         config_port=args.config_port,
+        # standalone runs get the production-shaped dispatch: configured
+        # postgres destinations take the real COPY path, others land files
+        deliver_factory=dispatching_deliver_factory(args.work_dir),
     ).start()
     print(f"gateway:     {srv.gateway_address}")
     print(f"config API:  {srv.config_address}")
