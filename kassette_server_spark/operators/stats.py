@@ -600,3 +600,128 @@ def gini_oracle_sql(
            CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
     FROM agg
     """
+
+
+def pareto_frontier_2d(
+    df: DataFrame, x_col: str, y_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Skyline / Pareto-frontier over two minimize-criteria: the
+    distinct (x, y) points not DOMINATED by any other point (some
+    point <= on both axes and < on at least one) — "cheapest-smallest"
+    style multi-objective shortlists, an operator Spark has no builtin
+    for.
+
+    Two-phase scale shape: points are hashed into ``n_buckets``
+    arbitrary groups and each bucket computes its LOCAL frontier first
+    — sound pruning, because a point dominated within its bucket is
+    dominated globally by that same witness. Only the union of local
+    frontiers (output-scale, not input-scale) reaches the single
+    global pass. Within a pass, the frontier falls out of one sorted
+    window: after exact-duplicate removal, order by (x ASC, y ASC);
+    a point is dominated iff the running MIN of y over its strict
+    predecessors is <= its y (a predecessor has x' < x, or x' = x
+    with y' < y — either way <= on both axes and < on one).
+
+    Exact comparisons only — cast float money to DECIMAL first.
+    Output: (x_col, y_col) frontier points.
+    """
+    from pyspark.sql import Window
+
+    pts = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")).dropDuplicates(
+        ["x", "y"]
+    )
+
+    def frontier(p: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols).orderBy("x", "y")
+            if part_cols
+            else Window.orderBy("x", "y")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            p.withColumn("_pm", F.min("y").over(w))
+            .where(F.col("_pm").isNull() | (F.col("_pm") > F.col("y")))
+            .drop("_pm")
+        )
+
+    local = frontier(
+        pts.withColumn("_b", F.pmod(F.xxhash64("x", "y"), F.lit(n_buckets))),
+        ["_b"],
+    ).drop("_b")
+    return frontier(local, []).select(
+        F.col("x").alias(x_col), F.col("y").alias(y_col)
+    )
+
+
+def pareto_frontier_oracle_sql(points_sql: str, x_col: str, y_col: str) -> str:
+    """DuckDB SQL for the identical frontier (NOT EXISTS dominance —
+    the quadratic definitional form, fine at oracle scale)."""
+    return f"""
+    WITH pts AS (SELECT DISTINCT {x_col} AS x, {y_col} AS y FROM ({points_sql}))
+    SELECT p.x AS {x_col}, p.y AS {y_col} FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y)
+    )
+    """
+
+
+def weighted_median_by(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total weight (integer
+    test ``2*cum >= tot`` — no division, engine-exact). The
+    frequency-weighted generalization of q45's exact median; weights
+    must be nonneg integers (quantities, counts).
+
+    Scale shape: one (group, value) map-combined groupBy collapses
+    duplicate values BEFORE the window, so the per-group cumulative
+    window runs over distinct values, not raw rows; the totals frame is
+    one row per group (broadcast join-back).
+
+    Output: (grp, wmedian, tot_weight).
+    """
+    from pyspark.sql import Window
+
+    vw = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("grp", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    win = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vw.select("grp", "v", F.sum("w").over(win).alias("cum"))
+    tot = vw.groupBy("grp").agg(F.sum("w").alias("tot"))
+    return (
+        cum.join(F.broadcast(tot), "grp")
+        .where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("wmedian"), F.first("tot").alias("tot_weight"))
+    )
+
+
+def weighted_median_oracle_sql(
+    table_sql: str, group_col: str, value_col: str, weight_col: str
+) -> str:
+    """DuckDB SQL computing the identical lower weighted median."""
+    return f"""
+    WITH vw AS (
+      SELECT {group_col} AS grp, {value_col} AS v,
+             SUM(CAST({weight_col} AS BIGINT)) AS w
+      FROM ({table_sql}) WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, v, SUM(w) OVER (PARTITION BY grp ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS tot
+      FROM vw
+    )
+    SELECT grp, MIN(v) AS wmedian, MIN(tot) AS tot_weight
+    FROM cum WHERE cum * 2 >= tot GROUP BY grp
+    """

@@ -24,7 +24,7 @@ from . import curation as _curation  # noqa: F401,E402  (q70-q74, q78-q82)
 from . import analytics as _analytics  # noqa: F401,E402  (q75-q77, q83)
 from . import extras as _extras  # noqa: F401,E402  (q91-q96)
 from . import advanced as _advanced  # noqa: F401,E402  (q99-q139)
-from . import round6 as _round6  # noqa: F401,E402  (q140-q141)
+from . import round6 as _round6  # noqa: F401,E402  (q140-q143)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
@@ -99,8 +99,9 @@ _WINDOW: tuple[str, ...] = (
 # oldest rows are the r4 greens (q02-q27 non-core, q42-q50, q70-q83),
 # two rounds stale by r7. Next window: pin the q01/q03/q08/q11/q24/q28
 # core, give the NEW r6 specs (q140_point_in_time_join,
-# q141_dataset_split — registered after the window this round) their
-# first-round slots (standing policy), then fill the remaining 42 with
+# q141_dataset_split, q142_pareto_frontier, q143_weighted_median —
+# registered after the window this round) their
+# first-round slots (standing policy), then fill the remaining 40 with
 # the then-oldest rows — r4 greens first, r5 greens after. Nothing
 # should ever be >2 rounds without a row while the surface stays ≤150.
 

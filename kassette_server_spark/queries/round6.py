@@ -87,3 +87,61 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars"),
     )
+
+
+# q142: cheapest-smallest part frontier — Pareto skyline minimizing
+# (retail price, size). Money becomes exact integer CENTS on both sides
+# (DECIMAL(18,2)*100 → BIGINT) so dominance comparisons AND the hash
+# compare are engine-exact (a DECIMAL output would hash '905.10' vs
+# 905.1 across engines).
+from ..operators.stats import (  # noqa: E402
+    pareto_frontier_2d,
+    pareto_frontier_oracle_sql,
+    weighted_median_by,
+    weighted_median_oracle_sql,
+)
+
+_Q142_PTS = (
+    "SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " AS price_cents, p_size FROM part"
+)
+
+
+@query(
+    "q142_pareto_frontier",
+    oracle=pareto_frontier_oracle_sql(_Q142_PTS, "price_cents", "p_size"),
+    doc="Pareto frontier (skyline) of parts minimizing (price, size): "
+    "two-phase local-bucket prune + output-scale global pass",
+    tags=("analytics", "skyline"),
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    pts = load(spark, sf, "part").select(
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        "p_size",
+    )
+    return pareto_frontier_2d(pts, "price_cents", "p_size")
+
+
+@query(
+    "q143_weighted_median",
+    oracle=weighted_median_oracle_sql(
+        "SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT) AS cents, "
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem",
+        "l_returnflag",
+        "cents",
+        "qty",
+    ),
+    doc="exact quantity-weighted median line price (cents) per return "
+    "flag: duplicate-collapsed cumulative window, integer 2*cum>=tot "
+    "test, broadcast totals",
+    tags=("stats", "analytics"),
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return weighted_median_by(li, "l_returnflag", "cents", "qty")

@@ -193,3 +193,60 @@ def test_store_crash_mid_write_recovers(spark, tmp_path):
     assert committed_generations(store) == [1]
     total = read_store(spark, store).agg({"cnt": "sum"}).collect()[0][0]
     assert total == 2 * 4  # two values x depth(=4 default) rows, no duplication
+
+
+def test_pareto_frontier_dominance_semantics(spark):
+    from kassette_server_spark.operators.stats import pareto_frontier_2d
+
+    pts = [
+        (1, 9), (2, 7), (3, 7),   # (3,7) dominated by (2,7): equal y, worse x
+        (2, 8),                   # dominated by (2,7)
+        (4, 4), (4, 4),           # duplicate point: appears once
+        (9, 1), (10, 1),          # (10,1) dominated
+        (5, 5),                   # dominated by (4,4)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted((r.x, r.y) for r in pareto_frontier_2d(df, "x", "y").collect())
+    assert got == [(1, 9), (2, 7), (4, 4), (9, 1)]
+
+
+def test_pareto_frontier_local_prune_is_sound(spark):
+    """Every bucket count (incl. 1: everything in one local pass, and
+    huge: every point its own bucket, so the local phase prunes
+    nothing) must give the identical frontier — the pruning-soundness
+    argument (domination is witnessed transitively by a surviving
+    frontier point) made executable."""
+    import random
+
+    from kassette_server_spark.operators.stats import pareto_frontier_2d
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(100), rng.randrange(100)) for _ in range(500)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    expected = None
+    for nb in (1, 4, 64, 10_000):
+        got = sorted(
+            (r.x, r.y) for r in pareto_frontier_2d(df, "x", "y", n_buckets=nb).collect()
+        )
+        expected = got if expected is None else expected
+        assert got == expected, f"n_buckets={nb} changed the frontier"
+    # brute-force model
+    distinct = set(pts)
+    brute = sorted(
+        p for p in distinct
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p for q in distinct
+        )
+    )
+    assert expected == brute
+
+
+def test_weighted_median_hand_case(spark):
+    from kassette_server_spark.operators.stats import weighted_median_by
+
+    rows = [("a", 10, 1), ("a", 20, 2), ("a", 30, 1),  # cum: 1,3,4 tot 4 → 2*cum>=4 at v=20
+            ("b", 5, 10),                                # single value
+            ("c", 1, 1), ("c", 2, 1)]                    # tot 2 → 2*1>=2 at v=1 (lower median)
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {r.grp: (r.wmedian, r.tot_weight) for r in weighted_median_by(df, "g", "v", "w").collect()}
+    assert got == {"a": (20, 4), "b": (5, 10), "c": (1, 2)}
