@@ -56,7 +56,9 @@ from ..operators.stats import (  # noqa: F401
     gini_by_group,
     grouped_ols,
     mad_outliers,
+    pareto_frontier_2d,
     rfm_scores,
+    weighted_median_by,
     winsorized_stats,
 )
 from ..operators.asof import asof_join_forward  # noqa: F401
