@@ -2,7 +2,7 @@
 subset, executed as the IDENTICAL text by Spark SQL and DuckDB, results
 diffed exactly.
 
-The 138 declared specs pin hand-chosen shapes; this harness sweeps the
+The 142 declared specs pin hand-chosen shapes; this harness sweeps the
 combinatorial space around them (random projections, predicates, FK
 joins, integer aggregates, window functions with explicit frames,
 ROLLUP/CUBE/GROUPING SETS, string functions, sort orders) and would
