@@ -230,3 +230,39 @@ def test_q88_quantile_window_after_bounded_agg(spark):
     # single Window node, fed by the bin aggregate, not the scan
     assert p.count("Window") >= 1
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q140_point_in_time_scan_pruned_and_single_residual_join(spark):
+    p = plan(spark, "q140_point_in_time_join")
+    # exactly one join, carrying the residual interval condition
+    assert p.count("Join") >= 1
+    assert "_valid_to" in p
+    # scans pruned to the three needed columns
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_custkey" in read_schema and "o_comment" not in read_schema
+
+
+def test_q141_dataset_split_single_exchange(spark):
+    """Split assignment is map-only; the only exchange is the final
+    (source, split) aggregation."""
+    p = plan(spark, "q141_dataset_split")
+    # formatted output names each node twice (tree + detail); the tree
+    # form "Exchange (" counts NODES
+    assert p.count("Exchange (") == 1
+
+
+def test_q143_weighted_median_broadcast_totals(spark):
+    """The totals frame joins back broadcast — no second data-sized
+    shuffle after the cumulative window."""
+    p = plan(spark, "q143_weighted_median")
+    assert "BroadcastExchange" in p
+
+
+def test_q142_pareto_local_prune_before_global_window(spark):
+    """Two-phase shape: a bucket-partitioned window (local frontiers,
+    input-scale work parallel by bucket) must appear BEFORE the single
+    global window (output-scale)."""
+    p = plan(spark, "q142_pareto_frontier")
+    assert p.count("Window") >= 2
+    # the local phase hashes into buckets -> an exchange on _b exists
+    assert "_b" in p
