@@ -32,13 +32,27 @@ from kassette_server_spark.catalog import load
 from kassette_server_spark.session import get_spark
 
 
-def amplify(df: DataFrame, n: int, id_cols: list[str]) -> DataFrame:
-    """n disjoint shifted copies (id spaces offset by copy * 10^9)."""
+def amplify(
+    df: DataFrame, n: int, id_cols: list[str], text_col: str | None = None
+) -> DataFrame:
+    """n disjoint shifted copies (id spaces offset by copy * 10^9).
+
+    Text columns get a per-copy suffix token: verbatim text copies
+    would make every copy-pair an exact/near duplicate by construction,
+    so the dedup probes would measure a degenerate N^2 workload instead
+    of a bigger corpus (round-6 self-review finding). The suffix keeps
+    exact-digest cardinality scaling with N while leaving the
+    shingle-level structure (and thus real near-dup behavior) intact.
+    """
     if n == 1:
         return df
     rep = df.withColumn("_copy", F.explode(F.array(*[F.lit(i) for i in range(n)])))
     for c in id_cols:
         rep = rep.withColumn(c, F.col(c) + F.col("_copy") * F.lit(1_000_000_000))
+    if text_col:
+        rep = rep.withColumn(
+            text_col, F.concat(F.col(text_col), F.lit(" copytok"), F.col("_copy"))
+        )
     return rep.drop("_copy")
 
 
@@ -60,7 +74,7 @@ def main() -> None:
     def probes(scale: int) -> dict[str, tuple[DataFrame, int]]:
         l = amplify(li, scale, ["l_orderkey"])
         e = amplify(ev, scale, ["event_id", "user_id"])
-        d = amplify(docs, scale, ["doc_id"])
+        d = amplify(docs, scale, ["doc_id"], text_col="text")
         from kassette_server_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
         from kassette_server_spark.operators.merge import point_in_time_join
         from kassette_server_spark.operators.sampling import dataset_split, priority_sample

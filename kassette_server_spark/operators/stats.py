@@ -623,12 +623,18 @@ def pareto_frontier_2d(
     with y' < y — either way <= on both axes and < on one).
 
     Exact comparisons only — cast float money to DECIMAL first.
-    Output: (x_col, y_col) frontier points.
+    Points with a NULL coordinate are EXCLUDED (a NULL cannot be
+    compared for dominance; leaving them in would let a NULL-x row's
+    y act as a running-min witness and silently drop real frontier
+    points — round-6 self-review finding). The oracle applies the
+    identical filter. Output: (x_col, y_col) frontier points.
     """
     from pyspark.sql import Window
 
-    pts = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")).dropDuplicates(
-        ["x", "y"]
+    pts = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .dropDuplicates(["x", "y"])
     )
 
     def frontier(p: DataFrame, part_cols: list[str]) -> DataFrame:
@@ -656,7 +662,8 @@ def pareto_frontier_oracle_sql(points_sql: str, x_col: str, y_col: str) -> str:
     """DuckDB SQL for the identical frontier (NOT EXISTS dominance —
     the quadratic definitional form, fine at oracle scale)."""
     return f"""
-    WITH pts AS (SELECT DISTINCT {x_col} AS x, {y_col} AS y FROM ({points_sql}))
+    WITH pts AS (SELECT DISTINCT {x_col} AS x, {y_col} AS y FROM ({points_sql})
+                 WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL)
     SELECT p.x AS {x_col}, p.y AS {y_col} FROM pts p
     WHERE NOT EXISTS (
       SELECT 1 FROM pts q

@@ -124,10 +124,14 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
     return pareto_frontier_2d(pts, "price_cents", "p_size")
 
 
+# cents via the house round(x*100) recipe on BOTH sides
+# (queries/relational.cents): a bare double→BIGINT cast TRUNCATES in
+# Spark but ROUNDS in DuckDB, so x*100 landing at n-epsilon diverges
+# by one cent between engines (round-6 self-review #2 finding).
 @query(
     "q143_weighted_median",
     oracle=weighted_median_oracle_sql(
-        "SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT) AS cents, "
+        "SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, "
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem",
         "l_returnflag",
         "cents",
@@ -141,7 +145,7 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
 def q143(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem").select(
         "l_returnflag",
-        (F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
     return weighted_median_by(li, "l_returnflag", "cents", "qty")

@@ -47,8 +47,7 @@ from .sources.config_api import ConfigAPI, ConfigStore
 from .sources.gateway import GatewayShim
 from .sources.http_listener import IngestListener
 from .streaming.ledger import DeliveryLedger, job_health
-from .streaming.pipeline import run_connection_stream
-from .streaming.supervisor import StreamingSupervisor
+from .streaming.supervisor import StreamingSupervisor, connection_stream_starter
 
 
 def default_deliver_factory(work_dir: str):
@@ -74,15 +73,35 @@ def default_deliver_factory(work_dir: str):
 
 def dispatching_deliver_factory(work_dir: str):
     """Production-shaped sender dispatch: a postgres destination with
-    connection config gets the real K3 path — the reference's
-    connect-time DDL (byte-exact renderer) executed once at query
-    start, then the typed destination columns COPY'd per micro-batch,
-    with a failed batch reported failed as one unit (the reference's
-    per-batch transaction contract, so the ledger's retry/DLQ ladder
-    applies). Anything else falls back to the JSON-file sender."""
+    connection config gets the real K3 path; anything else falls back
+    to the JSON-file sender.
+
+    K3 semantics (round-6 self-review hardening):
+
+    - Connect-time DDL runs LAZILY on the first delivered batch (with a
+      subprocess timeout), not at query start — at query start the
+      factory is called inside the config store's commit lock, where an
+      unreachable database would wedge the whole control plane and a
+      DDL failure would strand a committed-but-never-started
+      connection. On the first batch, a DDL failure just marks the
+      batch failed, and the ledger's retry ladder re-runs it.
+    - The DDL renderer is chosen by identifier case: all-lowercase
+      names take the reference's byte-exact unquoted DDL (Postgres
+      folds unquoted to lowercase — same relation the quoted COPY
+      targets); any mixed-case name takes the quoted engine renderer so
+      CREATE and COPY agree on the case-preserved relation.
+    - Commit boundary is PER PARTITION (one COPY transaction each,
+      identical to Spark's own JDBC sink) — NOT the reference's whole-
+      batch transaction. A partially failed multi-partition batch
+      leaves its committed partitions in place and the ledger retries
+      the WHOLE batch, so without a primary key / ON CONFLICT dedup on
+      the destination table, retried rows can duplicate. Single-
+      partition batches match the reference contract exactly; for
+      strict parity coalesce(1) or stage-and-swap.
+    """
     import subprocess
 
-    from .sinks.jdbc import render_postgres_ddl_reference
+    from .sinks.jdbc import render_postgres_ddl, render_postgres_ddl_reference
     from .sinks.postgres_copy import psql_args_from_dest, write_postgres_copy_dest
 
     file_factory = default_deliver_factory(work_dir)
@@ -92,23 +111,32 @@ def dispatching_deliver_factory(work_dir: str):
         if dest.dest_type != "postgres" or not dest.config.get("host"):
             return file_factory(conn)
 
-        # connect-time DDL, exactly when the reference runs it
-        # (integrations/postgres/main.go Connect -> createDestinationTable)
-        ddl = render_postgres_ddl_reference(dest.schema)
-        p = subprocess.run(
-            [*psql_args_from_dest(dest), "-v", "ON_ERROR_STOP=1", "-X", "-c", ddl],
-            capture_output=True, text=True,
-        )
-        if p.returncode != 0:
-            raise RuntimeError(f"destination DDL failed: {p.stderr.strip()[:300]}")
+        names = [dest.schema.table_name, *(f.name for f in dest.schema.fields)]
+        if all(n == n.lower() for n in names):
+            ddl = render_postgres_ddl_reference(dest.schema)
+        else:  # quoted DDL so CREATE and the quoted COPY name agree
+            ddl = render_postgres_ddl(dest.schema) + ";"
         fields = [f.name for f in dest.schema.fields]
+        ddl_done = False
 
         def deliver(df: DataFrame) -> DataFrame:
-            present = [c for c in fields if c in df.columns]
+            nonlocal ddl_done
             try:
+                if not ddl_done:
+                    p = subprocess.run(
+                        [*psql_args_from_dest(dest), "-v", "ON_ERROR_STOP=1",
+                         "-X", "-c", ddl],
+                        capture_output=True, text=True, timeout=30,
+                    )
+                    if p.returncode != 0:
+                        raise RuntimeError(
+                            f"destination DDL failed: {p.stderr.strip()[:300]}"
+                        )
+                    ddl_done = True
+                present = [c for c in fields if c in df.columns]
                 write_postgres_copy_dest(df.select(*present), dest)
                 ok, status, err = True, 200, ""
-            except Exception as e:  # whole batch fails as one unit
+            except Exception as e:  # whole batch reported failed as one unit
                 ok, status, err = False, 500, str(e)[:200]
             return df.select(
                 "message_id",
@@ -143,24 +171,35 @@ class KassetteServer:
         os.makedirs(self.landing, exist_ok=True)
         self.ledger = DeliveryLedger(spark, os.path.join(work_dir, "ledger"))
         factory = deliver_factory or default_deliver_factory(work_dir)
-
-        def start_query(conn: Connection):
-            return run_connection_stream(
+        self.supervisor = StreamingSupervisor(
+            start=connection_stream_starter(
                 spark,
-                conn,
-                self.landing,
-                os.path.join(work_dir, "ckpt", str(conn.id)),
-                self.ledger,
-                factory(conn),
+                source_dir_for=lambda conn: self.landing,
+                checkpoint_root=os.path.join(work_dir, "ckpt"),
+                ledger=self.ledger,
+                deliver_for=factory,
                 available_now=available_now,
             )
-
-        self.supervisor = StreamingSupervisor(start=start_query)
+        )
         self.store = ConfigStore(
             path=config_path or os.path.join(work_dir, "config.json"),
             on_change=self.supervisor.apply,
         )
-        self.gateway = GatewayShim(self.landing, valid_write_keys=write_keys)
+        # write-key auth consults BOTH the static bootstrap keys and the
+        # LIVE config store, so a source created at runtime through the
+        # control plane can ingest immediately (round-6 self-review
+        # finding: a frozen set rejected runtime-created sources forever)
+        class _LiveKeys:
+            def __init__(inner, static, store):
+                inner._static = frozenset(static)
+                inner._store = store
+
+            def __contains__(inner, key) -> bool:
+                return key in inner._static or inner._store.authenticate(key)
+
+        self.gateway = GatewayShim(
+            self.landing, valid_write_keys=_LiveKeys(write_keys, self.store)
+        )
         self.ingest = IngestListener(self.gateway, host=host, port=gateway_port)
         self.config_api = ConfigAPI(
             self.store,
@@ -168,7 +207,9 @@ class KassetteServer:
             port=config_port,
             job_health=lambda: [
                 r.asDict()
-                for r in job_health(self.ledger, self.store.connections()).collect()
+                for r in job_health(
+                    self.ledger, list(self.store.connections().values())
+                ).collect()
             ],
         )
 

@@ -91,8 +91,9 @@ class IngestListener:
     a trailing partial batch still lands."""
 
     def __init__(self, shim: GatewayShim, host: str = "127.0.0.1", port: int = 0):
+        self._lock = threading.Lock()
         handler = type(
-            "BoundIngestHandler", (_IngestHandler,), {"shim": shim, "lock": threading.Lock()}
+            "BoundIngestHandler", (_IngestHandler,), {"shim": shim, "lock": self._lock}
         )
         self._shim = shim
         self._httpd = ThreadingHTTPServer((host, port), handler)
@@ -108,10 +109,15 @@ class IngestListener:
         return self
 
     def flush(self):
-        self._shim.flush()
+        # same lock as accept(): a handler thread appending between
+        # flush's join and clear would otherwise lose its event
+        # (round-6 self-review finding)
+        with self._lock:
+            self._shim.flush()
 
     def stop(self):
         self._httpd.shutdown()
         self._httpd.server_close()
         self._thread.join(timeout=5)
-        self._shim.flush()
+        with self._lock:
+            self._shim.flush()

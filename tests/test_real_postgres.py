@@ -437,11 +437,12 @@ def test_composed_server_delivers_typed_events_to_real_postgres(spark, pg, tmp_p
             "config": {"host": pg.root, "port": PORT, "user": "kassette", "database": "postgres"},
         }) == 200
         assert req("POST", f"{cfg}/connection", {"id": 10, "source_id": 1, "destination_id": 2}) == 200
-
-        # connect-time DDL already ran (query start): table exists
+        # DDL is LAZY (first delivered batch), so creating the
+        # connection must NOT have touched the database yet — an
+        # unreachable destination can't wedge the control plane
         assert pg.sql(
             "SELECT count(*) FROM information_schema.tables WHERE table_name = 'evlive'"
-        ) == [["1"]]
+        ) == [["0"]]
 
         auth = {"Authorization": "Basic " + base64.b64encode(b"wk:").decode()}
         ev = lambda i: {  # noqa: E731
@@ -451,21 +452,24 @@ def test_composed_server_delivers_typed_events_to_real_postgres(spark, pg, tmp_p
         }
         assert req("POST", f"{srv.gateway_address}/v1/batch", {"batch": [ev(1), ev(2)]}, auth) == 200
         srv.tick()
+
+        def count_rows() -> int:
+            try:  # lazy DDL: the relation appears with the first batch
+                return int(pg.sql("SELECT count(*) FROM evlive")[0][0])
+            except RuntimeError:
+                return -1
+
         deadline = time.time() + 120
-        while time.time() < deadline:
-            if pg.sql("SELECT count(*) FROM evlive") == [["2"]]:
-                break
+        while time.time() < deadline and count_rows() != 2:
             time.sleep(1.0)
-        assert pg.sql("SELECT count(*) FROM evlive") == [["2"]]
+        assert count_rows() == 2
         assert pg.sql("SELECT n FROM evlive WHERE event_id = 'e2'") == [["2"]]
 
         # client replay of m2 (+ a new m3): ledger dedups, DB gains ONE row
         assert req("POST", f"{srv.gateway_address}/v1/batch", {"batch": [ev(2), ev(3)]}, auth) == 200
         srv.tick()
         deadline = time.time() + 120
-        while time.time() < deadline:
-            if pg.sql("SELECT count(*) FROM evlive") == [["3"]]:
-                break
+        while time.time() < deadline and count_rows() != 3:
             time.sleep(1.0)
         assert pg.sql(
             "SELECT count(*), count(DISTINCT event_id) FROM evlive"

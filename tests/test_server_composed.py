@@ -102,6 +102,14 @@ def test_composed_server_end_to_end(spark, tmp_path):
         st, health = _req("GET", f"{cfg}/health")
         assert st == 200
 
+        # a source created at RUNTIME through the control plane can
+        # ingest immediately (live write-key auth against the store)
+        assert _req("POST", f"{cfg}/source",
+                    {"id": 3, "name": "s2", "write_key": "wk2", "schema": SRC_SCHEMA})[1] == {"success": True}
+        auth2 = {"Authorization": "Basic " + base64.b64encode(b"wk2:").decode()}
+        st, _ = _req("POST", f"{gw}/v1/batch", {"batch": [_event(7)]}, headers=auth2)
+        assert st == 200
+
         # config change over HTTP: disabling the connection stops its query
         assert _req("PATCH", f"{cfg}/connection",
                     {"id": 10, "enabled": False})[1] == {"success": True}
