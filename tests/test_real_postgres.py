@@ -397,7 +397,7 @@ def test_copy_error_reporting_and_quoted_identifiers(spark, pg):
 def test_composed_server_delivers_typed_events_to_real_postgres(spark, pg, tmp_path):
     """Capstone: the COMPOSED server (HTTP gateway + config control
     plane + streaming pipeline) against a REAL Postgres destination —
-    connect-time DDL rendered by the byte-exact reference renderer,
+    lazy first-batch DDL from the byte-exact reference renderer,
     typed destination columns COPY'd per micro-batch, ledger dedup
     across a replayed send. The full reference topology, real database."""
     import base64
