@@ -30,6 +30,8 @@ SPECS = [
     "q136_dow_seasonality", # modulo sign semantics
     "q140_point_in_time_join",
     "q141_dataset_split",   # md5-hex -> BIGINT conv + double compare
+    "q142_pareto_frontier",  # integer-cents dominance
+    "q143_weighted_median",  # round(x*100) cents cast under ANSI
 ]
 
 _SCRIPT = """
