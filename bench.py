@@ -68,7 +68,25 @@ def main() -> None:
             timings[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    # The driver archives only a finite TAIL of stdout; the 142-entry
+    # per-query map overflowed it and r6 still recorded parsed:null
+    # (VERDICT r6 "What's wrong" #2). The sole stdout line is therefore
+    # a COMPACT summary (slowest-10 only) that fits the capture window;
+    # the full per-query map goes to the BENCH_FULL.json repo artifact.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     doc = json.dumps(
+        {
+            "metric": "declared_query_set_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "n_queries": len(timings),
+            "sec_per_query": round(total / len(timings), 4),
+            "sf": sf,
+            "full_map": "BENCH_FULL.json",
+        }
+    )
+    full = json.dumps(
         {
             "metric": "declared_query_set_total_wall_clock",
             "value": total,
@@ -80,8 +98,11 @@ def main() -> None:
             "variance_note": "median-of-3 specs are iterative "
             "(fixpoint CC / banded verify) and swing with per-job "
             "scheduler overhead; all others are best-of-2",
-        }
+        },
+        indent=1,
     )
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        f.write(full + "\n")
     spark.stop()
     os.write(result_fd, (doc + "\n").encode())
     os.close(result_fd)

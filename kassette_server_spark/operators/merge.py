@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .store import read_store, write_store
+from .store import generation_committed, read_store, write_store
 
 
 def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -123,6 +123,9 @@ def scd2_merge_into_store(
     empty; genuine read errors propagate.
     """
     spark = batch_df.sparkSession
+    if generation_committed(store_path, batch_id):
+        # zero-row committed generation has no row fence (ADVICE r6 #1)
+        return False
     others = [c for c in batch_df.columns if c not in keys and c != ts_col]
     opened_schema = batch_df.select(
         *keys,

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .store import next_generation, read_store, write_store
+from .store import generation_committed, next_generation, read_store, write_store
 
 # 15 hex chars = 60 bits keeps the parsed hash strictly below 2^63 so
 # the BIGINT cast is exact and positive in both engines.
@@ -609,6 +609,11 @@ def countmin_merge_into_store(
     re-apply a batch the committed state already contains.
     """
     spark = batch_df.sparkSession
+    if generation_committed(store_path, batch_id):
+        # directory high-water fence: catches a replayed batch whose
+        # committed generation has ZERO data rows (row fence below has
+        # no hwm to compare) — ADVICE r6 #1
+        return False
     new = countmin_registers(batch_df, col, depth, width)
     old = read_store(spark, store_path)
     if old is not None:
@@ -686,6 +691,9 @@ def hist_merge_into_store(
     (store.py) so a crash mid-write preserves fence + counters.
     """
     spark = batch_df.sparkSession
+    if generation_committed(store_path, batch_id):
+        # zero-row committed generation has no row fence (ADVICE r6 #1)
+        return False
     new = hist_bins(batch_df, col, bin_width, num_bins)
     old = read_store(spark, store_path)
     if old is not None:

@@ -105,6 +105,20 @@ def write_store(df: DataFrame, store_path: str, generation: int) -> None:
         shutil.rmtree(os.path.join(store_path, f"gen-{g}"), ignore_errors=True)
 
 
+def generation_committed(store_path: str, batch_id: int) -> bool:
+    """True iff a generation at/above ``batch_id`` is already
+    committed. The fenced mergers (countmin/hist/scd2) fence on BOTH
+    this directory high-water AND the ``merged_through`` column: a
+    committed generation with ZERO data rows (empty or fully-deduped
+    first batch) yields no row-level high-water mark, and without this
+    check an at-least-once replay of that batch_id would pass the row
+    fence, reach write_store, and crash-loop on the monotonic
+    generation assertion instead of returning a graceful False
+    (ADVICE r6 #1)."""
+    gens = committed_generations(store_path)
+    return bool(gens) and int(batch_id) <= gens[-1]
+
+
 def next_generation(store_path: str) -> int:
     """Monotonic generation for stores without a batch-id fence (the
     idempotent max/union merges, where replay is harmless)."""

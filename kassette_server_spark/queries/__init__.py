@@ -28,14 +28,16 @@ from . import round6 as _round6  # noqa: F401,E402  (q140-q143)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-6 window (VERDICT r5
-# "Next round #1", executed verbatim): pin the 6-slot relational core,
-# then spend ALL 44 remaining slots on the 44 specs that have never had
-# a driver CORRECTNESS row — q89, q90, q98, q99-q139. It is exactly 44,
-# so the whole hard-signal debt retires in one window and cumulative
-# driver coverage reaches 138/138. Everything rotated out (q02-q27,
-# q30-q97 — all driver-green r4 or r5) stays locked by
-# tests/test_oracle_parity*.py at sf0.001 AND sf0.01 every CI run.
+# order (VERDICT r2 "Next round #1/#2"). Round-7 window (the r6 plan
+# written below the r6 window, confirmed by VERDICT r6 "Next round #1"):
+# pin the 6-slot relational core, give the r6-born specs q140-q143
+# their first driver rows (standing first-round policy), then spend the
+# 40 remaining slots on the oldest greens — the r4-stale set (q02-q27
+# non-core, q42-q50 sans q47, q70-q83; 44 specs, of which 40 fit).
+# The four deferred to r8 (q75/q76/q77/q83) are the ones whose operator
+# families shipped fresh r6 rows (funnel→q123/q139, cohorts→q129,
+# ANN/SemDeDup plan-audited in the r6 bench) AND stay locked by
+# tests/test_oracle_parity*.py at sf0.001+sf0.01 every CI run.
 _WINDOW: tuple[str, ...] = (
     # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
@@ -44,66 +46,64 @@ _WINDOW: tuple[str, ...] = (
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-9: r5 additions that missed the r5 window
-    "q89_quantiles_per_group",
-    "q90_hll_per_group",
-    "q98_attribution",
-    # slots 10-50: the entire session-3 surface (q99-q139), shipping its
-    # first hard driver row (the r4 verdict's q84 lesson: never leave an
-    # operator on repo-oracle evidence longer than one round).
-    "q99_bm25_retrieval",
-    "q100_priority_sample",
-    "q101_grouped_regression",
-    "q102_pagerank",
-    "q103_zorder_stats",
-    "q104_value_outliers",
-    "q105_rolling_time_window",
-    "q106_copurchase_pairs",
-    "q107_table_profile",
-    "q108_entropy_by_source",
-    "q109_multimodal_decode_ext",
-    "q110_asof_forward_tolerance",
-    "q111_stratified_weighted_sample",
-    "q112_kl_divergence_by_source",
-    "q113_winsorized_stats",
-    "q114_chi_square_contingency",
-    "q115_hierarchy_closure",
-    "q116_peak_concurrency",
-    "q117_bigram_logprob",
-    "q118_power_iteration_pca",
-    "q119_sorted_neighborhood",
-    "q120_collocations_pmi",
-    "q121_association_rules",
-    "q122_snapshot_diff",
-    "q123_timed_funnel",
-    "q124_rfm_segmentation",
-    "q125_revenue_gini",
-    "q126_tpch_q7_volume_shipping",
-    "q127_tpch_q10_returned_items",
-    "q128_ewma_daily_counts",
-    "q129_cohort_ltv",
-    "q130_revenue_contribution",
-    "q131_event_trigrams",
-    "q132_transition_latency",
-    "q133_holt_trend",
-    "q134_rolling_volatility",
-    "q135_mom_growth",
-    "q136_dow_seasonality",
-    "q137_cross_correlation",
-    "q138_integrity_audit",
-    "q139_conversion_time_stats",
+    # slots 7-10: r6-born operators, first driver rows
+    "q140_point_in_time_join",
+    "q141_dataset_split",
+    "q142_pareto_frontier",
+    "q143_weighted_median",
+    # slots 11-32: r4-stale relational/parity set (last row r4)
+    "q02_predicates",
+    "q04_multiway_broadcast_join",
+    "q05_left_join",
+    "q06_semi_join",
+    "q07_anti_join",
+    "q09_count_distinct",
+    "q10_rollup",
+    "q12_window_running_sum",
+    "q13_window_lag",
+    "q14_topk",
+    "q15_setops",
+    "q16_string_fns",
+    "q17_date_fns",
+    "q18_math_fns",
+    "q19_case_nullif",
+    "q20_json_extract",
+    "q21_cast_semantics",
+    "q22_rules_map_hide_delete",
+    "q23_timestamp_skew",
+    "q25_dedup_exact",
+    "q26_correlated_subquery",
+    "q27_exists",
+    # slots 33-40: r4-stale OLAP extras (q47 was re-greened r5)
+    "q42_topk_per_group",
+    "q43_pivot",
+    "q44_cube",
+    "q45_exact_median",
+    "q46_histogram",
+    "q48_range_join",
+    "q49_regexp_extract",
+    "q50_posexplode",
+    # slots 41-50: r4-stale curation/llm set
+    "q70_benchmark_contamination",
+    "q71_quality_filter",
+    "q72_sequence_packing",
+    "q73_tfidf_top_terms",
+    "q74_ngram_novelty",
+    "q78_domain_mix",
+    "q79_shuffle_shards",
+    "q80_repetition_filter",
+    "q81_pii_scrub",
+    "q82_chunk_documents",
 )
 
-# R7 ROTATION PLAN (write it down while the state is fresh): after r6,
-# every spec registered through r5 has ≥1 driver-green row and the
-# oldest rows are the r4 greens (q02-q27 non-core, q42-q50, q70-q83),
-# two rounds stale by r7. Next window: pin the q01/q03/q08/q11/q24/q28
-# core, give the NEW r6 specs (q140_point_in_time_join,
-# q141_dataset_split, q142_pareto_frontier, q143_weighted_median —
-# registered after the window this round) their
-# first-round slots (standing policy), then fill the remaining 40 with
-# the then-oldest rows — r4 greens first, r5 greens after. Nothing
-# should ever be >2 rounds without a row while the surface stays ≤150.
+# R8 ROTATION PLAN (write it down while the state is fresh): after r7,
+# the oldest rows are the four r4 greens that missed this window
+# (q75_funnel, q76_retention_cohorts, q77_quantized_ann,
+# q83_semantic_dedup — 3 rounds stale by r8, they go FIRST), then the
+# r5 greens (q30-q41, q47, q51-q69, q84-q88, q91-q97 — 44 specs).
+# Window: pinned core (6) + any new r7-born specs (first-round policy)
+# + q75/q76/q77/q83 + as many r5 greens as fit. Nothing should stay
+# >3 rounds without a row while the surface is ~150 specs.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).

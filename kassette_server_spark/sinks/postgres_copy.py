@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import csv
 import io
+import os
 import subprocess
 import tempfile
 from collections.abc import Iterator
@@ -86,11 +87,17 @@ def _copy_partition(
     for r in rows:
         if proc is None:  # lazily spawn: empty partitions cost nothing
             errfile = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+            # encoding pinned: text=True alone would use the executor's
+            # locale encoding, so a C/POSIX-locale executor raises
+            # UnicodeEncodeError on any non-ASCII value mid-COPY even
+            # though the data is valid UTF-8 for Postgres (ADVICE r6
+            # #2). PGCLIENTENCODING makes the server side agree.
+            env = dict(os.environ, PGCLIENTENCODING="UTF8")
             proc = subprocess.Popen(
                 [*psql_args, "-v", "ON_ERROR_STOP=1", "-X", "-c",
                  f"COPY {quote_ident(table)} ({collist}) FROM STDIN WITH (FORMAT csv)"],
                 stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
-                stderr=errfile, text=True,
+                stderr=errfile, text=True, encoding="utf-8", env=env,
             )
         try:
             proc.stdin.write(",".join(field(r[c]) for c in columns) + "\n")

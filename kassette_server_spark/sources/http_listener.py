@@ -1,16 +1,22 @@
 """Minimal HTTP ingest listener (S1) in front of GatewayShim.
 
-The reference's gin endpoints (gateway/gateway.go:606-654) accept
-``POST /v1/{batch,identify,track,page,screen,alias,group}`` with the
-write key as the basic-auth username (gateway.go:656-693) and an empty
-password; the body is the event (or batch envelope). This listener
-reproduces exactly that HTTP surface over stdlib ThreadingHTTPServer —
-auth → wrap/enrich → batched JSONL landing files — so the reference's
-curl-driven demo flow (examples/camunda2postgres/scripts/
-restaurant_journey.sh) replays verbatim against the engine's landing
-zone. The Spark engine itself never serves HTTP; the listener is
-control-plane glue in front of the durable hand-off, matching the
-reference topology (gateway process → queue → processor).
+The reference's ingest surface is ``POST /extract``
+(gateway/gateway.go:332 → ProcessRequest(c, "batch")) with the write
+key as the basic-auth username and an empty password
+(gateway.go:656-693); the body is the batch envelope (or a single
+event, wrapped server-side). ``GET /health`` replies
+``{"status":"ok"}`` (gateway.go:334-338). This listener reproduces
+that surface over stdlib ThreadingHTTPServer — auth → wrap/enrich →
+batched JSONL landing files — so the reference's curl-driven demo flow
+(examples/camunda2postgres/scripts/restaurant_journey.sh) replays
+verbatim against the engine's landing zone. As an engine EXTENSION
+(not reference behavior) it also accepts ``/v1/{batch,identify,track,
+page,screen,alias,group}`` and bare ``/<type>`` routes for
+per-event-type clients. The Spark engine itself never serves HTTP;
+the listener is control-plane glue in front of the durable hand-off,
+matching the reference topology (gateway process → queue →
+processor). The ``X-User-ID`` header is forwarded into the job row's
+UserID (gateway.go:640, buildUserID).
 """
 
 from __future__ import annotations
@@ -54,8 +60,12 @@ class _IngestHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         parts = [p for p in self.path.split("?")[0].split("/") if p]
-        # accept /v1/<type> (reference) and bare /<type>
+        # POST /extract is the reference's actual ingest route
+        # (gateway/gateway.go:332 → ProcessRequest(c, "batch"));
+        # /v1/<type> and bare /<type> are engine extensions.
         req_type = parts[-1] if parts else ""
+        if req_type == "extract":
+            req_type = "batch"
         if req_type not in _TYPES:
             self._reply(404, b'{"error":"unknown endpoint"}')
             return
@@ -70,8 +80,12 @@ class _IngestHandler(BaseHTTPRequestHandler):
             self._reply(400, b'{"error":"invalid json"}')
             return
         ip = self.client_address[0]
+        user_id_header = self.headers.get("X-User-ID", "")
         with self.lock:  # shim buffer is not thread-safe
-            ok = self.shim.accept(body, write_key, request_ip=ip, req_type=req_type)
+            ok = self.shim.accept(
+                body, write_key, request_ip=ip, req_type=req_type,
+                user_id_header=user_id_header,
+            )
         if not ok:
             self._reply(401, b'{"error":"invalid write key"}')
             return

@@ -132,3 +132,46 @@ def test_scd2_store_40_batch_soak(spark, tmp_path):
     assert st.where("is_current").count() == keys
     assert len(committed_generations(store)) == 1
     assert _flat(lat), f"merge latency drifted: {lat[:10]} -> {lat[-10:]}"
+
+
+def test_empty_first_batch_replay_is_graceful(spark, tmp_path):
+    """ADVICE r6 #1: a committed generation with ZERO data rows (empty
+    first batch) leaves no row-level merged_through high-water; an
+    at-least-once replay of the same batch_id must return False via
+    the directory fence, not crash-loop on write_store's monotonic
+    generation assertion."""
+    from pyspark.sql import functions as F
+
+    empty = spark.range(0).select(F.col("id").cast("string").alias("v"))
+    one = spark.range(1).select(F.col("id").cast("string").alias("v"))
+
+    cm = str(tmp_path / "cm")
+    assert sketches.countmin_merge_into_store(empty, 0, "v", cm) is True
+    # replay of the committed-but-empty batch: graceful skip
+    assert sketches.countmin_merge_into_store(empty, 0, "v", cm) is False
+    assert sketches.countmin_merge_into_store(one, 0, "v", cm) is False
+    # the stream moves on normally afterwards
+    assert sketches.countmin_merge_into_store(one, 1, "v", cm) is True
+
+    h = str(tmp_path / "h")
+    empty_n = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    one_n = spark.range(1).select(F.col("id").cast("double").alias("v"))
+    assert sketches.hist_merge_into_store(empty_n, 0, "v", h) is True
+    assert sketches.hist_merge_into_store(empty_n, 0, "v", h) is False
+    assert sketches.hist_merge_into_store(one_n, 1, "v", h) is True
+
+    s = str(tmp_path / "scd2")
+    empty_cdc = spark.range(0).select(
+        F.col("id").cast("string").alias("k"),
+        F.current_timestamp().alias("valid_from"),
+        F.lit("x").alias("attr"),
+    )
+    cdc = spark.range(1).select(
+        F.col("id").cast("string").alias("k"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("valid_from"),
+        F.lit("x").alias("attr"),
+    )
+    assert scd2_merge_into_store(empty_cdc, 0, ["k"], s) is True
+    assert scd2_merge_into_store(empty_cdc, 0, ["k"], s) is False
+    assert scd2_merge_into_store(cdc, 1, ["k"], s) is True
+    assert read_store(spark, s).count() == 1
