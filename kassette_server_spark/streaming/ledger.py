@@ -19,6 +19,8 @@ update contention at 1000 executors.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,18 +43,31 @@ class DeliveryLedger:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # One server process runs MANY connection queries against ONE
+        # ledger directory, and a new landing file wakes them all at
+        # the same instant. Hadoop's FileOutputCommitter stages every
+        # concurrent append job under the SAME <path>/_temporary/0;
+        # the first job to commit (or abort) deletes _temporary and the
+        # others die mid-task with "Mkdirs failed to create ..._temporary"
+        # — which kills their streaming queries (round-7 churn-soak
+        # finding). Appends are micro-batch-sized, so serializing the
+        # write job with a process-local lock costs nothing; on a real
+        # deployment the ledger is a Delta/Iceberg table whose ACID
+        # commit protocol makes concurrent appends safe without it.
+        self._write_lock = threading.Lock()
 
     def append(self, statuses: DataFrame) -> None:
-        statuses.select(
-            "job_id",
-            "connection_id",
-            "state",
-            "attempt",
-            "exec_time",
-            "retry_time",
-            "error_code",
-            "error_response",
-        ).write.mode("append").parquet(self.path)
+        with self._write_lock:
+            statuses.select(
+                "job_id",
+                "connection_id",
+                "state",
+                "attempt",
+                "exec_time",
+                "retry_time",
+                "error_code",
+                "error_response",
+            ).write.mode("append").parquet(self.path)
 
     def _read(self) -> DataFrame:
         # attempt the read and fall back to empty only on a genuinely
