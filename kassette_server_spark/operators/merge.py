@@ -235,6 +235,7 @@ def point_in_time_join(
     keys: list[str],
     fact_ts: str,
     version_ts: str,
+    salt: int = 1,
 ) -> DataFrame:
     """Temporal (point-in-time) join: each fact row paired with the
     dimension VERSION in effect at ``fact_ts`` — the batch query every
@@ -256,9 +257,21 @@ def point_in_time_join(
     filter fans each fact out to at most that many candidates before
     pruning, and NO interval bucketing is needed (contrast
     asof.range_join_buckets, which exists for intervals NOT anchored
-    to an equi-key). Version-table skew follows key skew; AQE's skew
-    join handles it, and a dimension-sized ``versions`` side is
-    broadcast by AQE automatically.
+    to an equi-key). A dimension-sized ``versions`` side is broadcast
+    by AQE automatically.
+
+    Celebrity-key skew needs ``salt`` (round-7 skew-stress finding):
+    AQE's skew join CANNOT split this plan, because the lead()
+    close-out window shares the join's hash partitioning — Catalyst
+    reuses one Exchange for both, and OptimizeSkewedJoin only rewrites
+    joins whose children are bare ENSURE_REQUIREMENTS shuffle stages
+    (splitting mid-pipeline would also tear a window partition
+    apart). With ``salt=R`` the versions side is replicated R ways
+    (after the window, so close-out intervals stay correct) and each
+    fact row picks one deterministic replica via xxhash64 of all its
+    columns, spreading a hot key over R shuffle partitions at the cost
+    of an R-times-larger (but still dimension-sized) versions
+    shuffle — the layout.salted_join recipe applied temporally.
 
     Column contract: ``facts`` and ``versions`` share ONLY the key
     columns; ``fact_ts`` and ``version_ts`` must be differently named.
@@ -286,13 +299,28 @@ def point_in_time_join(
         )
     w = Window.partitionBy(*keys).orderBy(version_ts)
     v = versions.withColumn("_valid_to", F.lead(version_ts).over(w))
+    f = facts
+    join_keys = list(keys)
+    if salt > 1:
+        if "_salt" in facts.columns or "_salt" in versions.columns:
+            raise ValueError("'_salt' is reserved by point_in_time_join(salt=...)")
+        # replicate AFTER the close-out window so intervals are built
+        # from the full per-key history, then spread the facts
+        # deterministically (xxhash64 over all fact columns — stable
+        # across retries/partitionings, unlike rand())
+        v = v.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        f = facts.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(salt)).cast("int"),
+        )
+        join_keys.append("_salt")
     return (
-        facts.join(v, on=keys)
+        f.join(v, on=join_keys)
         .where(
             (F.col(fact_ts) >= F.col(version_ts))
             & (F.col("_valid_to").isNull() | (F.col(fact_ts) < F.col("_valid_to")))
         )
-        .drop("_valid_to")
+        .drop("_valid_to", "_salt")
     )
 
 

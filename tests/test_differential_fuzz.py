@@ -2,10 +2,12 @@
 subset, executed as the IDENTICAL text by Spark SQL and DuckDB, results
 diffed exactly.
 
-The 142 declared specs pin hand-chosen shapes; this harness sweeps the
+The declared specs pin hand-chosen shapes; this harness sweeps the
 combinatorial space around them (random projections, predicates, FK
 joins, integer aggregates, window functions with explicit frames,
-ROLLUP/CUBE/GROUPING SETS, string functions, sort orders) and would
+ROLLUP/CUBE/GROUPING SETS, string functions, sort orders, correlated
+scalar subqueries, [NOT] EXISTS / [NOT] IN on single-table and join
+shapes, and nested INTERSECT/EXCEPT/UNION) and would
 surface semantic divergences none of the fixed oracles happen to cover
 — cast widths, predicate tri-state logic, join duplicate semantics,
 grouped-aggregate edge cases, window frame defaults and null ordering
@@ -216,15 +218,73 @@ def _gen_window_query(rng: random.Random, domains: dict) -> str:
     )
 
 
+def _gen_scalar_subquery_query(rng: random.Random, domains: dict) -> str:
+    """Correlated scalar-aggregate subqueries (the q26 shape, where
+    decorrelation bugs live — VERDICT r6 #6): a per-outer-row aggregate
+    over an FK-correlated inner table, placed either in the SELECT list
+    or compared in WHERE. COUNT over an empty correlated group is 0 in
+    both engines; max/min yield NULL (NULLS FIRST ordering pins it, and
+    a NULL comparison in WHERE is three-valued false in both)."""
+    lt, rt, lk, rk = rng.choice(JOINS)
+    pk = UNIQUE_KEY[lt]
+    inner_pred = _predicate(rng, rt, "s", domains)
+    outer_pred = _predicate(rng, lt, "t0", domains)
+    if rng.random() < 0.5:  # scalar in SELECT: count / min / max
+        agg = rng.choice(
+            ["CAST(count(*) AS BIGINT)", f"max(s.{rk})", f"min(s.{rk})"]
+        )
+        scalar = f"(SELECT {agg} FROM {rt} s WHERE s.{rk} = t0.{lk} AND {inner_pred})"
+        return (
+            f"SELECT t0.{pk} AS pk, {scalar} AS sub FROM {lt} t0 "
+            f"WHERE {outer_pred} ORDER BY pk NULLS FIRST, sub NULLS FIRST"
+        )
+    # scalar compared in WHERE: count keeps the comparison non-null
+    scalar = (
+        f"(SELECT CAST(count(*) AS BIGINT) FROM {rt} s "
+        f"WHERE s.{rk} = t0.{lk} AND {inner_pred})"
+    )
+    op = rng.choice([">", ">=", "=", "<"])
+    thresh = rng.choice([0, 1, 2, 5])
+    return (
+        f"SELECT t0.{pk} AS pk FROM {lt} t0 "
+        f"WHERE {outer_pred} AND {scalar} {op} {thresh} "
+        f"ORDER BY pk NULLS FIRST"
+    )
+
+
+def _gen_setop_query(rng: random.Random, domains: dict) -> str:
+    """INTERSECT / EXCEPT nesting (VERDICT r6 #6): set-op DISTINCT
+    semantics and duplicate elimination order are engine-internal; the
+    explicit parens pin associativity so only semantics can diverge."""
+    t = rng.choice(list(TABLES))
+    ints, strs, _dates = TABLES[t]
+    c = rng.choice(ints + strs)
+
+    def leg() -> str:
+        p = _predicate(rng, t, "t0", domains)
+        return f"SELECT t0.{c} AS v FROM {t} t0 WHERE {p}"
+
+    ops = ["INTERSECT", "EXCEPT", "UNION"]
+    if rng.random() < 0.5:
+        body = f"({leg()} {rng.choice(ops)} {leg()})"
+    else:  # nested: ((A op B) op C)
+        body = f"(({leg()} {rng.choice(ops)} {leg()}) {rng.choice(ops)} {leg()})"
+    return f"SELECT v FROM {body} u ORDER BY v NULLS FIRST"
+
+
 def _gen_query(rng: random.Random, domains: dict) -> str:
     shape = rng.random()
-    if shape < 0.18:  # window functions over a single table
+    if shape < 0.08:  # INTERSECT/EXCEPT/UNION nesting
+        return _gen_setop_query(rng, domains)
+    if shape < 0.18:  # correlated scalar subqueries (q26 shape)
+        return _gen_scalar_subquery_query(rng, domains)
+    if shape < 0.32:  # window functions over a single table
         return _gen_window_query(rng, domains)
-    if shape < 0.45:  # single table
+    if shape < 0.50:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
         from_sql = f"{t} t0"
-    elif shape < 0.85:  # FK pair
+    elif shape < 0.87:  # FK pair
         lt, rt, lk, rk = rng.choice(JOINS)
         how = rng.choice(["JOIN", "LEFT JOIN"])
         aliases = [(lt, "t0"), (rt, "t1")]
@@ -242,7 +302,9 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
         for t, a in aliases
         for _ in range(rng.randrange(0, 2))
     ]
-    if len(aliases) == 1 and rng.random() < 0.25:
+    # [NOT] EXISTS / [NOT] IN against t0 — on join shapes too, where the
+    # decorrelated semi/anti-join has to compose with the explicit joins
+    if rng.random() < 0.25:
         sub = _subquery_predicate(rng, aliases[0][0], aliases[0][1], domains)
         if sub:
             preds.append(sub)
