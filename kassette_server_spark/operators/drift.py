@@ -1,0 +1,415 @@
+"""Distribution-drift and data-audit operators (round 7).
+
+The reference engine moves event streams between systems; a
+training-data pipeline at 100 TB additionally needs to ASSESS what it
+moved: did a segment's value distribution drift (KS), do the amounts
+look fabricated (Benford), what is the robust trend (Theil-Sen), and
+can a sparse daily series be regularized (gap-fill interpolation).
+None of these exist in the reference (its analytics surface stops at
+SQL-over-Postgres); they are first-class §2.3 extension-family
+operators with exact DuckDB oracles.
+
+Determinism contracts (driver hash-compare):
+- KS: the statistic is reported as an integer numerator ``d_num`` over
+  the implied denominator n*m, plus the IEEE division — every input to
+  the max() is an exact BIGINT, so both engines agree bit-for-bit.
+- Theil-Sen: slopes are ratios of integer differences; the exact
+  median picks middle VALUES by row_number (value-based, so tie order
+  cannot change the result) and averages at most two doubles.
+- Benford: expected probabilities are embedded as literal doubles
+  (repr round-trip), so both engines parse the identical IEEE value;
+  per-digit rows avoid any float summation order.
+- Gap-fill: interpolation is ``prev + (next-prev) * (pos/len)`` over
+  exact integers, a fixed sequence of exact-rounded IEEE ops.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# -- two-sample Kolmogorov-Smirnov drift --------------------------------------
+def ks_drift_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact two-sample KS statistic of each group's ``value_col``
+    distribution against the REST of the dataset — segment drift
+    detection (is src7's quality-score distribution unlike the
+    corpus?).
+
+    D = max over x of |ECDF_g(x) - ECDF_rest(x)|, evaluated at every
+    sample point. Since rest = all \\ g, every candidate x is in the
+    combined sample, and the default RANGE window frame (which
+    aggregates tied peers together) gives exactly the right-continuous
+    ECDF at each distinct value.
+
+    Plan: one small distinct-groups frame broadcast against the data
+    (G x N replicated rows, G = #segments, bounded), then ONE window
+    pass per group partition. Output is G rows.
+
+    Scale: the replicate-by-G shape is right while G is a handful of
+    segments; the per-group window sorts N rows per partition, so at
+    extreme N pre-aggregate ties per (g, v) first (the cumulative
+    counts only change at distinct values) — ~|distinct v| rows per
+    partition, and value-range re-bucketing handles a group that still
+    exceeds one executor. ``d_num = |cum_in*m - cum_out*n|`` stays
+    inside BIGINT while n*m < 2^63 (n, m ~ 3e9); past that, switch to
+    the double ratio or quantile-sketched ECDFs.
+
+    Output: group, n (group size), m (rest size), d_num (BIGINT
+    numerator), ks (= d_num / (n*m), exact IEEE division).
+    """
+    groups = df.select(F.col(group_col).alias("_g")).distinct()
+    pts = df.select(
+        F.col(group_col).alias("_actual"), F.col(value_col).alias("_v")
+    ).crossJoin(F.broadcast(groups))
+    in_g = (F.col("_actual") == F.col("_g")).cast("long")
+    # default frame with orderBy = RANGE UNBOUNDED PRECEDING..CURRENT
+    # ROW: tied values aggregate together (ECDF semantics)
+    w_cum = Window.partitionBy("_g").orderBy("_v")
+    w_all = Window.partitionBy("_g")
+    c = pts.select(
+        F.col("_g"),
+        F.sum(in_g).over(w_cum).alias("cum_in"),
+        F.count(F.lit(1)).over(w_cum).alias("cum_tot"),
+        F.sum(in_g).over(w_all).alias("n_in"),
+        F.count(F.lit(1)).over(w_all).alias("n_tot"),
+    )
+    diff = F.abs(
+        F.col("cum_in") * (F.col("n_tot") - F.col("n_in"))
+        - (F.col("cum_tot") - F.col("cum_in")) * F.col("n_in")
+    )
+    return (
+        c.groupBy(F.col("_g").alias(group_col), "n_in", "n_tot")
+        .agg(F.max(diff).alias("d_num"))
+        .select(
+            group_col,
+            F.col("n_in").alias("n"),
+            (F.col("n_tot") - F.col("n_in")).alias("m"),
+            F.col("d_num"),
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_in") * (F.col("n_tot") - F.col("n_in"))).cast("double")
+            ).alias("ks"),
+        )
+    )
+
+
+def ks_drift_oracle_sql(source_sql: str, group_col: str, value_col: str) -> str:
+    """DuckDB SQL computing the identical group-vs-rest KS statistic."""
+    return f"""
+    WITH src AS ({source_sql}),
+    groups AS (SELECT DISTINCT {group_col} AS _g FROM src),
+    pts AS (
+      SELECT g._g, s.{value_col} AS _v,
+             CASE WHEN s.{group_col} = g._g THEN 1 ELSE 0 END AS in_g
+      FROM src s CROSS JOIN groups g
+    ),
+    c AS (
+      SELECT _g,
+             sum(in_g) OVER (PARTITION BY _g ORDER BY _v) AS cum_in,
+             count(*) OVER (PARTITION BY _g ORDER BY _v) AS cum_tot,
+             sum(in_g) OVER (PARTITION BY _g) AS n_in,
+             count(*) OVER (PARTITION BY _g) AS n_tot
+      FROM pts
+    )
+    SELECT _g AS {group_col},
+           CAST(n_in AS BIGINT) AS n,
+           CAST(n_tot - n_in AS BIGINT) AS m,
+           CAST(max(abs(cum_in * (n_tot - n_in) - (cum_tot - cum_in) * n_in)) AS BIGINT) AS d_num,
+           CAST(max(abs(cum_in * (n_tot - n_in) - (cum_tot - cum_in) * n_in)) AS DOUBLE)
+             / CAST(n_in * (n_tot - n_in) AS DOUBLE) AS ks
+    FROM c
+    GROUP BY _g, n_in, n_tot
+    """
+
+
+# -- Benford first-digit audit ------------------------------------------------
+#: log10(1 + 1/d) embedded as repr literals so Spark and DuckDB parse
+#: the identical IEEE double (transcendental libm results are NOT
+#: guaranteed bit-identical across engines; literals are).
+BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def benford_audit(df: DataFrame, cents_col: str) -> DataFrame:
+    """First-significant-digit distribution of an exact integer amount
+    column vs Benford's law — the classic fabricated-data screen.
+
+    ``cents_col`` must be a positive BIGINT (money as cents): the first
+    digit of the integer IS the first significant digit of the amount,
+    extracted by string surgery — no log10 on doubles, whose engine-
+    specific rounding near powers of ten would misbin edge values.
+
+    Per-digit output rows (digit, observed, expected_n, chi2_contrib)
+    keep every float op a fixed-order scalar expression; the caller
+    sums chi2_contrib if it wants the statistic (9 rows — driver-side).
+
+    Plan: map-side digit extraction, one 9-row groupBy, one broadcast
+    of the literal probability table, total count via a scalar window
+    over the 9-row aggregate. Nothing here scales with input size
+    except the initial scan.
+    """
+    spark = df.sparkSession
+    p_rows = [(str(d), BENFORD_P[d]) for d in range(1, 10)]
+    p_tbl = spark.createDataFrame(p_rows, "digit string, p double")
+    digit = F.substring(F.col(cents_col).cast("string"), 1, 1)
+    obs = df.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("observed")
+    )
+    tot = Window.partitionBy()
+    return (
+        obs.join(F.broadcast(p_tbl), "digit", "right")
+        .select(
+            "digit",
+            F.coalesce("observed", F.lit(0)).alias("observed"),
+            "p",
+            F.sum(F.coalesce("observed", F.lit(0))).over(tot).alias("n_total"),
+        )
+        .select(
+            "digit",
+            "observed",
+            (F.col("n_total") * F.col("p")).alias("expected_n"),
+            (
+                (F.col("observed") - F.col("n_total") * F.col("p"))
+                * (F.col("observed") - F.col("n_total") * F.col("p"))
+                / (F.col("n_total") * F.col("p"))
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+def benford_oracle_sql(source_sql: str, cents_col: str) -> str:
+    values = ", ".join(f"('{d}', {BENFORD_P[d]!r})" for d in range(1, 10))
+    return f"""
+    WITH src AS ({source_sql}),
+    p_tbl(digit, p) AS (VALUES {values}),
+    obs AS (
+      SELECT substr(CAST({cents_col} AS VARCHAR), 1, 1) AS digit,
+             count(*) AS observed
+      FROM src GROUP BY 1
+    ),
+    joined AS (
+      SELECT p_tbl.digit, COALESCE(obs.observed, 0) AS observed, p,
+             sum(COALESCE(obs.observed, 0)) OVER () AS n_total
+      FROM p_tbl LEFT JOIN obs ON obs.digit = p_tbl.digit
+    )
+    SELECT digit, CAST(observed AS BIGINT) AS observed,
+           CAST(n_total AS DOUBLE) * p AS expected_n,
+           (CAST(observed AS DOUBLE) - CAST(n_total AS DOUBLE) * p)
+             * (CAST(observed AS DOUBLE) - CAST(n_total AS DOUBLE) * p)
+             / (CAST(n_total AS DOUBLE) * p) AS chi2_contrib
+    FROM joined
+    """
+
+
+# -- Theil-Sen robust trend ---------------------------------------------------
+def theil_sen_by(df: DataFrame, group_col: str, x_col: str, y_col: str) -> DataFrame:
+    """Theil-Sen estimator per group: the MEDIAN of all pairwise slopes
+    (y_j - y_i)/(x_j - x_i), x_i < x_j — the robust trend line a single
+    outlier day cannot bend (vs least squares' unbounded influence).
+    ``x_col``/``y_col`` must be exact integers (epoch days, counts,
+    cents) so each slope is one exact-rounded IEEE division.
+
+    Plan: per-group self-join (x_i < x_j) builds the O(d^2) slope set
+    where d = points-per-group — Theil-Sen is intrinsically quadratic
+    in SERIES LENGTH, not dataset size; callers feed pre-aggregated
+    series (daily rollups: d = days, bounded by the time range). The
+    median is value-based: row_number over slope order, pick the middle
+    one or two, average — tie-order-proof and one window over d^2 rows
+    per group.
+
+    Output: group, n_points, n_pairs, slope (double).
+    """
+    a = df.select(
+        F.col(group_col).alias("_g"), F.col(x_col).alias("x1"), F.col(y_col).alias("y1")
+    )
+    b = df.select(
+        F.col(group_col).alias("_g"), F.col(x_col).alias("x2"), F.col(y_col).alias("y2")
+    )
+    slopes = (
+        a.join(b, "_g")
+        .where(F.col("x1") < F.col("x2"))
+        .select(
+            "_g",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("_g").orderBy("slope")
+    wn = Window.partitionBy("_g")
+    ranked = slopes.select(
+        "_g",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == (F.col("n_pairs") + 1) / 2)
+        | (F.col("rn") == (F.col("n_pairs") + 2) / 2)
+    )
+    npts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").alias("n_points")
+    )
+    return (
+        mid.groupBy("_g", "n_pairs")
+        .agg(((F.sum("slope")) / F.count("*")).alias("slope"))
+        .join(npts, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_points",
+            "n_pairs",
+            "slope",
+        )
+    )
+
+
+def theil_sen_oracle_sql(series_sql: str, group_col: str, x_col: str, y_col: str) -> str:
+    """DuckDB SQL for the identical pairwise-slope exact median. The
+    integer division quirk is avoided by the same (n+1)/2 arithmetic:
+    both engines compute it on BIGINT with floor semantics only when
+    both operands are integers — (n_pairs + 1) / 2 in DuckDB yields
+    DOUBLE, so the comparison against rn matches Spark's double
+    promotion exactly (rn = 2.5 is false in both)."""
+    return f"""
+    WITH s AS ({series_sql}),
+    slopes AS (
+      SELECT a.{group_col} AS _g,
+             (CAST(b.{y_col} - a.{y_col} AS DOUBLE)
+              / CAST(b.{x_col} - a.{x_col} AS DOUBLE)) AS slope
+      FROM s a JOIN s b
+        ON a.{group_col} = b.{group_col} AND a.{x_col} < b.{x_col}
+    ),
+    ranked AS (
+      SELECT _g, slope,
+             row_number() OVER (PARTITION BY _g ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY _g) AS n_pairs
+      FROM slopes
+    ),
+    mid AS (
+      SELECT _g, n_pairs, sum(slope) / count(*) AS slope
+      FROM ranked
+      WHERE rn = (n_pairs + 1) / 2.0 OR rn = (n_pairs + 2) / 2.0
+      GROUP BY _g, n_pairs
+    ),
+    npts AS (SELECT {group_col} AS _g, count(*) AS n_points FROM s GROUP BY 1)
+    SELECT mid._g AS {group_col},
+           CAST(n_points AS BIGINT) AS n_points,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope
+    FROM mid JOIN npts ON mid._g = npts._g
+    """
+
+
+# -- daily gap-fill with linear interpolation ---------------------------------
+def gap_fill_interpolate(
+    df: DataFrame, group_col: str, date_col: str, value_col: str
+) -> DataFrame:
+    """Regularize a sparse per-group daily series: emit one row per
+    calendar day in the group's [min, max] span, carrying the observed
+    value where present and the linear interpolation between the
+    nearest observed neighbors where absent (time-series feature prep;
+    edges have both neighbors by construction of the span).
+
+    ``value_col`` must be exact integers (cents/counts): interpolation
+    is ``prev + (next - prev) * ((day - prev_day) / (next_day -
+    prev_day))`` — integer differences, one division, one multiply,
+    one add, all exact-rounded IEEE in a fixed order.
+
+    Plan: per-group min/max + ``sequence()`` explode builds the date
+    spine (span-bounded, not data-bounded), one left join back to the
+    observations co-partitioned on (group, day), and two
+    ignore-nulls window passes (last-preceding / first-following) per
+    group ordered by day. Groups partition independently; span length
+    bounds the per-group row count.
+
+    Output: group, day, value (double: observed or interpolated),
+    is_interpolated flag.
+    """
+    spine = (
+        df.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.min(date_col).alias("d0"), F.max(date_col).alias("d1"))
+        .select("_g", F.explode(F.sequence("d0", "d1")).alias("_day"))
+    )
+    obs = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(date_col).alias("_day"),
+        F.col(value_col).alias("_v"),
+    )
+    joined = spine.join(obs, ["_g", "_day"], "left")
+    w = Window.partitionBy("_g").orderBy("_day")
+    prev_v = F.last("_v", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_v = F.first("_v", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_d = F.last(F.when(F.col("_v").isNotNull(), F.col("_day")), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_d = F.first(F.when(F.col("_v").isNotNull(), F.col("_day")), ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    interp = prev_v.cast("double") + (next_v - prev_v).cast("double") * (
+        F.datediff(F.col("_day"), prev_d).cast("double")
+        / F.datediff(next_d, prev_d).cast("double")
+    )
+    return joined.select(
+        F.col("_g").alias(group_col),
+        F.col("_day").alias(date_col),
+        F.when(F.col("_v").isNotNull(), F.col("_v").cast("double"))
+        .otherwise(interp)
+        .alias("value"),
+        F.col("_v").isNull().alias("is_interpolated"),
+    )
+
+
+def gap_fill_oracle_sql(series_sql: str, group_col: str, date_col: str, value_col: str) -> str:
+    """DuckDB SQL for the identical spine + ignore-nulls interpolation.
+    generate_series over dates yields timestamps in DuckDB — cast back
+    to DATE so the join keys and datediff arithmetic match Spark."""
+    return f"""
+    WITH s AS ({series_sql}),
+    spans AS (
+      SELECT {group_col} AS _g, min({date_col}) AS d0, max({date_col}) AS d1
+      FROM s GROUP BY 1
+    ),
+    spine AS (
+      SELECT _g, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                             CAST(d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS _day
+      FROM spans
+    ),
+    joined AS (
+      SELECT spine._g, spine._day, s.{value_col} AS _v
+      FROM spine LEFT JOIN s
+        ON s.{group_col} = spine._g AND s.{date_col} = spine._day
+    ),
+    filled AS (
+      SELECT _g, _day, _v,
+             last_value(_v IGNORE NULLS) OVER
+               (PARTITION BY _g ORDER BY _day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             first_value(_v IGNORE NULLS) OVER
+               (PARTITION BY _g ORDER BY _day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             last_value(CASE WHEN _v IS NOT NULL THEN _day END IGNORE NULLS) OVER
+               (PARTITION BY _g ORDER BY _day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+             first_value(CASE WHEN _v IS NOT NULL THEN _day END IGNORE NULLS) OVER
+               (PARTITION BY _g ORDER BY _day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+      FROM joined
+    )
+    SELECT _g AS {group_col}, _day AS {date_col},
+           CASE WHEN _v IS NOT NULL THEN CAST(_v AS DOUBLE)
+                ELSE CAST(prev_v AS DOUBLE)
+                     + CAST(next_v - prev_v AS DOUBLE)
+                       * (CAST(_day - prev_d AS DOUBLE)
+                          / CAST(next_d - prev_d AS DOUBLE))
+           END AS value,
+           (_v IS NULL) AS is_interpolated
+    FROM filled
+    """

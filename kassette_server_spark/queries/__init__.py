@@ -25,6 +25,7 @@ from . import analytics as _analytics  # noqa: F401,E402  (q75-q77, q83)
 from . import extras as _extras  # noqa: F401,E402  (q91-q96)
 from . import advanced as _advanced  # noqa: F401,E402  (q99-q139)
 from . import round6 as _round6  # noqa: F401,E402  (q140-q143)
+from . import round7 as _round7  # noqa: F401,E402  (q144-q148)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import

@@ -266,3 +266,61 @@ def test_q142_pareto_local_prune_before_global_window(spark):
     assert p.count("Window") >= 2
     # the local phase hashes into buckets -> an exchange on _b exists
     assert "_b" in p
+
+
+def test_q144_ks_groups_broadcast_window_per_segment(spark):
+    """The distinct-groups frame is broadcast (never a data-sized
+    shuffle for the replicate-by-G step); the ECDF needs exactly the
+    two window passes over the one (g)-partitioned exchange."""
+    p = plan(spark, "q144_ks_drift")
+    assert "BroadcastNestedLoopJoin Cross" in p or "BroadcastHashJoin" in p
+    assert "BroadcastExchange" in p
+    assert p.count("Window (") == 2  # "Window (" counts tree NODES
+    # events scan pruned to the two needed columns
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_type" in read_schema and "props" not in read_schema
+
+
+def test_q145_benford_partial_agg_and_pruned_scan(spark):
+    """Digit counts partial-aggregate map-side; the lineitem scan reads
+    only the price column; the 9-row probability table rides a
+    broadcast."""
+    p = plan(spark, "q145_benford_audit")
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
+
+
+def test_q146_theil_sen_npts_broadcast(spark):
+    """The per-group point-count frame joins back broadcast; the slope
+    median's window runs over the pairwise-slope frame (series-length
+    bounded), partitioned per group."""
+    p = plan(spark, "q146_theil_sen_trend")
+    assert "BroadcastExchange" in p
+    assert p.count("Window (") >= 2  # row_number + count over slopes
+
+
+def test_q147_paths_window_group_limits_and_topk(spark):
+    """Both rank filters compile to pre-shuffle WindowGroupLimit
+    (first-8-per-session and top-50-paths), and the global top-50
+    avoids a full sort via TakeOrderedAndProject."""
+    p = plan(spark, "q147_session_paths")
+    assert p.count("WindowGroupLimit") >= 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q148_gap_fill_no_extra_window_exchange(spark):
+    """The spine inherits the group-hash partitioning from its min/max
+    aggregate, the observations side broadcasts, and the interpolation
+    window reuses the same partitioning — exactly two exchanges (one
+    per aggregate), zero for the window."""
+    import re
+
+    p = plan(spark, "q148_gap_fill")
+    # count shuffle-Exchange NODES via the detail-section headers
+    # ("(5) Exchange"), which unlike "Exchange (" don't also match
+    # BroadcastExchange
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 2
+    assert p.count("Window (") == 1
+    assert "BroadcastHashJoin LeftOuter" in p

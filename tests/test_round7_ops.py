@@ -1,0 +1,134 @@
+"""Unit semantics for the round-7 drift/audit operators (the oracle
+parity tests lock engine agreement; these lock the MATH on hand-built
+cases where the right answer is known a priori)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kassette_server_spark.operators.drift import (
+    BENFORD_P,
+    benford_audit,
+    gap_fill_interpolate,
+    ks_drift_by,
+    theil_sen_by,
+)
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    """A=[1,2,3] vs rest=[4,5,6]: ECDFs separate completely → D = 1
+    (d_num = n*m)."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    out = {r.g: r for r in ks_drift_by(df, "g", "v").collect()}
+    assert out["a"].n == 3 and out["a"].m == 3
+    assert out["a"].d_num == 9 and out["a"].ks == 1.0
+    assert out["b"].d_num == 9 and out["b"].ks == 1.0
+
+
+def test_ks_identical_distribution_is_small(spark):
+    """Both groups sample the same values → at every point the ECDF gap
+    is at most one step of the smaller sample."""
+    rows = [("a", float(i % 5)) for i in range(50)] + [
+        ("b", float(i % 5)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for r in ks_drift_by(df, "g", "v").collect():
+        assert r.ks == 0.0  # identical multisets → identical ECDFs
+
+
+def test_ks_ties_use_range_frame(spark):
+    """Tied values must aggregate as one ECDF step on both sides of
+    the comparison (RANGE frame, not ROWS): a=[1,1], rest=[1,2] agree
+    at x=1 (1.0 vs 0.5 → diff 0.5) and x=2 (1.0 vs 1.0)."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    out = {r.g: r for r in ks_drift_by(df, "g", "v").collect()}
+    assert out["a"].d_num == 2 and out["a"].ks == 0.5
+
+
+def test_benford_observed_and_expectations(spark):
+    """Digits extracted from the integer's first character; expected
+    counts are N * log10(1 + 1/d) with the probabilities summing to 1."""
+    cents = [100, 199, 2050, 30000, 311, 3999, 912345]  # digits 1,1,2,3,3,3,9
+    df = spark.createDataFrame([(c,) for c in cents], "cents long")
+    rows = {r.digit: r for r in benford_audit(df, "cents").collect()}
+    assert len(rows) == 9  # every digit row present even when unobserved
+    assert rows["1"].observed == 2
+    assert rows["2"].observed == 1
+    assert rows["3"].observed == 3
+    assert rows["9"].observed == 1
+    assert rows["4"].observed == 0
+    n = sum(r.observed for r in rows.values())
+    assert n == 7
+    assert math.isclose(sum(r.expected_n for r in rows.values()), n, rel_tol=1e-12)
+    for d, r in rows.items():
+        assert r.expected_n == n * BENFORD_P[int(d)]
+        exp = n * BENFORD_P[int(d)]
+        assert math.isclose(r.chi2_contrib, (r.observed - exp) ** 2 / exp, rel_tol=1e-12)
+
+
+def test_theil_sen_ignores_outlier(spark):
+    """y = 2x with one wild outlier: least squares would bend, the
+    median of pairwise slopes stays exactly 2."""
+    pts = [("g", x, 2 * x) for x in range(10) if x != 5] + [("g", 5, 1000)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    r = theil_sen_by(df, "g", "x", "y").collect()[0]
+    assert r.n_points == 10
+    assert r.n_pairs == 45
+    assert r.slope == 2.0
+
+
+def test_theil_sen_even_pair_count_averages_middles(spark):
+    """4 points → 6 slopes; even count averages the two middle VALUES."""
+    pts = [("g", 0, 0), ("g", 1, 1), ("g", 2, 4), ("g", 3, 9)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    r = theil_sen_by(df, "g", "x", "y").collect()[0]
+    # slopes: 1,2,3,3,4,5 → median = (3+3)/2 = 3
+    assert r.n_pairs == 6 and r.slope == 3.0
+
+
+def test_gap_fill_linear_interpolation(spark):
+    """Observed days 0 and 3 (values 100 → 400): days 1 and 2 are
+    interpolated at exactly 200 and 300; observed rows keep their
+    value and the flag distinguishes them."""
+    df = spark.createDataFrame(
+        [("g", "2024-01-01", 100), ("g", "2024-01-04", 400)],
+        "g string, day string, v long",
+    ).withColumn("day", F.to_date("day"))
+    out = {
+        str(r.day): r for r in gap_fill_interpolate(df, "g", "day", "v").collect()
+    }
+    assert len(out) == 4
+    assert out["2024-01-01"].value == 100.0 and not out["2024-01-01"].is_interpolated
+    assert out["2024-01-02"].value == 200.0 and out["2024-01-02"].is_interpolated
+    assert out["2024-01-03"].value == 300.0 and out["2024-01-03"].is_interpolated
+    assert out["2024-01-04"].value == 400.0 and not out["2024-01-04"].is_interpolated
+
+
+def test_gap_fill_multiple_groups_independent_spans(spark):
+    """Each group gets its own [min, max] spine — no cross-group
+    bleed, no rows outside a group's own span."""
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01", 10),
+            ("a", "2024-01-03", 30),
+            ("b", "2024-02-10", 5),
+        ],
+        "g string, day string, v long",
+    ).withColumn("day", F.to_date("day"))
+    out = gap_fill_interpolate(df, "g", "day", "v").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    assert len(by_g["a"]) == 3  # Jan 1-3
+    assert len(by_g["b"]) == 1  # single-day span
+    assert {str(r.day) for r in by_g["b"]} == {"2024-02-10"}
+    mid = [r for r in by_g["a"] if str(r.day) == "2024-01-02"][0]
+    assert mid.value == 20.0 and mid.is_interpolated
