@@ -303,6 +303,164 @@ def theil_sen_oracle_sql(series_sql: str, group_col: str, x_col: str, y_col: str
     """
 
 
+# -- Mann-Whitney U (rank-sum) drift ------------------------------------------
+def mann_whitney_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact Mann-Whitney U (rank-sum) of each group vs the rest — the
+    rank-based drift companion to ks_drift_by (KS sees shape changes;
+    U/AUC sees stochastic dominance: "is segment g's metric
+    systematically higher?").
+
+    Everything stays integer until the final division: tied values get
+    the average rank, whose double of the textbook value is the integer
+    ``2*min_rank + ties - 1``; ``two_u = sum(2*avg_rank) - n(n+1)``
+    is exactly twice U, and ``auc = U/(n*m)`` is one IEEE division.
+
+    Plan: ranks depend only on the COMBINED sample, so they are
+    computed ONCE (not per group): a distinct-value aggregate, one
+    cumulative window over DISTINCT values (bounded by value
+    cardinality, not row count — the scale move vs rank() over raw
+    rows), a value-equi-join back, then one small per-group aggregate.
+
+    Output: group, n, m, two_u (BIGINT = 2U), auc (double).
+    """
+    vals = df.groupBy(F.col(value_col).alias("_v")).agg(F.count("*").alias("_cnt"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    # 2*average-rank of every row with value v: 2*(#smaller) + ties + 1
+    ranked_vals = vals.select(
+        "_v",
+        (
+            2 * F.coalesce(F.sum("_cnt").over(w), F.lit(0)) + F.col("_cnt") + 1
+        ).alias("_two_rank"),
+    )
+    joined = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).join(ranked_vals, "_v")
+    per_g = joined.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count("*").alias("n"), F.sum("_two_rank").alias("_two_r")
+    )
+    # grand total from the G-row aggregate itself (scalar window over
+    # G rows — no second scan, no driver action)
+    n_tot = F.sum("n").over(Window.partitionBy())
+    return per_g.select(
+        group_col,
+        "n",
+        (n_tot - F.col("n")).alias("m"),
+        (F.col("_two_r") - F.col("n") * (F.col("n") + 1)).alias("two_u"),
+        (
+            (F.col("_two_r") - F.col("n") * (F.col("n") + 1)).cast("double")
+            / (2 * F.col("n") * (n_tot - F.col("n"))).cast("double")
+        ).alias("auc"),
+    )
+
+
+def mann_whitney_oracle_sql(source_sql: str, group_col: str, value_col: str) -> str:
+    return f"""
+    WITH src AS ({source_sql}),
+    vals AS (SELECT {value_col} AS _v, count(*) AS _cnt FROM src GROUP BY 1),
+    ranked_vals AS (
+      SELECT _v,
+             2 * COALESCE(sum(_cnt) OVER (ORDER BY _v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + _cnt + 1 AS _two_rank
+      FROM vals
+    ),
+    tot AS (SELECT count(*) AS n_tot FROM src),
+    per_g AS (
+      SELECT s.{group_col} AS _g, count(*) AS n, sum(r._two_rank) AS _two_r
+      FROM src s JOIN ranked_vals r ON s.{value_col} = r._v
+      GROUP BY 1
+    )
+    SELECT _g AS {group_col},
+           CAST(n AS BIGINT) AS n,
+           CAST(n_tot - n AS BIGINT) AS m,
+           CAST(_two_r - n * (n + 1) AS BIGINT) AS two_u,
+           CAST(_two_r - n * (n + 1) AS DOUBLE)
+             / CAST(2 * n * (n_tot - n) AS DOUBLE) AS auc
+    FROM per_g CROSS JOIN tot
+    """
+
+
+# -- CUSUM changepoint --------------------------------------------------------
+def cusum_changepoint_by(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Single most-likely level-shift point per group via the CUSUM
+    statistic: argmax_k |n*S_k - k*S_n| where S_k is the prefix sum of
+    the (integer) series in ``x_col`` order — the classic "when did
+    this metric's mean change?" detector, exact because the statistic
+    is pure BIGINT (valid while n*S_n < 2^63; feed bounded-length
+    pre-aggregated series, e.g. daily rollups).
+
+    Ties break to the EARLIEST k (first moment the shift is
+    detectable) — deterministic via a (stat desc, k asc) row_number.
+
+    Plan: one per-group cumulative window over the series (series-
+    length rows), the group totals from the same window's unbounded
+    frame (no second scan), then a per-group top-1 — WindowGroupLimit
+    keeps it pre-shuffle.
+
+    Output: group, n_points, change_x (the x at the argmax), stat
+    (BIGINT numerator; divide by n*... externally if a normalized
+    score is wanted).
+    """
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    c = df.select(
+        group_col,
+        x_col,
+        F.sum(y_col).over(w_cum).alias("s_k"),
+        F.row_number()
+        .over(Window.partitionBy(group_col).orderBy(x_col))
+        .alias("k"),
+        F.sum(y_col).over(w_all).alias("s_n"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    stat = F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n"))
+    ranked = c.select(
+        group_col,
+        x_col,
+        "n",
+        stat.alias("stat"),
+        F.row_number()
+        .over(Window.partitionBy(group_col).orderBy(stat.desc(), F.col(x_col)))
+        .alias("_rk"),
+    )
+    return ranked.where(F.col("_rk") == 1).select(
+        group_col,
+        F.col("n").alias("n_points"),
+        F.col(x_col).alias("change_x"),
+        "stat",
+    )
+
+
+def cusum_oracle_sql(series_sql: str, group_col: str, x_col: str, y_col: str) -> str:
+    return f"""
+    WITH s AS ({series_sql}),
+    c AS (
+      SELECT {group_col} AS _g, {x_col} AS _x,
+             sum({y_col}) OVER (PARTITION BY {group_col} ORDER BY {x_col}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+             row_number() OVER (PARTITION BY {group_col} ORDER BY {x_col}) AS k,
+             sum({y_col}) OVER (PARTITION BY {group_col}) AS s_n,
+             count(*) OVER (PARTITION BY {group_col}) AS n
+      FROM s
+    ),
+    ranked AS (
+      SELECT _g, _x, n, abs(n * s_k - k * s_n) AS stat,
+             row_number() OVER (PARTITION BY _g
+                 ORDER BY abs(n * s_k - k * s_n) DESC, _x) AS _rk
+      FROM c
+    )
+    SELECT _g AS {group_col}, CAST(n AS BIGINT) AS n_points,
+           _x AS change_x, CAST(stat AS BIGINT) AS stat
+    FROM ranked WHERE _rk = 1
+    """
+
+
 # -- daily gap-fill with linear interpolation ---------------------------------
 def gap_fill_interpolate(
     df: DataFrame, group_col: str, date_col: str, value_col: str

@@ -1,8 +1,9 @@
-"""Round-7 specs (q144-q148): distribution-drift and data-audit
+"""Round-7 specs (q144-q152): distribution-drift and data-audit
 operators over the event stream and the billing tables — the
 "assess what you moved" layer a 100 TB training-data pipeline runs
-after ingest (drift detection, fabricated-data screening, robust
-trending, series regularization, path mining).
+after ingest (KS and rank-based drift, fabricated-data screening,
+robust trending, changepoints, series regularization, path mining,
+audience affinity, autocorrelation).
 
 Registered AFTER the 50-spec driver window (queries/__init__.py), so
 they ship on repo-oracle evidence this round and take their guaranteed
@@ -24,10 +25,14 @@ from ..catalog import load
 from ..operators.drift import (
     benford_audit,
     benford_oracle_sql,
+    cusum_changepoint_by,
+    cusum_oracle_sql,
     gap_fill_interpolate,
     gap_fill_oracle_sql,
     ks_drift_by,
     ks_drift_oracle_sql,
+    mann_whitney_by,
+    mann_whitney_oracle_sql,
     theil_sen_by,
     theil_sen_oracle_sql,
 )
@@ -188,3 +193,184 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = gap_fill_interpolate(daily, "event_type", "day", "cents")
     return out.withColumn("day", F.col("day").cast("string"))
+
+
+@query(
+    "q149_mann_whitney",
+    oracle=mann_whitney_oracle_sql(
+        "SELECT event_type, value FROM events", "event_type", "value"
+    ),
+    doc="exact Mann-Whitney U / AUC of each event type's value vs the "
+    "rest (rank-based stochastic-dominance drift; integer 2U via "
+    "tie-averaged ranks over a distinct-value cumulative window)",
+    tags=("drift", "stats"),
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_type", "value")
+    return mann_whitney_by(ev, "event_type", "value")
+
+
+@query(
+    "q150_cusum_changepoint",
+    oracle=cusum_oracle_sql(
+        _Q146_SERIES.replace("cnt", "y").replace("day_x", "x"),
+        "event_type",
+        "x",
+        "y",
+    ),
+    doc="CUSUM level-shift changepoint per event type's daily volume: "
+    "argmax_k |n*S_k - k*S_n| over the prefix sums, earliest-k "
+    "tiebreak, pure-BIGINT statistic",
+    tags=("drift", "timeseries"),
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    return cusum_changepoint_by(daily, "event_type", "x", "y")
+
+
+@query(
+    "q151_type_affinity",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    per_t AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+    co AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(p1.nu AS BIGINT) AS n1,
+           CAST(p2.nu AS BIGINT) AS n2,
+           CAST(n_both AS DOUBLE) / CAST(p1.nu + p2.nu - n_both AS DOUBLE) AS jaccard
+    FROM co JOIN per_t p1 ON p1.event_type = t1
+            JOIN per_t p2 ON p2.event_type = t2
+    """,
+    doc="event-type audience affinity: exact Jaccard of user sets per "
+    "type pair (distinct (user,type) dedup, user-keyed self-join "
+    "bounded by types-per-user, broadcast per-type totals)",
+    tags=("analytics", "similarity"),
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    ut = load(spark, sf, "events").select("user_id", "event_type").distinct()
+    per_t = ut.groupBy("event_type").agg(F.count("*").alias("nu"))
+    a = ut.select(F.col("user_id").alias("u"), F.col("event_type").alias("t1"))
+    b = ut.select(F.col("user_id").alias("u"), F.col("event_type").alias("t2"))
+    co = (
+        a.join(b, "u")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_both"))
+    )
+    p1 = per_t.select(F.col("event_type").alias("t1"), F.col("nu").alias("n1"))
+    p2 = per_t.select(F.col("event_type").alias("t2"), F.col("nu").alias("n2"))
+    return (
+        co.join(F.broadcast(p1), "t1")
+        .join(F.broadcast(p2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            "n1",
+            "n2",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# lag-L autocorrelation of daily counts: align by day-join (gap-safe,
+# unlike lag()) and compute Pearson r from exact integer moments — the
+# q137 recipe applied to a series against its own shifted self
+@query(
+    "q152_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+    pairs AS (
+      SELECT a.t, l.lag, count(*) AS n,
+             sum(a.x) AS sx, sum(b.x) AS sy,
+             sum(a.x * a.x) AS sxx, sum(b.x * b.x) AS syy,
+             sum(a.x * b.x) AS sxy
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.t = a.t AND b.d = a.d + l.lag
+      GROUP BY a.t, l.lag
+    )
+    SELECT t AS event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS acf
+    FROM pairs
+    """,
+    doc="lag-1..7 autocorrelation of daily volume per event type "
+    "(day-aligned self-join is gap-safe where lag() is not; exact "
+    "integer moments, q137's shared double tree)",
+    tags=("stats", "timeseries"),
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("t"), F.col("d"), F.col("x").alias("xa")).crossJoin(
+        F.broadcast(lags)
+    )
+    b = daily.select(
+        F.col("t").alias("tb"), F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("tb") == F.col("t"))
+            & (F.col("db") == F.col("d") + F.col("lag")),
+        )
+        .groupBy("t", "lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return pairs.select(
+        F.col("t").alias("event_type"),
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("acf"),
+    )

@@ -324,3 +324,35 @@ def test_q148_gap_fill_no_extra_window_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 2
     assert p.count("Window (") == 1
     assert "BroadcastHashJoin LeftOuter" in p
+
+
+def test_q149_mann_whitney_rank_table_broadcast(spark):
+    """Ranks come from the distinct-value aggregate (value-cardinality
+    bounded), broadcast back to the data — the raw rows are never
+    globally sorted."""
+    p = plan(spark, "q149_mann_whitney")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Window (") == 2  # distinct-value cum + G-row scalar
+
+
+def test_q150_cusum_no_join_top1_group_limit(spark):
+    """Pure window pipeline: cumulative sums and the argmax top-1 need
+    zero joins, and the per-group top-1 compiles to a pre-shuffle
+    WindowGroupLimit."""
+    p = plan(spark, "q150_cusum_changepoint")
+    assert "Join" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_q151_affinity_totals_broadcast_no_cartesian(spark):
+    p = plan(spark, "q151_type_affinity")
+    assert "BroadcastExchange" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q152_acf_lags_broadcast(spark):
+    """The 7-row lag table rides a broadcast cross join; the day-shift
+    alignment is an equi-join; one aggregate exchange total."""
+    p = plan(spark, "q152_autocorrelation")
+    assert "BroadcastNestedLoopJoin Cross" in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p

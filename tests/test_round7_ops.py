@@ -132,3 +132,62 @@ def test_gap_fill_multiple_groups_independent_spans(spark):
     assert {str(r.day) for r in by_g["b"]} == {"2024-02-10"}
     mid = [r for r in by_g["a"] if str(r.day) == "2024-01-02"][0]
     assert mid.value == 20.0 and mid.is_interpolated
+
+
+def test_mann_whitney_complete_separation(spark):
+    """A entirely above rest → U = n*m (AUC 1); rest symmetric at 0."""
+    df = spark.createDataFrame(
+        [("a", 4.0), ("a", 5.0), ("a", 6.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    from kassette_server_spark.operators.drift import mann_whitney_by
+
+    out = {r.g: r for r in mann_whitney_by(df, "g", "v").collect()}
+    assert out["a"].two_u == 18 and out["a"].auc == 1.0
+    assert out["b"].two_u == 0 and out["b"].auc == 0.0
+
+
+def test_mann_whitney_ties_average_ranks(spark):
+    """a=[1], rest=[1]: the tie shares rank 1.5 → U = 0.5, AUC = 0.5."""
+    from kassette_server_spark.operators.drift import mann_whitney_by
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 1.0)], "g string, v double")
+    out = {r.g: r for r in mann_whitney_by(df, "g", "v").collect()}
+    assert out["a"].two_u == 1 and out["a"].auc == 0.5
+    assert out["b"].two_u == 1 and out["b"].auc == 0.5
+
+
+def test_mann_whitney_identical_distributions(spark):
+    from kassette_server_spark.operators.drift import mann_whitney_by
+
+    rows = [("a", float(i % 4)) for i in range(40)] + [
+        ("b", float(i % 4)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for r in mann_whitney_by(df, "g", "v").collect():
+        assert r.auc == 0.5
+
+
+def test_cusum_finds_level_shift(spark):
+    """Flat 0s then flat 10s: the CUSUM argmax lands on the last point
+    before the shift."""
+    from kassette_server_spark.operators.drift import cusum_changepoint_by
+
+    pts = [("g", x, 0) for x in range(1, 4)] + [("g", x, 10) for x in range(4, 7)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    r = cusum_changepoint_by(df, "g", "x", "y").collect()[0]
+    assert r.change_x == 3
+    assert r.n_points == 6
+    # stat at k=3: |6*0 - 3*30| = 90
+    assert r.stat == 90
+
+
+def test_cusum_tie_breaks_earliest(spark):
+    """A constant series has stat 0 everywhere → earliest x wins."""
+    from kassette_server_spark.operators.drift import cusum_changepoint_by
+
+    df = spark.createDataFrame(
+        [("g", x, 5) for x in range(1, 6)], "g string, x long, y long"
+    )
+    r = cusum_changepoint_by(df, "g", "x", "y").collect()[0]
+    assert r.stat == 0 and r.change_x == 1
