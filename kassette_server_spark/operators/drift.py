@@ -461,6 +461,114 @@ def cusum_oracle_sql(series_sql: str, group_col: str, x_col: str, y_col: str) ->
     """
 
 
+# -- histogram total-variation drift ------------------------------------------
+def hist_tv_distance(ref_bins: DataFrame, cur_bins: DataFrame) -> DataFrame:
+    """Total-variation distance between two (bin, cnt) histograms —
+    TV = 0.5 * sum_i |p_i - q_i| over the normalized bin masses, the
+    bounded [0, 1] "how different are these distributions" number that
+    needs no transcendental math (unlike KL/PSI, whose logs are not
+    bit-portable across engines).
+
+    Exactness: with integer counts r_i (total R) and c_i (total C),
+    TV = sum|r_i*C - c_i*R| / (2*R*C) — the numerator is pure BIGINT
+    (valid while R*C < 2^63; histogram totals, not raw data, so this
+    holds far past 100 TB of input), the division one IEEE op.
+
+    Plan: full-outer join on bin (<= num_bins rows per side), scalar-
+    window totals over the bin frame, one-row output. Register-scale
+    throughout — composable inside foreachBatch.
+
+    Output: one row (ref_n, cur_n, tv_num, tv).
+    """
+    r = ref_bins.select("bin", F.col("cnt").alias("r_cnt"))
+    c = cur_bins.select("bin", F.col("cnt").alias("c_cnt"))
+    j = r.join(c, "bin", "full_outer").select(
+        F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+        F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+    )
+    w = Window.partitionBy()
+    tot = j.select(
+        "r_cnt",
+        "c_cnt",
+        F.sum("r_cnt").over(w).alias("ref_n"),
+        F.sum("c_cnt").over(w).alias("cur_n"),
+    )
+    return (
+        tot.groupBy("ref_n", "cur_n")
+        .agg(
+            F.sum(
+                F.abs(F.col("r_cnt") * F.col("cur_n") - F.col("c_cnt") * F.col("ref_n"))
+            ).alias("tv_num")
+        )
+        .select(
+            "ref_n",
+            "cur_n",
+            "tv_num",
+            (
+                F.col("tv_num").cast("double")
+                / (2 * F.col("ref_n") * F.col("cur_n")).cast("double")
+            ).alias("tv"),
+        )
+    )
+
+
+def hist_tv_oracle_sql(ref_sql: str, cur_sql: str) -> str:
+    """DuckDB SQL computing the identical TV distance from two
+    (bin, cnt) subqueries."""
+    return f"""
+    WITH r AS ({ref_sql}), c AS ({cur_sql}),
+    j AS (
+      SELECT COALESCE(r.cnt, 0) AS r_cnt, COALESCE(c.cnt, 0) AS c_cnt
+      FROM r FULL OUTER JOIN c ON r.bin = c.bin
+    ),
+    tot AS (
+      SELECT r_cnt, c_cnt,
+             sum(r_cnt) OVER () AS ref_n, sum(c_cnt) OVER () AS cur_n
+      FROM j
+    )
+    SELECT CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(cur_n AS BIGINT) AS cur_n,
+           CAST(sum(abs(r_cnt * cur_n - c_cnt * ref_n)) AS BIGINT) AS tv_num,
+           CAST(sum(abs(r_cnt * cur_n - c_cnt * ref_n)) AS DOUBLE)
+             / CAST(2 * ref_n * cur_n AS DOUBLE) AS tv
+    FROM tot GROUP BY ref_n, cur_n
+    """
+
+
+def hist_drift_monitor(
+    batch_df: DataFrame,
+    batch_id: int,
+    col: str,
+    store_path: str,
+    ref_bins: DataFrame,
+    bin_width: float = 1.0,
+    num_bins: int = 1024,
+):
+    """foreachBatch body: fold the micro-batch into the running
+    histogram store (replay-fenced via hist_merge_into_store) and
+    report the running distribution's TV drift against a frozen
+    reference histogram — the streaming "has my feature distribution
+    moved since the baseline?" monitor.
+
+    Returns the (ref_n, cur_n, tv_num, tv) row for this batch, or
+    None when the batch was a replay skip (caller emits nothing —
+    at-least-once replays produce no duplicate report).
+
+    State is the <= num_bins histogram store plus the broadcastable
+    reference — register-scale regardless of stream volume.
+    """
+    from .sketches import hist_merge_into_store
+    from .store import read_store
+
+    merged = hist_merge_into_store(
+        batch_df, batch_id, col, store_path, bin_width, num_bins
+    )
+    if not merged:
+        return None
+    cur = read_store(batch_df.sparkSession, store_path).select("bin", "cnt")
+    return hist_tv_distance(ref_bins, cur).collect()[0]
+
+
 # -- daily gap-fill with linear interpolation ---------------------------------
 def gap_fill_interpolate(
     df: DataFrame, group_col: str, date_col: str, value_col: str

@@ -29,6 +29,8 @@ from ..operators.drift import (
     cusum_oracle_sql,
     gap_fill_interpolate,
     gap_fill_oracle_sql,
+    hist_tv_distance,
+    hist_tv_oracle_sql,
     ks_drift_by,
     ks_drift_oracle_sql,
     mann_whitney_by,
@@ -374,3 +376,33 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("acf"),
     )
+
+
+# first-half vs second-half value histograms (bin width 10): the batch
+# face of the streaming hist_drift_monitor — same hist_bins registers,
+# same TV arithmetic
+def _tv_half_sql(pred: str) -> str:
+    return (
+        "SELECT LEAST(GREATEST(CAST(floor(value / 10.0) AS BIGINT), 0), 63) AS bin, "
+        f"count(*) AS cnt FROM events WHERE value IS NOT NULL AND {pred} GROUP BY 1"
+    )
+
+
+@query(
+    "q153_hist_drift",
+    oracle=hist_tv_oracle_sql(
+        _tv_half_sql("CAST(ts AS DATE) < DATE '2024-01-16'"),
+        _tv_half_sql("CAST(ts AS DATE) >= DATE '2024-01-16'"),
+    ),
+    doc="total-variation drift between first-half and second-half "
+    "value histograms (integer TV numerator over <=64 bin registers; "
+    "the batch face of the streaming hist_drift_monitor)",
+    tags=("drift", "streaming-adjacent"),
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketches import hist_bins
+
+    ev = load(spark, sf, "events").select(F.to_date("ts").alias("day"), "value")
+    ref = hist_bins(ev.where(F.col("day") < "2024-01-16"), "value", 10.0, 64)
+    cur = hist_bins(ev.where(F.col("day") >= "2024-01-16"), "value", 10.0, 64)
+    return hist_tv_distance(ref, cur)

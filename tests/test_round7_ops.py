@@ -191,3 +191,54 @@ def test_cusum_tie_breaks_earliest(spark):
     )
     r = cusum_changepoint_by(df, "g", "x", "y").collect()[0]
     assert r.stat == 0 and r.change_x == 1
+
+
+def test_hist_tv_distance_extremes(spark):
+    """Disjoint histograms → TV = 1; identical → TV = 0; a known
+    half-overlap → exact rational."""
+    from kassette_server_spark.operators.drift import hist_tv_distance
+
+    ref = spark.createDataFrame([(0, 10), (1, 10)], "bin long, cnt long")
+    cur_same = spark.createDataFrame([(0, 5), (1, 5)], "bin long, cnt long")
+    cur_disj = spark.createDataFrame([(2, 7), (3, 3)], "bin long, cnt long")
+    cur_half = spark.createDataFrame([(0, 10)], "bin long, cnt long")
+    assert hist_tv_distance(ref, cur_same).collect()[0].tv == 0.0
+    r = hist_tv_distance(ref, cur_disj).collect()[0]
+    assert r.tv == 1.0 and r.ref_n == 20 and r.cur_n == 10
+    # ref = (.5, .5), cur = (1, 0) → TV = .5; numerator scale-invariant
+    r = hist_tv_distance(ref, cur_half).collect()[0]
+    assert r.tv == 0.5
+
+
+def test_hist_drift_monitor_stream(spark, tmp_path):
+    """foreachBatch composition: the running histogram accumulates
+    across batches, TV vs the frozen reference grows as the stream
+    shifts away from it, and a replayed batch_id reports nothing
+    (no duplicate monitoring rows under at-least-once)."""
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.drift import hist_drift_monitor
+    from kassette_server_spark.operators.sketches import hist_bins
+
+    store = str(tmp_path / "hist")
+    base = spark.range(100).select((F.col("id") % 10).cast("double").alias("v"))
+    ref = hist_bins(base, "v", 1.0, 32).localCheckpoint()
+
+    # batch 0 drawn from the reference distribution: small drift
+    b0 = spark.range(50).select((F.col("id") % 10).cast("double").alias("v"))
+    r0 = hist_drift_monitor(b0, 0, "v", store, ref, 1.0, 32)
+    assert r0 is not None and r0.tv == 0.0
+
+    # batch 1 concentrated far away: running dist shifts, TV rises
+    b1 = spark.range(150).select((F.lit(25.0) + (F.col("id") % 3)).alias("v"))
+    r1 = hist_drift_monitor(b1, 1, "v", store, ref, 1.0, 32)
+    assert r1 is not None and r1.tv > 0.5
+    assert r1.cur_n == 200  # 50 + 150 accumulated
+
+    # replay of batch 1: fenced skip, no report row
+    assert hist_drift_monitor(b1, 1, "v", store, ref, 1.0, 32) is None
+
+    # batch 2 keeps drifting: monotone in this construction
+    b2 = spark.range(100).select((F.lit(28.0) + (F.col("id") % 2)).alias("v"))
+    r2 = hist_drift_monitor(b2, 2, "v", store, ref, 1.0, 32)
+    assert r2.tv > r1.tv
