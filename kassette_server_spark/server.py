@@ -52,13 +52,34 @@ from .streaming.supervisor import StreamingSupervisor, connection_stream_starter
 
 def default_deliver_factory(work_dir: str):
     """Per-connection sender: JSON files under work_dir/delivered/<id>
-    (swap for REST/JDBC/COPY senders via KassetteServer(deliver_factory=...))."""
+    (swap for REST/JDBC/COPY senders via KassetteServer(deliver_factory=...)).
+
+    IDEMPOTENT by content-addressing (round-7 churn-soak finding): a
+    query stopped (config disable) or crashed BETWEEN delivering and
+    appending the ledger rows replays the whole micro-batch on restart
+    — the ledger can't dedup what it never recorded, so an append-mode
+    sink duplicated rows. Writing each batch as ONE atomically-renamed
+    file named by the md5 of its (sorted) content makes the replay
+    overwrite the identical file instead: at-least-once replay +
+    idempotent sink = the exactly-once the module docstring promises.
+    Driver-side materialization is micro-batch-sized (the gateway's
+    32/2000ms batches) — this is the dev/file destination; production
+    paths (postgres COPY, REST) dedup via destination keys/ledger."""
+    import hashlib
 
     def factory(conn: Connection):
         out_dir = os.path.join(work_dir, "delivered", str(conn.id))
 
         def deliver(df: DataFrame) -> DataFrame:
-            df.write.mode("append").json(out_dir)
+            rows = sorted(df.toJSON().collect())
+            if rows:
+                digest = hashlib.md5("\n".join(rows).encode()).hexdigest()
+                os.makedirs(out_dir, exist_ok=True)
+                name = f"batch-{digest}.json"
+                tmp = os.path.join(out_dir, "." + name + ".tmp")
+                with open(tmp, "w") as f:
+                    f.write("\n".join(rows) + "\n")
+                os.rename(tmp, os.path.join(out_dir, name))
             return df.select(
                 "message_id",
                 F.lit(True).alias("delivered"),

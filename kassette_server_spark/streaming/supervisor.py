@@ -16,6 +16,7 @@ Wire it to the control plane as ``ConfigStore(on_change=sup.apply)``
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import SparkSession
@@ -25,6 +26,34 @@ from ..sources.configstore import ConfigDiff
 
 StartFn = Callable[[Connection], object]
 """(connection) -> StreamingQuery; the supervisor owns stop/restart."""
+
+#: how long a config-driven stop waits for the in-flight micro-batch
+#: to drain before interrupting anyway
+DRAIN_TIMEOUT_S = 30.0
+
+
+def _drain_then_stop(q, timeout_s: float = DRAIN_TIMEOUT_S) -> None:
+    """Stop a streaming query POLITELY: let in-flight work finish
+    (processAllAvailable) before stop() interrupts the execution
+    thread. A bare stop() can land BETWEEN a foreachBatch's side
+    effect (delivery) and its ledger append — the restart then replays
+    a batch the ledger never saw, re-sending it (round-7 churn-soak
+    finding; the reference likewise drains its workers before a config
+    teardown). processAllAvailable has no timeout parameter and would
+    hang forever on a busy source, so it runs on a scrap thread with a
+    bounded join; the interrupt remains the backstop, and the
+    idempotent-sink contract covers that residual window."""
+    t = threading.Thread(target=lambda: _swallow(q.processAllAvailable), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    q.stop()
+
+
+def _swallow(fn) -> None:
+    try:
+        fn()
+    except Exception:
+        pass  # a concurrently-stopped query raises; stop() handles it
 
 
 class StreamingSupervisor:
@@ -44,7 +73,7 @@ class StreamingSupervisor:
         for cid in diff.removed + diff.changed:
             q = self._queries.pop(cid, None)
             if q is not None:
-                q.stop()
+                _drain_then_stop(q)
             self._conns.pop(cid, None)
         for cid in diff.added + diff.changed:
             conn = conns[cid]
@@ -58,7 +87,7 @@ class StreamingSupervisor:
 
     def stop_all(self) -> None:
         for q in self._queries.values():
-            q.stop()
+            _drain_then_stop(q)
         self._queries.clear()
         self._conns.clear()
 

@@ -76,12 +76,23 @@ def _delivered(spark, out_dir: str) -> list[str]:
         return []
 
 
-def _await_delivery(spark, out_dir: str, want: set[str], timeout: float = 120.0) -> list[str]:
+def _await_delivery(
+    spark, srv, out_dir: str, want: set[str], timeout: float = 180.0
+) -> list[str]:
     deadline = time.time() + timeout
     got: list[str] = []
     while time.time() < deadline and set(got) < want:
         time.sleep(1.0)
+        # a dead query never delivers — surface ITS error, not a timeout
+        for cid, q in srv.supervisor.running.items():
+            exc = q.exception()
+            assert exc is None, f"conn {cid} query died: {str(exc)[:800]}"
         got = _delivered(spark, out_dir)
+    assert set(got) >= want, (
+        f"delivery timeout after {timeout}s: got {sorted(got)}, "
+        f"missing {sorted(want - set(got))}; "
+        f"running={list(srv.supervisor.running)}"
+    )
     return got
 
 
@@ -117,8 +128,7 @@ def test_control_plane_churn_soak(spark, tmp_path):
         # (started first) must see all nine messageIds
         all_mids = set().union(*sent.values())
         out10 = str(tmp_path / "delivered" / "10")
-        got10 = _await_delivery(spark, out10, all_mids)
-        assert set(got10) >= all_mids
+        got10 = _await_delivery(spark, srv, out10, all_mids)
         assert len(got10) == len(set(got10)), "duplicate delivery on conn 10"
 
         # PATCH-disable each connection: its query stops, others live on
@@ -140,8 +150,7 @@ def test_control_plane_churn_soak(spark, tmp_path):
         st, _ = _req("POST", f"{gw}/extract", {"batch": [_event("fresh-1", 99)]}, headers=AUTH)
         assert st == 200
         srv.tick()
-        got = _await_delivery(spark, out10, set(got10) | {"fresh-1"})
-        assert "fresh-1" in got
+        got = _await_delivery(spark, srv, out10, set(got10) | {"fresh-1"})
         assert len(got) == before + 1, f"replay duplicated rows: {sorted(got)}"
         assert len(got) == len(set(got))
 
