@@ -1,4 +1,4 @@
-"""Round-7 specs (q144-q152): distribution-drift and data-audit
+"""Round-7 specs (q144-q154): distribution-drift and data-audit
 operators over the event stream and the billing tables — the
 "assess what you moved" layer a 100 TB training-data pipeline runs
 after ingest (KS and rank-based drift, fabricated-data screening,
@@ -31,6 +31,8 @@ from ..operators.drift import (
     gap_fill_oracle_sql,
     hist_tv_distance,
     hist_tv_oracle_sql,
+    ks_drift_binned,
+    ks_drift_binned_oracle_sql as _ks_binned_oracle,
     ks_drift_by,
     ks_drift_oracle_sql,
     mann_whitney_by,
@@ -406,3 +408,18 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
     ref = hist_bins(ev.where(F.col("day") < "2024-01-16"), "value", 10.0, 64)
     cur = hist_bins(ev.where(F.col("day") >= "2024-01-16"), "value", 10.0, 64)
     return hist_tv_distance(ref, cur)
+
+
+@query(
+    "q154_ks_drift_binned",
+    oracle=_ks_binned_oracle(
+        "SELECT event_type, value FROM events", "event_type", "value", 5.0, 128
+    ),
+    doc="binned KS drift per event type vs rest — the register-scale "
+    "path for q144: G x num_bins histogram rows instead of per-segment "
+    "sorts of the raw data; same integer numerator arithmetic",
+    tags=("drift", "stats"),
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_type", "value")
+    return ks_drift_binned(ev, "event_type", "value", 5.0, 128)

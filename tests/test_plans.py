@@ -356,3 +356,14 @@ def test_q152_acf_lags_broadcast(spark):
     p = plan(spark, "q152_autocorrelation")
     assert "BroadcastNestedLoopJoin Cross" in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_q154_ks_binned_register_scale(spark):
+    """The cumulative window runs over the G x num_bins register spine
+    (post-aggregation), never over raw rows; the occupied-bin spine is
+    broadcast; events scan pruned."""
+    p = plan(spark, "q154_ks_drift_binned")
+    assert "BroadcastNestedLoopJoin Cross" in p or "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 4  # per + tot partial/final pairs
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "value" in read_schema and "props" not in read_schema

@@ -242,3 +242,35 @@ def test_hist_drift_monitor_stream(spark, tmp_path):
     b2 = spark.range(100).select((F.lit(28.0) + (F.col("id") % 2)).alias("v"))
     r2 = hist_drift_monitor(b2, 2, "v", store, ref, 1.0, 32)
     assert r2.tv > r1.tv
+
+
+def test_ks_binned_equals_exact_when_bin_aligned(spark):
+    """With bin_width=1 and integer-valued data, every value sits on a
+    bin boundary — the binned KS must equal the exact KS bit-for-bit."""
+    from kassette_server_spark.operators.drift import ks_drift_binned
+
+    rows = [("a", float(i % 7)) for i in range(70)] + [
+        ("b", float((i * 3) % 11)) for i in range(55)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    exact = {r.g: r for r in ks_drift_by(df, "g", "v").collect()}
+    binned = {r.g: r for r in ks_drift_binned(df, "g", "v", 1.0, 32).collect()}
+    for g in exact:
+        assert binned[g].d_num == exact[g].d_num
+        assert binned[g].ks == exact[g].ks
+        assert binned[g].n == exact[g].n and binned[g].m == exact[g].m
+
+
+def test_ks_binned_coarse_bins_underestimate(spark):
+    """Coarsening bins can only LOSE separation (the max is taken over
+    a subset of thresholds): binned KS <= exact KS."""
+    from kassette_server_spark.operators.drift import ks_drift_binned
+
+    rows = [("a", 0.1 + i * 0.2) for i in range(30)] + [
+        ("b", 0.15 + i * 0.3) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    exact = {r.g: r.ks for r in ks_drift_by(df, "g", "v").collect()}
+    binned = {r.g: r.ks for r in ks_drift_binned(df, "g", "v", 2.0, 16).collect()}
+    for g in exact:
+        assert binned[g] <= exact[g] + 1e-15
