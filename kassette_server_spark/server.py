@@ -228,17 +228,27 @@ class KassetteServer:
         self.gateway = GatewayShim(
             self.landing, valid_write_keys=_LiveKeys(write_keys, self.store)
         )
-        self.ingest = IngestListener(self.gateway, host=host, port=gateway_port)
+        health_fn = lambda: [  # noqa: E731 — shared by both surfaces
+            r.asDict()
+            for r in job_health(
+                self.ledger, list(self.store.connections().values())
+            ).collect()
+        ]
+        # the gateway port serves ingest AND config (the reference runs
+        # ONE gin server for both — gateway/gateway.go:324-610); the
+        # separate config port remains for split deployments
+        self.ingest = IngestListener(
+            self.gateway,
+            host=host,
+            port=gateway_port,
+            config_store=self.store,
+            job_health=health_fn,
+        )
         self.config_api = ConfigAPI(
             self.store,
             host=host,
             port=config_port,
-            job_health=lambda: [
-                r.asDict()
-                for r in job_health(
-                    self.ledger, list(self.store.connections().values())
-                ).collect()
-            ],
+            job_health=health_fn,
         )
 
     # -- lifecycle ----------------------------------------------------------

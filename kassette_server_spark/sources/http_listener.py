@@ -99,16 +99,73 @@ class _IngestHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
 
+#: POST path heads that belong to the ingest surface; anything else on
+#: a unified listener falls through to the config control plane.
+_INGEST_HEADS = {"extract", "v1"} | _TYPES
+
+
+def _unified_post(self):
+    parts = [p for p in self.path.split("?")[0].split("/") if p]
+    head = parts[0] if parts else ""
+    if head in _INGEST_HEADS or (parts and parts[-1] in _TYPES):
+        return _IngestHandler.do_POST(self)
+    from .config_api import _ConfigHandler
+
+    return _ConfigHandler.do_POST(self)
+
+
+def _unified_get(self):
+    # bare "/" and /health keep the gateway's liveness shape; every
+    # other GET (catalogue, CRUD reads, job status) is control plane
+    if self.path.split("?")[0].rstrip("/") in ("", "/health"):
+        return _IngestHandler.do_GET(self)
+    from .config_api import _ConfigHandler
+
+    return _ConfigHandler.do_GET(self)
+
+
 class IngestListener:
     """Own-thread HTTP server bound to (host, port); port=0 picks a
     free port (tests). ``flush()``/``stop()`` drain the shim buffer so
-    a trailing partial batch still lands."""
+    a trailing partial batch still lands.
 
-    def __init__(self, shim: GatewayShim, host: str = "127.0.0.1", port: int = 0):
+    With ``config_store`` set, the SAME port also serves the config
+    control plane (source/destination/connection CRUD, authenticate,
+    service-catalogue, field-options, router-job-status) — the
+    reference runs ONE gin server for ingest and config
+    (gateway/gateway.go:324-610), so a client scripted against a
+    single base URL works unchanged. Route sets are disjoint: POST
+    {extract, v1/*, bare event types} is ingest, everything else is
+    config."""
+
+    def __init__(
+        self,
+        shim: GatewayShim,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        config_store=None,
+        job_health=None,
+    ):
         self._lock = threading.Lock()
-        handler = type(
-            "BoundIngestHandler", (_IngestHandler,), {"shim": shim, "lock": self._lock}
-        )
+        if config_store is None:
+            handler = type(
+                "BoundIngestHandler", (_IngestHandler,), {"shim": shim, "lock": self._lock}
+            )
+        else:
+            from .config_api import _ConfigHandler
+
+            handler = type(
+                "BoundUnifiedHandler",
+                (_IngestHandler, _ConfigHandler),
+                {
+                    "shim": shim,
+                    "lock": self._lock,
+                    "store": config_store,
+                    "job_health": staticmethod(job_health) if job_health else None,
+                    "do_POST": _unified_post,
+                    "do_GET": _unified_get,
+                },
+            )
         self._shim = shim
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)

@@ -116,3 +116,52 @@ def test_composed_server_end_to_end(spark, tmp_path):
         assert srv.supervisor.running == {}
     finally:
         srv.stop()
+
+
+def test_single_port_reference_topology(spark, tmp_path):
+    """The reference serves ingest AND config on ONE gin server
+    (gateway/gateway.go:324-610): a client scripted against a single
+    base URL — catalogue read, source/destination/connection create,
+    authenticate, POST /extract, /health — must work unchanged against
+    the GATEWAY port alone."""
+    import time as _time
+
+    srv = KassetteServer(spark, str(tmp_path), write_keys=frozenset({"wk"})).start()
+    try:
+        gw = srv.gateway_address  # the ONLY address this test touches
+        st, cat = _req("GET", f"{gw}/service-catalogue?type=destination")
+        assert st == 200 and isinstance(cat, list) and cat
+        assert _req("POST", f"{gw}/source",
+                    {"id": 1, "name": "s", "write_key": "wk2", "schema": SRC_SCHEMA})[1] == {"success": True}
+        assert _req("POST", f"{gw}/destination",
+                    {"id": 2, "name": "d", "type": "postgres", "schema": DEST_SCHEMA})[1] == {"success": True}
+        assert _req("POST", f"{gw}/connection",
+                    {"id": 10, "source_id": 1, "destination_id": 2})[1] == {"success": True}
+        assert set(srv.supervisor.running) == {10}
+        st, doc = _req("POST", f"{gw}/authenticate", {"write_key": "wk2"})
+        assert doc == {"Status": "Authentication Passed"}
+        # reads back over the same port
+        st, sources = _req("GET", f"{gw}/source")
+        assert st == 200 and [s["id"] for s in sources] == [1]
+        # ingest on the same port with the runtime-created write key
+        import base64 as _b64
+        auth = {"Authorization": "Basic " + _b64.b64encode(b"wk2:").decode()}
+        st, _ = _req("POST", f"{gw}/extract", {"batch": [_event(5)]}, headers=auth)
+        assert st == 200
+        srv.tick()
+        # liveness keeps the gateway's shape
+        st, health = _req("GET", f"{gw}/health")
+        assert health == {"status": "ok"}
+        # delivery proves the whole loop ran off one port
+        out_dir = str(tmp_path / "delivered" / "10")
+        deadline = _time.time() + 120
+        got = set()
+        while _time.time() < deadline and "m5" not in got:
+            _time.sleep(1.0)
+            try:
+                got = {r.message_id for r in spark.read.json(out_dir).select("message_id").collect()}
+            except Exception:
+                got = set()
+        assert "m5" in got
+    finally:
+        srv.stop()
