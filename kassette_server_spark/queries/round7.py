@@ -1,4 +1,4 @@
-"""Round-7 specs (q144-q154): distribution-drift and data-audit
+"""Round-7 specs (q144-q155): distribution-drift and data-audit
 operators over the event stream and the billing tables — the
 "assess what you moved" layer a 100 TB training-data pipeline runs
 after ingest (KS and rank-based drift, fabricated-data screening,
@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.contracts import contract_oracle_sql, validate_contract
 from ..operators.drift import (
     benford_audit,
     benford_oracle_sql,
@@ -423,3 +424,38 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
 def q154(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events").select("event_type", "value")
     return ks_drift_binned(ev, "event_type", "value", 5.0, 128)
+
+
+@query(
+    "q155_data_contract",
+    oracle=contract_oracle_sql(
+        "SELECT * FROM lineitem",
+        {
+            "qty_in_range": "l_quantity BETWEEN 1 AND 50",
+            "price_positive": "l_extendedprice > 0",
+            "discount_bounds": "l_discount BETWEEN 0.0 AND 0.1",
+            "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+            "shipdate_window": "l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1999-12-31'",
+            "orderkey_not_null": "l_orderkey IS NOT NULL",
+        },
+        {"line_pk_unique": ["l_orderkey", "l_linenumber"]},
+    ),
+    doc="declarative data-contract gate over lineitem: six row-level "
+    "invariants compiled into ONE conditional-sum aggregate pass plus "
+    "a key-uniqueness check; NULL verdicts count as violations",
+    tags=("contract", "audit"),
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return validate_contract(
+        li,
+        {
+            "qty_in_range": F.col("l_quantity").between(1, 50),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "discount_bounds": F.col("l_discount").between(0.0, 0.1),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "shipdate_window": F.col("l_shipdate").between("1992-01-01", "1999-12-31"),
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        },
+        {"line_pk_unique": ["l_orderkey", "l_linenumber"]},
+    )

@@ -367,3 +367,15 @@ def test_q154_ks_binned_register_scale(spark):
     assert p.count("HashAggregate") >= 4  # per + tot partial/final pairs
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "value" in read_schema and "props" not in read_schema
+
+
+def test_q155_contract_single_pass_row_rules(spark):
+    """All six row rules share ONE aggregate over one scan (conditional
+    sums, map-side combined); only the uniqueness rule adds its own
+    keyed aggregate — so exactly two parquet scans total and no joins
+    of the fact table."""
+    p = plan(spark, "q155_data_contract")
+    # formatted explain lists each operator twice (tree + detail)
+    assert p.count("Scan parquet") == 4  # 2 scans x 2 listings
+    assert "Join" not in p  # no join anywhere — union of two aggregates
+    assert p.count("HashAggregate") >= 4

@@ -274,3 +274,45 @@ def test_ks_binned_coarse_bins_underestimate(spark):
     binned = {r.g: r.ks for r in ks_drift_binned(df, "g", "v", 2.0, 16).collect()}
     for g in exact:
         assert binned[g] <= exact[g] + 1e-15
+
+
+def test_contract_planted_violations_and_null_verdicts(spark):
+    """Planted violations are counted exactly; a NULL comparison (the
+    SQL three-valued trap) counts as a violation, not a silent pass;
+    uniqueness reports duplicate keys over distinct-key checked."""
+    from kassette_server_spark.operators.contracts import validate_contract
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "A"),     # range violation
+            (3, None, "B"),     # NULL value -> NULL verdict -> violation
+            (4, 7.0, "X"),      # domain violation
+            (4, 8.0, "A"),      # duplicate id
+        ],
+        "id long, amount double, flag string",
+    )
+    out = {r.rule: r for r in validate_contract(
+        df,
+        {
+            "amount_positive": F.col("amount") > 0,
+            "flag_domain": F.col("flag").isin("A", "B"),
+        },
+        {"id_unique": ["id"]},
+    ).collect()}
+    assert out["amount_positive"].checked == 5
+    assert out["amount_positive"].violations == 2  # -5 and NULL
+    assert out["flag_domain"].violations == 1
+    assert out["flag_domain"].pass_rate == 4 / 5
+    assert out["id_unique"].checked == 4  # distinct ids
+    assert out["id_unique"].violations == 1  # id=4 twice
+
+
+def test_contract_clean_data_passes(spark):
+    from kassette_server_spark.operators.contracts import validate_contract
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id long, v double")
+    out = validate_contract(
+        df, {"v_pos": F.col("v") > 0}, {"id_unique": ["id"]}
+    ).collect()
+    assert all(r.violations == 0 and r.pass_rate == 1.0 for r in out)
