@@ -83,6 +83,56 @@ class DeliveryLedger:
         except AnalysisException:
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
 
+    def compact(self) -> int:
+        """Rewrite the append-only status log to ONE latest row per
+        (job, connection) — the ledger analogue of the reference's
+        dataset compaction (jobs/jobsdb.go:1084-1112, which likewise
+        runs under the jobsdb lock): an unbounded stream appends a
+        status row per outcome forever, and every dedup/retry read
+        re-reduces the whole history until someone compacts it.
+
+        Returns the number of rows kept. Preserves EVERY derived view
+        bit-for-bit (latest_state, processed_job_ids, retry_candidates,
+        dead_letters all reduce to the latest row per key, which is
+        exactly what survives).
+
+        Run during QUIESCENCE (before streams start, or in a
+        maintenance window): the directory swap is not atomic, and a
+        lazily-evaluated reader whose action lands inside the swap
+        would see a missing path. The write lock serializes against
+        appends; quiescence is the caller's contract, as it is for the
+        reference's rotation.
+        """
+        import os
+        import shutil
+
+        with self._write_lock:
+            lg = self._read()
+            full = (
+                lg.groupBy("job_id", "connection_id")
+                .agg(
+                    F.max_by(
+                        F.struct(
+                            "state",
+                            "attempt",
+                            "exec_time",
+                            "retry_time",
+                            "error_code",
+                            "error_response",
+                        ),
+                        F.struct("exec_time", "attempt"),
+                    ).alias("s")
+                )
+                .select("job_id", "connection_id", "s.*")
+            )
+            tmp = self.path.rstrip("/") + ".compact-tmp"
+            full.write.mode("overwrite").parquet(tmp)
+            kept = self.spark.read.schema(LEDGER_SCHEMA).parquet(tmp).count()
+            if os.path.isdir(self.path):
+                shutil.rmtree(self.path)
+            os.rename(tmp, self.path)
+            return kept
+
     def latest_state(self) -> DataFrame:
         """Latest status row per (job, connection) — the reference's
         MAX(id) GROUP BY job_id as a single max_by aggregate (one

@@ -101,3 +101,54 @@ def test_outcomes_survive_cache_eviction(spark, tmp_path):
     assert len(outcomes.collect()) == 8
     sends = sorted(p.name for p in marker_dir.iterdir())
     assert len(sends) == 8 and all(s.endswith(".0") for s in sends), sends
+
+
+def test_ledger_compaction_preserves_views(spark, tmp_path):
+    """Compaction keeps exactly the latest row per (job, connection):
+    every derived view (latest state, processed ids, retry candidates)
+    is identical before and after, the row count shrinks to the key
+    count, and post-compaction appends keep working."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.streaming.ledger import (
+        STATE_FAILED,
+        STATE_SUCCEEDED,
+        DeliveryLedger,
+        make_status,
+    )
+
+    ledger = DeliveryLedger(spark, str(tmp_path / "ledger"))
+    ids = spark.createDataFrame([(f"m{i}",) for i in range(20)], "message_id string")
+    # history: everything fails once, then half succeeds (two appends
+    # -> two status rows for the succeeded half, one for the rest)
+    ledger.append(make_status(ids, 1, STATE_FAILED))
+    succ = ids.where(F.substring("message_id", 2, 5).cast("int") % 2 == 0)
+    ledger.append(make_status(succ, 1, STATE_SUCCEEDED, attempt_col=F.lit(2)))
+
+    before_latest = {
+        (r.job_id, r.state, r.attempt) for r in ledger.latest_state().collect()
+    }
+    before_processed = {r.job_id for r in ledger.processed_job_ids().collect()}
+    before_retry = {r.job_id for r in ledger.retry_candidates(
+        now=F.current_timestamp() + F.expr("INTERVAL 1 HOUR")).collect()}
+
+    kept = ledger.compact()
+    assert kept == 20  # one row per job now
+
+    after_latest = {
+        (r.job_id, r.state, r.attempt) for r in ledger.latest_state().collect()
+    }
+    assert after_latest == before_latest
+    assert {r.job_id for r in ledger.processed_job_ids().collect()} == before_processed
+    assert {r.job_id for r in ledger.retry_candidates(
+        now=F.current_timestamp() + F.expr("INTERVAL 1 HOUR")).collect()} == before_retry
+    assert len(before_processed) == 10 and len(before_retry) == 10
+
+    # appends after compaction still reduce correctly
+    late = spark.createDataFrame([("m1",)], "message_id string")
+    ledger.append(make_status(late, 1, STATE_SUCCEEDED, attempt_col=F.lit(3)))
+    assert "m1" in {r.job_id for r in ledger.processed_job_ids().collect()}
+    # compacting the compacted ledger is a no-op in content
+    assert ledger.compact() == 20
