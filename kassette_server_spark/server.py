@@ -252,7 +252,17 @@ class KassetteServer:
         )
 
     # -- lifecycle ----------------------------------------------------------
-    def start(self) -> "KassetteServer":
+    def start(self, compact_ledger: bool = True) -> "KassetteServer":
+        if compact_ledger:
+            # boot is the guaranteed-quiescent moment (no streams yet):
+            # fold the append-only status history down to latest rows so
+            # a long-lived deployment's dedup reads stay bounded —
+            # mirroring the reference's compaction cadence
+            # (jobs/jobsdb.go:1084)
+            # (a fresh/empty ledger compacts to an empty table — fine;
+            # a genuinely corrupt one should fail HERE, loudly, not on
+            # the first micro-batch's dedup read)
+            self.ledger.compact()
         self.supervisor.start_all(self.store.connections())
         self.ingest.start()
         self.config_api.start()

@@ -152,3 +152,38 @@ def test_ledger_compaction_preserves_views(spark, tmp_path):
     assert "m1" in {r.job_id for r in ledger.processed_job_ids().collect()}
     # compacting the compacted ledger is a no-op in content
     assert ledger.compact() == 20
+
+
+def test_server_boot_compacts_ledger(spark, tmp_path):
+    """Boot is the quiescent moment: a server starting over an
+    append-heavy ledger folds it to latest rows before any stream
+    runs; a fresh empty ledger boots cleanly too."""
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.server import KassetteServer
+    from kassette_server_spark.streaming.ledger import (
+        STATE_SUCCEEDED,
+        DeliveryLedger,
+        make_status,
+    )
+
+    work = tmp_path / "srv"
+    ledger = DeliveryLedger(spark, str(work / "ledger"))
+    ids = spark.createDataFrame([("m1",), ("m2",)], "message_id string")
+    for attempt in (1, 2, 3):  # three appends -> three rows per job
+        ledger.append(make_status(ids, 1, STATE_SUCCEEDED, attempt_col=F.lit(attempt)))
+    srv = KassetteServer(spark, str(work), write_keys=frozenset({"wk"})).start()
+    try:
+        assert srv.ledger.latest_state().count() == 2  # compacted
+        assert srv.ledger._read().count() == 2
+    finally:
+        srv.stop()
+
+    # empty work dir: boot must not trip over the absent ledger path
+    srv2 = KassetteServer(
+        spark, str(tmp_path / "fresh"), write_keys=frozenset({"wk"})
+    ).start()
+    try:
+        assert srv2.ledger.processed_job_ids().count() == 0
+    finally:
+        srv2.stop()
