@@ -20,10 +20,27 @@ oracle is wanted (the q155 spec keeps to comparisons/IN/IS NULL).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 REPORT_SCHEMA = "rule string, checked bigint, violations bigint, pass_rate double"
+
+#: rule names are interpolated into stack()/SQL literals on both the
+#: Spark and oracle sides — restrict to identifier-ish names so a
+#: quote can never break the generated expression (round-7 code-review
+#: finding)
+_RULE_NAME_RE = re.compile(r"^[A-Za-z0-9_.\- ]+$")
+
+
+def _check_rule_names(*rule_dicts) -> None:
+    for d in rule_dicts:
+        for name in d or ():
+            if not _RULE_NAME_RE.match(name):
+                raise ValueError(
+                    f"rule name {name!r} must match {_RULE_NAME_RE.pattern}"
+                )
 
 
 def validate_contract(
@@ -48,26 +65,33 @@ def validate_contract(
     map-combined groupBy whose second-level aggregate is
     key-cardinality sized. Report is rules-count rows.
     """
-    checks = [
-        F.sum(F.when(cond.isNull() | ~cond, 1).otherwise(0)).alias(f"_v{i}")
-        for i, (name, cond) in enumerate(row_rules.items())
-    ]
-    agg = df.agg(F.count(F.lit(1)).alias("_n"), *checks)
-    # unpivot the single aggregate row into one report row per rule
-    pairs = ", ".join(
-        f"'{name}', _v{i}" for i, name in enumerate(row_rules)
-    )
-    report = agg.selectExpr(
-        f"stack({len(row_rules)}, {pairs}) as (rule, violations)", "_n as checked"
-    ).select(
-        "rule",
-        F.col("checked").cast("bigint"),
-        F.col("violations").cast("bigint"),
-        (
-            (F.col("checked") - F.col("violations")).cast("double")
-            / F.col("checked").cast("double")
-        ).alias("pass_rate"),
-    )
+    _check_rule_names(row_rules, unique_keys)
+    if not row_rules and not unique_keys:
+        raise ValueError("contract needs at least one rule")
+    spark = df.sparkSession
+    if row_rules:
+        checks = [
+            F.sum(F.when(cond.isNull() | ~cond, 1).otherwise(0)).alias(f"_v{i}")
+            for i, (name, cond) in enumerate(row_rules.items())
+        ]
+        agg = df.agg(F.count(F.lit(1)).alias("_n"), *checks)
+        # unpivot the single aggregate row into one report row per rule
+        pairs = ", ".join(
+            f"'{name}', _v{i}" for i, name in enumerate(row_rules)
+        )
+        report = agg.selectExpr(
+            f"stack({len(row_rules)}, {pairs}) as (rule, violations)", "_n as checked"
+        ).select(
+            "rule",
+            F.col("checked").cast("bigint"),
+            F.col("violations").cast("bigint"),
+            (
+                (F.col("checked") - F.col("violations")).cast("double")
+                / F.col("checked").cast("double")
+            ).alias("pass_rate"),
+        )
+    else:  # uniqueness-only contract: stack(0, ...) would not parse
+        report = spark.createDataFrame([], REPORT_SCHEMA)
     for name, keys in (unique_keys or {}).items():
         per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
         uniq = per_key.agg(
@@ -121,6 +145,7 @@ def contract_oracle_sql(
     SQL boolean expressions (the satisfied-direction of the same
     predicates); NULL verdicts count as violations here too via
     ``NOT coalesce(cond, false)``."""
+    _check_rule_names(row_rules, unique_keys)
     selects = []
     for name, cond in row_rules.items():
         selects.append(

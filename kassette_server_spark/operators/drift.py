@@ -60,6 +60,11 @@ def ks_drift_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     Output: group, n (group size), m (rest size), d_num (BIGINT
     numerator), ks (= d_num / (n*m), exact IEEE division).
     """
+    # NULL values/groups are excluded up front (as ks_drift_binned and
+    # hist_bins do): an ECDF over NULL is undefined, and leaving them
+    # in diverges from the oracle (Spark windows order NULLS FIRST,
+    # DuckDB NULLS LAST — round-7 code-review finding)
+    df = df.where(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
     groups = df.select(F.col(group_col).alias("_g")).distinct()
     pts = df.select(
         F.col(group_col).alias("_actual"), F.col(value_col).alias("_v")
@@ -99,7 +104,9 @@ def ks_drift_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 def ks_drift_oracle_sql(source_sql: str, group_col: str, value_col: str) -> str:
     """DuckDB SQL computing the identical group-vs-rest KS statistic."""
     return f"""
-    WITH src AS ({source_sql}),
+    WITH src0 AS ({source_sql}),
+    src AS (SELECT * FROM src0
+            WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL),
     groups AS (SELECT DISTINCT {group_col} AS _g FROM src),
     pts AS (
       SELECT g._g, s.{value_col} AS _v,
@@ -246,9 +253,15 @@ def theil_sen_by(df: DataFrame, group_col: str, x_col: str, y_col: str) -> DataF
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n_pairs"),
     )
+    # middle positions via integer FLOOR division: for even n the
+    # middles are n/2 and n/2+1 — a plain `/` here is double division
+    # in Spark ((n+1)/2 = 2.5 for n=4), which never matches the lower
+    # middle and silently returns the upper slope alone instead of the
+    # average (round-7 code-review finding, verified on [1,2,4,8] →
+    # 4.0 instead of the true median 3.0)
     mid = ranked.where(
-        (F.col("rn") == (F.col("n_pairs") + 1) / 2)
-        | (F.col("rn") == (F.col("n_pairs") + 2) / 2)
+        (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n_pairs") + 2) / 2))
     )
     npts = df.groupBy(F.col(group_col).alias("_g")).agg(
         F.count("*").alias("n_points")
@@ -267,12 +280,10 @@ def theil_sen_by(df: DataFrame, group_col: str, x_col: str, y_col: str) -> DataF
 
 
 def theil_sen_oracle_sql(series_sql: str, group_col: str, x_col: str, y_col: str) -> str:
-    """DuckDB SQL for the identical pairwise-slope exact median. The
-    integer division quirk is avoided by the same (n+1)/2 arithmetic:
-    both engines compute it on BIGINT with floor semantics only when
-    both operands are integers — (n_pairs + 1) / 2 in DuckDB yields
-    DOUBLE, so the comparison against rn matches Spark's double
-    promotion exactly (rn = 2.5 is false in both)."""
+    """DuckDB SQL for the identical pairwise-slope exact median, with
+    the same explicit floor() on the middle positions as the Spark
+    side (both engines' bare `/` over these operands is double
+    division, which would skip the lower middle for even counts)."""
     return f"""
     WITH s AS ({series_sql}),
     slopes AS (
@@ -291,7 +302,7 @@ def theil_sen_oracle_sql(series_sql: str, group_col: str, x_col: str, y_col: str
     mid AS (
       SELECT _g, n_pairs, sum(slope) / count(*) AS slope
       FROM ranked
-      WHERE rn = (n_pairs + 1) / 2.0 OR rn = (n_pairs + 2) / 2.0
+      WHERE rn = floor((n_pairs + 1) / 2.0) OR rn = floor((n_pairs + 2) / 2.0)
       GROUP BY _g, n_pairs
     ),
     npts AS (SELECT {group_col} AS _g, count(*) AS n_points FROM s GROUP BY 1)
@@ -329,9 +340,9 @@ def ks_drift_binned(
         F.greatest(F.floor(F.col(value_col) / bin_width).cast("long"), F.lit(0)),
         F.lit(num_bins - 1),
     )
-    src = df.where(F.col(value_col).isNotNull()).select(
-        F.col(group_col).alias("_g"), b.alias("_bin")
-    )
+    src = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), b.alias("_bin"))
     per = src.groupBy("_g", "_bin").agg(F.count("*").alias("cnt_g"))
     tot = src.groupBy("_bin").agg(F.count("*").alias("cnt_all"))
     groups = src.select("_g").distinct()
@@ -387,7 +398,7 @@ def ks_drift_binned_oracle_sql(
       SELECT {group_col} AS _g,
              LEAST(GREATEST(CAST(floor({value_col} / {bin_width!r}) AS BIGINT), 0),
                    {num_bins - 1}) AS _bin
-      FROM src0 WHERE {value_col} IS NOT NULL
+      FROM src0 WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
     ),
     per AS (SELECT _g, _bin, count(*) AS cnt_g FROM src GROUP BY 1, 2),
     tot AS (SELECT _bin, count(*) AS cnt_all FROM src GROUP BY 1),
@@ -438,6 +449,9 @@ def mann_whitney_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
     Output: group, n, m, two_u (BIGINT = 2U), auc (double).
     """
+    # NULLs excluded for the same engine-divergence reason as
+    # ks_drift_by (ranks over NULL are undefined anyway)
+    df = df.where(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
     vals = df.groupBy(F.col(value_col).alias("_v")).agg(F.count("*").alias("_cnt"))
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
     # 2*average-rank of every row with value v: 2*(#smaller) + ties + 1
@@ -470,7 +484,9 @@ def mann_whitney_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
 def mann_whitney_oracle_sql(source_sql: str, group_col: str, value_col: str) -> str:
     return f"""
-    WITH src AS ({source_sql}),
+    WITH src0 AS ({source_sql}),
+    src AS (SELECT * FROM src0
+            WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL),
     vals AS (SELECT {value_col} AS _v, count(*) AS _cnt FROM src GROUP BY 1),
     ranked_vals AS (
       SELECT _v,
@@ -681,7 +697,13 @@ def hist_drift_monitor(
     if not merged:
         return None
     cur = read_store(batch_df.sparkSession, store_path).select("bin", "cnt")
-    return hist_tv_distance(ref_bins, cur).collect()[0]
+    rows = hist_tv_distance(ref_bins, cur).collect()
+    # an all-empty-batches store has no mass to compare — tv would be
+    # the NULL of a zero division, a footgun for format consumers
+    # (round-7 code-review finding); no data ⇒ no report
+    if not rows or rows[0].cur_n == 0:
+        return None
+    return rows[0]
 
 
 # -- daily gap-fill with linear interpolation ---------------------------------

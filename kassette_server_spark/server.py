@@ -21,7 +21,8 @@ assembled entirely from pieces that are individually tested elsewhere:
 
 ``deliver_factory`` injects the per-connection sender; the default
 lands delivered events as JSON files under ``work_dir/delivered/<conn
-id>/`` (distributed write, no driver materialization) so the composed
+id>/`` (one content-addressed file per micro-batch — idempotent under
+replay, driver-materialized at gateway-batch scale) so the composed
 server runs end-to-end with zero external services. Production configs
 plug in sinks.rest.deliver_rest / sinks.jdbc.write_jdbc /
 sinks.postgres_copy.write_postgres_copy_dest — each is the already-

@@ -54,7 +54,9 @@ class DeliveryLedger:
         # write job with a process-local lock costs nothing; on a real
         # deployment the ledger is a Delta/Iceberg table whose ACID
         # commit protocol makes concurrent appends safe without it.
-        self._write_lock = threading.Lock()
+        # RLock: compact() holds it across a _read() that may itself
+        # lock for crash recovery
+        self._write_lock = threading.RLock()
 
     def append(self, statuses: DataFrame) -> None:
         with self._write_lock:
@@ -81,6 +83,17 @@ class DeliveryLedger:
             df.schema  # force path resolution
             return df
         except AnalysisException:
+            import os
+
+            # a missing live path with compaction leftovers is a crash
+            # mid-swap, NOT an empty ledger — finish the swap and
+            # retry, never silently drop delivery history
+            if os.path.isdir(self._compact_tmp) or os.path.isdir(self._compact_old):
+                with self._write_lock:
+                    self._recover_interrupted_compaction()
+                df = self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+                df.schema
+                return df
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
 
     def compact(self) -> int:
@@ -102,11 +115,22 @@ class DeliveryLedger:
         would see a missing path. The write lock serializes against
         appends; quiescence is the caller's contract, as it is for the
         reference's rotation.
+
+        Crash safety (round-7 code-review finding — an earlier draft
+        deleted the live ledger before renaming the replacement, so a
+        crash in between lost all delivery history and silently
+        re-delivered everything): the swap is now rename(live → .old),
+        rename(.tmp → live), delete .old — at every instant a COMPLETE
+        copy of the ledger exists under one of the three names, and
+        ``_recover_interrupted_compaction`` (run here and by _read on
+        a missing path) finishes any half-done swap instead of ever
+        treating it as an empty ledger.
         """
         import os
         import shutil
 
         with self._write_lock:
+            self._recover_interrupted_compaction()
             lg = self._read()
             full = (
                 lg.groupBy("job_id", "connection_id")
@@ -125,13 +149,48 @@ class DeliveryLedger:
                 )
                 .select("job_id", "connection_id", "s.*")
             )
-            tmp = self.path.rstrip("/") + ".compact-tmp"
+            tmp = self._compact_tmp
+            old = self._compact_old
             full.write.mode("overwrite").parquet(tmp)
             kept = self.spark.read.schema(LEDGER_SCHEMA).parquet(tmp).count()
             if os.path.isdir(self.path):
-                shutil.rmtree(self.path)
+                os.rename(self.path, old)
             os.rename(tmp, self.path)
+            shutil.rmtree(old, ignore_errors=True)
             return kept
+
+    @property
+    def _compact_tmp(self) -> str:
+        return self.path.rstrip("/") + ".compact-tmp"
+
+    @property
+    def _compact_old(self) -> str:
+        return self.path.rstrip("/") + ".compact-old"
+
+    def _recover_interrupted_compaction(self) -> None:
+        """Finish a compaction the process died inside. States:
+        - live exists: any leftover .tmp is unpromoted (incomplete or
+          not yet swapped) and any .old is already-replaced history —
+          both safe to delete;
+        - live missing, .tmp committed (_SUCCESS): crash landed between
+          the two renames — promote .tmp;
+        - live missing, .old exists: .tmp never committed — restore
+          .old."""
+        import os
+        import shutil
+
+        tmp, old = self._compact_tmp, self._compact_old
+        if os.path.isdir(self.path):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, self.path)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if os.path.isdir(old):
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.rename(old, self.path)
 
     def latest_state(self) -> DataFrame:
         """Latest status row per (job, connection) — the reference's

@@ -29,7 +29,7 @@ StartFn = Callable[[Connection], object]
 
 #: how long a config-driven stop waits for the in-flight micro-batch
 #: to drain before interrupting anyway
-DRAIN_TIMEOUT_S = 30.0
+DRAIN_TIMEOUT_S = 10.0
 
 
 def _drain_then_stop(q, timeout_s: float = DRAIN_TIMEOUT_S) -> None:
@@ -43,9 +43,11 @@ def _drain_then_stop(q, timeout_s: float = DRAIN_TIMEOUT_S) -> None:
     hang forever on a busy source, so it runs on a scrap thread with a
     bounded join; the interrupt remains the backstop, and the
     idempotent-sink contract covers that residual window."""
-    t = threading.Thread(target=lambda: _swallow(q.processAllAvailable), daemon=True)
-    t.start()
-    t.join(timeout_s)
+    drain = getattr(q, "processAllAvailable", None)
+    if drain is not None:
+        t = threading.Thread(target=lambda: _swallow(drain), daemon=True)
+        t.start()
+        t.join(timeout_s)
     q.stop()
 
 
@@ -61,6 +63,8 @@ class StreamingSupervisor:
         self._start = start
         self._queries: dict[int, object] = {}
         self._conns: dict[int, Connection] = {}
+        #: in-flight drain-then-stop threads, one per connection id
+        self._stopping: dict[int, threading.Thread] = {}
 
     @property
     def running(self) -> dict[int, object]:
@@ -69,27 +73,58 @@ class StreamingSupervisor:
     def apply(self, diff: ConfigDiff, conns: dict[int, Connection]) -> None:
         """Reconcile running queries with a config diff: stop removed,
         restart changed (new plan compiles from the new config, state
-        resumes from the checkpoint), start added."""
+        resumes from the checkpoint), start added.
+
+        Stops run on BACKGROUND threads (round-7 code-review finding:
+        apply() is the ConfigStore's on_change callback and executes
+        inside its mutation lock — a synchronous drain would freeze
+        ingest auth and the whole config surface for the drain window).
+        The connection leaves ``running`` immediately; a restart of the
+        SAME id first joins its pending stop, because two queries must
+        never share a checkpoint directory."""
         for cid in diff.removed + diff.changed:
             q = self._queries.pop(cid, None)
             if q is not None:
-                _drain_then_stop(q)
+                self._begin_stop(cid, q)
             self._conns.pop(cid, None)
         for cid in diff.added + diff.changed:
             conn = conns[cid]
             if not conn.enabled:
                 continue
+            self._await_stop(cid)
             self._queries[cid] = self._start(conn)
             self._conns[cid] = conn
+
+    def _begin_stop(self, cid: int, q) -> None:
+        self._await_stop(cid)  # at most one pending stop per id
+        t = threading.Thread(target=_drain_then_stop, args=(q,), daemon=True)
+        t.start()
+        self._stopping[cid] = t
+
+    def _await_stop(self, cid: int) -> None:
+        t = self._stopping.pop(cid, None)
+        if t is not None:
+            t.join(DRAIN_TIMEOUT_S + 10)
+
+    def quiesce(self) -> None:
+        """Join every pending background stop — for tests and
+        maintenance windows that need 'no query is still winding
+        down' as a hard fact rather than an eventuality."""
+        for cid in list(self._stopping):
+            self._await_stop(cid)
 
     def start_all(self, conns: dict[int, Connection]) -> None:
         self.apply(ConfigDiff(tuple(sorted(conns)), (), ()), conns)
 
     def stop_all(self) -> None:
-        for q in self._queries.values():
-            _drain_then_stop(q)
+        """Drain every query in PARALLEL (serial drains cost up to
+        DRAIN_TIMEOUT_S x N on shutdown), then join them all."""
+        for cid, q in list(self._queries.items()):
+            self._begin_stop(cid, q)
         self._queries.clear()
         self._conns.clear()
+        for cid in list(self._stopping):
+            self._await_stop(cid)
 
 
 def connection_stream_starter(

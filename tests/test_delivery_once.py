@@ -187,3 +187,52 @@ def test_server_boot_compacts_ledger(spark, tmp_path):
         assert srv2.ledger.processed_job_ids().count() == 0
     finally:
         srv2.stop()
+
+
+def test_ledger_compaction_crash_recovery(spark, tmp_path):
+    """A crash at ANY point inside the compaction swap must never read
+    back as an empty ledger (round-7 code-review finding: the first
+    draft deleted the live directory before renaming the replacement).
+    Simulate both crash windows by reconstructing their on-disk states
+    and assert recovery restores the full 20-job ledger."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.streaming.ledger import (
+        STATE_SUCCEEDED,
+        DeliveryLedger,
+        make_status,
+    )
+
+    def fresh(path) -> DeliveryLedger:
+        lg = DeliveryLedger(spark, str(path))
+        ids = spark.createDataFrame([(f"m{i}",) for i in range(20)], "message_id string")
+        lg.append(make_status(ids, 1, STATE_SUCCEEDED))
+        return lg
+
+    # window 1: crash AFTER live->old rename, tmp committed but not
+    # promoted (state: no live, committed .tmp, .old present)
+    lg = fresh(tmp_path / "w1")
+    lg.compact()  # produce a valid compacted layout first
+    os.rename(lg.path, lg._compact_old)
+    shutil.copytree(lg._compact_old, lg._compact_tmp)
+    assert lg.processed_job_ids().count() == 20  # _read recovers via tmp
+    assert os.path.isdir(lg.path)
+    assert not os.path.isdir(lg._compact_old) and not os.path.isdir(lg._compact_tmp)
+
+    # window 2: crash BEFORE tmp commit (no _SUCCESS): .old restores
+    lg2 = fresh(tmp_path / "w2")
+    os.rename(lg2.path, lg2._compact_old)
+    os.makedirs(lg2._compact_tmp)  # incomplete tmp, no _SUCCESS marker
+    assert lg2.processed_job_ids().count() == 20  # _read restores .old
+    assert os.path.isdir(lg2.path)
+
+    # window 3: leftovers WITH a live dir are stale and get cleaned by
+    # the next compact() without touching the live data
+    lg3 = fresh(tmp_path / "w3")
+    shutil.copytree(lg3.path, lg3._compact_tmp)
+    assert lg3.compact() == 20
+    assert not os.path.isdir(lg3._compact_tmp)
+    assert lg3.processed_job_ids().count() == 20

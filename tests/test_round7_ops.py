@@ -94,6 +94,26 @@ def test_theil_sen_even_pair_count_averages_middles(spark):
     assert r.n_pairs == 6 and r.slope == 3.0
 
 
+def test_theil_sen_even_count_unequal_middles(spark):
+    """UNEQUAL middles must actually average (round-7 code-review
+    finding: double division in the middle-position filter silently
+    selected only the upper middle — slopes [1,2,4,8] returned 4.0
+    instead of 3.0)."""
+    # 3 collinear-free points won't do: need exactly 4 slopes with
+    # distinct middles → 2 groups of 2 points each... simplest: one
+    # group, x=[0,1,2], y chosen so slopes are [1,2,4,8]? 3 points
+    # give 3 slopes (odd). Use 4 points -> 6 slopes with distinct
+    # middles: y = [0, 1, 6, 7] over x = [0, 1, 2, 3]:
+    # slopes: (1-0)/1=1, (6-0)/2=3, (7-0)/3=7/3, (6-1)/1=5,
+    #         (7-1)/2=3, (7-6)/1=1 → sorted [1, 1, 7/3, 3, 3, 5]
+    # middles 7/3 and 3 → median (7/3+3)/2 = 8/3
+    pts = [("g", 0, 0), ("g", 1, 1), ("g", 2, 6), ("g", 3, 7)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    r = theil_sen_by(df, "g", "x", "y").collect()[0]
+    assert r.n_pairs == 6
+    assert r.slope == (7 / 3 + 3.0) / 2
+
+
 def test_gap_fill_linear_interpolation(spark):
     """Observed days 0 and 3 (values 100 → 400): days 1 and 2 are
     interpolated at exactly 200 and 300; observed rows keep their
@@ -349,3 +369,44 @@ def test_split_by_contract_is_map_only(spark):
         plan = side._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
     assert passing.count() == 50 and violating.count() == 50
+
+
+def test_hist_drift_monitor_empty_first_batch_reports_nothing(spark, tmp_path):
+    """An empty micro-batch commits (fence advances) but produces no
+    report: tv over zero mass would be a NULL footgun (round-7
+    code-review finding)."""
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.drift import hist_drift_monitor
+    from kassette_server_spark.operators.sketches import hist_bins
+
+    store = str(tmp_path / "hist")
+    ref = hist_bins(
+        spark.range(10).select(F.col("id").cast("double").alias("v")), "v", 1.0, 16
+    ).localCheckpoint()
+    empty = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    assert hist_drift_monitor(empty, 0, "v", store, ref, 1.0, 16) is None
+    # replay of the committed empty batch: still nothing, no crash
+    assert hist_drift_monitor(empty, 0, "v", store, ref, 1.0, 16) is None
+    # first real batch reports normally
+    b1 = spark.range(20).select((F.col("id") % 10).cast("double").alias("v"))
+    r = hist_drift_monitor(b1, 1, "v", store, ref, 1.0, 16)
+    assert r is not None and r.tv == 0.0
+
+
+def test_contract_rejects_bad_rule_names_and_empty(spark):
+    from kassette_server_spark.operators.contracts import (
+        contract_oracle_sql,
+        validate_contract,
+    )
+
+    df = spark.range(3).select(F.col("id"))
+    with pytest.raises(ValueError, match="rule name"):
+        validate_contract(df, {"bad'name": F.col("id") > 0})
+    with pytest.raises(ValueError, match="at least one rule"):
+        validate_contract(df, {})
+    with pytest.raises(ValueError, match="rule name"):
+        contract_oracle_sql("SELECT 1", {"x;drop": "1=1"})
+    # uniqueness-only contract works (stack(0,...) would not parse)
+    out = validate_contract(df, {}, {"id_unique": ["id"]}).collect()
+    assert len(out) == 1 and out[0].rule == "id_unique" and out[0].violations == 0

@@ -45,6 +45,7 @@ def test_supervisor_reconciles_diffs():
     q10_old = sup.running[10]
     conns2 = {10: _conn(10, name="renamed"), 12: _conn(12, enabled=False), 13: _conn(13)}
     sup.apply(ConfigDiff(added=(13,), removed=(11,), changed=(10,)), conns2)
+    sup.quiesce()  # removed-connection stops run on background threads
     assert q10_old.stopped
     assert set(sup.running) == {10, 13}
     assert ("stop", 11) in log and ("start", 13) in log
@@ -78,3 +79,4 @@ def test_supervisor_wired_to_config_store(tmp_path):
     assert before.stopped and set(sup.running) == {10} and sup.running[10] is not before
     store.delete("connection", 10)
     assert not sup.running
+    sup.quiesce()
