@@ -1,4 +1,4 @@
-"""Round-7 specs (q144-q155): distribution-drift and data-audit
+"""Round-7 specs (q144-q156): distribution-drift and data-audit
 operators over the event stream and the billing tables — the
 "assess what you moved" layer a 100 TB training-data pipeline runs
 after ingest (KS and rank-based drift, fabricated-data screening,
@@ -458,4 +458,74 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
             "orderkey_not_null": F.col("l_orderkey").isNotNull(),
         },
         {"line_pk_unique": ["l_orderkey", "l_linenumber"]},
+    )
+
+
+# emerging/declining items: which parts' share of line volume moved
+# most between the two halves of the shipping history. Shares are one
+# IEEE division each; the ranking is a total order (shift desc, key)
+@query(
+    "q156_share_shift",
+    oracle="""
+    WITH half AS (
+      SELECT l_partkey,
+             CASE WHEN l_shipdate < DATE '1996-01-01' THEN 1 ELSE 2 END AS h
+      FROM lineitem
+    ),
+    c AS (SELECT l_partkey, h, count(*) AS c FROM half GROUP BY 1, 2),
+    n AS (
+      SELECT sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS n2
+      FROM half
+    ),
+    p AS (
+      SELECT l_partkey,
+             COALESCE(max(CASE WHEN h = 1 THEN c END), 0) AS c1,
+             COALESCE(max(CASE WHEN h = 2 THEN c END), 0) AS c2
+      FROM c GROUP BY 1
+    ),
+    scored AS (
+      SELECT l_partkey, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+             abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS shift
+      FROM p CROSS JOIN n
+    )
+    SELECT l_partkey, c1, c2, shift,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY shift DESC, l_partkey) AS rk
+          FROM scored)
+    WHERE rk <= 20
+    """,
+    doc="top-20 emerging/declining parts by half-over-half share "
+    "shift of line volume (integer half counts, one division per "
+    "share, broadcast 1-row totals, WindowGroupLimit top-k)",
+    tags=("drift", "analytics"),
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_shipdate") < "1996-01-01", 1).otherwise(2).alias("h"),
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("h") == 2, 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    totals = li.agg(
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("h") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    scored = per.crossJoin(F.broadcast(totals)).select(
+        "l_partkey",
+        "c1",
+        "c2",
+        F.abs(
+            F.col("c1").cast("double") / F.col("n1").cast("double")
+            - F.col("c2").cast("double") / F.col("n2").cast("double")
+        ).alias("shift"),
+    )
+    w = Window.orderBy(F.desc("shift"), "l_partkey")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 20)
+        .select("l_partkey", "c1", "c2", "shift", "rk")
     )

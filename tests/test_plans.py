@@ -379,3 +379,14 @@ def test_q155_contract_single_pass_row_rules(spark):
     assert p.count("Scan parquet") == 4  # 2 scans x 2 listings
     assert "Join" not in p  # no join anywhere — union of two aggregates
     assert p.count("HashAggregate") >= 4
+
+
+def test_q156_share_shift_broadcast_totals_topk(spark):
+    """One conditional-sum aggregate per part, 1-row totals broadcast,
+    top-20 via pre-shuffle WindowGroupLimit — no second scan-sized
+    shuffle, no cartesian beyond the 1-row totals join."""
+    p = plan(spark, "q156_share_shift")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p or "TakeOrderedAndProject" in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" in read_schema and "l_comment" not in read_schema
