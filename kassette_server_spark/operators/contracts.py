@@ -43,6 +43,20 @@ def _check_rule_names(*rule_dicts) -> None:
                 )
 
 
+def _finish_report(df: DataFrame) -> DataFrame:
+    """(rule, checked, violations) → the REPORT_SCHEMA projection —
+    one definition of the pass_rate formula for both rule kinds."""
+    return df.select(
+        "rule",
+        F.col("checked").cast("bigint"),
+        F.col("violations").cast("bigint"),
+        (
+            (F.col("checked") - F.col("violations")).cast("double")
+            / F.col("checked").cast("double")
+        ).alias("pass_rate"),
+    )
+
+
 def validate_contract(
     df: DataFrame,
     row_rules: dict[str, Column],
@@ -79,32 +93,21 @@ def validate_contract(
         pairs = ", ".join(
             f"'{name}', _v{i}" for i, name in enumerate(row_rules)
         )
-        report = agg.selectExpr(
-            f"stack({len(row_rules)}, {pairs}) as (rule, violations)", "_n as checked"
-        ).select(
-            "rule",
-            F.col("checked").cast("bigint"),
-            F.col("violations").cast("bigint"),
-            (
-                (F.col("checked") - F.col("violations")).cast("double")
-                / F.col("checked").cast("double")
-            ).alias("pass_rate"),
+        report = _finish_report(
+            agg.selectExpr(
+                f"stack({len(row_rules)}, {pairs}) as (rule, violations)",
+                "_n as checked",
+            )
         )
     else:  # uniqueness-only contract: stack(0, ...) would not parse
         report = spark.createDataFrame([], REPORT_SCHEMA)
     for name, keys in (unique_keys or {}).items():
         per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
-        uniq = per_key.agg(
-            F.count(F.lit(1)).alias("checked"),
-            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("violations"),
-        ).select(
-            F.lit(name).alias("rule"),
-            F.col("checked").cast("bigint"),
-            F.col("violations").cast("bigint"),
-            (
-                (F.col("checked") - F.col("violations")).cast("double")
-                / F.col("checked").cast("double")
-            ).alias("pass_rate"),
+        uniq = _finish_report(
+            per_key.agg(
+                F.count(F.lit(1)).alias("checked"),
+                F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("violations"),
+            ).select(F.lit(name).alias("rule"), "checked", "violations")
         )
         report = report.unionByName(uniq)
     return report

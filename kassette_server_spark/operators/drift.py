@@ -336,10 +336,9 @@ def ks_drift_binned(
 
     Output: group, n, m, d_num, ks — same shape as ks_drift_by.
     """
-    b = F.least(
-        F.greatest(F.floor(F.col(value_col) / bin_width).cast("long"), F.lit(0)),
-        F.lit(num_bins - 1),
-    )
+    from .sketches import bin_index
+
+    b = bin_index(value_col, bin_width, num_bins)
     src = df.where(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("_g"), b.alias("_bin"))

@@ -653,16 +653,25 @@ def bloom_merge_into_store(
     write_store(out, store_path, next_generation(store_path))
 
 
+def bin_index(col: str, bin_width: float, num_bins: int):
+    """The clamped right-open bin index shared by every histogram
+    consumer (hist_bins, binned quantiles, drift.ks_drift_binned):
+    floor(value / width) clamped to [0, num_bins-1]. One definition so
+    the binned operators stay bin-compatible by construction (round-7
+    second-pass review: three hand-copies had to agree)."""
+    return F.least(
+        F.greatest(F.floor(F.col(col) / bin_width).cast("long"), F.lit(0)),
+        F.lit(num_bins - 1),
+    )
+
+
 def hist_bins(
     df: DataFrame, col: str, bin_width: float = 1.0, num_bins: int = 1024
 ) -> DataFrame:
     """The (bin, cnt) histogram registers behind binned_quantiles —
     exposed for streaming maintenance. Exact integers, sum-mergeable,
     ≤ num_bins rows."""
-    b = F.least(
-        F.greatest(F.floor(F.col(col) / bin_width).cast("long"), F.lit(0)),
-        F.lit(num_bins - 1),
-    )
+    b = bin_index(col, bin_width, num_bins)
     return (
         df.where(F.col(col).isNotNull())
         .groupBy(b.alias("bin"))

@@ -91,9 +91,12 @@ class DeliveryLedger:
             if os.path.isdir(self._compact_tmp) or os.path.isdir(self._compact_old):
                 with self._write_lock:
                     self._recover_interrupted_compaction()
-                df = self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
-                df.schema
-                return df
+                if os.path.isdir(self.path):
+                    df = self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+                    df.schema
+                    return df
+                # recovery found only an uncommitted first-compaction
+                # tmp (fresh ledger) — genuinely empty
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
 
     def compact(self) -> int:
@@ -191,6 +194,12 @@ class DeliveryLedger:
         if os.path.isdir(old):
             shutil.rmtree(tmp, ignore_errors=True)
             os.rename(old, self.path)
+            return
+        # first-ever compaction of a FRESH ledger crashed mid-write:
+        # live never existed, .old never existed, tmp is uncommitted —
+        # there is nothing to recover; clear the leftover so boots
+        # don't crash-loop on it (round-7 second-pass review finding)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def latest_state(self) -> DataFrame:
         """Latest status row per (job, connection) — the reference's

@@ -75,13 +75,16 @@ class StreamingSupervisor:
         restart changed (new plan compiles from the new config, state
         resumes from the checkpoint), start added.
 
-        Stops run on BACKGROUND threads (round-7 code-review finding:
-        apply() is the ConfigStore's on_change callback and executes
-        inside its mutation lock — a synchronous drain would freeze
-        ingest auth and the whole config surface for the drain window).
-        The connection leaves ``running`` immediately; a restart of the
-        SAME id first joins its pending stop, because two queries must
-        never share a checkpoint directory."""
+        Stops AND slow restarts run on BACKGROUND threads (round-7
+        review findings: apply() is the ConfigStore's on_change
+        callback and executes inside its mutation lock — any long wait
+        here freezes ingest auth and the whole config surface). A
+        restart of the SAME id must never overlap its predecessor on
+        the shared checkpoint directory, so the start takes a short
+        fast-path join on the pending stop (the common case: the drain
+        finished long ago) and otherwise hands the join-then-start to
+        a waiter thread — the new query appears in ``running`` when the
+        old one is actually gone, never beside it."""
         for cid in diff.removed + diff.changed:
             q = self._queries.pop(cid, None)
             if q is not None:
@@ -91,27 +94,60 @@ class StreamingSupervisor:
             conn = conns[cid]
             if not conn.enabled:
                 continue
-            self._await_stop(cid)
-            self._queries[cid] = self._start(conn)
-            self._conns[cid] = conn
+            self._start_after_stop(cid, conn)
 
     def _begin_stop(self, cid: int, q) -> None:
-        self._await_stop(cid)  # at most one pending stop per id
-        t = threading.Thread(target=_drain_then_stop, args=(q,), daemon=True)
+        if not self._await_stop(cid, DRAIN_TIMEOUT_S + 10):
+            # predecessor's stop is wedged; the old thread stays
+            # tracked and this stop chains behind it
+            prev = self._stopping.get(cid)
+
+            def chained(prev=prev, q=q):
+                if prev is not None:
+                    prev.join()
+                _drain_then_stop(q)
+
+            t = threading.Thread(target=chained, daemon=True)
+        else:
+            t = threading.Thread(target=_drain_then_stop, args=(q,), daemon=True)
         t.start()
         self._stopping[cid] = t
 
-    def _await_stop(self, cid: int) -> None:
-        t = self._stopping.pop(cid, None)
-        if t is not None:
-            t.join(DRAIN_TIMEOUT_S + 10)
+    def _start_after_stop(self, cid: int, conn: Connection) -> None:
+        if self._await_stop(cid, 0.5):  # fast path: nothing pending
+            self._queries[cid] = self._start(conn)
+            self._conns[cid] = conn
+            return
+        pending = self._stopping.get(cid)
+
+        def waiter(pending=pending, cid=cid, conn=conn):
+            pending.join()  # unbounded, but OFF the config-store lock
+            self._stopping.pop(cid, None)
+            self._queries[cid] = self._start(conn)
+            self._conns[cid] = conn
+
+        threading.Thread(target=waiter, daemon=True).start()
+
+    def _await_stop(self, cid: int, timeout_s: float | None) -> bool:
+        """Join the pending stop; True iff none remains. A timed-out
+        thread STAYS tracked (popping it would hide a still-running
+        query from quiesce and the restart path — round-7 second-pass
+        review finding)."""
+        t = self._stopping.get(cid)
+        if t is None:
+            return True
+        t.join(timeout_s)
+        if t.is_alive():
+            return False
+        self._stopping.pop(cid, None)
+        return True
 
     def quiesce(self) -> None:
-        """Join every pending background stop — for tests and
-        maintenance windows that need 'no query is still winding
+        """Join every pending background stop (unbounded) — for tests
+        and maintenance windows that need 'no query is still winding
         down' as a hard fact rather than an eventuality."""
         for cid in list(self._stopping):
-            self._await_stop(cid)
+            self._await_stop(cid, None)
 
     def start_all(self, conns: dict[int, Connection]) -> None:
         self.apply(ConfigDiff(tuple(sorted(conns)), (), ()), conns)
@@ -124,7 +160,7 @@ class StreamingSupervisor:
         self._queries.clear()
         self._conns.clear()
         for cid in list(self._stopping):
-            self._await_stop(cid)
+            self._await_stop(cid, DRAIN_TIMEOUT_S + 10)
 
 
 def connection_stream_starter(
