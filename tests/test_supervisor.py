@@ -80,3 +80,56 @@ def test_supervisor_wired_to_config_store(tmp_path):
     store.delete("connection", 10)
     assert not sup.running
     sup.quiesce()
+
+
+def test_wedged_stop_never_collides_on_checkpoint():
+    """A stop that hangs past the drain window must NOT let the
+    restarted query start beside its predecessor (shared checkpoint
+    dir): the start waits on a background waiter and registers only
+    after the old query's stop() finally returns (round-7 second-pass
+    review finding)."""
+    import threading
+    import time
+
+    from kassette_server_spark.streaming import supervisor as sup_mod
+
+    release = threading.Event()
+
+    class WedgedQuery(FakeQuery):
+        def stop(self):
+            release.wait(30)  # simulate a stop stuck in a hung sink
+            super().stop()
+
+    log: list = []
+    made: list = []
+
+    def start(conn):
+        # the invariant under test: no new query while the old one is
+        # still un-stopped
+        assert all(q.stopped for q in made), "checkpoint collision!"
+        q = WedgedQuery(conn.id, log)
+        made.append(q)
+        log.append(("start", conn.id))
+        return q
+
+    old_timeout = sup_mod.DRAIN_TIMEOUT_S
+    sup_mod.DRAIN_TIMEOUT_S = 0.2  # keep the test fast
+    try:
+        sup = sup_mod.StreamingSupervisor(start)
+        sup.start_all({10: _conn(10)})
+        q_old = sup.running[10]
+        # change 10: stop wedges; restart must NOT start a second query
+        sup.apply(ConfigDiff(added=(), removed=(), changed=(10,)), {10: _conn(10, name="v2")})
+        time.sleep(1.0)
+        assert not q_old.stopped  # still wedged
+        assert len(made) == 1  # replacement NOT started yet
+        assert 10 not in sup.running  # and not falsely reported running
+        release.set()  # sink unblocks; stop completes; waiter starts v2
+        deadline = time.time() + 10
+        while time.time() < deadline and 10 not in sup.running:
+            time.sleep(0.05)
+        assert q_old.stopped
+        assert 10 in sup.running and sup.running[10] is not q_old
+        assert len(made) == 2
+    finally:
+        sup_mod.DRAIN_TIMEOUT_S = old_timeout
