@@ -141,6 +141,12 @@ def test_control_plane_churn_soak(spark, tmp_path):
         # (which outlives the query) must dedup across the restart
         before = len(_delivered(spark, out10))
         assert _req("PATCH", f"{cfg}/connection", {"id": 10, "enabled": True})[1] == {"success": True}
+        # re-enable registers the new query only after the OLD one's
+        # background drain completes (shared checkpoint dir, round-7
+        # second-pass fix) — wait for it rather than asserting instantly
+        deadline = time.time() + 60
+        while time.time() < deadline and 10 not in srv.supervisor.running:
+            time.sleep(0.5)
         assert set(srv.supervisor.running) == {10}
         st, _ = _req("POST", f"{gw}/extract",
                      {"batch": [_event(m, k) for k, m in enumerate(sorted(all_mids))]},
