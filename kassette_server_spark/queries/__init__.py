@@ -25,7 +25,7 @@ from . import analytics as _analytics  # noqa: F401,E402  (q75-q77, q83)
 from . import extras as _extras  # noqa: F401,E402  (q91-q96)
 from . import advanced as _advanced  # noqa: F401,E402  (q99-q139)
 from . import round6 as _round6  # noqa: F401,E402  (q140-q143)
-from . import round7 as _round7  # noqa: F401,E402  (q144-q156)
+from . import round7 as _round7  # noqa: F401,E402  (q144-q157)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
@@ -102,14 +102,14 @@ _WINDOW: tuple[str, ...] = (
 # (q75_funnel, q76_retention_cohorts, q77_quantized_ann,
 # q83_semantic_dedup — 3 rounds stale by r8, they go FIRST), then the
 # r5 greens (q30-q41, q47, q51-q69, q84-q88, q91-q97 — 44 specs).
-# Window: pinned core (6) + the r7-born specs q144-q156 (ks_drift,
+# Window: pinned core (6) + the r7-born specs q144-q157 (ks_drift,
 # benford_audit, theil_sen_trend, session_paths, gap_fill,
 # mann_whitney, cusum_changepoint, type_affinity, autocorrelation,
-# hist_drift, ks_drift_binned, data_contract, share_shift —
-# first-round policy, 13 slots) + q75/q76/q77/q83 + the first 27 r5
-# greens in q-number order (the remaining 17 r5 greens roll to r9
-# ahead of everything newer). Nothing should stay >3 rounds without a
-# row while the surface is ~156 specs.
+# hist_drift, ks_drift_binned, data_contract, share_shift,
+# budget_select — first-round policy, 14 slots) + q75/q76/q77/q83 +
+# the first 26 r5 greens in q-number order (the remaining 18 r5
+# greens roll to r9 ahead of everything newer). Nothing should stay
+# >3 rounds without a row while the surface is ~156 specs.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).

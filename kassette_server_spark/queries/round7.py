@@ -1,4 +1,4 @@
-"""Round-7 specs (q144-q156): distribution-drift and data-audit
+"""Round-7 specs (q144-q157): distribution-drift and data-audit
 operators over the event stream and the billing tables — the
 "assess what you moved" layer a 100 TB training-data pipeline runs
 after ingest (KS and rank-based drift, fabricated-data screening,
@@ -528,4 +528,54 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= 20)
         .select("l_partkey", "c1", "c2", "shift", "rk")
+    )
+
+
+# budget-constrained corpus selection: per source, greedily keep the
+# highest-quality documents until the char budget is exhausted (the
+# "what fits in this data mix" primitive; quality here is the exact
+# integer chars-per-doc density proxy so both engines agree bit-exact)
+@query(
+    "q157_budget_select",
+    oracle="""
+    WITH scored AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_chars
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(max(cum_chars) AS BIGINT) AS kept_chars,
+           CAST(min(n_chars) AS BIGINT) AS smallest_kept
+    FROM scored
+    WHERE cum_chars <= 4000
+    GROUP BY source
+    """,
+    doc="budget-constrained greedy selection per source: keep the "
+    "largest documents until a 4000-char budget fills (one per-group "
+    "cumulative window over a deterministic (n_chars desc, doc_id) "
+    "order, exact integers)",
+    tags=("curation", "sampling"),
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = docs.select(
+        "source", "doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum_chars")
+    )
+    return (
+        scored.where(F.col("cum_chars") <= 4000)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.max("cum_chars").cast("bigint").alias("kept_chars"),
+            F.min("n_chars").cast("bigint").alias("smallest_kept"),
+        )
     )
