@@ -46,6 +46,20 @@ def main() -> None:
     # warmup: JIT/codegen + parquet footer caches
     run_to_completion(specs["q01_scan_filter"].fn(spark, sf_dir))
 
+    def time_spec(name: str) -> float:
+        t0 = time.perf_counter()
+        run_to_completion(specs[name].fn(spark, sf_dir))
+        return time.perf_counter() - t0
+
+    # Noise sentinel (VERDICT r7 #4): the same fixed cheap spec timed
+    # immediately after warmup and again after the whole sweep. If both
+    # sentinel timings moved together vs the prior round, the shift is
+    # ambient box load, not a plan regression — this makes the
+    # round-over-round comparison mechanical instead of forensic (the
+    # r7 driver bench ran ~1.25x r6 uniformly from box load alone).
+    SENTINEL = "q14_topk"
+    sentinel_first = round(min(time_spec(SENTINEL) for _ in range(2)), 4)
+
     # best-of-2: first run pays whole-stage-codegen compilation for the
     # plan shape, second measures steady-state engine throughput. The
     # iterative/fixpoint specs swing ±50 % from per-job scheduler
@@ -56,17 +70,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in sorted(specs):
-        samples = []
-        for _ in range(3 if name in high_variance else 2):
-            t0 = time.perf_counter()
-            run_to_completion(specs[name].fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
+        samples = [time_spec(name) for _ in range(3 if name in high_variance else 2)]
         if name in high_variance:
             timings[name] = round(sorted(samples)[1], 4)  # median of 3
             spreads[name] = round(max(samples) - min(samples), 4)
         else:
             timings[name] = round(min(samples), 4)
 
+    sentinel_last = round(min(time_spec(SENTINEL) for _ in range(2)), 4)
     total = round(sum(timings.values()), 4)
     # The driver archives only a finite TAIL of stdout; the 142-entry
     # per-query map overflowed it and r6 still recorded parsed:null
@@ -82,6 +93,9 @@ def main() -> None:
             "queries": slowest,
             "n_queries": len(timings),
             "sec_per_query": round(total / len(timings), 4),
+            "sentinel": SENTINEL,
+            "sentinel_first": sentinel_first,
+            "sentinel_last": sentinel_last,
             "sf": sf,
             "full_map": "BENCH_FULL.json",
         }
@@ -93,6 +107,9 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "sentinel": SENTINEL,
+            "sentinel_first": sentinel_first,
+            "sentinel_last": sentinel_last,
             "median_of_3": sorted(high_variance),
             "spread_sec": spreads,
             "variance_note": "median-of-3 specs are iterative "

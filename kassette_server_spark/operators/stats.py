@@ -729,6 +729,7 @@ def weighted_median_oracle_sql(
              SUM(w) OVER (PARTITION BY grp) AS tot
       FROM vw
     )
-    SELECT grp, MIN(v) AS wmedian, MIN(tot) AS tot_weight
+    SELECT grp, MIN(v) AS wmedian,
+           CAST(MIN(tot) AS BIGINT) AS tot_weight
     FROM cum WHERE cum * 2 >= tot GROUP BY grp
     """

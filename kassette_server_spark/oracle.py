@@ -37,6 +37,30 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _hash_dtype(s: pd.Series) -> str:
+    """Canonical dtype token mirroring the driver's value-hash
+    sensitivity: the driver serializes pandas values, so int64 506627
+    and float64 506627.0 hash DIFFERENTLY even when numerically equal
+    (the exact failure mode of r7's q143, where DuckDB widened a window
+    SUM(BIGINT) to HUGEINT → pandas float64 while Spark emitted int64;
+    VERDICT r7 "What's wrong" #1/#2). Width within a kind is immaterial
+    (q118 stayed driver-green with Spark int32 vs DuckDB int64 — the
+    driver hashes Python-object values, where int(3)==int(3) at any
+    width but 3 != 3.0 across kinds), so the token is the dtype KIND,
+    plus the representational unification compare() itself performs
+    (datetime unit coercion, object stringification)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime64[us]"
+    kind = s.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    return str(s.dtype)
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df = df[sorted(df.columns)]
@@ -67,6 +91,20 @@ def compare(spark: SparkSession, spec: QuerySpec, sf_dir: str) -> CompareResult:
         )
     if len(sdf) != len(odf):
         return CompareResult(spec.name, False, len(sdf), len(odf), "row count mismatch")
+
+    # Driver-fidelity dtype gate (VERDICT r7 #2): the driver's value
+    # hash is dtype-sensitive, so a float64-vs-int64 divergence that
+    # compares numerically equal must FAIL here, not only at the driver.
+    dt_mismatch = [
+        f"{c}: spark={_hash_dtype(sdf[c])} oracle={_hash_dtype(odf[c])}"
+        for c in sorted(sdf.columns)
+        if _hash_dtype(sdf[c]) != _hash_dtype(odf[c])
+    ]
+    if dt_mismatch:
+        return CompareResult(
+            spec.name, False, len(sdf), len(odf),
+            "dtype mismatch (driver hash would differ): " + "; ".join(dt_mismatch),
+        )
 
     a, b = _normalize(sdf), _normalize(odf)
     try:

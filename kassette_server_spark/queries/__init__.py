@@ -29,16 +29,14 @@ from . import round7 as _round7  # noqa: F401,E402  (q144-q157)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-7 window (the r6 plan
-# written below the r6 window, confirmed by VERDICT r6 "Next round #1"):
-# pin the 6-slot relational core, give the r6-born specs q140-q143
-# their first driver rows (standing first-round policy), then spend the
-# 40 remaining slots on the oldest greens — the r4-stale set (q02-q27
-# non-core, q42-q50 sans q47, q70-q83; 44 specs, of which 40 fit).
-# The four deferred to r8 (q75/q76/q77/q83) are the ones whose operator
-# families shipped fresh r6 rows (funnel→q123/q139, cohorts→q129,
-# ANN/SemDeDup plan-audited in the r6 bench) AND stay locked by
-# tests/test_oracle_parity*.py at sf0.001+sf0.01 every CI run.
+# order (VERDICT r2 "Next round #1/#2"). Round-8 window (the r7 plan
+# written below the r7 window, amended per VERDICT r7 "Next round #1/#3"
+# to include q143, whose r7 red row was an oracle HUGEINT dtype bug —
+# engine values judge-verified identical — now fixed in
+# operators/stats.py weighted_median_oracle_sql): pinned core (6), the
+# r7-born specs q144-q157 (first-round policy, 14), the re-oracled
+# q143 (1), the 3-round-stale r4 quartet q75/q76/q77/q83 (4), then the
+# first 25 r5 greens in q-number order (q30-q41, q47, q51-q62).
 _WINDOW: tuple[str, ...] = (
     # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
@@ -47,69 +45,65 @@ _WINDOW: tuple[str, ...] = (
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-10: r6-born operators, first driver rows
-    "q140_point_in_time_join",
-    "q141_dataset_split",
-    "q142_pareto_frontier",
+    # slots 7-20: r7-born operators, first driver rows
+    "q144_ks_drift",
+    "q145_benford_audit",
+    "q146_theil_sen_trend",
+    "q147_session_paths",
+    "q148_gap_fill",
+    "q149_mann_whitney",
+    "q150_cusum_changepoint",
+    "q151_type_affinity",
+    "q152_autocorrelation",
+    "q153_hist_drift",
+    "q154_ks_drift_binned",
+    "q155_data_contract",
+    "q156_share_shift",
+    "q157_budget_select",
+    # slot 21: r7's only red row, oracle dtype bug fixed (CAST ... BIGINT)
     "q143_weighted_median",
-    # slots 11-32: r4-stale relational/parity set (last row r4)
-    "q02_predicates",
-    "q04_multiway_broadcast_join",
-    "q05_left_join",
-    "q06_semi_join",
-    "q07_anti_join",
-    "q09_count_distinct",
-    "q10_rollup",
-    "q12_window_running_sum",
-    "q13_window_lag",
-    "q14_topk",
-    "q15_setops",
-    "q16_string_fns",
-    "q17_date_fns",
-    "q18_math_fns",
-    "q19_case_nullif",
-    "q20_json_extract",
-    "q21_cast_semantics",
-    "q22_rules_map_hide_delete",
-    "q23_timestamp_skew",
-    "q25_dedup_exact",
-    "q26_correlated_subquery",
-    "q27_exists",
-    # slots 33-40: r4-stale OLAP extras (q47 was re-greened r5)
-    "q42_topk_per_group",
-    "q43_pivot",
-    "q44_cube",
-    "q45_exact_median",
-    "q46_histogram",
-    "q48_range_join",
-    "q49_regexp_extract",
-    "q50_posexplode",
-    # slots 41-50: r4-stale curation/llm set
-    "q70_benchmark_contamination",
-    "q71_quality_filter",
-    "q72_sequence_packing",
-    "q73_tfidf_top_terms",
-    "q74_ngram_novelty",
-    "q78_domain_mix",
-    "q79_shuffle_shards",
-    "q80_repetition_filter",
-    "q81_pii_scrub",
-    "q82_chunk_documents",
+    # slots 22-25: r4 greens deferred from the r7 window (3 rounds stale)
+    "q75_funnel",
+    "q76_retention_cohorts",
+    "q77_quantized_ann",
+    "q83_semantic_dedup",
+    # slots 26-50: first 25 r5 greens in q-number order
+    "q30_dedup_exact_text",
+    "q31_dedup_ngram_jaccard",
+    "q32_dedup_minhash_lsh",
+    "q33_simhash",
+    "q34_ann_cosine_topk",
+    "q35_embedding_near_dup",
+    "q36_text_quality_stats",
+    "q37_language_id",
+    "q38_token_counts",
+    "q39_doc_fingerprint",
+    "q40_approx_aggregates",
+    "q41_multimodal_meta",
+    "q47_asof_join",
+    "q51_token_frequencies",
+    "q52_ivf_topk",
+    "q53_tpch_q1_pricing_summary",
+    "q54_tpch_q3_shipping_priority",
+    "q55_tpch_q5_local_volume",
+    "q56_time_rollup",
+    "q57_simhash_near_dup",
+    "q58_normalize_text",
+    "q59_unpivot",
+    "q60_mode_per_group",
+    "q61_stats_moments",
+    "q62_grouping_sets",
 )
 
-# R8 ROTATION PLAN (write it down while the state is fresh): after r7,
-# the oldest rows are the four r4 greens that missed this window
-# (q75_funnel, q76_retention_cohorts, q77_quantized_ann,
-# q83_semantic_dedup — 3 rounds stale by r8, they go FIRST), then the
-# r5 greens (q30-q41, q47, q51-q69, q84-q88, q91-q97 — 44 specs).
-# Window: pinned core (6) + the r7-born specs q144-q157 (ks_drift,
-# benford_audit, theil_sen_trend, session_paths, gap_fill,
-# mann_whitney, cusum_changepoint, type_affinity, autocorrelation,
-# hist_drift, ks_drift_binned, data_contract, share_shift,
-# budget_select — first-round policy, 14 slots) + q75/q76/q77/q83 +
-# the first 26 r5 greens in q-number order (the remaining 18 r5
-# greens roll to r9 ahead of everything newer). Nothing should stay
-# >3 rounds without a row while the surface is ~156 specs.
+# R9 ROTATION PLAN (write it down while the state is fresh): after r8,
+# the oldest rows are the 19 remaining r5 greens that missed this
+# window (q63-q69, q84-q88, q91-q97 — they go FIRST, right after the
+# pinned core and any r8-born specs, which get their guaranteed
+# first-round slots). The rest of the window fills with the oldest r6
+# greens in q-number order (q89/q90/q93 family then q98-q139 — 3 rounds
+# stale by r9). Nothing should stay >3 rounds without a row while the
+# surface is ~160 specs; everything stays locked meanwhile by
+# tests/test_oracle_parity*.py at sf0.001+sf0.01 every CI run.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).

@@ -1,0 +1,64 @@
+"""Static oracle hygiene sweep (VERDICT r7 "Next round" #2).
+
+DuckDB widens a window ``SUM(BIGINT)`` to HUGEINT; pandas materializes
+HUGEINT as float64 while the Spark side emits int64 — numerically equal
+values, divergent driver hash (r7's single red row, q143). ``DESCRIBE``
+is static (no execution), so this sweeps every registered oracle's
+output column types and kills the whole failure class: any future
+forgotten cast fails here in milliseconds instead of at the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kassette_server_spark.oracle import duckdb_connection
+from kassette_server_spark.queries import all_specs
+
+from conftest import SF_SMOKE
+
+SPECS = all_specs()
+ORACLED = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+
+FORBIDDEN = ("HUGEINT", "UHUGEINT")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF_SMOKE)
+    yield c
+    c.close()
+
+
+def test_dtype_gate_catches_prefix_q143(con, spark):
+    """The local mirror must fail the way the driver fails: r7's q143
+    oracle (pre-CAST) compares value-equal but hash-divergent
+    (float64 vs int64). With the r8 driver-fidelity dtype gate
+    (oracle._hash_dtype), the pre-fix form is red LOCALLY."""
+    import dataclasses
+
+    from kassette_server_spark.oracle import compare
+
+    s = SPECS["q143_weighted_median"]
+    prefix = dataclasses.replace(
+        s, oracle=s.oracle.replace("CAST(MIN(tot) AS BIGINT)", "MIN(tot)")
+    )
+    assert prefix.oracle != s.oracle, "fixture drifted: CAST not found"
+    res = compare(spark, prefix, SF_SMOKE)
+    assert not res.ok and "dtype mismatch" in res.detail
+    assert compare(spark, s, SF_SMOKE).ok
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_no_hugeint_outputs(con, name):
+    desc = con.execute(f"DESCRIBE {SPECS[name].oracle}").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in desc
+        if any(f in typ.upper() for f in FORBIDDEN)
+    ]
+    assert not bad, (
+        f"{name}: oracle emits {bad} — pandas renders HUGEINT as float64 "
+        f"while Spark emits int64, so the driver hash diverges even when "
+        f"values match (q143 r7). CAST the aggregate output to BIGINT."
+    )
