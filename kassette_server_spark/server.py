@@ -210,6 +210,10 @@ class KassetteServer:
                 available_now=available_now,
             )
         )
+        # compaction must never race a live stream: the ledger refuses
+        # to compact while the supervisor reports activity (the boot
+        # call in start() runs before start_all, so it always passes)
+        self.ledger.activity_probe = self.supervisor.busy_reason
         self.store = ConfigStore(
             path=config_path or os.path.join(work_dir, "config.json"),
             on_change=self.supervisor.apply,

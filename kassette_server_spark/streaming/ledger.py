@@ -20,6 +20,7 @@ update contention at 1000 executors.
 from __future__ import annotations
 
 import threading
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +58,14 @@ class DeliveryLedger:
         # RLock: compact() holds it across a _read() that may itself
         # lock for crash recovery
         self._write_lock = threading.RLock()
+        #: optional quiescence probe wired by the owner (the server
+        #: points it at StreamingSupervisor.busy_reason): returns a
+        #: human-readable reason the ledger may still be appended to,
+        #: or None when compaction is safe. compact() consults it and
+        #: FAILS LOUDLY instead of racing a live stream (round-8
+        #: hardening of the r7 "quiescence is the caller's contract"
+        #: footnote — the contract is now enforced, not documented).
+        self.activity_probe: Callable[[], str | None] | None = None
 
     def append(self, statuses: DataFrame) -> None:
         with self._write_lock:
@@ -132,6 +141,14 @@ class DeliveryLedger:
         import os
         import shutil
 
+        if self.activity_probe is not None:
+            busy = self.activity_probe()
+            if busy is not None:
+                raise RuntimeError(
+                    f"ledger.compact() requires quiescence but {busy}; "
+                    "stop the streams (supervisor.stop_all) before "
+                    "compacting"
+                )
         with self._write_lock:
             self._recover_interrupted_compaction()
             lg = self._read()

@@ -65,10 +65,43 @@ class StreamingSupervisor:
         self._conns: dict[int, Connection] = {}
         #: in-flight drain-then-stop threads, one per connection id
         self._stopping: dict[int, threading.Thread] = {}
+        #: per-cid pending-start token: the ONE queued/in-flight start
+        #: that currently owns the right to populate _queries[cid].
+        #: apply() supersedes it (fresh token, or pop on disable) before
+        #: scheduling anything new, and every start re-checks its token
+        #: under the lock before going live — closing the round-8 advice
+        #: race where two waiters on one pending stop both started (two
+        #: live queries sharing a checkpoint dir), and where an
+        #: enable-then-disable left a waiter to start a query for a
+        #: now-disabled connection that nothing would ever stop.
+        self._pending_start: dict[int, object] = {}
+        # RLock: _finish_start -> _start may be re-entered by callbacks
+        self._lock = threading.RLock()
 
     @property
     def running(self) -> dict[int, object]:
         return dict(self._queries)
+
+    def busy_reason(self) -> str | None:
+        """A human-readable reason the supervisor is NOT quiescent
+        (running queries, winding-down stops, or queued starts), or
+        None when idle. Maintenance operations that require quiescence
+        — ledger compaction above all — consult this to fail loudly
+        instead of racing a live stream."""
+        with self._lock:
+            self._reap_stopped()
+            if self._queries:
+                return f"queries running for connections {sorted(self._queries)}"
+            if self._stopping:
+                return f"stops draining for connections {sorted(self._stopping)}"
+            if self._pending_start:
+                return f"starts queued for connections {sorted(self._pending_start)}"
+        return None
+
+    def _reap_stopped(self) -> None:
+        for cid, t in list(self._stopping.items()):
+            if not t.is_alive():
+                self._stopping.pop(cid, None)
 
     def apply(self, diff: ConfigDiff, conns: dict[int, Connection]) -> None:
         """Reconcile running queries with a config diff: stop removed,
@@ -84,12 +117,20 @@ class StreamingSupervisor:
         fast-path join on the pending stop (the common case: the drain
         finished long ago) and otherwise hands the join-then-start to
         a waiter thread — the new query appears in ``running`` when the
-        old one is actually gone, never beside it."""
+        old one is actually gone, never beside it. Each scheduled start
+        carries a per-cid token; a later apply() for the same cid
+        supersedes it, so stacked reconfigs converge to exactly the
+        LAST desired state — never two live queries, never a stranded
+        query for a disabled connection."""
         for cid in diff.removed + diff.changed:
-            q = self._queries.pop(cid, None)
+            with self._lock:
+                # supersede any queued start for this cid: its waiter
+                # will find its token gone and do nothing
+                self._pending_start.pop(cid, None)
+                q = self._queries.pop(cid, None)
+                self._conns.pop(cid, None)
             if q is not None:
                 self._begin_stop(cid, q)
-            self._conns.pop(cid, None)
         for cid in diff.added + diff.changed:
             conn = conns[cid]
             if not conn.enabled:
@@ -114,19 +155,36 @@ class StreamingSupervisor:
         self._stopping[cid] = t
 
     def _start_after_stop(self, cid: int, conn: Connection) -> None:
+        token = object()
+        with self._lock:
+            self._pending_start[cid] = token  # newest start owns cid
         if self._await_stop(cid, 0.5):  # fast path: nothing pending
-            self._queries[cid] = self._start(conn)
-            self._conns[cid] = conn
+            self._finish_start(cid, conn, token)
             return
         pending = self._stopping.get(cid)
 
-        def waiter(pending=pending, cid=cid, conn=conn):
+        def waiter(pending=pending, cid=cid, conn=conn, token=token):
             pending.join()  # unbounded, but OFF the config-store lock
-            self._stopping.pop(cid, None)
-            self._queries[cid] = self._start(conn)
-            self._conns[cid] = conn
+            with self._lock:
+                # pop only OUR pending stop — a chained newer stop may
+                # have replaced the entry while we slept
+                if self._stopping.get(cid) is pending:
+                    self._stopping.pop(cid, None)
+            self._finish_start(cid, conn, token)
 
         threading.Thread(target=waiter, daemon=True).start()
+
+    def _finish_start(self, cid: int, conn: Connection, token: object) -> None:
+        """Go live iff this start still owns the cid (its token was not
+        superseded by a later apply()). The check and the registration
+        are one critical section, so a disable arriving after the check
+        always finds the query in ``_queries`` and stops it."""
+        with self._lock:
+            if self._pending_start.get(cid) is not token:
+                return  # superseded: disabled, or a newer start owns cid
+            self._pending_start.pop(cid, None)
+            self._queries[cid] = self._start(conn)
+            self._conns[cid] = conn
 
     def _await_stop(self, cid: int, timeout_s: float | None) -> bool:
         """Join the pending stop; True iff none remains. A timed-out
@@ -155,10 +213,16 @@ class StreamingSupervisor:
     def stop_all(self) -> None:
         """Drain every query in PARALLEL (serial drains cost up to
         DRAIN_TIMEOUT_S x N on shutdown), then join them all."""
-        for cid, q in list(self._queries.items()):
+        with self._lock:
+            # cancel queued starts FIRST: a waiter that wakes during
+            # shutdown must find its token gone, not start a query
+            # nobody will stop
+            self._pending_start.clear()
+            queries = list(self._queries.items())
+            self._queries.clear()
+            self._conns.clear()
+        for cid, q in queries:
             self._begin_stop(cid, q)
-        self._queries.clear()
-        self._conns.clear()
         for cid in list(self._stopping):
             self._await_stop(cid, DRAIN_TIMEOUT_S + 10)
 

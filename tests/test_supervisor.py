@@ -133,3 +133,109 @@ def test_wedged_stop_never_collides_on_checkpoint():
         assert len(made) == 2
     finally:
         sup_mod.DRAIN_TIMEOUT_S = old_timeout
+
+
+def test_stacked_reconfigs_converge_to_last_desired_state():
+    """Round-8 advice race: two apply()s for the same cid during the
+    drain window used to queue two waiters on one pending stop — both
+    later started, leaving two live queries sharing a checkpoint dir.
+    With per-cid start tokens, only the LAST apply's start goes live."""
+    import threading
+    import time
+
+    from kassette_server_spark.streaming import supervisor as sup_mod
+
+    release = threading.Event()
+
+    class WedgedQuery(FakeQuery):
+        def stop(self):
+            release.wait(30)
+            super().stop()
+
+    log: list = []
+    made: list = []
+
+    def start(conn):
+        assert all(q.stopped for q in made), "checkpoint collision!"
+        q = WedgedQuery(conn.id, log)
+        made.append(q)
+        log.append(("start", conn.source.name))
+        return q
+
+    old_timeout = sup_mod.DRAIN_TIMEOUT_S
+    sup_mod.DRAIN_TIMEOUT_S = 0.2
+    try:
+        sup = sup_mod.StreamingSupervisor(start)
+        sup.start_all({10: _conn(10, name="v1")})
+        # two reconfigs while the v1 stop is wedged
+        sup.apply(ConfigDiff((), (), (10,)), {10: _conn(10, name="v2")})
+        sup.apply(ConfigDiff((), (), (10,)), {10: _conn(10, name="v3")})
+        time.sleep(0.5)
+        assert len(made) == 1  # nothing started beside the wedged v1
+        release.set()
+        deadline = time.time() + 10
+        while time.time() < deadline and 10 not in sup.running:
+            time.sleep(0.05)
+        time.sleep(0.5)  # give a buggy second waiter time to misfire
+        assert len(made) == 2, "superseded v2 start must never run"
+        assert ("start", "v3") in log and ("start", "v2") not in log
+        assert set(sup.running) == {10}
+    finally:
+        sup_mod.DRAIN_TIMEOUT_S = old_timeout
+
+
+def test_enable_then_disable_during_drain_starts_nothing():
+    """Round-8 advice race, second limb: enable-then-disable while the
+    predecessor's stop drains found nothing in _queries to stop, so the
+    queued waiter started a query for a now-disabled connection that
+    nothing would ever stop. The disable must supersede the queued
+    start."""
+    import threading
+    import time
+
+    from kassette_server_spark.streaming import supervisor as sup_mod
+
+    release = threading.Event()
+
+    class WedgedQuery(FakeQuery):
+        def stop(self):
+            release.wait(30)
+            super().stop()
+
+    log: list = []
+    made: list = []
+
+    def start(conn):
+        q = WedgedQuery(conn.id, log)
+        made.append(q)
+        log.append(("start", conn.source.name))
+        return q
+
+    old_timeout = sup_mod.DRAIN_TIMEOUT_S
+    sup_mod.DRAIN_TIMEOUT_S = 0.2
+    try:
+        sup = sup_mod.StreamingSupervisor(start)
+        sup.start_all({10: _conn(10, name="v1")})
+        sup.apply(ConfigDiff((), (), (10,)), {10: _conn(10, name="v2")})
+        sup.apply(ConfigDiff((), (), (10,)), {10: _conn(10, name="v2", enabled=False)})
+        release.set()
+        time.sleep(1.0)  # give a buggy waiter time to start v2 anyway
+        sup.quiesce()
+        assert len(made) == 1, "disabled connection must not be started"
+        assert 10 not in sup.running
+        assert sup.busy_reason() is None
+    finally:
+        sup_mod.DRAIN_TIMEOUT_S = old_timeout
+
+
+def test_busy_reason_reports_activity_and_idle():
+    log: list = []
+    sup = StreamingSupervisor(
+        lambda conn: (log.append(("start", conn.id)), FakeQuery(conn.id, log))[1]
+    )
+    assert sup.busy_reason() is None
+    sup.start_all({10: _conn(10)})
+    assert "10" in (sup.busy_reason() or "")
+    sup.stop_all()
+    sup.quiesce()
+    assert sup.busy_reason() is None
