@@ -226,7 +226,11 @@ def theil_sen_by(df: DataFrame, group_col: str, x_col: str, y_col: str) -> DataF
     one or two, average — tie-order-proof and one window over d^2 rows
     per group.
 
-    Output: group, n_points, n_pairs, slope (double).
+    Output: group, n_points, n_pairs, slope (double). EVERY group in
+    the input appears: a group with fewer than 2 distinct x values has
+    no pairwise slopes and reports (n_pairs=0, slope=NULL) rather than
+    being dropped (round-8 advice — trend audits must not lose
+    segments that lack signal).
     """
     a = df.select(
         F.col(group_col).alias("_g"), F.col(x_col).alias("x1"), F.col(y_col).alias("y1")
@@ -266,16 +270,18 @@ def theil_sen_by(df: DataFrame, group_col: str, x_col: str, y_col: str) -> DataF
     npts = df.groupBy(F.col(group_col).alias("_g")).agg(
         F.count("*").alias("n_points")
     )
-    return (
-        mid.groupBy("_g", "n_pairs")
-        .agg(((F.sum("slope")) / F.count("*")).alias("slope"))
-        .join(npts, "_g")
-        .select(
-            F.col("_g").alias(group_col),
-            "n_points",
-            "n_pairs",
-            "slope",
-        )
+    med = mid.groupBy("_g", "n_pairs").agg(
+        ((F.sum("slope")) / F.count("*")).alias("slope")
+    )
+    # LEFT join from npts (round-8 advice): a group with <2 distinct x
+    # values yields no pairwise slopes — it must still appear in the
+    # audit output (slope NULL, n_pairs 0), not vanish, so callers
+    # auditing per-segment trends see every segment
+    return npts.join(med, "_g", "left").select(
+        F.col("_g").alias(group_col),
+        "n_points",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        "slope",
     )
 
 
@@ -306,11 +312,11 @@ def theil_sen_oracle_sql(series_sql: str, group_col: str, x_col: str, y_col: str
       GROUP BY _g, n_pairs
     ),
     npts AS (SELECT {group_col} AS _g, count(*) AS n_points FROM s GROUP BY 1)
-    SELECT mid._g AS {group_col},
+    SELECT npts._g AS {group_col},
            CAST(n_points AS BIGINT) AS n_points,
-           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
            slope
-    FROM mid JOIN npts ON mid._g = npts._g
+    FROM npts LEFT JOIN mid ON mid._g = npts._g
     """
 
 

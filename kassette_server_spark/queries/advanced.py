@@ -463,8 +463,10 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT ta, tb, CAST(n AS BIGINT) AS n,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / NULLIF(
+                 sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                 0)
              AS corr
     FROM pairs
     """,
@@ -508,8 +510,11 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # NULLIF-guard (round-8 advice, q152's fix applied to the shared
+    # double tree): zero-variance series divide by 0.0 — NULL in Spark,
+    # IEEE inf/NaN in DuckDB — so pin 0 → NULL on both sides
+    corr = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
     )
     return pairs.select("ta", "tb", F.col("n").cast("long").alias("n"), corr.alias("corr"))
 

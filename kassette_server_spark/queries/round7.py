@@ -320,8 +320,10 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT t AS event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / NULLIF(
+                 sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                 0)
              AS acf
     FROM pairs
     """,
@@ -370,14 +372,16 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
+    # NULLIF-guard the denominator (round-8 advice): on a zero-variance
+    # (event_type, lag) series Spark's x/0.0 yields NULL while DuckDB
+    # follows IEEE (inf/NaN) — pinning 0 → NULL on BOTH sides keeps the
+    # oracle hash stable on constant daily counts
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     return pairs.select(
         F.col("t").alias("event_type"),
         "lag",
         F.col("n").alias("n_pairs"),
-        (
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-        ).alias("acf"),
+        ((n * sxy - sx * sy) / F.nullif(den, F.lit(0.0))).alias("acf"),
     )
 
 

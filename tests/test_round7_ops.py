@@ -410,3 +410,60 @@ def test_contract_rejects_bad_rule_names_and_empty(spark):
     # uniqueness-only contract works (stack(0,...) would not parse)
     out = validate_contract(df, {}, {"id_unique": ["id"]}).collect()
     assert len(out) == 1 and out[0].rule == "id_unique" and out[0].violations == 0
+
+
+def test_theil_sen_single_point_group_emits_null_slope(spark):
+    """Round-8 advice: a group with <2 points (or all-equal x) must
+    appear with n_pairs=0 and slope NULL, not vanish from the audit."""
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("solo", 5, 7), ("flat", 4, 1), ("flat", 4, 9)],
+        "g string, x int, y int",
+    )
+    out = {r.g: r for r in theil_sen_by(df, "g", "x", "y").collect()}
+    assert set(out) == {"a", "solo", "flat"}
+    assert out["a"].slope == 10.0 and out["a"].n_pairs == 3
+    assert out["solo"].n_points == 1 and out["solo"].n_pairs == 0 and out["solo"].slope is None
+    # two points sharing one x: no valid pair either
+    assert out["flat"].n_points == 2 and out["flat"].n_pairs == 0 and out["flat"].slope is None
+
+
+def test_theil_sen_single_point_group_oracle_agrees(spark):
+    """The LEFT-join null-slope contract must hold identically in the
+    DuckDB oracle (same rows, same NULLs)."""
+    import duckdb
+
+    from kassette_server_spark.operators.drift import theil_sen_oracle_sql
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("solo", 5, 7)], "g string, x int, y int"
+    )
+    eng = {r.g: (r.n_points, r.n_pairs, r.slope) for r in theil_sen_by(df, "g", "x", "y").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (g VARCHAR, x INT, y INT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?, ?)", [("a", 1, 10), ("a", 2, 20), ("solo", 5, 7)])
+    sql = theil_sen_oracle_sql("SELECT g, x, y FROM pts", "g", "x", "y")
+    ora = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    con.close()
+    assert eng == ora == {"a": (2, 1, 10.0), "solo": (1, 0, None)}
+
+
+def test_acf_zero_variance_series_is_null_both_engines(spark):
+    """Round-8 advice: constant series → zero variance → denominator 0.
+    Spark yields NULL for x/0.0; DuckDB follows IEEE — the NULLIF guard
+    must pin both engines to NULL."""
+    import duckdb
+
+    # engine side: replicate q152's moment tree on a constant series
+    n, sx, sy, sxx, syy, sxy = 4.0, 8.0, 8.0, 16.0, 16.0, 16.0  # x=const 2
+    df = spark.createDataFrame([(n, sx, sy, sxx, syy, sxy)], "n double, sx double, sy double, sxx double, syy double, sxy double")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    acf = df.select(
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(den, F.lit(0.0))).alias("acf")
+    ).collect()[0].acf
+    assert acf is None
+    ora = duckdb.sql(
+        "SELECT (4.0*16.0 - 8.0*8.0) / NULLIF(sqrt(4.0*16.0-8.0*8.0)*sqrt(4.0*16.0-8.0*8.0), 0) AS acf"
+    ).fetchone()[0]
+    assert ora is None
