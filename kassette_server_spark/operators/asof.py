@@ -30,6 +30,28 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def _salt_tags(left: DataFrame, right: DataFrame, salt: int):
+    """Salt expressions for the union-merge as-of pattern (round-8
+    skew-stress: the PIT join's salt=R recipe applied to the window
+    shape). Left probes hash to ONE salt group (xxhash64 over all left
+    columns — deterministic across retries/partitionings, unlike
+    rand()); right rows replicate into EVERY group, so each group holds
+    the key's complete right history plus ~1/R of the probes and the
+    carry stays exact. AQE cannot help here at all — there is no join
+    to split, just a window whose hot key lands on one task — so
+    salting is the ONLY lever; it costs an R-times-larger right-side
+    shuffle (bounded: the right side is the smaller/event side)."""
+    if salt <= 1:
+        return F.lit(0), F.lit(0)
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError("'_salt' is reserved by asof_join_*(salt=...)")
+    l_salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).cast("int")
+    r_salt = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    return l_salt, r_salt
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -37,16 +59,23 @@ def asof_join_backward(
     left_time: str,
     right_time: str,
     right_cols: list[str],
+    salt: int = 1,
 ) -> DataFrame:
     """left columns + the latest right_cols at-or-before left_time.
 
     Ties on time: the right row sorts before the left probe at equal
     times (side 0 < 1), so an exactly-equal right timestamp matches —
     standard backward as-of semantics (DuckDB ASOF JOIN compatible).
+
+    ``salt=R`` spreads a celebrity key's probes over R window
+    partitions with the right side replicated R ways (see _salt_tags;
+    oracle-identical result, locked by tests/test_asof_skew.py).
     """
     lt = F.col(left_time)
+    l_salt, r_salt = _salt_tags(left, right, salt)
     l_tag = left.select(
         F.col(key).alias("_k"),
+        l_salt.alias("_salt"),
         lt.alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
@@ -56,6 +85,7 @@ def asof_join_backward(
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
+        r_salt.alias("_salt"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(
@@ -64,7 +94,11 @@ def asof_join_backward(
         F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     merged = l_tag.unionByName(r_tag)
-    w = W.partitionBy("_k").orderBy("_t", "_side").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        W.partitionBy("_k", "_salt")
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     carried = merged.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1).select(
         F.col("_l.*"), *[F.col("_last_r")[c].alias(c) for c in right_cols]
@@ -119,6 +153,7 @@ def asof_join_forward(
     right_time: str,
     right_cols: list[str],
     tolerance_us: int | None = None,
+    salt: int = 1,
 ) -> DataFrame:
     """left columns + the EARLIEST right_cols at-or-after left_time —
     the forward as-of direction (e.g. "next order after this event"),
@@ -136,8 +171,10 @@ def asof_join_forward(
     lt = F.col(left_time)
     r_dtypes = dict(right.dtypes)
     l_dtypes = dict(left.dtypes)
+    l_salt, r_salt = _salt_tags(left, right, salt)
     l_tag = left.select(
         F.col(key).alias("_k"),
+        l_salt.alias("_salt"),
         lt.alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
@@ -147,6 +184,7 @@ def asof_join_forward(
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
+        r_salt.alias("_salt"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(
@@ -156,7 +194,7 @@ def asof_join_forward(
     )
     merged = l_tag.unionByName(r_tag)
     w = (
-        W.partitionBy("_k")
+        W.partitionBy("_k", "_salt")
         .orderBy(F.desc("_t"), "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
