@@ -40,7 +40,8 @@ from conftest import SF_CORRECT, SF_SMOKE
 from kassette_server_spark.catalog import load
 
 SEED = 20260813
-N_QUERIES = 160
+N_QUERIES = 200  # raised r8 with the rank-filter / conditional-agg /
+# RANGE-frame shapes so every family keeps >=100 queries of coverage
 
 # (table, integer cols, string cols, date cols) — doubles deliberately
 # excluded (float summation order is engine-dependent)
@@ -182,7 +183,7 @@ def _gen_window_query(rng: random.Random, domains: dict) -> str:
     uniq = f"ORDER BY {ordc} NULLS FIRST, {pk} NULLS FIRST"
     kind = rng.choice(
         ["row_number", "sum_range", "lag", "lead", "rank", "dense_rank",
-         "rows_frame", "first_value"]
+         "rows_frame", "first_value", "range_frame", "range_following"]
     )
     acol = rng.choice(ints)
     if kind == "row_number":
@@ -206,6 +207,27 @@ def _gen_window_query(rng: random.Random, domains: dict) -> str:
             f"CAST(sum({acol}) OVER (PARTITION BY {part} {uniq} "
             f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW) AS BIGINT)"
         )
+    elif kind == "range_frame":
+        # explicit value-offset RANGE frame (r7 surface: the drift/ECDF
+        # family lives on RANGE semantics) — peers and near-peers
+        # aggregate by VALUE distance, so tie order cannot matter; the
+        # order column must be a single numeric (both engines require
+        # that for value offsets, and int cols here are non-null keys)
+        n = rng.choice([1, 5, 100])
+        oc = rng.choice(ints)
+        win = (
+            f"CAST(sum({acol}) OVER (PARTITION BY {part} "
+            f"ORDER BY {oc} NULLS FIRST "
+            f"RANGE BETWEEN {n} PRECEDING AND CURRENT ROW) AS BIGINT)"
+        )
+    elif kind == "range_following":
+        n = rng.choice([1, 5, 100])
+        oc = rng.choice(ints)
+        win = (
+            f"CAST(sum({acol}) OVER (PARTITION BY {part} "
+            f"ORDER BY {oc} NULLS FIRST "
+            f"RANGE BETWEEN CURRENT ROW AND {n} FOLLOWING) AS BIGINT)"
+        )
     else:  # first_value over the unique total order
         win = (
             f"first_value({acol}) OVER (PARTITION BY {part} {uniq} "
@@ -215,6 +237,63 @@ def _gen_window_query(rng: random.Random, domains: dict) -> str:
     return (
         f"SELECT t0.{pk} AS pk, {win} AS w FROM {t} t0 WHERE {pred} "
         f"ORDER BY pk NULLS FIRST, w NULLS FIRST"
+    )
+
+
+def _gen_rank_filter_query(rng: random.Random, domains: dict) -> str:
+    """Rank-then-filter (the q147/q42 WindowGroupLimit shape, VERDICT r7
+    #7): rn <= k over a partitioned rank. row_number uses the provably
+    unique total order; rank/dense_rank depend only on key values so
+    the qualifying SET is tie-order-proof either way."""
+    t = rng.choice([x for x in TABLES if UNIQUE_KEY[x]])
+    ints, strs, dates = TABLES[t]
+    pk = UNIQUE_KEY[t]
+    part = rng.choice(strs + ints)
+    ordc = rng.choice(ints + dates)
+    fn = rng.choice(["row_number", "rank", "dense_rank"])
+    if fn == "row_number":
+        order = f"ORDER BY {ordc} NULLS FIRST, {pk} NULLS FIRST"
+    else:
+        order = f"ORDER BY {ordc} NULLS FIRST"
+    k = rng.choice([1, 2, 5])
+    pred = _predicate(rng, t, "t0", domains)
+    return (
+        f"SELECT pk, rn FROM ("
+        f"SELECT t0.{pk} AS pk, {fn}() OVER (PARTITION BY {part} {order}) AS rn "
+        f"FROM {t} t0 WHERE {pred}) z WHERE rn <= {k} "
+        f"ORDER BY pk NULLS FIRST, rn NULLS FIRST"
+    )
+
+
+def _gen_conditional_agg_query(rng: random.Random, domains: dict) -> str:
+    """Conditional aggregates (the q155 contract / q156 share-shift
+    shape, VERDICT r7 #7): FILTER (WHERE ...) and CASE-sum rule
+    predicates sharing one aggregate pass, optionally compared in
+    HAVING. Empty-group semantics are the divergence corner: count
+    FILTER is 0, sum/min/max FILTER are NULL — in both engines."""
+    t = rng.choice(list(TABLES))
+    ints, strs, _dates = TABLES[t]
+    gcol = rng.choice(strs + ints)
+    acol = rng.choice(ints)
+    p1 = _predicate(rng, t, "t0", domains)
+    p2 = _predicate(rng, t, "t0", domains)
+    aggs = [
+        f"CAST(count(*) FILTER (WHERE {p1}) AS BIGINT) AS c1",
+        f"CAST(sum(CASE WHEN {p2} THEN 1 ELSE 0 END) AS BIGINT) AS c2",
+        f"CAST(sum(t0.{acol}) FILTER (WHERE {p1}) AS BIGINT) AS s1",
+        f"min(t0.{acol}) FILTER (WHERE {p2}) AS m1",
+        f"max(t0.{acol}) FILTER (WHERE {p1}) AS m2",
+        f"CAST(count(DISTINCT t0.{acol}) FILTER (WHERE {p2}) AS BIGINT) AS d1",
+    ]
+    sel = rng.sample(aggs, rng.randrange(2, 5))
+    names = [s.rsplit(" AS ", 1)[1] for s in sel]
+    having = ""
+    if rng.random() < 0.4:
+        having = f" HAVING count(*) FILTER (WHERE {p1}) >= {rng.choice([0, 1, 3])}"
+    order = ", ".join(f"{n} NULLS FIRST" for n in ["g"] + names)
+    return (
+        f"SELECT t0.{gcol} AS g, {', '.join(sel)} FROM {t} t0 "
+        f"GROUP BY t0.{gcol}{having} ORDER BY {order}"
     )
 
 
@@ -278,9 +357,13 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
         return _gen_setop_query(rng, domains)
     if shape < 0.18:  # correlated scalar subqueries (q26 shape)
         return _gen_scalar_subquery_query(rng, domains)
-    if shape < 0.32:  # window functions over a single table
+    if shape < 0.30:  # window functions over a single table
         return _gen_window_query(rng, domains)
-    if shape < 0.50:  # single table
+    if shape < 0.38:  # rank-then-filter (WindowGroupLimit shape)
+        return _gen_rank_filter_query(rng, domains)
+    if shape < 0.46:  # conditional aggregates (contract predicates)
+        return _gen_conditional_agg_query(rng, domains)
+    if shape < 0.58:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
         from_sql = f"{t} t0"
