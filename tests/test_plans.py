@@ -390,3 +390,66 @@ def test_q156_share_shift_broadcast_totals_topk(spark):
     assert "WindowGroupLimit" in p or "TakeOrderedAndProject" in p
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "l_partkey" in read_schema and "l_comment" not in read_schema
+
+
+# -- round 8: evaluation family ----------------------------------------------
+def test_q158_auc_ranks_over_distinct_values(spark):
+    """Ranks come from the DISTINCT (segment, score) aggregate, the
+    midrank window shares its Exchange with the final per-segment
+    aggregate (2 shuffles total), and the orders scan is pruned to the
+    three needed columns."""
+    import re
+
+    p = plan(spark, "q158_roc_auc")
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 2
+    assert p.count("Window (") == 1
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_totalprice" in read_schema and "o_orderdate" not in read_schema
+
+
+def test_q159_decile_lift_single_base_scan(spark):
+    """The value-count frame is localCheckpointed: the three consuming
+    branches (cuts, totals, bucketed re-agg) read the materialized
+    frame, not the parquet — exactly one base-table scan."""
+    p = plan(spark, "q159_decile_lift")
+    assert p.count("Scan parquet") == 0  # checkpoint feeds the whole plan
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row cuts/totals frames
+
+
+def test_q160_threshold_metrics_one_scan_one_shuffle(spark):
+    """The whole threshold sweep is ONE wide aggregate (single
+    Exchange of one partial-agg row) followed by a 1-row unpivot
+    (Generate) — no join, no per-threshold re-scan."""
+    import re
+
+    p = plan(spark, "q160_threshold_metrics")
+    assert p.count("Scan parquet") == 2  # 1 scan x 2 listings
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
+    assert "Generate" in p
+    assert "Join" not in p
+
+
+def test_q161_kappa_off_checkpointed_cells(spark):
+    """Everything downstream of the C x C contingency aggregate runs
+    off the checkpointed cells frame (Scan ExistingRDD), and the 1-row
+    marginal-product frame rides a broadcast."""
+    p = plan(spark, "q161_cohens_kappa")
+    assert "Scan ExistingRDD" in p
+    assert p.count("Scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_q162_ndcg_shared_window_exchange(spark):
+    """The lineitem count aggregates then broadcast-joins to orders;
+    both rank windows share ONE group-hash Exchange (second window
+    re-sorts in place); the lineitem scan reads only l_orderkey."""
+    import re
+
+    p = plan(spark, "q162_ndcg")
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 2  # li agg + window
+    assert p.count("Window (") == 2
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and all("l_quantity" not in s for s in li)

@@ -1,0 +1,213 @@
+"""Unit semantics for the round-8 evaluation operators (oracle parity
+locks engine agreement; these lock the MATH on hand-built cases where
+the right answer is known a priori)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kassette_server_spark.operators.evaluation import (
+    NDCG_DISCOUNTS,
+    cohens_kappa,
+    decile_lift,
+    ndcg_at_k,
+    roc_auc_by,
+    threshold_metrics,
+)
+
+
+# -- roc_auc_by ---------------------------------------------------------------
+def test_auc_perfect_separation(spark):
+    """pos={3,4} all above neg={1,2} → AUC 1 (U = n_pos*n_neg)."""
+    df = spark.createDataFrame(
+        [("g", 0, 1), ("g", 0, 2), ("g", 1, 3), ("g", 1, 4)],
+        "g string, y int, s long",
+    )
+    r = roc_auc_by(df, "g", "y", "s").collect()[0]
+    assert (r.n_pos, r.n_neg) == (2, 2)
+    assert r.two_u == 8  # 2 * U = 2 * 4
+    assert r.auc == 1.0
+
+
+def test_auc_all_tied_is_half(spark):
+    """Every score identical → midranks make U = n_pos*n_neg/2 → 0.5."""
+    df = spark.createDataFrame(
+        [("g", 1, 7), ("g", 0, 7), ("g", 1, 7), ("g", 0, 7)],
+        "g string, y int, s long",
+    )
+    r = roc_auc_by(df, "g", "y", "s").collect()[0]
+    assert r.two_u == 4  # 2 * (n_pos*n_neg/2) = 4
+    assert r.auc == 0.5
+
+
+def test_auc_hand_midrank_case(spark):
+    """pos=[3], neg=[1,2,3]: the tied 3s midrank to 3.5 → R1 = 3.5,
+    U = 3.5 - 1 = 2.5, AUC = 2.5/3."""
+    df = spark.createDataFrame(
+        [("g", 1, 3), ("g", 0, 1), ("g", 0, 2), ("g", 0, 3)],
+        "g string, y int, s long",
+    )
+    r = roc_auc_by(df, "g", "y", "s").collect()[0]
+    assert r.two_u == 5
+    assert r.auc == 5.0 / 6.0
+
+
+def test_auc_single_class_is_null(spark):
+    df = spark.createDataFrame([("g", 1, 1), ("g", 1, 2)], "g string, y int, s long")
+    r = roc_auc_by(df, "g", "y", "s").collect()[0]
+    assert r.n_neg == 0 and r.auc is None
+
+
+# -- decile_lift --------------------------------------------------------------
+def test_decile_lift_two_buckets(spark):
+    """Scores 1,1,2,2 with positives only at score 2, B=2: cut t1=1,
+    decile 1 = {2,2} (resp 1.0, lift 2.0), decile 2 = {1,1} (resp 0,
+    cumulative lift 1.0 by construction)."""
+    df = spark.createDataFrame(
+        [(1, 0), (1, 0), (2, 1), (2, 1)], "s long, y int"
+    )
+    out = {r.decile: r for r in decile_lift(df, "s", "y", n_buckets=2).collect()}
+    assert out[1].n == 2 and out[1].pos == 2
+    assert out[1].resp_rate == 1.0 and out[1].cum_lift == 2.0
+    assert out[2].n == 2 and out[2].pos == 0
+    assert out[2].resp_rate == 0.0 and out[2].cum_lift == 1.0
+
+
+def test_decile_lift_distinct_scores_full_table(spark):
+    """Scores 1..10, positives at 9 and 10, B=10: one score per decile
+    (decile 1 = score 10); top decile lift = (1*10)/(1*2) = 5."""
+    rows = [(s, 1 if s >= 9 else 0) for s in range(1, 11)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = {r.decile: r for r in decile_lift(df, "s", "y", n_buckets=10).collect()}
+    assert len(out) == 10
+    assert out[1].pos == 1 and out[1].cum_lift == 5.0
+    assert out[2].cum_lift == 5.0  # 2/2 positives in top 2 deciles
+    assert out[10].cum_lift == 1.0  # whole population = base rate
+
+
+def test_decile_lift_ties_share_bucket(spark):
+    """All-identical scores collapse into ONE decile (deterministic tie
+    handling — ntile would split them by physical row order)."""
+    df = spark.createDataFrame([(5, 1), (5, 0), (5, 0)], "s long, y int")
+    rows = decile_lift(df, "s", "y", n_buckets=10).collect()
+    assert len(rows) == 1
+    assert rows[0].n == 3 and rows[0].pos == 1
+
+
+# -- threshold_metrics --------------------------------------------------------
+def test_threshold_metrics_hand_counts(spark):
+    """scores [1,2,3,4], labels [0,0,1,1]; at t=3: tp=2 fp=0 fn=0 tn=2
+    → P=R=F1=1; at t=2: tp=2 fp=1 tn=1 → P=2/3, R=1, F1=4/5."""
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "s long, y int"
+    )
+    out = {
+        r.threshold: r
+        for r in threshold_metrics(df, "s", "y", (2, 3)).collect()
+    }
+    t3 = out[3]
+    assert (t3.tp, t3.fp, t3.fn, t3.tn) == (2, 0, 0, 2)
+    assert t3.precision == 1.0 and t3.recall == 1.0 and t3.f1 == 1.0
+    t2 = out[2]
+    assert (t2.tp, t2.fp, t2.fn, t2.tn) == (2, 1, 0, 1)
+    assert t2.precision == 2.0 / 3.0 and t2.recall == 1.0 and t2.f1 == 0.8
+
+
+def test_threshold_metrics_empty_prediction_guards(spark):
+    """Threshold above every score: no predicted positives → precision
+    NULL (0/0), recall 0."""
+    df = spark.createDataFrame([(1, 1), (2, 0)], "s long, y int")
+    r = threshold_metrics(df, "s", "y", (100,)).collect()[0]
+    assert r.tp == 0 and r.fp == 0
+    assert r.precision is None and r.recall == 0.0 and r.f1 == 0.0
+
+
+# -- cohens_kappa -------------------------------------------------------------
+def test_kappa_textbook_contingency(spark):
+    """The classic 2x2 case [[20,5],[10,15]] (n=50): po=0.7, pe=0.5,
+    kappa = 0.4 — exact, from the integer identity
+    (n*agree - Σrm*cm) / (n² - Σrm*cm) = 500/1250."""
+    rows = (
+        [("x", "x")] * 20 + [("x", "y")] * 5 + [("y", "x")] * 10 + [("y", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.agree, r.sum_rc) == (50, 35, 1250)
+    assert r.po == 0.7 and r.pe == 0.5
+    assert r.kappa == 0.4
+
+
+def test_kappa_perfect_and_degenerate(spark):
+    """Perfect agreement on 2 categories → kappa 1; single-category
+    data → pe = 1 → NULL (0/0 guarded)."""
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y")], "a string, b string"
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0].kappa == 1.0
+    degenerate = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], "a string, b string"
+    )
+    assert cohens_kappa(degenerate, "a", "b").collect()[0].kappa is None
+
+
+def test_kappa_one_sided_category_counts(spark):
+    """A category used by only one rater must still contribute its
+    marginal product (= 0) without dropping rows: a=[x,z], b=[x,y]."""
+    df = spark.createDataFrame([("x", "x"), ("z", "y")], "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    # rowm: x=1,z=1; colm: x=1,y=1 → sum_rc = 1 (only x overlaps)
+    assert r.n == 2 and r.agree == 1 and r.sum_rc == 1
+    assert r.kappa == (2 * 1 - 1) / (4 - 1)
+
+
+# -- ndcg_at_k ----------------------------------------------------------------
+def test_ndcg_perfect_ranking_is_one(spark):
+    """Score order == relevance order → dcg == idcg → ndcg exactly 1."""
+    df = spark.createDataFrame(
+        [("g", 1, 30, 3), ("g", 2, 20, 2), ("g", 3, 10, 1)],
+        "g string, id long, s long, r long",
+    )
+    row = ndcg_at_k(df, "g", "id", "s", "r", k=3).collect()[0]
+    assert row.dcg == row.idcg
+    assert row.ndcg == 1.0
+
+
+def test_ndcg_reversed_ranking_hand_value(spark):
+    """Score order exactly reverses relevance [3,2,1]: the polynomial
+    is the same left-to-right fold the engine computes, so the expected
+    value is bit-exact, not approximate."""
+    df = spark.createDataFrame(
+        [("g", 1, 10, 3), ("g", 2, 20, 2), ("g", 3, 30, 1)],
+        "g string, id long, s long, r long",
+    )
+    row = ndcg_at_k(df, "g", "id", "s", "r", k=3).collect()[0]
+
+    def fold(rels):
+        acc = 0.0
+        for d, r in zip(NDCG_DISCOUNTS, rels):
+            acc = acc + d * float(r)
+        return acc
+
+    assert row.dcg == fold([1, 2, 3])
+    assert row.idcg == fold([3, 2, 1])
+    assert row.ndcg == fold([1, 2, 3]) / fold([3, 2, 1])
+
+
+def test_ndcg_ties_break_by_id(spark):
+    """Equal scores rank by ascending id — the doc with the lower id
+    takes position 1 in the model ranking."""
+    df = spark.createDataFrame(
+        [("g", 2, 10, 3), ("g", 1, 10, 0)],
+        "g string, id long, s long, r long",
+    )
+    row = ndcg_at_k(df, "g", "id", "s", "r", k=2).collect()[0]
+    # model order: id 1 (rel 0) then id 2 (rel 3); ideal: [3, 0]
+    assert row.dcg == NDCG_DISCOUNTS[1] * 3.0
+    assert row.idcg == 3.0
+
+
+def test_ndcg_k_exceeds_discount_table(spark):
+    df = spark.createDataFrame([("g", 1, 1, 1)], "g string, id long, s long, r long")
+    with pytest.raises(ValueError):
+        ndcg_at_k(df, "g", "id", "s", "r", k=11)
