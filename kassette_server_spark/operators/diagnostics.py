@@ -1,0 +1,156 @@
+"""Scale diagnostics: the pre-flight checks you run BEFORE committing
+a 100 TB shuffle.
+
+``key_skew_profile`` answers the question every big join starts with:
+how is this key distributed, how hot is the hottest key relative to an
+even spread, and what salt factor would flatten it. It is the
+measurement companion to the engine's deterministic salting paths
+(operators/merge.py point-in-time salt=R, extras.py q97 salted join,
+SCALE.md:516-522 — AQE provably cannot split a join that shares its
+partitioning with a window, so R must be CHOSEN, and this operator is
+how you choose it).
+
+Determinism contract: all BIGINT until the final single IEEE divisions
+(avg_cnt, skew_ratio, key_share); the salt recommendation is an
+integer ceiling division, exact in both engines; order statistics of
+the per-key counts use the exact cumulative-count rule
+(stats.py:384 precedent), never a percentile estimator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    target_partitions: int = 32,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join-key skew profile: the ``top_n`` heaviest keys, each row
+    carrying the global distribution stats.
+
+    Columns: (rank, key, cnt, key_share, n_rows, n_keys, max_cnt,
+    avg_cnt, skew_ratio, p50_cnt, p99_cnt, salt_r).
+
+    - ``skew_ratio = max_cnt * n_keys / n_rows`` — how many times an
+      even spread the hottest key is (1.0 = perfectly uniform).
+    - ``salt_r = ceil(max_cnt * target_partitions / n_rows)`` — the
+      salt factor that splits the hottest key down to one average
+      partition's share of rows; feed it to the deterministic salting
+      paths (merge.py / q97).
+    - p50/p99 of the per-key count distribution via the exact
+      cumulative rule: smallest count c with cum_keys*100 >= n_keys*q.
+
+    Plan: ONE scan aggregates to the per-key count frame, which is
+    localCheckpointed (bounded by key cardinality, distributed) so the
+    three consumers — the 1-row stats aggregate, the count-of-counts
+    percentile frame (bounded by DISTINCT count values), and the
+    TakeOrdered top-N — do not re-scan the source. The top-N is
+    ``orderBy(...).limit(n)`` which compiles to TakeOrderedAndProject:
+    a per-partition heap + driver merge, never a global sort.
+    """
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    # count-of-counts: how many keys have exactly c rows — the frame
+    # the percentiles come from (|distinct counts| rows, tiny)
+    coc = counts.groupBy("cnt").agg(F.count("*").alias("k_at"))
+    wc = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = coc.select("cnt", F.sum("k_at").over(wc).alias("cum_k"))
+    pcts = cum.crossJoin(F.broadcast(stats.select("n_keys"))).agg(
+        F.min(
+            F.when(F.col("cum_k") * 100 >= F.col("n_keys") * 50, F.col("cnt"))
+        ).alias("p50_cnt"),
+        F.min(
+            F.when(F.col("cum_k") * 100 >= F.col("n_keys") * 99, F.col("cnt"))
+        ).alias("p99_cnt"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_n)
+        .select(
+            "key",
+            "cnt",
+        )
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    out = (
+        top.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(pcts))
+        .select(
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n_rows").cast("double")).alias(
+                "key_share"
+            ),
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            (
+                F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+            ).alias("avg_cnt"),
+            (
+                (F.col("max_cnt") * F.col("n_keys")).cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_ratio"),
+            "p50_cnt",
+            "p99_cnt",
+            F.expr(
+                f"(max_cnt * {int(target_partitions)} + n_rows - 1) div n_rows"
+            )
+            .cast("long")
+            .alias("salt_r"),
+        )
+    )
+    return out
+
+
+def key_skew_oracle_sql(
+    source_sql: str,
+    key_col: str,
+    target_partitions: int = 32,
+    top_n: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`key_skew_profile`."""
+    p = int(target_partitions)
+    return f"""
+    WITH src0 AS ({source_sql}),
+    counts AS (SELECT {key_col} AS key, count(*) AS cnt FROM src0
+               WHERE {key_col} IS NOT NULL GROUP BY 1),
+    stats AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys,
+                     max(cnt) AS max_cnt FROM counts),
+    coc AS (SELECT cnt, count(*) AS k_at FROM counts GROUP BY 1),
+    cum AS (SELECT cnt, sum(k_at) OVER (ORDER BY cnt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_k
+            FROM coc),
+    pcts AS (SELECT
+               min(CASE WHEN cum_k * 100 >= n_keys * 50 THEN cnt END) AS p50_cnt,
+               min(CASE WHEN cum_k * 100 >= n_keys * 99 THEN cnt END) AS p99_cnt
+             FROM cum CROSS JOIN stats),
+    top AS (SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+            FROM counts ORDER BY cnt DESC, key ASC LIMIT {int(top_n)})
+    SELECT CAST(rank AS BIGINT) AS rank, key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS key_share,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(max_cnt AS BIGINT) AS max_cnt,
+           CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_cnt,
+           CAST(max_cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio,
+           CAST(p50_cnt AS BIGINT) AS p50_cnt,
+           CAST(p99_cnt AS BIGINT) AS p99_cnt,
+           CAST((max_cnt * {p} + n_rows - 1) // n_rows AS BIGINT) AS salt_r
+    FROM top CROSS JOIN stats CROSS JOIN pcts
+    """

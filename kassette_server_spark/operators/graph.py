@@ -304,3 +304,111 @@ def hierarchy_closure_jump(
         F.col("d").alias("depth"),
         (F.col("s") + F.col("v")).alias("path_sum"),
     )
+
+
+# -- triangle counting --------------------------------------------------------
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", top_n: int = 20
+) -> DataFrame:
+    """Degree-oriented triangle counting — the standard distributed
+    formulation (each triangle is found exactly once by orienting every
+    edge from its lower-(degree, id) endpoint to its higher one, so no
+    wedge is ever built AT a high-degree hub; the hub only ever appears
+    as a destination). This is the property that makes the wedge join
+    survive celebrity vertices at 100 TB: wedge fan-out per vertex is
+    bounded by its OUT-degree, which orientation caps near sqrt(|E|).
+
+    Input: undirected edges, any orientation, duplicates tolerated
+    (canonicalized + distinct internally). Output: the ``top_n``
+    vertices by triangle participation, ties by vertex ascending, each
+    row also carrying the global ``total_triangles``.
+
+    Columns: (vertex, triangles, total_triangles).
+    """
+    per_vertex = _triangle_participation(edges, src, dst).localCheckpoint(
+        eager=True
+    )
+    total = per_vertex.agg(
+        F.expr("sum(triangles) div 3").cast("long").alias("total_triangles")
+    )
+    return (
+        per_vertex.orderBy(F.col("triangles").desc(), F.col("vertex").asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+    )
+
+
+def _triangle_participation(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Un-materialized per-vertex triangle participation — split out so
+    the wedge-join pipeline's physical plan stays inspectable (the
+    public wrapper localCheckpoints it, which truncates lineage)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    with_deg = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("w").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closing = oriented.select(F.col("u").alias("x"), F.col("w").alias("z"))
+    tris = wedges.join(closing, ["x", "z"])
+    # total = Σ participation / 3 — each triangle touches exactly three
+    # vertices, so the wrapper derives the global count from this frame
+    # with an integer div instead of a second pass over tris.
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("triangles"))
+    )
+
+
+def triangle_count_oracle_sql(
+    edges_sql: str, src: str = "src", dst: str = "dst", top_n: int = 20
+) -> str:
+    """DuckDB mirror of :func:`triangle_count` via the canonical
+    a<b<c three-way enumeration (equivalent count — orientation is an
+    execution strategy, not a semantics change)."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+          FROM raw WHERE {src} <> {dst}),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_vertex AS (
+      SELECT vertex, count(*) AS triangles
+      FROM (SELECT x AS vertex FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY 1
+    ),
+    total AS (SELECT count(*) AS total_triangles FROM tri)
+    SELECT vertex, CAST(triangles AS BIGINT) AS triangles,
+           CAST(total_triangles AS BIGINT) AS total_triangles
+    FROM per_vertex CROSS JOIN total
+    ORDER BY triangles DESC, vertex ASC LIMIT {int(top_n)}
+    """

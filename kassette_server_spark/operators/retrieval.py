@@ -141,3 +141,77 @@ def bm25_oracle_sql(
     ) WHERE bm25 > 0
     ORDER BY bm25 DESC, doc_id LIMIT {k}
     """
+
+
+# -- reciprocal-rank fusion ---------------------------------------------------
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke's RRF) of two ranked
+    lists: ``rrf = Σ_sources 1/(k + rank)``, the standard way to merge
+    a lexical ranking (BM25) with a second signal (semantic ANN, a
+    static quality prior) without score calibration — only RANKS cross
+    the boundary, so the sources' score scales never meet.
+
+    Determinism: each term is one exact-rounded IEEE division of
+    integers (1.0/(k + rank)); the fusion is a single two-term
+    expression (addition of two doubles is order-free); missing-in-one-
+    source contributes exactly 0.0 via COALESCE — mirrored in the
+    oracle. Final order (rrf DESC, id ASC) is total because ids are
+    unique.
+
+    Scale: the inputs are already top-K frames (bounded — K rows per
+    source, not corpora), so the full-outer join and TakeOrdered run
+    on at most 2K rows regardless of corpus size; fusing S sources
+    chains S-1 such joins.
+
+    Output: (id, rank_a, rank_b, rrf).
+    """
+    a = rank_a.select(F.col(id_col).alias("id"), F.col(rank_col).alias("rank_a"))
+    b = rank_b.select(F.col(id_col).alias("id"), F.col(rank_col).alias("rank_b"))
+    fused = a.join(b, "id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(k) + F.col("rank_a")).cast("double"), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(k) + F.col("rank_b")).cast("double"), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "id",
+            F.col("rank_a").cast("long").alias("rank_a"),
+            F.col("rank_b").cast("long").alias("rank_b"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("id").asc())
+        .limit(top_n)
+    )
+
+
+def rrf_oracle_sql(
+    rank_a_sql: str,
+    rank_b_sql: str,
+    k: int = 60,
+    top_n: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`rrf_fuse`. Each input SQL must yield
+    (id, rank)."""
+    return f"""
+    WITH ra AS ({rank_a_sql}),
+    rb AS ({rank_b_sql}),
+    fused AS (
+      SELECT COALESCE(ra.id, rb.id) AS id,
+             ra.rank AS rank_a, rb.rank AS rank_b
+      FROM ra FULL OUTER JOIN rb ON ra.id = rb.id
+    )
+    SELECT id, CAST(rank_a AS BIGINT) AS rank_a,
+           CAST(rank_b AS BIGINT) AS rank_b,
+           COALESCE(1.0e0 / CAST({int(k)} + rank_a AS DOUBLE), 0.0e0)
+             + COALESCE(1.0e0 / CAST({int(k)} + rank_b AS DOUBLE), 0.0e0) AS rrf
+    FROM fused
+    ORDER BY rrf DESC, id ASC LIMIT {int(top_n)}
+    """

@@ -16,7 +16,7 @@ log2 discounts for NDCG, NULLIF guards mirrored on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -156,3 +156,193 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
     )
     df = o.join(li, o.o_orderkey == li.l_orderkey).drop("l_orderkey")
     return ndcg_at_k(df, "o_orderpriority", "o_orderkey", "cents", "n_items", k=10)
+
+
+# -- scale diagnostics / graph / retrieval / tpch -----------------------------
+from ..operators.diagnostics import key_skew_oracle_sql, key_skew_profile
+from ..operators.graph import triangle_count, triangle_count_oracle_sql
+from ..operators.retrieval import bm25_oracle_sql, bm25_topk, rrf_fuse, rrf_oracle_sql
+
+
+@query(
+    "q163_key_skew_profile",
+    oracle=key_skew_oracle_sql("SELECT user_id FROM events", "user_id"),
+    doc="join-key skew profile of events.user_id: top heavy keys, "
+    "skew ratio vs uniform, exact p50/p99 of the per-key count "
+    "distribution, and the recommended deterministic salt factor "
+    "(one scan; everything downstream is key-cardinality bounded)",
+    tags=("diagnostics", "scale"),
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id")
+    return key_skew_profile(ev, "user_id", target_partitions=32, top_n=10)
+
+
+@query(
+    "q164_triangle_count",
+    oracle=triangle_count_oracle_sql(
+        """
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        """,
+        top_n=20,
+    ),
+    doc="degree-oriented triangle counting over the co-purchase graph "
+    "(parts bought together): top-20 vertices by participation + "
+    "global count — wedges only ever fan out from low-degree "
+    "endpoints, so celebrity hubs never explode the join",
+    tags=("graph", "scale"),
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_count(edges, "src", "dst", top_n=20)
+
+
+_RRF_TERMS = ("spark", "join", "window", "hash")
+
+
+@query(
+    "q165_rrf_fusion",
+    oracle=rrf_oracle_sql(
+        f"""
+        SELECT doc_id AS id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+        FROM ({bm25_oracle_sql(_RRF_TERMS, k=50)})
+        """,
+        """
+        SELECT id, rank FROM (
+          SELECT doc_id AS id,
+                 row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+          FROM documents
+        ) WHERE rank <= 50
+        """,
+        k=60,
+        top_n=20,
+    ),
+    doc="reciprocal-rank fusion of the BM25 lexical ranking with a "
+    "length prior: only RANKS cross the source boundary (no score "
+    "calibration); the fusion join runs on two top-50 frames, never "
+    "the corpus",
+    tags=("retrieval", "llm"),
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    wa = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    rank_a = bm25_topk(docs, _RRF_TERMS, k=50).select(
+        "doc_id", F.row_number().over(wa).alias("rank")
+    )
+    wb = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    rank_b = (
+        docs.select("doc_id", "n_chars")
+        .select("doc_id", F.row_number().over(wb).alias("rank"))
+        .where(F.col("rank") <= 50)
+    )
+    return rrf_fuse(rank_a, rank_b, id_col="doc_id", k=60, top_n=20)
+
+
+@query(
+    "q166_tpch_q17_small_qty",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_partkey,
+             CAST(round(l.l_quantity) AS BIGINT) AS qty,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+    ),
+    win AS (
+      SELECT qty, cents,
+             sum(qty) OVER (PARTITION BY l_partkey) AS sum_qty,
+             count(*) OVER (PARTITION BY l_partkey) AS cnt
+      FROM li
+    )
+    SELECT CAST(COALESCE(sum(CASE WHEN 5 * qty * cnt < sum_qty
+                                  THEN cents END), 0) AS BIGINT)
+             AS small_qty_rev_cents,
+           CAST(COALESCE(sum(CASE WHEN 5 * qty * cnt < sum_qty
+                                  THEN 1 END), 0) AS BIGINT) AS n_lines
+    FROM win
+    """,
+    doc="TPC-H Q17 shape (small-quantity revenue for one brand): the "
+    "per-part average is an integer-exact predicate 5*qty*cnt < "
+    "sum_qty over ONE windowed pass — no correlated-subquery rescan "
+    "of lineitem; the brand part list rides a broadcast",
+    tags=("tpch",),
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    p = (
+        load(spark, sf, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    win = li_b.select(
+        "qty",
+        "cents",
+        F.sum("qty").over(w).alias("sum_qty"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    cond = 5 * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    return win.agg(
+        F.coalesce(F.sum(F.when(cond, F.col("cents"))), F.lit(0))
+        .cast("bigint")
+        .alias("small_qty_rev_cents"),
+        F.coalesce(F.sum(F.when(cond, F.lit(1))), F.lit(0))
+        .cast("bigint")
+        .alias("n_lines"),
+    )
+
+
+@query(
+    "q167_tpch_q18_large_volume",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 300
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_cents DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): the >300-quantity "
+    "order set aggregates first and is SMALL, so it broadcasts into "
+    "orders and customer — the big tables are never shuffled on the "
+    "join keys",
+    tags=("tpch",),
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity")).cast("bigint").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    o = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    ob = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).drop("l_orderkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    res = c.join(F.broadcast(ob), c.c_custkey == ob.o_custkey).drop("c_custkey")
+    return (
+        res.select("c_name", "o_custkey", "o_orderkey", "total_cents", "sum_qty")
+        .orderBy(F.col("total_cents").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

@@ -453,3 +453,80 @@ def test_q162_ndcg_shared_window_exchange(spark):
     schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
     li = [s for s in schemas if "l_orderkey" in s]
     assert li and all("l_quantity" not in s for s in li)
+
+
+def test_q163_skew_profile_off_checkpointed_counts(spark):
+    """Everything downstream of the per-key count aggregate reads the
+    checkpointed frame; the top-N compiles to TakeOrderedAndProject
+    (per-partition heap, no global sort); stats/percentile frames ride
+    broadcasts."""
+    p = plan(spark, "q163_key_skew_profile")
+    assert p.count("Scan parquet") == 0
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_q164_triangle_wedge_pipeline_shape(spark):
+    """The un-checkpointed wedge pipeline (inspectable via
+    _triangle_participation): the edge list is deduplicated once, the
+    degree frame joins in, and the wedge + closing joins are plain
+    equi-joins — no cartesian anywhere, no window."""
+    import contextlib, io
+
+    from kassette_server_spark.operators.graph import _triangle_participation
+    from kassette_server_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    li = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _triangle_participation(edges).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "HashAggregate" in p  # distinct + degree + participation aggs
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert all("l_quantity" not in s for s in schemas)
+    # final plan (post-checkpoint): TakeOrdered top-N + broadcast total
+    pf = plan(spark, "q164_triangle_count")
+    assert "TakeOrderedAndProject" in pf and "Scan parquet" not in pf
+
+
+def test_q165_rrf_joins_topk_frames_only(spark):
+    """Both rank sources are top-50 frames before the fusion join; the
+    final top-20 is a TakeOrdered, and the corpus text column is read
+    only by the BM25 branches (the length-prior branch reads just
+    doc_id + n_chars)."""
+    p = plan(spark, "q165_rrf_fusion")
+    assert "TakeOrderedAndProject" in p
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert any("n_chars" in s and "text" not in s for s in schemas)
+
+
+def test_q166_q17_broadcast_brand_one_window_pass(spark):
+    """The brand part list broadcasts into lineitem; the per-part
+    average is ONE window pass (no correlated re-scan of lineitem:
+    exactly one lineitem scan), then a single global aggregate."""
+    import re
+
+    p = plan(spark, "q166_tpch_q17_small_qty")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Window (") == 1
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert sum("l_partkey" in s for s in schemas) == 1  # lineitem once
+    pushed = p.split("PushedFilters:")
+    assert any("p_brand" in s.splitlines()[0] for s in pushed[1:])
+
+
+def test_q167_q18_big_tables_never_shuffled(spark):
+    """Only the lineitem pre-aggregate shuffles; the qualifying-order
+    set broadcasts into orders, the result broadcasts into customer,
+    and the top-100 is a TakeOrdered."""
+    import re
+
+    p = plan(spark, "q167_tpch_q18_large_volume")
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
+    assert p.count("BroadcastHashJoin") == 4  # 2 join nodes x 2 listings
+    assert "TakeOrderedAndProject" in p

@@ -211,3 +211,100 @@ def test_ndcg_k_exceeds_discount_table(spark):
     df = spark.createDataFrame([("g", 1, 1, 1)], "g string, id long, s long, r long")
     with pytest.raises(ValueError):
         ndcg_at_k(df, "g", "id", "s", "r", k=11)
+
+
+# -- key_skew_profile ---------------------------------------------------------
+def test_skew_profile_hand_distribution(spark):
+    """Keys a*4, b*2, c*1, d*1 (8 rows, 4 keys): max=4, avg=2,
+    skew_ratio=2, p50=1 (cum 2 of 4 keys at cnt 1), p99=4,
+    salt_r = ceil(4*32/8) = 16, top key a with share 0.5."""
+    from kassette_server_spark.operators.diagnostics import key_skew_profile
+
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", target_partitions=32, top_n=2).collect()
+    assert [r.rank for r in out] == [1, 2]
+    top = out[0]
+    assert (top.key, top.cnt) == ("a", 4)
+    assert top.key_share == 0.5
+    assert (top.n_rows, top.n_keys, top.max_cnt) == (8, 4, 4)
+    assert top.avg_cnt == 2.0 and top.skew_ratio == 2.0
+    assert (top.p50_cnt, top.p99_cnt) == (1, 4)
+    assert top.salt_r == 16
+    assert (out[1].key, out[1].cnt) == ("b", 2)
+
+
+def test_skew_profile_uniform_needs_no_salt(spark):
+    """Perfectly uniform keys → skew_ratio 1.0 and salt_r = ceil(P/n_keys)
+    (= 1 once keys >= partitions would be even; here 4 keys, P=4 → 1)."""
+    from kassette_server_spark.operators.diagnostics import key_skew_profile
+
+    rows = [(k,) for k in "abcd" for _ in range(3)]
+    df = spark.createDataFrame(rows, "k string")
+    top = key_skew_profile(df, "k", target_partitions=4, top_n=1).collect()[0]
+    assert top.skew_ratio == 1.0
+    assert top.salt_r == 1
+
+
+# -- triangle_count -----------------------------------------------------------
+def test_triangles_k4_complete_graph(spark):
+    """K4: C(4,3) = 4 triangles; every vertex participates in 3."""
+    from kassette_server_spark.operators.graph import triangle_count
+
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = triangle_count(df, "src", "dst", top_n=10).collect()
+    assert all(r.total_triangles == 4 for r in out)
+    assert sorted((r.vertex, r.triangles) for r in out) == [
+        (1, 3), (2, 3), (3, 3), (4, 3)
+    ]
+
+
+def test_triangles_pendant_and_duplicates(spark):
+    """One triangle {1,2,3} plus pendant edge 3-4, with duplicate and
+    reversed edges thrown in: count 1, vertex 4 absent."""
+    from kassette_server_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (3, 4), (4, 3), (2, 2)],
+        "src long, dst long",
+    )
+    out = triangle_count(df, "src", "dst", top_n=10).collect()
+    assert sorted((r.vertex, r.triangles) for r in out) == [(1, 1), (2, 1), (3, 1)]
+    assert all(r.total_triangles == 1 for r in out)
+
+
+def test_triangles_none(spark):
+    """A path graph has no triangles → empty result frame."""
+    from kassette_server_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(df, "src", "dst").count() == 0
+
+
+# -- rrf_fuse -----------------------------------------------------------------
+def test_rrf_hand_fusion(spark):
+    """A ranks {x:1, y:2}, B ranks {y:1, z:2} with k=60:
+    rrf(y) = 1/62 + 1/61 tops, then x (1/61), then z (1/62) — exact
+    doubles, same arithmetic as the engine."""
+    from kassette_server_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank long")
+    out = rrf_fuse(a, b, id_col="doc_id", k=60, top_n=10).collect()
+    assert [r.id for r in out] == [20, 10, 30]
+    assert out[0].rrf == 1.0 / 62.0 + 1.0 / 61.0
+    assert out[0].rank_a == 2 and out[0].rank_b == 1
+    assert out[1].rrf == 1.0 / 61.0 and out[1].rank_b is None
+    assert out[2].rrf == 1.0 / 62.0 and out[2].rank_a is None
+
+
+def test_rrf_tie_breaks_by_id(spark):
+    """Symmetric ranks → equal rrf; order falls back to ascending id."""
+    from kassette_server_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(2, 1), (1, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    out = rrf_fuse(a, b, id_col="doc_id", k=60, top_n=10).collect()
+    assert [r.id for r in out] == [1, 2]
+    assert out[0].rrf == out[1].rrf
