@@ -154,3 +154,87 @@ def key_skew_oracle_sql(
            CAST((max_cnt * {p} + n_rows - 1) // n_rows AS BIGINT) AS salt_r
     FROM top CROSS JOIN stats CROSS JOIN pcts
     """
+
+
+# -- streaming skew monitor ---------------------------------------------------
+def key_counts_merge_into_store(
+    batch_df: DataFrame, batch_id: int, key_col: str, store_path: str
+) -> bool:
+    """foreachBatch body: fold a micro-batch's per-key counts into a
+    persistent additive store (the countmin/hist ``merged_through``
+    batch-id fence — a replayed batch is skipped, not double-counted).
+
+    State is one row per DISTINCT key seen so far. That is the EXACT
+    profile; for open-ended key domains where even the key list is big
+    data, use the Count-Min heavy-hitter store (sketches.py, q85) —
+    this store is for join-key domains you are about to shuffle on,
+    where the count frame is exactly what the salting decision needs.
+    The merged frame is written DISTRIBUTED (write_store is a parquet
+    write of the dataframe; nothing is collected to the driver).
+    """
+    from .store import generation_committed, read_store, write_store
+
+    spark = batch_df.sparkSession
+    if generation_committed(store_path, batch_id):
+        return False
+    new = (
+        batch_df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    old = read_store(spark, store_path)
+    if old is not None:
+        hwm = old.agg(F.max("merged_through")).collect()[0][0]
+        if hwm is not None and batch_id <= hwm:
+            return False
+        merged = (
+            old.select("key", "cnt")
+            .unionByName(new)
+            .groupBy("key")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = new
+    out = merged.withColumn("merged_through", F.lit(int(batch_id)))
+    write_store(out, store_path, int(batch_id))
+    return True
+
+
+def skew_monitor(
+    batch_df: DataFrame,
+    batch_id: int,
+    key_col: str,
+    store_path: str,
+    target_partitions: int = 32,
+):
+    """foreachBatch body: fold the batch into the key-count store and
+    report the RUNNING skew stats — the live "is this join key getting
+    hot, what salt would I need now" monitor feeding the deterministic
+    salting paths (the batch analogue is q163).
+
+    Returns the 1-row (n_rows, n_keys, max_cnt, skew_ratio, salt_r)
+    report for this batch, or None on a replay skip / empty store —
+    at-least-once replays produce no duplicate monitoring rows.
+    """
+    from .store import read_store
+
+    merged = key_counts_merge_into_store(batch_df, batch_id, key_col, store_path)
+    if not merged:
+        return None
+    cur = read_store(batch_df.sparkSession, store_path).select("key", "cnt")
+    rows = cur.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    ).collect()
+    if not rows or rows[0].n_rows is None or rows[0].n_rows == 0:
+        return None
+    r = rows[0]
+    p = int(target_partitions)
+    return {
+        "n_rows": r.n_rows,
+        "n_keys": r.n_keys,
+        "max_cnt": r.max_cnt,
+        "skew_ratio": (r.max_cnt * r.n_keys) / r.n_rows,
+        "salt_r": (r.max_cnt * p + r.n_rows - 1) // r.n_rows,
+    }

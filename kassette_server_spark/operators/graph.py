@@ -412,3 +412,188 @@ def triangle_count_oracle_sql(
     FROM per_vertex CROSS JOIN total
     ORDER BY triangles DESC, vertex ASC LIMIT {int(top_n)}
     """
+
+
+# -- degree assortativity -----------------------------------------------------
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman's r): the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    "do hubs link to hubs (r>0) or to leaves (r<0)?". The one-number
+    summary of whether a co-purchase / link graph is hub-and-spoke
+    (disassortative, typical for catalogs) or community-clustered.
+
+    Integer core (the q137 ACF discipline): degrees are BIGINT, the
+    five moments (M, Σx, Σxy, Σx², and Σy²=Σx² by symmetry) accumulate
+    as exact integers over the 2|E| directed samples, and r is ONE
+    double expression — products, a subtraction, one sqrt (IEEE
+    exact-rounded) and one division. Zero-variance (regular graphs:
+    every degree equal) yields NULL via a NULLIF guard, not an engine-
+    dependent NaN/inf.
+
+    Plan: dedup to canonical edges, one degree aggregate, two key
+    joins to attach endpoint degrees, one global 1-row aggregate.
+
+    Output: one row (m_samples, sum_x, sum_xy, sum_x2, r).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    wd = e.join(da, "a").join(db, "b")
+    # symmetrize: every undirected edge contributes (dx,dy) and (dy,dx)
+    sym = wd.select(
+        F.col("deg_a").alias("x"), F.col("deg_b").alias("y")
+    ).unionAll(wd.select(F.col("deg_b").alias("x"), F.col("deg_a").alias("y")))
+    mom = sym.agg(
+        F.count("*").alias("m_samples"),
+        F.sum("x").alias("sum_x"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+    )
+    num = (F.col("m_samples") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_x")).cast(
+        "double"
+    )
+    var = (F.col("m_samples") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")).cast(
+        "double"
+    )
+    return mom.select(
+        "m_samples",
+        "sum_x",
+        "sum_xy",
+        "sum_x2",
+        (num / F.nullif(var, F.lit(0.0))).alias("r"),
+    )
+
+
+def degree_assortativity_oracle_sql(
+    edges_sql: str, src: str = "src", dst: str = "dst"
+) -> str:
+    """DuckDB mirror of :func:`degree_assortativity`."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+          FROM raw WHERE {src} <> {dst}),
+    deg AS (SELECT v, count(*) AS deg FROM (
+              SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+    wd AS (SELECT da.deg AS deg_a, db.deg AS deg_b
+           FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+    sym AS (SELECT deg_a AS x, deg_b AS y FROM wd
+            UNION ALL SELECT deg_b, deg_a FROM wd),
+    mom AS (SELECT count(*) AS m_samples, sum(x) AS sum_x,
+                   sum(x * y) AS sum_xy, sum(x * x) AS sum_x2
+            FROM sym)
+    SELECT CAST(m_samples AS BIGINT) AS m_samples,
+           CAST(sum_x AS BIGINT) AS sum_x,
+           CAST(sum_xy AS BIGINT) AS sum_xy,
+           CAST(sum_x2 AS BIGINT) AS sum_x2,
+           CAST(m_samples * sum_xy - sum_x * sum_x AS DOUBLE)
+             / NULLIF(CAST(m_samples * sum_x2 - sum_x * sum_x AS DOUBLE), 0.0)
+             AS r
+    FROM mom
+    """
+
+
+# -- label propagation communities --------------------------------------------
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic synchronous label propagation: ``iters`` rounds of
+    "adopt the most common label among my neighbors" (ties: LOWEST
+    label — the classic LPA random tie-break made reproducible), labels
+    initialized to node ids. Communities without modularity math: the
+    cheap first-pass clustering for co-purchase / link graphs.
+
+    Determinism: synchronous updates (all nodes step on the previous
+    round's labels), argmax as ``max(struct(cnt, -label))`` — exactly
+    "highest count, then lowest label" — mirrored in the oracle as
+    min(label) over the max-count set. Pure integers throughout.
+
+    Scale shape (the pagerank_fixedpoint loop discipline): the
+    symmetrized edge list is loop-invariant and checkpointed once;
+    each round is one edges⋈labels join on the neighbor key plus two
+    map-combined aggregates; labels are checkpointed per round so the
+    plan stays O(1). Every node appears in the edge list by
+    construction, so no left-join backfill is needed.
+
+    Output: (node, label) — one row per vertex.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        nb = sym.join(labels, sym.v == labels.node).select("u", "label")
+        counts = nb.groupBy("u", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counts.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select(F.col("u").alias("node"), (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> str:
+    """DuckDB SQL unrolling the identical synchronous rounds."""
+    ctes = [
+        f"raw AS ({edges_sql})",
+        f"e AS (SELECT DISTINCT least({src}, {dst}) AS a, "
+        f"greatest({src}, {dst}) AS b FROM raw WHERE {src} <> {dst})",
+        "sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT s.u, l.label, count(*) AS cnt "
+            f"FROM sym s JOIN l{i - 1} l ON l.node = s.v GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT u, max(cnt) AS mc FROM c{i} GROUP BY 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT c.u AS node, min(c.label) AS label "
+            f"FROM c{i} c JOIN m{i} m ON m.u = c.u AND c.cnt = m.mc GROUP BY 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{iters}"
+    )

@@ -195,11 +195,24 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
     tags=("graph", "scale"),
 )
 def q164(spark: SparkSession, sf: str) -> DataFrame:
+    return triangle_count(_copurchase_edges(spark, sf), "src", "dst", top_n=20)
+
+
+def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Parts bought together in one order — the shared graph input for
+    q164/q168/q169 (canonical src < dst; per-order fan-out bounded by
+    basket size)."""
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
-    return triangle_count(edges, "src", "dst", top_n=20)
+    return a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+_COPURCHASE_EDGES_SQL = """
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        """
 
 
 _RRF_TERMS = ("spark", "join", "window", "hash")
@@ -345,4 +358,59 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
         res.select("c_name", "o_custkey", "o_orderkey", "total_cents", "sum_qty")
         .orderBy(F.col("total_cents").desc(), F.col("o_orderkey").asc())
         .limit(100)
+    )
+
+
+from ..operators.graph import (
+    degree_assortativity,
+    degree_assortativity_oracle_sql,
+    label_propagation,
+    label_propagation_oracle_sql,
+)
+
+
+@query(
+    "q168_degree_assortativity",
+    oracle=degree_assortativity_oracle_sql(_COPURCHASE_EDGES_SQL),
+    doc="Newman degree assortativity of the co-purchase graph: do "
+    "popular parts co-sell with popular parts? BIGINT moments over "
+    "the symmetrized edge list, one double expression, zero-variance "
+    "guarded to NULL",
+    tags=("graph", "stats"),
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    return degree_assortativity(_copurchase_edges(spark, sf))
+
+
+@query(
+    "q169_label_propagation",
+    oracle=f"""
+    SELECT s.label, s.size, t.n_nodes, t.n_communities FROM (
+      SELECT label, CAST(count(*) AS BIGINT) AS size
+      FROM ({label_propagation_oracle_sql(_COPURCHASE_EDGES_SQL, iters=3)})
+      GROUP BY 1
+    ) s CROSS JOIN (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(count(DISTINCT label) AS BIGINT) AS n_communities
+      FROM ({label_propagation_oracle_sql(_COPURCHASE_EDGES_SQL, iters=3)})
+    ) t
+    ORDER BY s.size DESC, s.label ASC LIMIT 20
+    """,
+    doc="deterministic synchronous label-propagation communities over "
+    "the co-purchase graph (3 rounds, ties to lowest label): top-20 "
+    "community sizes + global counts — the cheap first-pass "
+    "clustering before modularity math",
+    tags=("graph", "scale"),
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    lab = label_propagation(_copurchase_edges(spark, sf), iters=3)
+    sizes = lab.groupBy("label").agg(F.count("*").alias("size"))
+    tot = lab.agg(
+        F.count("*").alias("n_nodes"),
+        F.countDistinct("label").alias("n_communities"),
+    )
+    return (
+        sizes.orderBy(F.col("size").desc(), F.col("label").asc())
+        .limit(20)
+        .crossJoin(F.broadcast(tot))
     )

@@ -530,3 +530,23 @@ def test_q167_q18_big_tables_never_shuffled(spark):
     assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
     assert p.count("BroadcastHashJoin") == 4  # 2 join nodes x 2 listings
     assert "TakeOrderedAndProject" in p
+
+
+def test_q168_assortativity_single_moment_aggregate(spark):
+    """Degrees attach via two equi-joins; the moments collapse in ONE
+    1-row aggregate — no window, no cartesian."""
+    p = plan(spark, "q168_degree_assortativity")
+    assert "CartesianProduct" not in p
+    assert p.count("Window (") == 0
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert all("l_quantity" not in s for s in schemas)
+
+
+def test_q169_lpa_off_checkpointed_labels(spark):
+    """The community-size report runs off the final checkpointed label
+    frame (per-round lineage truncated — the pagerank discipline);
+    top-20 via TakeOrdered; totals ride a broadcast."""
+    p = plan(spark, "q169_label_propagation")
+    assert "Scan ExistingRDD" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p
