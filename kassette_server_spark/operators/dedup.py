@@ -32,7 +32,7 @@ are the north-star extension (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -697,3 +697,145 @@ def duplicated_span_stats(
         F.col("dup_grams").cast("long"),
         (F.col("dup_grams") / F.col("n_grams")).alias("dup_ratio"),
     )
+
+
+# -- prefix-filtered exact set-similarity join --------------------------------
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= t with PREFIX FILTERING (the
+    Bayardo/PPJoin candidate pruning) — the third point in the dedup
+    design space: exact like ngram_jaccard_pairs (no LSH miss
+    probability), but candidates come only from each document's
+    RAREST-token prefix instead of every shared shingle.
+
+    Why it scales where the all-shingle join dies: the shared-shingle
+    join's candidate volume is Σ_token df(token)² — one stopword-grade
+    shingle shared by 1e6 docs contributes 1e12 pairs. With prefix
+    filtering, a document of n shingles exposes only its
+    ℓ = n − ceil(t·n) + 1 globally-rarest shingles (t=0.8 → ~20% of
+    them, and by construction the LOW-frequency ones), so hot shingles
+    never join. The classic prefix-filter theorem guarantees recall:
+    J(A,B) ≥ t forces an overlap ≥ ceil(t·max(|A|,|B|)), which cannot
+    avoid both rarest-first prefixes. Candidates are further pruned by
+    the size-compatibility bound t·|A| ≤ |B| ≤ |A|/t before dedup.
+
+    Thresholds are RATIONAL (t = t_num/t_den): every prune is integer
+    arithmetic (ceil via (n·t_num + t_den − 1) div t_den), and the
+    final jaccard filter reuses _jaccard_verify — identical output
+    contract to ngram_jaccard_pairs, so the two operators agree
+    bit-for-bit (locked by a unit test).
+
+    Output: (doc_a, doc_b, jaccard).
+    """
+    threshold = t_num / t_den
+    # the shingle frame feeds FIVE consumers (doc-frequency table, the
+    # rarity ranking, per-doc counts, and both sides of the verify
+    # join); materialize it once — five re-shingling scans of the
+    # corpus is the alternative, and re-shingling is the CPU-heavy
+    # head of the pipeline (see shingle_table)
+    sh = shingle_table(df, text_col, id_col, k).localCheckpoint(eager=True)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # global rarity rank within each doc: rarest shingles first, total
+    # order via the shingle itself as tiebreak
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("_df").asc(), F.col("shingle").asc()
+                )
+            )
+            .alias("_pos"),
+        )
+        .join(counts, "doc_id")
+    )
+    prefix_len = (
+        F.col("ns")
+        - F.expr(f"(ns * {int(t_num)} + {int(t_den)} - 1) div {int(t_den)}")
+        + 1
+    )
+    prefixes = ranked.where(F.col("_pos") <= prefix_len).select(
+        "doc_id", "shingle", "ns"
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size compatibility: t·|a| ≤ |b| and t·|b| ≤ |a|
+            & (F.col("b.ns") * t_den >= F.col("a.ns") * t_num)
+            & (F.col("a.ns") * t_den >= F.col("b.ns") * t_num),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    return _jaccard_verify(counts, inter, threshold)
+
+
+def prefix_filtered_jaccard_oracle_sql(
+    shingles_cte: str, t_num: int = 4, t_den: int = 5
+) -> str:
+    """DuckDB mirror of :func:`prefix_filtered_jaccard_pairs` — same
+    integer prefix math, same candidates, same verify. (Recall vs the
+    brute-force all-pairs semantics is proven separately by the unit
+    test asserting bit-equality with ngram_jaccard_pairs.)
+
+    ``shingles_cte``: CTE text defining ``sh(doc_id, shingle)`` and
+    ``n(doc_id, ns)`` (the q31 `_SHINGLES_CTE`).
+    """
+    t = f"{int(t_num)}"
+    d = f"{int(t_den)}"
+    return f"""
+    WITH {shingles_cte},
+    dfreq AS (SELECT shingle, count(*) AS _df FROM sh GROUP BY 1),
+    ranked AS (
+      SELECT sh.doc_id, sh.shingle, n.ns,
+             row_number() OVER (PARTITION BY sh.doc_id
+                                ORDER BY dfreq._df ASC, sh.shingle ASC) AS _pos
+      FROM sh JOIN dfreq USING (shingle) JOIN n USING (doc_id)
+    ),
+    prefixes AS (
+      SELECT doc_id, shingle, ns FROM ranked
+      WHERE _pos <= ns - (ns * {t} + {d} - 1) // {d} + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefixes a JOIN prefixes b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       AND b.ns * {d} >= a.ns * {t} AND a.ns * {d} >= b.ns * {t}
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS c
+      FROM cand c
+      JOIN sh ta ON ta.doc_id = c.doc_a
+      JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, c / (na.ns + nb.ns - c) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE c / (na.ns + nb.ns - c) >= {t}.0 / {d}.0
+    """

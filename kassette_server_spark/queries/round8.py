@@ -414,3 +414,24 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
         .limit(20)
         .crossJoin(F.broadcast(tot))
     )
+
+
+from ..operators.dedup import prefix_filtered_jaccard_pairs
+from ..operators.dedup import prefix_filtered_jaccard_oracle_sql
+from .llmops import _SHINGLES_CTE
+
+
+@query(
+    "q170_prefix_filter_join",
+    oracle=prefix_filtered_jaccard_oracle_sql(_SHINGLES_CTE, t_num=4, t_den=5),
+    doc="exact near-dup pairs (Jaccard >= 0.8) via PREFIX FILTERING: "
+    "candidates only from each doc's rarest-shingle prefix + size-"
+    "compatibility bound — the exact-but-pruned third point between "
+    "q31's all-shared-shingle join and q32's probabilistic LSH; "
+    "bit-identical output to q31 (unit-locked)",
+    tags=("dedup", "scale", "llm"),
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    return prefix_filtered_jaccard_pairs(
+        load(spark, sf, "documents"), t_num=4, t_den=5
+    )

@@ -550,3 +550,16 @@ def test_q169_lpa_off_checkpointed_labels(spark):
     assert "Scan ExistingRDD" in p
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_q170_prefix_join_not_allpairs(spark):
+    """Candidates come from the prefix frames (rank-filtered), never a
+    cartesian; the verify joins are equi-joins on (doc, shingle)."""
+    p = plan(spark, "q170_prefix_filter_join")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # the prefix frame appears on BOTH sides of the candidate self-join
+    # (same subtree listed twice), so exactly two Window nodes
+    assert p.count("Window (") == 2
+    # the shingle frame is checkpointed: no parquet re-scan anywhere
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p

@@ -414,3 +414,46 @@ def test_lpa_single_edge_converges_to_min_label(spark):
     assert odd == {1: 2, 2: 1}
     even = {r.node: r.label for r in label_propagation(df, iters=2).collect()}
     assert even == {1: 1, 2: 2}
+
+
+# -- prefix_filtered_jaccard_pairs --------------------------------------------
+def test_prefix_filter_equals_all_pairs_exact(spark):
+    """The prefix-filtered join must be EXACT: bit-identical pairs and
+    jaccards to the all-shared-shingle baseline on the real corpus —
+    this is the recall proof the mirrored oracle cannot provide."""
+    from kassette_server_spark.catalog import load
+    from kassette_server_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filtered_jaccard_pairs(docs, t_num=4, t_den=5).collect()
+    }
+    assert exact == fast and len(exact) > 0
+
+
+def test_prefix_filter_hand_case(spark):
+    """Two docs sharing 4 of 5 shingles (J = 4/6 < 0.8 — dropped) and
+    two identical docs (J = 1 — kept): the prefix join must find the
+    identical pair and the verify must reject the 2/3 pair."""
+    from kassette_server_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),   # shingles: 5
+        (2, "a b c d e f x"),   # shares 4 of its 5
+        (3, "p q r s t u v"),
+        (4, "p q r s t u v"),   # identical to 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in
+           prefix_filtered_jaccard_pairs(df, t_num=4, t_den=5).collect()}
+    assert out == {(3, 4): 1.0}
