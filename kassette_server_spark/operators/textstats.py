@@ -456,3 +456,127 @@ def ewma_oracle_sql(
              AS ewma
     FROM arr
     """
+
+
+# -- BPE merge-rule learning --------------------------------------------------
+def bpe_merge_steps(
+    df: DataFrame, text_col: str = "text", k_merges: int = 3
+) -> DataFrame:
+    """The first ``k_merges`` byte-pair-encoding merge rules learned
+    from the corpus — tokenizer training as a declarative pipeline.
+    Classic BPE (Sennrich et al. 2016): train on the WORD-FREQUENCY
+    table (vocabulary-bounded, not corpus-bounded), each round merges
+    the most frequent adjacent symbol pair; ties break to the
+    lexicographically smallest pair (the conventional random/arbitrary
+    choice made deterministic).
+
+    Representation: each word is a space-separated symbol string with
+    one leading and trailing space, so a merge is ONE substring
+    replace of ``' a b '`` with ``' ab '`` — left-to-right
+    non-overlapping, exactly BPE's greedy application order, and
+    identical semantics in Spark's and DuckDB's ``replace``. The pad
+    spaces make token boundaries explicit (``' b b '`` cannot match
+    inside ``' ab b '``).
+
+    Scale: after the one corpus scan for word counts, every round runs
+    on the vocabulary-frequency frame (|vocab| rows); pair counting is
+    an explode + map-combined sum, the winning pair is a 1-row
+    TakeOrdered broadcast back into the replace. The symbol frame is
+    lineage-checkpointed per round (the pagerank loop discipline).
+
+    Output: (step, pair, merged, freq) — one row per learned rule.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    sym = words.select(
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("sym"),
+        "freq",
+    ).localCheckpoint(eager=False)
+
+    rules = []
+    for step in range(1, k_merges + 1):
+        pair_list = F.expr(
+            "transform(slice(split(trim(sym), ' '), 1, "
+            "size(split(trim(sym), ' ')) - 1), "
+            "(x, i) -> concat(x, ' ', split(trim(sym), ' ')[i + 1]))"
+        )
+        pairs = (
+            sym.select(F.explode(pair_list).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("freq"))
+        )
+        best = (
+            pairs.orderBy(F.col("freq").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)  # 1 row; pins the winner so the
+            # replace below and the output row can't recompute divergently
+        )
+        rules.append(best)
+        sym = (
+            sym.crossJoin(F.broadcast(best.select("pair", "merged")))
+            .select(
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
+                ).alias("sym"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def bpe_merge_oracle_sql(
+    source_sql: str, text_col: str = "text", k_merges: int = 3
+) -> str:
+    """DuckDB mirror of :func:`bpe_merge_steps` (unrolled rounds, same
+    padded-replace application, same tie-break)."""
+    ctes = [
+        f"src AS ({source_sql})",
+        f"w AS (SELECT unnest(string_split({text_col}, ' ')) AS word FROM src)",
+        "wc AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY 1)",
+        "s0 AS (SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+        " || ' ' AS sym, freq FROM wc)",
+    ]
+    for i in range(1, k_merges + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"p{i} AS (SELECT pr AS pair, sum(freq) AS freq FROM ("
+            f"SELECT unnest(list_transform(list_zip(a, a[2:]), "
+            f"x -> CASE WHEN x[2] IS NOT NULL THEN x[1] || ' ' || x[2] END)) AS pr, freq "
+            f"FROM (SELECT string_split(trim(sym), ' ') AS a, freq FROM {prev})"
+            f") WHERE pr IS NOT NULL GROUP BY 1)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT CAST({i} AS BIGINT) AS step, pair, "
+            f"replace(pair, ' ', '') AS merged, freq "
+            f"FROM p{i} ORDER BY freq DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT replace(sym, ' ' || b.pair || ' ', "
+            f"' ' || b.merged || ' ') AS sym, {prev}.freq AS freq "
+            f"FROM {prev} CROSS JOIN b{i} b)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT step, pair, merged, CAST(freq AS BIGINT) AS freq FROM b{i}"
+        for i in range(1, k_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union

@@ -97,19 +97,21 @@ _WINDOW: tuple[str, ...] = (
 )
 
 # R9 ROTATION PLAN (write it down while the state is fresh): after r8,
-# slots go — pinned core (6), then the 12 r8-born specs q158-q169
+# slots go — pinned core (6), then the 15 r8-born specs q158-q172
 # (guaranteed first-round slots: q158_roc_auc, q159_decile_lift,
 # q160_threshold_metrics, q161_cohens_kappa, q162_ndcg,
 # q163_key_skew_profile, q164_triangle_count, q165_rrf_fusion,
 # q166_tpch_q17_small_qty, q167_tpch_q18_large_volume,
-# q168_degree_assortativity, q169_label_propagation), then the 19
-# remaining r5 greens that missed the r8 window (q63-q69, q84-q88,
-# q91-q97 — 3 rounds stale by r9, they take the next 19 slots), and
-# the last 13 slots fill with the oldest r6 greens in q-number order
-# (q89, q90, q93, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-# q107). Nothing should stay >3 rounds without a row while the
-# surface is ~169 specs; everything stays locked meanwhile by
-# tests/test_oracle_parity*.py at sf0.001+sf0.01 every CI run.
+# q168_degree_assortativity, q169_label_propagation,
+# q170_prefix_filter_join, q171_bpe_merges,
+# q172_tpch_q20_dominant_suppliers), then the 19 remaining r5 greens
+# that missed the r8 window (q63-q69, q84-q88, q91-q97 — 3 rounds
+# stale by r9, they take the next 19 slots), and the last 10 slots
+# fill with the oldest r6 greens in q-number order (q89, q90, q93,
+# q98, q99, q100, q101, q102, q103, q104). Nothing should stay >3
+# rounds without a row while the surface is ~172 specs; everything
+# stays locked meanwhile by tests/test_oracle_parity*.py at
+# sf0.001+sf0.01 every CI run.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).

@@ -435,3 +435,85 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     return prefix_filtered_jaccard_pairs(
         load(spark, sf, "documents"), t_num=4, t_den=5
     )
+
+
+from ..operators.textstats import bpe_merge_oracle_sql, bpe_merge_steps
+
+
+@query(
+    "q171_bpe_merges",
+    oracle=bpe_merge_oracle_sql("SELECT text FROM documents", k_merges=5),
+    doc="first 5 BPE merge rules learned from the corpus (Sennrich-"
+    "style tokenizer training on the vocabulary-frequency table — "
+    "after one corpus scan every round is vocab-bounded; padded-"
+    "replace application, ties to smallest pair)",
+    tags=("llm", "text", "tokenizer"),
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    return bpe_merge_steps(load(spark, sf, "documents"), k_merges=5)
+
+
+@query(
+    "q172_tpch_q20_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             CAST(round(sum(l.l_quantity)) AS BIGINT) AS qty_sp
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'small%'
+      GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT l_suppkey, qty_sp,
+             sum(qty_sp) OVER (PARTITION BY l_partkey) AS qty_p,
+             count(*) OVER (PARTITION BY l_partkey) AS n_sup
+      FROM sp
+    ),
+    qual AS (SELECT DISTINCT l_suppkey FROM win
+             WHERE qty_sp * n_sup > 2 * qty_p)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN qual q ON q.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey < 5
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q20 shape (suppliers shipping >2x their fair share of "
+    "a part): the nested per-part share comparison is one windowed "
+    "pass over the "
+    "(supplier, part) aggregate — the part totals come from the SAME "
+    "frame, no second lineitem scan, no correlated subquery; the "
+    "part-name filter broadcasts and pushes to the part scan",
+    tags=("tpch",),
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    p = (
+        load(spark, sf, "part")
+        .where(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem").select("l_suppkey", "l_partkey", "l_quantity")
+    sp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.round(F.sum("l_quantity")).cast("bigint").alias("qty_sp"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = (
+        sp.select(
+            "l_suppkey",
+            "qty_sp",
+            F.sum("qty_sp").over(w).alias("qty_p"),
+            F.count("*").over(w).alias("n_sup"),
+        )
+        # share > 2x the fair 1/n_sup share, as one integer inequality
+        .where(F.col("qty_sp") * F.col("n_sup") > 2 * F.col("qty_p"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf, "supplier").where(F.col("s_nationkey") < 5).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -563,3 +563,31 @@ def test_q170_prefix_join_not_allpairs(spark):
     # the shingle frame is checkpointed: no parquet re-scan anywhere
     assert "Scan parquet" not in p
     assert "Scan ExistingRDD" in p
+
+
+def test_q171_bpe_vocab_rounds(spark):
+    """Tokenizer training: one corpus scan feeds the word-count
+    aggregate; every merge round runs off checkpointed vocab frames
+    (Scan ExistingRDD) with the winning pair broadcast into the
+    replace — no corpus re-scan per round."""
+    p = plan(spark, "q171_bpe_merges")
+    # each round's winner is pinned by an eager checkpoint, so the
+    # returned rule table is a union of 1-row materialized frames —
+    # no parquet in its lineage (the corpus was scanned exactly once,
+    # during construction)
+    assert "Scan ExistingRDD" in p
+    assert "Union" in p
+    assert p.count("Scan parquet") == 0
+
+
+def test_q172_q20_single_window_no_second_scan(spark):
+    """The per-part total comes from the SAME (supplier, part) frame
+    via a window — exactly one lineitem scan, part filter pushed,
+    qualifying supplier set broadcast into supplier."""
+    p = plan(spark, "q172_tpch_q20_dominant_suppliers")
+    assert p.count("Window (") == 1
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert sum("l_suppkey" in s for s in schemas) == 1  # lineitem once
+    pushed = p.split("PushedFilters:")
+    assert any("p_name" in seg.splitlines()[0] for seg in pushed[1:])
+    assert p.count("BroadcastHashJoin") >= 2

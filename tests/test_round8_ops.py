@@ -457,3 +457,42 @@ def test_prefix_filter_hand_case(spark):
     out = {(r.doc_a, r.doc_b): r.jaccard for r in
            prefix_filtered_jaccard_pairs(df, t_num=4, t_den=5).collect()}
     assert out == {(3, 4): 1.0}
+
+
+# -- bpe_merge_steps ----------------------------------------------------------
+def test_bpe_hand_merges(spark):
+    """Corpus 'aaab aaab ab': hand-run BPE — merge 1 'a a'(4) since
+    each 'aaab' contributes two overlap-free-counted adjacent 'a a'
+    pairs, greedy application turns 'a a a b' into 'aa a b' (left-to-
+    right, non-overlapping); merge 2 'a b'(3); merge 3 'aa ab'(2)."""
+    from kassette_server_spark.operators.textstats import bpe_merge_steps
+
+    df = spark.createDataFrame([("aaab aaab ab",)], "text string")
+    rows = [(r.step, r.pair, r.merged, r.freq) for r in
+            bpe_merge_steps(df, k_merges=3).collect()]
+    assert rows == [(1, "a a", "aa", 4), (2, "a b", "ab", 3),
+                    (3, "aa ab", "aaab", 2)]
+
+
+def test_bpe_pad_prevents_boundary_bleed(spark):
+    """After 'a b'→'ab' exists as a SYMBOL, the pair 'b b' must not
+    match across the boundary of symbol 'ab' followed by 'b' — the pad
+    spaces make ' b b ' unfindable inside ' ab b '."""
+    from kassette_server_spark.operators.textstats import bpe_merge_steps
+
+    # words: 'abb' x3 → chars 'a b b'; pair counts: (a b)=3, (b b)=3 →
+    # tie breaks to 'a b' (lexicographically smaller). After merge 1
+    # symbols are 'ab b'; merge 2 must be ('ab b'), NOT ('b b').
+    df = spark.createDataFrame([("abb abb abb",)], "text string")
+    rows = [(r.step, r.pair, r.merged) for r in
+            bpe_merge_steps(df, k_merges=2).collect()]
+    assert rows == [(1, "a b", "ab"), (2, "ab b", "abb")]
+
+
+def test_bpe_single_char_words_no_pairs(spark):
+    """One-letter words produce no adjacent pairs; with nothing to
+    merge the rule table is empty (limit over an empty frame)."""
+    from kassette_server_spark.operators.textstats import bpe_merge_steps
+
+    df = spark.createDataFrame([("a b c a",)], "text string")
+    assert bpe_merge_steps(df, k_merges=2).count() == 0
