@@ -119,6 +119,49 @@ def main() -> None:
             "point_in_time": (pit, rows_o),
         }
 
+    def probe_thunks(scale: int) -> dict[str, tuple]:
+        """Round-8 shapes built INSIDE the timer: these operators
+        materialize intermediate frames eagerly (localCheckpoint), so
+        timing a pre-built frame would skip the expensive head."""
+        from kassette_server_spark.operators.dedup import (
+            prefix_filtered_jaccard_pairs,
+        )
+        from kassette_server_spark.operators.evaluation import roc_auc_by
+        from kassette_server_spark.operators.graph import _triangle_participation
+
+        d = amplify(docs, scale, ["doc_id"], text_col="text")
+        o = amplify(load(spark, sf_dir, "orders"), scale, ["o_orderkey", "o_custkey"])
+        lt = amplify(li, scale, ["l_orderkey", "l_partkey"])
+
+        def pfx():
+            return prefix_filtered_jaccard_pairs(d.select("doc_id", "text"))
+
+        def tri():
+            a = lt.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+            b = lt.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+            edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+            return _triangle_participation(edges)
+
+        def auc():
+            scored = o.select(
+                "o_orderpriority",
+                (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("s"),
+            )
+            return roc_auc_by(scored, "o_orderpriority", "y", "s")
+
+        rows_d, rows_l, rows_o = 5_000 * scale, 600_000 * scale, 150_000 * scale
+        return {
+            "prefix_filter_join": (pfx, rows_d),
+            "triangle_count": (tri, rows_l),
+            "roc_auc": (auc, rows_o),
+        }
+
+    def run_thunk(f) -> float:
+        t0 = time.perf_counter()
+        f().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     # warmup
     run(probes(1)["agg_pricing"][0])
 
@@ -126,6 +169,10 @@ def main() -> None:
     for scale in (1, n):
         for name, (df, rows) in probes(scale).items():
             best = min(run(df) for _ in range(2))
+            results.setdefault(name, {})[scale] = best
+            print(f"{name:16s} {scale}x  {best:7.2f} s  {rows / best / 1e6:8.2f} M rows/s")
+        for name, (f, rows) in probe_thunks(scale).items():
+            best = min(run_thunk(f) for _ in range(2))
             results.setdefault(name, {})[scale] = best
             print(f"{name:16s} {scale}x  {best:7.2f} s  {rows / best / 1e6:8.2f} M rows/s")
 

@@ -183,13 +183,16 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
     oracle=triangle_count_oracle_sql(
         """
         SELECT a.l_partkey AS src, b.l_partkey AS dst
-        FROM lineitem a JOIN lineitem b
+        FROM lineitem a
+        JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN part pa ON pa.p_partkey = a.l_partkey AND pa.p_size >= 40
+        JOIN part pb ON pb.p_partkey = b.l_partkey AND pb.p_size >= 40
         """,
         top_n=20,
     ),
-    doc="degree-oriented triangle counting over the co-purchase graph "
-    "(parts bought together): top-20 vertices by participation + "
+    doc="degree-oriented triangle counting over the large-part "
+    "co-purchase graph (induced subgraph, scales with SF): top-20 vertices by participation + "
     "global count — wedges only ever fan out from low-degree "
     "endpoints, so celebrity hubs never explode the join",
     tags=("graph", "scale"),
@@ -199,19 +202,36 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Parts bought together in one order — the shared graph input for
-    q164/q168/q169 (canonical src < dst; per-order fan-out bounded by
-    basket size)."""
+    """Large-size parts bought together in one order — the shared
+    graph input for q164/q168/q169 (canonical src < dst; per-order
+    fan-out bounded by basket size). The p_size >= 40 vertex filter is
+    an INDUCED SUBGRAPH — a fixed catalog fraction, so edge counts and
+    graph density scale proportionally at every SF (a support-count
+    threshold does not: pair-repetition frequency collapses as the
+    catalog grows). It keeps the graph-analytics specs meaningful
+    without making every bench run pay for the full random-basket
+    graph's ~|V|·deg² wedge volume."""
+    p = (
+        load(spark, sf, "part")
+        .where(F.col("p_size") >= 40)
+        .select("p_partkey")
+    )
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     return a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
 
 
 _COPURCHASE_EDGES_SQL = """
         SELECT a.l_partkey AS src, b.l_partkey AS dst
-        FROM lineitem a JOIN lineitem b
+        FROM lineitem a
+        JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN part pa ON pa.p_partkey = a.l_partkey AND pa.p_size >= 40
+        JOIN part pb ON pb.p_partkey = b.l_partkey AND pb.p_size >= 40
         """
 
 
