@@ -694,3 +694,490 @@ def auc_monitor(
         "two_u": two_u,
         "auc": (two_u / denom) if denom else None,
     }
+
+
+# -- Spearman rank correlation ------------------------------------------------
+def spearman_by(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation of ``x_col`` vs ``y_col`` per
+    ``group_col`` segment — Pearson over midranks, with the whole core
+    in BIGINT twice-midranks (``2*avg_rank`` is always an integer, so
+    tie handling never touches floats).
+
+    Integer core: each distinct value's twice-midrank is
+    ``2*(#smaller) + ties + 1`` (the :func:`roc_auc_by` identity),
+    computed per axis over the DISTINCT (group, value) frame and joined
+    back to rows. The five Pearson moments (Σx, Σy, Σx², Σy², Σxy over
+    twice-midranks) are BIGINT sums; rho is one fixed-shape double
+    expression, NULL on zero variance.
+
+    Overflow contract (the q137/Mann-Whitney cap): twice-midranks are
+    <= 2n, so Σx·y <= 4n³ and the n·Σxy product needs ~n⁴ < 2^63 —
+    safe to ~50k rows PER GROUP. Beyond that, rank against the
+    distinct-value frame's quantile grid first (ks_drift_binned's
+    register-scale move) — the per-segment caps are documented, not
+    silent.
+
+    Plan: two value-cardinality-bounded windows (one per axis), two
+    shuffle joins back to rows on (group, value), one final aggregate
+    on the group key.
+
+    Output: (group, n, rho).
+    """
+    g, x, y = group_col, x_col, y_col
+    base = df.where(
+        F.col(g).isNotNull() & F.col(x).isNotNull() & F.col(y).isNotNull()
+    ).select(F.col(g).alias("_g"), F.col(x).alias("_x"), F.col(y).alias("_y"))
+
+    def two_ranks(col: str, out: str) -> DataFrame:
+        vals = base.groupBy("_g", col).agg(F.count("*").alias("_cnt"))
+        w = (
+            Window.partitionBy("_g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return vals.select(
+            "_g",
+            col,
+            (
+                2 * F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+                + F.col("_cnt")
+                + 1
+            ).alias(out),
+        )
+
+    rx = two_ranks("_x", "_trx")
+    ry = two_ranks("_y", "_try")
+    ranked = base.join(rx, ["_g", "_x"]).join(ry, ["_g", "_y"])
+    m = ranked.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count("*").alias("n"),
+        F.sum("_trx").alias("_sx"),
+        F.sum("_try").alias("_sy"),
+        F.sum(F.col("_trx") * F.col("_trx")).alias("_sxx"),
+        F.sum(F.col("_try") * F.col("_try")).alias("_syy"),
+        F.sum(F.col("_trx") * F.col("_try")).alias("_sxy"),
+    )
+    num = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    )
+    return m.select(
+        group_col, "n", (num / F.nullif(den, F.lit(0.0))).alias("rho")
+    )
+
+
+def spearman_oracle_sql(
+    source_sql: str, group_col: str, x_col: str, y_col: str
+) -> str:
+    """DuckDB mirror of :func:`spearman_by` (identical integer core and
+    expression shape)."""
+    g, x, y = group_col, x_col, y_col
+    return f"""
+    WITH src0 AS ({source_sql}),
+    base AS (SELECT {g} AS _g, {x} AS _x, {y} AS _y FROM src0
+             WHERE {g} IS NOT NULL AND {x} IS NOT NULL AND {y} IS NOT NULL),
+    rx AS (
+      SELECT _g, _x,
+             2 * COALESCE(sum(_cnt) OVER (PARTITION BY _g ORDER BY _x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + _cnt + 1 AS _trx
+      FROM (SELECT _g, _x, count(*) AS _cnt FROM base GROUP BY 1, 2)
+    ),
+    ry AS (
+      SELECT _g, _y,
+             2 * COALESCE(sum(_cnt) OVER (PARTITION BY _g ORDER BY _y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + _cnt + 1 AS _try
+      FROM (SELECT _g, _y, count(*) AS _cnt FROM base GROUP BY 1, 2)
+    ),
+    m AS (
+      SELECT b._g, count(*) AS n,
+             sum(_trx) AS _sx, sum(_try) AS _sy,
+             sum(_trx * _trx) AS _sxx, sum(_try * _try) AS _syy,
+             sum(_trx * _try) AS _sxy
+      FROM base b
+      JOIN rx ON rx._g = b._g AND rx._x = b._x
+      JOIN ry ON ry._g = b._g AND ry._y = b._y
+      GROUP BY 1
+    )
+    SELECT _g AS {g}, CAST(n AS BIGINT) AS n,
+           CAST(n * _sxy - _sx * _sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n * _sxx - _sx * _sx AS DOUBLE))
+                      * sqrt(CAST(n * _syy - _sy * _sy AS DOUBLE)), 0.0) AS rho
+    FROM m
+    """
+
+
+# -- Welch's t-test -----------------------------------------------------------
+def welch_t_by(
+    df: DataFrame, group_col: str, class_col: str, value_col: str
+) -> DataFrame:
+    """Welch's unequal-variance t statistic between the two classes of
+    binary ``class_col`` within each ``group_col`` segment, plus the
+    Welch–Satterthwaite degrees of freedom. No p-value on purpose: the
+    incomplete beta is libm territory (the engines may differ in the
+    last ulp) — downstream thresholds on |t| with the dof are exact.
+
+    Integer core: per segment, ONE conditional aggregate over ONE scan
+    yields the six moments (n, Σv, Σv²) per class as BIGINTs. The
+    t/dof expressions are fixed-shape doubles over those moments with
+    the Σv² product cast to double BEFORE multiplying (``s*s`` in
+    BIGINT would overflow first) — both engines evaluate the identical
+    exact-rounded tree. NULL when either class has < 2 rows or the
+    pooled standard error is 0.
+
+    Overflow contract: Σv² needs ``n * max(v)² < 2^63`` per segment —
+    pass dollar-scale (not cent-scale) values for money. Documented,
+    not silent: cents on sf100 would wrap.
+
+    Output: (group, n1, n0, mean1, mean0, t_stat, welch_dof).
+    """
+    g, c, v = group_col, class_col, value_col
+    base = df.where(
+        F.col(g).isNotNull() & F.col(c).isNotNull() & F.col(v).isNotNull()
+    ).select(
+        F.col(g).alias("_g"),
+        (F.col(c).cast("long") == 1).alias("_c1"),
+        F.col(v).cast("long").alias("_v"),
+    )
+    m = base.groupBy(F.col("_g").alias(group_col)).agg(
+        F.sum(F.col("_c1").cast("long")).alias("n1"),
+        F.sum((~F.col("_c1")).cast("long")).alias("n0"),
+        F.sum(F.when(F.col("_c1"), F.col("_v")).otherwise(0)).alias("_s1"),
+        F.sum(F.when(~F.col("_c1"), F.col("_v")).otherwise(0)).alias("_s0"),
+        F.sum(F.when(F.col("_c1"), F.col("_v") * F.col("_v")).otherwise(0)).alias(
+            "_q1"
+        ),
+        F.sum(F.when(~F.col("_c1"), F.col("_v") * F.col("_v")).otherwise(0)).alias(
+            "_q0"
+        ),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    s1d, s0d = F.col("_s1").cast("double"), F.col("_s0").cast("double")
+    q1d, q0d = F.col("_q1").cast("double"), F.col("_q0").cast("double")
+    m1 = s1d / n1d
+    m0 = s0d / n0d
+    v1 = (q1d - s1d * s1d / n1d) / (n1d - F.lit(1.0))
+    v0 = (q0d - s0d * s0d / n0d) / (n0d - F.lit(1.0))
+    se1 = v1 / n1d
+    se0 = v0 / n0d
+    se2 = se1 + se0
+    ok = (F.col("n1") > 1) & (F.col("n0") > 1)
+    t = F.when(ok, (m1 - m0) / F.nullif(F.sqrt(se2), F.lit(0.0)))
+    dof = F.when(
+        ok,
+        se2
+        * se2
+        / F.nullif(
+            se1 * se1 / (n1d - F.lit(1.0)) + se0 * se0 / (n0d - F.lit(1.0)),
+            F.lit(0.0),
+        ),
+    )
+    return m.select(
+        group_col,
+        "n1",
+        "n0",
+        F.when(F.col("n1") > 0, m1).alias("mean1"),
+        F.when(F.col("n0") > 0, m0).alias("mean0"),
+        t.alias("t_stat"),
+        dof.alias("welch_dof"),
+    )
+
+
+def welch_t_oracle_sql(
+    source_sql: str, group_col: str, class_col: str, value_col: str
+) -> str:
+    """DuckDB mirror of :func:`welch_t_by` — identical moment casts and
+    expression association order."""
+    g, c, v = group_col, class_col, value_col
+    m1 = "(CAST(_s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    m0 = "(CAST(_s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    v1 = (
+        "((CAST(_q1 AS DOUBLE) - CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0e0))"
+    )
+    v0 = (
+        "((CAST(_q0 AS DOUBLE) - CAST(_s0 AS DOUBLE) * CAST(_s0 AS DOUBLE)"
+        " / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0e0))"
+    )
+    se1 = f"({v1} / CAST(n1 AS DOUBLE))"
+    se0 = f"({v0} / CAST(n0 AS DOUBLE))"
+    se2 = f"({se1} + {se0})"
+    return f"""
+    WITH src0 AS ({source_sql}),
+    base AS (SELECT {g} AS _g, CAST({c} AS BIGINT) = 1 AS _c1,
+                    CAST({v} AS BIGINT) AS _v
+             FROM src0
+             WHERE {g} IS NOT NULL AND {c} IS NOT NULL AND {v} IS NOT NULL),
+    m AS (
+      SELECT _g,
+             sum(CASE WHEN _c1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN NOT _c1 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN _c1 THEN _v ELSE 0 END) AS _s1,
+             sum(CASE WHEN NOT _c1 THEN _v ELSE 0 END) AS _s0,
+             sum(CASE WHEN _c1 THEN _v * _v ELSE 0 END) AS _q1,
+             sum(CASE WHEN NOT _c1 THEN _v * _v ELSE 0 END) AS _q0
+      FROM base GROUP BY 1
+    )
+    SELECT _g AS {g},
+           CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+           CASE WHEN n1 > 0 THEN {m1} END AS mean1,
+           CASE WHEN n0 > 0 THEN {m0} END AS mean0,
+           CASE WHEN n1 > 1 AND n0 > 1 THEN
+             ({m1} - {m0}) / NULLIF(sqrt({se2}), 0.0)
+           END AS t_stat,
+           CASE WHEN n1 > 1 AND n0 > 1 THEN
+             {se2} * {se2}
+               / NULLIF({se1} * {se1} / (CAST(n1 AS DOUBLE) - 1.0e0)
+                        + {se0} * {se0} / (CAST(n0 AS DOUBLE) - 1.0e0), 0.0)
+           END AS welch_dof
+    FROM m
+    """
+
+
+# -- rank-calibration reliability bins ----------------------------------------
+def rank_calibration_bins(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability table of the score's EMPIRICAL PERCENTILE as a
+    predicted probability: bucket the population into ``n_bins`` score
+    bins by exact order-statistic cuts (the :func:`decile_lift`
+    technique), then compare each bin's mean score percentile
+    (``conf``) to its observed positive rate (``acc``). A calibrated
+    monotone score has |acc - conf| near 0 in every bin; the per-bin
+    ``gap`` column is the ECE integrand without the float cross-bin
+    sum (the caller can weight-sum 10 rows; the ENGINE never sums
+    doubles across rows).
+
+    Integer core: percentiles come from the same twice-midrank frame
+    as :func:`roc_auc_by`; the per-bin rank mass Σ cnt·two_rank is a
+    BIGINT; ``conf = rank_mass / (2·N·n_bin)`` and ``acc = pos/n`` are
+    single divisions, ``gap = abs(acc - conf)`` exact.
+
+    Output: (bin, n, pos, conf, acc, gap), bin 1 = lowest scores.
+    """
+    s, y, B = score_col, label_col, n_bins
+    base = df.where(F.col(s).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(s).alias("_s"), F.col(y).cast("long").alias("_y")
+    )
+    counts = (
+        base.groupBy("_s")
+        .agg(F.count("*").alias("_cnt"), F.sum("_y").alias("_pos"))
+        .localCheckpoint(eager=True)
+    )
+    wcum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "_s",
+        "_cnt",
+        "_pos",
+        F.sum("_cnt").over(wcum).alias("_cum"),
+        (
+            2 * F.coalesce(F.sum("_cnt").over(wprev), F.lit(0))
+            + F.col("_cnt")
+            + 1
+        ).alias("_two_rank"),
+    )
+    tot = counts.agg(F.sum("_cnt").alias("_n"))
+    cuts = cum.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(F.when(F.col("_cum") * B >= F.col("_n") * k, F.col("_s"))).alias(
+                f"_t{k}"
+            )
+            for k in range(1, B)
+        ]
+    )
+    bucket = F.lit(1).cast("long")
+    for k in range(1, B):
+        bucket = bucket + (F.col("_s") > F.col(f"_t{k}")).cast("long")
+    per_bin = (
+        cum.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("bin", bucket)
+        .groupBy("bin")
+        .agg(
+            F.sum("_cnt").alias("n"),
+            F.sum("_pos").alias("pos"),
+            F.sum(F.col("_cnt") * F.col("_two_rank")).alias("_rank_mass"),
+            F.max("_n").alias("_N"),
+        )
+    )
+    conf = F.col("_rank_mass").cast("double") / (
+        2 * F.col("_N") * F.col("n")
+    ).cast("double")
+    acc = F.col("pos").cast("double") / F.col("n").cast("double")
+    return per_bin.select(
+        "bin",
+        "n",
+        "pos",
+        conf.alias("conf"),
+        acc.alias("acc"),
+        F.abs(acc - conf).alias("gap"),
+    )
+
+
+def rank_calibration_oracle_sql(
+    source_sql: str, score_col: str, label_col: str, n_bins: int = 10
+) -> str:
+    """DuckDB mirror of :func:`rank_calibration_bins`."""
+    s, y, B = score_col, label_col, n_bins
+    cut_exprs = ", ".join(
+        f"min(CASE WHEN _cum * {B} >= _n * {k} THEN _s END) AS _t{k}"
+        for k in range(1, B)
+    )
+    bucket = " + ".join(f"CAST(_s > _t{k} AS BIGINT)" for k in range(1, B))
+    conf = "CAST(_rank_mass AS DOUBLE) / CAST(2 * _N * n AS DOUBLE)"
+    acc = "CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)"
+    return f"""
+    WITH src0 AS ({source_sql}),
+    src AS (SELECT {s} AS _s, CAST({y} AS BIGINT) AS _y FROM src0
+            WHERE {s} IS NOT NULL AND {y} IS NOT NULL),
+    counts AS (SELECT _s, count(*) AS _cnt, sum(_y) AS _pos
+               FROM src GROUP BY 1),
+    cum AS (SELECT _s, _cnt, _pos,
+                   sum(_cnt) OVER (ORDER BY _s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+                   2 * COALESCE(sum(_cnt) OVER (ORDER BY _s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + _cnt + 1 AS _two_rank
+            FROM counts),
+    tot AS (SELECT sum(_cnt) AS _n FROM counts),
+    cuts AS (SELECT {cut_exprs} FROM cum CROSS JOIN tot),
+    per_bin AS (
+      SELECT CAST(1 + {bucket} AS BIGINT) AS bin,
+             sum(_cnt) AS n, sum(_pos) AS pos,
+             sum(_cnt * _two_rank) AS _rank_mass,
+             max(_n) AS _N
+      FROM cum CROSS JOIN cuts CROSS JOIN tot
+      GROUP BY 1
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           {conf} AS conf, {acc} AS acc,
+           abs(({acc}) - ({conf})) AS gap
+    FROM per_bin
+    """
+
+
+# -- mean reciprocal rank -----------------------------------------------------
+def _lcm_1_to(k: int) -> int:
+    import math
+
+    out = 1
+    for i in range(1, k + 1):
+        out = math.lcm(out, i)
+    return out
+
+
+def mrr_at_k(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """MRR@k over one ranking per ``query_col`` group: rank items by
+    (score desc, id asc), find each query's first relevant rank <= k,
+    and report the EXACT mean reciprocal rank as an integer rational —
+    ``mrr_num = Σ_r cnt_r · (L/r)`` with ``L = lcm(1..k)`` (2520 for
+    k=10), so the reciprocal-rank sum never floats; the only double is
+    the final ``mrr_num / (L · n_queries)`` division. Queries with no
+    relevant item in the top k contribute 0 (they stay in the
+    denominator — the standard definition).
+
+    Plan: one window per query partitioning rank-filtered to k
+    (WindowGroupLimit), a per-query min aggregate on the same key, a
+    <= k-row per-rank count frame, and a 1-row final join against the
+    query count.
+
+    Output: one row (n_queries, n_hit, mrr_num, mrr, hit_rate).
+    """
+    L = _lcm_1_to(k)
+    q, i, s, r = query_col, id_col, score_col, rel_col
+    base = df.where(
+        F.col(q).isNotNull()
+        & F.col(i).isNotNull()
+        & F.col(s).isNotNull()
+        & F.col(r).isNotNull()
+    ).select(
+        F.col(q).alias("_q"),
+        F.col(i).alias("_id"),
+        F.col(s).alias("_s"),
+        (F.col(r).cast("long") == 1).alias("_rel"),
+    )
+    nq = base.agg(F.countDistinct("_q").alias("n_queries"))
+    w = Window.partitionBy("_q").orderBy(F.col("_s").desc(), F.col("_id").asc())
+    first_rel = (
+        base.select("_q", "_rel", F.row_number().over(w).alias("_rn"))
+        .where((F.col("_rn") <= k) & F.col("_rel"))
+        .groupBy("_q")
+        .agg(F.min("_rn").alias("_fr"))
+    )
+    per_rank = first_rel.groupBy("_fr").agg(F.count("*").alias("_cnt"))
+    hits = per_rank.agg(
+        F.coalesce(F.sum("_cnt"), F.lit(0)).alias("n_hit"),
+        F.coalesce(
+            F.sum(F.col("_cnt") * F.expr(f"{L} div _fr")),
+            F.lit(0),
+        ).alias("mrr_num"),
+    )
+    out = nq.crossJoin(F.broadcast(hits))
+    return out.select(
+        "n_queries",
+        "n_hit",
+        "mrr_num",
+        (
+            F.col("mrr_num").cast("double")
+            / F.nullif((F.lit(L) * F.col("n_queries")).cast("double"), F.lit(0.0))
+        ).alias("mrr"),
+        (
+            F.col("n_hit").cast("double")
+            / F.nullif(F.col("n_queries").cast("double"), F.lit(0.0))
+        ).alias("hit_rate"),
+    )
+
+
+def mrr_oracle_sql(
+    source_sql: str,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`mrr_at_k` (same lcm rational core)."""
+    L = _lcm_1_to(k)
+    q, i, s, r = query_col, id_col, score_col, rel_col
+    return f"""
+    WITH src0 AS ({source_sql}),
+    base AS (SELECT {q} AS _q, {i} AS _id, {s} AS _s,
+                    CAST({r} AS BIGINT) = 1 AS _rel
+             FROM src0
+             WHERE {q} IS NOT NULL AND {i} IS NOT NULL
+               AND {s} IS NOT NULL AND {r} IS NOT NULL),
+    nq AS (SELECT count(DISTINCT _q) AS n_queries FROM base),
+    fr AS (
+      SELECT _q, min(_rn) AS _fr FROM (
+        SELECT _q, _rel,
+               row_number() OVER (PARTITION BY _q
+                                  ORDER BY _s DESC, _id ASC) AS _rn
+        FROM base
+      ) WHERE _rn <= {k} AND _rel
+      GROUP BY 1
+    ),
+    per_rank AS (SELECT _fr, count(*) AS _cnt FROM fr GROUP BY 1),
+    hits AS (SELECT COALESCE(sum(_cnt), 0) AS n_hit,
+                    COALESCE(sum(_cnt * ({L} // _fr)), 0) AS mrr_num
+             FROM per_rank)
+    SELECT CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(mrr_num AS BIGINT) AS mrr_num,
+           CAST(mrr_num AS DOUBLE)
+             / NULLIF(CAST({L} * n_queries AS DOUBLE), 0.0) AS mrr,
+           CAST(n_hit AS DOUBLE)
+             / NULLIF(CAST(n_queries AS DOUBLE), 0.0) AS hit_rate
+    FROM nq CROSS JOIN hits
+    """

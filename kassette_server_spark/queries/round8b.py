@@ -1,0 +1,150 @@
+"""Round-8 second wave (q173+): correlation / hypothesis-test /
+calibration / retrieval-eval statistics, governance and maintenance
+operators, an item-item recommender core, and the six remaining
+structurally-distinct TPC-H shapes adapted to the test schema (no
+partsupp / comment / commitdate columns — the SHAPES are what matter:
+multi-way profit join, left-join count distribution, view+max,
+disjunctive pushdown, exists+not-exists, substring+avg-subquery).
+
+Registered AFTER the 50-spec driver window (queries/__init__.py), so
+they ship on repo-oracle evidence this round and take guaranteed
+first-round slots in the r9 window per the standing rotation policy.
+
+Determinism: the shared contract (operators/evaluation.py module
+docstring) — BIGINT cores, one fixed-shape double expression at the
+end, NULLIF/CASE guards mirrored on both engines, no libm
+transcendentals, no float sums across rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.evaluation import (
+    mrr_at_k,
+    mrr_oracle_sql,
+    rank_calibration_bins,
+    rank_calibration_oracle_sql,
+    spearman_by,
+    spearman_oracle_sql,
+    welch_t_by,
+    welch_t_oracle_sql,
+)
+from .base import query
+from .round8 import _ORDERS_SCORED_SQL, _orders_scored
+
+# orders with the lineitem count — the shared "score vs graded outcome"
+# frame (same join as q162's NDCG input)
+_ORDERS_ITEMS_SQL = """
+    SELECT o.o_orderpriority, o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+           li.n_items
+    FROM orders o
+    JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+          FROM lineitem GROUP BY 1) li
+      ON li.l_orderkey = o.o_orderkey
+"""
+
+
+def _orders_items(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    li = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    return o.join(li, o.o_orderkey == li.l_orderkey).drop("l_orderkey")
+
+
+@query(
+    "q173_spearman_corr",
+    oracle=spearman_oracle_sql(
+        _ORDERS_ITEMS_SQL, "o_orderpriority", "cents", "n_items"
+    ),
+    doc="Spearman rank correlation of order value vs item count per "
+    "priority segment — Pearson over BIGINT twice-midranks (tie "
+    "handling never floats), value-cardinality-bounded rank windows",
+    tags=("evaluation", "stats"),
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    return spearman_by(
+        _orders_items(spark, sf), "o_orderpriority", "cents", "n_items"
+    )
+
+
+@query(
+    "q174_welch_t_test",
+    oracle=welch_t_oracle_sql(
+        """
+        SELECT o_orderpriority,
+               CAST(o_orderstatus = 'F' AS INTEGER) AS is_final,
+               CAST(round(o_totalprice) AS BIGINT) AS dollars
+        FROM orders
+        """,
+        "o_orderpriority",
+        "is_final",
+        "dollars",
+    ),
+    doc="Welch's unequal-variance t statistic + Satterthwaite dof for "
+    "final vs open order value per priority segment — six BIGINT "
+    "moments from ONE conditional aggregate over ONE scan; dollar "
+    "scale keeps the sum-of-squares under 2^63 (documented cap)",
+    tags=("evaluation", "stats"),
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+        F.round("o_totalprice").cast("bigint").alias("dollars"),
+    )
+    return welch_t_by(o, "o_orderpriority", "is_final", "dollars")
+
+
+@query(
+    "q175_rank_calibration",
+    oracle=rank_calibration_oracle_sql(_ORDERS_SCORED_SQL, "cents", "is_final"),
+    doc="reliability table of the order-value score's empirical "
+    "percentile as a predicted probability: per exact score decile, "
+    "conf (mean percentile, BIGINT rank mass) vs acc (positive rate) "
+    "and the |acc-conf| calibration gap — the ECE integrand without "
+    "any cross-row float sum",
+    tags=("evaluation", "stats"),
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    return rank_calibration_bins(_orders_scored(spark, sf), "cents", "is_final")
+
+
+@query(
+    "q176_mrr_at_10",
+    oracle=mrr_oracle_sql(
+        """
+        SELECT user_id, event_id, value,
+               CAST(event_type = 'purchase' AS INTEGER) AS rel
+        FROM events
+        """,
+        "user_id",
+        "event_id",
+        "value",
+        "rel",
+        k=10,
+    ),
+    doc="MRR@10 treating each user's value-ranked events as one query "
+    "and purchases as relevant — exact rational core (lcm(1..10) "
+    "reciprocal weights, the only double is the final division); "
+    "rank-filter prunes to 10 rows per user before aggregation",
+    tags=("evaluation", "retrieval"),
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("rel"),
+    )
+    return mrr_at_k(ev, "user_id", "event_id", "value", "rel", k=10)
