@@ -821,3 +821,187 @@ def gap_fill_oracle_sql(series_sql: str, group_col: str, date_col: str, value_co
            (_v IS NULL) AS is_interpolated
     FROM filled
     """
+
+
+# -- Hellinger / Bhattacharyya drift ------------------------------------------
+HELLINGER_FP_SCALE = 1 << 20  # fixed-point quantum for sqrt(a*b) terms
+
+
+def hellinger_drift_by(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
+    """Hellinger distance between each ``group_col`` segment's
+    ``cat_col`` distribution and the GLOBAL distribution — the
+    sqrt-based sibling of :func:`hist_tv_distance` (TV is max-norm
+    blind to mass spread across many small categories; Hellinger
+    weights every cell).
+
+    Determinism: the Bhattacharyya coefficient needs Σ_i sqrt(p_i q_i)
+    — a float sum across category rows, which the determinism contract
+    bans (order-dependent). The fix is FIXED-POINT quantization:
+    per cell, ``fp_i = round(sqrt(a_i·b_i) · 2^20)`` is a BIGINT
+    (sqrt and multiply are IEEE exact-rounded, round is deterministic,
+    so both engines produce the identical integer), and the cross-row
+    sum is integer arithmetic. ``bc = Σfp / (2^20·sqrt(A·B))`` and
+    ``hellinger = sqrt(greatest(1-bc, 0))`` are one double tail (the
+    greatest() guards quantization pushing bc a hair above 1). The
+    2^-20 quantum bounds the bc error by n_categories·2^-20 — a
+    documented contract, not a hidden float flake.
+
+    Plan: one full-data aggregate to (group, cat) cells; the global
+    frame re-aggregates the CELLS (never rescans the data) and rides a
+    broadcast; everything downstream is category-cardinality bounded.
+
+    Output: (group, n_rows, bc_fp, bhatt, hellinger).
+    """
+    g, c = group_col, cat_col
+    cells = (
+        df.where(F.col(g).isNotNull() & F.col(c).isNotNull())
+        .groupBy(F.col(g).alias("_g"), F.col(c).alias("_c"))
+        .agg(F.count("*").alias("_a"))
+        .localCheckpoint(eager=True)
+    )
+    glob = cells.groupBy("_c").agg(F.sum("_a").alias("_b"))
+    tot = cells.agg(F.sum("_a").alias("_B"))
+    fp = (
+        cells.join(F.broadcast(glob), "_c")
+        .select(
+            "_g",
+            "_a",
+            F.round(
+                F.sqrt((F.col("_a") * F.col("_b")).cast("double"))
+                * F.lit(float(HELLINGER_FP_SCALE))
+            )
+            .cast("bigint")
+            .alias("_fp"),
+        )
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(F.sum("_a").alias("n_rows"), F.sum("_fp").alias("bc_fp"))
+    )
+    out = fp.crossJoin(F.broadcast(tot))
+    bc = F.col("bc_fp").cast("double") / (
+        F.lit(float(HELLINGER_FP_SCALE))
+        * F.sqrt(F.col("n_rows").cast("double") * F.col("_B").cast("double"))
+    )
+    return out.select(
+        group_col,
+        "n_rows",
+        "bc_fp",
+        bc.alias("bhatt"),
+        F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))).alias("hellinger"),
+    )
+
+
+def hellinger_oracle_sql(source_sql: str, group_col: str, cat_col: str) -> str:
+    """DuckDB mirror of :func:`hellinger_drift_by` (identical
+    fixed-point quantization and double tail)."""
+    g, c = group_col, cat_col
+    S = HELLINGER_FP_SCALE
+    bc = (
+        f"CAST(bc_fp AS DOUBLE) / (CAST({S} AS DOUBLE)"
+        f" * sqrt(CAST(n_rows AS DOUBLE) * CAST(_B AS DOUBLE)))"
+    )
+    return f"""
+    WITH src0 AS ({source_sql}),
+    cells AS (SELECT {g} AS _g, {c} AS _c, count(*) AS _a FROM src0
+              WHERE {g} IS NOT NULL AND {c} IS NOT NULL GROUP BY 1, 2),
+    gl AS (SELECT _c, sum(_a) AS _b FROM cells GROUP BY 1),
+    tot AS (SELECT sum(_a) AS _B FROM cells),
+    fp AS (
+      SELECT _g AS {g}, sum(_a) AS n_rows,
+             sum(CAST(round(sqrt(CAST(_a * _b AS DOUBLE))
+                            * CAST({S} AS DOUBLE)) AS BIGINT)) AS bc_fp
+      FROM cells JOIN gl USING (_c)
+      GROUP BY 1
+    )
+    SELECT {g}, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(bc_fp AS BIGINT) AS bc_fp,
+           {bc} AS bhatt,
+           sqrt(greatest(1.0e0 - {bc}, 0.0e0)) AS hellinger
+    FROM fp CROSS JOIN tot
+    """
+
+
+# -- seasonal-naive backtest --------------------------------------------------
+def seasonal_naive_backtest(
+    daily: DataFrame,
+    group_col: str,
+    date_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (y_hat_t = y_{t-season})
+    against the plain naive (y_hat_t = y_{t-1}) on a pre-aggregated
+    integer daily series — the MASE-style "is there even weekly
+    structure worth modeling" gate before any real forecaster.
+
+    Contract (the CUSUM/Theil-Sen precedent): input is the
+    PRE-AGGREGATED per-(group, date) series with integer values, so
+    absolute errors and their sums stay BIGINT; ``mase_ratio =
+    Σ|e_season| / Σ|e_naive|`` is one division. Rows only score where
+    the calendar gap to BOTH lags is exact (lag-1 row is yesterday,
+    lag-season row is exactly `season` days back) — gaps drop the row
+    on both engines rather than silently comparing across holes.
+
+    Output: (group, n_scored, sae_season, sae_naive, mase_ratio).
+    """
+    g, d, v = group_col, date_col, value_col
+    w = Window.partitionBy(g).orderBy(d)
+    lagged = daily.select(
+        F.col(g).alias("_g"),
+        F.col(d).alias("_d"),
+        F.col(v).cast("long").alias("_v"),
+        F.lag(F.col(v).cast("long"), 1).over(w).alias("_l1"),
+        F.lag(F.col(d), 1).over(w).alias("_d1"),
+        F.lag(F.col(v).cast("long"), season).over(w).alias("_ls"),
+        F.lag(F.col(d), season).over(w).alias("_ds"),
+    ).where(
+        F.col("_l1").isNotNull()
+        & F.col("_ls").isNotNull()
+        & (F.datediff("_d", "_d1") == 1)
+        & (F.datediff("_d", "_ds") == season)
+    )
+    return lagged.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count("*").alias("n_scored"),
+        F.sum(F.abs(F.col("_v") - F.col("_ls"))).alias("sae_season"),
+        F.sum(F.abs(F.col("_v") - F.col("_l1"))).alias("sae_naive"),
+    ).select(
+        group_col,
+        "n_scored",
+        "sae_season",
+        "sae_naive",
+        (
+            F.col("sae_season").cast("double")
+            / F.nullif(F.col("sae_naive").cast("double"), F.lit(0.0))
+        ).alias("mase_ratio"),
+    )
+
+
+def seasonal_naive_oracle_sql(
+    series_sql: str, group_col: str, date_col: str, value_col: str, season: int = 7
+) -> str:
+    """DuckDB mirror of :func:`seasonal_naive_backtest`."""
+    g, d, v = group_col, date_col, value_col
+    return f"""
+    WITH series AS ({series_sql}),
+    lagged AS (
+      SELECT {g} AS _g, {d} AS _d, CAST({v} AS BIGINT) AS _v,
+             lag(CAST({v} AS BIGINT), 1) OVER w AS _l1,
+             lag({d}, 1) OVER w AS _d1,
+             lag(CAST({v} AS BIGINT), {season}) OVER w AS _ls,
+             lag({d}, {season}) OVER w AS _ds
+      FROM series
+      WINDOW w AS (PARTITION BY {g} ORDER BY {d})
+    ),
+    scored AS (
+      SELECT * FROM lagged
+      WHERE _l1 IS NOT NULL AND _ls IS NOT NULL
+        AND date_diff('day', CAST(_d1 AS DATE), CAST(_d AS DATE)) = 1
+        AND date_diff('day', CAST(_ds AS DATE), CAST(_d AS DATE)) = {season}
+    )
+    SELECT _g AS {g},
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(abs(_v - _ls)) AS BIGINT) AS sae_season,
+           CAST(sum(abs(_v - _l1)) AS BIGINT) AS sae_naive,
+           CAST(sum(abs(_v - _ls)) AS DOUBLE)
+             / NULLIF(CAST(sum(abs(_v - _l1)) AS DOUBLE), 0.0) AS mase_ratio
+    FROM scored GROUP BY 1
+    """

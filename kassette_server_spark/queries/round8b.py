@@ -148,3 +148,58 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("rel"),
     )
     return mrr_at_k(ev, "user_id", "event_id", "value", "rel", k=10)
+
+
+# -- drift additions ----------------------------------------------------------
+from ..operators.drift import (
+    hellinger_drift_by,
+    hellinger_oracle_sql,
+    seasonal_naive_backtest,
+    seasonal_naive_oracle_sql,
+)
+
+
+@query(
+    "q177_hellinger_drift",
+    oracle=hellinger_oracle_sql("SELECT source, lang FROM documents", "source", "lang"),
+    doc="Hellinger distance of each source's language mix vs the global "
+    "corpus — the Bhattacharyya sum runs in 2^20 fixed-point BIGINTs "
+    "(sqrt terms quantized per cell, never a float sum across rows); "
+    "cells aggregate once, the global frame re-aggregates the cells",
+    tags=("drift", "stats", "llm"),
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("source", "lang")
+    return hellinger_drift_by(docs, "source", "lang")
+
+
+@query(
+    "q178_seasonal_backtest",
+    oracle=seasonal_naive_oracle_sql(
+        """
+        SELECT event_type,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+        """,
+        "event_type",
+        "d",
+        "c",
+        season=7,
+    ),
+    doc="seasonal-naive (lag-7) vs plain-naive (lag-1) forecast "
+    "backtest on daily event counts per type: MASE-style ratio from "
+    "BIGINT absolute-error sums; rows score only where the calendar "
+    "gap to both lags is exact, so date gaps drop rather than lie",
+    tags=("drift", "timeseries"),
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return seasonal_naive_backtest(daily, "event_type", "d", "c", season=7)
