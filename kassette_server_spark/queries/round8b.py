@@ -203,3 +203,90 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     return seasonal_naive_backtest(daily, "event_type", "d", "c", season=7)
+
+
+# -- governance / maintenance -------------------------------------------------
+from ..operators.governance import (
+    compaction_plan,
+    compaction_plan_oracle_sql,
+    k_anonymity_oracle_sql,
+    k_anonymity_report,
+    quantile_normalize_oracle_sql,
+    quantile_normalize_summary,
+)
+
+
+@query(
+    "q179_compaction_plan",
+    oracle=compaction_plan_oracle_sql(
+        "SELECT source, doc_id, n_chars FROM documents",
+        "source",
+        "doc_id",
+        "n_chars",
+        target_bytes=16384,
+    ),
+    doc="small-file compaction planner: bin documents per source into "
+    "contiguous >=16 KiB output groups by running-size integer "
+    "division — the metadata-only half of compaction (at 100 TB this "
+    "runs on the file listing, never the data); one window + one "
+    "same-key aggregate",
+    tags=("governance", "scale"),
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("source", "doc_id", "n_chars")
+    return compaction_plan(docs, "source", "doc_id", "n_chars", target_bytes=16384)
+
+
+@query(
+    "q180_k_anonymity",
+    oracle=k_anonymity_oracle_sql(
+        """
+        SELECT lang, source, n_chars // 64 AS size_bucket,
+               n_chars % 10 AS sens
+        FROM documents
+        """,
+        ["lang", "source", "size_bucket"],
+        "sens",
+        k=5,
+        l=3,
+    ),
+    doc="k-anonymity / l-diversity release gate over (lang, source, "
+    "size-bucket) quasi-identifiers: class sizes, the suppression "
+    "cost of enforcing k=5, and distinct-l diversity of the "
+    "sensitive column among surviving classes — one aggregate to "
+    "classes, then a 1-row summary",
+    tags=("governance", "privacy"),
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        "lang",
+        "source",
+        F.expr("n_chars div 64").alias("size_bucket"),
+        (F.col("n_chars") % 10).alias("sens"),
+    )
+    return k_anonymity_report(
+        docs, ["lang", "source", "size_bucket"], "sens", k=5, l=3
+    )
+
+
+@query(
+    "q181_quantile_normalize",
+    oracle=quantile_normalize_oracle_sql(
+        "SELECT source, n_chars, doc_id FROM documents",
+        "source",
+        "n_chars",
+        "doc_id",
+        n_grid=64,
+    ),
+    doc="quantile normalization of per-source document lengths against "
+    "a 64-point pooled exact-order-statistic grid (batch-effect "
+    "correction): grid from the value-count cumsum, rows map by "
+    "integer midpoint rank rule and join the grid via broadcast; "
+    "per-source BIGINT summaries of the normalized values",
+    tags=("governance", "stats"),
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("source", "n_chars", "doc_id")
+    return quantile_normalize_summary(
+        docs, "source", "n_chars", "doc_id", n_grid=64
+    )
