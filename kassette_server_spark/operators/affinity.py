@@ -74,3 +74,128 @@ def copurchase_oracle_sql(
     GROUP BY a.item, b.item
     HAVING COUNT(*) >= {min_support}
     """
+
+
+def item_item_cosine(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    cap: int = 50,
+    top_n: int = 20,
+) -> DataFrame:
+    """Item-item cosine similarity from a (user, item) interaction log
+    — the classic ItemCF / "customers who bought X also bought Y"
+    core: ``cos(i,j) = c_ij / sqrt(c_i * c_j)`` over CO-USER counts.
+
+    Scale contract — the hot-user cap: pair fan-out is Σ_u deg(u)²,
+    and one celebrity user with a million interactions would emit 10^12
+    pairs. Every user's item list is therefore capped at ``cap`` items
+    FIRST (rank by interaction frequency desc, item asc — fully
+    deterministic, no sampling), bounding fan-out at |users|·cap².
+    Item norms c_i are counted over the SAME capped frame, so the
+    metric is exactly cosine on the capped interaction matrix (a
+    defined estimator), not a mongrel of capped pairs and uncapped
+    norms. Pair generation is row-local from each user's sorted item
+    array (the copurchase_pairs move — one shuffle to users, one to
+    pair keys, zero self-joins).
+
+    Ordering/limit determinism: cosine ties break by (co_cnt desc,
+    item_i, item_j).
+
+    Output: top ``top_n`` rows of
+    (item_i, item_j, co_cnt, cnt_i, cnt_j, cosine).
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.col(user_col).alias("u"), F.col(item_col).alias("it"))
+        .groupBy("u", "it")
+        .agg(F.count("*").alias("f"))
+    )
+    wcap = Window.partitionBy("u").orderBy(F.col("f").desc(), F.col("it").asc())
+    capped = (
+        freq.withColumn("_rn", F.row_number().over(wcap))
+        .where(F.col("_rn") <= cap)
+        .select("u", "it")
+        # three consumers (norms, baskets, totals-by-join) — materialize
+        # the capped frame once
+        .localCheckpoint(eager=True)
+    )
+    norms = capped.groupBy("it").agg(F.count("*").alias("cnt"))
+    baskets = capped.groupBy("u").agg(F.array_sort(F.collect_set("it")).alias("its"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("its"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("its"), i + 2, F.size(F.col("its"))),
+                        lambda y: F.struct(x.alias("item_i"), y.alias("item_j")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.item_i", "p.item_j")
+    co = pairs.groupBy("item_i", "item_j").agg(F.count("*").alias("co_cnt"))
+    ni = norms.select(F.col("it").alias("item_i"), F.col("cnt").alias("cnt_i"))
+    nj = norms.select(F.col("it").alias("item_j"), F.col("cnt").alias("cnt_j"))
+    scored = (
+        co.join(ni, "item_i")
+        .join(nj, "item_j")
+        .withColumn(
+            "cosine",
+            F.col("co_cnt").cast("double")
+            / F.sqrt((F.col("cnt_i") * F.col("cnt_j")).cast("double")),
+        )
+    )
+    return (
+        scored.select("item_i", "item_j", "co_cnt", "cnt_i", "cnt_j", "cosine")
+        .orderBy(
+            F.col("cosine").desc(),
+            F.col("co_cnt").desc(),
+            F.col("item_i").asc(),
+            F.col("item_j").asc(),
+        )
+        .limit(top_n)
+    )
+
+
+def item_item_cosine_oracle_sql(
+    source_sql: str,
+    user_col: str,
+    item_col: str,
+    cap: int = 50,
+    top_n: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`item_item_cosine` (same cap, same
+    tiebreaks)."""
+    return f"""
+    WITH src0 AS ({source_sql}),
+    freq AS (SELECT {user_col} AS u, {item_col} AS it, count(*) AS f
+             FROM src0 GROUP BY 1, 2),
+    capped AS (
+      SELECT u, it FROM (
+        SELECT u, it,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY f DESC, it ASC) AS _rn
+        FROM freq
+      ) WHERE _rn <= {cap}
+    ),
+    norms AS (SELECT it, count(*) AS cnt FROM capped GROUP BY 1),
+    co AS (
+      SELECT a.it AS item_i, b.it AS item_j, count(*) AS co_cnt
+      FROM capped a JOIN capped b ON a.u = b.u AND a.it < b.it
+      GROUP BY 1, 2
+    )
+    SELECT item_i, item_j,
+           CAST(co_cnt AS BIGINT) AS co_cnt,
+           CAST(ni.cnt AS BIGINT) AS cnt_i,
+           CAST(nj.cnt AS BIGINT) AS cnt_j,
+           CAST(co_cnt AS DOUBLE)
+             / sqrt(CAST(ni.cnt * nj.cnt AS DOUBLE)) AS cosine
+    FROM co
+    JOIN norms ni ON ni.it = co.item_i
+    JOIN norms nj ON nj.it = co.item_j
+    ORDER BY cosine DESC, co_cnt DESC, item_i ASC, item_j ASC
+    LIMIT {top_n}
+    """

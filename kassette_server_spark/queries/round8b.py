@@ -290,3 +290,36 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
     return quantile_normalize_summary(
         docs, "source", "n_chars", "doc_id", n_grid=64
     )
+
+
+# -- item-item recommender core -----------------------------------------------
+from ..operators.affinity import item_item_cosine, item_item_cosine_oracle_sql
+
+
+@query(
+    "q182_item_item_cosine",
+    oracle=item_item_cosine_oracle_sql(
+        """
+        SELECT o.o_custkey AS u, l.l_partkey AS it
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        """,
+        "u",
+        "it",
+        cap=50,
+        top_n=20,
+    ),
+    doc="item-item cosine (ItemCF) over the customer x part interaction "
+    "log with the hot-user cap at 50 items (rank by frequency desc, "
+    "item asc — deterministic, no sampling): fan-out bounded at "
+    "|users|*cap^2, norms counted over the SAME capped frame so the "
+    "metric is exact cosine of the capped matrix; row-local pair "
+    "generation, zero self-joins",
+    tags=("affinity", "scale", "retrieval"),
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    inter = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it")
+    )
+    return item_item_cosine(inter, "u", "it", cap=50, top_n=20)
