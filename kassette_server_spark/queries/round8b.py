@@ -323,3 +323,324 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it")
     )
     return item_item_cosine(inter, "u", "it", cap=50, top_n=20)
+
+
+# -- remaining TPC-H shapes ---------------------------------------------------
+# Adapted to the test schema (TESTDATA.md): no partsupp (Q9's supply
+# cost becomes a 60%-of-retail proxy — integer cents), no o_comment
+# (Q13 filters on o_orderpriority), no l_commitdate/l_receiptdate
+# (Q21's "late" is shipped >90 days after order date), no c_phone
+# (Q22's country code is digits from c_name). The point of each spec
+# is the reference's PLAN SHAPE, which survives the column swaps.
+
+
+@query(
+    "q183_tpch_q9_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)
+                    - CAST(round(p.p_retailprice * 60) AS BIGINT)
+                      * CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+             AS profit_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-type profit by nation and year): "
+    "multi-way star join — part filter and supplier->nation both ride "
+    "broadcasts, lineitem is scanned once and shuffles only for the "
+    "final (nation, year) aggregate; profit is exact integer cents "
+    "(cost proxied at 60% of retail — no partsupp in the test schema)",
+    tags=("tpch",),
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("o_year"),
+        (
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).alias("_rev"),
+        F.round("l_quantity").cast("bigint").alias("_qty"),
+    )
+    p = (
+        load(spark, sf, "part")
+        .where(F.col("p_name").contains("gear"))
+        .select("p_partkey", F.round(F.col("p_retailprice") * 60).cast("bigint").alias("_cost"))
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return joined.groupBy("nation", "o_year").agg(
+        F.sum(F.col("_rev") - F.col("_cost") * F.col("_qty"))
+        .cast("bigint")
+        .alias("profit_cents")
+    )
+
+
+@query(
+    "q184_tpch_q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT "
+    "join keeps zero-order customers, the join predicate (not the "
+    "WHERE) carries the priority filter so empty matches survive, "
+    "then the double aggregate — count per customer, histogram of "
+    "counts; the second aggregate's input is customer-cardinality",
+    tags=("tpch",),
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_c = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_c.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q185_tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape (top supplier by quarterly revenue): the "
+    "revenue view aggregates once and is supplier-cardinality, so the "
+    "max comparison is a window max over that SMALL frame (no second "
+    "lineitem scan for the scalar subquery) and the supplier join "
+    "broadcasts; exact integer cents",
+    tags=("tpch",),
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_cents")
+    )
+    wmax = Window.partitionBy()
+    top = revenue.withColumn("_mx", F.max("total_cents").over(wmax)).where(
+        F.col("total_cents") == F.col("_mx")
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return s.join(F.broadcast(top), s.s_suppkey == top.l_suppkey).select(
+        "s_suppkey", "s_name", "total_cents"
+    )
+
+
+@query(
+    "q186_tpch_q19_disjunctive",
+    oracle="""
+    SELECT CAST(COALESCE(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                        * 100) AS BIGINT)), 0) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive brand/size/quantity revenue): "
+    "the OR-of-ANDs predicate straddles the join — the part-only "
+    "disjunct union (brand+size) is still pushable below the join and "
+    "prunes the broadcast build side; one scan, one broadcast join, "
+    "one global aggregate",
+    tags=("tpch",),
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("_rev"),
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return j.where(cond).agg(
+        F.coalesce(F.sum("_rev"), F.lit(0)).cast("bigint").alias("revenue_cents"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q187_tpch_q21_waiting",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    all_sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM all_sup a
+                  WHERE a.l_orderkey = l1.l_orderkey
+                    AND a.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q21 shape (suppliers who alone kept F-orders waiting): "
+    "late = shipped >90 days after order date (no commit/receipt "
+    "dates in the test schema); the EXISTS becomes a left-semi and "
+    "the NOT EXISTS a left-anti join, both on the order key — the "
+    "reference's double-correlated subquery with zero rescans",
+    tags=("tpch",),
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_sup = li.select("l_orderkey", "l_suppkey").distinct()
+    l1, a, l3 = late.alias("l1"), all_sup.alias("a"), late.alias("l3")
+    semi = l1.join(
+        a,
+        (F.col("a.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    only_late = semi.alias("l1").join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        only_late.join(F.broadcast(s), only_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q188_tpch_q22_idle_customers",
+    oracle="""
+    WITH cust AS (
+      SELECT substr(c_name, 10, 2) AS cntrycode, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE substr(c_name, 10, 2) IN ('00', '01', '02', '03')
+    ),
+    avg_bal AS (
+      SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cust WHERE bal_cents > 0
+    )
+    SELECT cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal_cents) AS BIGINT) AS totbal_cents
+    FROM cust c CROSS JOIN avg_bal
+    WHERE c.bal_cents * avg_bal.n > avg_bal.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape (wealthy customers with no orders, by country "
+    "code): code digits come from c_name (no c_phone in the test "
+    "schema); the average-balance scalar subquery is an integer "
+    "cross-multiplication bal*n > s (no float average compare), and "
+    "NOT EXISTS orders is a left-anti join on the customer key",
+    tags=("tpch",),
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    codes = ("00", "01", "02", "03")
+    cust = (
+        load(spark, sf, "customer")
+        .select(
+            F.substring("c_name", 10, 2).alias("cntrycode"),
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        )
+        .where(F.col("cntrycode").isin(*codes))
+    )
+    avg_bal = cust.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("bigint").alias("s"),
+        F.count("*").alias("n"),
+    )
+    o = load(spark, sf, "orders").select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("bal_cents") * F.col("n") > F.col("s")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("cntrycode").agg(
+        F.count("*").alias("numcust"),
+        F.sum("bal_cents").cast("bigint").alias("totbal_cents"),
+    )
