@@ -1,0 +1,354 @@
+"""Unit semantics for the round-8 second-wave operators (oracle parity
+locks engine agreement; these lock the MATH on hand-built cases where
+the right answer is known a priori)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kassette_server_spark.operators.affinity import item_item_cosine
+from kassette_server_spark.operators.drift import (
+    hellinger_drift_by,
+    seasonal_naive_backtest,
+)
+from kassette_server_spark.operators.evaluation import (
+    mrr_at_k,
+    rank_calibration_bins,
+    spearman_by,
+    welch_t_by,
+)
+from kassette_server_spark.operators.governance import (
+    compaction_plan,
+    k_anonymity_report,
+    quantile_normalize_summary,
+)
+
+
+# -- spearman_by --------------------------------------------------------------
+def test_spearman_perfect_monotone(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 10), ("g", 2, 20), ("g", 3, 30), ("g", 4, 40)],
+        "g string, x long, y long",
+    )
+    r = spearman_by(df, "g", "x", "y").collect()[0]
+    assert r.n == 4
+    assert r.rho == _rho([(1, 10), (2, 20), (3, 30), (4, 40)])
+    assert r.rho == pytest.approx(1.0, rel=1e-12)
+
+
+def _rho(pairs):
+    """The operator's exact float expression over twice-midranks, for
+    bit-identical expectations (sqrt(d1)*sqrt(d2) is one ulp off the
+    algebraic answer on some inputs — deterministically, in both
+    engines; these tests lock THAT value)."""
+    n = len(pairs)
+
+    def two_ranks(vals):
+        return [
+            2 * sum(1 for w in vals if w < v) + sum(1 for w in vals if w == v) + 1
+            for v in vals
+        ]
+
+    xs = two_ranks([p[0] for p in pairs])
+    ys = two_ranks([p[1] for p in pairs])
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    return num / den
+
+
+def test_spearman_perfect_inverse(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 40), ("g", 2, 30), ("g", 3, 20), ("g", 4, 10)],
+        "g string, x long, y long",
+    )
+    got = spearman_by(df, "g", "x", "y").collect()[0].rho
+    assert got == _rho([(1, 40), (2, 30), (3, 20), (4, 10)])
+    assert got == pytest.approx(-1.0, rel=1e-12)
+
+
+def test_spearman_concordant_ties(spark):
+    """Ties aligned on both axes are still a perfect rank agreement:
+    x=[1,1,2] vs y=[5,5,9] → identical midrank vectors → rho ≈ 1."""
+    df = spark.createDataFrame(
+        [("g", 1, 5), ("g", 1, 5), ("g", 2, 9)], "g string, x long, y long"
+    )
+    got = spearman_by(df, "g", "x", "y").collect()[0].rho
+    assert got == _rho([(1, 5), (1, 5), (2, 9)])
+    assert got == pytest.approx(1.0, rel=1e-12)
+
+
+def test_spearman_zero_variance_null(spark):
+    df = spark.createDataFrame(
+        [("g", 7, 1), ("g", 7, 2)], "g string, x long, y long"
+    )
+    assert spearman_by(df, "g", "x", "y").collect()[0].rho is None
+
+
+def test_spearman_hand_case(spark):
+    """x=[1,2,3], y=[2,1,3]: rank disagreement only on the first two →
+    rho = 1 - 6*Σd²/(n(n²-1)) = 1 - 12/24 = 0.5 (no ties, so the
+    classic formula applies)."""
+    df = spark.createDataFrame(
+        [("g", 1, 2), ("g", 2, 1), ("g", 3, 3)], "g string, x long, y long"
+    )
+    got = spearman_by(df, "g", "x", "y").collect()[0].rho
+    assert got == _rho([(1, 2), (2, 1), (3, 3)])
+    assert got == pytest.approx(0.5, rel=1e-12)
+
+
+# -- welch_t_by ---------------------------------------------------------------
+def test_welch_hand_case(spark):
+    """class1=[1,2,3] (mean 2, var 1), class0=[2,4,6] (mean 4, var 4):
+    se2 = 1/3 + 4/3, t = -2/sqrt(5/3), dof = (5/3)²/((1/9)/2+(16/9)/2)
+    = 50/17 — recomputed below with the operator's own association
+    order so the float comparison is exact."""
+    rows = [("g", 1, v) for v in (1, 2, 3)] + [("g", 0, v) for v in (2, 4, 6)]
+    df = spark.createDataFrame(rows, "g string, c int, v long")
+    r = welch_t_by(df, "g", "c", "v").collect()[0]
+    assert (r.n1, r.n0) == (3, 3)
+    assert r.mean1 == 2.0 and r.mean0 == 4.0
+    q1, s1, n1 = 14.0, 6.0, 3.0
+    q0, s0, n0 = 56.0, 12.0, 3.0
+    v1 = (q1 - s1 * s1 / n1) / (n1 - 1.0)
+    v0 = (q0 - s0 * s0 / n0) / (n0 - 1.0)
+    se1, se0 = v1 / n1, v0 / n0
+    se2 = se1 + se0
+    assert r.t_stat == (2.0 - 4.0) / math.sqrt(se2)
+    assert r.welch_dof == se2 * se2 / (
+        se1 * se1 / (n1 - 1.0) + se0 * se0 / (n0 - 1.0)
+    )
+
+
+def test_welch_small_class_null(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5), ("g", 0, 1), ("g", 0, 2)], "g string, c int, v long"
+    )
+    r = welch_t_by(df, "g", "c", "v").collect()[0]
+    assert r.t_stat is None and r.welch_dof is None
+    assert r.mean1 == 5.0  # means still reported for n >= 1
+
+
+# -- rank_calibration_bins ----------------------------------------------------
+def test_rank_calibration_hand_case(spark):
+    """Scores 1..4, labels 0,0,1,1, B=2. Twice-midranks 2,4,6,8; N=4.
+    Low bin {1,2}: conf = (2+4)/(2·4·2) = 0.375, acc 0, gap 0.375.
+    High bin {3,4}: conf = (6+8)/16 = 0.875, acc 1, gap 0.125."""
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "s long, y int"
+    )
+    out = {r.bin: r for r in rank_calibration_bins(df, "s", "y", n_bins=2).collect()}
+    assert out[1].n == 2 and out[1].pos == 0
+    assert out[1].conf == 0.375 and out[1].acc == 0.0 and out[1].gap == 0.375
+    assert out[2].n == 2 and out[2].pos == 2
+    assert out[2].conf == 0.875 and out[2].acc == 1.0 and out[2].gap == 0.125
+
+
+def test_rank_calibration_all_tied_single_bin(spark):
+    """All scores identical → one bin; midrank 2.5 of N=4 → conf =
+    (N+1)/(2N) = 0.625 (the midrank/N percentile convention); acc 0.5
+    → gap 0.125."""
+    df = spark.createDataFrame(
+        [(7, 1), (7, 0), (7, 1), (7, 0)], "s long, y int"
+    )
+    rows = rank_calibration_bins(df, "s", "y", n_bins=2).collect()
+    assert len(rows) == 1
+    assert rows[0].conf == 0.625 and rows[0].acc == 0.5 and rows[0].gap == 0.125
+
+
+# -- mrr_at_k -----------------------------------------------------------------
+def test_mrr_hand_case(spark):
+    """u1 first relevant at rank 2, u2 at rank 1, u3 never →
+    mrr = (1/2 + 1)/3 = 0.5, hit_rate = 2/3."""
+    rows = [
+        ("u1", 1, 10.0, 0),
+        ("u1", 2, 9.0, 1),
+        ("u2", 1, 5.0, 1),
+        ("u3", 1, 1.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "q string, id long, s double, rel int")
+    r = mrr_at_k(df, "q", "id", "s", "rel", k=10).collect()[0]
+    assert r.n_queries == 3 and r.n_hit == 2
+    assert r.mrr_num == 1260 + 2520  # lcm(1..10)=2520; ranks 2 and 1
+    assert r.mrr == 0.5
+    assert r.hit_rate == 2.0 / 3.0
+
+
+def test_mrr_relevant_below_k_does_not_count(spark):
+    """k=2: the only relevant item sits at rank 3 → no hit, mrr 0."""
+    rows = [("u", i, float(10 - i), 1 if i == 3 else 0) for i in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "q string, id long, s double, rel int")
+    r = mrr_at_k(df, "q", "id", "s", "rel", k=2).collect()[0]
+    assert r.n_hit == 0 and r.mrr == 0.0
+
+
+def test_mrr_tie_breaks_by_id(spark):
+    """Tied scores rank by id asc: relevant id=1 wins rank 1."""
+    rows = [("u", 1, 5.0, 1), ("u", 2, 5.0, 0)]
+    df = spark.createDataFrame(rows, "q string, id long, s double, rel int")
+    assert mrr_at_k(df, "q", "id", "s", "rel", k=10).collect()[0].mrr == 1.0
+
+
+# -- hellinger_drift_by -------------------------------------------------------
+def test_hellinger_identical_distribution_is_zero(spark):
+    """One group: its distribution IS the global → bc = 1, H = 0."""
+    df = spark.createDataFrame(
+        [("a", "x")] * 3 + [("a", "y")] * 5, "g string, c string"
+    )
+    r = hellinger_drift_by(df, "g", "c").collect()[0]
+    assert r.bhatt == pytest.approx(1.0, abs=1e-5)
+    assert r.hellinger == pytest.approx(0.0, abs=1e-2)  # sqrt amplifies quantum
+
+
+def test_hellinger_disjoint_groups_hand_case(spark):
+    """A: 4×x, B: 4×y. Global: {x:4, y:4}. bc_A = sqrt(4·4)/sqrt(4·8)
+    = 4/sqrt(32); H_A = sqrt(1 - 4/sqrt(32))."""
+    df = spark.createDataFrame(
+        [("A", "x")] * 4 + [("B", "y")] * 4, "g string, c string"
+    )
+    out = {r.g: r for r in hellinger_drift_by(df, "g", "c").collect()}
+    expect_bc = 4.0 / math.sqrt(32.0)
+    assert out["A"].bc_fp == 4 * (1 << 20)  # sqrt(16)=4 exactly, no quantization
+    assert out["A"].bhatt == pytest.approx(expect_bc, rel=1e-9)
+    assert out["A"].hellinger == pytest.approx(math.sqrt(1 - expect_bc), rel=1e-9)
+    assert out["B"].bhatt == out["A"].bhatt  # symmetric construction
+
+
+# -- seasonal_naive_backtest --------------------------------------------------
+def test_seasonal_backtest_hand_case(spark):
+    """Days 1..10 with values 1..8,10,12: days 8-10 score.
+    naive errors |8-7|,|10-8|,|12-10| = 1,2,2 → 5;
+    seasonal errors |8-1|,|10-2|,|12-3| = 7,8,9 → 24 → ratio 4.8."""
+    import datetime as dt
+
+    rows = [
+        ("g", dt.date(2024, 1, d), v)
+        for d, v in zip(range(1, 11), [1, 2, 3, 4, 5, 6, 7, 8, 10, 12])
+    ]
+    df = spark.createDataFrame(rows, "g string, d date, c long")
+    r = seasonal_naive_backtest(df, "g", "d", "c", season=7).collect()[0]
+    assert r.n_scored == 3
+    assert r.sae_naive == 5 and r.sae_season == 24
+    assert r.mase_ratio == 4.8
+
+
+def test_seasonal_backtest_gap_drops_rows(spark):
+    """Removing day 5 breaks every lag-7 calendar alignment → no row
+    scores → group absent from output (never a lying comparison)."""
+    import datetime as dt
+
+    rows = [
+        ("g", dt.date(2024, 1, d), d) for d in range(1, 11) if d != 5
+    ]
+    df = spark.createDataFrame(rows, "g string, d date, c long")
+    assert seasonal_naive_backtest(df, "g", "d", "c", season=7).count() == 0
+
+
+# -- compaction_plan ----------------------------------------------------------
+def test_compaction_plan_hand_case(spark):
+    """Sizes 10,10,10,10 at target 25: running-prev sums 0,10,20,30 →
+    bins 0,0,0,1; bin 0 closes at 30 bytes (fill 1.2)."""
+    rows = [("p", i, 10) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "part string, id long, sz long")
+    out = {r.bin: r for r in compaction_plan(df, "part", "id", "sz", 25).collect()}
+    assert out[0].n_items == 3 and out[0].bytes == 30
+    assert out[0].first_id == 1 and out[0].last_id == 3
+    assert out[0].fill == pytest.approx(1.2)
+    assert out[1].n_items == 1 and out[1].bytes == 10
+
+
+def test_compaction_plan_partitions_independent(spark):
+    """Each partition starts its own bin 0."""
+    rows = [("a", 1, 100), ("b", 1, 100)]
+    df = spark.createDataFrame(rows, "part string, id long, sz long")
+    out = compaction_plan(df, "part", "id", "sz", 50).collect()
+    assert sorted((r.part, r.bin) for r in out) == [("a", 0), ("b", 0)]
+
+
+# -- k_anonymity_report -------------------------------------------------------
+def test_k_anonymity_hand_case(spark):
+    """Class A: 6 rows, sens {1,2,3}; class B: 2 rows, sens {1}.
+    k=5 suppresses B (2 rows, rate 0.25); A survives with l=3."""
+    rows = [("A", s) for s in (1, 2, 3, 1, 2, 3)] + [("B", 1), ("B", 1)]
+    df = spark.createDataFrame(rows, "qi string, sens long")
+    r = k_anonymity_report(df, ["qi"], "sens", k=5, l=3).collect()[0]
+    assert r.n_rows == 8 and r.n_classes == 2
+    assert r.min_class_size == 2
+    assert r.n_small_classes == 1 and r.suppressed_rows == 2
+    assert r.suppression_rate == 0.25
+    assert r.min_l == 3 and r.n_low_l_classes == 0
+
+
+def test_k_anonymity_all_suppressed_min_l_null(spark):
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "qi string, sens long")
+    r = k_anonymity_report(df, ["qi"], "sens", k=5, l=3).collect()[0]
+    assert r.suppressed_rows == 2 and r.min_l is None
+
+
+# -- quantile_normalize_summary -----------------------------------------------
+def test_quantile_normalize_aligns_groups(spark):
+    """A=[1,2,3,4], B=[100,200,300,400], 4-point grid: pooled order
+    statistics at cum>=1,3,5,7 are 1,3,100,300; both groups map rank
+    1..4 to cells 0..3 → identical normalized summaries."""
+    rows = [("A", v, i) for i, v in enumerate([1, 2, 3, 4])] + [
+        ("B", v, i + 10) for i, v in enumerate([100, 200, 300, 400])
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    out = {
+        r.g: r
+        for r in quantile_normalize_summary(df, "g", "v", "id", n_grid=4).collect()
+    }
+    for g in ("A", "B"):
+        assert out[g].n == 4
+        assert out[g].sum_norm == 1 + 3 + 100 + 300
+        assert out[g].min_norm == 1 and out[g].max_norm == 300
+        assert out[g].mean_norm == pytest.approx(101.0)
+
+
+def test_quantile_normalize_identity_when_single_group(spark):
+    """One group of distinct values with grid = n maps each rank to its
+    own pooled order statistic — the identity transform."""
+    rows = [("g", v, v) for v in (10, 20, 30, 40)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    r = quantile_normalize_summary(df, "g", "v", "id", n_grid=4).collect()[0]
+    assert r.sum_norm == 100 and r.min_norm == 10 and r.max_norm == 40
+
+
+# -- item_item_cosine ---------------------------------------------------------
+def test_item_item_cosine_hand_case(spark):
+    """u1:{a,b}, u2:{a,b}, u3:{a,c} → norms a=3,b=2,c=1;
+    co (a,b)=2 → cos 2/sqrt(6); (a,c)=1 → cos 1/sqrt(3)."""
+    rows = [("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "b"), ("u3", "a"), ("u3", "c")]
+    df = spark.createDataFrame(rows, "u string, it string")
+    out = item_item_cosine(df, "u", "it", cap=50, top_n=10).collect()
+    assert [(r.item_i, r.item_j) for r in out] == [("a", "b"), ("a", "c")]
+    assert out[0].co_cnt == 2 and (out[0].cnt_i, out[0].cnt_j) == (3, 2)
+    assert out[0].cosine == 2.0 / math.sqrt(6.0)
+    assert out[1].cosine == 1.0 / math.sqrt(3.0)
+
+
+def test_item_item_cosine_cap_prunes_pairs(spark):
+    """cap=1 keeps each user's single top item (freq desc, item asc →
+    'a' everywhere) → no pairs at all."""
+    rows = [("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "b")]
+    df = spark.createDataFrame(rows, "u string, it string")
+    assert item_item_cosine(df, "u", "it", cap=1, top_n=10).count() == 0
+
+
+def test_item_item_cosine_cap_rank_uses_frequency(spark):
+    """cap=1 with a repeated interaction: u repeats item b, so b (freq
+    2) outranks a (freq 1) despite 'a' < 'b'."""
+    rows = [("u1", "b"), ("u1", "b"), ("u1", "a"), ("u2", "b"), ("u2", "c")]
+    df = spark.createDataFrame(rows, "u string, it string")
+    out = item_item_cosine(df, "u", "it", cap=1, top_n=10).collect()
+    assert out == []  # u1 keeps only b, u2 keeps only b → no pairs
+    # widen the cap: the (b, c) pair appears once u2 keeps both
+    out2 = item_item_cosine(df, "u", "it", cap=2, top_n=10).collect()
+    pairs = {(r.item_i, r.item_j) for r in out2}
+    assert ("a", "b") in pairs and ("b", "c") in pairs
