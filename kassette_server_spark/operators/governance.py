@@ -50,16 +50,24 @@ def compaction_plan(
     ``fill = bytes / target`` (>1 means the closing item overshot).
     """
     p, o, s = part_col, order_col, size_col
-    w = (
-        Window.partitionBy(p)
-        .orderBy(o)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    binned = df.select(
+    # alias FIRST, window over the alias: a window over the original
+    # column followed by a rename severs Spark's alias-aware output
+    # partitioning, and the (part, bin) aggregate pays a second
+    # Exchange it doesn't need (caught by the q179 plan lock — the
+    # window's hash(part) clustering must satisfy the agg's
+    # {part, bin} ClusteredDistribution via the subset rule)
+    base = df.select(
         F.col(p).alias("part"),
         F.col(o).alias("_id"),
         F.col(s).cast("long").alias("_sz"),
-        F.coalesce(F.sum(F.col(s).cast("long")).over(w), F.lit(0)).alias("_cum"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = base.withColumn(
+        "_cum", F.coalesce(F.sum("_sz").over(w), F.lit(0))
     ).withColumn("bin", F.expr(f"_cum div {int(target_bytes)}").cast("long"))
     return binned.groupBy("part", "bin").agg(
         F.count("*").alias("n_items"),

@@ -591,3 +591,106 @@ def test_q172_q20_single_window_no_second_scan(spark):
     pushed = p.split("PushedFilters:")
     assert any("p_name" in seg.splitlines()[0] for seg in pushed[1:])
     assert p.count("BroadcastHashJoin") >= 2
+
+
+# -- round-8 second wave ------------------------------------------------------
+def test_q173_spearman_rank_windows_value_bounded(spark):
+    """Both rank windows run over DISTINCT (group, value) aggregates
+    (HashAggregate below each Window), the joins back are equi-joins,
+    and nothing goes cartesian."""
+    p = plan(spark, "q173_spearman_corr")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert p.count("Window") >= 2
+    assert "HashAggregate" in p
+
+
+def test_q174_welch_single_scan_single_aggregate(spark):
+    """Six moments from one conditional aggregate: exactly one orders
+    scan, one Exchange (to the group key), no join, no window."""
+    import re
+
+    p = plan(spark, "q174_welch_t_test")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
+    assert "Join" not in p and "Window" not in p
+
+
+def test_q176_mrr_rank_filter_prunes_per_user(spark):
+    """The rn <= k filter compiles to WindowGroupLimit (per-partition
+    top-k heap before the full window sort), so only k rows per user
+    survive to the aggregates."""
+    p = plan(spark, "q176_mrr_at_10")
+    assert "WindowGroupLimit" in p
+
+
+def test_q179_compaction_single_exchange(spark):
+    """The per-partition window's hash(part) partitioning satisfies the
+    (part, bin) aggregate's clustering — ONE Exchange total; the scan
+    reads only the three metadata columns."""
+    import re
+
+    p = plan(spark, "q179_compaction_plan")
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_q181_quantile_grid_broadcast(spark):
+    """Rows join the 64-point grid via BroadcastHashJoin — the pooled
+    order statistics never shuffle row data."""
+    p = plan(spark, "q181_quantile_normalize")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q183_q9_star_join_broadcasts(spark):
+    """All three dimension sides (filtered part, supplier, nation)
+    broadcast; lineitem shuffles exactly once, for the final
+    (nation, year) aggregate."""
+    import re
+
+    p = plan(spark, "q183_tpch_q9_profit")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
+    pushed = p.split("PushedFilters:")
+    assert any("p_name" in s.splitlines()[0] for s in pushed[1:])
+
+
+def test_q186_q19_disjunctive_broadcast_single_agg(spark):
+    """The OR-of-ANDs stays a single broadcast join + one global
+    aggregate — no union-of-three-scans rewrite, no shuffle join —
+    and Catalyst pushes the per-table OR residuals into BOTH parquet
+    scans (quantity bounds to lineitem, brand/size to part)."""
+    import re
+
+    p = plan(spark, "q186_tpch_q19_disjunctive")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2  # lineitem, part
+    # the quantity and brand/size disjunctions each reach their scan
+    pushed = [s.splitlines()[0] for s in p.split("PushedFilters:")[1:]]
+    assert any("Or(" in s and "l_quantity" in s for s in pushed)
+    assert any("Or(" in s and "p_brand" in s for s in pushed)
+
+
+def test_q187_q21_semi_anti_joins(spark):
+    """EXISTS → LeftSemi, NOT EXISTS → LeftAnti, and the shared late
+    frame is materialized once (Scan ExistingRDD) instead of being
+    recomputed for each side."""
+    p = plan(spark, "q187_tpch_q21_waiting")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "Scan ExistingRDD" in p
+
+
+def test_q182_itemcf_rowlocal_pairs(spark):
+    """Pair generation is a row-local explode of each user's item
+    array (Generate node) — never a self-join of the interaction
+    table; the capped frame is checkpointed once for its three
+    consumers."""
+    p = plan(spark, "q182_item_item_cosine")
+    assert "Generate" in p
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p
+    assert "TakeOrderedAndProject" in p
