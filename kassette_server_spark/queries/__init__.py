@@ -97,22 +97,30 @@ _WINDOW: tuple[str, ...] = (
     "q62_grouping_sets",
 )
 
-# R9 ROTATION PLAN (write it down while the state is fresh): after r8,
-# slots go — pinned core (6), then the 15 r8-born specs q158-q172
-# (guaranteed first-round slots: q158_roc_auc, q159_decile_lift,
+# R9 ROTATION PLAN (write it down while the state is fresh): after r8
+# the round birthed 31 specs (q158-q188), which by the first-round
+# policy take guaranteed slots, so r9 has NO room for stale backfill
+# beyond 13: pinned core (6: q01, q03, q08, q11, q24, q28), then the
+# 31 r8-born specs in q-number order (q158_roc_auc, q159_decile_lift,
 # q160_threshold_metrics, q161_cohens_kappa, q162_ndcg,
 # q163_key_skew_profile, q164_triangle_count, q165_rrf_fusion,
 # q166_tpch_q17_small_qty, q167_tpch_q18_large_volume,
 # q168_degree_assortativity, q169_label_propagation,
 # q170_prefix_filter_join, q171_bpe_merges,
-# q172_tpch_q20_dominant_suppliers), then the 19 remaining r5 greens
-# that missed the r8 window (q63-q69, q84-q88, q91-q97 — 3 rounds
-# stale by r9, they take the next 19 slots), and the last 10 slots
-# fill with the oldest r6 greens in q-number order (q89, q90, q93,
-# q98, q99, q100, q101, q102, q103, q104). Nothing should stay >3
-# rounds without a row while the surface is ~172 specs; everything
-# stays locked meanwhile by tests/test_oracle_parity*.py at
-# sf0.001+sf0.01 every CI run.
+# q172_tpch_q20_dominant_suppliers, q173_spearman_corr,
+# q174_welch_t_test, q175_rank_calibration, q176_mrr_at_10,
+# q177_hellinger_drift, q178_seasonal_backtest, q179_compaction_plan,
+# q180_k_anonymity, q181_quantile_normalize, q182_item_item_cosine,
+# q183_tpch_q9_profit, q184_tpch_q13_custdist,
+# q185_tpch_q15_top_supplier, q186_tpch_q19_disjunctive,
+# q187_tpch_q21_waiting, q188_tpch_q22_idle_customers), and the last
+# 13 slots take the OLDEST stale r5 greens in q-number order (q63-q69,
+# q84-q88, q91). The remaining r5/r6 stale set (q92-q97, q98-q104,
+# ...) leads the r10 backfill. With a ~188-spec surface and a 50-slot
+# gate, worst-case staleness is now ~4 rounds — acceptable because
+# everything stays locked by tests/test_oracle_parity*.py at
+# sf0.001+sf0.01 every CI run; prioritize specs whose OPERATORS
+# changed since their last row.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).
