@@ -238,3 +238,120 @@ def skew_monitor(
         "skew_ratio": (r.max_cnt * r.n_keys) / r.n_rows,
         "salt_r": (r.max_cnt * p + r.n_rows - 1) // r.n_rows,
     }
+
+
+# -- join cardinality pre-flight ----------------------------------------------
+def join_cardinality_preflight(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """EXACT inner-join output-size forecast WITHOUT running the join:
+    ``|A ⋈ B| = Σ_k cnt_A(k) · cnt_B(k)`` over the two per-key count
+    frames — the other half of the pre-flight :func:`key_skew_profile`
+    starts ("how big is the output, and which keys dominate it"),
+    answered at key-cardinality cost before committing a row-level
+    shuffle of two 100 TB tables.
+
+    The ``top_n`` output rows are the keys producing the most output
+    rows, each carrying the global forecast: total output rows, number
+    of matching keys, the hottest key's output, its share, and the
+    blow-up factors vs each input (out_rows / input rows).
+
+    Plan: two scans aggregate to count frames (key-cardinality
+    bounded), one equi-join between them, a 1-row totals aggregate,
+    TakeOrdered top-N. Row data never shuffles.
+
+    Output: (rank, key, cnt_left, cnt_right, out_rows, total_out,
+    n_matched_keys, max_out, max_share, amplify_left, amplify_right).
+    """
+    ca = (
+        left.where(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("key"))
+        .agg(F.count("*").alias("cnt_left"))
+    )
+    cb = (
+        right.where(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("key"))
+        .agg(F.count("*").alias("cnt_right"))
+    )
+    la = left.agg(F.count(F.col(left_key)).alias("_n_left"))
+    lb = right.agg(F.count(F.col(right_key)).alias("_n_right"))
+    per_key = ca.join(cb, "key").withColumn(
+        "out_rows", F.col("cnt_left") * F.col("cnt_right")
+    ).localCheckpoint(eager=True)
+    tot = per_key.agg(
+        F.coalesce(F.sum("out_rows"), F.lit(0)).alias("total_out"),
+        F.count("*").alias("n_matched_keys"),
+        F.max("out_rows").alias("max_out"),
+    )
+    top = per_key.orderBy(F.col("out_rows").desc(), F.col("key").asc()).limit(top_n)
+    w_rank = Window.orderBy(F.col("out_rows").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(la))
+        .crossJoin(F.broadcast(lb))
+        .select(
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+            "key",
+            "cnt_left",
+            "cnt_right",
+            "out_rows",
+            "total_out",
+            "n_matched_keys",
+            "max_out",
+            (
+                F.col("max_out").cast("double")
+                / F.nullif(F.col("total_out").cast("double"), F.lit(0.0))
+            ).alias("max_share"),
+            (
+                F.col("total_out").cast("double")
+                / F.nullif(F.col("_n_left").cast("double"), F.lit(0.0))
+            ).alias("amplify_left"),
+            (
+                F.col("total_out").cast("double")
+                / F.nullif(F.col("_n_right").cast("double"), F.lit(0.0))
+            ).alias("amplify_right"),
+        )
+    )
+
+
+def join_cardinality_oracle_sql(
+    left_sql: str, left_key: str, right_sql: str, right_key: str, top_n: int = 10
+) -> str:
+    """DuckDB mirror of :func:`join_cardinality_preflight`."""
+    return f"""
+    WITH la0 AS ({left_sql}), lb0 AS ({right_sql}),
+    ca AS (SELECT {left_key} AS key, count(*) AS cnt_left FROM la0
+           WHERE {left_key} IS NOT NULL GROUP BY 1),
+    cb AS (SELECT {right_key} AS key, count(*) AS cnt_right FROM lb0
+           WHERE {right_key} IS NOT NULL GROUP BY 1),
+    nla AS (SELECT count({left_key}) AS _n_left FROM la0),
+    nlb AS (SELECT count({right_key}) AS _n_right FROM lb0),
+    per_key AS (SELECT ca.key, cnt_left, cnt_right,
+                       cnt_left * cnt_right AS out_rows
+                FROM ca JOIN cb ON cb.key = ca.key),
+    tot AS (SELECT COALESCE(sum(out_rows), 0) AS total_out,
+                   count(*) AS n_matched_keys,
+                   max(out_rows) AS max_out
+            FROM per_key),
+    top AS (SELECT key, cnt_left, cnt_right, out_rows,
+                   row_number() OVER (ORDER BY out_rows DESC, key ASC) AS rank
+            FROM per_key ORDER BY out_rows DESC, key ASC LIMIT {int(top_n)})
+    SELECT CAST(rank AS BIGINT) AS rank, key,
+           CAST(cnt_left AS BIGINT) AS cnt_left,
+           CAST(cnt_right AS BIGINT) AS cnt_right,
+           CAST(out_rows AS BIGINT) AS out_rows,
+           CAST(total_out AS BIGINT) AS total_out,
+           CAST(n_matched_keys AS BIGINT) AS n_matched_keys,
+           CAST(max_out AS BIGINT) AS max_out,
+           CAST(max_out AS DOUBLE)
+             / NULLIF(CAST(total_out AS DOUBLE), 0.0) AS max_share,
+           CAST(total_out AS DOUBLE)
+             / NULLIF(CAST(_n_left AS DOUBLE), 0.0) AS amplify_left,
+           CAST(total_out AS DOUBLE)
+             / NULLIF(CAST(_n_right AS DOUBLE), 0.0) AS amplify_right
+    FROM top CROSS JOIN tot CROSS JOIN nla CROSS JOIN nlb
+    """

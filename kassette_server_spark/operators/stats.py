@@ -733,3 +733,140 @@ def weighted_median_oracle_sql(
            CAST(MIN(tot) AS BIGINT) AS tot_weight
     FROM cum WHERE cum * 2 >= tot GROUP BY grp
     """
+
+
+# -- one-way ANOVA F (literal group set) --------------------------------------
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    group_values: tuple[str, ...],
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F statistic of integer ``value_col`` across a
+    LITERAL set of ``group_col`` levels — the k-group generalization of
+    Welch's t (evaluation.welch_t_by), answering "does the segment
+    matter at all" before pairwise tests.
+
+    The group set must be literal for the same reason the threshold
+    sweep's thresholds are (evaluation.threshold_metrics): the
+    between/within sums of squares need Σ_g s_g²/n_g — a float sum
+    over groups, which the determinism contract bans as a row-wise
+    aggregation. With literal groups the moments land in ONE wide
+    conditional aggregate (3k BIGINT columns off one scan) and every
+    float combination is a FIXED-SHAPE left-to-right expression both
+    engines evaluate identically. Empty literal groups contribute 0 to
+    every term (guarded per group), matching their absence.
+
+    Output: one row (n, k, ssb, ssw, f_stat); f_stat NULL when ssw = 0
+    or n <= k. Overflow contract: Σv² < 2^63 (dollar-scale money).
+    """
+    g, v = group_col, value_col
+    vals = list(group_values)
+    base = df.where(
+        F.col(g).isin(*vals) & F.col(v).isNotNull()
+    ).select(F.col(g).alias("_g"), F.col(v).cast("long").alias("_v"))
+    aggs = []
+    for i, gv in enumerate(vals):
+        m = F.col("_g") == gv
+        aggs += [
+            F.sum(m.cast("long")).alias(f"_n{i}"),
+            F.sum(F.when(m, F.col("_v")).otherwise(0)).alias(f"_s{i}"),
+            F.sum(F.when(m, F.col("_v") * F.col("_v")).otherwise(0)).alias(
+                f"_q{i}"
+            ),
+        ]
+    wide = base.agg(*aggs)
+    n_tot = F.col(f"_n0")
+    s_tot = F.col(f"_s0")
+    q_tot = F.col(f"_q0")
+    for i in range(1, len(vals)):
+        n_tot = n_tot + F.col(f"_n{i}")
+        s_tot = s_tot + F.col(f"_s{i}")
+        q_tot = q_tot + F.col(f"_q{i}")
+    t_sum = F.lit(0.0)
+    n_groups = F.lit(0).cast("long")
+    for i in range(len(vals)):
+        t_i = (
+            F.col(f"_s{i}").cast("double")
+            * F.col(f"_s{i}").cast("double")
+            / F.col(f"_n{i}").cast("double")
+        )
+        t_sum = t_sum + F.when(F.col(f"_n{i}") > 0, t_i).otherwise(F.lit(0.0))
+        n_groups = n_groups + (F.col(f"_n{i}") > 0).cast("long")
+    staged = wide.select(
+        n_tot.alias("n"),
+        n_groups.alias("k"),
+        s_tot.alias("_S"),
+        q_tot.alias("_Q"),
+        t_sum.alias("_T"),
+    )
+    ssb = F.col("_T") - F.col("_S").cast("double") * F.col("_S").cast(
+        "double"
+    ) / F.col("n").cast("double")
+    ssw = F.col("_Q").cast("double") - F.col("_T")
+    f_stat = F.when(
+        (F.col("n") > F.col("k")) & (F.col("k") > 1),
+        (ssb / (F.col("k") - F.lit(1)).cast("double"))
+        / F.nullif(
+            ssw / (F.col("n") - F.col("k")).cast("double"), F.lit(0.0)
+        ),
+    )
+    return staged.select(
+        "n", "k", ssb.alias("ssb"), ssw.alias("ssw"), f_stat.alias("f_stat")
+    )
+
+
+def anova_f_oracle_sql(
+    source_sql: str,
+    group_col: str,
+    group_values: tuple[str, ...],
+    value_col: str,
+) -> str:
+    """DuckDB mirror of :func:`anova_f` — identical wide aggregate and
+    left-to-right float association."""
+    g, v = group_col, value_col
+    vals = list(group_values)
+    in_list = ", ".join(f"'{x}'" for x in vals)
+    moment_cols = ", ".join(
+        f"sum(CASE WHEN _g = '{x}' THEN 1 ELSE 0 END) AS _n{i}, "
+        f"sum(CASE WHEN _g = '{x}' THEN _v ELSE 0 END) AS _s{i}, "
+        f"sum(CASE WHEN _g = '{x}' THEN _v * _v ELSE 0 END) AS _q{i}"
+        for i, x in enumerate(vals)
+    )
+    n_tot = " + ".join(f"_n{i}" for i in range(len(vals)))
+    s_tot = " + ".join(f"_s{i}" for i in range(len(vals)))
+    q_tot = " + ".join(f"_q{i}" for i in range(len(vals)))
+    t_sum = "0.0e0"
+    k_sum = "0"
+    for i in range(len(vals)):
+        t_i = (
+            f"CASE WHEN _n{i} > 0 THEN CAST(_s{i} AS DOUBLE)"
+            f" * CAST(_s{i} AS DOUBLE) / CAST(_n{i} AS DOUBLE)"
+            f" ELSE 0.0e0 END"
+        )
+        t_sum = f"({t_sum} + {t_i})"
+        k_sum = f"({k_sum} + CASE WHEN _n{i} > 0 THEN 1 ELSE 0 END)"
+    return f"""
+    WITH src0 AS ({source_sql}),
+    base AS (SELECT {g} AS _g, CAST({v} AS BIGINT) AS _v FROM src0
+             WHERE {g} IN ({in_list}) AND {v} IS NOT NULL),
+    wide AS (SELECT {moment_cols} FROM base),
+    staged AS (
+      SELECT CAST({n_tot} AS BIGINT) AS n,
+             CAST({k_sum} AS BIGINT) AS k,
+             CAST({s_tot} AS BIGINT) AS _S,
+             CAST({q_tot} AS BIGINT) AS _Q,
+             {t_sum} AS _T
+      FROM wide
+    )
+    SELECT n, k,
+           _T - CAST(_S AS DOUBLE) * CAST(_S AS DOUBLE)
+                  / CAST(n AS DOUBLE) AS ssb,
+           CAST(_Q AS DOUBLE) - _T AS ssw,
+           CASE WHEN n > k AND k > 1 THEN
+             ((_T - CAST(_S AS DOUBLE) * CAST(_S AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / NULLIF((CAST(_Q AS DOUBLE) - _T) / CAST(n - k AS DOUBLE), 0.0)
+           END AS f_stat
+    FROM staged
+    """

@@ -644,3 +644,62 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.sum("bal_cents").cast("bigint").alias("totbal_cents"),
     )
+
+
+# -- pre-flight diagnostics / k-group stats -----------------------------------
+from ..operators.diagnostics import (
+    join_cardinality_oracle_sql,
+    join_cardinality_preflight,
+)
+from ..operators.stats import anova_f, anova_f_oracle_sql
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@query(
+    "q189_join_cardinality",
+    oracle=join_cardinality_oracle_sql(
+        "SELECT l_partkey FROM lineitem",
+        "l_partkey",
+        "SELECT l_partkey FROM lineitem",
+        "l_partkey",
+        top_n=10,
+    ),
+    doc="exact inner-join output forecast WITHOUT running the join: "
+    "|A join B| = sum cnt_A(k)*cnt_B(k) over the two per-key count "
+    "frames (here the lineitem self-join on part — the co-purchase "
+    "explosion q106 pays, forecast at key-cardinality cost); top-10 "
+    "output-dominating keys + totals, amplification factors and the "
+    "hottest key's output share; row data never shuffles",
+    tags=("diagnostics", "scale"),
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_partkey")
+    return join_cardinality_preflight(li, "l_partkey", li, "l_partkey", top_n=10)
+
+
+@query(
+    "q190_anova_f",
+    oracle=anova_f_oracle_sql(
+        """
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice) AS BIGINT) AS dollars
+        FROM orders
+        """,
+        "o_orderpriority",
+        _PRIORITIES,
+        "dollars",
+    ),
+    doc="one-way ANOVA F of order value across the five literal "
+    "priority levels — the k-group gate before pairwise Welch tests "
+    "(q174): 15 BIGINT moments from ONE wide conditional aggregate "
+    "over ONE scan, fixed-shape left-to-right float tail (the literal "
+    "group set is what makes the cross-group sum deterministic)",
+    tags=("evaluation", "stats"),
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round("o_totalprice").cast("bigint").alias("dollars"),
+    )
+    return anova_f(o, "o_orderpriority", _PRIORITIES, "dollars")

@@ -694,3 +694,27 @@ def test_q182_itemcf_rowlocal_pairs(spark):
     assert "CartesianProduct" not in p
     assert "Scan ExistingRDD" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_q189_join_forecast_no_row_shuffle(spark):
+    """Both inputs aggregate to count frames before the key join —
+    the only Exchanges carry (key, cnt) pairs; the per-key frame is
+    checkpointed once for totals + top-N; TakeOrdered top-N."""
+    p = plan(spark, "q189_join_cardinality")
+    assert "Scan ExistingRDD" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # only the l_partkey column is ever read
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert all(s.count(":") == 1 and "l_partkey" in s for s in schemas)
+
+
+def test_q190_anova_single_scan_wide_aggregate(spark):
+    """15 moments in one conditional aggregate over one scan: one
+    Exchange (single partition), no join, no window."""
+    import re
+
+    p = plan(spark, "q190_anova_f")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
+    assert "Join" not in p and "Window" not in p

@@ -352,3 +352,66 @@ def test_item_item_cosine_cap_rank_uses_frequency(spark):
     out2 = item_item_cosine(df, "u", "it", cap=2, top_n=10).collect()
     pairs = {(r.item_i, r.item_j) for r in out2}
     assert ("a", "b") in pairs and ("b", "c") in pairs
+
+
+# -- join_cardinality_preflight -----------------------------------------------
+def test_join_cardinality_hand_case(spark):
+    """A={a:2,b:1}, B={a:3,c:4}: only 'a' matches → out 2*3=6; total 6,
+    amplify_left = 6/3 rows, amplify_right = 6/7 rows."""
+    from kassette_server_spark.operators.diagnostics import (
+        join_cardinality_preflight,
+    )
+
+    a = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    b = spark.createDataFrame([("a",)] * 3 + [("c",)] * 4, "k string")
+    rows = join_cardinality_preflight(a, "k", b, "k", top_n=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.key, r.cnt_left, r.cnt_right, r.out_rows) == ("a", 2, 3, 6)
+    assert r.total_out == 6 and r.n_matched_keys == 1 and r.max_out == 6
+    assert r.max_share == 1.0
+    assert r.amplify_left == 2.0 and r.amplify_right == 6.0 / 7.0
+
+
+def test_join_cardinality_disjoint_is_empty(spark):
+    from kassette_server_spark.operators.diagnostics import (
+        join_cardinality_preflight,
+    )
+
+    a = spark.createDataFrame([("a",)], "k string")
+    b = spark.createDataFrame([("b",)], "k string")
+    assert join_cardinality_preflight(a, "k", b, "k").count() == 0
+
+
+# -- anova_f ------------------------------------------------------------------
+def test_anova_hand_case(spark):
+    """a=[1,2,3], b=[4,5,6]: T = 12+75 = 87, ssb = 87-73.5 = 13.5,
+    ssw = 91-87 = 4, F = 13.5/(4/4) = 13.5."""
+    from kassette_server_spark.operators.stats import anova_f
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (4, 5, 6)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anova_f(df, "g", ("a", "b"), "v").collect()[0]
+    assert (r.n, r.k) == (6, 2)
+    assert r.ssb == 13.5 and r.ssw == 4.0
+    assert r.f_stat == 13.5
+
+
+def test_anova_identical_groups_zero_f(spark):
+    from kassette_server_spark.operators.stats import anova_f
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anova_f(df, "g", ("a", "b"), "v").collect()[0]
+    assert r.ssb == 0.0 and r.f_stat == 0.0
+
+
+def test_anova_empty_literal_group_excluded(spark):
+    """A literal level with no rows contributes nothing and k counts
+    only the populated groups."""
+    from kassette_server_spark.operators.stats import anova_f
+
+    rows = [("a", 1), ("a", 3), ("b", 2), ("b", 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anova_f(df, "g", ("a", "b", "zzz"), "v").collect()[0]
+    assert r.k == 2 and r.n == 4
