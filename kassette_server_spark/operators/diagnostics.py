@@ -19,7 +19,7 @@ the per-key counts use the exact cumulative-count rule
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -354,4 +354,109 @@ def join_cardinality_oracle_sql(
            CAST(total_out AS DOUBLE)
              / NULLIF(CAST(_n_right AS DOUBLE), 0.0) AS amplify_right
     FROM top CROSS JOIN tot CROSS JOIN nla CROSS JOIN nlb
+    """
+
+
+# -- zone-map pruning report --------------------------------------------------
+def zonemap_pruning_report(
+    df: DataFrame,
+    bucket_expr: Column,
+    value_col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """How much I/O would min/max zone maps (parquet row-group /
+    Iceberg file stats) skip for the predicate ``value BETWEEN lo AND
+    hi``, if the table were laid out in the buckets ``bucket_expr``
+    describes? A bucket is prunable when ``max < lo OR min > hi`` —
+    the scan never opens it. The report is the data-layout half of the
+    pre-flight family (q163 skew, q189 join size): a low prune
+    fraction with high selectivity says the table is laid out wrong
+    for this access path (re-sort / re-partition before the next 100
+    scans pay for it).
+
+    One aggregate to per-bucket (min, max, rows, matching rows), one
+    1-row summary. Output: (n_buckets, n_pruned, prune_frac, rows_total,
+    rows_skipped, skip_frac, rows_matching, selectivity,
+    false_positive_rows) — false_positive_rows are rows the zone maps
+    still read but the predicate rejects (layout entropy inside
+    surviving buckets).
+    """
+    v = F.col(value_col)
+    per_bucket = (
+        df.select(
+            bucket_expr.alias("_b"),
+            v.alias("_v"),
+            ((v >= lo) & (v <= hi)).cast("long").alias("_m"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.count("*").alias("_rows"),
+            F.min("_v").alias("_mn"),
+            F.max("_v").alias("_mx"),
+            F.sum("_m").alias("_match"),
+        )
+    )
+    pruned = (F.col("_mx") < lo) | (F.col("_mn") > hi)
+    return per_bucket.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(pruned.cast("long")).alias("n_pruned"),
+        (
+            F.sum(pruned.cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("prune_frac"),
+        F.sum("_rows").alias("rows_total"),
+        F.coalesce(F.sum(F.when(pruned, F.col("_rows"))), F.lit(0)).alias(
+            "rows_skipped"
+        ),
+        (
+            F.coalesce(F.sum(F.when(pruned, F.col("_rows"))), F.lit(0)).cast(
+                "double"
+            )
+            / F.sum("_rows").cast("double")
+        ).alias("skip_frac"),
+        F.sum("_match").alias("rows_matching"),
+        (
+            F.sum("_match").cast("double") / F.sum("_rows").cast("double")
+        ).alias("selectivity"),
+        F.coalesce(
+            F.sum(F.when(~pruned, F.col("_rows") - F.col("_match"))), F.lit(0)
+        ).alias("false_positive_rows"),
+    )
+
+
+def zonemap_oracle_sql(
+    source_sql: str, bucket_sql: str, value_sql: str, lo_sql: str, hi_sql: str
+) -> str:
+    """DuckDB mirror of :func:`zonemap_pruning_report`."""
+    return f"""
+    WITH src0 AS ({source_sql}),
+    per_bucket AS (
+      SELECT {bucket_sql} AS _b,
+             count(*) AS _rows,
+             min({value_sql}) AS _mn,
+             max({value_sql}) AS _mx,
+             sum(CASE WHEN {value_sql} >= {lo_sql}
+                       AND {value_sql} <= {hi_sql} THEN 1 ELSE 0 END) AS _match
+      FROM src0 GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN _mx < {lo_sql} OR _mn > {hi_sql}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           CAST(sum(CASE WHEN _mx < {lo_sql} OR _mn > {hi_sql}
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS prune_frac,
+           CAST(sum(_rows) AS BIGINT) AS rows_total,
+           CAST(COALESCE(sum(CASE WHEN _mx < {lo_sql} OR _mn > {hi_sql}
+                              THEN _rows END), 0) AS BIGINT) AS rows_skipped,
+           CAST(COALESCE(sum(CASE WHEN _mx < {lo_sql} OR _mn > {hi_sql}
+                              THEN _rows END), 0) AS DOUBLE)
+             / CAST(sum(_rows) AS DOUBLE) AS skip_frac,
+           CAST(sum(_match) AS BIGINT) AS rows_matching,
+           CAST(sum(_match) AS DOUBLE)
+             / CAST(sum(_rows) AS DOUBLE) AS selectivity,
+           CAST(COALESCE(sum(CASE WHEN NOT (_mx < {lo_sql} OR _mn > {hi_sql})
+                              THEN _rows - _match END), 0) AS BIGINT)
+             AS false_positive_rows
+    FROM per_bucket
     """

@@ -597,3 +597,85 @@ def label_propagation_oracle_sql(
         + ",\n".join(ctes)
         + f"\nSELECT node, label FROM l{iters}"
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """``rounds`` synchronous peeling steps toward the k-core: each
+    round recomputes degrees over the surviving subgraph and removes
+    every vertex with degree < k (and its edges). The fixed round count
+    (rather than loop-to-convergence) keeps the operator a finite
+    deterministic plan the oracle can unroll exactly — callers needing
+    the true fixpoint iterate until the survivor count stops moving
+    (each extra round is one join + one aggregate; peeling converges in
+    at most |V| rounds, in practice a handful).
+
+    Scale shape (the label_propagation loop discipline): the
+    symmetrized edge list is checkpointed once; each round is one
+    degree aggregate plus two left-semi joins against the (small,
+    shrinking) survivor set; the edge frame is checkpointed per round
+    so the plan stays O(1) deep. Pure integers.
+
+    Output: (node, degree) — survivors with their residual degree
+    after the final round.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    cur = sym
+    for _ in range(rounds):
+        deg = cur.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return cur.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("degree"))
+
+
+def kcore_oracle_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> str:
+    """DuckDB SQL unrolling the identical peeling rounds."""
+    ctes = [
+        f"raw AS ({edges_sql})",
+        f"e AS (SELECT DISTINCT least({src}, {dst}) AS a, "
+        f"greatest({src}, {dst}) AS b FROM raw WHERE {src} <> {dst})",
+        "s0 AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"k{i} AS (SELECT u FROM {prev} GROUP BY 1 HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT s.u, s.v FROM {prev} s "
+            f"JOIN k{i} ku ON ku.u = s.u "
+            f"JOIN k{i} kv ON kv.u = s.v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u AS node, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM s{rounds} GROUP BY 1"
+    )

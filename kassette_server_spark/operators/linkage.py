@@ -218,3 +218,92 @@ def sorted_neighborhood_oracle_sql(
     FROM cand
     WHERE rid2 IS NOT NULL AND levenshtein(k, k2) <= {max_dist}
     """
+
+
+def edit_distance1_pairs(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """EXACT pairs with Levenshtein distance <= 1 via DELETION-
+    NEIGHBORHOOD blocking (the SymSpell idea, Garbe 2012, re-expressed
+    as a DataFrame plan): every string generates len+1 variants (itself
+    plus each single-character deletion), and any two strings within
+    edit distance 1 provably share a variant — a substitution pair
+    shares the both-sides deletion at the differing position, an
+    insert/delete pair shares the shorter string itself. Candidates
+    come from an equi-join on the variant key; an exact levenshtein
+    verify removes false positives (sharing a variant only bounds the
+    distance by 2).
+
+    Scale shape vs the O(n²) all-pairs: fan-out is len+1 rows per
+    string (linear), candidate volume is Σ(variant-bucket size²) —
+    bucket sizes are alphabet-bounded in practice; the verify is a
+    per-candidate O(len²) DP on a linear candidate stream. No
+    similarity-threshold tuning, no LSH miss probability: recall 1.0
+    by the deletion-neighborhood theorem.
+
+    Output: (id_a, id_b, text_a, text_b, dist) with id_a < id_b and
+    dist <= 1, distinct.
+    """
+    i, t = id_col, text_col
+    base = df.where(F.col(i).isNotNull() & F.col(t).isNotNull()).select(
+        F.col(i).alias("_id"), F.col(t).alias("_t")
+    )
+    variants = base.select(
+        "_id",
+        "_t",
+        F.explode(
+            F.array_union(
+                F.expr(
+                    "transform(sequence(1, length(_t)), "
+                    "p -> concat(substring(_t, 1, p - 1), "
+                    "substring(_t, p + 1, length(_t))))"
+                ),
+                F.array(F.col("_t")),
+            )
+        ).alias("_v"),
+    ).distinct()
+    a = variants.select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("text_a"), "_v"
+    )
+    b = variants.select(
+        F.col("_id").alias("id_b"), F.col("_t").alias("text_b"), "_v"
+    )
+    cand = (
+        a.join(b, "_v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("text_a", "text_b").cast("bigint")
+    ).where(F.col("dist") <= 1)
+
+
+def edit_distance1_oracle_sql(source_sql: str, id_col: str, text_col: str) -> str:
+    """DuckDB mirror of :func:`edit_distance1_pairs` (same blocking,
+    same verify — recall is exact in both, so the mirror doubles as an
+    algorithm cross-check)."""
+    i, t = id_col, text_col
+    return f"""
+    WITH src0 AS ({source_sql}),
+    base AS (SELECT {i} AS _id, {t} AS _t FROM src0
+             WHERE {i} IS NOT NULL AND {t} IS NOT NULL),
+    variants AS (
+      SELECT DISTINCT _id, _t, v AS _v
+      FROM base,
+           UNNEST(list_append(
+             list_transform(range(1, length(_t) + 1),
+                            p -> substr(_t, 1, p - 1)
+                                 || substr(_t, p + 1, length(_t))),
+             _t)) AS u(v)
+    ),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+                      a._t AS text_a, b._t AS text_b
+      FROM variants a JOIN variants b ON b._v = a._v AND a._id < b._id
+    )
+    SELECT id_a, id_b, text_a, text_b,
+           CAST(levenshtein(text_a, text_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(text_a, text_b) <= 1
+    """

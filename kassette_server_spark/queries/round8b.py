@@ -703,3 +703,107 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
         F.round("o_totalprice").cast("bigint").alias("dollars"),
     )
     return anova_f(o, "o_orderpriority", _PRIORITIES, "dollars")
+
+
+# -- k-core / edit-distance blocking / zone maps ------------------------------
+from ..operators.diagnostics import zonemap_oracle_sql, zonemap_pruning_report
+from ..operators.graph import kcore_oracle_sql, kcore_peel
+from ..operators.linkage import edit_distance1_oracle_sql, edit_distance1_pairs
+from .round8 import _COPURCHASE_EDGES_SQL, _copurchase_edges
+
+
+@query(
+    "q191_kcore",
+    oracle=f"""
+    SELECT s.node, s.degree, t.n_core_nodes, t.sum_degree FROM
+      ({kcore_oracle_sql(_COPURCHASE_EDGES_SQL, k=3, rounds=4)}) s
+    CROSS JOIN (
+      SELECT CAST(count(*) AS BIGINT) AS n_core_nodes,
+             CAST(COALESCE(sum(degree), 0) AS BIGINT) AS sum_degree
+      FROM ({kcore_oracle_sql(_COPURCHASE_EDGES_SQL, k=3, rounds=4)})
+    ) t
+    ORDER BY s.degree DESC, s.node ASC LIMIT 20
+    """,
+    doc="four synchronous peeling rounds toward the 3-core of the "
+    "co-purchase graph: top-20 survivors by residual degree + core "
+    "size/degree-mass totals — fixed round count keeps the plan "
+    "finite and oracle-unrollable; each round is one degree aggregate "
+    "+ two semi-joins against the shrinking survivor set",
+    tags=("graph", "scale"),
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    core = kcore_peel(_copurchase_edges(spark, sf), k=3, rounds=4)
+    tot = core.agg(
+        F.count("*").alias("n_core_nodes"),
+        F.coalesce(F.sum("degree"), F.lit(0)).cast("bigint").alias("sum_degree"),
+    )
+    return (
+        core.orderBy(F.col("degree").desc(), F.col("node").asc())
+        .limit(20)
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+@query(
+    "q192_edit_distance_pairs",
+    oracle=f"""
+    SELECT s.id_a, s.id_b, s.text_a, s.text_b, s.dist, t.n_pairs FROM
+      ({edit_distance1_oracle_sql("SELECT c_custkey, c_name FROM customer WHERE c_custkey % 20 = 0", "c_custkey", "c_name")}) s
+    CROSS JOIN (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM
+        ({edit_distance1_oracle_sql("SELECT c_custkey, c_name FROM customer WHERE c_custkey % 20 = 0", "c_custkey", "c_name")})
+    ) t
+    ORDER BY s.id_a ASC, s.id_b ASC LIMIT 20
+    """,
+    doc="exact Levenshtein<=1 name pairs via SymSpell deletion-"
+    "neighborhood blocking (recall 1.0 by the deletion theorem, no "
+    "LSH miss probability): len+1 variants per string, candidates "
+    "from a variant equi-join, exact levenshtein verify; first-20 "
+    "pairs + total count (the 1-in-20 key filter keeps the oracle's "
+    "candidate volume test-sized; the plan is identical at any "
+    "density)",
+    tags=("dedup", "linkage", "scale"),
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        load(spark, sf, "customer")
+        .where(F.col("c_custkey") % 20 == 0)
+        .select("c_custkey", "c_name")
+    )
+    pairs = edit_distance1_pairs(c, "c_custkey", "c_name").localCheckpoint(
+        eager=True
+    )
+    tot = pairs.agg(F.count("*").alias("n_pairs"))
+    return (
+        pairs.orderBy(F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+@query(
+    "q193_zonemap_pruning",
+    oracle=zonemap_oracle_sql(
+        "SELECT l_orderkey, l_shipdate FROM lineitem",
+        "l_orderkey // 2000",
+        "l_shipdate",
+        "TIMESTAMP '1999-01-01'",
+        "TIMESTAMP '1999-03-31'",
+    ),
+    doc="zone-map effectiveness report: if lineitem were laid out in "
+    "insertion-ordered 2000-order files, what fraction of min/max "
+    "stats-carrying buckets (and rows) would a Q1-1999 shipdate "
+    "predicate skip, and how many false-positive rows survive "
+    "pruning — the data-layout pre-flight next to q163 (skew) and "
+    "q189 (join size); one aggregate + a 1-row summary",
+    tags=("diagnostics", "scale"),
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return zonemap_pruning_report(
+        li,
+        F.expr("l_orderkey div 2000"),
+        "l_shipdate",
+        F.lit("1999-01-01").cast("timestamp"),
+        F.lit("1999-03-31").cast("timestamp"),
+    )

@@ -718,3 +718,57 @@ def test_q190_anova_single_scan_wide_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
     assert "Join" not in p and "Window" not in p
+
+
+def test_q191_kcore_off_checkpointed_rounds(spark):
+    """Peeling rounds are checkpointed (O(1) plan depth — the LPA
+    discipline): the final report reads ExistingRDD, top-20 via
+    TakeOrdered, totals via broadcast."""
+    p = plan(spark, "q191_kcore")
+    assert "Scan ExistingRDD" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_q192_edit_pairs_variant_equijoin(spark):
+    """Candidates come from a variant-key equi-join over exploded
+    deletion neighborhoods (Generate) — never a name×name cartesian.
+    The spec's final frame is checkpointed, so the operator plan is
+    audited directly (the q164 pattern) and the spec plan separately."""
+    import contextlib, io
+
+    from kassette_server_spark.catalog import load
+    from kassette_server_spark.operators.linkage import edit_distance1_pairs
+    from pyspark.sql import functions as F
+
+    c = (
+        load(spark, SF_SMOKE, "customer")
+        .where(F.col("c_custkey") % 20 == 0)
+        .select("c_custkey", "c_name")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edit_distance1_pairs(c, "c_custkey", "c_name").explain("formatted")
+    p = buf.getvalue()
+    assert "Generate" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # the 1-in-20 custkey filter reaches the parquet scan
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_acctbal" not in read_schema
+    # final spec plan: checkpointed pairs + TakeOrdered + broadcast total
+    pf = plan(spark, "q192_edit_distance_pairs")
+    assert "Scan ExistingRDD" in pf
+    assert "TakeOrderedAndProject" in pf
+    assert "BroadcastNestedLoopJoin" in pf
+
+
+def test_q193_zonemap_two_aggregates_one_scan(spark):
+    """Per-bucket stats then a 1-row summary: one scan, two
+    aggregate pairs, no join."""
+    import re
+
+    p = plan(spark, "q193_zonemap_pruning")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" not in read_schema and "l_extendedprice" not in read_schema

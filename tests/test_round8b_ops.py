@@ -415,3 +415,97 @@ def test_anova_empty_literal_group_excluded(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     r = anova_f(df, "g", ("a", "b", "zzz"), "v").collect()[0]
     assert r.k == 2 and r.n == 4
+
+
+# -- kcore_peel ---------------------------------------------------------------
+def test_kcore_triangle_sheds_pendant(spark):
+    """Triangle {1,2,3} + pendant 4-1, k=2: round 1 peels the pendant,
+    the triangle is stable at degree 2 each."""
+    from kassette_server_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+    )
+    out = {r.node: r.degree for r in kcore_peel(edges, k=2, rounds=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_too_high_k_empties(spark):
+    from kassette_server_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert kcore_peel(edges, k=4, rounds=1).count() == 0
+
+
+def test_kcore_cascade_needs_rounds(spark):
+    """Chain 1-2-3-4-5, k=2: endpoints peel one per round from each
+    side — after 1 round {2,3,4} remain (as a path, still degree<2 at
+    the new endpoints), after 2 rounds {3}'s neighbors are gone too:
+    the cascade empties the chain, but ONLY with enough rounds."""
+    from kassette_server_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    assert kcore_peel(edges, k=2, rounds=1).count() == 3  # 2,3,4 survive round 1
+    assert kcore_peel(edges, k=2, rounds=3).count() == 0  # fixpoint: no 2-core
+
+
+# -- edit_distance1_pairs -----------------------------------------------------
+def test_edit_distance_pairs_hand_case(spark):
+    """abc/abd (sub), abc/abcd (ins), abd/abcd, abd/abc', abcd/abc',
+    abc/abc' (dup, dist 0) all land; xyz pairs with nothing."""
+    from kassette_server_spark.operators.linkage import edit_distance1_pairs
+
+    rows = [(1, "abc"), (2, "abd"), (3, "abcd"), (4, "xyz"), (5, "abc")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance1_pairs(df, "id", "t").collect()
+    }
+    assert out == {
+        (1, 2): 1,
+        (1, 3): 1,
+        (1, 5): 0,
+        (2, 3): 1,
+        (2, 5): 1,
+        (3, 5): 1,
+    }
+
+
+def test_edit_distance_pairs_no_false_positives(spark):
+    """Sharing a variant bounds distance by 2 — the verify must drop
+    distance-2 candidates (ab/ba share variant 'a' and 'b')."""
+    from kassette_server_spark.operators.linkage import edit_distance1_pairs
+
+    df = spark.createDataFrame([(1, "ab"), (2, "ba")], "id long, t string")
+    assert edit_distance1_pairs(df, "id", "t").count() == 0
+
+
+# -- zonemap_pruning_report ---------------------------------------------------
+def test_zonemap_hand_case(spark):
+    """Bucket 0: 1..10 (all below the predicate → pruned); bucket 1:
+    95..105 straddles [100,200] → read, 6 matching, 5 false-positive."""
+    from kassette_server_spark.operators.diagnostics import zonemap_pruning_report
+
+    rows = [(0, v) for v in range(1, 11)] + [(1, v) for v in range(95, 106)]
+    df = spark.createDataFrame(rows, "b long, v long")
+    r = zonemap_pruning_report(df, F.col("b"), "v", 100, 200).collect()[0]
+    assert r.n_buckets == 2 and r.n_pruned == 1
+    assert r.rows_total == 21 and r.rows_skipped == 10
+    assert r.rows_matching == 6 and r.false_positive_rows == 5
+    assert r.prune_frac == 0.5 and r.selectivity == 6.0 / 21.0
+
+
+def test_zonemap_perfect_layout_no_false_positives(spark):
+    """Value-sorted buckets → every surviving bucket is fully inside
+    the predicate range: false_positive_rows = 0."""
+    from kassette_server_spark.operators.diagnostics import zonemap_pruning_report
+
+    rows = [(v // 10, v) for v in range(100)]
+    df = spark.createDataFrame(rows, "b long, v long")
+    r = zonemap_pruning_report(df, F.col("b"), "v", 20, 39).collect()[0]
+    assert r.n_pruned == 8 and r.false_positive_rows == 0
+    assert r.rows_matching == 20 and r.rows_skipped == 80
