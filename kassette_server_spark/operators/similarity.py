@@ -694,3 +694,66 @@ def semantic_dedup(
         .join(dup, "vec_id", "left")
         .select("vec_id", "centroid_id", "dup_of", F.col("dup_of").isNull().alias("keep"))
     )
+
+
+def hard_negative_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for metric learning: each query's ``k``
+    nearest neighbors among vectors with a DIFFERENT label — the pairs
+    a contrastive loss learns most from, and the standard curriculum
+    signal for embedding-model data prep.
+
+    Same scale shape as :func:`brute_force_topk` (its docstring's
+    broadcast/chunking contract applies): queries broadcast with their
+    labels, the corpus never shuffles, the label-mismatch filter runs
+    map-side BEFORE the partition-local top-k prune, so the only
+    exchange is |queries|·k·partitions rows. For corpus-scale query
+    sets, feed this through the IVF route first and keep this operator
+    as the exact verify.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, cos,
+    rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        as_double(vec_col).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_nl"),
+        as_double(vec_col).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_nl") != F.col("_ql"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    # the shared pruner carries the minimal (query, neighbor, score)
+    # schema; labels re-attach to the |queries|·k result afterwards
+    # (two id→label frames — tiny next to the scoring stage)
+    topk = _partition_topk_then_rank(scored, k, "cos")
+    qlab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("query_label")
+    )
+    nlab = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    return topk.join(F.broadcast(qlab), "query_id").join(
+        F.broadcast(nlab), "neighbor_id"
+    ).select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label", "cos", "rank"
+    )

@@ -580,3 +580,52 @@ def bpe_merge_oracle_sql(
         for i in range(1, k_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def oov_rate_by(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against the corpus's own
+    top-``vocab_size`` whitespace-token vocabulary ((freq desc, token)
+    total order — deterministic under ties). The tokenizer-coverage
+    gate before committing a vocab size: a language whose oov_rate
+    stays high at the chosen V needs a bigger vocab or its own
+    tokenizer.
+
+    Plan: all aggregation runs over the (group, token) count frame
+    (cardinality-bounded after one explode pass); the vocabulary is a
+    TakeOrdered top-V that rides a broadcast semi-join. Integer core,
+    one division.
+
+    Output: (group, total_toks, oov_toks, oov_rate).
+    """
+    g, t = group_col, text_col
+    tok = df.select(
+        F.col(g).alias("_g"), F.explode(F.split(F.col(t), " ")).alias("_tok")
+    )
+    lt = tok.groupBy("_g", "_tok").agg(F.count("*").alias("_c"))
+    freq = lt.groupBy("_tok").agg(F.sum("_c").alias("_f"))
+    vocab = (
+        freq.orderBy(F.col("_f").desc(), F.col("_tok").asc())
+        .limit(vocab_size)
+        .select("_tok")
+    )
+    iv = (
+        lt.join(F.broadcast(vocab), "_tok", "left_semi")
+        .groupBy("_g")
+        .agg(F.sum("_c").alias("_in_vocab"))
+    )
+    tot = lt.groupBy("_g").agg(F.sum("_c").alias("total_toks"))
+    j = tot.join(iv, "_g", "left")
+    oov = F.col("total_toks") - F.coalesce(F.col("_in_vocab"), F.lit(0))
+    return j.select(
+        F.col("_g").alias(group_col),
+        "total_toks",
+        oov.alias("oov_toks"),
+        (oov.cast("double") / F.col("total_toks").cast("double")).alias(
+            "oov_rate"
+        ),
+    )

@@ -807,3 +807,75 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("1999-01-01").cast("timestamp"),
         F.lit("1999-03-31").cast("timestamp"),
     )
+
+
+# -- LLM additions: vocabulary coverage, hard negatives -----------------------
+from .llmops import _cosine_sql
+
+
+@query(
+    "q194_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT d.lang, t.tok
+      FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents) d,
+           unnest(d.toks) AS t(tok)
+    ),
+    freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY 1),
+    vocab AS (SELECT tok FROM freq ORDER BY f DESC, tok ASC LIMIT 256),
+    lt AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    iv AS (SELECT lang, sum(c) AS in_vocab FROM lt
+           WHERE tok IN (SELECT tok FROM vocab) GROUP BY 1),
+    tot AS (SELECT lang, sum(c) AS total_toks FROM lt GROUP BY 1)
+    SELECT t.lang, CAST(t.total_toks AS BIGINT) AS total_toks,
+           CAST(t.total_toks - COALESCE(i.in_vocab, 0) AS BIGINT) AS oov_toks,
+           CAST(t.total_toks - COALESCE(i.in_vocab, 0) AS DOUBLE)
+             / CAST(t.total_toks AS DOUBLE) AS oov_rate
+    FROM tot t LEFT JOIN iv i ON i.lang = t.lang
+    """,
+    doc="out-of-vocabulary rate per language against the corpus's own "
+    "top-256 token vocabulary ((freq desc, token) total order — the "
+    "tokenizer-coverage gate before committing a vocab size): all "
+    "aggregation over the (lang, token) count frame, vocab rides a "
+    "broadcast semi-join",
+    tags=("llm", "text"),
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.textstats import oov_rate_by
+
+    docs = load(spark, sf, "documents").select("lang", "text")
+    return oov_rate_by(docs, "lang", "text", vocab_size=256)
+
+
+@query(
+    "q195_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+          FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, query_label, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label, {_cosine_sql('qv', 'e.v')} AS cos
+      FROM e CROSS JOIN q WHERE e.label <> query_label),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+           CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 1
+    ORDER BY cos DESC, query_id ASC LIMIT 20
+    """,
+    doc="hard-negative mining for contrastive training: each sampled "
+    "query's nearest DIFFERENT-label neighbor (the pair the loss "
+    "learns most from), top-20 hardest overall — label filter runs "
+    "map-side before the partition-local top-k prune; queries "
+    "broadcast, corpus never shuffles (brute_force_topk's contract)",
+    tags=("llm", "similarity", "evaluation"),
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import hard_negative_topk
+
+    e = load(spark, sf, "embeddings")
+    out = hard_negative_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=1)
+    return out.orderBy(F.col("cos").desc(), F.col("query_id").asc()).limit(20)

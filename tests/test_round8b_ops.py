@@ -509,3 +509,54 @@ def test_zonemap_perfect_layout_no_false_positives(spark):
     r = zonemap_pruning_report(df, F.col("b"), "v", 20, 39).collect()[0]
     assert r.n_pruned == 8 and r.false_positive_rows == 0
     assert r.rows_matching == 20 and r.rows_skipped == 80
+
+
+# -- oov_rate_by --------------------------------------------------------------
+def test_oov_rate_hand_case(spark):
+    """Corpus 'a a b' (en) + 'a c' (fr), V=1 → vocab {'a'}:
+    en 1/3 OOV, fr 1/2 OOV."""
+    from kassette_server_spark.operators.textstats import oov_rate_by
+
+    df = spark.createDataFrame(
+        [("en", "a a b"), ("fr", "a c")], "lang string, text string"
+    )
+    out = {r.lang: r for r in oov_rate_by(df, "lang", "text", vocab_size=1).collect()}
+    assert out["en"].total_toks == 3 and out["en"].oov_toks == 1
+    assert out["en"].oov_rate == 1.0 / 3.0
+    assert out["fr"].total_toks == 2 and out["fr"].oov_toks == 1
+    assert out["fr"].oov_rate == 0.5
+
+
+def test_oov_vocab_tie_breaks_lexicographic(spark):
+    """'b' and 'c' tie at freq 1; V=1 keeps the lexicographically
+    smallest of the tied tokens after the higher-frequency 'a'...
+    here V=2 over {a:2, b:1, c:1} keeps {a, b}."""
+    from kassette_server_spark.operators.textstats import oov_rate_by
+
+    df = spark.createDataFrame([("g", "a a b c")], "lang string, text string")
+    r = oov_rate_by(df, "lang", "text", vocab_size=2).collect()[0]
+    assert r.total_toks == 4 and r.oov_toks == 1  # only 'c' is OOV
+
+
+# -- hard_negative_topk -------------------------------------------------------
+def test_hard_negatives_nearest_other_label(spark):
+    """id1(A)=[1,0]: same-label id2 is closest overall but EXCLUDED;
+    the hardest negative is id3(B)=[1,0.1], not id4(B)=[-1,0]."""
+    from kassette_server_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.05], 0),
+        (3, [1.0, 0.1], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {
+        r.query_id: r
+        for r in hard_negative_topk(df, df, k=1).collect()
+    }
+    assert out[1].neighbor_id == 3 and out[1].neighbor_label == 1
+    assert out[1].query_label == 0 and out[1].rank == 1
+    assert out[3].neighbor_id == 2  # B's hardest negative is an A vector
+    assert out[4].neighbor_id == 2  # cos(id2) ≈ -0.9988 beats cos(id1) = -1
+    assert len(out) == 4
