@@ -460,3 +460,60 @@ def zonemap_oracle_sql(
              AS false_positive_rows
     FROM per_bucket
     """
+
+
+def join_size_monitor(
+    left_batch: DataFrame,
+    left_batch_id: int,
+    right_batch: DataFrame,
+    right_batch_id: int,
+    left_key: str,
+    right_key: str,
+    left_store: str,
+    right_store: str,
+):
+    """Streaming sibling of :func:`join_cardinality_preflight`: fold
+    each side's micro-batch into its own fenced key-count store
+    (:func:`key_counts_merge_into_store` twice — each store carries its
+    own ``merged_through`` fence, so either side replaying is skipped
+    independently), then report the RUNNING exact inner-join forecast
+    over the accumulated streams: "if I joined everything seen so far,
+    how many rows come out and how hot is the hottest key".
+
+    Returns a dict (total_out, n_matched_keys, max_out, max_share) —
+    the forecast after folding whichever sides were NEW — or None when
+    BOTH sides were replays (no duplicate monitoring rows under
+    at-least-once) or either store is still empty.
+    """
+    from .store import read_store
+
+    merged_l = key_counts_merge_into_store(
+        left_batch, left_batch_id, left_key, left_store
+    )
+    merged_r = key_counts_merge_into_store(
+        right_batch, right_batch_id, right_key, right_store
+    )
+    if not merged_l and not merged_r:
+        return None
+    spark = left_batch.sparkSession
+    sl = read_store(spark, left_store)
+    sr = read_store(spark, right_store)
+    if sl is None or sr is None:
+        return None
+    per_key = (
+        sl.select("key", F.col("cnt").alias("ca"))
+        .join(sr.select("key", F.col("cnt").alias("cb")), "key")
+        .select((F.col("ca") * F.col("cb")).alias("out_rows"))
+    )
+    rows = per_key.agg(
+        F.coalesce(F.sum("out_rows"), F.lit(0)).alias("total_out"),
+        F.count("*").alias("n_matched_keys"),
+        F.max("out_rows").alias("max_out"),
+    ).collect()
+    r = rows[0]
+    return {
+        "total_out": r.total_out,
+        "n_matched_keys": r.n_matched_keys,
+        "max_out": r.max_out,
+        "max_share": (r.max_out / r.total_out) if r.total_out else None,
+    }
