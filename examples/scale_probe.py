@@ -150,11 +150,45 @@ def main() -> None:
             )
             return roc_auc_by(scored, "o_orderpriority", "y", "s")
 
-        rows_d, rows_l, rows_o = 5_000 * scale, 600_000 * scale, 150_000 * scale
+        from kassette_server_spark.operators.affinity import item_item_cosine
+        from kassette_server_spark.operators.diagnostics import (
+            join_cardinality_preflight,
+        )
+        from kassette_server_spark.operators.linkage import edit_distance1_pairs
+
+        cust = amplify(
+            load(spark, sf_dir, "customer"), scale, ["c_custkey"], text_col="c_name"
+        )
+
+        def itemcf():
+            inter = lt.join(o, lt.l_orderkey == o.o_orderkey).select(
+                F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it")
+            )
+            return item_item_cosine(inter, "u", "it", cap=50, top_n=20)
+
+        def editdist():
+            c = cust.where(F.col("c_custkey") % 20 == 0).select(
+                "c_custkey", "c_name"
+            )
+            return edit_distance1_pairs(c, "c_custkey", "c_name")
+
+        def joincard():
+            lk = lt.select("l_partkey")
+            return join_cardinality_preflight(lk, "l_partkey", lk, "l_partkey")
+
+        rows_d, rows_l, rows_o, rows_c = (
+            5_000 * scale,
+            600_000 * scale,
+            150_000 * scale,
+            15_000 * scale,
+        )
         return {
             "prefix_filter_join": (pfx, rows_d),
             "triangle_count": (tri, rows_l),
             "roc_auc": (auc, rows_o),
+            "item_item_cosine": (itemcf, rows_l),
+            "edit_distance1": (editdist, rows_c),
+            "join_cardinality": (joincard, rows_l),
         }
 
     def run_thunk(f) -> float:

@@ -1181,3 +1181,213 @@ def mrr_oracle_sql(
              / NULLIF(CAST(n_queries AS DOUBLE), 0.0) AS hit_rate
     FROM nq CROSS JOIN hits
     """
+
+
+# -- two-proportion z-test ----------------------------------------------------
+def two_proportion_z(
+    df: DataFrame, group_col: str, class_col: str, success_col: str
+) -> DataFrame:
+    """Two-proportion pooled z statistic per ``group_col`` segment:
+    does the success rate differ between the two classes of binary
+    ``class_col``? The categorical sibling of :func:`welch_t_by`
+    (proportions instead of means), and the third leg of the test
+    family (t for two means, F for k means, z for two rates).
+
+    Integer core: four counts from ONE conditional aggregate;
+    ``z = (p1 - p0) / sqrt(p(1-p)(1/n1 + 1/n0))`` is a fixed-shape
+    double tail over them, NULL when either class is empty or the
+    pooled rate is degenerate (0 or 1 — zero variance). No p-value on
+    purpose (erf is libm); |z| thresholds are exact.
+
+    Output: (group, n1, n0, rate1, rate0, z_stat).
+    """
+    g, c, s = group_col, class_col, success_col
+    base = df.where(
+        F.col(g).isNotNull() & F.col(c).isNotNull() & F.col(s).isNotNull()
+    ).select(
+        F.col(g).alias("_g"),
+        (F.col(c).cast("long") == 1).alias("_c1"),
+        (F.col(s).cast("long") == 1).cast("long").alias("_s"),
+    )
+    m = base.groupBy(F.col("_g").alias(group_col)).agg(
+        F.sum(F.col("_c1").cast("long")).alias("n1"),
+        F.sum((~F.col("_c1")).cast("long")).alias("n0"),
+        F.sum(F.when(F.col("_c1"), F.col("_s")).otherwise(0)).alias("_k1"),
+        F.sum(F.when(~F.col("_c1"), F.col("_s")).otherwise(0)).alias("_k0"),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    k1d, k0d = F.col("_k1").cast("double"), F.col("_k0").cast("double")
+    p1 = k1d / n1d
+    p0 = k0d / n0d
+    pp = (k1d + k0d) / (n1d + n0d)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1d + F.lit(1.0) / n0d))
+    ok = (F.col("n1") > 0) & (F.col("n0") > 0)
+    return m.select(
+        group_col,
+        "n1",
+        "n0",
+        F.when(F.col("n1") > 0, p1).alias("rate1"),
+        F.when(F.col("n0") > 0, p0).alias("rate0"),
+        F.when(ok, (p1 - p0) / F.nullif(se, F.lit(0.0))).alias("z_stat"),
+    )
+
+
+def two_proportion_z_oracle_sql(
+    source_sql: str, group_col: str, class_col: str, success_col: str
+) -> str:
+    """DuckDB mirror of :func:`two_proportion_z` — identical expression
+    association order."""
+    g, c, s = group_col, class_col, success_col
+    p1 = "(CAST(_k1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    p0 = "(CAST(_k0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    pp = (
+        "((CAST(_k1 AS DOUBLE) + CAST(_k0 AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)))"
+    )
+    se = (
+        f"sqrt({pp} * (1.0e0 - {pp})"
+        f" * (1.0e0 / CAST(n1 AS DOUBLE) + 1.0e0 / CAST(n0 AS DOUBLE)))"
+    )
+    return f"""
+    WITH src0 AS ({source_sql}),
+    base AS (SELECT {g} AS _g, CAST({c} AS BIGINT) = 1 AS _c1,
+                    CAST(CAST({s} AS BIGINT) = 1 AS BIGINT) AS _s
+             FROM src0
+             WHERE {g} IS NOT NULL AND {c} IS NOT NULL AND {s} IS NOT NULL),
+    m AS (
+      SELECT _g,
+             sum(CASE WHEN _c1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN NOT _c1 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN _c1 THEN _s ELSE 0 END) AS _k1,
+             sum(CASE WHEN NOT _c1 THEN _s ELSE 0 END) AS _k0
+      FROM base GROUP BY 1
+    )
+    SELECT _g AS {g},
+           CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+           CASE WHEN n1 > 0 THEN {p1} END AS rate1,
+           CASE WHEN n0 > 0 THEN {p0} END AS rate0,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+             ({p1} - {p0}) / NULLIF({se}, 0.0)
+           END AS z_stat
+    FROM m
+    """
+
+
+# -- 1-D decision stump (Gini) ------------------------------------------------
+def gini_stump(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Best single-threshold split of binary ``label_col`` on
+    ``score_col`` by weighted Gini impurity — the 1-D decision stump,
+    i.e. "if you may only cut the quality score once, where" — and the
+    exact root split a tree learner would take.
+
+    For split "x <= t" with left counts (nL, posL):
+    ``cost(t) = 2·posL·negL/nL + 2·posR·negR/nR`` (weighted Gini × n,
+    an equivalent objective). Candidates are the DISTINCT score values
+    (every optimal threshold lies on one), their left-counts come from
+    ONE cumulative window over the value-count frame — value-
+    cardinality bounded, the AUC/Mann-Whitney shape. Each candidate's
+    cost is a fixed-shape double off BIGINTs; the argmin is
+    ``min(struct(cost, threshold))`` — deterministic tie-break to the
+    smallest threshold. The no-split cost ``2·pos·neg/n`` yields the
+    impurity decrease.
+
+    Output: one row (threshold, cost, base_cost, decrease, n_left,
+    pos_left, n, pos). The last distinct value (empty right side) is
+    excluded — "split" must split. Degenerate edge (documented, unit-
+    tested): a single distinct score leaves no candidate; Spark's
+    global aggregate then emits one all-NULL row where the oracle's
+    LIMIT 1 emits zero rows — callers must not oracle-compare a
+    constant column (the registered spec never does).
+    """
+    s, y = score_col, label_col
+    base = df.where(F.col(s).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(s).alias("_s"), F.col(y).cast("long").alias("_y")
+    )
+    counts = base.groupBy("_s").agg(
+        F.count("*").alias("_cnt"), F.sum("_y").alias("_pos")
+    )
+    wcum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "_s",
+        F.sum("_cnt").over(wcum).alias("_nl"),
+        F.sum("_pos").over(wcum).alias("_pl"),
+    )
+    tot = counts.agg(F.sum("_cnt").alias("_n"), F.sum("_pos").alias("_p"))
+    cand = cum.crossJoin(F.broadcast(tot)).where(F.col("_nl") < F.col("_n"))
+    nl, pl = F.col("_nl").cast("double"), F.col("_pl").cast("double")
+    nn, pp = F.col("_n").cast("double"), F.col("_p").cast("double")
+    nr = nn - nl
+    pr = pp - pl
+    cost = (
+        F.lit(2.0) * pl * (nl - pl) / nl + F.lit(2.0) * pr * (nr - pr) / nr
+    )
+    best = cand.select(
+        F.struct(
+            cost.alias("cost"),
+            F.col("_s").alias("threshold"),
+            F.col("_nl").alias("n_left"),
+            F.col("_pl").alias("pos_left"),
+        ).alias("_c"),
+        "_n",
+        "_p",
+    ).agg(
+        F.min("_c").alias("b"),
+        F.max("_n").alias("n"),
+        F.max("_p").alias("pos"),
+    )
+    base_cost = (
+        F.lit(2.0)
+        * F.col("pos").cast("double")
+        * (F.col("n") - F.col("pos")).cast("double")
+        / F.col("n").cast("double")
+    )
+    return best.select(
+        F.col("b.threshold").alias("threshold"),
+        F.col("b.cost").alias("cost"),
+        base_cost.alias("base_cost"),
+        (base_cost - F.col("b.cost")).alias("decrease"),
+        F.col("b.n_left").alias("n_left"),
+        F.col("b.pos_left").alias("pos_left"),
+        "n",
+        "pos",
+    )
+
+
+def gini_stump_oracle_sql(source_sql: str, score_col: str, label_col: str) -> str:
+    """DuckDB mirror of :func:`gini_stump` (same candidate frame, same
+    argmin tie-break via ORDER BY cost, threshold LIMIT 1)."""
+    s, y = score_col, label_col
+    cost = (
+        "(2.0e0 * CAST(_pl AS DOUBLE)"
+        " * (CAST(_nl AS DOUBLE) - CAST(_pl AS DOUBLE)) / CAST(_nl AS DOUBLE)"
+        " + 2.0e0 * (CAST(_p AS DOUBLE) - CAST(_pl AS DOUBLE))"
+        " * ((CAST(_n AS DOUBLE) - CAST(_nl AS DOUBLE))"
+        "    - (CAST(_p AS DOUBLE) - CAST(_pl AS DOUBLE)))"
+        " / (CAST(_n AS DOUBLE) - CAST(_nl AS DOUBLE)))"
+    )
+    return f"""
+    WITH src0 AS ({source_sql}),
+    base AS (SELECT {s} AS _s, CAST({y} AS BIGINT) AS _y FROM src0
+             WHERE {s} IS NOT NULL AND {y} IS NOT NULL),
+    counts AS (SELECT _s, count(*) AS _cnt, sum(_y) AS _pos
+               FROM base GROUP BY 1),
+    cum AS (SELECT _s,
+                   sum(_cnt) OVER (ORDER BY _s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _nl,
+                   sum(_pos) OVER (ORDER BY _s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _pl
+            FROM counts),
+    tot AS (SELECT sum(_cnt) AS _n, sum(_pos) AS _p FROM counts),
+    cand AS (SELECT _s, _nl, _pl, _n, _p, {cost} AS cost
+             FROM cum CROSS JOIN tot WHERE _nl < _n),
+    best AS (SELECT * FROM cand ORDER BY cost ASC, _s ASC LIMIT 1)
+    SELECT _s AS threshold, cost,
+           2.0e0 * CAST(_p AS DOUBLE) * CAST(_n - _p AS DOUBLE)
+             / CAST(_n AS DOUBLE) AS base_cost,
+           (2.0e0 * CAST(_p AS DOUBLE) * CAST(_n - _p AS DOUBLE)
+             / CAST(_n AS DOUBLE)) - cost AS decrease,
+           CAST(_nl AS BIGINT) AS n_left,
+           CAST(_pl AS BIGINT) AS pos_left,
+           CAST(_n AS BIGINT) AS n, CAST(_p AS BIGINT) AS pos
+    FROM best
+    """

@@ -879,3 +879,57 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     out = hard_negative_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=1)
     return out.orderBy(F.col("cos").desc(), F.col("query_id").asc()).limit(20)
+
+
+# -- proportion test / decision stump -----------------------------------------
+from ..operators.evaluation import (
+    gini_stump,
+    gini_stump_oracle_sql,
+    two_proportion_z,
+    two_proportion_z_oracle_sql,
+)
+
+
+@query(
+    "q196_two_proportion_z",
+    oracle=two_proportion_z_oracle_sql(
+        """
+        SELECT event_type,
+               CAST(isodow(CAST(ts AS TIMESTAMP)) IN (6, 7) AS INTEGER)
+                 AS is_weekend,
+               CAST(value >= 100.0 AS INTEGER) AS high_value
+        FROM events
+        """,
+        "event_type",
+        "is_weekend",
+        "high_value",
+    ),
+    doc="two-proportion pooled z per event type: is the high-value "
+    "share different on weekends? — the categorical leg of the test "
+    "family (t two means / F k means / z two rates); four counts from "
+    "ONE conditional aggregate, fixed-shape double tail, no p-value "
+    "(erf is libm)",
+    tags=("evaluation", "stats"),
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        # Spark dayofweek: 1=Sun..7=Sat; weekend = {Sat, Sun} = {7, 1}
+        F.dayofweek("ts").isin(7, 1).cast("int").alias("is_weekend"),
+        (F.col("value") >= 100.0).cast("int").alias("high_value"),
+    )
+    return two_proportion_z(ev, "event_type", "is_weekend", "high_value")
+
+
+@query(
+    "q197_gini_stump",
+    oracle=gini_stump_oracle_sql(_ORDERS_SCORED_SQL, "cents", "is_final"),
+    doc="1-D decision stump: the exact best single Gini split of order "
+    "value predicting final status — candidates are the DISTINCT "
+    "score values off one cumulative window (the AUC frame shape), "
+    "argmin via struct-min with smallest-threshold tie-break; the "
+    "root split a tree learner would take, plus the impurity decrease",
+    tags=("evaluation", "stats", "llm"),
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    return gini_stump(_orders_scored(spark, sf), "cents", "is_final")

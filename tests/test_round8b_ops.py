@@ -590,3 +590,67 @@ def test_join_size_monitor_accumulates_and_fences(spark, tmp_path):
 
     # both sides replay → fenced, no duplicate report
     assert join_size_monitor(l1, 1, r1, 1, "k", "k", ls, rs) is None
+
+
+# -- two_proportion_z ---------------------------------------------------------
+def test_two_proportion_z_hand_case(spark):
+    """class1: 3 of 4 succeed (0.75); class0: 1 of 4 (0.25); pooled
+    0.5 → z = 0.5 / sqrt(0.5*0.5*(1/4+1/4)) — recomputed with the
+    operator's association order."""
+    from kassette_server_spark.operators.evaluation import two_proportion_z
+
+    rows = (
+        [("g", 1, 1)] * 3 + [("g", 1, 0)] + [("g", 0, 1)] + [("g", 0, 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, c int, s int")
+    r = two_proportion_z(df, "g", "c", "s").collect()[0]
+    assert (r.n1, r.n0) == (4, 4)
+    assert r.rate1 == 0.75 and r.rate0 == 0.25
+    pp = (3.0 + 1.0) / (4.0 + 4.0)
+    se = math.sqrt(pp * (1.0 - pp) * (1.0 / 4.0 + 1.0 / 4.0))
+    assert r.z_stat == (0.75 - 0.25) / se
+
+
+def test_two_proportion_z_degenerate_pooled_rate_null(spark):
+    """All successes in both classes → pooled p = 1 → zero variance →
+    NULL, not a division blowup."""
+    from kassette_server_spark.operators.evaluation import two_proportion_z
+
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 0, 1)], "g string, c int, s int"
+    )
+    assert two_proportion_z(df, "g", "c", "s").collect()[0].z_stat is None
+
+
+# -- gini_stump ---------------------------------------------------------------
+def test_gini_stump_perfect_split(spark):
+    """Labels 0,0 at scores 1,2 and 1,1 at scores 3,4: cutting at 2
+    yields two pure halves → cost 0, decrease = base Gini 2·2·2/4."""
+    from kassette_server_spark.operators.evaluation import gini_stump
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "s long, y int"
+    )
+    r = gini_stump(df, "s", "y").collect()[0]
+    assert r.threshold == 2 and r.cost == 0.0
+    assert r.base_cost == 2.0 and r.decrease == 2.0
+    assert (r.n_left, r.pos_left) == (2, 0)
+
+
+def test_gini_stump_tie_breaks_smallest_threshold(spark):
+    """A constant-label column makes EVERY split cost 0 — the argmin
+    must deterministically pick the smallest threshold."""
+    from kassette_server_spark.operators.evaluation import gini_stump
+
+    df = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "s long, y int")
+    r = gini_stump(df, "s", "y").collect()[0]
+    assert r.threshold == 1 and r.cost == 0.0 and r.decrease == 0.0
+
+
+def test_gini_stump_last_value_excluded(spark):
+    """With one distinct score there is no proper split → empty."""
+    from kassette_server_spark.operators.evaluation import gini_stump
+
+    df = spark.createDataFrame([(5, 1), (5, 0)], "s long, y int")
+    r = gini_stump(df, "s", "y").collect()[0]
+    assert r.threshold is None  # min over empty candidate set
