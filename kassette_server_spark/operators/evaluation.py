@@ -1303,9 +1303,11 @@ def gini_stump(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     base = df.where(F.col(s).isNotNull() & F.col(y).isNotNull()).select(
         F.col(s).alias("_s"), F.col(y).cast("long").alias("_y")
     )
+    # two consumers (cumulative candidates, totals) — materialize the
+    # value-cardinality count frame once instead of scanning base twice
     counts = base.groupBy("_s").agg(
         F.count("*").alias("_cnt"), F.sum("_y").alias("_pos")
-    )
+    ).localCheckpoint(eager=True)
     wcum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
     cum = counts.select(
         "_s",

@@ -772,3 +772,33 @@ def test_q193_zonemap_two_aggregates_one_scan(spark):
     assert "Join" not in p
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "l_quantity" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_q194_oov_vocab_broadcast_semi(spark):
+    """The top-V vocabulary is a TakeOrdered frame joined back via a
+    broadcast LEFT-SEMI; everything else aggregates the (lang, token)
+    count frame."""
+    p = plan(spark, "q194_oov_rate")
+    assert "TakeOrderedAndProject" in p
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q196_two_proportion_single_scan(spark):
+    """Four counts in one conditional aggregate: one scan, one
+    Exchange, no join, no window."""
+    import re
+
+    p = plan(spark, "q196_two_proportion_z")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
+    assert "Join" not in p and "Window" not in p
+
+
+def test_q197_gini_stump_value_bounded(spark):
+    """Candidates come from the checkpointed value-count frame (one
+    base scan total); the argmin is an aggregate, not a sort+limit."""
+    p = plan(spark, "q197_gini_stump")
+    assert "Scan ExistingRDD" in p
+    assert "Scan parquet" not in p  # checkpoint severed the re-scan
+    assert "TakeOrderedAndProject" not in p  # struct-min aggregate
