@@ -105,24 +105,46 @@ def item_item_cosine(
     Output: top ``top_n`` rows of
     (item_i, item_j, co_cnt, cnt_i, cnt_j, cosine).
     """
-    from pyspark.sql import Window
-
     freq = (
         df.select(F.col(user_col).alias("u"), F.col(item_col).alias("it"))
         .groupBy("u", "it")
         .agg(F.count("*").alias("f"))
     )
-    wcap = Window.partitionBy("u").orderBy(F.col("f").desc(), F.col("it").asc())
-    capped = (
-        freq.withColumn("_rn", F.row_number().over(wcap))
-        .where(F.col("_rn") <= cap)
-        .select("u", "it")
-        # three consumers (norms, baskets, totals-by-join) — materialize
-        # the capped frame once
+    # cap via sort-slice of ONE per-user aggregate instead of a
+    # row_number window: array_sort over (-f, it) structs IS the
+    # (freq desc, item asc) rank, and fusing it into the basket
+    # groupBy removes the window's sort, a checkpoint, and a second
+    # per-user aggregate (measured ~2x on the sf0.1 spec). The kept
+    # items re-sort by item for canonical i<j pair generation.
+    baskets = (
+        freq.groupBy("u")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("f")).alias("nf"), F.col("it").alias("it")
+                        )
+                    )
+                ),
+                1,
+                cap,
+            ).alias("_kept")
+        )
+        .select(
+            F.array_sort(
+                F.transform(F.col("_kept"), lambda s: s["it"])
+            ).alias("its")
+        )
+        # two consumers (norms, pairs) — materialize the capped
+        # baskets once
         .localCheckpoint(eager=True)
     )
-    norms = capped.groupBy("it").agg(F.count("*").alias("cnt"))
-    baskets = capped.groupBy("u").agg(F.array_sort(F.collect_set("it")).alias("its"))
+    norms = (
+        baskets.select(F.explode("its").alias("it"))
+        .groupBy("it")
+        .agg(F.count("*").alias("cnt"))
+    )
     pairs = baskets.select(
         F.explode(
             F.flatten(

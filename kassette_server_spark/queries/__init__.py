@@ -121,7 +121,7 @@ _WINDOW: tuple[str, ...] = (
 # q183_tpch_q9_profit, q184_tpch_q13_custdist,
 # q185_tpch_q15_top_supplier, q186_tpch_q19_disjunctive,
 # q187_tpch_q21_waiting, q188_tpch_q22_idle_customers,
-# q189-q197 as above). With a ~198-spec surface and a 50-slot gate,
+# q189-q197 as above). With a 196-spec surface and a 50-slot gate,
 # worst-case staleness is now ~4 rounds — acceptable because
 # everything stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 every CI run; prioritize specs whose OPERATORS

@@ -305,11 +305,11 @@ from ..operators.affinity import item_item_cosine, item_item_cosine_oracle_sql
         """,
         "u",
         "it",
-        cap=50,
+        cap=20,
         top_n=20,
     ),
     doc="item-item cosine (ItemCF) over the customer x part interaction "
-    "log with the hot-user cap at 50 items (rank by frequency desc, "
+    "log with the hot-user cap at 20 items (rank by frequency desc, "
     "item asc — deterministic, no sampling): fan-out bounded at "
     "|users|*cap^2, norms counted over the SAME capped frame so the "
     "metric is exact cosine of the capped matrix; row-local pair "
@@ -322,7 +322,10 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     inter = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it")
     )
-    return item_item_cosine(inter, "u", "it", cap=50, top_n=20)
+    # cap=20 BINDS at this basket size (~40 items/customer), so the
+    # spec exercises the estimator the operator actually is at scale —
+    # and the pair volume stays |users|*190 instead of |users|*800
+    return item_item_cosine(inter, "u", "it", cap=20, top_n=20)
 
 
 # -- remaining TPC-H shapes ---------------------------------------------------
