@@ -802,3 +802,60 @@ def test_q197_gini_stump_value_bounded(spark):
     assert "Scan ExistingRDD" in p
     assert "Scan parquet" not in p  # checkpoint severed the re-scan
     assert "TakeOrderedAndProject" not in p  # struct-min aggregate
+
+
+def test_q184_q13_left_join_keeps_priority_filter_in_join(spark):
+    """The priority filter must live in the LEFT join's ON clause (a
+    WHERE would delete the zero-order customers the query counts):
+    the join stays LeftOuter and no filter sits above it on the
+    orders side."""
+    p = plan(spark, "q184_tpch_q13_custdist")
+    assert "LeftOuter" in p
+    # orders scan carries the pushed <> filter; customer scan doesn't
+    pushed = [s.splitlines()[0] for s in p.split("PushedFilters:")[1:]]
+    assert any("o_orderpriority" in s for s in pushed)
+
+
+def test_q185_q15_one_lineitem_scan_window_max(spark):
+    """The scalar-subquery max runs as a window over the
+    supplier-cardinality revenue view — exactly one lineitem scan,
+    shipdate range pushed down, supplier joins via broadcast."""
+    import re
+
+    p = plan(spark, "q185_tpch_q15_top_supplier")
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert sum("l_suppkey" in s for s in schemas) == 1
+    pushed = [s.splitlines()[0] for s in p.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in s for s in pushed)
+    assert "BroadcastHashJoin" in p
+
+
+def test_q188_q22_anti_join_integer_avg_compare(spark):
+    """NOT EXISTS orders compiles to LeftAnti; the avg-balance gate is
+    the broadcast 1-row cross join (no correlated re-scan)."""
+    p = plan(spark, "q188_tpch_q22_idle_customers")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row avg frame
+    # the cntrycode IN-list is a substring expression — not parquet-
+    # pushable, but it must still filter in the scan stage (a Filter
+    # node over substring(c_name...)), not after the joins
+    assert "substring(c_name" in p and "Filter" in p
+
+
+def test_q180_k_anonymity_two_aggregates_no_join(spark):
+    """One aggregate to QI classes (with exact distinct), one 1-row
+    summary: no join anywhere, scan pruned to the QI+sensitive
+    columns."""
+    p = plan(spark, "q180_k_anonymity")
+    assert "Join" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "doc_id" not in read_schema
+
+
+def test_q178_seasonal_single_window_partitioned(spark):
+    """Daily aggregate then ONE per-type window (never a global
+    sort): the lag window partitions by event_type."""
+    p = plan(spark, "q178_seasonal_backtest")
+    assert "Window" in p
+    assert "SinglePartition" not in p or "hashpartitioning" in p
+    assert "CartesianProduct" not in p
