@@ -1393,3 +1393,186 @@ def gini_stump_oracle_sql(source_sql: str, score_col: str, label_col: str) -> st
            CAST(_n AS BIGINT) AS n, CAST(_p AS BIGINT) AS pos
     FROM best
     """
+
+
+# -- per-class precision/recall/F1 --------------------------------------------
+def per_class_prf(df: DataFrame, pred_col: str, actual_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 from one C×C contingency
+    frame — the multi-class companion of :func:`cohens_kappa` (same
+    cells frame, same full-outer marginal join so a class predicted
+    but never true — or true but never predicted — still gets a row
+    with the right zeros instead of vanishing).
+
+    No macro average on purpose: macro-F1 is a float mean across a
+    data-dependent class set (a banned cross-row float sum); the
+    caller averages C rows if they want it, or computes micro-F1 from
+    the reported integer cells exactly.
+
+    Output: (cls, tp, fp, fn, support, precision, recall, f1) — one
+    row per class in pred ∪ actual.
+    """
+    a, b = pred_col, actual_col
+    cells = (
+        df.where(F.col(a).isNotNull() & F.col(b).isNotNull())
+        .groupBy(F.col(a).alias("_p"), F.col(b).alias("_t"))
+        .agg(F.count("*").alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    diag = cells.where(F.col("_p") == F.col("_t")).select(
+        F.col("_p").alias("cls"), F.col("_cnt").alias("tp")
+    )
+    predm = cells.groupBy(F.col("_p").alias("cls")).agg(
+        F.sum("_cnt").alias("_pred_n")
+    )
+    actm = cells.groupBy(F.col("_t").alias("cls")).agg(
+        F.sum("_cnt").alias("support")
+    )
+    out = (
+        predm.join(actm, "cls", "full_outer")
+        .join(diag, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            (
+                F.coalesce(F.col("_pred_n"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).alias("fp"),
+            (
+                F.coalesce(F.col("support"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).alias("fn"),
+            F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+        )
+    )
+    return out.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        "support",
+        (
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0))
+        ).alias("precision"),
+        (
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0))
+        ).alias("recall"),
+        (
+            (2 * F.col("tp")).cast("double")
+            / F.nullif(
+                (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("f1"),
+    )
+
+
+def per_class_prf_oracle_sql(source_sql: str, pred_col: str, actual_col: str) -> str:
+    """DuckDB mirror of :func:`per_class_prf`."""
+    a, b = pred_col, actual_col
+    return f"""
+    WITH src0 AS ({source_sql}),
+    cells AS (SELECT {a} AS _p, {b} AS _t, count(*) AS _cnt FROM src0
+              WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2),
+    diag AS (SELECT _p AS cls, _cnt AS tp FROM cells WHERE _p = _t),
+    predm AS (SELECT _p AS cls, sum(_cnt) AS _pred_n FROM cells GROUP BY 1),
+    actm AS (SELECT _t AS cls, sum(_cnt) AS support FROM cells GROUP BY 1),
+    m AS (
+      SELECT COALESCE(p.cls, a.cls) AS cls,
+             COALESCE(d.tp, 0) AS tp,
+             COALESCE(p._pred_n, 0) - COALESCE(d.tp, 0) AS fp,
+             COALESCE(a.support, 0) - COALESCE(d.tp, 0) AS fn,
+             COALESCE(a.support, 0) AS support
+      FROM predm p
+      FULL OUTER JOIN actm a ON a.cls = p.cls
+      LEFT JOIN diag d ON d.cls = COALESCE(p.cls, a.cls)
+    )
+    SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(support AS BIGINT) AS support,
+           CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0.0)
+             AS precision,
+           CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fn AS DOUBLE), 0.0) AS recall,
+           CAST(2 * tp AS DOUBLE)
+             / NULLIF(CAST(2 * tp + fp + fn AS DOUBLE), 0.0) AS f1
+    FROM m
+    """
+
+
+# -- Wilson score interval ----------------------------------------------------
+WILSON_Z95 = 1.959963984540054  # literal double, both engines parse it
+
+
+def wilson_interval_by(
+    df: DataFrame, group_col: str, success_col: str, z: float = WILSON_Z95
+) -> DataFrame:
+    """Wilson score interval for a per-group binary rate — the CI that
+    behaves at small n and extreme rates where the naive normal
+    interval collapses (Wilson 1927; the standard choice for ranked
+    rate displays). z is a LITERAL (default the 95% two-sided
+    1.959963984540054 — no inverse-normal libm call at runtime).
+
+    Two BIGINT counts per group from one aggregate; the bound
+    expressions are a fixed-shape double tail (sqrt is exact-rounded).
+
+    Output: (group, n, k, rate, lo, hi).
+    """
+    g, s = group_col, success_col
+    base = df.where(F.col(g).isNotNull() & F.col(s).isNotNull()).select(
+        F.col(g).alias("_g"),
+        (F.col(s).cast("long") == 1).cast("long").alias("_s"),
+    )
+    m = base.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count("*").alias("n"), F.sum("_s").alias("k")
+    )
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    p = kd / nd
+    z1, z2 = F.lit(float(z)), F.lit(float(z) * float(z))
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        z1
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z2 / (F.lit(4.0) * nd * nd)
+        )
+        / denom
+    )
+    return m.select(
+        group_col,
+        "n",
+        "k",
+        p.alias("rate"),
+        (center - half).alias("lo"),
+        (center + half).alias("hi"),
+    )
+
+
+def wilson_interval_oracle_sql(
+    source_sql: str, group_col: str, success_col: str, z: float = WILSON_Z95
+) -> str:
+    """DuckDB mirror of :func:`wilson_interval_by` — identical literal
+    z and association order."""
+    g, s = group_col, success_col
+    zl = repr(float(z))
+    z2 = repr(float(z) * float(z))
+    p = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    denom = f"(1.0e0 + {z2}e0 / CAST(n AS DOUBLE))"
+    center = f"(({p} + {z2}e0 / (2.0e0 * CAST(n AS DOUBLE))) / {denom})"
+    half = (
+        f"({zl}e0 * sqrt({p} * (1.0e0 - {p}) / CAST(n AS DOUBLE)"
+        f" + {z2}e0 / (4.0e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+        f" / {denom})"
+    )
+    return f"""
+    WITH src0 AS ({source_sql}),
+    base AS (SELECT {g} AS _g,
+                    CAST(CAST({s} AS BIGINT) = 1 AS BIGINT) AS _s
+             FROM src0 WHERE {g} IS NOT NULL AND {s} IS NOT NULL),
+    m AS (SELECT _g, count(*) AS n, sum(_s) AS k FROM base GROUP BY 1)
+    SELECT _g AS {g}, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           {p} AS rate,
+           ({center} - {half}) AS lo,
+           ({center} + {half}) AS hi
+    FROM m
+    """

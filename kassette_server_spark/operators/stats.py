@@ -23,7 +23,7 @@ deterministic by construction:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -869,4 +869,106 @@ def anova_f_oracle_sql(
              / NULLIF((CAST(_Q AS DOUBLE) - _T) / CAST(n - k AS DOUBLE), 0.0)
            END AS f_stat
     FROM staged
+    """
+
+
+# -- Kaplan-Meier survival curve ----------------------------------------------
+def kaplan_meier(
+    df: DataFrame, duration_col: str, observed_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over integer durations with
+    right censoring: at each distinct event time t,
+    ``S(t) = Π_{t' <= t} (1 - d_{t'} / n_{t'})`` where d is observed
+    events at t' and n the at-risk count (everyone with duration >=
+    t'). The retention-curve / time-to-churn primitive.
+
+    Determinism — the ORDERED-FOLD recipe (third float shape after
+    fixed-point and common-denominator, see evaluation.py): a running
+    PRODUCT of doubles is order-dependent exactly like a running sum,
+    so the per-time factors (each one exact-rounded division) are
+    collected into an ascending-by-time ARRAY via a framed window
+    (frame order is deterministic in both engines) and folded
+    left-to-right — Spark ``F.aggregate`` and DuckDB ``list_reduce``
+    execute the identical multiplication sequence. Never a product
+    aggregate (an engine may tree-reduce it) and never exp(Σlog)
+    (libm).
+
+    Scale shape: everything happens on the distinct-duration curve
+    frame (one aggregate from the data); the at-risk counts are a
+    reverse cumulative sum over that frame; the fold array at row t
+    holds <= |distinct durations| elements — curve-sized, not
+    data-sized. For ungrouped curves the window is single-partition by
+    nature (the curve IS one sequence); group the input upstream for
+    per-segment curves.
+
+    Output: (t, n_risk, d, censored, survival), one row per distinct
+    duration, ascending.
+    """
+    t, e = duration_col, observed_col
+    base = df.where(F.col(t).isNotNull() & F.col(e).isNotNull()).select(
+        F.col(t).cast("long").alias("_t"),
+        (F.col(e).cast("long") == 1).cast("long").alias("_e"),
+    )
+    curve = base.groupBy("_t").agg(
+        F.count("*").alias("_all"), F.sum("_e").alias("d")
+    )
+    w_rev = Window.orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = curve.select(
+        "_t", "_all", "d", F.sum("_all").over(w_rev).alias("n_risk")
+    )
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast(
+        "double"
+    )
+    w_fwd = Window.orderBy(F.col("_t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    folded = at_risk.withColumn("_factors", F.collect_list(factor).over(w_fwd))
+    return folded.select(
+        F.col("_t").alias("t"),
+        "n_risk",
+        "d",
+        (F.col("_all") - F.col("d")).alias("censored"),
+        F.aggregate(
+            F.col("_factors"), F.lit(1.0), lambda acc, x: acc * x
+        ).alias("survival"),
+    )
+
+
+def kaplan_meier_oracle_sql(
+    source_sql: str, duration_col: str, observed_col: str
+) -> str:
+    """DuckDB mirror of :func:`kaplan_meier` — same framed-window
+    factor list, same left-to-right fold (list_reduce folds from the
+    first element; the Spark side's leading 1.0 multiplication is
+    exact, so the sequences agree bit-for-bit)."""
+    t, e = duration_col, observed_col
+    return f"""
+    WITH src0 AS ({source_sql}),
+    base AS (SELECT CAST({t} AS BIGINT) AS _t,
+                    CAST(CAST({e} AS BIGINT) = 1 AS BIGINT) AS _e
+             FROM src0 WHERE {t} IS NOT NULL AND {e} IS NOT NULL),
+    curve AS (SELECT _t, count(*) AS _all, sum(_e) AS d
+              FROM base GROUP BY 1),
+    at_risk AS (
+      SELECT _t, _all, d,
+             sum(_all) OVER (ORDER BY _t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM curve
+    ),
+    folded AS (
+      SELECT _t, _all, d, n_risk,
+             list(1.0e0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY _t ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS _factors
+      FROM at_risk
+    )
+    SELECT _t AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d,
+           CAST(_all - d AS BIGINT) AS censored,
+           list_reduce(list_prepend(1.0e0, _factors),
+                       (acc, x) -> acc * x) AS survival
+    FROM folded
     """

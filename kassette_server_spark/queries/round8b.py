@@ -936,3 +936,107 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q197(spark: SparkSession, sf: str) -> DataFrame:
     return gini_stump(_orders_scored(spark, sf), "cents", "is_final")
+
+
+# -- multi-class eval / rate CIs / survival -----------------------------------
+from ..operators.evaluation import (
+    per_class_prf,
+    per_class_prf_oracle_sql,
+    wilson_interval_by,
+    wilson_interval_oracle_sql,
+)
+from ..operators.stats import kaplan_meier, kaplan_meier_oracle_sql
+from ..operators import textstats
+from .llmops import _lang_id_sql
+
+
+@query(
+    "q198_per_class_prf",
+    oracle=per_class_prf_oracle_sql(
+        f"SELECT p.pred_lang AS pred_lang, d.lang AS lang "
+        f"FROM ({_lang_id_sql()}) p JOIN documents d ON p.doc_id = d.doc_id",
+        "pred_lang",
+        "lang",
+    ),
+    doc="per-class precision/recall/F1 of the engine's language-ID "
+    "against labels off ONE C x C contingency frame (the kappa cells, "
+    "q161) — full-outer marginals keep one-sided classes; no macro "
+    "average on purpose (float mean over a data-dependent class set "
+    "is a banned cross-row sum — average the C rows downstream)",
+    tags=("evaluation", "stats", "text"),
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pred = textstats.language_id(docs)
+    paired = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    return per_class_prf(paired, "pred_lang", "lang")
+
+
+@query(
+    "q199_wilson_ci",
+    oracle=wilson_interval_oracle_sql(
+        "SELECT source, CAST(lang = 'en' AS INTEGER) AS is_en FROM documents",
+        "source",
+        "is_en",
+    ),
+    doc="Wilson 95% score interval for each source's English share — "
+    "the small-n-safe CI for ranked rate displays; z is the literal "
+    "1.959963984540054 (no inverse-normal libm at runtime), two "
+    "BIGINT counts per group, fixed-shape double tail",
+    tags=("evaluation", "stats"),
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        "source", (F.col("lang") == "en").cast("int").alias("is_en")
+    )
+    return wilson_interval_by(docs, "source", "is_en")
+
+
+@query(
+    "q200_kaplan_meier",
+    oracle=kaplan_meier_oracle_sql(
+        """
+        WITH spans AS (
+          SELECT user_id,
+                 CAST(date_diff('day',
+                      min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)),
+                      max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)))
+                      AS BIGINT) AS dur,
+                 max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                   AS last_d
+          FROM events GROUP BY 1
+        ),
+        mx AS (SELECT max(last_d) AS corpus_max FROM spans)
+        SELECT dur,
+               CAST(date_diff('day', last_d, corpus_max) > 30 AS INTEGER)
+                 AS churned
+        FROM spans CROSS JOIN mx
+        """,
+        "dur",
+        "churned",
+    ),
+    doc="Kaplan-Meier survival curve of user activity spans (time from "
+    "first to last event), right-censoring users still active within "
+    "30 days of corpus end: the running survival product uses the "
+    "ORDERED-FOLD recipe — per-time factors collected into an "
+    "ascending framed-window array and folded left-to-right "
+    "identically in both engines (never a product aggregate, never "
+    "exp(sum(log))); the whole curve is distinct-duration-sized",
+    tags=("stats", "timeseries"),
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    spans = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max(day), F.min(day)).cast("long").alias("dur"),
+            F.max(day).alias("last_d"),
+        )
+    )
+    mx = spans.agg(F.max("last_d").alias("corpus_max"))
+    subj = spans.crossJoin(F.broadcast(mx)).select(
+        "dur",
+        (F.datediff("corpus_max", "last_d") > 30).cast("int").alias("churned"),
+    )
+    return kaplan_meier(subj, "dur", "churned")

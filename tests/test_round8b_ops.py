@@ -654,3 +654,82 @@ def test_gini_stump_last_value_excluded(spark):
     df = spark.createDataFrame([(5, 1), (5, 0)], "s long, y int")
     r = gini_stump(df, "s", "y").collect()[0]
     assert r.threshold is None  # min over empty candidate set
+
+
+# -- per_class_prf ------------------------------------------------------------
+def test_per_class_prf_hand_case(spark):
+    """pred [a,a,b,c] vs actual [a,b,b,d]: class a P=0.5 R=1; class b
+    P=1 R=0.5; c predicted-only (support 0); d actual-only (never
+    predicted) — both must still get rows."""
+    from kassette_server_spark.operators.evaluation import per_class_prf
+
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("c", "d")]
+    df = spark.createDataFrame(rows, "p string, t string")
+    out = {r.cls: r for r in per_class_prf(df, "p", "t").collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert (out["a"].tp, out["a"].fp, out["a"].fn) == (1, 1, 0)
+    assert out["a"].precision == 0.5 and out["a"].recall == 1.0
+    assert out["a"].f1 == 2.0 / 3.0
+    assert (out["b"].tp, out["b"].fp, out["b"].fn) == (1, 0, 1)
+    assert out["b"].precision == 1.0 and out["b"].recall == 0.5
+    assert (out["c"].tp, out["c"].fp, out["c"].support) == (0, 1, 0)
+    assert out["c"].precision == 0.0 and out["c"].recall is None
+    assert (out["d"].tp, out["d"].fn, out["d"].support) == (0, 1, 1)
+    assert out["d"].precision is None and out["d"].recall == 0.0
+
+
+# -- wilson_interval_by -------------------------------------------------------
+def test_wilson_hand_case(spark):
+    """k=1 of n=4 at z=2 (simple literal): recompute with the
+    operator's association order; interval must contain the rate and
+    stay inside [0, 1]."""
+    from kassette_server_spark.operators.evaluation import wilson_interval_by
+
+    rows = [("g", 1), ("g", 0), ("g", 0), ("g", 0)]
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = wilson_interval_by(df, "g", "s", z=2.0).collect()[0]
+    assert (r.n, r.k) == (4, 1) and r.rate == 0.25
+    n, p, z, z2 = 4.0, 0.25, 2.0, 4.0
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    assert r.lo == center - half and r.hi == center + half
+    assert 0.0 <= r.lo < r.rate < r.hi <= 1.0
+
+
+def test_wilson_extreme_rate_stays_in_unit_interval(spark):
+    """k=0: the naive interval collapses to [0,0]; Wilson's lower is 0
+    but the upper is strictly positive."""
+    from kassette_server_spark.operators.evaluation import wilson_interval_by
+
+    df = spark.createDataFrame([("g", 0)] * 5, "g string, s int")
+    r = wilson_interval_by(df, "g", "s").collect()[0]
+    assert r.rate == 0.0 and r.lo == 0.0 and 0.0 < r.hi < 1.0
+
+
+# -- kaplan_meier -------------------------------------------------------------
+def test_km_all_observed_hand_case(spark):
+    """Durations [1,2,2,3] all observed: S = 3/4, 3/4 * 1/3 = 1/4, 0."""
+    from kassette_server_spark.operators.stats import kaplan_meier
+
+    rows = [(1, 1), (2, 1), (2, 1), (3, 1)]
+    df = spark.createDataFrame(rows, "t long, e int")
+    out = {r.t: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert (out[1].n_risk, out[1].d) == (4, 1) and out[1].survival == 0.75
+    assert (out[2].n_risk, out[2].d) == (3, 2)
+    assert out[2].survival == 0.75 * (1.0 - 2.0 / 3.0)
+    assert out[3].survival == 0.0
+
+
+def test_km_censoring_shrinks_risk_set_without_dropping_survival(spark):
+    """[1 obs, 2 censored, 3 obs]: the censored subject leaves the
+    risk set after t=2 but S stays flat there."""
+    from kassette_server_spark.operators.stats import kaplan_meier
+
+    rows = [(1, 1), (2, 0), (3, 1)]
+    df = spark.createDataFrame(rows, "t long, e int")
+    out = {r.t: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert out[1].survival == 1.0 - 1.0 / 3.0
+    assert (out[2].d, out[2].censored) == (0, 1)
+    assert out[2].survival == out[1].survival  # flat at censoring
+    assert (out[3].n_risk, out[3].survival) == (1, 0.0)
