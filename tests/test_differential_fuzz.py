@@ -369,9 +369,16 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
         from_sql = f"{t} t0"
     elif shape < 0.87:  # FK pair
         lt, rt, lk, rk = rng.choice(JOINS)
-        how = rng.choice(["JOIN", "LEFT JOIN"])
+        how = rng.choice(["JOIN", "LEFT JOIN", "LEFT JOIN", "FULL OUTER JOIN"])
         aliases = [(lt, "t0"), (rt, "t1")]
-        from_sql = f"{lt} t0 {how} {rt} t1 ON t0.{lk} = t1.{rk}"
+        on = f"t0.{lk} = t1.{rk}"
+        # the q184/TPC-H Q13 trap: a filter on the preserved-row side
+        # belongs in the OUTER join's ON clause (a WHERE would delete
+        # the very empty matches the outer join exists to keep) — the
+        # engines must agree on join-predicate vs post-filter semantics
+        if how != "JOIN" and rng.random() < 0.5:
+            on = f"{on} AND {_predicate(rng, rt, 't1', domains)}"
+        from_sql = f"{lt} t0 {how} {rt} t1 ON {on}"
     else:  # 3-way chain
         a, b, c, k1l, k1r, k2l, k2r = rng.choice(CHAINS)
         aliases = [(a, "t0"), (b, "t1"), (c, "t2")]
