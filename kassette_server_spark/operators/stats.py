@@ -972,3 +972,167 @@ def kaplan_meier_oracle_sql(
                        (acc, x) -> acc * x) AS survival
     FROM folded
     """
+
+
+LOGRANK_FP_SCALE = 1 << 20  # fixed-point quantum for E/V terms
+
+
+def log_rank_test(
+    df: DataFrame, group_col: str, duration_col: str, observed_col: str
+) -> DataFrame:
+    """Two-cohort log-rank test over right-censored durations — "do
+    these retention curves differ" with a statistic instead of a
+    squint at two :func:`kaplan_meier` plots. At every pooled event
+    time t: observed events in cohort 1 vs the hypergeometric
+    expectation ``E_t = d_t·n1_t/n_t`` and variance
+    ``V_t = d_t·(n1/n)·(n0/n)·(n-d)/(n-1)``;
+    ``z = (O1 - ΣE) / sqrt(ΣV)``.
+
+    Determinism: O1 is a BIGINT; ΣE and ΣV are cross-row float sums —
+    banned — so each term is quantized to 2^20 FIXED-POINT (the
+    Hellinger recipe, drift.py): both engines compute the identical
+    per-row integer, the sums are integer arithmetic, and the final z
+    is one double tail over (O1, e_fp, v_fp). Quantization bounds the
+    error of ΣE by n_times·2^-20 — documented, not a float flake.
+
+    Scale shape: everything runs on the pooled distinct-duration curve
+    (one aggregate from the data, a full-outer merge of two per-cohort
+    curves, two reverse cumsums over the curve frame, one 1-row
+    aggregate). ``group_col`` must be a 0/1 flag.
+
+    Output: one row (n1, n0, o1, e1_fp, v_fp, e1, z_stat); z NULL when
+    ΣV is 0 (no events, or one cohort empty at every event time).
+    """
+    g, t, e = group_col, duration_col, observed_col
+    S = LOGRANK_FP_SCALE
+    base = df.where(
+        F.col(g).isNotNull() & F.col(t).isNotNull() & F.col(e).isNotNull()
+    ).select(
+        (F.col(g).cast("long") == 1).alias("_g1"),
+        F.col(t).cast("long").alias("_t"),
+        (F.col(e).cast("long") == 1).cast("long").alias("_e"),
+    )
+    curve = base.groupBy("_t").agg(
+        F.sum(F.when(F.col("_g1"), 1).otherwise(0)).alias("_all1"),
+        F.sum(F.when(~F.col("_g1"), 1).otherwise(0)).alias("_all0"),
+        F.sum(F.when(F.col("_g1"), F.col("_e")).otherwise(0)).alias("_d1"),
+        F.sum(F.when(~F.col("_g1"), F.col("_e")).otherwise(0)).alias("_d0"),
+    )
+    w_rev = Window.orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = curve.select(
+        "_t",
+        "_d1",
+        "_d0",
+        F.sum("_all1").over(w_rev).alias("_n1"),
+        F.sum("_all0").over(w_rev).alias("_n0"),
+    ).where((F.col("_d1") + F.col("_d0")) > 0)
+    d = F.col("_d1") + F.col("_d0")
+    n = F.col("_n1") + F.col("_n0")
+    e_term = d.cast("double") * F.col("_n1").cast("double") / n.cast("double")
+    v_term = F.when(
+        n > 1,
+        d.cast("double")
+        * (F.col("_n1").cast("double") / n.cast("double"))
+        * (F.col("_n0").cast("double") / n.cast("double"))
+        * ((n - d).cast("double") / (n - F.lit(1)).cast("double")),
+    ).otherwise(F.lit(0.0))
+    fp = risk.select(
+        "_d1",
+        F.round(e_term * F.lit(float(S))).cast("bigint").alias("_efp"),
+        F.round(v_term * F.lit(float(S))).cast("bigint").alias("_vfp"),
+    )
+    totals_subjects = base.agg(
+        F.sum(F.col("_g1").cast("long")).alias("n1"),
+        F.sum((~F.col("_g1")).cast("long")).alias("n0"),
+    )
+    agg = fp.agg(
+        F.coalesce(F.sum("_d1"), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("_efp"), F.lit(0)).alias("e1_fp"),
+        F.coalesce(F.sum("_vfp"), F.lit(0)).alias("v_fp"),
+    )
+    out = totals_subjects.crossJoin(F.broadcast(agg))
+    e1 = F.col("e1_fp").cast("double") / F.lit(float(S))
+    v = F.col("v_fp").cast("double") / F.lit(float(S))
+    return out.select(
+        "n1",
+        "n0",
+        "o1",
+        "e1_fp",
+        "v_fp",
+        e1.alias("e1"),
+        F.when(
+            F.col("v_fp") > 0,
+            (F.col("o1").cast("double") - e1) / F.sqrt(v),
+        ).alias("z_stat"),
+    )
+
+
+def log_rank_oracle_sql(
+    source_sql: str, group_col: str, duration_col: str, observed_col: str
+) -> str:
+    """DuckDB mirror of :func:`log_rank_test` (identical fixed-point
+    quantization and expression association)."""
+    g, t, e = group_col, duration_col, observed_col
+    S = LOGRANK_FP_SCALE
+    e_term = (
+        "CAST(_d1 + _d0 AS DOUBLE) * CAST(_n1 AS DOUBLE)"
+        " / CAST(_n1 + _n0 AS DOUBLE)"
+    )
+    v_term = (
+        "CASE WHEN _n1 + _n0 > 1 THEN "
+        "CAST(_d1 + _d0 AS DOUBLE)"
+        " * (CAST(_n1 AS DOUBLE) / CAST(_n1 + _n0 AS DOUBLE))"
+        " * (CAST(_n0 AS DOUBLE) / CAST(_n1 + _n0 AS DOUBLE))"
+        " * (CAST((_n1 + _n0) - (_d1 + _d0) AS DOUBLE)"
+        "    / CAST((_n1 + _n0) - 1 AS DOUBLE))"
+        " ELSE 0.0e0 END"
+    )
+    return f"""
+    WITH src0 AS ({source_sql}),
+    base AS (SELECT CAST({g} AS BIGINT) = 1 AS _g1,
+                    CAST({t} AS BIGINT) AS _t,
+                    CAST(CAST({e} AS BIGINT) = 1 AS BIGINT) AS _e
+             FROM src0
+             WHERE {g} IS NOT NULL AND {t} IS NOT NULL AND {e} IS NOT NULL),
+    curve AS (
+      SELECT _t,
+             sum(CASE WHEN _g1 THEN 1 ELSE 0 END) AS _all1,
+             sum(CASE WHEN NOT _g1 THEN 1 ELSE 0 END) AS _all0,
+             sum(CASE WHEN _g1 THEN _e ELSE 0 END) AS _d1,
+             sum(CASE WHEN NOT _g1 THEN _e ELSE 0 END) AS _d0
+      FROM base GROUP BY 1
+    ),
+    risk AS (
+      SELECT _t, _d1, _d0,
+             sum(_all1) OVER (ORDER BY _t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _n1,
+             sum(_all0) OVER (ORDER BY _t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _n0
+      FROM curve
+    ),
+    fp AS (
+      SELECT _d1,
+             CAST(round(({e_term}) * CAST({S} AS DOUBLE)) AS BIGINT) AS _efp,
+             CAST(round(({v_term}) * CAST({S} AS DOUBLE)) AS BIGINT) AS _vfp
+      FROM risk WHERE _d1 + _d0 > 0
+    ),
+    subj AS (SELECT sum(CASE WHEN _g1 THEN 1 ELSE 0 END) AS n1,
+                    sum(CASE WHEN NOT _g1 THEN 1 ELSE 0 END) AS n0
+             FROM base),
+    agg AS (SELECT COALESCE(sum(_d1), 0) AS o1,
+                   COALESCE(sum(_efp), 0) AS e1_fp,
+                   COALESCE(sum(_vfp), 0) AS v_fp
+            FROM fp)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+           CAST(o1 AS BIGINT) AS o1,
+           CAST(e1_fp AS BIGINT) AS e1_fp, CAST(v_fp AS BIGINT) AS v_fp,
+           CAST(e1_fp AS DOUBLE) / CAST({S} AS DOUBLE) AS e1,
+           CASE WHEN v_fp > 0 THEN
+             (CAST(o1 AS DOUBLE)
+              - CAST(e1_fp AS DOUBLE) / CAST({S} AS DOUBLE))
+             / sqrt(CAST(v_fp AS DOUBLE) / CAST({S} AS DOUBLE))
+           END AS z_stat
+    FROM subj CROSS JOIN agg
+    """

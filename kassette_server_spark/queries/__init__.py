@@ -98,7 +98,7 @@ _WINDOW: tuple[str, ...] = (
 )
 
 # R9 ROTATION PLAN (write it down while the state is fresh): after r8
-# the round birthed 43 specs (q158-q200) — more than a 50-slot window
+# the round birthed 44 specs (q158-q201) — more than a 50-slot window
 # can absorb alongside the pinned core in one round, so the
 # first-round policy splits across r9/r10: r9 = pinned core (6: q01,
 # q03, q08, q11, q24, q28) + the first 44 r8-born specs in q-number
@@ -106,9 +106,9 @@ _WINDOW: tuple[str, ...] = (
 # q191_kcore, q192_edit_distance_pairs, q193_zonemap_pruning,
 # q194_oov_rate, q195_hard_negatives, q196_two_proportion_z,
 # q197_gini_stump, q198_per_class_prf, q199_wilson_ci,
-# q200_kaplan_meier = 12 more, then q63 takes the last slot as the
-# oldest stale r5 green); r10 leads with the stale backfill
-# (q64-q69, q84-q88, q91-q104...). Born list for
+# q200_kaplan_meier, q201_log_rank = 13 more — that fills all 44
+# non-pinned slots with r8-born specs, zero backfill room); r10 leads
+# with the stale backfill (q63-q69, q84-q88, q91-q104...). Born list for
 # reference (q158_roc_auc, q159_decile_lift,
 # q160_threshold_metrics, q161_cohens_kappa, q162_ndcg,
 # q163_key_skew_profile, q164_triangle_count, q165_rrf_fusion,
@@ -122,7 +122,7 @@ _WINDOW: tuple[str, ...] = (
 # q183_tpch_q9_profit, q184_tpch_q13_custdist,
 # q185_tpch_q15_top_supplier, q186_tpch_q19_disjunctive,
 # q187_tpch_q21_waiting, q188_tpch_q22_idle_customers,
-# q189-q200 as above). With a 199-spec surface and a 50-slot gate,
+# q189-q201 as above). With a 200-spec surface and a 50-slot gate,
 # worst-case staleness is now ~4 rounds — acceptable because
 # everything stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 every CI run; prioritize specs whose OPERATORS

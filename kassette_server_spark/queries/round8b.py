@@ -1040,3 +1040,56 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
         (F.datediff("corpus_max", "last_d") > 30).cast("int").alias("churned"),
     )
     return kaplan_meier(subj, "dur", "churned")
+
+
+from ..operators.stats import log_rank_oracle_sql, log_rank_test
+
+
+@query(
+    "q201_log_rank",
+    oracle=log_rank_oracle_sql(
+        """
+        WITH spans AS (
+          SELECT user_id,
+                 CAST(date_diff('day',
+                      min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)),
+                      max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)))
+                      AS BIGINT) AS dur,
+                 max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                   AS last_d
+          FROM events GROUP BY 1
+        ),
+        mx AS (SELECT max(last_d) AS corpus_max FROM spans)
+        SELECT CAST(user_id % 2 = 0 AS INTEGER) AS cohort, dur,
+               CAST(date_diff('day', last_d, corpus_max) > 30 AS INTEGER)
+                 AS churned
+        FROM spans CROSS JOIN mx
+        """,
+        "cohort",
+        "dur",
+        "churned",
+    ),
+    doc="log-rank test between even/odd user cohorts' activity-span "
+    "survival (the q200 curves with a statistic): hypergeometric E/V "
+    "terms per pooled event time quantized to 2^20 fixed-point "
+    "BIGINTs (the Hellinger recipe) so the cross-time sums are "
+    "integer; curve-frame sized throughout; z NULL when variance is 0",
+    tags=("stats", "timeseries", "evaluation"),
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    spans = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max(day), F.min(day)).cast("long").alias("dur"),
+            F.max(day).alias("last_d"),
+        )
+    )
+    mx = spans.agg(F.max("last_d").alias("corpus_max"))
+    subj = spans.crossJoin(F.broadcast(mx)).select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("cohort"),
+        "dur",
+        (F.datediff("corpus_max", "last_d") > 30).cast("int").alias("churned"),
+    )
+    return log_rank_test(subj, "cohort", "dur", "churned")

@@ -733,3 +733,43 @@ def test_km_censoring_shrinks_risk_set_without_dropping_survival(spark):
     assert (out[2].d, out[2].censored) == (0, 1)
     assert out[2].survival == out[1].survival  # flat at censoring
     assert (out[3].n_risk, out[3].survival) == (1, 0.0)
+
+
+# -- log_rank_test ------------------------------------------------------------
+def test_log_rank_identical_cohorts_z_near_zero(spark):
+    """Mirror-image cohorts: O1 equals its expectation (up to the
+    2^-20 quantum), so |z| is ~0."""
+    from kassette_server_spark.operators.stats import log_rank_test
+
+    rows = [(1, t, 1) for t in (1, 2, 3)] + [(0, t, 1) for t in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g int, t long, e int")
+    r = log_rank_test(df, "g", "t", "e").collect()[0]
+    assert (r.n1, r.n0, r.o1) == (3, 3, 3)
+    assert abs(r.o1 - r.e1) < 1e-5
+    assert abs(r.z_stat) < 1e-4
+
+
+def test_log_rank_hand_expectation(spark):
+    """Cohort1 dies at t=1 (2 subjects), cohort0 at t=2 (2 subjects):
+    at t=1, E1 = 2·(2/4) = 1... full hand walk: O1=2,
+    E1 = 2·2/4 + 2·0/2 = 1; V = 2·(2/4)·(2/4)·(2/3) + 0 = 1/3;
+    z = (2-1)/sqrt(1/3)."""
+    from kassette_server_spark.operators.stats import log_rank_test
+
+    rows = [(1, 1, 1), (1, 1, 1), (0, 2, 1), (0, 2, 1)]
+    df = spark.createDataFrame(rows, "g int, t long, e int")
+    r = log_rank_test(df, "g", "t", "e").collect()[0]
+    assert r.o1 == 2
+    assert r.e1 == pytest.approx(1.0, abs=1e-5)
+    assert r.z_stat == pytest.approx(1.0 / math.sqrt(1.0 / 3.0), rel=1e-4)
+
+
+def test_log_rank_single_cohort_null_z(spark):
+    """One cohort empty → every E term equals the observed count and
+    V is 0 → z NULL."""
+    from kassette_server_spark.operators.stats import log_rank_test
+
+    rows = [(1, 1, 1), (1, 2, 1)]
+    df = spark.createDataFrame(rows, "g int, t long, e int")
+    r = log_rank_test(df, "g", "t", "e").collect()[0]
+    assert r.n0 == 0 and r.z_stat is None
