@@ -859,3 +859,55 @@ def test_q178_seasonal_single_window_partitioned(spark):
     assert "Window" in p
     assert "SinglePartition" not in p or "hashpartitioning" in p
     assert "CartesianProduct" not in p
+
+
+def test_q175_calibration_off_checkpointed_counts(spark):
+    """The value-count frame is materialized once (decile_lift's
+    single-scan discipline); cuts and totals ride broadcasts."""
+    p = plan(spark, "q175_rank_calibration")
+    assert "Scan ExistingRDD" in p
+    assert "Scan parquet" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_q177_hellinger_cells_aggregated_once(spark):
+    """The global frame re-aggregates the checkpointed CELLS — the
+    documents table is never scanned twice; the per-category join is
+    a broadcast."""
+    p = plan(spark, "q177_hellinger_drift")
+    assert "Scan ExistingRDD" in p
+    assert "Scan parquet" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q199_wilson_single_scan_no_join(spark):
+    """Two counts per group from one aggregate; the CI tail is pure
+    projection — one scan, one Exchange, nothing else."""
+    import re
+
+    p = plan(spark, "q199_wilson_ci")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
+    assert "Join" not in p and "Window" not in p
+
+
+def test_q200_km_curve_sized_windows(spark):
+    """Both KM windows (reverse at-risk cumsum, forward factor list)
+    run over the distinct-duration CURVE frame — below them sits the
+    per-user span aggregate, so window input is curve-sized, not
+    event-sized; no cartesian beyond the 1-row corpus-max broadcast."""
+    p = plan(spark, "q200_kaplan_meier")
+    assert p.count("Window") >= 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row corpus-max frame
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_q201_logrank_single_final_row(spark):
+    """The E/V quantization happens on the pooled curve frame; the
+    final statistic is one aggregate row joined to the subject counts
+    via broadcast — no event-sized shuffle after the curve."""
+    p = plan(spark, "q201_log_rank")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
