@@ -992,54 +992,59 @@ def q199(spark: SparkSession, sf: str) -> DataFrame:
     return wilson_interval_by(docs, "source", "is_en")
 
 
+_TIME_TO_PURCHASE_SQL = """
+        SELECT user_id,
+               CAST(date_diff('day',
+                    min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)),
+                    COALESCE(
+                      min(CASE WHEN event_type = 'purchase'
+                          THEN CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                    AS DATE) END),
+                      max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                               AS DATE))))
+                    AS BIGINT) AS dur,
+               CAST(min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                  AS DATE) END) IS NOT NULL
+                    AS INTEGER) AS converted
+        FROM events GROUP BY 1
+"""
+
+
+def _time_to_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user time-to-first-purchase: duration from first event to
+    the first purchase (observed) or to the last event (censored —
+    the user may still convert after the corpus ends)."""
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    pday = F.when(F.col("event_type") == "purchase", day)
+    return (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.coalesce(F.min(pday), F.max(day)), F.min(day)
+            )
+            .cast("long")
+            .alias("dur"),
+            F.min(pday).isNotNull().cast("int").alias("converted"),
+        )
+    )
+
+
 @query(
     "q200_kaplan_meier",
-    oracle=kaplan_meier_oracle_sql(
-        """
-        WITH spans AS (
-          SELECT user_id,
-                 CAST(date_diff('day',
-                      min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)),
-                      max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)))
-                      AS BIGINT) AS dur,
-                 max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
-                   AS last_d
-          FROM events GROUP BY 1
-        ),
-        mx AS (SELECT max(last_d) AS corpus_max FROM spans)
-        SELECT dur,
-               CAST(date_diff('day', last_d, corpus_max) > 30 AS INTEGER)
-                 AS churned
-        FROM spans CROSS JOIN mx
-        """,
-        "dur",
-        "churned",
-    ),
-    doc="Kaplan-Meier survival curve of user activity spans (time from "
-    "first to last event), right-censoring users still active within "
-    "30 days of corpus end: the running survival product uses the "
-    "ORDERED-FOLD recipe — per-time factors collected into an "
-    "ascending framed-window array and folded left-to-right "
-    "identically in both engines (never a product aggregate, never "
+    oracle=kaplan_meier_oracle_sql(_TIME_TO_PURCHASE_SQL, "dur", "converted"),
+    doc="Kaplan-Meier time-to-first-purchase curve: duration from each "
+    "user's first event to their first purchase, right-censored at "
+    "their last event when they never convert — the running survival "
+    "product uses the ORDERED-FOLD recipe (per-time factors collected "
+    "into an ascending framed-window array and folded left-to-right "
+    "identically in both engines; never a product aggregate, never "
     "exp(sum(log))); the whole curve is distinct-duration-sized",
     tags=("stats", "timeseries"),
 )
 def q200(spark: SparkSession, sf: str) -> DataFrame:
-    day = F.date_trunc("day", F.col("ts")).cast("date")
-    spans = (
-        load(spark, sf, "events")
-        .groupBy("user_id")
-        .agg(
-            F.datediff(F.max(day), F.min(day)).cast("long").alias("dur"),
-            F.max(day).alias("last_d"),
-        )
-    )
-    mx = spans.agg(F.max("last_d").alias("corpus_max"))
-    subj = spans.crossJoin(F.broadcast(mx)).select(
-        "dur",
-        (F.datediff("corpus_max", "last_d") > 30).cast("int").alias("churned"),
-    )
-    return kaplan_meier(subj, "dur", "churned")
+    return kaplan_meier(_time_to_purchase(spark, sf), "dur", "converted")
 
 
 from ..operators.stats import log_rank_oracle_sql, log_rank_test
@@ -1048,48 +1053,26 @@ from ..operators.stats import log_rank_oracle_sql, log_rank_test
 @query(
     "q201_log_rank",
     oracle=log_rank_oracle_sql(
-        """
-        WITH spans AS (
-          SELECT user_id,
-                 CAST(date_diff('day',
-                      min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)),
-                      max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)))
-                      AS BIGINT) AS dur,
-                 max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
-                   AS last_d
-          FROM events GROUP BY 1
-        ),
-        mx AS (SELECT max(last_d) AS corpus_max FROM spans)
-        SELECT CAST(user_id % 2 = 0 AS INTEGER) AS cohort, dur,
-               CAST(date_diff('day', last_d, corpus_max) > 30 AS INTEGER)
-                 AS churned
-        FROM spans CROSS JOIN mx
+        f"""
+        SELECT CAST(user_id % 2 = 0 AS INTEGER) AS cohort, dur, converted
+        FROM ({_TIME_TO_PURCHASE_SQL})
         """,
         "cohort",
         "dur",
-        "churned",
+        "converted",
     ),
-    doc="log-rank test between even/odd user cohorts' activity-span "
-    "survival (the q200 curves with a statistic): hypergeometric E/V "
-    "terms per pooled event time quantized to 2^20 fixed-point "
-    "BIGINTs (the Hellinger recipe) so the cross-time sums are "
-    "integer; curve-frame sized throughout; z NULL when variance is 0",
+    doc="log-rank test between even/odd user cohorts' time-to-first-"
+    "purchase survival (the q200 curve with a statistic): "
+    "hypergeometric E/V terms per pooled event time quantized to 2^20 "
+    "fixed-point BIGINTs (the Hellinger recipe) so the cross-time "
+    "sums are integer; curve-frame sized throughout; z NULL when "
+    "variance is 0",
     tags=("stats", "timeseries", "evaluation"),
 )
 def q201(spark: SparkSession, sf: str) -> DataFrame:
-    day = F.date_trunc("day", F.col("ts")).cast("date")
-    spans = (
-        load(spark, sf, "events")
-        .groupBy("user_id")
-        .agg(
-            F.datediff(F.max(day), F.min(day)).cast("long").alias("dur"),
-            F.max(day).alias("last_d"),
-        )
-    )
-    mx = spans.agg(F.max("last_d").alias("corpus_max"))
-    subj = spans.crossJoin(F.broadcast(mx)).select(
+    subj = _time_to_purchase(spark, sf).select(
         (F.col("user_id") % 2 == 0).cast("int").alias("cohort"),
         "dur",
-        (F.datediff("corpus_max", "last_d") > 30).cast("int").alias("churned"),
+        "converted",
     )
-    return log_rank_test(subj, "cohort", "dur", "churned")
+    return log_rank_test(subj, "cohort", "dur", "converted")
