@@ -894,12 +894,11 @@ def test_q199_wilson_single_scan_no_join(spark):
 def test_q200_km_curve_sized_windows(spark):
     """Both KM windows (reverse at-risk cumsum, forward factor list)
     run over the distinct-duration CURVE frame — below them sits the
-    per-user span aggregate, so window input is curve-sized, not
-    event-sized; no cartesian beyond the 1-row corpus-max broadcast."""
+    per-user conversion aggregate, so window input is curve-sized,
+    not event-sized; no join or cartesian anywhere."""
     p = plan(spark, "q200_kaplan_meier")
     assert p.count("Window") >= 2
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" in p  # the 1-row corpus-max frame
+    assert "CartesianProduct" not in p and "Join" not in p
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "props" not in read_schema and "value" not in read_schema
 
