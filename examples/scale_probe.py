@@ -136,6 +136,55 @@ def main() -> None:
         def pfx():
             return prefix_filtered_jaccard_pairs(d.select("doc_id", "text"))
 
+        # shuffled-text variant: the suffix amplifier's copies are
+        # GENUINE Jaccard>=0.8 pairs (one extra token on a ~54-word
+        # doc), so the suffix-amplified near-dup probes measure
+        # duplicate-DENSITY growth, not corpus growth — the 32x run's
+        # "198x" reading is output volume, not candidate blow-up. A
+        # word ROTATION would not fix that (3-gram shingles: rotation
+        # perturbs ~4 boundary shingles, J ~= (n-6)/(n+2) >= 0.8 for
+        # n >= 35 words — these docs average 54). Instead each copy's
+        # words are re-ordered by a per-(token, copy, position) hash
+        # key: vocabulary (and thus unigram df growth) is preserved,
+        # but 3-gram adjacency — what the operator actually joins on —
+        # is destroyed, so copies are NOT near-dups of each other or of
+        # copy 0 and the corpus near-dup density is scale-free.
+        if scale == 1:
+            d_shuf = docs
+        else:
+            w = F.split(F.col("text"), " ")
+            shuffled = F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            w,
+                            lambda tok, i: F.struct(
+                                F.xxhash64(tok, F.col("_copy"), i).alias("h"),
+                                tok.alias("t"),
+                            ),
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            )
+            d_shuf = (
+                docs.withColumn(
+                    "_copy",
+                    F.explode(F.array(*[F.lit(i) for i in range(scale)])),
+                )
+                .withColumn(
+                    "doc_id", F.col("doc_id") + F.col("_copy") * F.lit(1_000_000_000)
+                )
+                .withColumn(
+                    "text", F.when(F.col("_copy") == 0, F.col("text")).otherwise(shuffled)
+                )
+                .drop("_copy")
+            )
+
+        def pfx_shuf():
+            return prefix_filtered_jaccard_pairs(d_shuf.select("doc_id", "text"))
+
         def tri():
             a = lt.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
             b = lt.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
@@ -184,6 +233,7 @@ def main() -> None:
         )
         return {
             "prefix_filter_join": (pfx, rows_d),
+            "prefix_filter_shuf": (pfx_shuf, rows_d),
             "triangle_count": (tri, rows_l),
             "roc_auc": (auc, rows_o),
             "item_item_cosine": (itemcf, rows_l),

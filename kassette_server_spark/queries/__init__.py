@@ -28,6 +28,7 @@ from . import round6 as _round6  # noqa: F401,E402  (q140-q143)
 from . import round7 as _round7  # noqa: F401,E402  (q144-q157)
 from . import round8 as _round8  # noqa: F401,E402  (q158-q172)
 from . import round8b as _round8b  # noqa: F401,E402  (q173+)
+from . import round8c as _round8c  # noqa: F401,E402  (q202+ — TPC-H completion)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import

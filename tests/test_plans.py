@@ -910,3 +910,121 @@ def test_q201_logrank_single_final_row(spark):
     p = plan(spark, "q201_log_rank")
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+# -- round-8 third wave: TPC-H completion (q202-q211) -------------------------
+
+
+def test_q202_q2_window_min_after_dim_filters(spark):
+    """The correlated min-cost subquery is a window over the
+    region+part-FILTERED supply frame: exactly one lineitem scan, the
+    window's Exchange sits above the broadcast dimension joins (so it
+    reshuffles only surviving small-size/LARGE/EUROPE rows, not raw
+    supply), and no sort-merge join anywhere."""
+    p = plan(spark, "q202_tpch_q2_min_cost_supplier")
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert sum("l_extendedprice" in s for s in schemas) == 1
+    assert "SortMergeJoin" not in p
+    tree = p.split("\n\n")[0]
+    # window above the joins: the Window node appears before (above)
+    # every BroadcastHashJoin in the tree rendering
+    assert tree.index("Window") < tree.index("BroadcastHashJoin")
+    # part filter pushed to the part scan
+    pushed = [s.splitlines()[0] for s in p.split("PushedFilters:")[1:]]
+    assert any("p_size" in s for s in pushed)
+
+
+def test_q203_q4_exists_left_semi_with_pushdown(spark):
+    """EXISTS compiles to one LEFT SEMI join keyed on the order key
+    (each order counted once no matter how many late lines); the
+    quarter filter pushes to the orders parquet scan."""
+    p = plan(spark, "q203_tpch_q4_priority_check")
+    assert "LeftSemi" in p
+    pushed = [s.splitlines()[0] for s in p.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    # lineitem side prunes to the two columns the predicate needs
+    li = next(s for s in schemas if "l_shipdate" in s)
+    assert "l_extendedprice" not in li and "l_quantity" not in li
+
+
+def test_q204_q6_pure_scan_aggregate(spark):
+    """The canonical scan-filter-agg: no join node of any kind, a
+    single lineitem scan, and all three predicate families (date
+    range, discount band, quantity cap) pushed to parquet."""
+    p = plan(spark, "q204_tpch_q6_forecast_revenue")
+    assert "Join" not in p and "CartesianProduct" not in p
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    pushed = p.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+
+
+def test_q205_q7_nation_filters_prune_before_big_join(spark):
+    """Both nation arms filter to the two-nation set INSIDE their
+    broadcast builds, so lineitem rows drop at the first (supplier)
+    join — before the expensive orders join; ship-date range pushes
+    to the lineitem scan."""
+    p = plan(spark, "q205_tpch_q7_volume_shipping")
+    pushed = [s.splitlines()[0] for s in p.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in s for s in pushed)
+    # the IN-pair filter rides the nation scans
+    assert any("n_name" in s for s in pushed)
+    assert "SortMergeJoin" not in p
+
+
+def test_q206_q8_share_pair_single_aggregate(spark):
+    """Numerator (NATION_5 cents) and denominator (all cents) fold in
+    ONE aggregate pass over one lineitem scan — no second scan, no
+    self-join for the share."""
+    p = plan(spark, "q206_tpch_q8_market_share")
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert sum("l_extendedprice" in s for s in schemas) == 1
+    tree = p.split("\n\n")[0]
+    # one partial+final HashAggregate pair at the top, nothing more
+    assert tree.count("HashAggregate") == 2
+
+
+def test_q210_q14_share_pair_single_aggregate(spark):
+    """Same single-pass share-pair contract as q206, with the month
+    bucket as the group: one lineitem scan, one aggregate pair, part
+    joined via broadcast (type column only in its ReadSchema)."""
+    p = plan(spark, "q210_tpch_q14_promo_share")
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert sum("l_extendedprice" in s for s in schemas) == 1
+    part_schema = next(s for s in schemas if "p_type" in s)
+    assert "p_retailprice" not in part_schema and "p_name" not in part_schema
+    tree = p.split("\n\n")[0]
+    assert tree.count("HashAggregate") == 2
+
+
+def test_q208_q11_global_total_window_over_aggregate(spark):
+    """The HAVING total is a window sum over the part-cardinality
+    value frame (q185's move): one lineitem scan feeds one aggregate,
+    the Window sits directly above it, and the share gate is an
+    integer multiply — no division node in the plan."""
+    p = plan(spark, "q208_tpch_q11_important_stock")
+    import re
+
+    schemas = [s.splitlines()[0] for s in p.split("ReadSchema:")[1:]]
+    assert sum("l_extendedprice" in s for s in schemas) == 1
+    tree = p.split("\n\n")[0]
+    assert tree.index("Window") < tree.index("HashAggregate")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 3  # li, supp, nation
+
+
+def test_q211_q16_anti_join_below_distinct(spark):
+    """Catalyst keeps the complaint-supplier LEFT ANTI under the
+    supply DISTINCT (filtering before deduplicating), and the
+    distinct-supplier count runs as the standard two-level
+    aggregate — no sort-merge join, part attributes via broadcast."""
+    p = plan(spark, "q211_tpch_q16_supplier_counts")
+    assert "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    tree = p.split("\n\n")[0]
+    # anti join renders BELOW (after) the first HashAggregate pair
+    assert tree.index("LeftAnti") > tree.index("HashAggregate")
+    pushed = [s.splitlines()[0] for s in p.split("PushedFilters:")[1:]]
+    assert any("s_acctbal" in s for s in pushed)
