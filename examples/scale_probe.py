@@ -138,17 +138,22 @@ def main() -> None:
 
         # shuffled-text variant: the suffix amplifier's copies are
         # GENUINE Jaccard>=0.8 pairs (one extra token on a ~54-word
-        # doc), so the suffix-amplified near-dup probes measure
-        # duplicate-DENSITY growth, not corpus growth — the 32x run's
-        # "198x" reading is output volume, not candidate blow-up. A
-        # word ROTATION would not fix that (3-gram shingles: rotation
-        # perturbs ~4 boundary shingles, J ~= (n-6)/(n+2) >= 0.8 for
-        # n >= 35 words — these docs average 54). Instead each copy's
-        # words are re-ordered by a per-(token, copy, position) hash
-        # key: vocabulary (and thus unigram df growth) is preserved,
-        # but 3-gram adjacency — what the operator actually joins on —
-        # is destroyed, so copies are NOT near-dups of each other or of
-        # copy 0 and the corpus near-dup density is scale-free.
+        # doc), so the suffix-amplified near-dup probes conflate
+        # duplicate-DENSITY growth with corpus growth. A word ROTATION
+        # would not fix that (3-gram shingles: rotation perturbs ~4
+        # boundary shingles, J ~= (n-6)/(n+2) >= 0.8 for n >= 35 words
+        # — these docs average 54). Instead each copy's words are
+        # re-ordered by a per-(token, copy, position) hash key:
+        # vocabulary preserved, 3-gram adjacency — what the operator
+        # joins on — destroyed, so near-dup density stays scale-free
+        # (verified 0.050 -> 0.047 pairs/doc at 4x).
+        # MEASURED VERDICT (SCALE.md "32x sweep" caveat 1): this
+        # variant still reads 206x at 32x — the super-linearity is NOT
+        # an amplifier artifact but the synthetic corpus's 31-word
+        # vocabulary saturating the k=3 shingle space (~30k possible),
+        # which kills the rare tail prefix filtering needs; k=5 on the
+        # same run is 27.7x and MinHash-LSH 28.7x. Kept in the sweep
+        # so the saturated reading stays visible next to those.
         if scale == 1:
             d_shuf = docs
         else:

@@ -459,6 +459,34 @@ def test_prefix_filter_hand_case(spark):
     assert out == {(3, 4): 1.0}
 
 
+def test_prefix_filter_volume_guard(spark):
+    """max_candidate_volume enforces the rare-tail scaling contract:
+    a saturated hand corpus (every doc the same shingles → all-pairs
+    candidates) trips the guard with the actionable message; a
+    generous budget leaves the output bit-identical to the unguarded
+    run; and the guard counts C(df_p, 2), so 10 docs sharing one
+    prefix shingle is a volume of 45."""
+    import pytest
+
+    from kassette_server_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    # 10 identical docs: every prefix shingle has df_p = 10
+    rows = [(i, "a b c d e f g") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="saturated"):
+        prefix_filtered_jaccard_pairs(df, max_candidate_volume=10).collect()
+    # the 7-token doc has 5 shingles, prefix length 5-4+1=2 → two
+    # prefix shingles each shared by all 10 docs → volume 2*C(10,2)=90
+    guarded = prefix_filtered_jaccard_pairs(df, max_candidate_volume=90)
+    plain = prefix_filtered_jaccard_pairs(df)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    assert guarded.count() == 45  # all C(10,2) identical pairs, J=1
+
+
 # -- bpe_merge_steps ----------------------------------------------------------
 def test_bpe_hand_merges(spark):
     """Corpus 'aaab aaab ab': hand-run BPE — merge 1 'a a'(4) since
