@@ -138,9 +138,23 @@ def _subquery_predicate(rng: random.Random, t: str, alias: str, domains: dict) -
             inner_pred = _predicate(rng, rt, "s", domains)
             neg = "NOT " if rng.random() < 0.3 else ""
             if rng.random() < 0.4:
+                # orders→lineitem additionally carries a correlated
+                # DATE-ARITHMETIC residual (the TPC-H Q4/Q21 lateness
+                # shape, q203/q187): a non-equi predicate on the semi/
+                # anti join exercises a decorrelation path the pure
+                # equi-correlation never does (the residual cannot
+                # become part of the hash key)
+                residual = ""
+                if lt == "orders" and rt == "lineitem" and rng.random() < 0.5:
+                    days = rng.choice((30, 60, 90))
+                    op = rng.choice((">", "<="))
+                    residual = (
+                        f" AND s.l_shipdate {op} "
+                        f"{alias}.o_orderdate + INTERVAL {days} DAY"
+                    )
                 return (
                     f"{neg}EXISTS (SELECT 1 FROM {rt} s "
-                    f"WHERE s.{rk} = {alias}.{lk} AND {inner_pred})"
+                    f"WHERE s.{rk} = {alias}.{lk} AND {inner_pred}{residual})"
                 )
             return (
                 f"{alias}.{lk} {neg}IN "
