@@ -417,7 +417,17 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
     if rng.random() < 0.5:  # grouped aggregate (sometimes with HAVING)
         gt, ga = rng.choice(aliases)
         ints, strs, _ = TABLES[gt]
-        gcol = f"{ga}.{rng.choice(strs + ints)}"
+        dates = TABLES[gt][2]
+        # date-part grouping (the TPC-H Q7/Q8/Q9/Q14 bucket shape):
+        # year()/month() return INT in Spark but BIGINT in DuckDB, so
+        # the shared text must carry the INTEGER cast — exactly the
+        # recipe the declared specs use; the fuzzer sweeps it across
+        # random join/filter contexts
+        if dates and rng.random() < 0.3:
+            part = rng.choice(("year", "month"))
+            gcol = f"CAST({part}({ga}.{rng.choice(dates)}) AS INTEGER)"
+        else:
+            gcol = f"{ga}.{rng.choice(strs + ints)}"
         at, aa = rng.choice(aliases)
         acol = f"{aa}.{rng.choice(TABLES[at][0])}"
         aggs = [
