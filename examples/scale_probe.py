@@ -190,6 +190,15 @@ def main() -> None:
         def pfx_shuf():
             return prefix_filtered_jaccard_pairs(d_shuf.select("doc_id", "text"))
 
+        def pfx_shuf_k5():
+            # k=5 grows the shingle space from ~31^3 to ~31^5 >> the
+            # corpus's instance count, restoring the rare df tail the
+            # prefix filter needs — measured 27.7x at 32x vs 206x for
+            # k=3 on this vocabulary-saturated synthetic corpus
+            return prefix_filtered_jaccard_pairs(
+                d_shuf.select("doc_id", "text"), k=5
+            )
+
         def tri():
             a = lt.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
             b = lt.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
@@ -239,6 +248,7 @@ def main() -> None:
         return {
             "prefix_filter_join": (pfx, rows_d),
             "prefix_filter_shuf": (pfx_shuf, rows_d),
+            "prefix_filter_shuf_k5": (pfx_shuf_k5, rows_d),
             "triangle_count": (tri, rows_l),
             "roc_auc": (auc, rows_o),
             "item_item_cosine": (itemcf, rows_l),
