@@ -33,25 +33,61 @@ from kassette_server_spark.session import get_spark
 
 
 def amplify(
-    df: DataFrame, n: int, id_cols: list[str], text_col: str | None = None
+    df: DataFrame,
+    n: int,
+    id_cols: list[str],
+    text_col: str | None = None,
+    text_mode: str = "suffix",
 ) -> DataFrame:
     """n disjoint shifted copies (id spaces offset by copy * 10^9).
 
-    Text columns get a per-copy suffix token: verbatim text copies
-    would make every copy-pair an exact/near duplicate by construction,
-    so the dedup probes would measure a degenerate N^2 workload instead
-    of a bigger corpus (round-6 self-review finding). The suffix keeps
-    exact-digest cardinality scaling with N while leaving the
-    shingle-level structure (and thus real near-dup behavior) intact.
+    Text columns get per-copy treatment chosen by ``text_mode`` —
+    verbatim copies would make every copy-pair an exact/near duplicate
+    by construction, so the dedup probes would measure a degenerate N^2
+    workload instead of a bigger corpus (round-6 self-review finding):
+
+    - ``"suffix"``: append a per-copy token. Keeps exact-digest
+      cardinality scaling with N, but copies stay GENUINE Jaccard>=0.8
+      near-dups (one extra token on a ~54-word doc), so near-dup probe
+      readings conflate duplicate-density growth with corpus growth.
+    - ``"shuffle"``: re-order each copy's words by a per-(token, copy,
+      position) hash key (copy 0 keeps the original text). Vocabulary
+      is preserved but k-gram adjacency is destroyed, so copies are
+      NOT near-dups of each other and near-dup density stays
+      scale-free (verified 0.050 -> 0.047 pairs/doc at 4x). A word
+      ROTATION would not achieve this: 3-gram shingles only change at
+      ~4 boundary positions, leaving J ~= (n-6)/(n+2) >= 0.8 for
+      n >= 35 words.
     """
     if n == 1:
         return df
     rep = df.withColumn("_copy", F.explode(F.array(*[F.lit(i) for i in range(n)])))
     for c in id_cols:
         rep = rep.withColumn(c, F.col(c) + F.col("_copy") * F.lit(1_000_000_000))
-    if text_col:
+    if text_col and text_mode == "suffix":
         rep = rep.withColumn(
             text_col, F.concat(F.col(text_col), F.lit(" copytok"), F.col("_copy"))
+        )
+    elif text_col and text_mode == "shuffle":
+        w = F.split(F.col(text_col), " ")
+        shuffled = F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        w,
+                        lambda tok, i: F.struct(
+                            F.xxhash64(tok, F.col("_copy"), i).alias("h"),
+                            tok.alias("t"),
+                        ),
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+        )
+        rep = rep.withColumn(
+            text_col,
+            F.when(F.col("_copy") == 0, F.col(text_col)).otherwise(shuffled),
         )
     return rep.drop("_copy")
 
@@ -136,17 +172,8 @@ def main() -> None:
         def pfx():
             return prefix_filtered_jaccard_pairs(d.select("doc_id", "text"))
 
-        # shuffled-text variant: the suffix amplifier's copies are
-        # GENUINE Jaccard>=0.8 pairs (one extra token on a ~54-word
-        # doc), so the suffix-amplified near-dup probes conflate
-        # duplicate-DENSITY growth with corpus growth. A word ROTATION
-        # would not fix that (3-gram shingles: rotation perturbs ~4
-        # boundary shingles, J ~= (n-6)/(n+2) >= 0.8 for n >= 35 words
-        # — these docs average 54). Instead each copy's words are
-        # re-ordered by a per-(token, copy, position) hash key:
-        # vocabulary preserved, 3-gram adjacency — what the operator
-        # joins on — destroyed, so near-dup density stays scale-free
-        # (verified 0.050 -> 0.047 pairs/doc at 4x).
+        # shuffled-text amplifier (see amplify's text_mode doc): the
+        # near-dup-density-scale-free corpus for the prefix probes.
         # MEASURED VERDICT (SCALE.md "32x sweep" caveat 1): this
         # variant still reads 206x at 32x — the super-linearity is NOT
         # an amplifier artifact but the synthetic corpus's 31-word
@@ -154,38 +181,9 @@ def main() -> None:
         # which kills the rare tail prefix filtering needs; k=5 on the
         # same run is 27.7x and MinHash-LSH 28.7x. Kept in the sweep
         # so the saturated reading stays visible next to those.
-        if scale == 1:
-            d_shuf = docs
-        else:
-            w = F.split(F.col("text"), " ")
-            shuffled = F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.transform(
-                            w,
-                            lambda tok, i: F.struct(
-                                F.xxhash64(tok, F.col("_copy"), i).alias("h"),
-                                tok.alias("t"),
-                            ),
-                        )
-                    ),
-                    lambda s: s["t"],
-                ),
-            )
-            d_shuf = (
-                docs.withColumn(
-                    "_copy",
-                    F.explode(F.array(*[F.lit(i) for i in range(scale)])),
-                )
-                .withColumn(
-                    "doc_id", F.col("doc_id") + F.col("_copy") * F.lit(1_000_000_000)
-                )
-                .withColumn(
-                    "text", F.when(F.col("_copy") == 0, F.col("text")).otherwise(shuffled)
-                )
-                .drop("_copy")
-            )
+        d_shuf = amplify(
+            docs, scale, ["doc_id"], text_col="text", text_mode="shuffle"
+        )
 
         def pfx_shuf():
             return prefix_filtered_jaccard_pairs(d_shuf.select("doc_id", "text"))

@@ -790,20 +790,31 @@ def prefix_filtered_jaccard_pairs(
     )
     if max_candidate_volume is not None:
         # exact upper bound on the self-join's output BEFORE running
-        # it: Σ over prefix shingles of C(df_p, 2). The aggregate is
-        # prefix-frame sized and collects one row; integer arithmetic
-        # (df_p·(df_p−1) div 2) so the bound is exact, not a float.
+        # it: Σ over prefix shingles of C(df_p, 2). Materialize the
+        # prefix frame first — the guard adds a third consumer of the
+        # ranked/prefixes subtree (the a/b self-join sides are the
+        # other two), and without the checkpoint the df-join +
+        # row_number ranking window would recompute per consumer
+        # (review finding r8).
+        prefixes = prefixes.localCheckpoint(eager=True)
+        # decimal(38,0), NOT bigint: the session runs ANSI-off, where
+        # bigint overflow wraps silently — a shingle with df_p ≳ 3e9
+        # (or the cross-shingle sum) would wrap negative and the guard
+        # would falsely pass on exactly the saturated mega-corpus it
+        # exists to stop (review finding r8). Decimal headroom is 1e38;
+        # df_p ≤ corpus rows keeps the sum far below it.
         vol_row = (
             prefixes.groupBy("shingle")
             .agg(F.count("*").alias("dfp"))
             .agg(
-                F.sum(F.expr("dfp * (dfp - 1) div 2"))
-                .cast("bigint")
-                .alias("vol")
+                F.sum(
+                    F.col("dfp").cast("decimal(38,0)")
+                    * (F.col("dfp") - F.lit(1)).cast("decimal(38,0)")
+                ).alias("vol2")
             )
             .collect()[0]
         )
-        vol = int(vol_row.vol or 0)
+        vol = int(vol_row.vol2 or 0) // 2
         if vol > max_candidate_volume:
             raise ValueError(
                 f"prefix-filter candidate volume {vol} exceeds "
