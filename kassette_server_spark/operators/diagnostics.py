@@ -517,3 +517,158 @@ def join_size_monitor(
         "max_out": r.max_out,
         "max_share": (r.max_out / r.total_out) if r.total_out else None,
     }
+
+
+def shingle_saturation_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Shingle-space saturation pre-flight: run BEFORE choosing the
+    shingle order k for an exact set-similarity dedup.
+
+    Why it exists (measured, SCALE.md "32x sweep" caveat 1): prefix
+    filtering assumes the shingle df distribution has a rare tail. On
+    a closed vocabulary the k-gram space saturates — |vocab|^k
+    comparable to the corpus's shingle instance count — every df grows
+    with the corpus, and the candidate volume goes QUADRATIC (206x
+    wall at 32x docs on the 31-word synthetic corpus; k=5 restored
+    sub-linearity). This report is how you pick k without paying for
+    the failed run: if distinct_shingles ≈ the full space implied by
+    vocab_size^k, or p99_df grows when you sample a bigger slice,
+    raise k or switch to MinHash-LSH.
+
+    One row: (n_docs, vocab_size, k, instances, distinct_shingles,
+    max_df, p99_df, avg_df, allpairs_volume).
+
+    - ``allpairs_volume`` = Σ_shingle C(df, 2) — the exact output size
+      of the naive all-shared-shingle candidate join (the upper bound
+      prefix filtering prunes FROM). Computed in decimal(38,0) — the
+      session runs ANSI-off, where a BIGINT product would wrap
+      silently at df ≳ 3e9 (the volume-guard precedent, dedup.py) —
+      and emitted as BIGINT (valid while < 2^63; past that the answer
+      to "is this saturated" is already yes).
+    - ``p99_df`` via the exact cumulative count-of-counts rule
+      (key_skew_profile precedent) — never a percentile estimator.
+    - ``avg_df`` = instances/distinct, the single IEEE division.
+
+    Plan: the shingle explode aggregates straight to the per-shingle
+    df frame (localCheckpointed — bounded by distinct shingles —
+    feeding the stats aggregate and the count-of-counts percentile
+    frame); vocab_size is one distinct-count over the token explode.
+    Two corpus scans total (shingles and unigram tokens are different
+    explosions), both map-side before their aggregates; everything
+    after is register-scale.
+    """
+    from .dedup import shingle_table, tokens
+
+    dfreq = (
+        shingle_table(df, text_col, id_col, k)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .localCheckpoint(eager=True)
+    )
+    stats = dfreq.agg(
+        F.sum("_df").cast("bigint").alias("instances"),
+        F.count("*").alias("distinct_shingles"),
+        F.max("_df").alias("max_df"),
+        F.sum(
+            F.col("_df").cast("decimal(38,0)")
+            * (F.col("_df") - F.lit(1)).cast("decimal(38,0)")
+        ).alias("_vol2"),
+    )
+    coc = dfreq.groupBy("_df").agg(F.count("*").alias("k_at"))
+    wc = Window.orderBy("_df").rowsBetween(Window.unboundedPreceding, 0)
+    cum = coc.select("_df", F.sum("k_at").over(wc).alias("cum_k"))
+    p99 = cum.crossJoin(
+        F.broadcast(stats.select("distinct_shingles"))
+    ).agg(
+        F.min(
+            F.when(
+                F.col("cum_k") * 100 >= F.col("distinct_shingles") * 99,
+                F.col("_df"),
+            )
+        ).alias("p99_df")
+    )
+    base = df.agg(
+        F.count("*").alias("n_docs"),
+    )
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("_tok"))
+        .agg(F.count_distinct("_tok").alias("vocab_size"))
+    )
+    return (
+        base.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "n_docs",
+            "vocab_size",
+            F.lit(k).cast("int").alias("k"),
+            "instances",
+            "distinct_shingles",
+            "max_df",
+            "p99_df",
+            (
+                F.col("instances").cast("double")
+                / F.col("distinct_shingles").cast("double")
+            ).alias("avg_df"),
+            (F.col("_vol2") / F.lit(2)).cast("bigint").alias("allpairs_volume"),
+        )
+    )
+
+
+def shingle_saturation_oracle_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> str:
+    """DuckDB mirror of :func:`shingle_saturation_report` — same
+    shingling as the q31 CTE (1-based list slicing matches Spark's
+    F.slice), same cumulative p99 rule, HUGEINT-safe casts on every
+    aggregate output."""
+    km1 = int(k) - 1
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id, string_split({text_col}, ' ') AS t
+      FROM {table}
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - {km1}, 1) + 1),
+               i -> array_to_string(t[i:i+{km1}], ' ')))) AS shingle
+      FROM toks
+    ),
+    dfreq AS (SELECT shingle, count(*) AS _df FROM sh GROUP BY 1),
+    stats AS (
+      SELECT CAST(sum(_df) AS BIGINT) AS instances,
+             CAST(count(*) AS BIGINT) AS distinct_shingles,
+             CAST(max(_df) AS BIGINT) AS max_df,
+             CAST(sum(CAST(_df AS HUGEINT) * (_df - 1)) // 2 AS BIGINT)
+               AS allpairs_volume
+      FROM dfreq
+    ),
+    coc AS (SELECT _df, count(*) AS k_at FROM dfreq GROUP BY 1),
+    cum AS (
+      SELECT _df, sum(k_at) OVER (ORDER BY _df
+                                  ROWS UNBOUNDED PRECEDING) AS cum_k
+      FROM coc
+    ),
+    p99 AS (
+      SELECT CAST(min(CASE WHEN cum_k * 100 >=
+                           (SELECT distinct_shingles FROM stats) * 99
+                      THEN _df END) AS BIGINT) AS p99_df
+      FROM cum
+    ),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {table}),
+    vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+      FROM (SELECT unnest(t) AS tok FROM toks)
+    )
+    SELECT n_docs, vocab_size, CAST({int(k)} AS INTEGER) AS k,
+           instances, distinct_shingles, max_df, p99_df,
+           CAST(instances AS DOUBLE) / CAST(distinct_shingles AS DOUBLE)
+             AS avg_df,
+           allpairs_volume
+    FROM base, vocab, stats, p99
+    """

@@ -124,12 +124,12 @@ _WINDOW: tuple[str, ...] = (
 # q185_tpch_q15_top_supplier, q186_tpch_q19_disjunctive,
 # q187_tpch_q21_waiting, q188_tpch_q22_idle_customers,
 # q189-q201 as above). LATE r8 ADDITION: the TPC-H completion wave
-# q202_tpch_q2 .. q211_tpch_q16 (queries/round8c.py) brings the r8
-# birth count to 54 — q202-q211 do NOT fit the r9 window above (it is
-# already exactly full), so they lead the r10 window alongside the
-# stale backfill (q63-q69, q84-q88, q91-q104...); all ten are locked
+# q202_tpch_q2 .. q211_tpch_q16 plus q212_shingle_saturation
+# (queries/round8c.py) brings the r8 birth count to 55 — q202-q212 do
+# NOT fit the r9 window above (it is already exactly full), so they
+# lead the r10 window alongside the stale backfill (q63-q69, q84-q88, q91-q104...); all eleven are locked
 # meanwhile by the parity suites at sf0.001+sf0.01 and were
-# hand-verified at sf0.1 in-round. With a 210-spec surface and a
+# hand-verified at sf0.1 in-round. With a 211-spec surface and a
 # 50-slot gate, worst-case staleness is ~4 rounds — acceptable because
 # everything stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 every CI run; prioritize specs whose OPERATORS

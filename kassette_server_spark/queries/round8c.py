@@ -35,6 +35,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.diagnostics import (
+    shingle_saturation_oracle_sql,
+    shingle_saturation_report,
+)
 from .base import query
 
 # shared cents expression (reference: utils/misc.go money handling is
@@ -560,3 +564,19 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
     return kept.groupBy("p_brand", "p_type", "p_size").agg(
         F.count_distinct("l_suppkey").alias("supplier_cnt")
     )
+
+
+@query(
+    "q212_shingle_saturation",
+    oracle=shingle_saturation_oracle_sql("documents"),
+    doc="shingle-space saturation pre-flight (the fourth pre-flight "
+    "beside q163 skew / q189 join size / q193 zone-map): distinct-vs-"
+    "possible shingles, df tail (max, exact-cumulative p99), and the "
+    "exact all-shared-shingle candidate volume SUM C(df,2) in "
+    "decimal(38,0) — the measurement that decides shingle order k "
+    "before an exact dedup run (this corpus's 31-word vocabulary "
+    "saturates k=3 and goes quadratic; SCALE.md 32x sweep)",
+    tags=("diagnostics", "dedup", "scale"),
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    return shingle_saturation_report(load(spark, sf, "documents"))

@@ -1028,3 +1028,17 @@ def test_q211_q16_anti_join_below_distinct(spark):
     assert tree.index("LeftAnti") > tree.index("HashAggregate")
     pushed = [s.splitlines()[0] for s in p.split("PushedFilters:")[1:]]
     assert any("s_acctbal" in s for s in pushed)
+
+
+def test_q212_saturation_register_scale_tail(spark):
+    """Everything after the two corpus explodes is register-scale:
+    the 1-row stat frames compose via broadcast nested-loop crosses
+    (never an unbroadcast CartesianProduct), no sort-merge join
+    anywhere, and the percentile window runs over the count-of-counts
+    frame (a Window node exists above an aggregate, not above a scan)."""
+    p = plan(spark, "q212_shingle_saturation")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    tree = p.split("\n\n")[0]
+    assert "Window" in tree and "HashAggregate" in tree

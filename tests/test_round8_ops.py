@@ -524,3 +524,47 @@ def test_bpe_single_char_words_no_pairs(spark):
 
     df = spark.createDataFrame([("a b c a",)], "text string")
     assert bpe_merge_steps(df, k_merges=2).count() == 0
+
+
+def test_shingle_saturation_hand_case(spark):
+    """Hand-computed: docs {a b c d, a b c e, x y z w} give shingle
+    dfs {a b c: 2, four others: 1} → instances 6, distinct 5, max 2,
+    allpairs volume C(2,2)=1, vocab 9, avg 1.2; p99 by the cumulative
+    rule: cum(df=1)=4 < 0.99*5 → p99 lands on df=2."""
+    from kassette_server_spark.operators.diagnostics import (
+        shingle_saturation_report,
+    )
+
+    rows = [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shingle_saturation_report(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r.n_docs,
+        r.vocab_size,
+        r.k,
+        r.instances,
+        r.distinct_shingles,
+        r.max_df,
+        r.p99_df,
+        r.allpairs_volume,
+    ) == (3, 9, 3, 6, 5, 2, 2, 1)
+    assert abs(r.avg_df - 1.2) < 1e-12
+
+
+def test_shingle_saturation_duplicate_shingles_in_doc_count_once(spark):
+    """Per-doc shingle sets are DISTINCT (shingle_table contract), so
+    a doc repeating a shingle contributes df=1 for it — the df is a
+    document frequency, not an occurrence count."""
+    from kassette_server_spark.operators.diagnostics import (
+        shingle_saturation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id long, text string"
+    )
+    r = shingle_saturation_report(df).collect()[0]
+    # 7 shingle positions but only 3 distinct ("a b c","b c a","c a b")
+    assert r.instances == 3 and r.distinct_shingles == 3 and r.max_df == 1
+    assert r.allpairs_volume == 0
