@@ -32,14 +32,12 @@ from . import round8c as _round8c  # noqa: F401,E402  (q202+ — TPC-H completio
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-8 window (the r7 plan
-# written below the r7 window, amended per VERDICT r7 "Next round #1/#3"
-# to include q143, whose r7 red row was an oracle HUGEINT dtype bug —
-# engine values judge-verified identical — now fixed in
-# operators/stats.py weighted_median_oracle_sql): pinned core (6), the
-# r7-born specs q144-q157 (first-round policy, 14), the re-oracled
-# q143 (1), the 3-round-stale r4 quartet q75/q76/q77/q83 (4), then the
-# first 25 r5 greens in q-number order (q30-q41, q47, q51-q62).
+# order (VERDICT r2 "Next round #1/#2"). Round-9 window (executing the
+# r8 plan verbatim, confirmed by VERDICT r8 "Next round #1"): pinned
+# core (6) + the 44 r8-born specs q158-q201 in q-number order — their
+# first driver rows. All 44 were judge-verified green against DuckDB at
+# sf0.01 in the r8 verdict run and stay locked by
+# tests/test_oracle_parity*.py at sf0.001+sf0.01 in every CI run.
 _WINDOW: tuple[str, ...] = (
     # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
@@ -48,92 +46,73 @@ _WINDOW: tuple[str, ...] = (
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-20: r7-born operators, first driver rows
-    "q144_ks_drift",
-    "q145_benford_audit",
-    "q146_theil_sen_trend",
-    "q147_session_paths",
-    "q148_gap_fill",
-    "q149_mann_whitney",
-    "q150_cusum_changepoint",
-    "q151_type_affinity",
-    "q152_autocorrelation",
-    "q153_hist_drift",
-    "q154_ks_drift_binned",
-    "q155_data_contract",
-    "q156_share_shift",
-    "q157_budget_select",
-    # slot 21: r7's only red row, oracle dtype bug fixed (CAST ... BIGINT)
-    "q143_weighted_median",
-    # slots 22-25: r4 greens deferred from the r7 window (3 rounds stale)
-    "q75_funnel",
-    "q76_retention_cohorts",
-    "q77_quantized_ann",
-    "q83_semantic_dedup",
-    # slots 26-50: first 25 r5 greens in q-number order
-    "q30_dedup_exact_text",
-    "q31_dedup_ngram_jaccard",
-    "q32_dedup_minhash_lsh",
-    "q33_simhash",
-    "q34_ann_cosine_topk",
-    "q35_embedding_near_dup",
-    "q36_text_quality_stats",
-    "q37_language_id",
-    "q38_token_counts",
-    "q39_doc_fingerprint",
-    "q40_approx_aggregates",
-    "q41_multimodal_meta",
-    "q47_asof_join",
-    "q51_token_frequencies",
-    "q52_ivf_topk",
-    "q53_tpch_q1_pricing_summary",
-    "q54_tpch_q3_shipping_priority",
-    "q55_tpch_q5_local_volume",
-    "q56_time_rollup",
-    "q57_simhash_near_dup",
-    "q58_normalize_text",
-    "q59_unpivot",
-    "q60_mode_per_group",
-    "q61_stats_moments",
-    "q62_grouping_sets",
+    # slots 7-50: r8-born operators, first driver rows (q-number order)
+    "q158_roc_auc",
+    "q159_decile_lift",
+    "q160_threshold_metrics",
+    "q161_cohens_kappa",
+    "q162_ndcg",
+    "q163_key_skew_profile",
+    "q164_triangle_count",
+    "q165_rrf_fusion",
+    "q166_tpch_q17_small_qty",
+    "q167_tpch_q18_large_volume",
+    "q168_degree_assortativity",
+    "q169_label_propagation",
+    "q170_prefix_filter_join",
+    "q171_bpe_merges",
+    "q172_tpch_q20_dominant_suppliers",
+    "q173_spearman_corr",
+    "q174_welch_t_test",
+    "q175_rank_calibration",
+    "q176_mrr_at_10",
+    "q177_hellinger_drift",
+    "q178_seasonal_backtest",
+    "q179_compaction_plan",
+    "q180_k_anonymity",
+    "q181_quantile_normalize",
+    "q182_item_item_cosine",
+    "q183_tpch_q9_profit",
+    "q184_tpch_q13_custdist",
+    "q185_tpch_q15_top_supplier",
+    "q186_tpch_q19_disjunctive",
+    "q187_tpch_q21_waiting",
+    "q188_tpch_q22_idle_customers",
+    "q189_join_cardinality",
+    "q190_anova_f",
+    "q191_kcore",
+    "q192_edit_distance_pairs",
+    "q193_zonemap_pruning",
+    "q194_oov_rate",
+    "q195_hard_negatives",
+    "q196_two_proportion_z",
+    "q197_gini_stump",
+    "q198_per_class_prf",
+    "q199_wilson_ci",
+    "q200_kaplan_meier",
+    "q201_log_rank",
 )
 
-# R9 ROTATION PLAN (write it down while the state is fresh): after r8
-# the round birthed 44 specs (q158-q201) — more than a 50-slot window
-# can absorb alongside the pinned core in one round, so the
-# first-round policy splits across r9/r10: r9 = pinned core (6: q01,
-# q03, q08, q11, q24, q28) + the first 44 r8-born specs in q-number
-# order (q158-q188 = 31, then q189_join_cardinality, q190_anova_f,
-# q191_kcore, q192_edit_distance_pairs, q193_zonemap_pruning,
-# q194_oov_rate, q195_hard_negatives, q196_two_proportion_z,
-# q197_gini_stump, q198_per_class_prf, q199_wilson_ci,
-# q200_kaplan_meier, q201_log_rank = 13 more — that fills all 44
-# non-pinned slots with r8-born specs, zero backfill room); r10 leads
-# with the stale backfill (q63-q69, q84-q88, q91-q104...). Born list for
-# reference (q158_roc_auc, q159_decile_lift,
-# q160_threshold_metrics, q161_cohens_kappa, q162_ndcg,
-# q163_key_skew_profile, q164_triangle_count, q165_rrf_fusion,
-# q166_tpch_q17_small_qty, q167_tpch_q18_large_volume,
-# q168_degree_assortativity, q169_label_propagation,
-# q170_prefix_filter_join, q171_bpe_merges,
-# q172_tpch_q20_dominant_suppliers, q173_spearman_corr,
-# q174_welch_t_test, q175_rank_calibration, q176_mrr_at_10,
-# q177_hellinger_drift, q178_seasonal_backtest, q179_compaction_plan,
-# q180_k_anonymity, q181_quantile_normalize, q182_item_item_cosine,
-# q183_tpch_q9_profit, q184_tpch_q13_custdist,
-# q185_tpch_q15_top_supplier, q186_tpch_q19_disjunctive,
-# q187_tpch_q21_waiting, q188_tpch_q22_idle_customers,
-# q189-q201 as above). LATE r8 ADDITION: the TPC-H completion wave
-# q202_tpch_q2 .. q211_tpch_q16 plus q212_shingle_saturation
-# (queries/round8c.py) brings the r8 birth count to 55 — q202-q212 do
-# NOT fit the r9 window above (it is already exactly full), so they
-# lead the r10 window alongside the stale backfill (q63-q69, q84-q88, q91-q104...); all eleven are locked
-# meanwhile by the parity suites at sf0.001+sf0.01 and were
-# hand-verified at sf0.1 in-round. With a 211-spec surface and a
-# 50-slot gate, worst-case staleness is ~4 rounds — acceptable because
-# everything stays locked by tests/test_oracle_parity*.py at
-# sf0.001+sf0.01 every CI run; prioritize specs whose OPERATORS
-# changed since their last row.
+# R10 ROTATION PLAN (VERDICT r8 "Next round #5" — write it while the
+# state is fresh): r9 consumed the whole 44-spec r8-born wave
+# (q158-q201 above), so r10 = pinned core (6: q01, q03, q08, q11, q24,
+# q28) + the TPC-H-completion + saturation wave q202-q212 first driver
+# rows (11: q202_tpch_q2_min_cost_supplier, q203_tpch_q4_priority_check,
+# q204_tpch_q6_forecast_revenue, q205_tpch_q7_volume_shipping,
+# q206_tpch_q8_market_share, q207_tpch_q10_returned_items,
+# q208_tpch_q11_important_stock, q209_tpch_q12_shipmode_priority,
+# q210_tpch_q14_promo_share, q211_tpch_q16_supplier_counts,
+# q212_shingle_saturation — exact names per queries/round8c.py) + the
+# 33 most-stale backfill specs in q-number order: q63-q69 (7, last
+# green r5), q84-q90 (7), q91-q104 (14), q105-q109 (5). Arithmetic:
+# 6 + 11 + 7 + 7 + 14 + 5 = 50 exactly. That leaves the next-stale
+# tier (q110-q142 minus the ones re-greened in r6/r7 windows, plus
+# q70-q74/q78-q82 r7 greens) for r11, and the r9-born specs (if any)
+# take first-round priority per standing policy. With a 211+-spec
+# surface and a 50-slot gate, worst-case staleness stays ~4 rounds —
+# acceptable because every spec remains locked by
+# tests/test_oracle_parity*.py at sf0.001+sf0.01 in every CI run;
+# prioritize specs whose OPERATORS changed since their last row.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).
