@@ -470,13 +470,18 @@ def bpe_merge_steps(
     lexicographically smallest pair (the conventional random/arbitrary
     choice made deterministic).
 
-    Representation: each word is a space-separated symbol string with
-    one leading and trailing space, so a merge is ONE substring
-    replace of ``' a b '`` with ``' ab '`` — left-to-right
-    non-overlapping, exactly BPE's greedy application order, and
-    identical semantics in Spark's and DuckDB's ``replace``. The pad
-    spaces make token boundaries explicit (``' b b '`` cannot match
-    inside ``' ab b '``).
+    Representation: each word is a symbol string with TWO spaces
+    between adjacent symbols and one pad space at each end, so a merge
+    is ONE substring replace of ``' a  b '`` with ``' ab '`` —
+    left-to-right non-overlapping, and because consecutive occurrences
+    of the winning pair no longer share a delimiting space
+    (``' a  b  a  b '`` → ``' ab  ab '``), the single pass IS exactly
+    BPE's greedy application order, with identical semantics in
+    Spark's and DuckDB's ``replace``. The pad spaces make token
+    boundaries explicit (``' b  b '`` cannot match inside
+    ``' ab  b '``). A single-space separator would under-merge
+    adjacent repeats (``' a b a b '`` → ``' ab a b '``) because the
+    first match consumes the space the second needs.
 
     Scale: after the one corpus scan for word counts, every round runs
     on the vocabulary-frequency frame (|vocab| rows); pair counting is
@@ -495,7 +500,7 @@ def bpe_merge_steps(
     sym = words.select(
         F.concat(
             F.lit(" "),
-            F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+            F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
             F.lit(" "),
         ).alias("sym"),
         "freq",
@@ -504,9 +509,9 @@ def bpe_merge_steps(
     rules = []
     for step in range(1, k_merges + 1):
         pair_list = F.expr(
-            "transform(slice(split(trim(sym), ' '), 1, "
-            "size(split(trim(sym), ' ')) - 1), "
-            "(x, i) -> concat(x, ' ', split(trim(sym), ' ')[i + 1]))"
+            "transform(slice(split(trim(sym), '  '), 1, "
+            "size(split(trim(sym), '  ')) - 1), "
+            "(x, i) -> concat(x, ' ', split(trim(sym), '  ')[i + 1]))"
         )
         pairs = (
             sym.select(F.explode(pair_list).alias("pair"), "freq")
@@ -531,7 +536,11 @@ def bpe_merge_steps(
             .select(
                 F.replace(
                     F.col("sym"),
-                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+                        F.lit(" "),
+                    ),
                     F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
                 ).alias("sym"),
                 "freq",
@@ -553,7 +562,7 @@ def bpe_merge_oracle_sql(
         f"src AS ({source_sql})",
         f"w AS (SELECT unnest(string_split({text_col}, ' ')) AS word FROM src)",
         "wc AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY 1)",
-        "s0 AS (SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+        "s0 AS (SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g'))"
         " || ' ' AS sym, freq FROM wc)",
     ]
     for i in range(1, k_merges + 1):
@@ -562,17 +571,17 @@ def bpe_merge_oracle_sql(
             f"p{i} AS (SELECT pr AS pair, sum(freq) AS freq FROM ("
             f"SELECT unnest(list_transform(list_zip(a, a[2:]), "
             f"x -> CASE WHEN x[2] IS NOT NULL THEN x[1] || ' ' || x[2] END)) AS pr, freq "
-            f"FROM (SELECT string_split(trim(sym), ' ') AS a, freq FROM {prev})"
+            f"FROM (SELECT string_split(trim(sym), '  ') AS a, freq FROM {prev})"
             f") WHERE pr IS NOT NULL GROUP BY 1)"
-        )
+        )  # a[] is split on the TWO-space separator (see s0)
         ctes.append(
             f"b{i} AS (SELECT CAST({i} AS BIGINT) AS step, pair, "
             f"replace(pair, ' ', '') AS merged, freq "
             f"FROM p{i} ORDER BY freq DESC, pair ASC LIMIT 1)"
         )
         ctes.append(
-            f"s{i} AS (SELECT replace(sym, ' ' || b.pair || ' ', "
-            f"' ' || b.merged || ' ') AS sym, {prev}.freq AS freq "
+            f"s{i} AS (SELECT replace(sym, ' ' || replace(b.pair, ' ', '  ')"
+            f" || ' ', ' ' || b.merged || ' ') AS sym, {prev}.freq AS freq "
             f"FROM {prev} CROSS JOIN b{i} b)"
         )
     union = " UNION ALL ".join(

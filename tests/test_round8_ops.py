@@ -517,6 +517,38 @@ def test_bpe_pad_prevents_boundary_bleed(spark):
     assert rows == [(1, "a b", "ab"), (2, "ab b", "abb")]
 
 
+def test_bpe_adjacent_repeats_fully_merge(spark):
+    """Greedy BPE application must merge BOTH occurrences in 'a b a b'
+    (→ 'ab ab'), not just the first. With a single-space separator the
+    two occurrences of ' a b ' share the middle delimiter, so one
+    replace pass under-merges to 'ab a b'; the two-space separator
+    gives each occurrence its own delimiters (ADVICE r8 item 1).
+    Corpus 'abab abab ab': merge 1 'a b'(5); after a CORRECT greedy
+    apply the abab words are symbols 'ab ab', so merge 2 must be
+    ('ab ab' → 'abab', freq 2) — the under-merged 'ab a b' would
+    instead offer pairs (ab,a) and (a,b)."""
+    from kassette_server_spark.operators.textstats import bpe_merge_steps
+
+    df = spark.createDataFrame([("abab abab ab",)], "text string")
+    rows = [(r.step, r.pair, r.merged, r.freq) for r in
+            bpe_merge_steps(df, k_merges=2).collect()]
+    assert rows == [(1, "a b", "ab", 5), (2, "ab ab", "abab", 2)]
+
+
+def test_bpe_triple_repeat_left_to_right(spark):
+    """Overlapping occurrences stay greedy left-to-right: 'aaa' with
+    winning pair (a,a) merges positions (0,1) only → 'aa a', never
+    'a aa'. Corpus 'aaaa aaaa': merge 1 (a,a) freq 6 (three adjacent
+    pairs per word, overlap-counted); apply → 'aa aa'; merge 2 is then
+    ('aa aa' → 'aaaa', 2)."""
+    from kassette_server_spark.operators.textstats import bpe_merge_steps
+
+    df = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    rows = [(r.step, r.pair, r.merged, r.freq) for r in
+            bpe_merge_steps(df, k_merges=2).collect()]
+    assert rows == [(1, "a a", "aa", 6), (2, "aa aa", "aaaa", 2)]
+
+
 def test_bpe_single_char_words_no_pairs(spark):
     """One-letter words produce no adjacent pairs; with nothing to
     merge the rule table is empty (limit over an empty frame)."""
