@@ -30,6 +30,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .guards import require_integral
+
 
 # -- two-sample Kolmogorov-Smirnov drift --------------------------------------
 def ks_drift_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -944,6 +946,7 @@ def seasonal_naive_backtest(
     Output: (group, n_scored, sae_season, sae_naive, mase_ratio).
     """
     g, d, v = group_col, date_col, value_col
+    require_integral(daily, v, "seasonal_naive_backtest")
     w = Window.partitionBy(g).orderBy(d)
     lagged = daily.select(
         F.col(g).alias("_g"),

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .guards import require_integral
+
 # 1/log2(i+1) for rank i = 1..10, embedded as repr() literals so Spark
 # and DuckDB parse the identical IEEE doubles (no runtime log2 call —
 # the engines' libm implementations are allowed to differ in the last
@@ -836,6 +838,7 @@ def welch_t_by(
     Output: (group, n1, n0, mean1, mean0, t_stat, welch_dof).
     """
     g, c, v = group_col, class_col, value_col
+    require_integral(df, v, "welch_t_by")
     base = df.where(
         F.col(g).isNotNull() & F.col(c).isNotNull() & F.col(v).isNotNull()
     ).select(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .guards import require_integral
+
 
 # -- compaction planning ------------------------------------------------------
 def compaction_plan(
@@ -217,6 +219,7 @@ def quantile_normalize_summary(
     Output: (group, n, sum_norm, min_norm, max_norm, mean_norm).
     """
     g, v, i, B = group_col, value_col, id_col, n_grid
+    require_integral(df, v, "quantile_normalize_summary")
     base = df.where(
         F.col(g).isNotNull() & F.col(v).isNotNull() & F.col(i).isNotNull()
     ).select(

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .guards import require_integral
+
 
 def grouped_ols(
     df: DataFrame,
@@ -761,6 +763,7 @@ def anova_f(
     or n <= k. Overflow contract: Σv² < 2^63 (dollar-scale money).
     """
     g, v = group_col, value_col
+    require_integral(df, v, "anova_f")
     vals = list(group_values)
     base = df.where(
         F.col(g).isin(*vals) & F.col(v).isNotNull()

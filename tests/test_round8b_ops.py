@@ -126,6 +126,38 @@ def test_welch_hand_case(spark):
     )
 
 
+def test_integer_contract_guard_rejects_double(spark):
+    """The integer-accumulator operators must REFUSE a fractional value
+    column at plan build (ADVICE r8 item 2): Spark's cast('long')
+    truncates toward zero while DuckDB CAST rounds half-to-even, so a
+    double input would silently diverge engine-vs-oracle. Integral
+    (and boolean) columns pass; double raises TypeError naming the op."""
+    from kassette_server_spark.operators.stats import anova_f
+    from kassette_server_spark.operators.governance import (
+        quantile_normalize_summary,
+    )
+    from kassette_server_spark.operators.drift import seasonal_naive_backtest
+    import datetime as dt
+
+    dbl = spark.createDataFrame(
+        [("g", 1, 1.5, "a", dt.date(2024, 1, 1))],
+        "g string, c int, v double, id string, d date",
+    )
+    with pytest.raises(TypeError, match="welch_t_by.*integral"):
+        welch_t_by(dbl, "g", "c", "v")
+    with pytest.raises(TypeError, match="anova_f"):
+        anova_f(dbl, "g", ("g",), "v")
+    with pytest.raises(TypeError, match="quantile_normalize_summary"):
+        quantile_normalize_summary(dbl, "g", "v", "id")
+    with pytest.raises(TypeError, match="seasonal_naive_backtest"):
+        seasonal_naive_backtest(dbl, "g", "d", "v")
+    # int passes the guard (plan builds)
+    ints = spark.createDataFrame(
+        [("g", 1, 2), ("g", 0, 3)], "g string, c int, v int"
+    )
+    assert welch_t_by(ints, "g", "c", "v").count() == 1
+
+
 def test_welch_small_class_null(spark):
     df = spark.createDataFrame(
         [("g", 1, 5), ("g", 0, 1), ("g", 0, 2)], "g string, c int, v long"
