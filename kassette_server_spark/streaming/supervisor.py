@@ -75,12 +75,28 @@ class StreamingSupervisor:
         #: enable-then-disable left a waiter to start a query for a
         #: now-disabled connection that nothing would ever stop.
         self._pending_start: dict[int, object] = {}
+        #: cid -> repr(exception) of the most recent FAILED start. A
+        #: start that throws (bad config, checkpoint corruption) used
+        #: to die silently on its waiter daemon thread, leaving the
+        #: connection enabled-but-never-running with no surfaced error
+        #: (ADVICE r8 item 3); now the failure is recorded here, read
+        #: via ``failed_starts``, and cleared by the next successful
+        #: start or disable of the same cid.
+        self._failed: dict[int, str] = {}
         # RLock: _finish_start -> _start may be re-entered by callbacks
         self._lock = threading.RLock()
 
     @property
     def running(self) -> dict[int, object]:
         return dict(self._queries)
+
+    @property
+    def failed_starts(self) -> dict[int, str]:
+        """cid -> error repr for connections whose last start THREW.
+        Health surfaces (M3 /router-job-status) should report these —
+        an enabled connection in here is down, not pending."""
+        with self._lock:
+            return dict(self._failed)
 
     def busy_reason(self) -> str | None:
         """A human-readable reason the supervisor is NOT quiescent
@@ -127,6 +143,7 @@ class StreamingSupervisor:
                 # supersede any queued start for this cid: its waiter
                 # will find its token gone and do nothing
                 self._pending_start.pop(cid, None)
+                self._failed.pop(cid, None)  # disabled ≠ failed
                 q = self._queries.pop(cid, None)
                 self._conns.pop(cid, None)
             if q is not None:
@@ -176,15 +193,44 @@ class StreamingSupervisor:
 
     def _finish_start(self, cid: int, conn: Connection, token: object) -> None:
         """Go live iff this start still owns the cid (its token was not
-        superseded by a later apply()). The check and the registration
-        are one critical section, so a disable arriving after the check
-        always finds the query in ``_queries`` and stops it."""
+        superseded by a later apply()).
+
+        The slow ``_start`` (a Spark streaming-query start can take
+        seconds) runs OUTSIDE the lock — holding it across the start
+        froze ``busy_reason()`` (hence ledger compaction's quiescence
+        probe) and ``apply()`` for the duration (ADVICE r8 item 3).
+        The token STAYS in ``_pending_start`` while the start runs, so
+        quiescence still sees a queued start, and the post-start
+        critical section re-checks ownership: a disable or newer start
+        that arrived mid-start superseded the token, and the query this
+        thread just created — which nothing registered — is stopped
+        here rather than leaking beside its successor. A throwing
+        ``_start`` is recorded in ``_failed`` instead of silently
+        killing the waiter daemon thread."""
         with self._lock:
             if self._pending_start.get(cid) is not token:
                 return  # superseded: disabled, or a newer start owns cid
-            self._pending_start.pop(cid, None)
-            self._queries[cid] = self._start(conn)
-            self._conns[cid] = conn
+            # claim WITHOUT popping: the token doubles as the
+            # in-flight placeholder for busy_reason/supersede checks
+        try:
+            q = self._start(conn)
+        except Exception as exc:  # noqa: BLE001 — any start failure
+            with self._lock:
+                if self._pending_start.get(cid) is token:
+                    self._pending_start.pop(cid, None)
+                    self._failed[cid] = repr(exc)
+            return
+        with self._lock:
+            if self._pending_start.get(cid) is token:
+                self._pending_start.pop(cid, None)
+                self._queries[cid] = q
+                self._conns[cid] = conn
+                self._failed.pop(cid, None)
+                return
+        # superseded while starting: stop the orphan we just created
+        # (background drain keeps this thread off the slow path; a
+        # queued successor start will chain behind it via _stopping)
+        self._begin_stop(cid, q)
 
     def _await_stop(self, cid: int, timeout_s: float | None) -> bool:
         """Join the pending stop; True iff none remains. A timed-out

@@ -239,3 +239,97 @@ def test_busy_reason_reports_activity_and_idle():
     sup.stop_all()
     sup.quiesce()
     assert sup.busy_reason() is None
+
+
+def test_failed_start_is_recorded_not_silent():
+    """A StartFn that throws must surface in failed_starts (ADVICE r8
+    item 3: previously the exception died on the waiter daemon thread,
+    leaving an enabled-but-never-running connection with no error)."""
+    def boom(conn):
+        raise RuntimeError("bad checkpoint")
+
+    sup = StreamingSupervisor(boom)
+    sup.start_all({10: _conn(10)})
+    assert not sup.running
+    assert "RuntimeError" in sup.failed_starts.get(10, "")
+    assert sup.busy_reason() is None  # failure is terminal, not pending
+
+    # a later successful start clears the failure record
+    log: list = []
+    sup2 = StreamingSupervisor(
+        lambda conn: (log.append(("start", conn.id)), FakeQuery(conn.id, log))[1]
+    )
+    sup2._failed[10] = "RuntimeError('old')"
+    sup2.start_all({10: _conn(10)})
+    assert sup2.failed_starts == {}
+    sup2.stop_all()
+
+    # disabling a failed connection clears the record too
+    sup.apply(ConfigDiff(added=(), removed=(), changed=(10,)),
+              {10: _conn(10, enabled=False)})
+    assert sup.failed_starts == {}
+
+
+def test_busy_reason_not_blocked_by_slow_start():
+    """busy_reason() (the ledger-compaction quiescence probe) must
+    answer promptly WHILE a slow _start is in flight — the lock is no
+    longer held across the start (ADVICE r8 item 3); the in-flight
+    start shows as a queued start for its cid."""
+    import threading as _t
+    import time as _time
+
+    gate = _t.Event()
+    started = _t.Event()
+    log: list = []
+
+    def slow_start(conn):
+        started.set()
+        assert gate.wait(10)
+        return FakeQuery(conn.id, log)
+
+    sup = StreamingSupervisor(slow_start)
+    # start_all runs _finish_start on the calling thread via the fast
+    # path, so drive it from a helper thread to observe concurrency
+    t = _t.Thread(target=lambda: sup.start_all({10: _conn(10)}), daemon=True)
+    t.start()
+    assert started.wait(10)
+    t0 = _time.monotonic()
+    reason = sup.busy_reason()
+    assert _time.monotonic() - t0 < 2.0  # promptly, not after the start
+    assert reason is not None and "10" in reason  # queued start visible
+    gate.set()
+    t.join(10)
+    assert set(sup.running) == {10}
+    sup.stop_all()
+
+
+def test_disable_during_slow_start_stops_orphan():
+    """A disable that lands WHILE _start is executing supersedes the
+    token; the query the start thread created must be stopped, not
+    leaked beside an empty registry."""
+    import threading as _t
+
+    gate = _t.Event()
+    started = _t.Event()
+    log: list = []
+    made: list = []
+
+    def slow_start(conn):
+        started.set()
+        assert gate.wait(10)
+        q = FakeQuery(conn.id, log)
+        made.append(q)
+        return q
+
+    sup = StreamingSupervisor(slow_start)
+    t = _t.Thread(target=lambda: sup.start_all({10: _conn(10)}), daemon=True)
+    t.start()
+    assert started.wait(10)
+    # disable arrives mid-start: supersedes the pending token
+    sup.apply(ConfigDiff(added=(), removed=(), changed=(10,)),
+              {10: _conn(10, enabled=False)})
+    gate.set()
+    t.join(10)
+    sup.quiesce()  # orphan stop drains on a background thread
+    assert not sup.running
+    assert len(made) == 1 and made[0].stopped  # orphan was stopped
