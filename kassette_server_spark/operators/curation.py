@@ -157,6 +157,42 @@ def sequence_packing(
     )
 
 
+def sequence_packing_from_counts(
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    tokens_per_shard: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """:func:`sequence_packing` generalized to a PRE-COMPUTED token
+    count column — the packing half decoupled from the counting half,
+    so real tokenizer counts (``textstats.bpe_token_counts``) drive
+    shard boundaries instead of the ceil(len/4) whitespace heuristic.
+    Same plan shape: deterministic hash buckets, per-bucket running
+    sums (no global cumsum), shard id = bucket-local floor division.
+
+    Output: (doc_id, bucket, n_tokens, start_offset, shard_id).
+    """
+    base = counts.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long").alias("bucket"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return base.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    ).withColumn(
+        "shard_id", F.floor(F.col("start_offset") / tokens_per_shard).cast("long")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

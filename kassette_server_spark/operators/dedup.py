@@ -699,6 +699,130 @@ def duplicated_span_stats(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Substring dedup REMOVAL — the operator :func:`duplicated_span_stats`
+    profiles (Lee et al., ACL 2022: "we remove from the dataset all but
+    one of the duplicated substrings"): every k-token gram that occurs
+    more than once corpus-wide keeps its FIRST occurrence (min (doc,
+    pos) — deterministic canonical order) and every other occurrence's
+    token span [pos, pos+k-1] is cut from its document; the cleaned
+    text is the surviving tokens re-joined in order.
+
+    Scale shape — never all-pairs, same backbone as the profile:
+    1. ONE shuffle of (id, pos, digest) keyed by the 8-byte gram
+       digest; a row_number window picks each gram's keeper.
+    2. Non-keeper duplicated grams explode to their <= k covered token
+       positions — output volume is k x duplicated-positions, bounded
+       by k x corpus token count and in practice by the dup ratio.
+    3. One distinct + one ANTI join on (id, token_pos) against the
+       exploded token frame, then one per-doc ordered re-concat.
+    The exchanges carry digests, ids, and positions — never document
+    text — until the final per-doc aggregate.
+
+    Engine/oracle note (the q92 contract): the engine clusters grams
+    by ``xxhash64(gram)`` while the oracle uses the gram string; they
+    agree absent a 64-bit collision. The keeper tie-break (id, pos) is
+    total, so both engines pick the identical occurrence.
+
+    Output: (doc_id, n_tokens, n_removed, cleaned_text); documents
+    shorter than k tokens pass through untouched.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    grams = positional_kgrams(base, "_txt", "id", k).select(
+        "id", "pos", F.xxhash64("gram").alias("g")
+    )
+    occ_w = Window.partitionBy("g")
+    keep_w = Window.partitionBy("g").orderBy("id", "pos")
+    marked = grams.select(
+        "id",
+        "pos",
+        (F.count("*").over(occ_w) > 1).alias("_dup"),
+        (F.row_number().over(keep_w) == 1).alias("_keeper"),
+    )
+    covered = (
+        marked.where(F.col("_dup") & ~F.col("_keeper"))
+        .select(
+            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tp")
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "id", F.posexplode(tokens("_txt")).alias("tp0", "tok")
+    ).select("id", (F.col("tp0") + 1).alias("tp"), "tok")
+    kept = toks.join(covered, ["id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda x: x.tok,
+            ),
+        ).alias("cleaned_text"),
+    )
+    n_tok = F.size(tokens("_txt")).cast("long")
+    return (
+        base.select("id", n_tok.alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+def remove_duplicated_spans_oracle_sql(
+    source_sql: str, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> str:
+    """DuckDB mirror of :func:`remove_duplicated_spans` (gram strings
+    instead of digests; identical keeper tie-break and span algebra)."""
+    i, t = id_col, text_col
+    return f"""
+    WITH src AS ({source_sql}),
+    toks AS (SELECT {i} AS id, string_split({t}, ' ') AS tl FROM src),
+    grams AS (
+      SELECT id, u.i AS pos, array_to_string(tl[u.i:u.i+{k - 1}], ' ') AS gram
+      FROM toks,
+           unnest(CAST(range(1, greatest(len(tl) - {k} + 2, 1)) AS BIGINT[])) AS u(i)
+    ),
+    marked AS (
+      SELECT id, pos,
+             count(*) OVER (PARTITION BY gram) > 1 AS dup,
+             row_number() OVER (PARTITION BY gram ORDER BY id, pos) = 1 AS keeper
+      FROM grams
+    ),
+    covered AS (
+      SELECT DISTINCT id, pos + u.o AS tp
+      FROM marked, unnest(CAST(range(0, {k}) AS BIGINT[])) AS u(o)
+      WHERE dup AND NOT keeper
+    ),
+    tokpos AS (
+      SELECT id, u.i AS tp, tl[u.i] AS tok
+      FROM toks, unnest(CAST(range(1, len(tl) + 1) AS BIGINT[])) AS u(i)
+    ),
+    kept AS (
+      SELECT tokpos.* FROM tokpos
+      ANTI JOIN covered USING (id, tp)
+    ),
+    rebuilt AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tp) AS cleaned_text
+      FROM kept GROUP BY id
+    )
+    SELECT toks.id AS {i},
+           CAST(len(toks.tl) AS BIGINT) AS n_tokens,
+           CAST(len(toks.tl) - COALESCE(rebuilt.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(rebuilt.cleaned_text, '') AS cleaned_text
+    FROM toks LEFT JOIN rebuilt USING (id)
+    """
+
+
 # -- prefix-filtered exact set-similarity join --------------------------------
 def prefix_filtered_jaccard_pairs(
     df: DataFrame,

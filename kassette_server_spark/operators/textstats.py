@@ -491,13 +491,45 @@ def bpe_merge_steps(
 
     Output: (step, pair, merged, freq) — one row per learned rule.
     """
-    words = (
+    words = _bpe_word_freq(df, text_col)
+    rules, _ = _bpe_learn(words, k_merges)
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) corpus vocabulary frame — the ONE corpus scan of
+    BPE training; everything after is vocabulary-bounded."""
+    return (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+
+
+def _bpe_learn(
+    words: DataFrame, k_merges: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE learn loop over a (word, freq) vocabulary frame.
+
+    Returns (rule_frames, final_sym): ``rule_frames`` is one 1-row
+    (step, pair, merged, freq) frame per round (empty when the pair
+    space ran dry), ``final_sym`` is (word, sym, freq) after every
+    learned rule has been applied — the word→tokenization map that
+    :func:`bpe_token_counts` consumes.
+
+    The per-round replace rides a broadcast LEFT join on a constant-
+    true condition (1-row build side): when a round's winner exists the
+    join multiplies nothing and the replace applies; when the pair
+    frame is EMPTY the null-extended row leaves ``sym`` untouched, so
+    a corpus that runs out of pairs (all single-symbol words) keeps its
+    vocabulary instead of cross-joining it away to an empty frame.
+    """
     sym = words.select(
+        "word",
         F.concat(
             F.lit(" "),
             F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
@@ -506,7 +538,7 @@ def bpe_merge_steps(
         "freq",
     ).localCheckpoint(eager=False)
 
-    rules = []
+    rules: list[DataFrame] = []
     for step in range(1, k_merges + 1):
         pair_list = F.expr(
             "transform(slice(split(trim(sym), '  '), 1, "
@@ -531,26 +563,150 @@ def bpe_merge_steps(
             # replace below and the output row can't recompute divergently
         )
         rules.append(best)
+        rule = best.select(
+            F.col("pair").alias("_r_pair"), F.col("merged").alias("_r_merged")
+        )
         sym = (
-            sym.crossJoin(F.broadcast(best.select("pair", "merged")))
+            sym.join(F.broadcast(rule), F.lit(True), "left")
             .select(
-                F.replace(
-                    F.col("sym"),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
-                        F.lit(" "),
-                    ),
-                    F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
-                ).alias("sym"),
+                "word",
+                F.when(F.col("_r_pair").isNull(), F.col("sym"))
+                .otherwise(
+                    F.replace(
+                        F.col("sym"),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(
+                                F.col("_r_pair"), F.lit(" "), F.lit("  ")
+                            ),
+                            F.lit(" "),
+                        ),
+                        F.concat(F.lit(" "), F.col("_r_merged"), F.lit(" ")),
+                    )
+                )
+                .alias("sym"),
                 "freq",
             )
             .localCheckpoint(eager=False)
         )
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+    return rules, sym
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_merges: int = 3,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Tokenize the corpus WITH the BPE rules :func:`bpe_merge_steps`
+    learns — the apply half of tokenizer training, answering "how many
+    REAL tokens is this corpus" (the question whitespace counts only
+    approximate). Learning and application share :func:`_bpe_learn`,
+    so the tokenization is exactly the greedy left-to-right semantics
+    of the learned rules, in learned order.
+
+    Plan: learning never rescans the corpus (vocabulary-bounded
+    rounds); application is ONE word-level join — the per-WORD token
+    count from the final symbol frame joins the exploded (doc, word)
+    frame, then one aggregate by doc. The vocabulary frame is
+    broadcast by default (even a 10M-type vocabulary is ~100s of MB);
+    set ``broadcast_vocab=False`` past that and the join shuffles on
+    the word key instead (stopword skew is bounded: the build side is
+    1 row per word, so AQE's skew split handles the probe side).
+
+    Docs whose every whitespace token is empty (or empty docs) report
+    zero counts rather than dropping (left join + coalesce).
+
+    Output: (id, n_words, n_bpe_tokens) — n_words is the whitespace
+    count, n_bpe_tokens the post-merge symbol count; their ratio is
+    the compression the learned vocabulary buys.
+    """
+    words = _bpe_word_freq(df, text_col)
+    _, final_sym = _bpe_learn(words, k_merges)
+    wtok = final_sym.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), "  ")).cast("long").alias("_wt"),
+    )
+    if broadcast_vocab:
+        wtok = F.broadcast(wtok)
+    docw = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    per_doc = docw.join(wtok, "word").groupBy("_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("_wt").alias("n_bpe_tokens"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_token_counts_oracle_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_merges: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`bpe_token_counts`: the learn CTE chain
+    of :func:`bpe_merge_oracle_sql` carrying the word column, then the
+    same word-level join + per-doc aggregate. The per-round replace is
+    a LEFT JOIN ON TRUE (not CROSS JOIN) so an empty winner leaves the
+    symbol frame intact — mirroring the engine's null-guard."""
+    i, t = id_col, text_col
+    ctes = [
+        f"src AS ({source_sql})",
+        f"w AS (SELECT unnest(string_split({t}, ' ')) AS word FROM src)",
+        "wc AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY 1)",
+        "s0 AS (SELECT word, ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g'))"
+        " || ' ' AS sym, freq FROM wc)",
+    ]
+    for k in range(1, k_merges + 1):
+        prev = f"s{k - 1}"
+        ctes.append(
+            f"p{k} AS (SELECT pr AS pair, sum(freq) AS freq FROM ("
+            f"SELECT unnest(list_transform(list_zip(a, a[2:]), "
+            f"x -> CASE WHEN x[2] IS NOT NULL THEN x[1] || ' ' || x[2] END)) AS pr, freq "
+            f"FROM (SELECT string_split(trim(sym), '  ') AS a, freq FROM {prev})"
+            f") WHERE pr IS NOT NULL GROUP BY 1)"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT pair, replace(pair, ' ', '') AS merged "
+            f"FROM p{k} ORDER BY freq DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT {prev}.word, CASE WHEN b.pair IS NULL THEN sym "
+            f"ELSE replace(sym, ' ' || replace(b.pair, ' ', '  ') || ' ', "
+            f"' ' || b.merged || ' ') END AS sym, {prev}.freq AS freq "
+            f"FROM {prev} LEFT JOIN b{k} b ON TRUE)"
+        )
+    ctes.append(
+        f"wtok AS (SELECT word, CAST(len(string_split(trim(sym), '  ')) "
+        f"AS BIGINT) AS wt FROM s{k_merges})"
+    )
+    ctes.append(
+        f"dw AS (SELECT {i} AS _id, unnest(string_split({t}, ' ')) AS word "
+        f"FROM src)"
+    )
+    ctes.append(
+        "per_doc AS (SELECT _id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(wt) AS BIGINT) AS n_bpe_tokens "
+        "FROM dw JOIN wtok USING (word) WHERE dw.word <> '' GROUP BY 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT src.{i} AS {i}, "
+        f"CAST(COALESCE(per_doc.n_words, 0) AS BIGINT) AS n_words, "
+        f"CAST(COALESCE(per_doc.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens "
+        f"FROM src LEFT JOIN per_doc ON src.{i} = per_doc._id"
+    )
 
 
 def bpe_merge_oracle_sql(

@@ -29,6 +29,7 @@ from . import round7 as _round7  # noqa: F401,E402  (q144-q157)
 from . import round8 as _round8  # noqa: F401,E402  (q158-q172)
 from . import round8b as _round8b  # noqa: F401,E402  (q173+)
 from . import round8c as _round8c  # noqa: F401,E402  (q202+ — TPC-H completion)
+from . import round9 as _round9  # noqa: F401,E402  (q213-q215 — BPE apply, substring removal)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import

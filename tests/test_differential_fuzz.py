@@ -40,8 +40,10 @@ from conftest import SF_CORRECT, SF_SMOKE
 from kassette_server_spark.catalog import load
 
 SEED = 20260813
-N_QUERIES = 200  # raised r8 with the rank-filter / conditional-agg /
-# RANGE-frame shapes so every family keeps >=100 queries of coverage
+N_QUERIES = 280  # raised r9 with the window-over-aggregate /
+# share-pair / double-EXISTS-residual shapes (the TPC-H completion
+# wave's q185/q208, q206/q210, q187 corners) so every family keeps
+# its per-seed coverage as the grammar widens
 
 # (table, integer cols, string cols, date cols) — doubles deliberately
 # excluded (float summation order is engine-dependent)
@@ -345,6 +347,114 @@ def _gen_scalar_subquery_query(rng: random.Random, domains: dict) -> str:
     )
 
 
+def _gen_window_over_agg_query(rng: random.Random, domains: dict) -> str:
+    """Window OVER an aggregate frame (the TPC-H Q15/Q11 shape the r8
+    completion wave pinned as q185/q208, swept here across random
+    tables/filters): aggregate first, then a frame-wide window on the
+    aggregate output, then a filter against the windowed value. The
+    divergence corners: empty-over-() windows, ties at the max, and
+    integer comparison of a group value against a global total."""
+    t = rng.choice(list(TABLES))
+    ints, strs, _dates = TABLES[t]
+    g = rng.choice(strs + ints)
+    a = rng.choice(ints)
+    p = _predicate(rng, t, "t0", domains)
+    inner = (
+        f"SELECT t0.{g} AS g, CAST(sum(t0.{a}) AS BIGINT) AS s, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM {t} t0 "
+        f"WHERE {p} GROUP BY t0.{g}"
+    )
+    variant = rng.random()
+    if variant < 0.35:
+        # Q15: rows tied at the frame-wide max of the aggregate
+        return (
+            f"SELECT g, s FROM (SELECT g, s, max(s) OVER () AS mx "
+            f"FROM ({inner}) agg) w WHERE s = mx "
+            f"ORDER BY g NULLS FIRST, s NULLS FIRST"
+        )
+    if variant < 0.7:
+        # Q11: groups holding more than 1/K of the global total
+        # (integer cross-multiplication, no division)
+        k = rng.choice((20, 50, 100))
+        return (
+            f"SELECT g, s, tot FROM (SELECT g, s, "
+            f"CAST(sum(s) OVER () AS BIGINT) AS tot FROM ({inner}) agg) w "
+            f"WHERE s * {k} > tot "
+            f"ORDER BY g NULLS FIRST, s NULLS FIRST, tot NULLS FIRST"
+        )
+    # top-N of the aggregate by total-order row_number
+    n = rng.choice((1, 3, 5))
+    return (
+        f"SELECT g, s, cnt FROM (SELECT g, s, cnt, row_number() OVER "
+        f"(ORDER BY s DESC NULLS LAST, g NULLS FIRST) AS rn "
+        f"FROM ({inner}) agg) w WHERE rn <= {n} "
+        f"ORDER BY g NULLS FIRST, s NULLS FIRST, cnt NULLS FIRST"
+    )
+
+
+def _gen_share_pair_query(rng: random.Random, domains: dict) -> str:
+    """Numerator/denominator share pairs (the TPC-H Q8/Q14 shape,
+    q206/q210): a conditional sum and its unconditional total from ONE
+    aggregate pass, emitted as an integer pair instead of a division
+    (the declared specs' determinism recipe), grouped by a date part
+    or category, over a join when one is available."""
+    lt, rt, lk, rk = rng.choice(JOINS)
+    aliases = [(lt, "t0"), (rt, "t1")]
+    from_sql = f"{lt} t0 JOIN {rt} t1 ON t0.{lk} = t1.{rk}"
+    # share predicate on either side; group by the other side when
+    # possible so the CASE crosses the join boundary
+    pt, pa = rng.choice(aliases)
+    p = _predicate(rng, pt, pa, domains)
+    gt, ga = rng.choice(aliases)
+    ints_g, strs_g, dates_g = TABLES[gt]
+    if dates_g and rng.random() < 0.5:
+        part = rng.choice(("year", "month"))
+        gcol = f"CAST({part}({ga}.{rng.choice(dates_g)}) AS INTEGER)"
+    else:
+        gcol = f"{ga}.{rng.choice(strs_g + ints_g)}"
+    at, aa = rng.choice(aliases)
+    acol = f"{aa}.{rng.choice(TABLES[at][0])}"
+    num_den = [
+        f"CAST(sum(CASE WHEN {p} THEN {acol} ELSE 0 END) AS BIGINT) AS num",
+        f"CAST(sum({acol}) AS BIGINT) AS den",
+        f"CAST(count(*) FILTER (WHERE {p}) AS BIGINT) AS ncnt",
+        f"CAST(count(*) AS BIGINT) AS dcnt",
+    ]
+    sel = num_den[:2] if rng.random() < 0.5 else num_den
+    names = [s.rsplit(" AS ", 1)[1] for s in sel]
+    order = ", ".join(f"{n} NULLS FIRST" for n in ["g"] + names)
+    return (
+        f"SELECT {gcol} AS g, {', '.join(sel)} FROM {from_sql} "
+        f"GROUP BY {gcol} ORDER BY {order}"
+    )
+
+
+def _gen_double_exists_query(rng: random.Random, domains: dict) -> str:
+    """EXISTS + NOT EXISTS on the SAME correlated table with
+    date-arithmetic residuals (the TPC-H Q21 waiting-supplier shape,
+    q187): the two decorrelated semi/anti joins must compose on one
+    outer row set, each carrying a non-equi residual the hash key
+    cannot absorb. Output is a grouped count so result size stays
+    bounded at every SF."""
+    days1, days2 = rng.choice((30, 60, 90)), rng.choice((15, 45, 120))
+    op1, op2 = rng.choice((">", "<=")), rng.choice((">", "<="))
+    p_outer = _predicate(rng, "orders", "t0", domains)
+    p1 = _predicate(rng, "lineitem", "s1", domains)
+    p2 = _predicate(rng, "lineitem", "s2", domains)
+    g = rng.choice(("o_orderstatus", "o_orderpriority"))
+    return (
+        f"SELECT t0.{g} AS g, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM orders t0 WHERE {p_outer} "
+        f"AND EXISTS (SELECT 1 FROM lineitem s1 "
+        f"WHERE s1.l_orderkey = t0.o_orderkey AND {p1} "
+        f"AND s1.l_shipdate {op1} t0.o_orderdate + INTERVAL {days1} DAY) "
+        f"AND NOT EXISTS (SELECT 1 FROM lineitem s2 "
+        f"WHERE s2.l_orderkey = t0.o_orderkey AND {p2} "
+        f"AND s2.l_shipdate {op2} t0.o_orderdate + INTERVAL {days2} DAY) "
+        f"GROUP BY t0.{g} ORDER BY g NULLS FIRST, cnt NULLS FIRST"
+    )
+
+
 def _gen_setop_query(rng: random.Random, domains: dict) -> str:
     """INTERSECT / EXCEPT nesting (VERDICT r6 #6): set-op DISTINCT
     semantics and duplicate elimination order are engine-internal; the
@@ -375,13 +485,19 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
         return _gen_window_query(rng, domains)
     if shape < 0.38:  # rank-then-filter (WindowGroupLimit shape)
         return _gen_rank_filter_query(rng, domains)
-    if shape < 0.46:  # conditional aggregates (contract predicates)
+    if shape < 0.44:  # conditional aggregates (contract predicates)
         return _gen_conditional_agg_query(rng, domains)
-    if shape < 0.58:  # single table
+    if shape < 0.50:  # window over aggregate (Q15/Q11 — q185/q208)
+        return _gen_window_over_agg_query(rng, domains)
+    if shape < 0.56:  # num/den share pairs (Q8/Q14 — q206/q210)
+        return _gen_share_pair_query(rng, domains)
+    if shape < 0.60:  # EXISTS + NOT EXISTS residuals (Q21 — q187)
+        return _gen_double_exists_query(rng, domains)
+    if shape < 0.68:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
         from_sql = f"{t} t0"
-    elif shape < 0.87:  # FK pair
+    elif shape < 0.90:  # FK pair
         lt, rt, lk, rk = rng.choice(JOINS)
         how = rng.choice(["JOIN", "LEFT JOIN", "LEFT JOIN", "FULL OUTER JOIN"])
         aliases = [(lt, "t0"), (rt, "t1")]

@@ -1042,3 +1042,33 @@ def test_q212_saturation_register_scale_tail(spark):
     assert "SortMergeJoin" not in p
     tree = p.split("\n\n")[0]
     assert "Window" in tree and "HashAggregate" in tree
+
+
+def test_q213_bpe_apply_vocab_join_broadcast(spark):
+    """The apply join (corpus words x word-token-count map) must ride
+    a broadcast of the vocabulary side — the corpus-sized exploded
+    frame keeps its partitioning; and the whole learn/apply pipeline
+    must never produce a cartesian product (the per-round 1-row rule
+    join is a broadcast nested loop, not a CartesianProduct)."""
+    p = plan(spark, "q213_bpe_token_counts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # word -> token-count map join
+
+
+def test_q214_packing_no_global_cumsum(spark):
+    """Packing must window per bucket (hash-partitioned), never a
+    single global cumsum partition."""
+    p = plan(spark, "q214_bpe_sequence_packing")
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(bucket" in p
+
+
+def test_q215_span_removal_no_cartesian_no_text_shuffle(spark):
+    """Span removal clusters grams by their 8-byte digest and anti-
+    joins positions — no cartesian product anywhere, and the document
+    TEXT column stays out of the gram/coverage exchanges (digests,
+    ids, and positions only)."""
+    p = plan(spark, "q215_substring_dedup_removal")
+    assert "CartesianProduct" not in p
+    # gram exchange carries the xxhash64 digest, not the gram string
+    assert "xxhash64" in p

@@ -1,0 +1,137 @@
+"""Unit semantics for the round-9 operators (oracle parity locks
+engine agreement; these lock the MATH on hand-built cases where the
+right answer is known a priori)."""
+
+from __future__ import annotations
+
+from kassette_server_spark.operators.curation import (
+    sequence_packing_from_counts,
+)
+from kassette_server_spark.operators.dedup import remove_duplicated_spans
+from kassette_server_spark.operators.textstats import bpe_token_counts
+
+
+# -- bpe_token_counts ---------------------------------------------------------
+def test_bpe_apply_hand_case(spark):
+    """Corpus 'aaab aaab ab' (the test_bpe_hand_merges corpus) with
+    k=3 learns [a a→aa, a b→ab, aa ab→aaab]; applying all three:
+    'aaab' → aa a b → aa ab → aaab (1 symbol), 'ab' → ab (1 symbol).
+    Doc has 3 words → 3 BPE tokens."""
+    df = spark.createDataFrame([(1, "aaab aaab ab")], "doc_id long, text string")
+    r = bpe_token_counts(df, k_merges=3).collect()[0]
+    assert (r.doc_id, r.n_words, r.n_bpe_tokens) == (1, 3, 3)
+
+
+def test_bpe_apply_known_merge_table(spark):
+    """Two docs sharing a vocabulary: learning runs on the pooled
+    word-frequency table, application is per-word. Corpus 'abc abc' /
+    'abc': freq(abc)=3; merge 1 = (a b→ab) (pairs (a,b)=3, (b,c)=3,
+    tie → 'a b'); merge 2 = (ab c→abc). After k=2, 'abc' is ONE
+    symbol, so each doc's n_bpe_tokens equals its word count."""
+    df = spark.createDataFrame(
+        [(1, "abc abc"), (2, "abc")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_token_counts(df, k_merges=2).collect()}
+    assert (out[1].n_words, out[1].n_bpe_tokens) == (2, 2)
+    assert (out[2].n_words, out[2].n_bpe_tokens) == (1, 1)
+    # fewer merges → more symbols: k=1 leaves 'ab c' = 2 symbols/word
+    out1 = {r.doc_id: r for r in bpe_token_counts(df, k_merges=1).collect()}
+    assert (out1[1].n_words, out1[1].n_bpe_tokens) == (2, 4)
+    assert (out1[2].n_words, out1[2].n_bpe_tokens) == (1, 2)
+
+
+def test_bpe_apply_pair_space_runs_dry(spark):
+    """Single-char words have no adjacent pairs: the learn loop's
+    winner frame is EMPTY every round. The null-guarded replace must
+    leave the vocabulary intact (a cross join would wipe it), so every
+    word still tokenizes to its 1 symbol."""
+    df = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    r = bpe_token_counts(df, k_merges=2).collect()[0]
+    assert (r.n_words, r.n_bpe_tokens) == (4, 4)
+
+
+def test_bpe_apply_empty_doc_zero_counts(spark):
+    """A doc whose tokens are all empty strings (split of '') reports
+    zero counts instead of dropping (left join + coalesce)."""
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_token_counts(df, k_merges=1).collect()}
+    assert (out[2].n_words, out[2].n_bpe_tokens) == (0, 0)
+    assert out[1].n_words == 2
+
+
+# -- sequence_packing_from_counts ---------------------------------------------
+def test_packing_from_counts_hand_case(spark):
+    """Bucket = doc_id % 2; within bucket 0 docs 0,2,4 carry 3,4,5
+    tokens → offsets 0,3,7; shard size 6 → shards 0,0,1."""
+    rows = [(0, 3), (1, 10), (2, 4), (3, 1), (4, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = {
+        r.doc_id: r
+        for r in sequence_packing_from_counts(
+            df, tokens_col="n", tokens_per_shard=6, n_buckets=2
+        ).collect()
+    }
+    assert (out[0].bucket, out[0].start_offset, out[0].shard_id) == (0, 0, 0)
+    assert (out[2].bucket, out[2].start_offset, out[2].shard_id) == (0, 3, 0)
+    assert (out[4].bucket, out[4].start_offset, out[4].shard_id) == (0, 7, 1)
+    assert (out[1].bucket, out[1].start_offset, out[1].shard_id) == (1, 0, 0)
+    assert (out[3].bucket, out[3].start_offset, out[3].shard_id) == (1, 10, 1)
+
+
+# -- remove_duplicated_spans --------------------------------------------------
+def test_span_removal_keeps_first_occurrence(spark):
+    """'a b c' (k=3) appears in docs 1 and 2: doc 1's occurrence is
+    the keeper (min (id, pos)), doc 2 loses the 3-token span; unique
+    text is untouched."""
+    rows = [(1, "a b c d e"), (2, "x a b c y"), (3, "p q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, k=3).collect()}
+    assert (out[1].n_removed, out[1].cleaned_text) == (0, "a b c d e")
+    assert (out[2].n_removed, out[2].cleaned_text) == (3, "x y")
+    assert (out[3].n_removed, out[3].cleaned_text) == (0, "p q")
+
+
+def test_span_removal_within_doc_repetition(spark):
+    """Within-doc repetition counts (the Lee et al. semantics the q92
+    profile documents): 'a b c' twice in ONE doc keeps the first
+    occurrence and cuts the second."""
+    df = spark.createDataFrame(
+        [(1, "a b c z a b c")], "doc_id long, text string"
+    )
+    r = remove_duplicated_spans(df, k=3).collect()[0]
+    assert (r.n_tokens, r.n_removed, r.cleaned_text) == (7, 3, "a b c z")
+
+
+def test_span_removal_overlapping_spans_union(spark):
+    """Overlapping duplicated grams cover the UNION of their spans —
+    tokens are counted once. Doc 2 duplicates doc 1's 'a b c d'
+    (two overlapping 3-grams: 'a b c', 'b c d') → 4 tokens removed,
+    not 6."""
+    rows = [(1, "a b c d"), (2, "x a b c d y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, k=3).collect()}
+    assert out[1].n_removed == 0
+    assert (out[2].n_removed, out[2].cleaned_text) == (4, "x y")
+
+
+def test_span_removal_fully_duplicated_doc_empties(spark):
+    """A doc that is entirely a duplicated span cleans to the empty
+    string (coalesce path) rather than dropping from the output."""
+    rows = [(1, "a b c"), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, k=3).collect()}
+    assert (out[1].n_removed, out[1].cleaned_text) == (0, "a b c")
+    assert (out[2].n_removed, out[2].cleaned_text) == (3, "")
+
+
+def test_span_removal_short_docs_untouched(spark):
+    """Docs shorter than k emit no grams and pass through verbatim,
+    even when they repeat each other (sub-k duplication is exact
+    dedup's job, not span removal's)."""
+    rows = [(1, "p q"), (2, "p q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, k=3).collect()}
+    assert out[1].cleaned_text == "p q" and out[2].cleaned_text == "p q"
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
