@@ -237,6 +237,25 @@ def main() -> None:
             lk = lt.select("l_partkey")
             return join_cardinality_preflight(lk, "l_partkey", lk, "l_partkey")
 
+        from kassette_server_spark.operators.dedup import remove_duplicated_spans
+        from kassette_server_spark.operators.textstats import bpe_token_counts
+
+        def bpe_apply():
+            # learning rounds are vocabulary-bounded (the suffix
+            # amplifier adds ~n copy-tokens to the vocab — negligible);
+            # the apply join + per-doc aggregate are the corpus-sized
+            # part this probe times
+            return bpe_token_counts(d.select("doc_id", "text"), k_merges=3)
+
+        def span_removal():
+            # shuffled amplifier: copies share vocabulary but not
+            # 8-gram adjacency, so duplicated-span density stays
+            # scale-free. The SUFFIX amplifier would make every
+            # interior gram an n-way duplicate — an output-bound
+            # measurement of a duplicate-saturated corpus, not a
+            # bigger one (the LSH true-dup-amplifier distinction).
+            return remove_duplicated_spans(d_shuf.select("doc_id", "text"), k=8)
+
         rows_d, rows_l, rows_o, rows_c = (
             5_000 * scale,
             600_000 * scale,
@@ -252,6 +271,8 @@ def main() -> None:
             "item_item_cosine": (itemcf, rows_l),
             "edit_distance1": (editdist, rows_c),
             "join_cardinality": (joincard, rows_l),
+            "bpe_apply": (bpe_apply, rows_d),
+            "span_removal_shuf": (span_removal, rows_d),
         }
 
     def run_thunk(f) -> float:

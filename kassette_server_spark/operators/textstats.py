@@ -649,6 +649,77 @@ def bpe_token_counts(
     )
 
 
+def bpe_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    k_merges: int = 3,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """The learned vocabulary itself: every post-merge symbol with its
+    corpus frequency and a deterministic integer token id — the
+    (token → id) table a trained tokenizer ships. Ids are assigned by
+    (frequency desc, token asc) dense rank order, so id 1 is the most
+    frequent symbol and ties are total-ordered; ``vocab_size`` keeps
+    the top-V (the OOV cut q194 evaluates).
+
+    Plan: the final symbol frame (|word-vocab| rows) explodes to its
+    symbols — still vocabulary-bounded — then one aggregate and one
+    rank window over the |symbol-vocab|-row result. The corpus is
+    scanned exactly once (inside the shared learn pass).
+
+    Output: (token_id, token, freq).
+    """
+    words = _bpe_word_freq(df, text_col)
+    _, final_sym = _bpe_learn(words, k_merges)
+    symfreq = (
+        final_sym.select(
+            F.explode(F.split(F.trim(F.col("sym")), "  ")).alias("token"),
+            "freq",
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    out = symfreq.select(
+        F.row_number().over(w).cast("long").alias("token_id"), "token", "freq"
+    )
+    if vocab_size is not None:
+        out = out.where(F.col("token_id") <= vocab_size)
+    return out
+
+
+def bpe_vocab_oracle_sql(
+    source_sql: str,
+    text_col: str = "text",
+    k_merges: int = 3,
+    vocab_size: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`bpe_vocab` (reuses the apply chain's
+    learn CTEs, same rank total order)."""
+    base = bpe_token_counts_oracle_sql(source_sql, "doc_id", text_col, k_merges)
+    # reuse the learn chain up to s{k}: take everything before the
+    # apply-side CTEs, which start at "wtok AS"
+    learn_ctes = base.split(",\nwtok AS")[0]
+    cut = f" WHERE token_id <= {vocab_size}" if vocab_size is not None else ""
+    return (
+        learn_ctes + f""",
+    symfreq AS (
+      SELECT u.token, CAST(sum(freq) AS BIGINT) AS freq
+      FROM (SELECT string_split(trim(sym), '  ') AS syms, freq
+            FROM s{k_merges}) s, unnest(s.syms) AS u(token)
+      GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS BIGINT)
+               AS token_id, token, freq
+      FROM symfreq
+    ) v{cut}
+    """
+    )
+
+
 def bpe_token_counts_oracle_sql(
     source_sql: str,
     id_col: str = "doc_id",

@@ -36,7 +36,12 @@ from ..operators.dedup import (
     remove_duplicated_spans,
     remove_duplicated_spans_oracle_sql,
 )
-from ..operators.textstats import bpe_token_counts, bpe_token_counts_oracle_sql
+from ..operators.textstats import (
+    bpe_token_counts,
+    bpe_token_counts_oracle_sql,
+    bpe_vocab,
+    bpe_vocab_oracle_sql,
+)
 from .base import query
 
 _BPE_COUNTS_SQL = bpe_token_counts_oracle_sql(
@@ -82,6 +87,19 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
     return sequence_packing_from_counts(
         counts, tokens_col="n_bpe_tokens", tokens_per_shard=2048, n_buckets=16
     )
+
+
+@query(
+    "q216_bpe_vocab",
+    oracle=bpe_vocab_oracle_sql(
+        "SELECT doc_id, text FROM documents", vocab_size=64
+    ),
+    doc="the learned BPE vocabulary as a (token_id, token, freq) "
+    "table — ids by (freq desc, token) total order, top-64 cut",
+    tags=("llmops", "text"),
+)
+def q216(spark: SparkSession, sf: str) -> DataFrame:
+    return bpe_vocab(load(spark, sf, "documents"), k_merges=3, vocab_size=64)
 
 
 @query(

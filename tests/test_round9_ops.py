@@ -135,3 +135,32 @@ def test_span_removal_short_docs_untouched(spark):
     out = {r.doc_id: r for r in remove_duplicated_spans(df, k=3).collect()}
     assert out[1].cleaned_text == "p q" and out[2].cleaned_text == "p q"
     assert out[1].n_removed == 0 and out[2].n_removed == 0
+
+
+# -- bpe_vocab ----------------------------------------------------------------
+def test_bpe_vocab_hand_case(spark):
+    """Corpus 'abc abc' / 'abc' with k=1 learns (a b→ab); final
+    symbols are 'ab c' per word: freq(ab)=3, freq(c)=3 → ids by
+    (freq desc, token asc): ab=1, c=2."""
+    from kassette_server_spark.operators.textstats import bpe_vocab
+
+    df = spark.createDataFrame(
+        [(1, "abc abc"), (2, "abc")], "doc_id long, text string"
+    )
+    rows = [(r.token_id, r.token, r.freq)
+            for r in bpe_vocab(df, k_merges=1).orderBy("token_id").collect()]
+    assert rows == [(1, "ab", 3), (2, "c", 3)]
+
+
+def test_bpe_vocab_size_cut(spark):
+    """vocab_size keeps exactly the top-V ids of the total order."""
+    from kassette_server_spark.operators.textstats import bpe_vocab
+
+    df = spark.createDataFrame(
+        [(1, "ab cd ab ef")], "doc_id long, text string"
+    )
+    full = bpe_vocab(df, k_merges=1).count()
+    cut = bpe_vocab(df, k_merges=1, vocab_size=2)
+    rows = cut.orderBy("token_id").collect()
+    assert len(rows) == 2 and full > 2
+    assert rows[0].token_id == 1 and rows[1].token_id == 2
