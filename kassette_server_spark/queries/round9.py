@@ -29,6 +29,7 @@ locked meanwhile by tests/test_oracle_parity*.py at two SFs).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.curation import sequence_packing_from_counts
@@ -113,3 +114,77 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q215(spark: SparkSession, sf: str) -> DataFrame:
     return remove_duplicated_spans(load(spark, sf, "documents"), k=8)
+
+
+# q217: the LLM-data sibling of q28's reference-pipeline e2e — the
+# whole curation chain as ONE declarative plan: exact dedup (keep
+# min doc_id per md5 digest) → substring span removal (k=8) → BPE
+# tokenization with the cleaned corpus's own learned merges (k=3) →
+# shard packing (2048 tokens, 16 buckets) → per-shard summary. Every
+# stage is an already-oracled operator; the value of the spec is that
+# the COMPOSITION holds end-to-end (each stage consumes the previous
+# stage's exact output, engine and oracle both).
+_CLEANED_SRC = (
+    "SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER "
+    "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) d "
+    "WHERE rn = 1"
+)
+_PIPE_COUNTS_SQL = bpe_token_counts_oracle_sql(
+    f"SELECT doc_id, cleaned_text AS text FROM ("
+    f"{remove_duplicated_spans_oracle_sql(_CLEANED_SRC)}) c"
+)
+
+
+@query(
+    "q217_curation_pipeline_e2e",
+    oracle=f"""
+    WITH counts AS ({_PIPE_COUNTS_SQL}),
+    t AS (
+      SELECT doc_id, doc_id % 16 AS bucket,
+             CAST(n_bpe_tokens AS BIGINT) AS n_tokens
+      FROM counts),
+    c AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS start_offset
+      FROM t),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens, start_offset,
+             CAST(floor(start_offset / 2048) AS BIGINT) AS shard_id
+      FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket, shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY 1, 2
+    """,
+    doc="LLM-curation e2e: exact dedup -> substring span removal -> "
+    "learned-BPE tokenization -> shard packing -> per-shard summary, "
+    "one composed plan",
+    tags=("llmops", "dedup", "curation", "e2e"),
+)
+def q217(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cleaned = remove_duplicated_spans(deduped, k=8).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    counts = bpe_token_counts(cleaned, k_merges=3)
+    packed = sequence_packing_from_counts(
+        counts, tokens_col="n_bpe_tokens", tokens_per_shard=2048, n_buckets=16
+    )
+    return packed.groupBy("bucket", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -1072,3 +1072,14 @@ def test_q215_span_removal_no_cartesian_no_text_shuffle(spark):
     assert "CartesianProduct" not in p
     # gram exchange carries the xxhash64 digest, not the gram string
     assert "xxhash64" in p
+
+
+def test_q217_pipeline_composition_no_cartesian(spark):
+    """The composed curation chain (dedup -> span removal -> BPE ->
+    packing -> summary) must stay cartesian-free end-to-end and keep
+    the gram exchange on digests (xxhash64), with the packing window
+    per-bucket — the three stage-level locks composed."""
+    p = plan(spark, "q217_curation_pipeline_e2e")
+    assert "CartesianProduct" not in p
+    assert "xxhash64" in p
+    assert "hashpartitioning(bucket" in p

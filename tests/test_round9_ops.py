@@ -164,3 +164,49 @@ def test_bpe_vocab_size_cut(spark):
     rows = cut.orderBy("token_id").collect()
     assert len(rows) == 2 and full > 2
     assert rows[0].token_id == 1 and rows[1].token_id == 2
+
+
+# -- q217 curation pipeline e2e ----------------------------------------------
+def test_curation_pipeline_conserves_tokens(spark):
+    """The composed chain must conserve counts stage-to-stage: the
+    shard summary's total tokens equals the BPE token total of the
+    deduped+cleaned corpus, and every surviving doc lands in exactly
+    one shard row's [first_doc, last_doc] bucket range."""
+    from pyspark.sql import functions as F
+    from kassette_server_spark.queries import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    out = all_specs()["q217_curation_pipeline_e2e"].fn(spark, sf)
+    rows = out.collect()
+    total_summary = sum(r.shard_tokens for r in rows)
+    n_docs_summary = sum(r.n_docs for r in rows)
+
+    from kassette_server_spark.catalog import load
+    from kassette_server_spark.operators.dedup import remove_duplicated_spans
+    from kassette_server_spark.operators.textstats import bpe_token_counts
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = docs.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    ).drop("_rn")
+    cleaned = remove_duplicated_spans(deduped, k=8).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    counts = bpe_token_counts(cleaned, k_merges=3)
+    agg = counts.agg(
+        F.count("*").alias("n"), F.sum("n_bpe_tokens").alias("s")
+    ).collect()[0]
+    assert n_docs_summary == agg.n
+    assert total_summary == agg.s
+    # shards are per-bucket contiguous: within a bucket, shard ids are
+    # dense from 0 and doc ranges are non-overlapping in order
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.shard_id)
+        assert [r.shard_id for r in rs] == list(range(len(rs)))
+        for a, c in zip(rs, rs[1:]):
+            assert a.last_doc < c.first_doc
