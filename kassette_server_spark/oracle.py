@@ -108,6 +108,13 @@ def compare(spark: SparkSession, spec: QuerySpec, sf_dir: str) -> CompareResult:
 
     a, b = _normalize(sdf), _normalize(odf)
     try:
+        # check_dtype=False is SAFE here, not lax: the _hash_dtype gate
+        # above already failed any dtype pair the driver's hash would
+        # distinguish; what remains are width aliases within one hash
+        # class (e.g. int32 vs int64 both hash as integers after
+        # normalization), where a dtype re-check would only re-reject
+        # combinations the gate deliberately admits. Do not "fix" this
+        # into check_dtype=True.
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     except AssertionError as e:
         msg = str(e).splitlines()
