@@ -642,3 +642,261 @@ def encode_media_payloads_ext(df: DataFrame, id_col: str = "doc_id") -> DataFram
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
 
     return df.mapInPandas(batches, schema=f"{id_col} long, payload binary")
+
+
+# --- media transforms (round 9): resize / downsample / frame-sample ---------
+#
+# The brief's multimodal list is decode / feature-extract / resize /
+# frame-sample. With no PIL/ffmpeg in the environment, three of the
+# four are still REAL for uncompressed containers — nearest-neighbor
+# resize on 24bpp BMP pixel arrays, PCM decimation on WAV sample
+# frames, and every-Nth-frame selection on GIF block streams are pure
+# stdlib byte surgery. Full-pixel JPEG/video transforms remain behind
+# the frame_sample/real_decode NotImplementedError plug points.
+
+
+def encode_bmp_pixels(width: int, height: int, pixels: bytes) -> bytes:
+    """encode_bmp with a caller-supplied bottom-up padded pixel array
+    (length must be row_stride x height)."""
+    base = encode_bmp(width, height, 24)
+    row_bytes = ((width * 24 + 31) // 32) * 4
+    if len(pixels) != row_bytes * height:
+        raise ValueError("pixel array length does not match dimensions")
+    return base[: 14 + 40] + pixels
+
+
+def formula_bmp_pixels(seed: int, width: int, height: int) -> bytes:
+    """Deterministic per-channel pixel formula (oracle-computable in
+    closed form): at (x, y) — y counted from the BOTTOM row, matching
+    BMP's bottom-up layout — B=(seed+x+y)%256, G=(seed+2x+y)%256,
+    R=(seed+x+2y)%256."""
+    row_bytes = ((width * 24 + 31) // 32) * 4
+    rows = []
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            line.append((seed + x + y) % 256)
+            line.append((seed + 2 * x + y) % 256)
+            line.append((seed + x + 2 * y) % 256)
+        line += b"\x00" * (row_bytes - len(line))
+        rows.append(bytes(line))
+    return b"".join(rows)
+
+
+def resize_bmp_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a bottom-up 24bpp BMP: source
+    pixel for destination (x, y) is (x*w div new_w, y*h div new_h).
+    Validates via the real parser first; emits a fully consistent BMP."""
+    meta = parse_bmp_meta(payload)
+    if meta["bpp"] != 24 or meta["top_down"]:
+        raise ValueError("resize supports bottom-up 24bpp BMPs")
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("target dimensions must be positive")
+    w, h = meta["width"], meta["height"]
+    (_fs, _r1, _r2, offset) = struct.unpack_from("<IHHI", payload, 2)
+    row = ((w * 24 + 31) // 32) * 4
+    nrow = ((new_w * 24 + 31) // 32) * 4
+    out = bytearray()
+    for y in range(new_h):
+        sy = y * h // new_h
+        src = offset + sy * row
+        line = bytearray()
+        for x in range(new_w):
+            sx = x * w // new_w
+            p = src + 3 * sx
+            line += payload[p : p + 3]
+        line += b"\x00" * (nrow - len(line))
+        out += line
+    return encode_bmp_pixels(new_w, new_h, bytes(out))
+
+
+def bmp_channel_stats(payload: bytes) -> dict:
+    """REAL feature extraction from a 24bpp BMP pixel array: per-channel
+    BIGINT sums + pixel count (padding bytes excluded). Means are the
+    caller's one division."""
+    meta = parse_bmp_meta(payload)
+    if meta["bpp"] != 24 or meta["top_down"]:
+        raise ValueError("stats support bottom-up 24bpp BMPs")
+    w, h = meta["width"], meta["height"]
+    (_fs, _r1, _r2, offset) = struct.unpack_from("<IHHI", payload, 2)
+    row = ((w * 24 + 31) // 32) * 4
+    sb = sg = sr = 0
+    for y in range(h):
+        base = offset + y * row
+        for x in range(w):
+            p = base + 3 * x
+            sb += payload[p]
+            sg += payload[p + 1]
+            sr += payload[p + 2]
+    return {"n_px": w * h, "sum_b": sb, "sum_g": sg, "sum_r": sr}
+
+
+def downsample_wav_payload(payload: bytes, factor: int) -> bytes:
+    """REAL PCM decimation: keep every ``factor``-th sample frame and
+    divide the sample rate, preserving duration. The rate must divide
+    exactly (a fractional rate would silently drift duration)."""
+    meta = parse_wav_meta(payload)
+    rate, ch = meta["sample_rate"], meta["channels"]
+    if factor < 1 or rate % factor != 0:
+        raise ValueError("factor must divide the sample rate exactly")
+    # locate the data chunk bytes (parse_wav_meta validated structure)
+    pos, data = 12, b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + length]
+            break
+        pos += 8 + length + (length & 1)
+    block = ch * 2
+    n = len(data) // block
+    kept = b"".join(data[i * block : (i + 1) * block] for i in range(0, n, factor))
+    return encode_wav(len(kept) // block, rate // factor, ch, kept)
+
+
+def sample_gif_frames_payload(payload: bytes, every_n: int) -> bytes:
+    """REAL GIF frame sampling: walk the block stream (the
+    parse_gif_meta walk, but collecting byte ranges) and keep every
+    ``every_n``-th image descriptor with its pending extension blocks
+    (a GCE binds to the frame that follows it); dropped frames drop
+    their extensions with them. Emits a structurally valid GIF with
+    the same screen descriptor."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    parse_gif_meta(payload)  # full structural validation up front
+    width, height, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    head = payload[:pos]
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+
+    out = bytearray(head)
+    pending_start = None  # start of the extension run before a frame
+    frame_idx = 0
+    while True:
+        block = payload[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pending_start is None:
+                pending_start = pos
+            pos = skip_subblocks(pos + 2)
+        elif block == 0x2C:
+            start = pending_start if pending_start is not None else pos
+            p = pos + 10
+            (_l, _t, _fw, _fh, ipacked) = struct.unpack_from("<HHHHB", payload, pos + 1)
+            if ipacked & 0x80:
+                p += 3 * (2 << (ipacked & 0x07))
+            p += 1
+            p = skip_subblocks(p)
+            if frame_idx % every_n == 0:
+                out += payload[start:p]
+            frame_idx += 1
+            pending_start = None
+            pos = p
+    out += b"\x3b"
+    return bytes(out)
+
+
+def transform_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The transform tier over real containers, routed by doc_id % 3:
+    0 → BMP (8+id%16 x 8+(3id)%12, formula pixels) RESIZED to half
+    dimensions; 1 → WAV (256+id%1024 samples at 8000+100(id%80) Hz)
+    DECIMATED by 2; 2 → GIF (16+id%32 x 16+(5id)%32, 1+id%8 frames)
+    frame-SAMPLED every 2nd. Each payload is re-parsed by the real
+    decoder AFTER the transform, so a hash match proves the
+    encode → transform → decode round trip; expected values are
+    closed-form in the id (the q84 oracle recipe).
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle; at 100 TB the payloads come from parquet binary columns
+    and the same function maps over them unchanged.
+
+    Output: (doc_id, kind, width, height, n_frames, sample_rate,
+    n_samples, duration_ms) — post-transform values, NULL where the
+    kind has no such field.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                m = i % 3
+                if m == 0:
+                    w, h = 8 + i % 16, 8 + (i * 3) % 12
+                    bmp = encode_bmp_pixels(w, h, formula_bmp_pixels(i, w, h))
+                    rz = resize_bmp_payload(bmp, w // 2, h // 2)
+                    meta = parse_bmp_meta(rz)
+                    rows.append((i, "bmp", meta["width"], meta["height"],
+                                 None, None, None, None))
+                elif m == 1:
+                    wav = encode_wav(256 + i % 1024, 8000 + 100 * (i % 80))
+                    ds = downsample_wav_payload(wav, 2)
+                    meta = parse_wav_meta(ds)
+                    rows.append((i, "wav", None, None, None,
+                                 meta["sample_rate"], meta["n_samples"],
+                                 meta["duration_ms"]))
+                else:
+                    gif = encode_gif(16 + i % 32, 16 + (i * 5) % 32,
+                                     1 + i % 8)
+                    sm = sample_gif_frames_payload(gif, 2)
+                    meta = parse_gif_meta(sm)
+                    rows.append((i, "gif", meta["width"], meta["height"],
+                                 meta["n_frames"], None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "width", "height", "n_frames",
+                         "sample_rate", "n_samples", "duration_ms"],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, kind string, width long, height long, "
+        "n_frames long, sample_rate long, n_samples long, duration_ms long",
+    )
+
+
+def image_channel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL per-image feature extraction: formula-pixel BMPs
+    (8+id%16 x 8+(3id)%12, the transform tier's image formulas) whose
+    per-channel sums are read back off the actual pixel array by
+    bmp_channel_stats — and are closed-form in the id, so the oracle
+    recomputes them with two unnested ranges. Means are one division.
+
+    Output: (doc_id, n_px, sum_b, sum_g, sum_r, mean_b, mean_g,
+    mean_r)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                w, h = 8 + i % 16, 8 + (i * 3) % 12
+                bmp = encode_bmp_pixels(w, h, formula_bmp_pixels(i, w, h))
+                s = bmp_channel_stats(bmp)
+                rows.append((i, s["n_px"], s["sum_b"], s["sum_g"], s["sum_r"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "sum_b", "sum_g", "sum_r"]
+            )
+
+    out = df.mapInPandas(
+        batches,
+        schema="doc_id long, n_px long, sum_b long, sum_g long, sum_r long",
+    )
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "doc_id", "n_px", "sum_b", "sum_g", "sum_r",
+        (F.col("sum_b").cast("double") / F.col("n_px").cast("double")).alias("mean_b"),
+        (F.col("sum_g").cast("double") / F.col("n_px").cast("double")).alias("mean_g"),
+        (F.col("sum_r").cast("double") / F.col("n_px").cast("double")).alias("mean_r"),
+    )

@@ -1,9 +1,13 @@
-"""Round-9 specs (q213-q215): the two follow-throughs the r8 verdict
+"""Round-9 specs (q213-q219): the two follow-throughs the r8 verdict
 named as the only functional gaps at the edge of the LLM-pipeline
 brief — BPE *apply* (q171 learns merge rules; nothing tokenized the
 corpus WITH them) and substring-dedup *removal* (q92 profiles
 duplicated spans; nothing emitted the deduplicated corpus) — plus the
-packing variant that consumes real tokenizer counts.
+packing variant that consumes real tokenizer counts, the learned
+vocabulary table (q216), the composed LLM-curation pipeline e2e
+(q217), and the multimodal TRANSFORM tier (q218 resize/decimate/
+frame-sample, q219 pixel feature extraction — real stdlib byte
+surgery, q84's closed-form-oracle recipe).
 
 - q213: per-document token counts under the corpus's own learned BPE
   merges (textstats.bpe_token_counts) — whitespace words vs post-merge
@@ -21,9 +25,10 @@ exact token re-concats (order fixed by token position). Oracles are
 the operators' paired *_oracle_sql mirrors.
 
 Registered after the 50-spec driver window; first driver rows land
-per the standing rotation (queries/__init__.py — the written r10 plan
-leads with q202-q212, so these queue behind it for r11 and stay
-locked meanwhile by tests/test_oracle_parity*.py at two SFs).
+per the standing rotation (queries/__init__.py — the amended r10 plan
+gives q213-q217 first-round slots beside q202-q212; q218/q219 were
+born after the amendment and queue for r11, locked meanwhile by
+tests/test_oracle_parity*.py at two SFs).
 """
 
 from __future__ import annotations
@@ -188,3 +193,81 @@ def q217(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# q218/q219: the multimodal TRANSFORM tier (the brief's decode /
+# feature-extract / resize / frame-sample list, three of the four made
+# REAL with stdlib byte surgery — q84's oracle recipe: payloads built
+# from id formulas, re-parsed by the real decoder AFTER the transform,
+# expected values closed-form in the id, so a hash match proves the
+# encode → transform → decode round trip).
+@query(
+    "q218_multimodal_transform",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'gif' END AS kind,
+      CASE doc_id % 3
+        WHEN 0 THEN CAST((8 + doc_id % 16) // 2 AS BIGINT)
+        WHEN 2 THEN CAST(16 + doc_id % 32 AS BIGINT)
+      END AS width,
+      CASE doc_id % 3
+        WHEN 0 THEN CAST((8 + (doc_id * 3) % 12) // 2 AS BIGINT)
+        WHEN 2 THEN CAST(16 + (doc_id * 5) % 32 AS BIGINT)
+      END AS height,
+      CASE WHEN doc_id % 3 = 2
+           THEN CAST((1 + doc_id % 8 + 1) // 2 AS BIGINT) END AS n_frames,
+      CASE WHEN doc_id % 3 = 1
+           THEN CAST((8000 + 100 * (doc_id % 80)) // 2 AS BIGINT)
+      END AS sample_rate,
+      CASE WHEN doc_id % 3 = 1
+           THEN CAST((256 + doc_id % 1024 + 1) // 2 AS BIGINT)
+      END AS n_samples,
+      CASE WHEN doc_id % 3 = 1
+           THEN CAST(((256 + doc_id % 1024 + 1) // 2) * 1000
+                     // ((8000 + 100 * (doc_id % 80)) // 2) AS BIGINT)
+      END AS duration_ms
+    FROM documents
+    """,
+    doc="real media transforms via stdlib byte surgery: BMP "
+    "nearest-neighbor resize, WAV PCM decimation, GIF frame sampling "
+    "— re-parsed post-transform, oracle closed-form in the id",
+    tags=("llmops", "multimodal"),
+)
+def q218(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import transform_media_payloads
+
+    return transform_media_payloads(load(spark, sf, "documents").select("doc_id"))
+
+
+@query(
+    "q219_image_channel_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, gx.x AS x, gy.y AS y
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    ),
+    sums AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum((doc_id + x + y) % 256) AS BIGINT) AS sum_b,
+             CAST(sum((doc_id + 2 * x + y) % 256) AS BIGINT) AS sum_g,
+             CAST(sum((doc_id + x + 2 * y) % 256) AS BIGINT) AS sum_r
+      FROM px GROUP BY doc_id)
+    SELECT doc_id, n_px, sum_b, sum_g, sum_r,
+           CAST(sum_b AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_b,
+           CAST(sum_g AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_g,
+           CAST(sum_r AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_r
+    FROM sums
+    """,
+    doc="real per-image feature extraction: channel sums/means read "
+    "off actual BMP pixel arrays (formula pixels, closed-form oracle)",
+    tags=("llmops", "multimodal"),
+)
+def q219(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import image_channel_stats
+
+    return image_channel_stats(load(spark, sf, "documents").select("doc_id"))

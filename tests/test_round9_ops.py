@@ -210,3 +210,74 @@ def test_curation_pipeline_conserves_tokens(spark):
         assert [r.shard_id for r in rs] == list(range(len(rs)))
         for a, c in zip(rs, rs[1:]):
             assert a.last_doc < c.first_doc
+
+
+# -- multimodal transforms ----------------------------------------------------
+def test_bmp_resize_nearest_neighbor_pixels():
+    """Hand case: 4x4 formula BMP (seed 0) resized to 2x2. Source
+    pixel for dst (x,y) is (2x, 2y); B=(x+y)%256 → dst B values
+    [[0,2],[2,4]] (bottom-up rows)."""
+    from kassette_server_spark.operators.multimodal import (
+        bmp_channel_stats,
+        encode_bmp_pixels,
+        formula_bmp_pixels,
+        parse_bmp_meta,
+        resize_bmp_payload,
+    )
+    import struct
+
+    bmp = encode_bmp_pixels(4, 4, formula_bmp_pixels(0, 4, 4))
+    rz = resize_bmp_payload(bmp, 2, 2)
+    meta = parse_bmp_meta(rz)
+    assert (meta["width"], meta["height"], meta["bpp"]) == (2, 2, 24)
+    (_fs, _r1, _r2, offset) = struct.unpack_from("<IHHI", rz, 2)
+    row = ((2 * 24 + 31) // 32) * 4
+    b = [[rz[offset + y * row + 3 * x] for x in range(2)] for y in range(2)]
+    assert b == [[0, 2], [2, 4]]
+    # stats on the source: sums follow the closed form the oracle uses
+    s = bmp_channel_stats(bmp)
+    assert s["n_px"] == 16
+    assert s["sum_b"] == sum((x + y) % 256 for x in range(4) for y in range(4))
+    assert s["sum_g"] == sum((2 * x + y) % 256 for x in range(4) for y in range(4))
+
+
+def test_wav_decimation_preserves_duration():
+    """100 samples at 8000 Hz decimated by 2 → 50 samples at 4000 Hz:
+    duration identical, kept samples are the even-index originals."""
+    from kassette_server_spark.operators.multimodal import (
+        downsample_wav_payload,
+        encode_wav,
+        parse_wav_meta,
+    )
+    import pytest as _pt
+    import struct
+
+    wav = encode_wav(100, 8000)
+    ds = downsample_wav_payload(wav, 2)
+    m0, m1 = parse_wav_meta(wav), parse_wav_meta(ds)
+    assert (m1["sample_rate"], m1["n_samples"]) == (4000, 50)
+    assert m0["duration_ms"] == m1["duration_ms"]
+    # kept sample values are the even-index originals
+    def samples(p):
+        i = p.rindex(b"data") + 8
+        return struct.unpack(f"<{(len(p) - i) // 2}h", p[i:])
+    assert samples(ds) == samples(wav)[::2]
+    with _pt.raises(ValueError):
+        downsample_wav_payload(encode_wav(10, 8001), 2)  # 8001 % 2 != 0
+
+
+def test_gif_frame_sampling_keeps_every_nth():
+    """5-frame GIF sampled every 2nd keeps frames 0,2,4 → 3 frames;
+    structure stays parseable; every_n=1 is identity frame count."""
+    from kassette_server_spark.operators.multimodal import (
+        encode_gif,
+        parse_gif_meta,
+        sample_gif_frames_payload,
+    )
+
+    gif = encode_gif(10, 12, 5)
+    sm = sample_gif_frames_payload(gif, 2)
+    m = parse_gif_meta(sm)
+    assert (m["width"], m["height"], m["n_frames"]) == (10, 12, 3)
+    assert parse_gif_meta(sample_gif_frames_payload(gif, 1))["n_frames"] == 5
+    assert parse_gif_meta(sample_gif_frames_payload(gif, 5))["n_frames"] == 1
