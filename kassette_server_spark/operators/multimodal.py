@@ -15,6 +15,16 @@ schemas. Two tiers of codecs:
   decode needs PIL, video needs ffmpeg): `decode_image_meta` keeps its
   deterministic fake for the plumbing-only contract (q41), and
   frame_sample raises NotImplementedError at the plug point.
+- REAL transforms (round 9) on uncompressed containers, stdlib byte
+  surgery only: nearest-neighbor resize on 24bpp BMP pixel arrays
+  (resize_bmp_payload), PCM decimation on WAV sample frames
+  (downsample_wav_payload), every-Nth-frame selection on GIF block
+  streams (sample_gif_frames_payload), and per-channel pixel feature
+  extraction (bmp_channel_stats) — the resize / frame-sample /
+  feature-extract entries of the multimodal brief, value-verified
+  against closed-form oracles (q218/q219). Compressed-pixel formats
+  (JPEG/PNG pixel transforms, real video) stay behind the plug points
+  above.
 
 Scale notes (100 TB of media):
 - Binary payloads ride in parquet/Arrow pages; mapInPandas streams
