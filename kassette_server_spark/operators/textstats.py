@@ -618,6 +618,12 @@ def bpe_token_counts(
     Docs whose every whitespace token is empty (or empty docs) report
     zero counts rather than dropping (left join + coalesce).
 
+    Input-lineage note: ``df`` is consumed THREE times (the vocabulary
+    scan, the exploded apply join, the id frame). A plain parquet scan
+    re-executes cheaply, but a DERIVED input (e.g. the span-removal
+    output in the q217 composition) should be localCheckpoint'd by the
+    caller so the upstream stages run once, not three times.
+
     Output: (id, n_words, n_bpe_tokens) — n_words is the whitespace
     count, n_bpe_tokens the post-merge symbol count; their ratio is
     the compression the learned vocabulary buys.

@@ -175,13 +175,25 @@ def q217(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # checkpointed for the same reason as `cleaned` below: span
+    # removal consumes its input three times (grams, tokens, counts)
     deduped = (
         docs.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint(eager=False)
     )
-    cleaned = remove_duplicated_spans(deduped, k=8).select(
-        "doc_id", F.col("cleaned_text").alias("text")
+    # ONE materialization of the span-removal stage: bpe_token_counts
+    # consumes its input three times (vocabulary scan, the exploded
+    # apply join, the id frame), and without the checkpoint each
+    # consumer would re-execute the whole gram-shuffle removal —
+    # measured 6.98 s -> the checkpoint collapses the recomputation
+    # (the pagerank lineage discipline, applied at the composition
+    # seam; see bpe_token_counts' docstring note on derived inputs)
+    cleaned = (
+        remove_duplicated_spans(deduped, k=8)
+        .select("doc_id", F.col("cleaned_text").alias("text"))
+        .localCheckpoint(eager=False)
     )
     counts = bpe_token_counts(cleaned, k_merges=3)
     packed = sequence_packing_from_counts(

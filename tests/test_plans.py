@@ -1076,10 +1076,11 @@ def test_q215_span_removal_no_cartesian_no_text_shuffle(spark):
 
 def test_q217_pipeline_composition_no_cartesian(spark):
     """The composed curation chain (dedup -> span removal -> BPE ->
-    packing -> summary) must stay cartesian-free end-to-end and keep
-    the gram exchange on digests (xxhash64), with the packing window
-    per-bucket — the three stage-level locks composed."""
+    packing -> summary) must stay cartesian-free and keep the packing
+    window per-bucket. The span-removal segment sits behind a lineage
+    checkpoint (the measured recomputation fix, SCALE.md r9), so its
+    own digest-exchange property is locked by test_q215 on the same
+    operator rather than re-asserted through the truncated plan here."""
     p = plan(spark, "q217_curation_pipeline_e2e")
     assert "CartesianProduct" not in p
-    assert "xxhash64" in p
     assert "hashpartitioning(bucket" in p
