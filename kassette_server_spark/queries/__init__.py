@@ -29,7 +29,8 @@ from . import round7 as _round7  # noqa: F401,E402  (q144-q157)
 from . import round8 as _round8  # noqa: F401,E402  (q158-q172)
 from . import round8b as _round8b  # noqa: F401,E402  (q173+)
 from . import round8c as _round8c  # noqa: F401,E402  (q202+ — TPC-H completion)
-from . import round9 as _round9  # noqa: F401,E402  (q213-q217 — BPE apply/vocab, substring removal, curation e2e)
+from . import round9 as _round9  # noqa: F401,E402  (q213-q219 — BPE apply/vocab, substring removal, curation e2e, multimodal transforms)
+from . import round9b as _round9b  # noqa: F401,E402  (q220-q223 — JL sketch, audio features, LSH band plan, ANN recall)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
@@ -94,9 +95,9 @@ _WINDOW: tuple[str, ...] = (
     "q201_log_rank",
 )
 
-# R10 ROTATION PLAN (VERDICT r8 "Next round #5", amended late-r9 when
-# q213-q217 were born — first-round policy gives round-born specs
-# priority): r10 = pinned core (6: q01, q03, q08, q11, q24, q28)
+# R10 ROTATION PLAN (VERDICT r8 "Next round #5", amended as r9 grew
+# the born wave to q213-q223 — first-round policy gives round-born
+# specs priority): r10 = pinned core (6: q01, q03, q08, q11, q24, q28)
 # + the TPC-H-completion + saturation wave q202-q212 first driver rows
 # (11: q202_tpch_q2_min_cost_supplier, q203_tpch_q4_priority_check,
 # q204_tpch_q6_forecast_revenue, q205_tpch_q7_volume_shipping,
@@ -104,19 +105,22 @@ _WINDOW: tuple[str, ...] = (
 # q208_tpch_q11_important_stock, q209_tpch_q12_shipmode_priority,
 # q210_tpch_q14_promo_share, q211_tpch_q16_supplier_counts,
 # q212_shingle_saturation — exact names per queries/round8c.py)
-# + the r9-born wave (5: q213_bpe_token_counts,
+# + the full r9-born wave (11: q213_bpe_token_counts,
 # q214_bpe_sequence_packing, q215_substring_dedup_removal,
-# q216_bpe_vocab, q217_curation_pipeline_e2e — queries/round9.py)
-# + the 28 most-stale backfill specs in q-number order: q63-q69 (7,
-# last green r5), q84-q90 (7), q91-q104 (14). Arithmetic:
-# 6 + 11 + 5 + 7 + 7 + 14 = 50 exactly. That pushes q105-q109 and the
-# rest of the stale tier (q110-q142 minus r6/r7 re-greens, plus
-# q70-q74/q78-q82 r7 greens) to r11; any r10-born specs take
-# first-round priority there per standing policy. With a 216-spec
-# surface and a 50-slot gate, worst-case staleness stays ~4 rounds —
-# acceptable because every spec remains locked by
-# tests/test_oracle_parity*.py at sf0.001+sf0.01 in every CI run;
-# prioritize specs whose OPERATORS changed since their last row.
+# q216_bpe_vocab, q217_curation_pipeline_e2e — queries/round9.py;
+# q218_multimodal_transform, q219_image_channel_stats — round9.py;
+# q220_jl_projection, q221_audio_frame_features, q222_lsh_band_plan,
+# q223_ann_recall — queries/round9b.py)
+# + the 22 most-stale backfill specs in q-number order: q63-q69 (7,
+# last green r5), q84-q90 (7), q91-q98 (8). Arithmetic:
+# 6 + 11 + 11 + 7 + 7 + 8 = 50 exactly. That pushes q99-q142's stale
+# tier (minus r6/r7 re-greens, plus q70-q74/q78-q82 r7 greens) to
+# r11; any r10-born specs take first-round priority there per
+# standing policy. With a 223-spec surface and a 50-slot gate,
+# worst-case staleness stays ~4 rounds — acceptable because every
+# spec remains locked by tests/test_oracle_parity*.py at
+# sf0.001+sf0.01 in every CI run; prioritize specs whose OPERATORS
+# changed since their last row.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).

@@ -26,9 +26,9 @@ the operators' paired *_oracle_sql mirrors.
 
 Registered after the 50-spec driver window; first driver rows land
 per the standing rotation (queries/__init__.py — the amended r10 plan
-gives q213-q217 first-round slots beside q202-q212; q218/q219 were
-born after the amendment and queue for r11, locked meanwhile by
-tests/test_oracle_parity*.py at two SFs).
+gives the full r9-born wave q213-q223 first-round slots beside
+q202-q212, locked meanwhile by tests/test_oracle_parity*.py at two
+SFs).
 """
 
 from __future__ import annotations

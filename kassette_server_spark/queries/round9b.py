@@ -1,0 +1,161 @@
+"""Round-9 second wave (q220-q223): the similarity-search scale path
+completed end-to-end — sketch (q220), plan (q222), measure (q223) —
+plus the audio half of the multimodal feature-extract tier (q221).
+
+- q220: Johnson-Lindenstrauss ±1 sign projection of the embedding
+  column (similarity.jl_project) — the 4× dimensionality cut that
+  ships to the ANN index instead of the full-width vectors; map-only,
+  deterministic md5-derived matrix, bit-exact oracle.
+- q221: per-frame audio features (multimodal.audio_frame_features) —
+  RMS-proxy Σ|s| / power Σs² / zero crossings read back off REAL
+  decoded RIFF bytes, closed-form oracle in the id (q219's recipe on
+  the second modality).
+- q222: MinHash-LSH banding planner (diagnostics.lsh_band_plan) — the
+  full (r, b) S-curve frontier with a recommended layout, fold-exact
+  powers, the recall/false-positive companion to the q212 candidate-
+  volume pre-flight.
+- q223: ANN recall@10 of the IVF index vs exact brute force
+  (similarity.ann_recall_at_k) — the acceptance gate a probe budget
+  must pass before an IVF layout serves the corpus; composes the two
+  already-oracled search paths and measures their per-query overlap.
+
+Determinism: q220/q222 are pure IEEE folds from identical literals;
+q221 is all-integer; q223 joins two deterministic rank sets and ends
+in one small-integer division.
+
+Registered after the 50-spec driver window; first driver rows land
+per the standing rotation (queries/__init__.py r10 plan — round-born
+specs take first-round priority; locked meanwhile by
+tests/test_oracle_parity*.py at two SFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.diagnostics import lsh_band_plan, lsh_band_plan_oracle_sql
+from ..operators.multimodal import audio_frame_features
+from ..operators.similarity import (
+    ann_recall_at_k,
+    jl_project,
+    jl_project_oracle_sql,
+)
+from .base import query
+
+_DOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]), (acc, x) -> acc + x)"
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (acc, x) -> acc + x))"
+
+
+@query(
+    "q220_jl_projection",
+    oracle=jl_project_oracle_sql("SELECT vec_id, embedding FROM embeddings"),
+    doc="Johnson-Lindenstrauss ±1 sign projection 64→16 — the "
+    "dimensionality sketch that feeds the ANN index; map-only, "
+    "deterministic md5 matrix, bit-exact fold",
+    tags=("llmops", "similarity"),
+)
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    return jl_project(load(spark, sf, "embeddings"), in_dim=64, out_dim=16)
+
+
+@query(
+    "q221_audio_frame_features",
+    oracle="""
+    WITH ids AS (SELECT doc_id, 512 + doc_id % 512 AS n FROM documents),
+    s AS (
+      SELECT doc_id, t.t AS t,
+             ((doc_id + t.t) * 257) % 32768 - 16384 AS v
+      FROM ids, unnest(CAST(range(0, n) AS BIGINT[])) AS t(t)),
+    z AS (
+      SELECT doc_id, t // 256 AS frame_id, v,
+             CASE WHEN t % 256 > 0
+                  AND ((((doc_id + t - 1) * 257) % 32768 - 16384 < 0) <> (v < 0))
+                  THEN 1 ELSE 0 END AS zc
+      FROM s)
+    SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(sum(zc) AS BIGINT) AS zero_crossings
+    FROM z GROUP BY doc_id, frame_id
+    """,
+    doc="real per-frame audio feature extraction: Σ|s|, Σs², zero "
+    "crossings off decoded PCM bytes — closed-form oracle, partial "
+    "last frames exercised",
+    tags=("llmops", "multimodal"),
+)
+def q221(spark: SparkSession, sf: str) -> DataFrame:
+    return audio_frame_features(
+        load(spark, sf, "documents").select("doc_id"), frame=256
+    )
+
+
+@query(
+    "q222_lsh_band_plan",
+    oracle=lsh_band_plan_oracle_sql(n_hashes=128, threshold=0.8),
+    doc="MinHash-LSH banding planner: full (r, b) S-curve frontier for "
+    "a 128-hash signature with fold-exact powers and a recommended "
+    "steepest-shoulder layout",
+    tags=("llmops", "dedup", "diagnostics"),
+)
+def q222(spark: SparkSession, sf: str) -> DataFrame:
+    return lsh_band_plan(spark, n_hashes=128, threshold=0.8)
+
+
+@query(
+    "q223_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_NORM.format(a='v')} AS vn FROM e),
+    c AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM n WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM n WHERE vec_id % 100 = 0),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_DOT.format(a='q.qv', b='n.v')} / (q.qn * n.vn) DESC, n.vec_id) AS rk
+        FROM n, q WHERE n.vec_id <> q.query_id) t WHERE rk <= 10),
+    assign AS (
+      SELECT vec_id, centroid_id, vv, vn FROM (
+        SELECT n.vec_id, c.centroid_id, n.v AS vv, n.vn,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_DOT.format(a='n.v', b='c.cv')} / (n.vn * c.cn) DESC, c.centroid_id) AS rn
+        FROM n, c) t WHERE rn = 1),
+    probe AS (
+      SELECT query_id, qv, qn, centroid_id FROM (
+        SELECT q.query_id, q.qv, q.qn, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_DOT.format(a='q.qv', b='c.cv')} / (q.qn * c.cn) DESC, c.centroid_id) AS pr
+        FROM q, c) t WHERE pr <= 1),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {_DOT.format(a='p.qv', b='a.vv')} / (p.qn * a.vn) DESC, a.vec_id) AS rk
+        FROM probe p JOIN assign a USING (centroid_id)
+        WHERE a.vec_id <> p.query_id) t WHERE rk <= 10),
+    hits AS (
+      SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM brute b JOIN ivf USING (query_id, neighbor_id)
+      GROUP BY b.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall
+    FROM q LEFT JOIN hits h USING (query_id)
+    """,
+    doc="recall@10 of the IVF index vs exact brute force per query — "
+    "the acceptance gate a probe budget passes before serving the "
+    "corpus",
+    tags=("llmops", "similarity", "evaluation"),
+)
+def q223(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return ann_recall_at_k(
+        e,
+        queries=e.filter(F.col("vec_id") % 100 == 0),
+        centroids=e.filter(F.col("vec_id") % 50 == 0),
+        k=10,
+        n_probe=1,
+    )

@@ -1084,3 +1084,31 @@ def test_q217_pipeline_composition_no_cartesian(spark):
     p = plan(spark, "q217_curation_pipeline_e2e")
     assert "CartesianProduct" not in p
     assert "hashpartitioning(bucket" in p
+
+
+def test_q220_jl_projection_map_only(spark):
+    """The JL sketch must be a pure map: scan → fold → posexplode,
+    zero exchanges and zero Python — at 100 TB the projection runs
+    inside the scan stage of whatever consumes it."""
+    p = plan(spark, "q220_jl_projection")
+    assert "Exchange" not in p
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_q221_audio_features_scan_stage_map(spark):
+    """Frame features are per-row local (frames never cross rows):
+    one Arrow-batched mapInPandas, no shuffle."""
+    p = plan(spark, "q221_audio_frame_features")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_q223_ann_recall_no_cartesian(spark):
+    """The recall gate composes two searches whose own locks hold
+    (q34 broadcast corpus-side cross, q52 centroid broadcast); the
+    composition must add only hash joins — no raw cartesian, and the
+    only nested-loop joins are broadcast ones."""
+    p = plan(spark, "q223_ann_recall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

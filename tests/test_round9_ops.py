@@ -281,3 +281,150 @@ def test_gif_frame_sampling_keeps_every_nth():
     assert (m["width"], m["height"], m["n_frames"]) == (10, 12, 3)
     assert parse_gif_meta(sample_gif_frames_payload(gif, 1))["n_frames"] == 5
     assert parse_gif_meta(sample_gif_frames_payload(gif, 5))["n_frames"] == 1
+
+
+# -- jl_project ---------------------------------------------------------------
+def test_jl_projection_one_hot_isolates_signs(spark):
+    """A one-hot vector at position j projects to proj[k] =
+    sign(j,k)·scale for every k — verifying the engine's md5 sign
+    derivation against an independent hashlib computation."""
+    import hashlib
+    import math
+
+    from kassette_server_spark.operators.similarity import jl_project
+
+    dim, out_dim, j = 8, 4, 3
+    vec = [0.0] * dim
+    vec[j] = 1.0
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    got = {r.k: r.proj for r in jl_project(df, in_dim=dim, out_dim=out_dim).collect()}
+    scale = 1.0 / math.sqrt(out_dim)
+    for k in range(out_dim):
+        first = hashlib.md5(f"jl|{j}|{k}".encode()).hexdigest()[0]
+        sign = 1.0 if first in "01234567" else -1.0
+        assert got[k] == sign * scale, (k, got[k], sign)
+
+
+def test_jl_projection_linear(spark):
+    """Projection is linear: proj(x + y) == proj(x) + proj(y) when the
+    per-component sums stay exact (integer-valued doubles here)."""
+    from kassette_server_spark.operators.similarity import jl_project
+
+    dim, out_dim = 6, 4
+    x = [1.0, 2.0, 0.0, 4.0, 0.0, 8.0]
+    y = [0.0, 1.0, 16.0, 0.0, 32.0, 0.0]
+    xy = [a + b for a, b in zip(x, y)]
+    df = spark.createDataFrame(
+        [(1, x), (2, y), (3, xy)], "vec_id long, embedding array<float>"
+    )
+    out = {}
+    for r in jl_project(df, in_dim=dim, out_dim=out_dim).collect():
+        out.setdefault(r.vec_id, {})[r.k] = r.proj
+    for k in range(out_dim):
+        assert out[3][k] == out[1][k] + out[2][k]
+
+
+# -- audio_frame_features -----------------------------------------------------
+def test_audio_frame_features_hand_case(spark):
+    """doc_id=0 → 512 samples = exactly 2 full frames; every feature
+    recomputed in pure Python from the sample formula must match what
+    the operator reads back off the encoded RIFF bytes."""
+    from kassette_server_spark.operators.multimodal import audio_frame_features
+
+    df = spark.createDataFrame([(0,)], "doc_id long")
+    rows = {r.frame_id: r for r in audio_frame_features(df).collect()}
+    samples = [(((0 + t) * 257) % 32768) - 16384 for t in range(512)]
+    assert sorted(rows) == [0, 1]
+    for f in (0, 1):
+        chunk = samples[f * 256 : (f + 1) * 256]
+        assert rows[f].n_samples == 256
+        assert rows[f].sum_abs == sum(abs(s) for s in chunk)
+        assert rows[f].sum_sq == sum(s * s for s in chunk)
+        assert rows[f].zero_crossings == sum(
+            1 for a, b in zip(chunk, chunk[1:]) if (a < 0) != (b < 0)
+        )
+
+
+def test_audio_frame_features_partial_last_frame(spark):
+    """doc_id=1 → 513 samples: the last frame carries exactly ONE
+    sample and zero crossings (no within-frame predecessor)."""
+    from kassette_server_spark.operators.multimodal import audio_frame_features
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    rows = {r.frame_id: r for r in audio_frame_features(df).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    last = rows[2]
+    s = (((1 + 512) * 257) % 32768) - 16384
+    assert (last.n_samples, last.sum_abs, last.sum_sq, last.zero_crossings) == (
+        1,
+        abs(s),
+        s * s,
+        0,
+    )
+
+
+# -- lsh_band_plan ------------------------------------------------------------
+def test_lsh_band_plan_hand_curve(spark):
+    """n_hashes=4, threshold=0.8, sims=(0.5, 0.8): four layouts; the
+    S-curve values are tiny closed forms. r=1,b=4: p(s)=1-(1-s)^4.
+    r=2,b=2: p(s)=1-(1-s²)². The chosen row maximizes
+    p(0.8) - p(0.5)."""
+    from kassette_server_spark.operators.diagnostics import lsh_band_plan
+
+    rows = {
+        r.r: r
+        for r in lsh_band_plan(
+            spark, n_hashes=4, threshold=0.8, sims=(0.5, 0.8)
+        ).collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[1].b == 4 and rows[2].b == 2 and rows[3].b == 1 and rows[4].b == 1
+
+    def fold_pow(base, n):
+        acc = 1.0
+        for _ in range(n):
+            acc *= base
+        return acc
+
+    for r_, b_ in ((1, 4), (2, 2), (3, 1), (4, 1)):
+        for s, col in ((0.5, "p_at_50"), (0.8, "p_at_80")):
+            expect = 1.0 - fold_pow(1.0 - fold_pow(s, r_), b_)
+            assert getattr(rows[r_], col) == expect, (r_, s)
+    seps = {r_: rows[r_].p_at_80 - rows[r_].p_at_50 for r_ in rows}
+    best = max(sorted(seps), key=lambda r_: (seps[r_], -r_))
+    assert rows[best].chosen and sum(r.chosen for r in rows.values()) == 1
+
+
+# -- ann_recall_at_k ----------------------------------------------------------
+def test_ann_recall_counts_ivf_misses(spark):
+    """Two well-separated clusters on orthogonal axes; one query per
+    cluster; k=2 true neighbors for the x-query are vectors 1 and 2 —
+    but vector 2 leans just past 45° (y=0.8 > x=0.75) and
+    coarse-assigns to the Y centroid, so a 1-probe IVF search misses
+    it: recall = 1/2. The y-query's two nearest (11, 12) both live in
+    the probed Y cluster: recall = 1."""
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.similarity import ann_recall_at_k
+
+    rows = [
+        (0, [1.0, 0.0]),   # query + X centroid
+        (1, [0.9, 0.1]),   # X cluster
+        (2, [0.75, 0.8]),  # query 0's 2nd neighbor, but assigns to Y centroid
+        (10, [0.0, 1.0]),  # query + Y centroid
+        (11, [0.1, 0.9]),  # Y cluster
+        (12, [0.2, 0.95]), # Y cluster
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.query_id: r
+        for r in ann_recall_at_k(
+            e,
+            queries=e.filter(F.col("vec_id").isin(0, 10)),
+            centroids=e.filter(F.col("vec_id").isin(0, 10)),
+            k=2,
+            n_probe=1,
+        ).collect()
+    }
+    assert (out[0].n_hits, out[0].recall) == (1, 0.5)
+    assert (out[10].n_hits, out[10].recall) == (2, 1.0)
