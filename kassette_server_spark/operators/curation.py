@@ -529,3 +529,220 @@ def ngram_novelty(
         "doc_id", "n_shingles", "n_novel",
         (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str = "lang",
+    total_budget: int = 10_000,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-LM
+    sampling rule: share_d ∝ p_d^τ, τ<1 upsamples rare domains): turn
+    observed per-domain counts into an integer sampling plan for a
+    ``total_budget``-doc training mix, apportioned by the largest-
+    remainder method so the targets sum to the budget EXACTLY.
+
+    τ is fixed at 0.5 — p_d^0.5 = sqrt(c_d)/Σsqrt(c_d) (the N^τ
+    normalization cancels), and IEEE sqrt is correctly rounded in both
+    engines, so the whole plan is cross-engine exact WITHOUT libm pow
+    (the q222 fold-discipline applied to temperature sampling; a
+    general τ would need pow and break the hash contract).
+
+    Determinism: the Σsqrt denominator folds in sorted domain order
+    (the entropy/KL sorted-key-fold rule — a SUM over doubles is
+    order-dependent, a sorted fold is not); raw targets are one
+    multiply + one divide of identical operands; floors and remainders
+    are then bit-identical, and the +1 seats go to the largest
+    remainders with domain-name tie-break.
+
+    Scale: everything after the per-domain count (one map-side-combined
+    aggregate over the corpus) runs on a DOMAIN-cardinality frame —
+    tens of rows, not documents. repetition_factor > 1 flags domains
+    the budget upsamples past their size (epoch repetition).
+
+    Output: (domain, n_docs, weight, target_share, target_count,
+    repetition_factor).
+    """
+    if tau != 0.5:
+        raise ValueError("temperature_mix is exact only at tau=0.5 (sqrt)")
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    weighted = counts.withColumn("weight", F.sqrt(F.col("n_docs").cast("double")))
+    tot = weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("domain", "weight"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("weight"),
+        ).alias("wsum")
+    )
+    raw = weighted.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "weight",
+        (F.col("weight") / F.col("wsum")).alias("target_share"),
+        (F.lit(float(total_budget)) * F.col("weight") / F.col("wsum")).alias("_raw"),
+    )
+    floored = raw.select(
+        "*",
+        F.floor(F.col("_raw")).cast("long").alias("_base"),
+        (F.col("_raw") - F.floor(F.col("_raw"))).alias("_rem"),
+    )
+    leftover = floored.agg(
+        (F.lit(total_budget) - F.sum("_base")).cast("long").alias("_extra")
+    )
+    w = W.orderBy(F.col("_rem").desc(), F.col("domain").asc())
+    return (
+        floored.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "domain",
+            "n_docs",
+            "weight",
+            "target_share",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_extra"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("target_count"),
+        )
+        .withColumn(
+            "repetition_factor",
+            F.col("target_count").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+
+
+def temperature_mix_oracle_sql(
+    table: str, domain_col: str = "lang", total_budget: int = 10_000
+) -> str:
+    """DuckDB mirror of :func:`temperature_mix` (τ=0.5): same sqrt
+    weights, same sorted-fold denominator, same largest-remainder
+    seats with domain tie-break."""
+    return f"""
+    WITH counts AS (
+      SELECT {domain_col} AS domain, CAST(count(*) AS BIGINT) AS n_docs
+      FROM {table} GROUP BY {domain_col}),
+    weighted AS (
+      SELECT domain, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight
+      FROM counts),
+    tot AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(weight ORDER BY domain)),
+               (acc, x) -> acc + x) AS wsum
+      FROM weighted),
+    raw AS (
+      SELECT domain, n_docs, weight,
+             weight / wsum AS target_share,
+             CAST({float(total_budget)!r} AS DOUBLE) * weight / wsum AS _raw
+      FROM weighted, tot),
+    floored AS (
+      SELECT *, CAST(floor(_raw) AS BIGINT) AS _base,
+             _raw - floor(_raw) AS _rem
+      FROM raw),
+    leftover AS (
+      SELECT CAST({total_budget} - sum(_base) AS BIGINT) AS _extra
+      FROM floored)
+    SELECT domain, n_docs, weight, target_share,
+           CAST(_base + CASE WHEN row_number()
+                  OVER (ORDER BY _rem DESC, domain ASC) <= _extra
+                THEN 1 ELSE 0 END AS BIGINT) AS target_count,
+           CAST(_base + CASE WHEN row_number()
+                  OVER (ORDER BY _rem DESC, domain ASC) <= _extra
+                THEN 1 ELSE 0 END AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS repetition_factor
+    FROM floored, leftover
+    """
+
+
+def lm_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_decile: int = 1,
+) -> DataFrame:
+    """CCNet-style model-based quality filtering: score every document
+    with the corpus's own bigram LM (textstats.bigram_logprob_by_doc —
+    gibberish and boilerplate land far below the LM bulk) and cut the
+    bottom ``drop_decile`` tenths at an EXACT order statistic — the
+    filtering operator the q117 quality signal implies, completing the
+    score → threshold → keep chain as one declarative plan.
+
+    The cutoff is the smallest score whose cumulative count reaches
+    ⌈n·drop_decile/10⌉ (the stats.py cumulative-count rule over the
+    DISTINCT-score frame — never a global row_number over raw docs, so
+    no single-partition sort at scale); keep = score > cutoff, i.e.
+    the rank-⌈n/10⌉ doc itself drops. Scores are already 6-dp rounded
+    by the LM (ln-ulp absorption), so the comparison is cross-engine
+    stable.
+
+    Scale: the LM fit dominates (its own documented vocabulary²/cut
+    bound); the scored frame is consumed twice (cut + keep decision),
+    so it sits behind a lineage checkpoint (the q217 composition-seam
+    discipline). The cut itself runs on the distinct-score frame and
+    broadcasts one row back.
+
+    Output: (doc_id, n_bigrams, avg_logprob, cutoff, keep) — every
+    scored doc ships with the decision, so downstream chooses drop or
+    quarantine.
+    """
+    from .textstats import bigram_logprob_by_doc
+
+    scored = bigram_logprob_by_doc(
+        df, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
+    counts = scored.groupBy(F.col("avg_logprob").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = counts.select("v", F.sum("cnt").over(w).alias("cum"))
+    tot = scored.agg(F.count("*").alias("n"))
+    cutoff = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 10 >= F.col("n") * drop_decile, F.col("v")
+                )
+            ).alias("cutoff")
+        )
+    )
+    return scored.crossJoin(F.broadcast(cutoff)).select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        "cutoff",
+        (F.col("avg_logprob") > F.col("cutoff")).alias("keep"),
+    )
+
+
+def lm_quality_filter_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text",
+    drop_decile: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`lm_quality_filter`: the q117 oracle's
+    scores, the same cumulative-count cutoff, the same strict-greater
+    keep rule."""
+    from .textstats import bigram_logprob_oracle_sql
+
+    scores = bigram_logprob_oracle_sql(table, id_col=id_col, text_col=text_col)
+    return f"""
+    WITH scored AS ({scores}),
+    cts AS (SELECT avg_logprob AS v, count(*) AS cnt FROM scored GROUP BY 1),
+    cum AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cts),
+    tot AS (SELECT count(*) AS n FROM scored),
+    cut AS (
+      SELECT min(CASE WHEN cum * 10 >= n * {drop_decile} THEN v END) AS cutoff
+      FROM cum, tot)
+    SELECT doc_id, n_bigrams, avg_logprob, cutoff,
+           avg_logprob > cutoff AS keep
+    FROM scored, cut
+    """

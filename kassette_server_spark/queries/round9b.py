@@ -1,6 +1,8 @@
-"""Round-9 second wave (q220-q223): the similarity-search scale path
+"""Round-9 second wave (q220-q225): the similarity-search scale path
 completed end-to-end — sketch (q220), plan (q222), measure (q223) —
-plus the audio half of the multimodal feature-extract tier (q221).
+plus the audio half of the multimodal feature-extract tier (q221) and
+two curation completions: the temperature sampling plan (q224) and
+the LM-scored quality filter (q225).
 
 - q220: Johnson-Lindenstrauss ±1 sign projection of the embedding
   column (similarity.jl_project) — the 4× dimensionality cut that
@@ -18,10 +20,17 @@ plus the audio half of the multimodal feature-extract tier (q221).
   (similarity.ann_recall_at_k) — the acceptance gate a probe budget
   must pass before an IVF layout serves the corpus; composes the two
   already-oracled search paths and measures their per-query overlap.
+- q224: temperature-based domain rebalancing (curation.temperature_mix)
+  — share_d ∝ p_d^0.5 integer sampling plan via IEEE-exact sqrt and
+  largest-remainder apportionment (targets sum to the budget exactly).
+- q225: CCNet-style LM quality filter (curation.lm_quality_filter) —
+  the corpus's own bigram LM scores every doc (q117's signal) and an
+  exact cumulative-count decile cut drops the bottom tenth.
 
 Determinism: q220/q222 are pure IEEE folds from identical literals;
 q221 is all-integer; q223 joins two deterministic rank sets and ends
-in one small-integer division.
+in one small-integer division; q224 is sqrt + sorted-fold + integer
+apportionment; q225 cuts on the LM's 6-dp-rounded scores.
 
 Registered after the 50-spec driver window; first driver rows land
 per the standing rotation (queries/__init__.py r10 plan — round-born
@@ -35,6 +44,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.curation import (
+    lm_quality_filter,
+    lm_quality_filter_oracle_sql,
+    temperature_mix,
+    temperature_mix_oracle_sql,
+)
 from ..operators.diagnostics import lsh_band_plan, lsh_band_plan_oracle_sql
 from ..operators.multimodal import audio_frame_features
 from ..operators.similarity import (
@@ -159,3 +174,29 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
         k=10,
         n_probe=1,
     )
+
+
+@query(
+    "q224_temperature_mix",
+    oracle=temperature_mix_oracle_sql("documents", total_budget=10_000),
+    doc="temperature-0.5 domain rebalancing: sqrt-weighted shares and "
+    "largest-remainder integer targets summing exactly to the budget — "
+    "the multilingual-LM sampling plan",
+    tags=("llmops", "curation"),
+)
+def q224(spark: SparkSession, sf: str) -> DataFrame:
+    return temperature_mix(
+        load(spark, sf, "documents"), domain_col="lang", total_budget=10_000
+    )
+
+
+@query(
+    "q225_lm_quality_filter",
+    oracle=lm_quality_filter_oracle_sql("documents"),
+    doc="model-based quality filter: corpus bigram-LM scores with an "
+    "exact bottom-decile cut — the filtering operator q117's signal "
+    "implies",
+    tags=("llmops", "curation", "text"),
+)
+def q225(spark: SparkSession, sf: str) -> DataFrame:
+    return lm_quality_filter(load(spark, sf, "documents"))

@@ -1112,3 +1112,11 @@ def test_q223_ann_recall_no_cartesian(spark):
     p = plan(spark, "q223_ann_recall")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q225_lm_filter_no_cartesian(spark):
+    """The LM filter composes the q117 LM (its own vocabulary²/cut
+    contract) with a distinct-score cutoff; the only row-multiplying
+    joins allowed are the broadcast 1-row cutoff/total attachments."""
+    p = plan(spark, "q225_lm_quality_filter")
+    assert "CartesianProduct" not in p

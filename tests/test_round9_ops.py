@@ -428,3 +428,71 @@ def test_ann_recall_counts_ivf_misses(spark):
     }
     assert (out[0].n_hits, out[0].recall) == (1, 0.5)
     assert (out[10].n_hits, out[10].recall) == (2, 1.0)
+
+
+# -- temperature_mix ----------------------------------------------------------
+def test_temperature_mix_hand_apportionment(spark):
+    """Counts 1/4/9 → sqrt weights 1/2/3 → shares 1/6, 2/6, 3/6.
+    Budget 10: raw targets 1.67/3.33/5.0, floors sum to 9, the one
+    leftover seat goes to the largest remainder (domain a) →
+    targets (2, 3, 5), summing to the budget exactly."""
+    from kassette_server_spark.operators.curation import temperature_mix
+
+    rows = [(i, "a") for i in range(1)] + [(i + 10, "b") for i in range(4)] + [
+        (i + 100, "c") for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r.domain: r for r in temperature_mix(df, total_budget=10).collect()}
+    assert (out["a"].target_count, out["b"].target_count, out["c"].target_count) == (2, 3, 5)
+    assert out["a"].repetition_factor == 2.0  # upsampled past its size
+    assert abs(out["c"].target_share - 0.5) < 1e-12
+
+
+def test_temperature_mix_targets_sum_to_budget(spark):
+    """Largest-remainder apportionment is exact for ANY budget —
+    including primes that cannot divide evenly."""
+    from kassette_server_spark.operators.curation import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, ["de", "en", "es", "fr", "zh"][i % 5]) for i in range(73)],
+        "doc_id long, lang string",
+    )
+    for budget in (7, 997, 10_000):
+        got = sum(
+            r.target_count
+            for r in temperature_mix(df, total_budget=budget).collect()
+        )
+        assert got == budget, (budget, got)
+
+
+def test_temperature_mix_rejects_general_tau(spark):
+    import pytest
+
+    from kassette_server_spark.operators.curation import temperature_mix
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        temperature_mix(df, tau=0.7)
+
+
+# -- lm_quality_filter --------------------------------------------------------
+def test_lm_quality_filter_drops_exact_bottom_decile(spark):
+    """The keep decision must equal (score > exact rank-⌈n/10⌉ value)
+    computed independently from the LM scores themselves."""
+    import math
+
+    from kassette_server_spark.operators.curation import lm_quality_filter
+    from kassette_server_spark.operators.textstats import bigram_logprob_by_doc
+
+    rows = [(i, " ".join(f"w{(i * j) % 7}" for j in range(12))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r.doc_id: r.avg_logprob for r in bigram_logprob_by_doc(df).collect()}
+    n = len(scores)
+    cut_rank = math.ceil(n / 10)
+    cutoff = sorted(scores.values())[cut_rank - 1]
+    out = {r.doc_id: r for r in lm_quality_filter(df).collect()}
+    assert len(out) == n
+    for d, s in scores.items():
+        assert out[d].cutoff == cutoff
+        assert out[d].keep == (s > cutoff), (d, s, cutoff)
+    assert any(not r.keep for r in out.values())
