@@ -256,11 +256,41 @@ def main() -> None:
             # bigger one (the LSH true-dup-amplifier distinction).
             return remove_duplicated_spans(d_shuf.select("doc_id", "text"), k=8)
 
-        rows_d, rows_l, rows_o, rows_c = (
+        from kassette_server_spark.operators.curation import lm_quality_filter
+        from kassette_server_spark.operators.similarity import (
+            ann_recall_at_k,
+            jl_project,
+        )
+
+        emb = amplify(load(spark, sf_dir, "embeddings"), scale, ["vec_id"])
+
+        def jl():
+            # map-only by contract (plan-locked) — the probe verifies
+            # the per-row fold cost stays flat as the corpus grows
+            return jl_project(emb, in_dim=64, out_dim=16)
+
+        def annrecall():
+            # queries and centroids come from the UNAMPLIFIED id range:
+            # a recall gate runs on a fixed query sample however big
+            # the corpus, so the probe must scale the corpus alone.
+            # (Amplifying queries too would measure an n² workload the
+            # operator never runs.)
+            q = emb.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000_000))
+            c = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1_000_000_000))
+            return ann_recall_at_k(emb, queries=q, centroids=c, k=10, n_probe=1)
+
+        def lmfilter():
+            # shuffled amplifier: copies share vocabulary (the bigram
+            # table stays vocabulary²-bounded) but the gram stream and
+            # scoring join scale with the corpus — the dominant cost
+            return lm_quality_filter(d_shuf.select("doc_id", "text"))
+
+        rows_d, rows_l, rows_o, rows_c, rows_v = (
             5_000 * scale,
             600_000 * scale,
             150_000 * scale,
             15_000 * scale,
+            5_000 * scale,
         )
         return {
             "prefix_filter_join": (pfx, rows_d),
@@ -273,6 +303,9 @@ def main() -> None:
             "join_cardinality": (joincard, rows_l),
             "bpe_apply": (bpe_apply, rows_d),
             "span_removal_shuf": (span_removal, rows_d),
+            "jl_project": (jl, rows_v),
+            "ann_recall": (annrecall, rows_v),
+            "lm_quality_filter": (lmfilter, rows_d),
         }
 
     def run_thunk(f) -> float:
