@@ -1008,3 +1008,147 @@ def seasonal_naive_oracle_sql(
              / NULLIF(CAST(sum(abs(_v - _l1)) AS DOUBLE), 0.0) AS mase_ratio
     FROM scored GROUP BY 1
     """
+
+
+# -- embedding-distribution drift ---------------------------------------------
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Embedding-distribution drift per label: cosine between the
+    reference and current per-label CENTROIDS, plus the centroid-norm
+    ratio — the "did my encoder/corpus shift" monitor an embedding
+    pipeline runs between snapshots (a cosine well below 1 means the
+    class's mean direction moved; a norm ratio far from 1 means its
+    energy did).
+
+    Exactness at scale (the PageRank/k-means integer-sufficient-
+    statistic recipe): per-dimension components are quantized to
+    2^``scale_bits`` fixed-point BIGINTs with floor (floor of an IEEE
+    product is bit-identical cross-engine; round's half-case tie rule
+    is NOT), so the per-label sums are EXACT integers — order-free,
+    map-side combined, one aggregate pass per side with ``dim`` sum
+    columns and zero row explosion. The only floats are the final
+    fixed sequence: per-dim centroid division, a dim-index-ordered
+    dot/norm fold (identical on both engines), two sqrts, two
+    divisions. Quantization error is the measurement's resolution
+    (~1e-6 per component), not a correctness hazard — both engines
+    quantize identically.
+
+    FULL OUTER on the label key: labels present on only one side ship
+    with NULL cosine rather than dropping (new-class appearance IS
+    drift).
+
+    Output: (label, n_ref, n_cur, cos_centroid, norm_ratio).
+    """
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        q = [
+            F.sum(
+                F.floor(
+                    F.element_at(F.col(vec_col), i + 1).cast("double")
+                    * F.lit(float(1 << scale_bits))
+                ).cast("long")
+            ).alias(f"s{tag}_{i}")
+            for i in range(dim)
+        ]
+        return df.groupBy(F.col(label_col).alias("label")).agg(
+            F.count("*").cast("long").alias(f"n_{tag}"), *q
+        )
+
+    r, c = side(ref, "r"), side(cur, "c")
+    j = r.join(c, "label", "full_outer")
+    cr = F.array(
+        *[
+            F.col(f"sr_{i}").cast("double") / F.col("n_r").cast("double")
+            for i in range(dim)
+        ]
+    )
+    cc = F.array(
+        *[
+            F.col(f"sc_{i}").cast("double") / F.col("n_c").cast("double")
+            for i in range(dim)
+        ]
+    )
+    dot = F.aggregate(
+        F.zip_with(cr, cc, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nr = F.sqrt(
+        F.aggregate(F.transform(cr, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    nc = F.sqrt(
+        F.aggregate(F.transform(cc, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return j.select(
+        "label",
+        F.coalesce(F.col("n_r"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.col("n_c"), F.lit(0)).cast("long").alias("n_cur"),
+        F.when(
+            F.col("n_r").isNotNull() & F.col("n_c").isNotNull(),
+            dot / (nr * nc),
+        ).alias("cos_centroid"),
+        F.when(
+            F.col("n_r").isNotNull() & F.col("n_c").isNotNull(), nc / nr
+        ).alias("norm_ratio"),
+    )
+
+
+def embedding_drift_oracle_sql(
+    ref_sql: str,
+    cur_sql: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`embedding_drift`: identical floor
+    quantization, exact integer sums, identical dim-order folds."""
+    mul = float(1 << scale_bits)
+
+    def sums(tag: str) -> str:
+        cols = ", ".join(
+            f"CAST(sum(CAST(floor(CAST({vec_col}[{i + 1}] AS DOUBLE) * {mul!r}) "
+            f"AS BIGINT)) AS BIGINT) AS s{tag}_{i}"
+            for i in range(dim)
+        )
+        return cols
+
+    cr = ", ".join(
+        f"CAST(sr_{i} AS DOUBLE) / CAST(n_r AS DOUBLE)" for i in range(dim)
+    )
+    cc = ", ".join(
+        f"CAST(sc_{i} AS DOUBLE) / CAST(n_c AS DOUBLE)" for i in range(dim)
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {l}), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH r AS (
+      SELECT {label_col} AS label, CAST(count(*) AS BIGINT) AS n_r, {sums('r')}
+      FROM ({ref_sql}) rs GROUP BY {label_col}),
+    c AS (
+      SELECT {label_col} AS label, CAST(count(*) AS BIGINT) AS n_c, {sums('c')}
+      FROM ({cur_sql}) cs GROUP BY {label_col}),
+    j AS (SELECT * FROM r FULL OUTER JOIN c USING (label)),
+    v AS (
+      SELECT label, n_r, n_c,
+             [{cr}] AS cr, [{cc}] AS cc
+      FROM j)
+    SELECT label,
+           CAST(coalesce(n_r, 0) AS BIGINT) AS n_ref,
+           CAST(coalesce(n_c, 0) AS BIGINT) AS n_cur,
+           CASE WHEN n_r IS NOT NULL AND n_c IS NOT NULL THEN
+             {fold.format(l='list_transform(list_zip(cr, cc), x -> x[1] * x[2])')}
+             / (sqrt({fold.format(l='list_transform(cr, a -> a * a)')})
+                * sqrt({fold.format(l='list_transform(cc, a -> a * a)')}))
+           END AS cos_centroid,
+           CASE WHEN n_r IS NOT NULL AND n_c IS NOT NULL THEN
+             sqrt({fold.format(l='list_transform(cc, a -> a * a)')})
+             / sqrt({fold.format(l='list_transform(cr, a -> a * a)')})
+           END AS norm_ratio
+    FROM v
+    """

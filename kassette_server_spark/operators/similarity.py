@@ -759,17 +759,23 @@ def hard_negative_topk(
     )
 
 
-def _jl_sign(seed: str, j: int, k: int):
+def _jl_sign(seed: str, j: int, k: int) -> float:
     """Deterministic ±1.0 from md5 parity of (seed, j, k) — the
     hyperplane_bucket recipe restricted to signs: first hex nibble of
-    md5("{seed}|{j}|{k}") in 0-7 → +1.0, else -1.0. Evaluated in-engine
-    (Spark md5 / DuckDB md5 are the same public function), so engine
-    and oracle derive the matrix independently rather than sharing a
-    Python-side constant."""
-    return F.when(
-        F.substring(F.md5(F.lit(f"{seed}|{j}|{k}")), 1, 1).isin(*"01234567"),
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
+    md5("{seed}|{j}|{k}") in 0-7 → +1.0, else -1.0.
+
+    Computed at PLAN BUILD with hashlib, not as an in-engine
+    F.md5(lit) tree: the engine-side version was semantically
+    identical but put 1024 when/md5/substring nodes in the plan, and
+    the measured cost was 11.9 s of driver-side analysis for a
+    sub-second map job. Independence is preserved the other way
+    around — the ORACLE still derives every sign from DuckDB's own
+    md5, so a parity run cross-checks this function's derivation
+    against an engine that never saw it."""
+    import hashlib
+
+    first = hashlib.md5(f"{seed}|{j}|{k}".encode()).hexdigest()[0]
+    return 1.0 if first in "01234567" else -1.0
 
 
 def jl_project(
@@ -806,7 +812,7 @@ def jl_project(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     comps = []
     for k in range(out_dim):
-        signs = F.array(*[_jl_sign(seed, j, k) for j in range(in_dim)])
+        signs = F.array(*[F.lit(_jl_sign(seed, j, k)) for j in range(in_dim)])
         comps.append(
             F.aggregate(
                 F.zip_with(v, signs, lambda x, s: x * s),

@@ -1,8 +1,9 @@
-"""Round-9 second wave (q220-q225): the similarity-search scale path
+"""Round-9 second wave (q220-q226): the similarity-search scale path
 completed end-to-end — sketch (q220), plan (q222), measure (q223) —
 plus the audio half of the multimodal feature-extract tier (q221) and
 two curation completions: the temperature sampling plan (q224) and
-the LM-scored quality filter (q225).
+the LM-scored quality filter (q225) — and the embedding-centroid
+drift monitor (q226, exact fixed-point integer sums).
 
 - q220: Johnson-Lindenstrauss ±1 sign projection of the embedding
   column (similarity.jl_project) — the 4× dimensionality cut that
@@ -51,6 +52,7 @@ from ..operators.curation import (
     temperature_mix_oracle_sql,
 )
 from ..operators.diagnostics import lsh_band_plan, lsh_band_plan_oracle_sql
+from ..operators.drift import embedding_drift, embedding_drift_oracle_sql
 from ..operators.multimodal import audio_frame_features
 from ..operators.similarity import (
     ann_recall_at_k,
@@ -200,3 +202,22 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q225(spark: SparkSession, sf: str) -> DataFrame:
     return lm_quality_filter(load(spark, sf, "documents"))
+
+
+@query(
+    "q226_embedding_drift",
+    oracle=embedding_drift_oracle_sql(
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 1",
+    ),
+    doc="per-label embedding-centroid drift between two corpus halves: "
+    "cosine + norm ratio off exact fixed-point integer sums — the "
+    "encoder/corpus shift monitor",
+    tags=("llmops", "similarity", "drift"),
+)
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return embedding_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+    )

@@ -1120,3 +1120,13 @@ def test_q225_lm_filter_no_cartesian(spark):
     joins allowed are the broadcast 1-row cutoff/total attachments."""
     p = plan(spark, "q225_lm_quality_filter")
     assert "CartesianProduct" not in p
+
+
+def test_q226_embedding_drift_no_row_explosion(spark):
+    """The drift monitor is two map-side-combined aggregate passes
+    (dim sum columns, zero posexplode) joined on the label key — no
+    Generate (a per-dimension explode would shuffle dim× the rows),
+    no cartesian."""
+    p = plan(spark, "q226_embedding_drift")
+    assert "Generate" not in p
+    assert "CartesianProduct" not in p

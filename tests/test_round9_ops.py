@@ -496,3 +496,54 @@ def test_lm_quality_filter_drops_exact_bottom_decile(spark):
         assert out[d].cutoff == cutoff
         assert out[d].keep == (s > cutoff), (d, s, cutoff)
     assert any(not r.keep for r in out.values())
+
+
+# -- embedding_drift ----------------------------------------------------------
+def test_embedding_drift_identical_sides(spark):
+    """ref == cur per label → centroids coincide: cosine exactly the
+    self-cosine of one centroid (1.0 up to the final float ops) and
+    norm ratio exactly 1.0 (identical numerator/denominator)."""
+    from kassette_server_spark.operators.drift import embedding_drift
+
+    rows = [(i, [float(i % 3 + 1), 2.0, 0.5, 4.0], i % 2) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in embedding_drift(df, df, dim=4).collect()}
+    for lab in (0, 1):
+        assert out[lab].n_ref == out[lab].n_cur == 6
+        assert out[lab].norm_ratio == 1.0
+        assert abs(out[lab].cos_centroid - 1.0) < 1e-12
+
+
+def test_embedding_drift_hand_centroids(spark):
+    """ref label 0 = two one-hot-x vectors, cur label 0 = two one-hot-y
+    vectors: centroids are orthogonal → cosine 0; norms equal →
+    ratio 1. Integer-valued components make the fixed-point sums
+    exact a priori."""
+    from kassette_server_spark.operators.drift import embedding_drift
+
+    ref = spark.createDataFrame(
+        [(1, [2.0, 0.0], 0), (2, [2.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cur = spark.createDataFrame(
+        [(3, [0.0, 2.0], 0), (4, [0.0, 2.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = embedding_drift(ref, cur, dim=2).collect()[0]
+    assert (r.n_ref, r.n_cur, r.cos_centroid, r.norm_ratio) == (2, 2, 0.0, 1.0)
+
+
+def test_embedding_drift_one_sided_label_is_drift(spark):
+    """A label present on only one side ships with NULL cosine/ratio
+    (new-class appearance IS drift) instead of dropping."""
+    from kassette_server_spark.operators.drift import embedding_drift
+
+    ref = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    cur = spark.createDataFrame(
+        [(2, [1.0, 0.0], 7)], "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in embedding_drift(ref, cur, dim=2).collect()}
+    assert (out[0].n_ref, out[0].n_cur, out[0].cos_centroid) == (1, 0, None)
+    assert (out[7].n_ref, out[7].n_cur, out[7].norm_ratio) == (0, 1, None)
