@@ -1045,22 +1045,42 @@ def embedding_drift(
 
     Output: (label, n_ref, n_cur, cos_centroid, norm_ratio).
     """
+    r = embedding_label_sums(ref, label_col, vec_col, dim, scale_bits, tag="r")
+    c = embedding_label_sums(cur, label_col, vec_col, dim, scale_bits, tag="c")
+    return _embedding_drift_from_sums(r, c, dim)
 
-    def side(df: DataFrame, tag: str) -> DataFrame:
-        q = [
-            F.sum(
-                F.floor(
-                    F.element_at(F.col(vec_col), i + 1).cast("double")
-                    * F.lit(float(1 << scale_bits))
-                ).cast("long")
-            ).alias(f"s{tag}_{i}")
-            for i in range(dim)
-        ]
-        return df.groupBy(F.col(label_col).alias("label")).agg(
-            F.count("*").cast("long").alias(f"n_{tag}"), *q
-        )
 
-    r, c = side(ref, "r"), side(cur, "c")
+def embedding_label_sums(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = 20,
+    tag: str = "c",
+) -> DataFrame:
+    """The per-label integer sufficient statistics embedding_drift
+    runs on: (label, n_<tag>, s<tag>_0..s<tag>_{dim-1}) with each
+    component floor-quantized to 2^scale_bits fixed point. ADDITIVE
+    (exact integer sums), so batches union-and-sum into the identical
+    frame a single pass would produce — the property the streaming
+    monitor's store merge relies on."""
+    q = [
+        F.sum(
+            F.floor(
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                * F.lit(float(1 << scale_bits))
+            ).cast("long")
+        ).alias(f"s{tag}_{i}")
+        for i in range(dim)
+    ]
+    return df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").cast("long").alias(f"n_{tag}"), *q
+    )
+
+
+def _embedding_drift_from_sums(r: DataFrame, c: DataFrame, dim: int) -> DataFrame:
+    """Join the 'r'- and 'c'-tagged sufficient-statistic frames and
+    emit the drift report (the float tail of embedding_drift)."""
     j = r.join(c, "label", "full_outer")
     cr = F.array(
         *[
@@ -1152,3 +1172,89 @@ def embedding_drift_oracle_sql(
            END AS norm_ratio
     FROM v
     """
+
+
+def embedding_sums_merge_into_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = 20,
+) -> bool:
+    """foreachBatch body: fold a micro-batch's per-label embedding
+    sufficient statistics into a persistent store. The statistics are
+    ADDITIVE exact integers (embedding_label_sums), so the store
+    reuses the countmin/hist ``merged_through`` batch-id fence —
+    Spark's documented foreachBatch exactly-once recipe: a replayed
+    batch at or below the high-water mark is skipped rather than
+    double-counted, and the store always equals the single-pass sums
+    of everything merged. State is label-cardinality rows of dim+2
+    integers regardless of stream volume. Returns whether the batch
+    was merged."""
+    from .store import generation_committed, read_store, write_store
+
+    spark = batch_df.sparkSession
+    if generation_committed(store_path, batch_id):
+        return False
+    new = embedding_label_sums(
+        batch_df, label_col, vec_col, dim, scale_bits, tag="c"
+    )
+    old = read_store(spark, store_path)
+    if old is not None:
+        hwm = old.agg(F.max("merged_through")).collect()[0][0]
+        if hwm is not None and batch_id <= hwm:
+            return False
+        merged = (
+            old.drop("merged_through")
+            .unionByName(new)
+            .groupBy("label")
+            .agg(
+                F.sum("n_c").alias("n_c"),
+                *[F.sum(f"sc_{i}").alias(f"sc_{i}") for i in range(dim)],
+            )
+        )
+    else:
+        merged = new
+    rows = merged.collect()  # bounded: label-cardinality rows
+    out = spark.createDataFrame(rows, merged.schema).withColumn(
+        "merged_through", F.lit(int(batch_id))
+    )
+    write_store(out, store_path, int(batch_id))
+    return True
+
+
+def embedding_drift_monitor(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    ref_sums: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = 20,
+):
+    """foreachBatch body: the streaming sibling of q226 — fold the
+    micro-batch into the running sufficient-statistic store
+    (replay-fenced) and report the RUNNING corpus's per-label centroid
+    drift against a frozen reference (``ref_sums`` =
+    embedding_label_sums(reference, tag="r"), computed once and
+    reused). Because the statistics are exact additive integers, the
+    running report after batch N is bit-identical to the batch report
+    embedding_drift would give on the concatenation of batches 0..N —
+    the streamed monitor can never diverge from its batch twin.
+
+    Returns the list of (label, n_ref, n_cur, cos_centroid,
+    norm_ratio) rows for this batch, or None when the batch was a
+    replay skip (at-least-once replays produce no duplicate report).
+    """
+    from .store import read_store
+
+    merged = embedding_sums_merge_into_store(
+        batch_df, batch_id, store_path, label_col, vec_col, dim, scale_bits
+    )
+    if not merged:
+        return None
+    cur = read_store(batch_df.sparkSession, store_path).drop("merged_through")
+    return _embedding_drift_from_sums(ref_sums, cur, dim).collect()
