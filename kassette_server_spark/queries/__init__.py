@@ -105,19 +105,20 @@ _WINDOW: tuple[str, ...] = (
 # q208_tpch_q11_important_stock, q209_tpch_q12_shipmode_priority,
 # q210_tpch_q14_promo_share, q211_tpch_q16_supplier_counts,
 # q212_shingle_saturation — exact names per queries/round8c.py)
-# + the full r9-born wave (14: q213_bpe_token_counts,
+# + the full r9-born wave (15: q213_bpe_token_counts,
 # q214_bpe_sequence_packing, q215_substring_dedup_removal,
 # q216_bpe_vocab, q217_curation_pipeline_e2e — queries/round9.py;
 # q218_multimodal_transform, q219_image_channel_stats — round9.py;
 # q220_jl_projection, q221_audio_frame_features, q222_lsh_band_plan,
 # q223_ann_recall, q224_temperature_mix, q225_lm_quality_filter,
-# q226_embedding_drift — queries/round9b.py)
-# + the 19 most-stale backfill specs in q-number order: q63-q69 (7,
-# last green r5), q84-q90 (7), q91-q95 (5). Arithmetic:
-# 6 + 11 + 14 + 7 + 7 + 5 = 50 exactly. That pushes q96-q142's stale
+# q226_embedding_drift, q227_tokenizer_fertility — queries/round9b.py;
+# 15 total)
+# + the 18 most-stale backfill specs in q-number order: q63-q69 (7,
+# last green r5), q84-q90 (7), q91-q94 (4). Arithmetic:
+# 6 + 11 + 15 + 7 + 7 + 4 = 50 exactly. That pushes q95-q142's stale
 # tier (minus r6/r7 re-greens, plus q70-q74/q78-q82 r7 greens) to
 # r11; any r10-born specs take first-round priority there per
-# standing policy. With a 225-spec surface and a 50-slot gate,
+# standing policy. With a 226-spec surface and a 50-slot gate,
 # worst-case staleness stays ~4 rounds — acceptable because every
 # spec remains locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run; prioritize specs whose OPERATORS

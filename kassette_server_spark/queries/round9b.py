@@ -221,3 +221,62 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
         e.filter(F.col("vec_id") % 2 == 0),
         e.filter(F.col("vec_id") % 2 == 1),
     )
+
+
+# q227: tokenizer fertility by language — tokens-per-word per lang
+# under the corpus's own learned BPE (q213's counts joined back to
+# the language column): THE readout a multilingual vocabulary
+# decision is made from (a language with fertility >> corpus mean is
+# under-served by the merge table and needs more vocab mass — the
+# q194 OOV view from the compression side). Exact integer sums, one
+# division; the doc_id join is co-derived from the same scan.
+from ..operators.textstats import (  # noqa: E402
+    bpe_token_counts,
+    bpe_token_counts_oracle_sql,
+)
+
+_FERTILITY_COUNTS = bpe_token_counts_oracle_sql(
+    "SELECT doc_id, text FROM documents"
+)
+
+
+@query(
+    "q227_tokenizer_fertility",
+    oracle=f"""
+    WITH counts AS ({_FERTILITY_COUNTS})
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c.n_words) AS BIGINT) AS total_words,
+           CAST(sum(c.n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(c.n_bpe_tokens) AS DOUBLE) / CAST(sum(c.n_words) AS DOUBLE)
+             AS fertility
+    FROM counts c JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    doc="BPE tokens-per-word by language under the corpus's learned "
+    "merges — the fertility readout multilingual vocab budgets are "
+    "set from",
+    tags=("llmops", "text"),
+)
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    counts = bpe_token_counts(docs, k_merges=3)
+    return (
+        counts.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_bpe_tokens",
+            (
+                F.col("total_bpe_tokens").cast("double")
+                / F.col("total_words").cast("double")
+            ).alias("fertility"),
+        )
+    )

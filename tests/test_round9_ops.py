@@ -612,3 +612,31 @@ def test_embedding_drift_monitor_empty_batch_reports_nothing(spark, tmp_path):
     r1 = embedding_drift_monitor(b1, 1, store, ref_sums, dim=2)
     assert {x.label: x.n_cur for x in r1} == {0: 1}
     assert r1[0].cos_centroid == 0.0
+
+
+# -- tokenizer fertility --------------------------------------------------------
+def test_tokenizer_fertility_hand_case(spark):
+    """Corpus 'abc abc' (en) / 'abc' (de) with k=3: 'abc' fully merges
+    to ONE symbol, so every lang's fertility is exactly 1.0; word and
+    token totals split per language."""
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.textstats import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "abc abc", "en"), (2, "abc", "de")],
+        "doc_id long, text string, lang string",
+    )
+
+    counts = bpe_token_counts(df, k_merges=3)
+    out = {
+        r.lang: r
+        for r in counts.join(df.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t")
+        )
+        .collect()
+    }
+    assert (out["en"].w, out["en"].t) == (2, 2)
+    assert (out["de"].w, out["de"].t) == (1, 1)
