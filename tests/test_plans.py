@@ -1130,3 +1130,12 @@ def test_q226_embedding_drift_no_row_explosion(spark):
     p = plan(spark, "q226_embedding_drift")
     assert "Generate" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q224_temperature_mix_tiny_frame_tail(spark):
+    """Everything after the corpus count runs on a domain-cardinality
+    frame: the only joins are broadcast attachments of 1-row totals
+    (no cartesian, no sort-merge join anywhere in the plan)."""
+    p = plan(spark, "q224_temperature_mix")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
