@@ -1020,3 +1020,58 @@ def prefix_filtered_jaccard_oracle_sql(
     JOIN n nb ON nb.doc_id = doc_b
     WHERE c / (na.ns + nb.ns - c) >= {t}.0 / {d}.0
     """
+
+
+def select_cluster_representatives(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The step AFTER near-dup clustering: pick ONE representative per
+    cluster and mark the rest for drop — completing the dedup chain
+    profile (q92) → pairs (q32) → clusters (q68) → representative →
+    cleaned corpus. The naive keeper rule (min doc_id, what q68's
+    is_keeper reports) throws away information: near-dup members
+    differ in quality, and a curation pipeline wants the MOST
+    INFORMATIVE member, not the one with the smallest id.
+
+    Representative = argmax per cluster by (distinct-token count desc,
+    char length desc, doc_id asc) — "keep the richest copy", with the
+    id tie-break making the choice total. All three keys are exact
+    integers (the q36 text-stats metrics), so engine and oracle agree
+    bit-for-bit with no float comparison anywhere.
+
+    Scale: metrics are per-row expressions inside the scan; the only
+    added exchange over the clustering itself is one hash partition on
+    cluster_id for the ranking window — and near-dup clusters are
+    overwhelmingly tiny stars, so no window partition is hot. Labels
+    come from :func:`connected_components` (its endpoint-only
+    iteration contract unchanged).
+
+    Output: (doc_id, cluster_id, n_unique_tokens, n_chars,
+    cluster_size, is_representative).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    metrics = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    j = labels.select("doc_id", "cluster_id").join(metrics, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_unique_tokens").desc(),
+        F.col("n_chars").desc(),
+        F.col("doc_id").asc(),
+    )
+    wc = Window.partitionBy("cluster_id")
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "n_unique_tokens",
+        "n_chars",
+        F.count("*").over(wc).cast("long").alias("cluster_size"),
+        (F.row_number().over(w) == 1).alias("is_representative"),
+    )

@@ -280,3 +280,68 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+# q228: cluster representative selection — the step AFTER q68's
+# clustering: keep the RICHEST member of every near-dup cluster
+# (distinct-token count, then char length, then id), not the min-id
+# keeper. The oracle reuses q68's recursive-CTE cluster mirror
+# (imported from llmops — same fragments, same fixpoint) and adds the
+# q36-exact integer metrics + the same ranking window.
+from .llmops import _SHINGLES_CTE, _minhash_bands_sql  # noqa: E402
+
+
+@query(
+    "q228_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_bands_sql()},
+    inter AS (
+      SELECT doc_a, doc_b, count(*) AS c
+      FROM cand
+      JOIN sh a ON a.doc_id = doc_a
+      JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    ver AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN n na ON na.doc_id = doc_a
+      JOIN n nb ON nb.doc_id = doc_b
+      WHERE c / (na.ns + nb.ns - c) >= 0.8),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      UNION
+      SELECT doc_b, doc_a FROM ver),
+    reach(node, x) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x),
+    lab AS (SELECT node AS doc_id, min(x) AS cluster_id FROM reach GROUP BY node),
+    m AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_unique_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents),
+    jm AS (SELECT lab.doc_id, cluster_id, n_unique_tokens, n_chars
+           FROM lab JOIN m USING (doc_id))
+    SELECT doc_id, cluster_id, n_unique_tokens, n_chars,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_unique_tokens DESC, n_chars DESC, doc_id ASC) = 1
+             AS is_representative
+    FROM jm
+    """,
+    doc="keep the richest member of every near-dup cluster (distinct "
+    "tokens, chars, id tie-break) — the selection step after q68's "
+    "clustering, all-integer keys",
+    tags=("llmops", "dedup", "curation"),
+)
+def q228(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import dedup
+
+    docs = load(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    labels = dedup.connected_components(pairs, docs.select("doc_id"))
+    return dedup.select_cluster_representatives(docs, labels)

@@ -1139,3 +1139,12 @@ def test_q224_temperature_mix_tiny_frame_tail(spark):
     p = plan(spark, "q224_temperature_mix")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_q228_representatives_window_per_cluster(spark):
+    """The selection adds exactly one exchange over the clustering —
+    the cluster_id hash partition for the ranking window; no
+    cartesian anywhere in the composed plan."""
+    p = plan(spark, "q228_cluster_representatives")
+    assert "hashpartitioning(cluster_id" in p
+    assert "CartesianProduct" not in p

@@ -640,3 +640,50 @@ def test_tokenizer_fertility_hand_case(spark):
     }
     assert (out["en"].w, out["en"].t) == (2, 2)
     assert (out["de"].w, out["de"].t) == (1, 1)
+
+
+# -- select_cluster_representatives --------------------------------------------
+def test_cluster_representatives_pick_richest_not_min_id(spark):
+    """The whole point vs q68's min-id keeper: in cluster 5 the
+    RICHER member has the HIGHER id (doc 9 carries one more distinct
+    token), so the representative is 9, not min-id 5. Singleton doc 1
+    represents itself."""
+    from kassette_server_spark.operators.dedup import (
+        select_cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r"),
+            (5, "a b c d e f g h i j"),
+            (9, "a b c d e f g h i j k"),
+        ],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (5, 5), (9, 5)], "doc_id long, cluster_id long"
+    )
+    out = {r.doc_id: r for r in select_cluster_representatives(docs, labels).collect()}
+    assert out[9].is_representative and not out[5].is_representative
+    assert out[1].is_representative
+    assert out[5].cluster_size == 2 and out[9].cluster_size == 2
+    assert out[1].cluster_size == 1
+    assert (out[9].n_unique_tokens, out[5].n_unique_tokens) == (11, 10)
+
+
+def test_cluster_representatives_tie_breaks_are_total(spark):
+    """Equal metrics fall through to the id tie-break: exactly one
+    representative per cluster, the smallest id among the tied."""
+    from kassette_server_spark.operators.dedup import (
+        select_cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "x y z"), (3, "x y z"), (8, "x y z")], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(7, 3), (3, 3), (8, 3)], "doc_id long, cluster_id long"
+    )
+    rows = select_cluster_representatives(docs, labels).collect()
+    reps = [r.doc_id for r in rows if r.is_representative]
+    assert reps == [3]
