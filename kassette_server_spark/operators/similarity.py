@@ -900,3 +900,83 @@ def ann_recall_at_k(
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))
         ).alias("recall"),
     )
+
+
+def jl_project_vec(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: str = "jl",
+    out_col: str = "sketch",
+) -> DataFrame:
+    """:func:`jl_project` in ARRAY form — (id, sketch array<double>)
+    instead of long (id, k, proj) rows — the shape the search path
+    consumes (cosine over the 16-component sketch). Same plan-build
+    sign matrix, same index-order folds, same scale literal; the long
+    form stays the oracle-facing spec surface (q220)."""
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = []
+    for k in range(out_dim):
+        signs = F.array(*[F.lit(_jl_sign(seed, j, k)) for j in range(in_dim)])
+        comps.append(
+            F.aggregate(
+                F.zip_with(v, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            * F.lit(scale)
+        )
+    return df.select(
+        F.col(id_col).alias(id_col), F.array(*comps).alias(out_col)
+    )
+
+
+def sketch_recall_at_k(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+) -> DataFrame:
+    """Recall@k of brute-force search IN SKETCH SPACE against
+    brute-force search in full space — the direct measurement of what
+    the JL 64→``out_dim`` cut costs the search, isolated from any
+    index approximation (q223 measures the IVF probe budget; this
+    measures the sketch itself). The two together price the full
+    sketch+index serving stack before it ships.
+
+    Both searches run under brute_force_topk's broadcast-query
+    contract; the sketch side first maps every vector through the
+    plan-build sign matrix (scan-stage fold, no shuffle), so the added
+    cost over one brute pass is in_dim·out_dim multiply-adds per row.
+
+    Output: (query_id, n_hits, recall) — overlap of the two rank-≤k
+    sets per query.
+    """
+    full = brute_force_topk(vectors, queries, k=k, id_col=id_col, vec_col=vec_col)
+    sk_corpus = jl_project_vec(vectors, id_col, vec_col, in_dim, out_dim)
+    sk_queries = jl_project_vec(queries, id_col, vec_col, in_dim, out_dim)
+    approx = brute_force_topk(
+        sk_corpus, sk_queries, k=k, id_col=id_col, vec_col="sketch"
+    )
+    hits = (
+        full.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))
+        ).alias("recall"),
+    )

@@ -30,7 +30,7 @@ from . import round8 as _round8  # noqa: F401,E402  (q158-q172)
 from . import round8b as _round8b  # noqa: F401,E402  (q173+)
 from . import round8c as _round8c  # noqa: F401,E402  (q202+ — TPC-H completion)
 from . import round9 as _round9  # noqa: F401,E402  (q213-q219 — BPE apply/vocab, substring removal, curation e2e, multimodal transforms)
-from . import round9b as _round9b  # noqa: F401,E402  (q220-q228 — JL sketch, audio features, LSH band plan, ANN recall, temp mix, LM filter, embedding drift, fertility, cluster representatives)
+from . import round9b as _round9b  # noqa: F401,E402  (q220-q229 — JL sketch, audio features, LSH band plan, ANN recall, temp mix, LM filter, embedding drift, fertility, cluster representatives)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
@@ -105,20 +105,21 @@ _WINDOW: tuple[str, ...] = (
 # q208_tpch_q11_important_stock, q209_tpch_q12_shipmode_priority,
 # q210_tpch_q14_promo_share, q211_tpch_q16_supplier_counts,
 # q212_shingle_saturation — exact names per queries/round8c.py)
-# + the full r9-born wave (16: q213_bpe_token_counts,
+# + the full r9-born wave (17: q213_bpe_token_counts,
 # q214_bpe_sequence_packing, q215_substring_dedup_removal,
 # q216_bpe_vocab, q217_curation_pipeline_e2e — queries/round9.py;
 # q218_multimodal_transform, q219_image_channel_stats — round9.py;
 # q220_jl_projection, q221_audio_frame_features, q222_lsh_band_plan,
 # q223_ann_recall, q224_temperature_mix, q225_lm_quality_filter,
 # q226_embedding_drift, q227_tokenizer_fertility,
-# q228_cluster_representatives — queries/round9b.py; 16 total)
-# + the 17 most-stale backfill specs in q-number order: q63-q69 (7,
-# last green r5), q84-q90 (7), q91-q93 (3). Arithmetic:
-# 6 + 11 + 16 + 7 + 7 + 3 = 50 exactly. That pushes q94-q142's stale
+# q228_cluster_representatives, q229_sketch_recall —
+# queries/round9b.py; 17 total)
+# + the 16 most-stale backfill specs in q-number order: q63-q69 (7,
+# last green r5), q84-q90 (7), q91-q92 (2). Arithmetic:
+# 6 + 11 + 17 + 7 + 7 + 2 = 50 exactly. That pushes q93-q142's stale
 # tier (minus r6/r7 re-greens, plus q70-q74/q78-q82 r7 greens) to
 # r11; any r10-born specs take first-round priority there per
-# standing policy. With a 227-spec surface and a 50-slot gate,
+# standing policy. With a 228-spec surface and a 50-slot gate,
 # worst-case staleness stays ~4 rounds — acceptable because every
 # spec remains locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run; prioritize specs whose OPERATORS

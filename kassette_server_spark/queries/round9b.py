@@ -345,3 +345,68 @@ def q228(spark: SparkSession, sf: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
     labels = dedup.connected_components(pairs, docs.select("doc_id"))
     return dedup.select_cluster_representatives(docs, labels)
+
+
+# q229: recall@10 of brute-force search IN SKETCH SPACE vs full space
+# — the direct price of the JL 64→16 cut on search quality, isolated
+# from index approximation (q223 prices the IVF probe budget; q229
+# prices the sketch; together they gate the sketch+index serving
+# stack). The oracle rebuilds the sketch arrays from DuckDB's own md5
+# signs (the q220 independence contract) and replays both searches.
+def _jl_comp_sql(k: int, vec: str, in_dim: int = 64, out_dim: int = 16) -> str:
+    import math
+
+    scale = repr(1.0 / math.sqrt(out_dim))
+    return (
+        f"{scale} * list_reduce(list_transform(range(0, {in_dim}), "
+        f"j -> {vec}[j+1] * (CASE WHEN substr(md5('jl|' || CAST(j AS VARCHAR) "
+        f"|| '|{k}'), 1, 1) IN ('0','1','2','3','4','5','6','7') "
+        f"THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
+    )
+
+
+_SKETCH_ARRAY = "[" + ", ".join(_jl_comp_sql(k, "v") for k in range(16)) + "]"
+
+
+@query(
+    "q229_sketch_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nf AS (SELECT vec_id, v, {_NORM.format(a='v')} AS vn FROM e),
+    qf AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM nf WHERE vec_id % 100 = 0),
+    full_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qf.query_id, nf.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qf.query_id
+                 ORDER BY {_DOT.format(a='qf.qv', b='nf.v')} / (qf.qn * nf.vn) DESC, nf.vec_id) AS rk
+        FROM nf, qf WHERE nf.vec_id <> qf.query_id) t WHERE rk <= 10),
+    sk AS (SELECT vec_id, {_SKETCH_ARRAY} AS s FROM e),
+    ns AS (SELECT vec_id, s, {_NORM.format(a='s')} AS sn FROM sk),
+    qs AS (SELECT vec_id AS query_id, s AS qsv, sn AS qsn FROM ns WHERE vec_id % 100 = 0),
+    sk_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qs.query_id, ns.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qs.query_id
+                 ORDER BY {_DOT.format(a='qs.qsv', b='ns.s')} / (qs.qsn * ns.sn) DESC, ns.vec_id) AS rk
+        FROM ns, qs WHERE ns.vec_id <> qs.query_id) t WHERE rk <= 10),
+    hits AS (
+      SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM full_topk f JOIN sk_topk USING (query_id, neighbor_id)
+      GROUP BY f.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall
+    FROM qf q LEFT JOIN hits h USING (query_id)
+    """,
+    doc="recall@10 of brute-force search in JL-sketch space vs full "
+    "space — the measured price of the 64→16 cut, isolated from index "
+    "approximation",
+    tags=("llmops", "similarity", "evaluation"),
+)
+def q229(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import sketch_recall_at_k
+
+    e = load(spark, sf, "embeddings")
+    return sketch_recall_at_k(
+        e, queries=e.filter(F.col("vec_id") % 100 == 0), k=10
+    )

@@ -1148,3 +1148,12 @@ def test_q228_representatives_window_per_cluster(spark):
     p = plan(spark, "q228_cluster_representatives")
     assert "hashpartitioning(cluster_id" in p
     assert "CartesianProduct" not in p
+
+
+def test_q229_sketch_recall_no_cartesian(spark):
+    """Two brute passes under the broadcast-query contract plus one
+    top-k-frame join — broadcast nested loops only, no raw cartesian,
+    and the sketch map itself adds no exchange."""
+    p = plan(spark, "q229_sketch_recall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p

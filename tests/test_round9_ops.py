@@ -687,3 +687,41 @@ def test_cluster_representatives_tie_breaks_are_total(spark):
     rows = select_cluster_representatives(docs, labels).collect()
     reps = [r.doc_id for r in rows if r.is_representative]
     assert reps == [3]
+
+
+# -- sketch_recall_at_k ---------------------------------------------------------
+def test_jl_project_vec_matches_long_form(spark):
+    """The array form must carry exactly the long form's components,
+    index-aligned."""
+    from kassette_server_spark.operators.similarity import (
+        jl_project,
+        jl_project_vec,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.5, -2.0, 0.25, 8.0])], "vec_id long, embedding array<float>"
+    )
+    long = {r.k: r.proj for r in jl_project(df, in_dim=4, out_dim=4).collect()}
+    arr = jl_project_vec(df, in_dim=4, out_dim=4).collect()[0].sketch
+    assert arr == [long[k] for k in range(4)]
+
+
+def test_sketch_recall_duplicate_corpus_is_perfect(spark):
+    """A corpus of EXACT duplicates of one vector: every pairwise
+    cosine is the bitwise-identical value in BOTH spaces (identical
+    inputs → identical folds), so ranks fall to the shared id
+    tie-break and recall = 1.0 for every query. (Scaled-copy
+    variants do NOT work as a hand case: cosine lands at 1±ulp
+    per pair and the ulp ordering differs between spaces.)"""
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.similarity import sketch_recall_at_k
+
+    base = [1.0, 2.0, -0.5, 4.0]
+    rows = [(i, base) for i in range(6)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sketch_recall_at_k(
+        e, queries=e.filter(F.col("vec_id") < 2), k=3, in_dim=4, out_dim=2
+    ).collect()
+    assert len(out) == 2
+    assert all(r.n_hits == 3 and r.recall == 1.0 for r in out)
