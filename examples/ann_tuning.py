@@ -36,6 +36,7 @@ from kassette_server_spark.catalog import load
 from kassette_server_spark.operators.similarity import (
     ann_recall_at_k,
     jl_project,
+    sketch_recall_at_k,
 )
 from kassette_server_spark.session import get_spark
 
@@ -46,11 +47,21 @@ def main() -> None:
     spark = get_spark(app_name="ann-tuning")
     emb = load(spark, sf_dir, "embeddings")
 
-    # 1. the sketch the index would actually store (shown for shape;
-    # the recall loop below gates the FULL-width index, the strictest
-    # read — a sketched index can only need a larger budget)
+    # 1. the sketch the index would store — GATED first: does search
+    # in sketch space still find the full-space neighbors on THIS
+    # corpus? (On the synthetic near-random embeddings it does not —
+    # measured mean recall ~0.16 — which is exactly the verdict that
+    # keeps the sketch out of the serving path here.)
     sketch = jl_project(emb, in_dim=64, out_dim=16)
     print(f"sketch rows: {sketch.count()} (16 components per vector)")
+    sk_gate = sketch_recall_at_k(
+        emb, queries=emb.filter(F.col("vec_id") % 100 == 0), k=10
+    )
+    sk_mean = sk_gate.agg(F.avg("recall").alias("r")).collect()[0].r
+    print(
+        f"sketch-space recall@10 = {sk_mean:.3f} -> "
+        + ("sketch serves" if sk_mean >= target else "serve FULL-width vectors")
+    )
 
     # 2-4. the tuning loop: query sample + centroid layout fixed,
     # n_probe rises until mean recall clears the target
