@@ -34,12 +34,13 @@ from . import round9b as _round9b  # noqa: F401,E402  (q220-q229 — JL sketch, 
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-9 window (executing the
-# r8 plan verbatim, confirmed by VERDICT r8 "Next round #1"): pinned
-# core (6) + the 44 r8-born specs q158-q201 in q-number order — their
-# first driver rows. All 44 were judge-verified green against DuckDB at
-# sf0.01 in the r8 verdict run and stay locked by
-# tests/test_oracle_parity*.py at sf0.001+sf0.01 in every CI run.
+# order (VERDICT r2 "Next round #1/#2"). Round-10 window (executing the
+# r9 plan verbatim, confirmed by VERDICT r9 "Next round #1"): pinned
+# core (6) + first driver rows for the r8c TPC-H-completion/saturation
+# wave q202-q212 (11) and the full r9-born wave q213-q229 (17) — all 28
+# judge-verified green against DuckDB at sf0.01 in the r9 verdict run —
+# + the 16 most-stale backfills q63-q69, q84-q90, q91-q92 (last green
+# r5). After this window runs, every registered spec has >=1 driver row.
 _WINDOW: tuple[str, ...] = (
     # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
@@ -48,82 +49,67 @@ _WINDOW: tuple[str, ...] = (
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-50: r8-born operators, first driver rows (q-number order)
-    "q158_roc_auc",
-    "q159_decile_lift",
-    "q160_threshold_metrics",
-    "q161_cohens_kappa",
-    "q162_ndcg",
-    "q163_key_skew_profile",
-    "q164_triangle_count",
-    "q165_rrf_fusion",
-    "q166_tpch_q17_small_qty",
-    "q167_tpch_q18_large_volume",
-    "q168_degree_assortativity",
-    "q169_label_propagation",
-    "q170_prefix_filter_join",
-    "q171_bpe_merges",
-    "q172_tpch_q20_dominant_suppliers",
-    "q173_spearman_corr",
-    "q174_welch_t_test",
-    "q175_rank_calibration",
-    "q176_mrr_at_10",
-    "q177_hellinger_drift",
-    "q178_seasonal_backtest",
-    "q179_compaction_plan",
-    "q180_k_anonymity",
-    "q181_quantile_normalize",
-    "q182_item_item_cosine",
-    "q183_tpch_q9_profit",
-    "q184_tpch_q13_custdist",
-    "q185_tpch_q15_top_supplier",
-    "q186_tpch_q19_disjunctive",
-    "q187_tpch_q21_waiting",
-    "q188_tpch_q22_idle_customers",
-    "q189_join_cardinality",
-    "q190_anova_f",
-    "q191_kcore",
-    "q192_edit_distance_pairs",
-    "q193_zonemap_pruning",
-    "q194_oov_rate",
-    "q195_hard_negatives",
-    "q196_two_proportion_z",
-    "q197_gini_stump",
-    "q198_per_class_prf",
-    "q199_wilson_ci",
-    "q200_kaplan_meier",
-    "q201_log_rank",
+    # slots 7-17: r8c TPC-H completion + shingle saturation, first driver rows
+    "q202_tpch_q2_min_cost_supplier",
+    "q203_tpch_q4_priority_check",
+    "q204_tpch_q6_forecast_revenue",
+    "q205_tpch_q7_volume_shipping",
+    "q206_tpch_q8_market_share",
+    "q207_tpch_q10_returned_items",
+    "q208_tpch_q11_important_stock",
+    "q209_tpch_q12_shipmode_priority",
+    "q210_tpch_q14_promo_share",
+    "q211_tpch_q16_supplier_counts",
+    "q212_shingle_saturation",
+    # slots 18-34: r9-born wave, first driver rows (q-number order)
+    "q213_bpe_token_counts",
+    "q214_bpe_sequence_packing",
+    "q215_substring_dedup_removal",
+    "q216_bpe_vocab",
+    "q217_curation_pipeline_e2e",
+    "q218_multimodal_transform",
+    "q219_image_channel_stats",
+    "q220_jl_projection",
+    "q221_audio_frame_features",
+    "q222_lsh_band_plan",
+    "q223_ann_recall",
+    "q224_temperature_mix",
+    "q225_lm_quality_filter",
+    "q226_embedding_drift",
+    "q227_tokenizer_fertility",
+    "q228_cluster_representatives",
+    "q229_sketch_recall",
+    # slots 35-50: most-stale backfills (last driver-green r5)
+    "q63_hash_sample",
+    "q64_string_agg",
+    "q65_window_extras",
+    "q66_embedding_centroid",
+    "q67_stratified_sample",
+    "q68_near_dup_clusters",
+    "q69_hopping_window",
+    "q84_multimodal_decode",
+    "q85_countmin_heavy_hitters",
+    "q86_bloom_membership",
+    "q87_full_outer_join",
+    "q88_approx_quantiles",
+    "q89_quantiles_per_group",
+    "q90_hll_per_group",
+    "q91_fuzzy_match",
+    "q92_substring_dedup",
 )
 
-# R10 ROTATION PLAN (VERDICT r8 "Next round #5", amended as r9 grew
-# the born wave to q213-q223 — first-round policy gives round-born
-# specs priority): r10 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + the TPC-H-completion + saturation wave q202-q212 first driver rows
-# (11: q202_tpch_q2_min_cost_supplier, q203_tpch_q4_priority_check,
-# q204_tpch_q6_forecast_revenue, q205_tpch_q7_volume_shipping,
-# q206_tpch_q8_market_share, q207_tpch_q10_returned_items,
-# q208_tpch_q11_important_stock, q209_tpch_q12_shipmode_priority,
-# q210_tpch_q14_promo_share, q211_tpch_q16_supplier_counts,
-# q212_shingle_saturation — exact names per queries/round8c.py)
-# + the full r9-born wave (17: q213_bpe_token_counts,
-# q214_bpe_sequence_packing, q215_substring_dedup_removal,
-# q216_bpe_vocab, q217_curation_pipeline_e2e — queries/round9.py;
-# q218_multimodal_transform, q219_image_channel_stats — round9.py;
-# q220_jl_projection, q221_audio_frame_features, q222_lsh_band_plan,
-# q223_ann_recall, q224_temperature_mix, q225_lm_quality_filter,
-# q226_embedding_drift, q227_tokenizer_fertility,
-# q228_cluster_representatives, q229_sketch_recall —
-# queries/round9b.py; 17 total)
-# + the 16 most-stale backfill specs in q-number order: q63-q69 (7,
-# last green r5), q84-q90 (7), q91-q92 (2). Arithmetic:
-# 6 + 11 + 17 + 7 + 7 + 2 = 50 exactly. That pushes q93-q142's stale
-# tier (minus r6/r7 re-greens, plus q70-q74/q78-q82 r7 greens) to
-# r11; any r10-born specs take first-round priority there per
-# standing policy. With a 228-spec surface and a 50-slot gate,
-# worst-case staleness stays ~4 rounds — acceptable because every
-# spec remains locked by tests/test_oracle_parity*.py at
-# sf0.001+sf0.01 in every CI run; prioritize specs whose OPERATORS
-# changed since their last row.
+# R11 ROTATION PLAN (VERDICT r9 "Next round #8"; provisional until the
+# r10-born specs are registered — first-round policy gives round-born
+# specs priority): r11 = pinned core (6: q01, q03, q08, q11, q24, q28)
+# + any r10-born specs' first driver rows + the stale tier in q-number
+# order: q93-q97 (5, last green r5), then q98-q139 (last green r6) in
+# q-number order until the window is exactly 50. With zero r10-born
+# specs that is q93-q136 (44); each r10-born spec displaces the
+# highest-numbered stale slot. The exact tuple is finalized at the end
+# of round 10 with an asserted arithmetic comment, per standing policy.
+# Every spec stays locked by tests/test_oracle_parity*.py at
+# sf0.001+sf0.01 in every CI run regardless of rotation position;
+# prioritize specs whose OPERATORS changed since their last row.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).
