@@ -83,6 +83,19 @@ class StreamingSupervisor:
         #: via ``failed_starts``, and cleared by the next successful
         #: start or disable of the same cid.
         self._failed: dict[int, str] = {}
+        #: cid -> Event for a ``_start`` call currently EXECUTING (as
+        #: opposed to queued — that's ``_pending_start``). A restart
+        #: that arrives mid-start must chain behind this the same way
+        #: it chains behind ``_stopping``: without it, apply(changed)
+        #: finds nothing in _queries or _stopping, pops the old token,
+        #: and fast-paths a second ``_start`` for the same cid — two
+        #: live queries overlapping on the shared checkpoint dir until
+        #: the first start returns and notices it was superseded
+        #: (ADVICE r9 item 1). The event is set only AFTER the start's
+        #: outcome is registered (query live, failure recorded, or
+        #: orphan stop scheduled into ``_stopping``), so a successor
+        #: waking on it always sees the stop it must join.
+        self._starting: dict[int, threading.Event] = {}
         # RLock: _finish_start -> _start may be re-entered by callbacks
         self._lock = threading.RLock()
 
@@ -112,6 +125,11 @@ class StreamingSupervisor:
                 return f"stops draining for connections {sorted(self._stopping)}"
             if self._pending_start:
                 return f"starts queued for connections {sorted(self._pending_start)}"
+            # a disable that lands mid-start pops the token but the
+            # Spark start is still executing — not quiescent until its
+            # orphan is handed to _stopping
+            if self._starting:
+                return f"starts in flight for connections {sorted(self._starting)}"
         return None
 
     def _reap_stopped(self) -> None:
@@ -175,18 +193,31 @@ class StreamingSupervisor:
         token = object()
         with self._lock:
             self._pending_start[cid] = token  # newest start owns cid
-        if self._await_stop(cid, 0.5):  # fast path: nothing pending
+        # fast path: no in-flight start AND no pending stop
+        if self._starting.get(cid) is None and self._await_stop(cid, 0.5):
             self._finish_start(cid, conn, token)
             return
-        pending = self._stopping.get(cid)
 
-        def waiter(pending=pending, cid=cid, conn=conn, token=token):
-            pending.join()  # unbounded, but OFF the config-store lock
-            with self._lock:
-                # pop only OUR pending stop — a chained newer stop may
-                # have replaced the entry while we slept
-                if self._stopping.get(cid) is pending:
-                    self._stopping.pop(cid, None)
+        def waiter(cid=cid, conn=conn, token=token):
+            # chain behind BOTH predecessor kinds, re-checking after
+            # each wait: an in-flight _start, once superseded, SCHEDULES
+            # a stop for its orphan before releasing its event, so the
+            # loop must look again for a _stopping entry it just missed
+            # (ADVICE r9 item 1 — restart-mid-start overlap).
+            while True:
+                ev = self._starting.get(cid)
+                if ev is not None:
+                    ev.wait()  # unbounded, but OFF the config-store lock
+                    continue
+                pending = self._stopping.get(cid)
+                if pending is None:
+                    break
+                pending.join()
+                with self._lock:
+                    # pop only OUR pending stop — a chained newer stop
+                    # may have replaced the entry while we slept
+                    if self._stopping.get(cid) is pending:
+                        self._stopping.pop(cid, None)
             self._finish_start(cid, conn, token)
 
         threading.Thread(target=waiter, daemon=True).start()
@@ -207,30 +238,44 @@ class StreamingSupervisor:
         here rather than leaking beside its successor. A throwing
         ``_start`` is recorded in ``_failed`` instead of silently
         killing the waiter daemon thread."""
+        in_flight = threading.Event()
         with self._lock:
             if self._pending_start.get(cid) is not token:
                 return  # superseded: disabled, or a newer start owns cid
             # claim WITHOUT popping: the token doubles as the
-            # in-flight placeholder for busy_reason/supersede checks
+            # in-flight placeholder for busy_reason/supersede checks.
+            # The _starting event marks the EXECUTING start: a restart
+            # arriving mid-start chains behind it (ADVICE r9 item 1)
+            # instead of fast-pathing a second start for the same cid.
+            self._starting[cid] = in_flight
         try:
-            q = self._start(conn)
-        except Exception as exc:  # noqa: BLE001 — any start failure
+            try:
+                q = self._start(conn)
+            except Exception as exc:  # noqa: BLE001 — any start failure
+                with self._lock:
+                    if self._pending_start.get(cid) is token:
+                        self._pending_start.pop(cid, None)
+                        self._failed[cid] = repr(exc)
+                return
             with self._lock:
                 if self._pending_start.get(cid) is token:
                     self._pending_start.pop(cid, None)
-                    self._failed[cid] = repr(exc)
-            return
-        with self._lock:
-            if self._pending_start.get(cid) is token:
-                self._pending_start.pop(cid, None)
-                self._queries[cid] = q
-                self._conns[cid] = conn
-                self._failed.pop(cid, None)
-                return
-        # superseded while starting: stop the orphan we just created
-        # (background drain keeps this thread off the slow path; a
-        # queued successor start will chain behind it via _stopping)
-        self._begin_stop(cid, q)
+                    self._queries[cid] = q
+                    self._conns[cid] = conn
+                    self._failed.pop(cid, None)
+                    return
+            # superseded while starting: stop the orphan we just
+            # created (background drain keeps this thread off the slow
+            # path). This registers the stop in _stopping BEFORE the
+            # finally block releases the in-flight event, so a queued
+            # successor waking on the event finds the stop and chains
+            # behind it — never starting beside the orphan.
+            self._begin_stop(cid, q)
+        finally:
+            with self._lock:
+                if self._starting.get(cid) is in_flight:
+                    self._starting.pop(cid, None)
+            in_flight.set()
 
     def _await_stop(self, cid: int, timeout_s: float | None) -> bool:
         """Join the pending stop; True iff none remains. A timed-out
@@ -269,6 +314,11 @@ class StreamingSupervisor:
             self._conns.clear()
         for cid, q in queries:
             self._begin_stop(cid, q)
+        # an in-flight start whose token we just cleared will schedule
+        # its orphan's stop itself — wait for it to do so before the
+        # final join, or that stop would be invisible to the loop below
+        for ev in list(self._starting.values()):
+            ev.wait(DRAIN_TIMEOUT_S + 10)
         for cid in list(self._stopping):
             self._await_stop(cid, DRAIN_TIMEOUT_S + 10)
 

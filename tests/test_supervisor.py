@@ -333,3 +333,56 @@ def test_disable_during_slow_start_stops_orphan():
     sup.quiesce()  # orphan stop drains on a background thread
     assert not sup.running
     assert len(made) == 1 and made[0].stopped  # orphan was stopped
+
+
+def test_restart_during_slow_start_never_overlaps():
+    """ADVICE r9 item 1: a RESTART (changed cid) that lands while a
+    slow _start is executing used to find nothing in _queries or
+    _stopping, pop the old token, and fast-path a SECOND _start for the
+    same cid — two live queries overlapping on the shared checkpoint
+    dir until the first start returned and noticed it was superseded.
+    The successor must chain behind the in-flight start: it may only
+    begin once the orphan's stop has been scheduled AND completed."""
+    import threading as _t
+    import time as _time
+
+    gate = _t.Event()
+    started = _t.Event()
+    log: list = []
+    made: list = []
+    live: list = []  # queries created and not yet stopped
+
+    def slow_start(conn):
+        # the invariant under test: at no instant do two un-stopped
+        # queries for cid 10 exist
+        assert not [q for q in live if not q.stopped], "checkpoint collision!"
+        if conn.source.name == "v1":
+            started.set()
+            assert gate.wait(10)
+        q = FakeQuery(conn.id, log)
+        made.append(q)
+        live.append(q)
+        log.append(("start", conn.source.name))
+        return q
+
+    sup = StreamingSupervisor(slow_start)
+    t = _t.Thread(target=lambda: sup.start_all({10: _conn(10, name="v1")}), daemon=True)
+    t.start()
+    assert started.wait(10)
+    # restart arrives mid-start: must queue behind the in-flight v1
+    # start, not fast-path a parallel v2 start
+    sup.apply(ConfigDiff(added=(), removed=(), changed=(10,)),
+              {10: _conn(10, name="v2")})
+    _time.sleep(0.5)  # give a buggy fast path time to start v2 early
+    assert made == [], "v2 started beside the in-flight v1 start"
+    gate.set()
+    t.join(10)
+    deadline = _time.time() + 10
+    while _time.time() < deadline and 10 not in sup.running:
+        _time.sleep(0.05)
+    sup.quiesce()
+    assert len(made) == 2  # v1 orphan + live v2
+    assert made[0].stopped and not made[1].stopped
+    assert ("start", "v1") in log and ("start", "v2") in log
+    assert sup.running[10] is made[1]
+    sup.stop_all()
