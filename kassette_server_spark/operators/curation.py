@@ -681,6 +681,19 @@ def lm_quality_filter(
     by the LM (ln-ulp absorption), so the comparison is cross-engine
     stable.
 
+    TIE CONTRACT (explicit, ADVICE r9 item 5): the strict-greater cut
+    drops EVERY doc tied at the cutoff score, so under heavy score
+    ties the dropped fraction exceeds drop_decile/10 — degenerately,
+    an all-equal-score corpus drops entirely. This is deliberate:
+    score ties at the decile boundary are same-quality documents, and
+    a per-doc tie-break would need an order statistic over the tied
+    set — an unbounded single-partition window in exactly the
+    heavy-tie case it would serve. Callers needing a bounded drop
+    count under ties should treat ``keep`` as advisory and re-rank the
+    ``avg_logprob == cutoff`` stratum themselves (it ships in the
+    output); the decision column makes that stratum trivially
+    addressable.
+
     Scale: the LM fit dominates (its own documented vocabulary²/cut
     bound); the scored frame is consumed twice (cut + keep decision),
     so it sits behind a lineage checkpoint (the q217 composition-seam

@@ -708,6 +708,20 @@ def lsh_band_plan(
     Output: (r, b, p_at_<sim>... one column per level, sep, chosen).
     """
 
+    # a threshold that is not float-equal to a sims member would make
+    # sep silently 0.0 everywhere and "chosen" degenerate to the r=1
+    # layout — a wrong recommendation with no error (ADVICE r9 item 2)
+    if threshold not in sims:
+        raise ValueError(
+            f"threshold {threshold} must be a member of sims {sims}: "
+            "the separation score is p(threshold) - p(next sim below)"
+        )
+    if not any(s < threshold for s in sims):
+        raise ValueError(
+            f"sims {sims} has no level below threshold {threshold}: "
+            "separation needs a below-threshold sim to discriminate against"
+        )
+
     def _pow(base: Column, exp: Column) -> Column:
         # base^exp by left-fold product over an exp-long constant list;
         # init 1.0 is exact (1.0*x == x), each step one IEEE multiply

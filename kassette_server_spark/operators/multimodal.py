@@ -812,6 +812,12 @@ def sample_gif_frames_payload(payload: bytes, every_n: int) -> bytes:
             frame_idx += 1
             pending_start = None
             pos = p
+    if pending_start is not None:
+        # extensions trailing the LAST image descriptor (e.g. a comment
+        # or application block before the trailer) bind to no frame —
+        # keep them so every_n=1 is a byte-identity round trip
+        # (ADVICE r9 item 4: they were silently dropped)
+        out += payload[pending_start:pos]
     out += b"\x3b"
     return bytes(out)
 

@@ -702,12 +702,12 @@ def bpe_vocab_oracle_sql(
     k_merges: int = 3,
     vocab_size: int | None = None,
 ) -> str:
-    """DuckDB mirror of :func:`bpe_vocab` (reuses the apply chain's
-    learn CTEs, same rank total order)."""
-    base = bpe_token_counts_oracle_sql(source_sql, "doc_id", text_col, k_merges)
-    # reuse the learn chain up to s{k}: take everything before the
-    # apply-side CTEs, which start at "wtok AS"
-    learn_ctes = base.split(",\nwtok AS")[0]
+    """DuckDB mirror of :func:`bpe_vocab` (shares the learn CTE chain
+    with :func:`bpe_token_counts_oracle_sql` via
+    :func:`_bpe_learn_cte_list`, same rank total order)."""
+    learn_ctes = "WITH " + ",\n".join(
+        _bpe_learn_cte_list(source_sql, text_col, k_merges)
+    )
     cut = f" WHERE token_id <= {vocab_size}" if vocab_size is not None else ""
     return (
         learn_ctes + f""",
@@ -726,18 +726,19 @@ def bpe_vocab_oracle_sql(
     )
 
 
-def bpe_token_counts_oracle_sql(
-    source_sql: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k_merges: int = 3,
-) -> str:
-    """DuckDB mirror of :func:`bpe_token_counts`: the learn CTE chain
-    of :func:`bpe_merge_oracle_sql` carrying the word column, then the
-    same word-level join + per-doc aggregate. The per-round replace is
-    a LEFT JOIN ON TRUE (not CROSS JOIN) so an empty winner leaves the
-    symbol frame intact — mirroring the engine's null-guard."""
-    i, t = id_col, text_col
+def _bpe_learn_cte_list(
+    source_sql: str, text_col: str, k_merges: int
+) -> list[str]:
+    """The shared learn-chain CTE list (src → wc → s0 → … → s{k}),
+    carrying the word column, that BOTH apply-side oracle builders
+    (:func:`bpe_token_counts_oracle_sql`, :func:`bpe_vocab_oracle_sql`)
+    extend — previously the vocab builder string-split the generated
+    token-counts SQL on a literal ``',\\nwtok AS'`` marker, so any
+    formatting change there silently produced malformed oracle SQL
+    (ADVICE r9 item 3). The per-round replace is a LEFT JOIN ON TRUE
+    (not CROSS JOIN) so an empty winner leaves the symbol frame intact
+    — mirroring the engine's null-guard."""
+    t = text_col
     ctes = [
         f"src AS ({source_sql})",
         f"w AS (SELECT unnest(string_split({t}, ' ')) AS word FROM src)",
@@ -764,6 +765,20 @@ def bpe_token_counts_oracle_sql(
             f"' ' || b.merged || ' ') END AS sym, {prev}.freq AS freq "
             f"FROM {prev} LEFT JOIN b{k} b ON TRUE)"
         )
+    return ctes
+
+
+def bpe_token_counts_oracle_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_merges: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`bpe_token_counts`: the shared learn CTE
+    chain (:func:`_bpe_learn_cte_list`), then the same word-level join
+    + per-doc aggregate."""
+    i, t = id_col, text_col
+    ctes = _bpe_learn_cte_list(source_sql, t, k_merges)
     ctes.append(
         f"wtok AS (SELECT word, CAST(len(string_split(trim(sym), '  ')) "
         f"AS BIGINT) AS wt FROM s{k_merges})"

@@ -283,6 +283,29 @@ def test_gif_frame_sampling_keeps_every_nth():
     assert parse_gif_meta(sample_gif_frames_payload(gif, 5))["n_frames"] == 1
 
 
+def test_gif_sampling_keeps_trailing_extensions():
+    """Extension blocks AFTER the last image descriptor (comment /
+    application blocks before the trailer) bind to no frame and must
+    survive sampling: every_n=1 is a byte-identity round trip (ADVICE
+    r9 item 4 — they were silently dropped)."""
+    from kassette_server_spark.operators.multimodal import (
+        encode_gif,
+        parse_gif_meta,
+        sample_gif_frames_payload,
+    )
+
+    gif = encode_gif(8, 8, 3)
+    assert gif[-1] == 0x3B
+    comment = b"\x21\xfe\x05hello\x00"  # comment extension, 1 sub-block
+    gif_trailed = gif[:-1] + comment + b"\x3b"
+    parse_gif_meta(gif_trailed)  # structurally valid input
+    assert sample_gif_frames_payload(gif_trailed, 1) == gif_trailed
+    # sampling still keeps the trailing run even when frames drop
+    sm = sample_gif_frames_payload(gif_trailed, 2)
+    assert parse_gif_meta(sm)["n_frames"] == 2
+    assert comment in sm and sm[-1] == 0x3B
+
+
 # -- jl_project ---------------------------------------------------------------
 def test_jl_projection_one_hot_isolates_signs(spark):
     """A one-hot vector at position j projects to proj[k] =
@@ -395,6 +418,20 @@ def test_lsh_band_plan_hand_curve(spark):
     assert rows[best].chosen and sum(r.chosen for r in rows.values()) == 1
 
 
+def test_lsh_band_plan_rejects_degenerate_threshold(spark):
+    """ADVICE r9 item 2: a threshold not float-equal to a sims member
+    (or with no sim below it) used to make sep silently 0.0 and
+    'chosen' degenerate to r=1 — now both misuses raise."""
+    import pytest as _pt
+
+    from kassette_server_spark.operators.diagnostics import lsh_band_plan
+
+    with _pt.raises(ValueError, match="member of sims"):
+        lsh_band_plan(spark, n_hashes=4, threshold=0.75, sims=(0.5, 0.8))
+    with _pt.raises(ValueError, match="below threshold"):
+        lsh_band_plan(spark, n_hashes=4, threshold=0.5, sims=(0.5, 0.8))
+
+
 # -- ann_recall_at_k ----------------------------------------------------------
 def test_ann_recall_counts_ivf_misses(spark):
     """Two well-separated clusters on orthogonal axes; one query per
@@ -496,6 +533,21 @@ def test_lm_quality_filter_drops_exact_bottom_decile(spark):
         assert out[d].cutoff == cutoff
         assert out[d].keep == (s > cutoff), (d, s, cutoff)
     assert any(not r.keep for r in out.values())
+
+
+def test_lm_quality_filter_tie_contract_all_equal_drops_all(spark):
+    """The documented tie contract (ADVICE r9 item 5): the strict-
+    greater cut drops EVERY doc tied at the cutoff — an all-equal-score
+    corpus (identical docs) drops entirely, and the cutoff column makes
+    the tied stratum addressable for callers that re-rank it."""
+    from kassette_server_spark.operators.curation import lm_quality_filter
+
+    rows = [(i, "a b a b a b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lm_quality_filter(df).collect()
+    assert len(out) == 10
+    assert all(not r.keep for r in out)  # every doc tied at the cutoff
+    assert all(r.avg_logprob == r.cutoff for r in out)
 
 
 # -- embedding_drift ----------------------------------------------------------
