@@ -51,14 +51,19 @@ def main() -> None:
         run_to_completion(specs[name].fn(spark, sf_dir))
         return time.perf_counter() - t0
 
-    # Noise sentinel (VERDICT r7 #4): the same fixed cheap spec timed
-    # immediately after warmup and again after the whole sweep. If both
-    # sentinel timings moved together vs the prior round, the shift is
-    # ambient box load, not a plan regression — this makes the
-    # round-over-round comparison mechanical instead of forensic (the
-    # r7 driver bench ran ~1.25x r6 uniformly from box load alone).
+    # Noise sentinel (VERDICT r7 #4, r9 #2): the same fixed cheap spec
+    # timed immediately after warmup, at each third of the sweep, and
+    # again after it. If the total moved together with the sentinels vs
+    # the prior round, the shift is ambient box load, not a plan
+    # regression. The MID-RUN samples exist because a load transient
+    # confined to the middle of the run is invisible to a first/last
+    # pair — the r9 driver run showed the alphabetically-contiguous
+    # q202-q211 stretch at ~2x with quiet endpoints (VERDICT r9 "What's
+    # wrong" #1); three-plus samples bracket every third of the sweep.
     SENTINEL = "q14_topk"
-    sentinel_first = round(min(time_spec(SENTINEL) for _ in range(2)), 4)
+    sentinel_samples: list[float] = [
+        round(min(time_spec(SENTINEL) for _ in range(2)), 4)
+    ]
 
     # best-of-2: first run pays whole-stage-codegen compilation for the
     # plan shape, second measures steady-state engine throughput. The
@@ -69,16 +74,47 @@ def main() -> None:
     high_variance = {"q57_simhash_near_dup", "q68_near_dup_clusters"}
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in sorted(specs):
+    names = sorted(specs)
+    third = max(1, (len(names) + 2) // 3)
+    for i, name in enumerate(names):
         samples = [time_spec(name) for _ in range(3 if name in high_variance else 2)]
         if name in high_variance:
             timings[name] = round(sorted(samples)[1], 4)  # median of 3
             spreads[name] = round(max(samples) - min(samples), 4)
         else:
             timings[name] = round(min(samples), 4)
+        if (i + 1) % third == 0 and (i + 1) < len(names):
+            sentinel_samples.append(
+                round(min(time_spec(SENTINEL) for _ in range(2)), 4)
+            )
 
-    sentinel_last = round(min(time_spec(SENTINEL) for _ in range(2)), 4)
+    sentinel_samples.append(round(min(time_spec(SENTINEL) for _ in range(2)), 4))
+    sentinel_first, sentinel_last = sentinel_samples[0], sentinel_samples[-1]
     total = round(sum(timings.values()), 4)
+
+    # Tier split (VERDICT r9 #3): a single scalar s/spec band over a
+    # surface with intentional multi-stage tiers keeps "failing" for
+    # honest reasons — composed-tier growth could also MASK a real
+    # regression in the cheap class. Report the two classes separately;
+    # membership is the verdict's list: composed/iterative specs whose
+    # cost is intrinsic composition, fixpoint iteration, or fixed
+    # plan-compile, each individually plan-audited.
+    COMPOSED = {
+        "q28_pipeline_e2e",
+        "q57_simhash_near_dup",
+        "q68_near_dup_clusters",
+        "q102_pagerank",
+        "q215_substring_dedup_removal",
+        "q217_curation_pipeline_e2e",
+        "q225_lm_quality_filter",
+        "q226_embedding_drift",
+        "q228_cluster_representatives",
+        "q229_sketch_recall",
+    }
+    composed_total = round(sum(t for n, t in timings.items() if n in COMPOSED), 4)
+    n_composed = sum(1 for n in timings if n in COMPOSED)
+    core_total = round(total - composed_total, 4)
+    n_core = len(timings) - n_composed
     # The driver archives only a finite TAIL of stdout; the 142-entry
     # per-query map overflowed it and r6 still recorded parsed:null
     # (VERDICT r6 "What's wrong" #2). The sole stdout line is therefore
@@ -93,9 +129,16 @@ def main() -> None:
             "queries": slowest,
             "n_queries": len(timings),
             "sec_per_query": round(total / len(timings), 4),
+            "core_sec_per_query": round(core_total / max(1, n_core), 4),
+            "composed_sec_per_query": round(
+                composed_total / max(1, n_composed), 4
+            ),
+            "n_core": n_core,
+            "n_composed": n_composed,
             "sentinel": SENTINEL,
             "sentinel_first": sentinel_first,
             "sentinel_last": sentinel_last,
+            "sentinel_samples": sentinel_samples,
             "sf": sf,
             "full_map": "BENCH_FULL.json",
         }
@@ -110,6 +153,12 @@ def main() -> None:
             "sentinel": SENTINEL,
             "sentinel_first": sentinel_first,
             "sentinel_last": sentinel_last,
+            "sentinel_samples": sentinel_samples,
+            "core_sec_per_query": round(core_total / max(1, n_core), 4),
+            "composed_sec_per_query": round(
+                composed_total / max(1, n_composed), 4
+            ),
+            "composed_tier": sorted(COMPOSED),
             "median_of_3": sorted(high_variance),
             "spread_sec": spreads,
             "variance_note": "median-of-3 specs are iterative "
