@@ -543,11 +543,17 @@ def temperature_mix(
     ``total_budget``-doc training mix, apportioned by the largest-
     remainder method so the targets sum to the budget EXACTLY.
 
-    τ is fixed at 0.5 — p_d^0.5 = sqrt(c_d)/Σsqrt(c_d) (the N^τ
-    normalization cancels), and IEEE sqrt is correctly rounded in both
-    engines, so the whole plan is cross-engine exact WITHOUT libm pow
-    (the q222 fold-discipline applied to temperature sampling; a
-    general τ would need pow and break the hash contract).
+    τ ∈ {0.25, 0.5, 0.75, 1.0} (quarter grid, VERDICT r9 #6) —
+    p_d^τ ∝ c_d^τ (the N^τ normalization cancels), and each grid point
+    is reachable through correctly-rounded IEEE ops alone: c (τ=1),
+    sqrt(c) (τ=0.5), sqrt(sqrt(c)) (τ=0.25), and sqrt(c)·sqrt(sqrt(c))
+    (τ=0.75 — two correctly-rounded sqrts and one correctly-rounded
+    multiply). The composed weights are not the infinitely-precise
+    c^τ, but BOTH engines compute the identical op sequence from the
+    identical double, so every weight — and the whole plan — stays
+    cross-engine bit-exact WITHOUT libm pow (the q222 fold-discipline
+    applied to temperature sampling; an arbitrary τ would need pow and
+    break the hash contract).
 
     Determinism: the Σsqrt denominator folds in sorted domain order
     (the entropy/KL sorted-key-fold rule — a SUM over doubles is
@@ -564,12 +570,24 @@ def temperature_mix(
     Output: (domain, n_docs, weight, target_share, target_count,
     repetition_factor).
     """
-    if tau != 0.5:
-        raise ValueError("temperature_mix is exact only at tau=0.5 (sqrt)")
+    if tau not in (0.25, 0.5, 0.75, 1.0):
+        raise ValueError(
+            "temperature_mix is exact only on the quarter grid "
+            "tau in {0.25, 0.5, 0.75, 1.0} (composed IEEE sqrt)"
+        )
     counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count("*").cast("long").alias("n_docs")
     )
-    weighted = counts.withColumn("weight", F.sqrt(F.col("n_docs").cast("double")))
+    c = F.col("n_docs").cast("double")
+    if tau == 1.0:
+        wexpr = c
+    elif tau == 0.5:
+        wexpr = F.sqrt(c)
+    elif tau == 0.25:
+        wexpr = F.sqrt(F.sqrt(c))
+    else:  # 0.75: c^(1/2) · c^(1/4), each factor correctly rounded
+        wexpr = F.sqrt(c) * F.sqrt(F.sqrt(c))
+    weighted = counts.withColumn("weight", wexpr)
     tot = weighted.agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("domain", "weight"))),
@@ -618,17 +636,29 @@ def temperature_mix(
 
 
 def temperature_mix_oracle_sql(
-    table: str, domain_col: str = "lang", total_budget: int = 10_000
+    table: str, domain_col: str = "lang", total_budget: int = 10_000,
+    tau: float = 0.5,
 ) -> str:
-    """DuckDB mirror of :func:`temperature_mix` (τ=0.5): same sqrt
-    weights, same sorted-fold denominator, same largest-remainder
-    seats with domain tie-break."""
+    """DuckDB mirror of :func:`temperature_mix`: the same composed-
+    sqrt weight for the same quarter-grid τ, same sorted-fold
+    denominator, same largest-remainder seats with domain tie-break."""
+    c = "CAST(n_docs AS DOUBLE)"
+    weights = {
+        1.0: c,
+        0.5: f"sqrt({c})",
+        0.25: f"sqrt(sqrt({c}))",
+        0.75: f"sqrt({c}) * sqrt(sqrt({c}))",
+    }
+    if tau not in weights:
+        raise ValueError(
+            "temperature_mix oracle supports tau in {0.25, 0.5, 0.75, 1.0}"
+        )
     return f"""
     WITH counts AS (
       SELECT {domain_col} AS domain, CAST(count(*) AS BIGINT) AS n_docs
       FROM {table} GROUP BY {domain_col}),
     weighted AS (
-      SELECT domain, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight
+      SELECT domain, n_docs, {weights[tau]} AS weight
       FROM counts),
     tot AS (
       SELECT list_reduce(

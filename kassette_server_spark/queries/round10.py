@@ -1,6 +1,12 @@
 """Round-10 wave (q230+): the verdict's soft-edge closures made
 first-class specs.
 
+- q231: temperature mixing at τ=0.75 (curation.temperature_mix,
+  VERDICT r9 #6) — the quarter-grid generalization's hardest point:
+  weight c^0.75 as sqrt(c)·sqrt(sqrt(c)), two correctly-rounded IEEE
+  sqrts and one multiply, bit-exact cross-engine without libm pow;
+  same sorted-fold denominator and largest-remainder apportionment
+  as q224's τ=0.5.
 - q230: PNG nearest-neighbor resize (multimodal.png_resize_stats) —
   the COMPRESSED-format member of the resize tier (VERDICT r9 #4; BMP
   proved the uncompressed path in q218). Formula-pixel grayscale PNGs
@@ -23,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load
+from ..operators.curation import temperature_mix_oracle_sql
 from .base import query
 
 
@@ -54,3 +61,22 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import png_resize_stats
 
     return png_resize_stats(load(spark, sf, "documents").select("doc_id"))
+
+
+@query(
+    "q231_temperature_mix_tau75",
+    oracle=temperature_mix_oracle_sql("documents", total_budget=10_000, tau=0.75),
+    doc="temperature-0.75 domain rebalancing: composed-sqrt weight "
+    "sqrt(c)*sqrt(sqrt(c)), largest-remainder integer targets summing "
+    "exactly to the budget - the quarter-grid tau generalization",
+    tags=("llmops", "curation"),
+)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.curation import temperature_mix
+
+    return temperature_mix(
+        load(spark, sf, "documents"),
+        domain_col="lang",
+        total_budget=10_000,
+        tau=0.75,
+    )

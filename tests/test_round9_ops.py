@@ -502,6 +502,49 @@ def test_temperature_mix_targets_sum_to_budget(spark):
         assert got == budget, (budget, got)
 
 
+def test_temperature_mix_quarter_grid_weights_and_budget(spark):
+    """VERDICT r9 #6: every quarter-grid τ produces the composed-sqrt
+    weight computed independently here (math.sqrt is the same
+    correctly-rounded IEEE op) and exact-sum apportionment."""
+    import math
+
+    from kassette_server_spark.operators.curation import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, ["de", "en", "es", "fr", "zh"][i % 5]) for i in range(73)],
+        "doc_id long, lang string",
+    )
+    counts = {"de": 15, "en": 15, "es": 15, "fr": 14, "zh": 14}
+
+    def weight(c, tau):
+        if tau == 1.0:
+            return float(c)
+        if tau == 0.5:
+            return math.sqrt(c)
+        if tau == 0.25:
+            return math.sqrt(math.sqrt(c))
+        return math.sqrt(c) * math.sqrt(math.sqrt(c))
+
+    for tau in (0.25, 0.5, 0.75, 1.0):
+        out = {r.domain: r for r in
+               temperature_mix(df, total_budget=997, tau=tau).collect()}
+        assert sum(r.target_count for r in out.values()) == 997, tau
+        for d, c in counts.items():
+            assert out[d].weight == weight(c, tau), (tau, d)
+    # τ=1.0 reproduces the observed distribution: proportional shares
+    prop = {r.domain: r for r in
+            temperature_mix(df, total_budget=73, tau=1.0).collect()}
+    for d, c in counts.items():
+        assert prop[d].target_count == c, d
+    # lower τ flattens: the rare domain's share strictly grows
+    shares = {
+        tau: {r.domain: r.target_share for r in
+              temperature_mix(df, total_budget=997, tau=tau).collect()}
+        for tau in (0.25, 0.5, 1.0)
+    }
+    assert shares[0.25]["zh"] > shares[0.5]["zh"] > shares[1.0]["zh"]
+
+
 def test_temperature_mix_rejects_general_tau(spark):
     import pytest
 
@@ -510,6 +553,10 @@ def test_temperature_mix_rejects_general_tau(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with pytest.raises(ValueError):
         temperature_mix(df, tau=0.7)
+    from kassette_server_spark.operators.curation import temperature_mix_oracle_sql
+
+    with pytest.raises(ValueError):
+        temperature_mix_oracle_sql("documents", tau=0.7)
 
 
 # -- lm_quality_filter --------------------------------------------------------
