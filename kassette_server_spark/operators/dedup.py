@@ -618,6 +618,60 @@ def minhash_dedup_stream(
     return stateful.unionByName(degenerate)
 
 
+def minhash_dedup_stream_from_plan(
+    stream: DataFrame,
+    plan_row,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    k: int = 3,
+    threshold: float = 0.8,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Construct :func:`minhash_dedup_stream` from the layout the
+    q222 band planner recommends (VERDICT r9 #5 — the planner and the
+    streaming dedup were unwired: the plan's (r, b) wasn't consumable
+    without hand-translating it to constructor args).
+
+    ``plan_row`` is one row of ``diagnostics.lsh_band_plan`` output
+    (typically the ``chosen`` one) — anything with ``r`` (rows per
+    band) and ``b`` (bands) addressable by name: a pyspark Row, a
+    dict, or a namedtuple. The signature width is set to exactly
+    r·b components: the planner's b = ⌊n_hashes/r⌋ layouts use only
+    that many, and the direct constructor (correctly) REJECTS ragged
+    n_hashes/bands combinations — computing the n_hashes − r·b
+    leftover minhash components would be wasted per-row work that no
+    band hash ever reads. The S-curve the planner printed for (r, b)
+    is therefore exactly the curve this stream operates on.
+    """
+    def field(name):
+        try:
+            return plan_row[name]  # Row / dict
+        except (TypeError, KeyError, IndexError):
+            return getattr(plan_row, name)  # namedtuple
+
+    try:
+        r, b = int(field("r")), int(field("b"))
+    except (AttributeError, ValueError) as exc:
+        raise ValueError(
+            "plan_row must expose 'r' and 'b' by name (a lsh_band_plan "
+            f"output row); got {plan_row!r}"
+        ) from exc
+    if r < 1 or b < 1:
+        raise ValueError(f"plan layout must have r >= 1 and b >= 1, got ({r}, {b})")
+    return minhash_dedup_stream(
+        stream,
+        text_col=text_col,
+        id_col=id_col,
+        ts_col=ts_col,
+        k=k,
+        num_hashes=r * b,
+        bands=b,
+        threshold=threshold,
+        watermark=watermark,
+    )
+
+
 def minhash_stream_doc_verdicts(verdicts: DataFrame) -> DataFrame:
     """Batch-local per-doc reduction of the per-bucket verdict stream
     (use inside foreachBatch): a doc is kept iff NO bucket matched;

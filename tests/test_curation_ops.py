@@ -235,6 +235,97 @@ def test_minhash_dedup_stream_prunes_stale_keepers(spark, tmp_path):
     assert got[6] == (True, None), f"stale keeper must have been pruned: {got}"
 
 
+def test_minhash_dedup_stream_from_plan_parity(spark, tmp_path):
+    """VERDICT r9 #5: the q222 band-planner's chosen (r, b) row drives
+    the streaming dedup directly. The constructed stream must behave
+    identically to a hand-built minhash_dedup_stream(num_hashes=r*b,
+    bands=b) on the same fixture — same keepers, same dup_of."""
+    from kassette_server_spark.operators.dedup import (
+        minhash_dedup_stream,
+        minhash_dedup_stream_from_plan,
+        minhash_stream_doc_verdicts,
+    )
+    from kassette_server_spark.operators.diagnostics import lsh_band_plan
+
+    plan = lsh_band_plan(spark, n_hashes=8, threshold=0.8, sims=(0.5, 0.8))
+    chosen = [r for r in plan.collect() if r.chosen]
+    assert len(chosen) == 1
+    row = chosen[0]
+    assert row.r * row.b <= 8  # the layout never uses more components
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " ok"
+    other = "completely different content about spark structured streaming state"
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base, 100), (2, near, 200), (3, other, 300)],
+        "doc_id long, text string, ts_s long",
+    ).write.json(str(src / "b1"))
+
+    def run(tag, make):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts_s long")
+            .option("recursiveFileLookup", "true")
+            .json(str(src))
+            .select(
+                "doc_id", "text",
+                F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            )
+        )
+        verdicts = make(stream)
+        sink = str(tmp_path / f"out-{tag}")
+
+        def write_batch(batch_df, batch_id):
+            minhash_stream_doc_verdicts(batch_df).write.mode("append").json(sink)
+
+        q = (
+            verdicts.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", str(tmp_path / f"ckpt-{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.doc_id: (r.keep, r.dup_of)
+            for r in spark.read.schema(
+                "doc_id long, dup_of long, est_jaccard double, keep boolean"
+            ).json(sink).collect()
+        }
+
+    from_plan = run(
+        "plan",
+        lambda s: minhash_dedup_stream_from_plan(
+            s, row, threshold=0.8, watermark="10 minutes"
+        ),
+    )
+    direct = run(
+        "direct",
+        lambda s: minhash_dedup_stream(
+            s, num_hashes=row.r * row.b, bands=row.b,
+            threshold=0.8, watermark="10 minutes",
+        ),
+    )
+    assert from_plan == direct
+    assert from_plan[1] == (True, None)
+    assert from_plan[2] == (False, 1)  # near-dup suppressed under the plan
+    assert from_plan[3] == (True, None)
+
+
+def test_minhash_dedup_stream_from_plan_validates_row():
+    import pytest
+
+    from kassette_server_spark.operators.dedup import (
+        minhash_dedup_stream_from_plan,
+    )
+
+    with pytest.raises(ValueError, match="expose 'r' and 'b'"):
+        minhash_dedup_stream_from_plan(None, {"rows": 2})
+    with pytest.raises(ValueError, match="r >= 1"):
+        minhash_dedup_stream_from_plan(None, {"r": 0, "b": 4})
+
+
 def test_minhash_dedup_stream_rejects_ragged_banding(spark):
     """num_hashes not divisible by bands would silently exclude
     signature components from every band hash — must raise."""
