@@ -40,10 +40,12 @@ from conftest import SF_CORRECT, SF_SMOKE
 from kassette_server_spark.catalog import load
 
 SEED = 20260813
-N_QUERIES = 280  # raised r9 with the window-over-aggregate /
-# share-pair / double-EXISTS-residual shapes (the TPC-H completion
-# wave's q185/q208, q206/q210, q187 corners) so every family keeps
-# its per-seed coverage as the grammar widens
+N_QUERIES = 400  # raised r10 (280 → 400, VERDICT r9 #7) with the
+# window-over-window (q217 packing seam), per-group order-statistic
+# cut (q225/q159/q181), and keep-first anti-join span (q215) shapes —
+# ≥100 additional seeded queries so every family keeps its per-seed
+# coverage as the grammar widens (r9 raise: window-over-aggregate /
+# share-pair / double-EXISTS-residual, q185/q208, q206/q210, q187)
 
 # (table, integer cols, string cols, date cols) — doubles deliberately
 # excluded (float summation order is engine-dependent)
@@ -455,6 +457,114 @@ def _gen_double_exists_query(rng: random.Random, domains: dict) -> str:
     )
 
 
+def _gen_window_over_window_query(rng: random.Random, domains: dict) -> str:
+    """Composed window-over-window (the q217 packing seam, VERDICT r9
+    #7): a running sum in window one, then a SECOND window — rank,
+    partition max, or lag delta — computed over the first window's
+    output. The divergence corners: frame defaults on the composed
+    column, rank ties on a derived value, lag at partition heads."""
+    t = rng.choice([t for t in TABLES if UNIQUE_KEY[t]])
+    ints, strs, _dates = TABLES[t]
+    uk = UNIQUE_KEY[t]
+    g = rng.choice(strs)
+    a = rng.choice(ints)
+    p = _predicate(rng, t, "t0", domains)
+    inner = (
+        f"SELECT t0.{g} AS g, t0.{uk} AS k, "
+        f"CAST(sum(t0.{a}) OVER (PARTITION BY t0.{g} ORDER BY t0.{uk} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs "
+        f"FROM {t} t0 WHERE {p}"
+    )
+    variant = rng.random()
+    if variant < 0.4:
+        # rank over the running sum, then a group-limit filter
+        n = rng.choice((1, 2, 5))
+        return (
+            f"SELECT g, k, rs FROM (SELECT g, k, rs, row_number() OVER "
+            f"(PARTITION BY g ORDER BY rs DESC, k) AS rn FROM ({inner}) w1) w2 "
+            f"WHERE rn <= {n} "
+            f"ORDER BY g NULLS FIRST, k NULLS FIRST, rs NULLS FIRST"
+        )
+    if variant < 0.7:
+        # rows at the partition max of the running sum (ties possible
+        # when the summed column is zero/negative-free prefix-equal)
+        return (
+            f"SELECT g, k, rs FROM (SELECT g, k, rs, max(rs) OVER "
+            f"(PARTITION BY g) AS mx FROM ({inner}) w1) w2 WHERE rs = mx "
+            f"ORDER BY g NULLS FIRST, k NULLS FIRST, rs NULLS FIRST"
+        )
+    # lag delta of the running sum — recovers the per-row contribution;
+    # null at partition heads exercises default-vs-explicit lag nulls
+    return (
+        f"SELECT g, k, rs, rs - lag(rs) OVER (PARTITION BY g ORDER BY k) "
+        f"AS delta FROM ({inner}) w1 "
+        f"ORDER BY g NULLS FIRST, k NULLS FIRST, rs NULLS FIRST, "
+        f"delta NULLS FIRST"
+    )
+
+
+def _gen_group_order_statistic_query(rng: random.Random, domains: dict) -> str:
+    """Per-group order-statistic cuts (the q225/q159/q181 family,
+    VERDICT r9 #7): cumulative counts over the DISTINCT-value frame,
+    then the smallest value whose cumulative count reaches a rational
+    cut of the group total — integer cross-multiplication, never
+    division. Divergence corners: cumulative frames over grouped
+    output, CASE-min interaction, groups smaller than the cut."""
+    t = rng.choice(list(TABLES))
+    ints, strs, _dates = TABLES[t]
+    g = rng.choice(strs)
+    a = rng.choice(ints)
+    p = _predicate(rng, t, "t0", domains)
+    k, j = rng.choice(((10, 1), (10, 3), (4, 1), (2, 1), (5, 2)))
+    return (
+        f"WITH cts AS (SELECT t0.{g} AS g, t0.{a} AS v, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM {t} t0 WHERE {p} "
+        f"GROUP BY t0.{g}, t0.{a}), "
+        f"cum AS (SELECT g, v, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c, "
+        f"CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n FROM cts) "
+        f"SELECT g, min(CASE WHEN c * {k} >= n * {j} THEN v END) AS cutoff, "
+        f"CAST(max(n) AS BIGINT) AS n FROM cum GROUP BY g "
+        f"ORDER BY g NULLS FIRST, cutoff NULLS FIRST, n NULLS FIRST"
+    )
+
+
+def _gen_keep_first_anti_join_query(rng: random.Random, domains: dict) -> str:
+    """Keep-first anti-join span algebra (the q215 substring-removal
+    shape, VERDICT r9 #7): a row survives iff NO earlier row (strictly
+    smaller unique key) claims the same group value — the Lee et al.
+    keep-first rule as a correlated anti join with an INEQUALITY
+    residual the hash key cannot absorb. Also generated as the
+    equivalent min-owner join, so the two decorrelations cross-check
+    each other through the shared seed sweep."""
+    t = rng.choice([t for t in TABLES if UNIQUE_KEY[t]])
+    ints, strs, _dates = TABLES[t]
+    uk = UNIQUE_KEY[t]
+    key = rng.choice(strs + [c for c in ints if c != uk])
+    g = rng.choice(strs)
+    p = _predicate(rng, t, "t0", domains)
+    if rng.random() < 0.5:
+        # anti-join formulation: an earlier same-key row exists → drop
+        return (
+            f"SELECT t0.{g} AS g, CAST(count(*) AS BIGINT) AS kept "
+            f"FROM {t} t0 WHERE {p} AND NOT EXISTS ("
+            f"SELECT 1 FROM {t} s WHERE s.{key} = t0.{key} "
+            f"AND s.{uk} < t0.{uk}) "
+            f"GROUP BY t0.{g} ORDER BY g NULLS FIRST, kept NULLS FIRST"
+        )
+    # min-owner formulation of the same rule (owner computed over the
+    # UNFILTERED table, so the filter composes after ownership — the
+    # ordering trap q215's oracle pins)
+    return (
+        f"SELECT t0.{g} AS g, CAST(count(*) AS BIGINT) AS kept "
+        f"FROM {t} t0 JOIN (SELECT {key} AS k, min({uk}) AS owner "
+        f"FROM {t} GROUP BY {key}) own "
+        f"ON t0.{key} = own.k AND t0.{uk} = own.owner "
+        f"WHERE {p} "
+        f"GROUP BY t0.{g} ORDER BY g NULLS FIRST, kept NULLS FIRST"
+    )
+
+
 def _gen_setop_query(rng: random.Random, domains: dict) -> str:
     """INTERSECT / EXCEPT nesting (VERDICT r6 #6): set-op DISTINCT
     semantics and duplicate elimination order are engine-internal; the
@@ -493,7 +603,13 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
         return _gen_share_pair_query(rng, domains)
     if shape < 0.60:  # EXISTS + NOT EXISTS residuals (Q21 — q187)
         return _gen_double_exists_query(rng, domains)
-    if shape < 0.68:  # single table
+    if shape < 0.64:  # window over window (q217 packing seam)
+        return _gen_window_over_window_query(rng, domains)
+    if shape < 0.68:  # per-group order-statistic cut (q225/q159/q181)
+        return _gen_group_order_statistic_query(rng, domains)
+    if shape < 0.72:  # keep-first anti-join span algebra (q215)
+        return _gen_keep_first_anti_join_query(rng, domains)
+    if shape < 0.76:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
         from_sql = f"{t} t0"

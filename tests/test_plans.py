@@ -1157,3 +1157,24 @@ def test_q229_sketch_recall_no_cartesian(spark):
     p = plan(spark, "q229_sketch_recall")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_q230_png_resize_scan_stage_map(spark):
+    """The PNG resize tier is one Arrow-batched mapInPandas directly
+    over the id scan — no Exchange anywhere (nothing to shuffle: every
+    payload is built, transformed, and re-parsed within its input
+    partition), no Generate, no join of any kind."""
+    p = plan(spark, "q230_png_resize")
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_q231_temperature_mix_tau75_tiny_frame_tail(spark):
+    """The τ=0.75 composed-sqrt weight changes only the weight
+    expression: the plan shape must stay q224's — everything after
+    the corpus count on a domain-cardinality frame, broadcast-only
+    attachments, no cartesian, no sort-merge join."""
+    p = plan(spark, "q231_temperature_mix_tau75")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
