@@ -285,6 +285,14 @@ def main() -> None:
             # scoring join scale with the corpus — the dominant cost
             return lm_quality_filter(d_shuf.select("doc_id", "text"))
 
+        from kassette_server_spark.operators.multimodal import png_resize_stats
+
+        def pngresize():
+            # map-only per-row Python work (plan-locked zero-Exchange):
+            # the probe verifies per-row encode→inflate→de-filter→
+            # resize→deflate cost stays flat as the corpus grows
+            return png_resize_stats(d.select("doc_id"))
+
         rows_d, rows_l, rows_o, rows_c, rows_v = (
             5_000 * scale,
             600_000 * scale,
@@ -306,6 +314,7 @@ def main() -> None:
             "jl_project": (jl, rows_v),
             "ann_recall": (annrecall, rows_v),
             "lm_quality_filter": (lmfilter, rows_d),
+            "png_resize": (pngresize, rows_d),
         }
 
     def run_thunk(f) -> float:
