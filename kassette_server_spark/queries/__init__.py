@@ -99,18 +99,21 @@ _WINDOW: tuple[str, ...] = (
     "q92_substring_dedup",
 )
 
-# R11 ROTATION PLAN (VERDICT r9 "Next round #8"; provisional until the
-# r10-born specs are registered — first-round policy gives round-born
-# specs priority): r11 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + any r10-born specs' first driver rows + the stale tier in q-number
-# order: q93-q97 (5, last green r5), then q98-q139 (last green r6) in
-# q-number order until the window is exactly 50. With zero r10-born
-# specs that is q93-q136 (44); each r10-born spec displaces the
-# highest-numbered stale slot. The exact tuple is finalized at the end
-# of round 10 with an asserted arithmetic comment, per standing policy.
-# Every spec stays locked by tests/test_oracle_parity*.py at
-# sf0.001+sf0.01 in every CI run regardless of rotation position;
-# prioritize specs whose OPERATORS changed since their last row.
+# R11 ROTATION PLAN (VERDICT r9 "Next round #8", finalized end of
+# round 10 — first-round policy gives round-born specs priority):
+# r11 = pinned core (6: q01, q03, q08, q11, q24, q28)
+# + the r10-born wave's first driver rows (2: q230_png_resize,
+# q231_temperature_mix_tau75 — queries/round10.py)
+# + the stale tier in q-number order: q93_hll_set_algebra,
+# q94_scd2_history, q95_event_transitions, q96_kmeans,
+# q97_salted_join (5, last green r5), then q98_attribution through
+# q134_rolling_volatility (37, last green r6 — exact names per the
+# registry; the q135-q139 remainder of the r6 tier rolls to r12).
+# Arithmetic: 6 + 2 + 5 + 37 = 50 exactly. Every spec stays locked by
+# tests/test_oracle_parity*.py at sf0.001+sf0.01 in every CI run
+# regardless of rotation position; prioritize specs whose OPERATORS
+# changed since their last row (q231 shares temperature_mix with q224
+# — the tau generalization — so both sides of that change get rows).
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).

@@ -215,6 +215,17 @@ def q217(spark: SparkSession, sf: str) -> DataFrame:
 # encode → transform → decode round trip).
 @query(
     "q218_multimodal_transform",
+    # Each CASE arm below mirrors ONE constant of
+    # multimodal.transform_media_payloads — keep them in lockstep:
+    #   bmp (doc_id%3=0): source dims w=8+id%16, h=8+3id%12 (encode
+    #     args), resized to w//2 x h//2 (resize_bmp_payload call);
+    #   wav (doc_id%3=1): source n=256+id%1024 samples at rate
+    #     8000+100(id%80) (encode_wav args), decimated by factor 2 —
+    #     kept samples ceil(n/2) = (n+1)//2, rate halved, duration_ms
+    #     = kept*1000 // (rate//2) (parse_wav_meta's derivation);
+    #   gif (doc_id%3=2): dims 16+id%32 x 16+5id%32 with 1+id%8 frames
+    #     (encode_gif args), every-2nd sampling keeps frames 0,2,...
+    #     = ceil(frames/2) = (frames+1)//2; dims unchanged.
     oracle="""
     SELECT doc_id,
       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'gif' END AS kind,
