@@ -78,6 +78,34 @@ def main() -> None:
         lsh = minhash_lsh_pairs(docs, threshold=0.8)
         print(f"minhash-lsh pairs: {lsh.count()}")
 
+    # 5. carry the decision to the STREAMING ingest path (r10 wiring):
+    # plan the banding frontier once, then hand the chosen row straight
+    # to the stream constructor — the S-curve printed here is exactly
+    # the curve the stream will run, no manual (r, b) translation.
+    from kassette_server_spark.operators.dedup import (
+        minhash_dedup_stream_from_plan,
+    )
+    from kassette_server_spark.operators.diagnostics import lsh_band_plan
+
+    plan = lsh_band_plan(spark, n_hashes=16, threshold=0.8, sims=(0.5, 0.8))
+    chosen = next(r for r in plan.collect() if r.chosen)
+    print(
+        f"stream layout: r={chosen.r} b={chosen.b} "
+        f"p(0.8)={chosen.p_at_80:.3f} p(0.5)={chosen.p_at_50:.3f} "
+        f"sep={chosen.sep:.3f}"
+    )
+    stream_src = (
+        spark.readStream.format("rate").load()
+        .selectExpr(
+            "value AS doc_id", "'sample text here' AS text",
+            "timestamp AS ts",
+        )
+    )
+    verdicts = minhash_dedup_stream_from_plan(
+        stream_src, chosen, threshold=0.8, watermark="30 minutes"
+    )
+    print(f"stream verdict schema: {verdicts.schema.simpleString()}")
+
     spark.stop()
 
 

@@ -87,6 +87,40 @@ def test_png_defilter_sub_up_average_paeth():
     assert list(out) == [p for row in target for p in row]
 
 
+def test_png_decode_concatenates_split_idat():
+    """The pixel stream may arrive as MANY IDAT chunks split at
+    arbitrary byte boundaries (PNG spec §5.6) — the decoder must
+    concatenate before inflating, not inflate per chunk."""
+    from kassette_server_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    px = bytes((5 * i + 1) % 256 for i in range(6 * 3))
+    whole = encode_png(6, 3, px)
+    # rebuild with the single IDAT split into 3-byte chunks
+    (ihdr_len,) = struct.unpack_from(">I", whole, 8)
+    idat_start = 8 + 12 + ihdr_len
+    (idat_len,) = struct.unpack_from(">I", whole, idat_start)
+    idat = whole[idat_start + 8 : idat_start + 8 + idat_len]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    split = whole[: idat_start] + b"".join(
+        chunk(b"IDAT", idat[i : i + 3]) for i in range(0, len(idat), 3)
+    ) + chunk(b"IEND", b"")
+    assert split[:8] == PNG_SIG
+    w, h, out = decode_png_pixels(split)
+    assert (w, h) == (6, 3) and out == px
+
+
 def test_png_decode_rejects_unknown_filter():
     from kassette_server_spark.operators.multimodal import decode_png_pixels
 
