@@ -27,6 +27,30 @@ def run_to_completion(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Tier split (VERDICT r9 #3): a single scalar s/spec band over a
+# surface with intentional multi-stage tiers keeps "failing" for
+# honest reasons — composed-tier growth could also MASK a real
+# regression in the cheap class. Membership is the verdict's list:
+# composed/iterative specs whose cost is intrinsic composition,
+# fixpoint iteration, or fixed plan-compile, each individually
+# plan-audited. Module-level so tests can assert every name still
+# exists in the registry (a silent rename would shift the tier split).
+COMPOSED = frozenset(
+    {
+        "q28_pipeline_e2e",
+        "q57_simhash_near_dup",
+        "q68_near_dup_clusters",
+        "q102_pagerank",
+        "q215_substring_dedup_removal",
+        "q217_curation_pipeline_e2e",
+        "q225_lm_quality_filter",
+        "q226_embedding_drift",
+        "q228_cluster_representatives",
+        "q229_sketch_recall",
+    }
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -92,25 +116,6 @@ def main() -> None:
     sentinel_first, sentinel_last = sentinel_samples[0], sentinel_samples[-1]
     total = round(sum(timings.values()), 4)
 
-    # Tier split (VERDICT r9 #3): a single scalar s/spec band over a
-    # surface with intentional multi-stage tiers keeps "failing" for
-    # honest reasons — composed-tier growth could also MASK a real
-    # regression in the cheap class. Report the two classes separately;
-    # membership is the verdict's list: composed/iterative specs whose
-    # cost is intrinsic composition, fixpoint iteration, or fixed
-    # plan-compile, each individually plan-audited.
-    COMPOSED = {
-        "q28_pipeline_e2e",
-        "q57_simhash_near_dup",
-        "q68_near_dup_clusters",
-        "q102_pagerank",
-        "q215_substring_dedup_removal",
-        "q217_curation_pipeline_e2e",
-        "q225_lm_quality_filter",
-        "q226_embedding_drift",
-        "q228_cluster_representatives",
-        "q229_sketch_recall",
-    }
     composed_total = round(sum(t for n, t in timings.items() if n in COMPOSED), 4)
     n_composed = sum(1 for n in timings if n in COMPOSED)
     core_total = round(total - composed_total, 4)

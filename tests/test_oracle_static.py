@@ -62,3 +62,13 @@ def test_oracle_no_hugeint_outputs(con, name):
         f"while Spark emits int64, so the driver hash diverges even when "
         f"values match (q143 r7). CAST the aggregate output to BIGINT."
     )
+
+
+def test_bench_composed_tier_names_are_registered():
+    """bench.py's COMPOSED tier membership is a name list: a spec
+    rename would silently shift the core/composed band split instead
+    of failing. Lock every tier name to the live registry."""
+    import bench
+
+    missing = sorted(bench.COMPOSED - set(SPECS))
+    assert not missing, f"COMPOSED tier names not in registry: {missing}"
