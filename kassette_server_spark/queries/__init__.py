@@ -35,13 +35,15 @@ from . import round10 as _round10  # noqa: F401,E402  (q230+ — PNG resize tier
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-10 window (executing the
-# r9 plan verbatim, confirmed by VERDICT r9 "Next round #1"): pinned
-# core (6) + first driver rows for the r8c TPC-H-completion/saturation
-# wave q202-q212 (11) and the full r9-born wave q213-q229 (17) — all 28
-# judge-verified green against DuckDB at sf0.01 in the r9 verdict run —
-# + the 16 most-stale backfills q63-q69, q84-q90, q91-q92 (last green
-# r5). After this window runs, every registered spec has >=1 driver row.
+# order (VERDICT r2 "Next round #1/#2"). Round-11 window (executing the
+# plan written at the end of round 10 verbatim, confirmed by VERDICT r10
+# "Next round #1"): pinned core (6) + first driver rows for the two
+# r10-born specs (q230, q231 — both judge-verified against DuckDB at
+# sf0.01 in the r10 verdict run) + the stale tier in q-number order:
+# q93-q97 (5, last green r5) and q98-q134 (37, last green r6).
+# Arithmetic: 6 + 2 + 5 + 37 = 50 exactly. The q135-q139 remainder of
+# the r6 tier rolls to the r12 window (plan at the end of this file's
+# window comment block).
 _WINDOW: tuple[str, ...] = (
     # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
@@ -50,70 +52,76 @@ _WINDOW: tuple[str, ...] = (
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-17: r8c TPC-H completion + shingle saturation, first driver rows
-    "q202_tpch_q2_min_cost_supplier",
-    "q203_tpch_q4_priority_check",
-    "q204_tpch_q6_forecast_revenue",
-    "q205_tpch_q7_volume_shipping",
-    "q206_tpch_q8_market_share",
-    "q207_tpch_q10_returned_items",
-    "q208_tpch_q11_important_stock",
-    "q209_tpch_q12_shipmode_priority",
-    "q210_tpch_q14_promo_share",
-    "q211_tpch_q16_supplier_counts",
-    "q212_shingle_saturation",
-    # slots 18-34: r9-born wave, first driver rows (q-number order)
-    "q213_bpe_token_counts",
-    "q214_bpe_sequence_packing",
-    "q215_substring_dedup_removal",
-    "q216_bpe_vocab",
-    "q217_curation_pipeline_e2e",
-    "q218_multimodal_transform",
-    "q219_image_channel_stats",
-    "q220_jl_projection",
-    "q221_audio_frame_features",
-    "q222_lsh_band_plan",
-    "q223_ann_recall",
-    "q224_temperature_mix",
-    "q225_lm_quality_filter",
-    "q226_embedding_drift",
-    "q227_tokenizer_fertility",
-    "q228_cluster_representatives",
-    "q229_sketch_recall",
-    # slots 35-50: most-stale backfills (last driver-green r5)
-    "q63_hash_sample",
-    "q64_string_agg",
-    "q65_window_extras",
-    "q66_embedding_centroid",
-    "q67_stratified_sample",
-    "q68_near_dup_clusters",
-    "q69_hopping_window",
-    "q84_multimodal_decode",
-    "q85_countmin_heavy_hitters",
-    "q86_bloom_membership",
-    "q87_full_outer_join",
-    "q88_approx_quantiles",
-    "q89_quantiles_per_group",
-    "q90_hll_per_group",
-    "q91_fuzzy_match",
-    "q92_substring_dedup",
+    # slots 7-8: r10-born wave, first driver rows
+    "q230_png_resize",
+    "q231_temperature_mix_tau75",
+    # slots 9-13: stale tier, last driver-green r5 (q-number order)
+    "q93_hll_set_algebra",
+    "q94_scd2_history",
+    "q95_event_transitions",
+    "q96_kmeans",
+    "q97_salted_join",
+    # slots 14-50: stale tier, last driver-green r6 (q-number order)
+    "q98_attribution",
+    "q99_bm25_retrieval",
+    "q100_priority_sample",
+    "q101_grouped_regression",
+    "q102_pagerank",
+    "q103_zorder_stats",
+    "q104_value_outliers",
+    "q105_rolling_time_window",
+    "q106_copurchase_pairs",
+    "q107_table_profile",
+    "q108_entropy_by_source",
+    "q109_multimodal_decode_ext",
+    "q110_asof_forward_tolerance",
+    "q111_stratified_weighted_sample",
+    "q112_kl_divergence_by_source",
+    "q113_winsorized_stats",
+    "q114_chi_square_contingency",
+    "q115_hierarchy_closure",
+    "q116_peak_concurrency",
+    "q117_bigram_logprob",
+    "q118_power_iteration_pca",
+    "q119_sorted_neighborhood",
+    "q120_collocations_pmi",
+    "q121_association_rules",
+    "q122_snapshot_diff",
+    "q123_timed_funnel",
+    "q124_rfm_segmentation",
+    "q125_revenue_gini",
+    "q126_tpch_q7_volume_shipping",
+    "q127_tpch_q10_returned_items",
+    "q128_ewma_daily_counts",
+    "q129_cohort_ltv",
+    "q130_revenue_contribution",
+    "q131_event_trigrams",
+    "q132_transition_latency",
+    "q133_holt_trend",
+    "q134_rolling_volatility",
 )
 
-# R11 ROTATION PLAN (VERDICT r9 "Next round #8", finalized end of
-# round 10 — first-round policy gives round-born specs priority):
-# r11 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + the r10-born wave's first driver rows (2: q230_png_resize,
-# q231_temperature_mix_tau75 — queries/round10.py)
-# + the stale tier in q-number order: q93_hll_set_algebra,
-# q94_scd2_history, q95_event_transitions, q96_kmeans,
-# q97_salted_join (5, last green r5), then q98_attribution through
-# q134_rolling_volatility (37, last green r6 — exact names per the
-# registry; the q135-q139 remainder of the r6 tier rolls to r12).
-# Arithmetic: 6 + 2 + 5 + 37 = 50 exactly. Every spec stays locked by
-# tests/test_oracle_parity*.py at sf0.001+sf0.01 in every CI run
-# regardless of rotation position; prioritize specs whose OPERATORS
-# changed since their last row (q231 shares temperature_mix with q224
-# — the tau generalization — so both sides of that change get rows).
+# R12 ROTATION PLAN (VERDICT r10 "Next round #9", written at the end
+# of round 11 alongside the r11 window above; any r11-born specs take
+# first-row priority per the standing first-round policy):
+# r12 = pinned core (6: q01, q03, q08, q11, q24, q28)
+# + any r11-born specs' first driver rows (queries/round11.py — slot
+#   count TBD at window-write time; each displaces one tail backfill)
+# + the q135-q139 remainder of the r6 tier in q-number order:
+#   q135_mom_growth, q136_dow_seasonality, q137_cross_correlation,
+#   q138_integrity_audit, q139_conversion_time_stats (5, last green r6)
+# + the r6/r7 tier in q-number order: q140_point_in_time_join,
+#   q141_dataset_split, q142_pareto_frontier, q143_weighted_median (4),
+#   then q144_ks_drift through q157_budget_select (14, last green
+#   r7/r8) = 18 more; tail-fill from q158_roc_auc onward in q-number
+#   order until the window holds exactly 50.
+# Arithmetic without r11-born displacements: 6 + 5 + 4 + 14 = 29, so 21
+# tail slots: q158_roc_auc-q172_tpch_q20_dominant_suppliers (15) +
+# q173_spearman_corr-q178_seasonal_backtest (6) = 50 exactly (all 39
+# names q140-q178 verified against the registry at write time). Every spec
+# stays locked by tests/test_oracle_parity*.py at sf0.001+sf0.01 in
+# every CI run regardless of rotation position; prioritize specs whose
+# OPERATORS changed since their last row.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).
