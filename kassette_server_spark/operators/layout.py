@@ -63,6 +63,62 @@ def salted_join(
     return out.drop("_salt")
 
 
+def salted_join_from_profile(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    profile_row,
+    max_buckets: int = 1024,
+) -> DataFrame:
+    """Construct :func:`salted_join` from the layout the q163 skew
+    profiler recommends (VERDICT r10 "Next round #3" — the profiler
+    and the salted join were the last unwired pre-flight→consumer
+    pair: ``key_skew_profile`` emits ``salt_r`` but ``salted_join``
+    took a hand-passed int, the same hand-translation gap the band
+    planner had before ``minhash_dedup_stream_from_plan``).
+
+    ``profile_row`` is one row of ``diagnostics.key_skew_profile``
+    output (typically the rank-1 / hottest-key row) — anything with
+    ``salt_r`` addressable by name: a pyspark Row, a dict, or a
+    namedtuple. ``salt_r`` is the profiler's
+    ``ceil(max_cnt · target_partitions / n_rows)`` — the replication
+    factor that spreads the single hottest key across the target
+    parallelism — so the salted shuffle's worst task is exactly the
+    profile's worst key divided by its own recommendation, no manual
+    re-derivation step where a misread percentile column picks the
+    wrong factor.
+
+    ``max_buckets`` is a loud sanity fence, not a silent clamp: the
+    small side is replicated ``salt_r`` ways, so a corrupted or
+    mis-joined profile row (e.g. ``cnt`` passed where ``salt_r``
+    belongs) must fail here rather than explode the build side. A
+    genuine profile can't exceed its own ``target_partitions``
+    (max_cnt ≤ n_rows ⇒ salt_r ≤ target_partitions).
+    """
+    def field(name):
+        try:
+            return profile_row[name]  # Row / dict
+        except (TypeError, KeyError, IndexError):
+            return getattr(profile_row, name)  # namedtuple
+
+    try:
+        salt_r = int(field("salt_r"))
+    except (AttributeError, ValueError, TypeError) as exc:
+        raise ValueError(
+            "profile_row must expose 'salt_r' by name (a key_skew_profile "
+            f"output row); got {profile_row!r}"
+        ) from exc
+    if salt_r < 1:
+        raise ValueError(f"profile salt_r must be >= 1, got {salt_r}")
+    if salt_r > max_buckets:
+        raise ValueError(
+            f"profile salt_r={salt_r} exceeds max_buckets={max_buckets} — "
+            "the small side would be replicated that many ways; check the "
+            "profile row (wrong column?) or raise max_buckets deliberately"
+        )
+    return salted_join(big, small, key, salt_buckets=salt_r)
+
+
 def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Fan a narrow scan out to the cluster before CPU-heavy per-row work.
 

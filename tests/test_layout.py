@@ -14,6 +14,7 @@ from kassette_server_spark.operators.layout import (
     bucketed_join,
     ensure_scan_parallelism,
     salted_join,
+    salted_join_from_profile,
     write_bucketed,
 )
 
@@ -53,6 +54,50 @@ def test_salted_join_matches_plain_join(spark):
     a = sorted((r.event_id, r.user_total) for r in plain.collect())
     b = sorted((r.event_id, r.user_total) for r in salted.collect())
     assert a == b
+
+
+def test_salted_join_from_profile_parity(spark):
+    """VERDICT r10 #3: the skew profiler's salt_r must be directly
+    consumable — profile→join result identical to the hand-built call
+    with the same factor (the band-planner wiring pattern, dedup.py
+    minhash_dedup_stream_from_plan)."""
+    import pytest
+
+    from kassette_server_spark.operators.diagnostics import key_skew_profile
+
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    dims = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+    prof = key_skew_profile(ev, "user_id", target_partitions=8, top_n=1)
+    row = prof.collect()[0]  # rank-1 = hottest key; 1 row by top_n
+    assert row.salt_r >= 1
+    wired = salted_join_from_profile(ev, dims, "user_id", row).select(
+        "event_id", "user_total"
+    )
+    hand = salted_join(ev, dims, "user_id", salt_buckets=int(row.salt_r)).select(
+        "event_id", "user_total"
+    )
+    a = sorted((r.event_id, r.user_total) for r in wired.collect())
+    b = sorted((r.event_id, r.user_total) for r in hand.collect())
+    assert a == b
+
+    # dict-shaped rows work too (foreachBatch consumers hold dicts)
+    as_dict = salted_join_from_profile(
+        ev, dims, "user_id", {"salt_r": int(row.salt_r)}
+    ).select("event_id", "user_total")
+    assert sorted((r.event_id, r.user_total) for r in as_dict.collect()) == a
+
+    # loud fences: a profile row missing salt_r, a non-positive factor,
+    # and a factor past the replication sanity cap all fail fast
+    with pytest.raises(ValueError, match="salt_r"):
+        salted_join_from_profile(ev, dims, "user_id", {"r": 4})
+    with pytest.raises(ValueError, match=">= 1"):
+        salted_join_from_profile(ev, dims, "user_id", {"salt_r": 0})
+    with pytest.raises(ValueError, match="max_buckets"):
+        salted_join_from_profile(ev, dims, "user_id", {"salt_r": 5}, max_buckets=4)
 
 
 def test_ensure_scan_parallelism_fans_out_single_split(spark):
