@@ -293,6 +293,60 @@ def main() -> None:
             # resize→deflate cost stays flat as the corpus grows
             return png_resize_stats(d.select("doc_id"))
 
+        from kassette_server_spark.operators.multimodal import (
+            png_resize_rgb_stats,
+        )
+
+        def pngresize_rgb():
+            # the multi-channel sibling with CYCLING per-row filters —
+            # every row exercises the bpp=3 de-filter incl. the scalar
+            # Average/Paeth legs; the numpy None/Sub/Up fast paths and
+            # the vectorized index map are what keep the constant down
+            return png_resize_rgb_stats(d.select("doc_id"))
+
+        def curation_e2e():
+            # VERDICT r10 #6: the q217 COMPOSITION probed as one plan
+            # (its stages are probed individually above/elsewhere) —
+            # exact dedup → span removal → learned-BPE counts → shard
+            # packing with the two lineage checkpoints at the seams.
+            # Shuffled-text amplifier so dedup density stays scale-free.
+            from pyspark.sql import Window
+
+            from kassette_server_spark.operators.curation import (
+                sequence_packing_from_counts,
+            )
+            from kassette_server_spark.operators.dedup import (
+                remove_duplicated_spans,
+            )
+            from kassette_server_spark.operators.textstats import (
+                bpe_token_counts,
+            )
+
+            w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            deduped = (
+                d_shuf.select("doc_id", "text")
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+                .localCheckpoint(eager=False)
+            )
+            cleaned = (
+                remove_duplicated_spans(deduped, k=8)
+                .select("doc_id", F.col("cleaned_text").alias("text"))
+                .localCheckpoint(eager=False)
+            )
+            counts = bpe_token_counts(cleaned, k_merges=3)
+            packed = sequence_packing_from_counts(
+                counts,
+                tokens_col="n_bpe_tokens",
+                tokens_per_shard=2048,
+                n_buckets=16,
+            )
+            return packed.groupBy("bucket", "shard_id").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("shard_tokens"),
+            )
+
         rows_d, rows_l, rows_o, rows_c, rows_v = (
             5_000 * scale,
             600_000 * scale,
@@ -315,6 +369,8 @@ def main() -> None:
             "ann_recall": (annrecall, rows_v),
             "lm_quality_filter": (lmfilter, rows_d),
             "png_resize": (pngresize, rows_d),
+            "png_resize_rgb": (pngresize_rgb, rows_d),
+            "curation_e2e": (curation_e2e, rows_d),
         }
 
     def run_thunk(f) -> float:

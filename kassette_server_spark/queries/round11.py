@@ -1,0 +1,66 @@
+"""Round-11 wave (q232+): the r10 verdict's soft-edge closures made
+first-class specs.
+
+- q232: RGB PNG nearest-neighbor resize
+  (multimodal.png_resize_rgb_stats, VERDICT r10 #4) — the
+  MULTI-CHANNEL member of the compressed resize tier (q230 proved
+  grayscale). Each id's RGB image is encoded with CYCLING per-row
+  filter types ((id+y) % 5, encode_png_filtered), so all five spec-§9
+  filters (None/Sub/Up/Average/Paeth) sit inside the oracle-checked
+  path at every scale, over bpp=3 samples where the left/upper-left
+  neighbors are 3 bytes back — the exact generalization the
+  grayscale-only decoder couldn't witness. De-filtering is
+  pixel-invariant, so the per-channel post-resize sums stay
+  closed-form in the id (the q230 oracle recipe, three sums).
+
+Determinism: all-integer (pixel bytes, closed-form sums).
+
+Registered after the 50-spec driver window; first driver rows land
+per the standing rotation (queries/__init__.py r12 plan — round-born
+specs take first-round priority; locked meanwhile by
+tests/test_oracle_parity*.py at two SFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from .base import query
+
+
+@query(
+    "q232_png_resize_rgb",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h
+      FROM documents),
+    d2 AS (SELECT doc_id, w, h, w // 2 AS nw, h // 2 AS nh FROM dims),
+    px AS (
+      SELECT doc_id, nw, nh,
+             (doc_id + ((gx.x * w) // nw) + 2 * ((gy.y * h) // nh)) % 256
+               AS pr,
+             (doc_id + 2 * ((gx.x * w) // nw) + ((gy.y * h) // nh)) % 256
+               AS pg,
+             (doc_id + ((gx.x * w) // nw) + ((gy.y * h) // nh)) % 256
+               AS pb
+      FROM d2,
+           unnest(CAST(range(0, nw) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, nh) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(nw AS BIGINT) AS width, CAST(nh AS BIGINT) AS height,
+           CAST(sum(pr) AS BIGINT) AS sum_r,
+           CAST(sum(pg) AS BIGINT) AS sum_g,
+           CAST(sum(pb) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, nw, nh
+    """,
+    doc="multi-channel compressed-format resize: RGB PNG with cycling "
+    "per-row filters (all five spec-9 types) nearest-neighbor "
+    "half-scaled through inflate -> bpp=3 de-filter -> deflate, "
+    "re-parsed post-transform, per-channel sums closed-form in the id",
+    tags=("llmops", "multimodal"),
+)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import png_resize_rgb_stats
+
+    return png_resize_rgb_stats(load(spark, sf, "documents").select("doc_id"))

@@ -1170,6 +1170,18 @@ def test_q230_png_resize_scan_stage_map(spark):
     assert "Join" not in p and "CartesianProduct" not in p
 
 
+def test_q232_png_resize_rgb_scan_stage_map(spark):
+    """The RGB sibling of the q230 lock: one Arrow-batched mapInPandas
+    directly over the id scan — no Exchange (payloads are built,
+    filtered, de-filtered, resized, and re-parsed within their input
+    partition), no Generate, no join of any kind. Multi-channel decode
+    must not change the plan shape, only per-row work."""
+    p = plan(spark, "q232_png_resize_rgb")
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
 def test_q231_temperature_mix_tau75_tiny_frame_tail(spark):
     """The τ=0.75 composed-sqrt weight changes only the weight
     expression: the plan shape must stay q224's — everything after

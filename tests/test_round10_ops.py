@@ -41,8 +41,8 @@ def test_png_decode_roundtrip_filter0():
     )
 
     px = bytes((3 * i + 7) % 256 for i in range(6 * 4))
-    w, h, out = decode_png_pixels(encode_png(6, 4, px))
-    assert (w, h) == (6, 4) and out == px
+    w, h, ch, out = decode_png_pixels(encode_png(6, 4, px))
+    assert (w, h, ch) == (6, 4, 1) and out == px
 
 
 def test_png_defilter_sub_up_average_paeth():
@@ -82,8 +82,8 @@ def test_png_defilter_sub_up_average_paeth():
                 line.append((cur - paeth(a, b, c)) & 0xFF)
         rows.append((ft, line))
 
-    dw, dh, out = decode_png_pixels(_png_with_filters(w, h, rows))
-    assert (dw, dh) == (w, h)
+    dw, dh, dch, out = decode_png_pixels(_png_with_filters(w, h, rows))
+    assert (dw, dh, dch) == (w, h, 1)
     assert list(out) == [p for row in target for p in row]
 
 
@@ -117,8 +117,8 @@ def test_png_decode_concatenates_split_idat():
         chunk(b"IDAT", idat[i : i + 3]) for i in range(0, len(idat), 3)
     ) + chunk(b"IEND", b"")
     assert split[:8] == PNG_SIG
-    w, h, out = decode_png_pixels(split)
-    assert (w, h) == (6, 3) and out == px
+    w, h, ch, out = decode_png_pixels(split)
+    assert (w, h, ch) == (6, 3, 1) and out == px
 
 
 def test_png_decode_rejects_unknown_filter():
@@ -144,7 +144,7 @@ def test_png_resize_hand_pixels():
     rz = resize_png_payload(encode_png(4, 4, src), 2, 2)
     meta = parse_png_meta(rz)
     assert (meta["width"], meta["height"]) == (2, 2)
-    _, _, out = decode_png_pixels(rz)
+    _, _, _, out = decode_png_pixels(rz)
     assert list(out) == [0, 2, 8, 10]  # src(0,0) src(2,0) src(0,2) src(2,2)
 
 
@@ -157,9 +157,157 @@ def test_png_resize_upscale_and_validation():
 
     # 2x1 → 4x1 upscale repeats each source pixel twice (x*2//4 = x//2)
     rz = resize_png_payload(encode_png(2, 1, bytes([10, 200])), 4, 1)
-    assert list(decode_png_pixels(rz)[2]) == [10, 10, 200, 200]
+    assert list(decode_png_pixels(rz)[3]) == [10, 10, 200, 200]
     with pytest.raises(ValueError, match="positive"):
         resize_png_payload(encode_png(2, 1, bytes([1, 2])), 0, 1)
+
+
+def test_png_rgb_rgba_roundtrip_all_filters():
+    """encode_png_filtered → decode_png_pixels is pixel identity for
+    every channel count (gray, gray+alpha, RGB, RGBA) with every
+    filter type appearing — the multi-channel de-filter references
+    the sample bpp bytes back (spec §9), not 1 byte back."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_filtered,
+    )
+
+    for ch in (1, 2, 3, 4):
+        w, h = 5, 6
+        px = bytes((11 * i + 3 * ch) % 256 for i in range(w * h * ch))
+        pay = encode_png_filtered(
+            w, h, px, channels=ch, filters=[0, 1, 2, 3, 4, 2]
+        )
+        dw, dh, dch, out = decode_png_pixels(pay)
+        assert (dw, dh, dch) == (w, h, ch)
+        assert out == px, ch
+
+
+def test_png_decode_fuzz_random_filters_dims_and_idat_splits():
+    """VERDICT r10 #7 — the randomized PNG fuzzer: random dims, random
+    channel counts, random per-row filter types, random split-IDAT
+    boundaries; decode_png_pixels must invert encode_png_filtered
+    bit-exactly on all of them (the hand tests cover each filter once;
+    random COMPOSITION — a Paeth row above an Average row above a Sub
+    row at an awkward width — is the blind spot)."""
+    import random
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_filtered,
+    )
+
+    rng = random.Random(0xC0DEC)
+    for case in range(220):
+        ch = rng.choice((1, 2, 3, 4))
+        w, h = rng.randint(1, 23), rng.randint(1, 19)
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        filters = [rng.randrange(5) for _ in range(h)]
+        split = rng.choice((None, 1, 2, 5, 13, 64))
+        pay = encode_png_filtered(
+            w, h, px, channels=ch, filters=filters, idat_split=split
+        )
+        dw, dh, dch, out = decode_png_pixels(pay)
+        assert (dw, dh, dch) == (w, h, ch), (case, w, h, ch)
+        assert out == px, (case, w, h, ch, filters, split)
+
+
+def test_png_decode_fuzz_rejects_corrupt_truncations():
+    """Corrupted variants of fuzz payloads must raise, never mis-read:
+    truncation mid-chunk, a flipped CRC byte, and a truncated inflate
+    stream each fail loudly."""
+    import random
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_filtered,
+    )
+
+    rng = random.Random(0xBADF00D)
+    rejected = 0
+    for _ in range(60):
+        ch = rng.choice((1, 3, 4))
+        w, h = rng.randint(2, 16), rng.randint(2, 12)
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        pay = encode_png_filtered(
+            w, h, px, channels=ch, filters=[rng.randrange(5) for _ in range(h)]
+        )
+        kind = rng.randrange(3)
+        if kind == 0:  # truncate mid-payload
+            bad = pay[: rng.randint(9, len(pay) - 1)]
+        elif kind == 1:  # flip one byte inside a chunk body
+            i = rng.randint(16, len(pay) - 14)
+            bad = pay[:i] + bytes([pay[i] ^ 0x5A]) + pay[i + 1 :]
+        else:  # wrong signature
+            bad = b"\x88" + pay[1:]
+        with pytest.raises((ValueError, zlib.error)):
+            decode_png_pixels(bad)
+        rejected += 1
+    assert rejected == 60
+
+
+def test_png_resize_rgb_hand_pixels():
+    """RGB 4x4 → 2x2: each kept pixel carries its THREE samples from
+    the even-coordinate source pixel, verified by hand."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        resize_png_payload,
+    )
+
+    # px(x,y) = (16y+4x+c) — unique per sample
+    src = bytes(
+        (16 * y + 4 * x + c) % 256 for y in range(4) for x in range(4) for c in range(3)
+    )
+    rz = resize_png_payload(encode_png(4, 4, src, channels=3), 2, 2)
+    w, h, ch, out = decode_png_pixels(rz)
+    assert (w, h, ch) == (2, 2, 3)
+    expect = [
+        16 * sy + 4 * sx + c
+        for sy in (0, 2)
+        for sx in (0, 2)
+        for c in range(3)
+    ]
+    assert list(out) == [v % 256 for v in expect]
+
+
+def test_png_resize_rgb_stats_matches_closed_form(spark):
+    """The q232 surface at tiny scale: per-channel sums equal the
+    closed-form nearest-neighbor sums computed independently — through
+    the cycling-filter encoder, so all five §9 filters sit in-path."""
+    from kassette_server_spark.operators.multimodal import png_resize_rgb_stats
+
+    ids = [0, 2, 7, 19, 33]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r for r in png_resize_rgb_stats(df).collect()}
+    for i in ids:
+        w, h = 8 + i % 16, 8 + (i * 3) % 12
+        nw, nh = w // 2, h // 2
+        coords = [
+            (x * w // nw, y * h // nh) for y in range(nh) for x in range(nw)
+        ]
+        er = sum((i + sx + 2 * sy) % 256 for sx, sy in coords)
+        eg = sum((i + 2 * sx + sy) % 256 for sx, sy in coords)
+        eb = sum((i + sx + sy) % 256 for sx, sy in coords)
+        r = out[i]
+        assert (r.width, r.height) == (nw, nh)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (er, eg, eb), i
+
+
+def test_image_channel_stats_cross_codec_check(spark):
+    """q219 now reads the SAME pixels back from an RGB PNG and must
+    agree with the BMP walk — run it and re-verify the sums here."""
+    from kassette_server_spark.operators.multimodal import image_channel_stats
+
+    ids = [1, 4, 9]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r for r in image_channel_stats(df).collect()}
+    for i in ids:
+        w, h = 8 + i % 16, 8 + (i * 3) % 12
+        eb = sum((i + x + y) % 256 for y in range(h) for x in range(w))
+        eg = sum((i + 2 * x + y) % 256 for y in range(h) for x in range(w))
+        er = sum((i + x + 2 * y) % 256 for y in range(h) for x in range(w))
+        assert (out[i].sum_b, out[i].sum_g, out[i].sum_r) == (eb, eg, er)
 
 
 def test_png_resize_stats_matches_closed_form(spark):
