@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import os
 import threading
+import time
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import SparkSession
@@ -30,6 +32,12 @@ StartFn = Callable[[Connection], object]
 #: how long a config-driven stop waits for the in-flight micro-batch
 #: to drain before interrupting anyway
 DRAIN_TIMEOUT_S = 10.0
+
+#: extra slack stop_all grants beyond the drain window for in-flight
+#: starts to schedule their orphans' stops and for those stops to join
+#: (module-level so tests can shrink it; production default generous —
+#: a Spark streaming-query start can take seconds)
+START_WAIT_GRACE_S = 10.0
 
 
 def _drain_then_stop(q, timeout_s: float = DRAIN_TIMEOUT_S) -> None:
@@ -173,28 +181,52 @@ class StreamingSupervisor:
             self._start_after_stop(cid, conn)
 
     def _begin_stop(self, cid: int, q) -> None:
-        if not self._await_stop(cid, DRAIN_TIMEOUT_S + 10):
-            # predecessor's stop is wedged; the old thread stays
-            # tracked and this stop chains behind it
+        """Schedule this query's drain-then-stop, chained behind any
+        predecessor stop for the same cid.
+
+        The read-of-prev, thread start, and tracking-entry install all
+        happen under ``self._lock`` (ADVICE r10 item 1): two concurrent
+        ``_begin_stop`` calls for one cid — an apply-driven stop racing
+        a superseded start's orphan stop — previously interleaved the
+        unlocked read-join-write and the loser's drain thread ran
+        UNTRACKED, invisible to quiesce()/busy_reason(). Chaining
+        unconditionally replaces the old bounded fast-path join: a
+        finished predecessor joins instantly inside the new thread, a
+        wedged one serializes behind, and the caller never blocks. The
+        install happens before the lock is released, and every tracked
+        thread is started inside the same critical section that
+        installed it, so a racer always observes a STARTED predecessor
+        (joining an unstarted thread raises)."""
+        with self._lock:
             prev = self._stopping.get(cid)
+            if prev is not None and prev.is_alive():
 
-            def chained(prev=prev, q=q):
-                if prev is not None:
+                def chained(prev=prev, q=q):
                     prev.join()
-                _drain_then_stop(q)
+                    _drain_then_stop(q)
 
-            t = threading.Thread(target=chained, daemon=True)
-        else:
-            t = threading.Thread(target=_drain_then_stop, args=(q,), daemon=True)
-        t.start()
-        self._stopping[cid] = t
+                t = threading.Thread(target=chained, daemon=True)
+            else:
+                t = threading.Thread(
+                    target=_drain_then_stop, args=(q,), daemon=True
+                )
+            t.start()
+            self._stopping[cid] = t
 
     def _start_after_stop(self, cid: int, conn: Connection) -> None:
         token = object()
         with self._lock:
             self._pending_start[cid] = token  # newest start owns cid
+            # read _starting in the SAME critical section that installs
+            # the token (ADVICE r10 item 3): _finish_start's ownership
+            # check and its _starting install share one locked block,
+            # so either we see its in-flight event here (and chain), or
+            # our token landed first and that start's ownership check
+            # will fail before it creates a query — no ordering of the
+            # two blocks readmits the two-live-queries race.
+            starting = self._starting.get(cid)
         # fast path: no in-flight start AND no pending stop
-        if self._starting.get(cid) is None and self._await_stop(cid, 0.5):
+        if starting is None and self._await_stop(cid, 0.5):
             self._finish_start(cid, conn, token)
             return
 
@@ -281,22 +313,38 @@ class StreamingSupervisor:
         """Join the pending stop; True iff none remains. A timed-out
         thread STAYS tracked (popping it would hide a still-running
         query from quiesce and the restart path — round-7 second-pass
-        review finding)."""
-        t = self._stopping.get(cid)
+        review finding). The read and the pop each hold ``self._lock``
+        (ADVICE r10 item 1) — the join itself runs unlocked so a long
+        drain never freezes busy_reason()/apply() — and the pop is
+        identity-checked: a chained newer stop may have replaced the
+        entry while this thread joined, and popping THAT one would
+        untrack a live drain."""
+        with self._lock:
+            t = self._stopping.get(cid)
         if t is None:
             return True
         t.join(timeout_s)
         if t.is_alive():
             return False
-        self._stopping.pop(cid, None)
+        with self._lock:
+            if self._stopping.get(cid) is t:
+                self._stopping.pop(cid, None)
         return True
 
     def quiesce(self) -> None:
         """Join every pending background stop (unbounded) — for tests
         and maintenance windows that need 'no query is still winding
-        down' as a hard fact rather than an eventuality."""
-        for cid in list(self._stopping):
-            self._await_stop(cid, None)
+        down' as a hard fact rather than an eventuality. Re-snapshots
+        until the map is empty: a joined stop can register a chained
+        successor (or a superseded start its orphan's stop) that a
+        single pass would miss."""
+        while True:
+            with self._lock:
+                cids = list(self._stopping)
+            if not cids:
+                return
+            for cid in cids:
+                self._await_stop(cid, None)
 
     def start_all(self, conns: dict[int, Connection]) -> None:
         self.apply(ConfigDiff(tuple(sorted(conns)), (), ()), conns)
@@ -316,11 +364,45 @@ class StreamingSupervisor:
             self._begin_stop(cid, q)
         # an in-flight start whose token we just cleared will schedule
         # its orphan's stop itself — wait for it to do so before the
-        # final join, or that stop would be invisible to the loop below
-        for ev in list(self._starting.values()):
-            ev.wait(DRAIN_TIMEOUT_S + 10)
-        for cid in list(self._stopping):
-            self._await_stop(cid, DRAIN_TIMEOUT_S + 10)
+        # final join, RE-CHECKING the map after each bounded wait
+        # (ADVICE r10 item 2): a _start slower than the deadline used
+        # to schedule its orphan's stop only after this method had
+        # already snapshotted _stopping, so the orphan outlived
+        # stop_all undetected. Now a wedged start is SURFACED with a
+        # warning (busy_reason keeps reporting it too) instead of
+        # silently leaked.
+        deadline = time.monotonic() + DRAIN_TIMEOUT_S + START_WAIT_GRACE_S
+        while True:
+            with self._lock:
+                events = list(self._starting.items())
+            if not events:
+                break
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                warnings.warn(
+                    "stop_all: starts still in flight for connections "
+                    f"{sorted(cid for cid, _ in events)} after bounded "
+                    "wait; their orphan stops may land after shutdown "
+                    "(supervisor stays non-quiescent until they do)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                break
+            events[0][1].wait(remaining)
+        # join the stops, re-snapshotting: a start that finished during
+        # the wait above registered its orphan's stop AFTER our first
+        # look, and a drain can chain a successor. Wedged drains stay
+        # tracked (visible to busy_reason) and bound the loop.
+        while True:
+            with self._lock:
+                cids = list(self._stopping)
+            if not cids:
+                break
+            if not all(
+                self._await_stop(cid, DRAIN_TIMEOUT_S + START_WAIT_GRACE_S)
+                for cid in cids
+            ):
+                break  # a wedged drain: bounded exit, still tracked
 
 
 def connection_stream_starter(

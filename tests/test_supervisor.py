@@ -386,3 +386,102 @@ def test_restart_during_slow_start_never_overlaps():
     assert ("start", "v1") in log and ("start", "v2") in log
     assert sup.running[10] is made[1]
     sup.stop_all()
+
+
+def test_concurrent_stops_for_one_cid_both_tracked():
+    """ADVICE r10 item 1: an apply-driven stop racing a superseded
+    start's orphan stop for the SAME cid used to interleave
+    _begin_stop's unlocked read-join-write — one drain thread ran
+    UNTRACKED, invisible to quiesce()/busy_reason(). Both stops must
+    now execute (both queries stopped) and quiesce must actually wait
+    for both."""
+    import threading as _t
+    import time as _time
+
+    log: list = []
+    barrier = _t.Barrier(2)
+    in_stop = _t.Event()
+    release = _t.Event()
+
+    class SlowQuery(FakeQuery):
+        def stop(self):
+            in_stop.set()
+            release.wait(10)
+            super().stop()
+
+    sup = StreamingSupervisor(lambda conn: FakeQuery(conn.id, log))
+    q1, q2 = SlowQuery(10, log), SlowQuery(10, log)
+
+    def racer(q):
+        barrier.wait(5)
+        sup._begin_stop(10, q)
+
+    t1 = _t.Thread(target=racer, args=(q1,), daemon=True)
+    t2 = _t.Thread(target=racer, args=(q2,), daemon=True)
+    t1.start(); t2.start(); t1.join(5); t2.join(5)
+    assert in_stop.wait(5)
+    # while draining, the supervisor must KNOW it is not quiescent
+    reason = sup.busy_reason()
+    assert reason is not None and "10" in reason
+    release.set()
+    sup.quiesce()
+    assert q1.stopped and q2.stopped  # neither drain was lost
+    assert sup.busy_reason() is None
+
+
+def test_stop_all_surfaces_wedged_start(recwarn):
+    """ADVICE r10 item 2: a _start slower than stop_all's bounded wait
+    used to schedule its orphan's stop only after stop_all had already
+    snapshotted _stopping — the orphan silently outlived shutdown. Now
+    stop_all warns about the wedged start, busy_reason keeps reporting
+    it, and once the start finally returns its orphan is stopped."""
+    import threading as _t
+    import time as _time
+    import warnings as _w
+
+    from kassette_server_spark.streaming import supervisor as sup_mod
+
+    gate = _t.Event()
+    started = _t.Event()
+    log: list = []
+    made: list = []
+
+    def slow_start(conn):
+        started.set()
+        assert gate.wait(30)
+        q = FakeQuery(conn.id, log)
+        made.append(q)
+        return q
+
+    old_grace = sup_mod.START_WAIT_GRACE_S
+    old_drain = sup_mod.DRAIN_TIMEOUT_S
+    sup_mod.START_WAIT_GRACE_S = 0.2
+    sup_mod.DRAIN_TIMEOUT_S = 0.2
+    try:
+        sup = sup_mod.StreamingSupervisor(slow_start)
+        t = _t.Thread(target=lambda: sup.start_all({10: _conn(10)}), daemon=True)
+        t.start()
+        assert started.wait(10)
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            sup.stop_all()  # bounded: returns despite the wedged start
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "starts still in flight" in str(w.message)
+            for w in caught
+        ), [str(w.message) for w in caught]
+        # the wedged start is SURFACED, not silently leaked
+        reason = sup.busy_reason()
+        assert reason is not None and "in flight" in reason
+        gate.set()  # start finally returns; token was cleared by
+        t.join(10)  # stop_all, so the orphan's stop gets scheduled
+        deadline = _time.time() + 10
+        while _time.time() < deadline and sup.busy_reason() is not None:
+            _time.sleep(0.05)
+        sup.quiesce()
+        assert sup.busy_reason() is None
+        assert len(made) == 1 and made[0].stopped  # orphan stopped
+        assert not sup.running
+    finally:
+        sup_mod.START_WAIT_GRACE_S = old_grace
+        sup_mod.DRAIN_TIMEOUT_S = old_drain
