@@ -40,12 +40,15 @@ from conftest import SF_CORRECT, SF_SMOKE
 from kassette_server_spark.catalog import load
 
 SEED = 20260813
-N_QUERIES = 400  # raised r10 (280 → 400, VERDICT r9 #7) with the
-# window-over-window (q217 packing seam), per-group order-statistic
-# cut (q225/q159/q181), and keep-first anti-join span (q215) shapes —
-# ≥100 additional seeded queries so every family keeps its per-seed
-# coverage as the grammar widens (r9 raise: window-over-aggregate /
-# share-pair / double-EXISTS-residual, q185/q208, q206/q210, q187)
+N_QUERIES = 460  # raised r11 (400 → 460, VERDICT r10 #8): the three
+# r10-born families (window-over-window, per-group order-statistic
+# cut, keep-first anti-join span) promoted from 4% to full core
+# density (6% each ≈ 28 queries/seed) and a NEW outer-join-over-window
+# family (the q184/TPC-H Q13 LEFT-join-preserving-empty-groups pattern
+# composed with rank filters / count histograms / dense_rank argmax)
+# added at the same density
+# (r10 raise: 280 → 400, VERDICT r9 #7; r9 raise: window-over-
+# aggregate / share-pair / double-EXISTS-residual)
 
 # (table, integer cols, string cols, date cols) — doubles deliberately
 # excluded (float summation order is engine-dependent)
@@ -565,6 +568,66 @@ def _gen_keep_first_anti_join_query(rng: random.Random, domains: dict) -> str:
     )
 
 
+def _gen_outer_join_window_query(rng: random.Random, domains: dict) -> str:
+    """Outer-join-over-window (VERDICT r10 #8): the q184/TPC-H Q13
+    LEFT-join-preserving-empty-groups pattern COMPOSED with a window
+    cut over the per-key counts. The fact-side predicate goes in the
+    ON clause (a WHERE would delete the empty matches the outer join
+    exists to keep), count(fact_col) yields 0 — not NULL, not a lost
+    row — for customers/nations/parts with no matches, and THEN a
+    rank/histogram/argmax layer runs over a column whose zeros only
+    exist if both engines preserved them. Divergence corners: zero
+    groups competing in rank ties, the histogram's n=0 bucket, and
+    dense_rank over a derived count."""
+    lt, rt, lk, rk = rng.choice(JOINS)
+    uk = UNIQUE_KEY[lt]  # every JOINS left side joins on its PK
+    strs = TABLES[lt][1]
+    g = rng.choice(strs)
+    fact_int = rng.choice(TABLES[rt][0])
+    on = f"t0.{lk} = t1.{rk}"
+    if rng.random() < 0.7:  # the ON-clause trap, most of the time
+        on = f"{on} AND {_predicate(rng, rt, 't1', domains)}"
+    dim_where = (
+        f" WHERE {_predicate(rng, lt, 't0', domains)}"
+        if rng.random() < 0.4
+        else ""
+    )
+    per = (
+        f"SELECT t0.{uk} AS k, t0.{g} AS g, "
+        f"CAST(count(t1.{fact_int}) AS BIGINT) AS n "
+        f"FROM {lt} t0 LEFT JOIN {rt} t1 ON {on}{dim_where} "
+        f"GROUP BY t0.{uk}, t0.{g}"
+    )
+    variant = rng.random()
+    if variant < 0.4:
+        # rank filter over the counts: zero-match keys must compete
+        lim = rng.choice((1, 3, 5))
+        order = rng.choice((f"n DESC, k", f"n ASC, k"))
+        return (
+            f"SELECT g, k, n FROM (SELECT g, k, n, row_number() OVER "
+            f"(PARTITION BY g ORDER BY {order}) AS rn FROM ({per}) p) x "
+            f"WHERE rn <= {lim} "
+            f"ORDER BY g NULLS FIRST, k NULLS FIRST, n NULLS FIRST"
+        )
+    if variant < 0.7:
+        # the Q13 histogram proper: distribution of counts incl. n=0
+        return (
+            f"SELECT n, CAST(count(*) AS BIGINT) AS keys_at "
+            f"FROM ({per}) p GROUP BY n "
+            f"ORDER BY n NULLS FIRST, keys_at NULLS FIRST"
+        )
+    # dense_rank argmax with ties kept: every key at the group's
+    # min/max count survives (no arbitrary tie-break — determinism
+    # comes from returning ALL tied rows)
+    dirn = rng.choice(("DESC", "ASC"))
+    return (
+        f"SELECT g, k, n FROM (SELECT g, k, n, dense_rank() OVER "
+        f"(PARTITION BY g ORDER BY n {dirn}) AS dr FROM ({per}) p) x "
+        f"WHERE dr = 1 "
+        f"ORDER BY g NULLS FIRST, k NULLS FIRST, n NULLS FIRST"
+    )
+
+
 def _gen_setop_query(rng: random.Random, domains: dict) -> str:
     """INTERSECT / EXCEPT nesting (VERDICT r6 #6): set-op DISTINCT
     semantics and duplicate elimination order are engine-internal; the
@@ -587,33 +650,36 @@ def _gen_setop_query(rng: random.Random, domains: dict) -> str:
 
 def _gen_query(rng: random.Random, domains: dict) -> str:
     shape = rng.random()
-    if shape < 0.08:  # INTERSECT/EXCEPT/UNION nesting
+    if shape < 0.06:  # INTERSECT/EXCEPT/UNION nesting
         return _gen_setop_query(rng, domains)
-    if shape < 0.18:  # correlated scalar subqueries (q26 shape)
+    if shape < 0.14:  # correlated scalar subqueries (q26 shape)
         return _gen_scalar_subquery_query(rng, domains)
-    if shape < 0.30:  # window functions over a single table
+    if shape < 0.24:  # window functions over a single table
         return _gen_window_query(rng, domains)
-    if shape < 0.38:  # rank-then-filter (WindowGroupLimit shape)
+    if shape < 0.30:  # rank-then-filter (WindowGroupLimit shape)
         return _gen_rank_filter_query(rng, domains)
-    if shape < 0.44:  # conditional aggregates (contract predicates)
+    if shape < 0.36:  # conditional aggregates (contract predicates)
         return _gen_conditional_agg_query(rng, domains)
-    if shape < 0.50:  # window over aggregate (Q15/Q11 — q185/q208)
+    if shape < 0.42:  # window over aggregate (Q15/Q11 — q185/q208)
         return _gen_window_over_agg_query(rng, domains)
-    if shape < 0.56:  # num/den share pairs (Q8/Q14 — q206/q210)
+    if shape < 0.48:  # num/den share pairs (Q8/Q14 — q206/q210)
         return _gen_share_pair_query(rng, domains)
-    if shape < 0.60:  # EXISTS + NOT EXISTS residuals (Q21 — q187)
+    if shape < 0.52:  # EXISTS + NOT EXISTS residuals (Q21 — q187)
         return _gen_double_exists_query(rng, domains)
-    if shape < 0.64:  # window over window (q217 packing seam)
+    # the three r10-born families at full core density (VERDICT r10 #8)
+    if shape < 0.58:  # window over window (q217 packing seam)
         return _gen_window_over_window_query(rng, domains)
-    if shape < 0.68:  # per-group order-statistic cut (q225/q159/q181)
+    if shape < 0.64:  # per-group order-statistic cut (q225/q159/q181)
         return _gen_group_order_statistic_query(rng, domains)
-    if shape < 0.72:  # keep-first anti-join span algebra (q215)
+    if shape < 0.70:  # keep-first anti-join span algebra (q215)
         return _gen_keep_first_anti_join_query(rng, domains)
-    if shape < 0.76:  # single table
+    if shape < 0.76:  # outer-join-over-window (q184/Q13 + rank cut)
+        return _gen_outer_join_window_query(rng, domains)
+    if shape < 0.80:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
         from_sql = f"{t} t0"
-    elif shape < 0.90:  # FK pair
+    elif shape < 0.92:  # FK pair
         lt, rt, lk, rk = rng.choice(JOINS)
         how = rng.choice(["JOIN", "LEFT JOIN", "LEFT JOIN", "FULL OUTER JOIN"])
         aliases = [(lt, "t0"), (rt, "t1")]
