@@ -294,8 +294,15 @@ def main() -> None:
             return png_resize_stats(d.select("doc_id"))
 
         from kassette_server_spark.operators.multimodal import (
+            jpeg_roundtrip_stats,
             png_resize_rgb_stats,
         )
+
+        def jpeg_roundtrip():
+            # the full entropy-coded JPEG scan round trip per row —
+            # forward DCT, Huffman coding, decode, IDCT; map-only like
+            # the PNG tiers, per-row cost is the DCT matrix products
+            return jpeg_roundtrip_stats(d.select("doc_id"))
 
         def pngresize_rgb():
             # the multi-channel sibling with CYCLING per-row filters —
@@ -370,6 +377,7 @@ def main() -> None:
             "lm_quality_filter": (lmfilter, rows_d),
             "png_resize": (pngresize, rows_d),
             "png_resize_rgb": (pngresize_rgb, rows_d),
+            "jpeg_roundtrip": (jpeg_roundtrip, rows_d),
             "curation_e2e": (curation_e2e, rows_d),
         }
 

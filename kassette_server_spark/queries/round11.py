@@ -13,6 +13,20 @@ first-class specs.
   pixel-invariant, so the per-channel post-resize sums stay
   closed-form in the id (the q230 oracle recipe, three sums).
 
+- q233: real baseline JPEG scan round trip
+  (multimodal.jpeg_roundtrip_stats — closes the r10 verdict's "JPEG
+  remains metadata-walk only" soft edge): encode_jpeg_gray_pixels
+  writes a DECODABLE entropy-coded scan (forward DCT, flat-8
+  quantization, zigzag, canonical-Huffman coding with byte stuffing,
+  tables written to DHT), decode_jpeg_pixels reads it back (marker
+  walk, DQT/DHT read from the file, Huffman decode, dequant, inverse
+  DCT, edge-block crop). Per-8x8-block-constant images have exactly
+  one nonzero coefficient per block (DC = 8·(v−128)) which the flat-8
+  table divides exactly, so the round trip is bit-exact and the
+  post-decode pixel sum stays closed-form — the q230 recipe pointed
+  at a lossy container's lossless subset, with the whole entropy
+  coder in-path.
+
 Determinism: all-integer (pixel bytes, closed-form sums).
 
 Registered after the 50-spec driver window; first driver rows land
@@ -64,3 +78,33 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import png_resize_rgb_stats
 
     return png_resize_rgb_stats(load(spark, sf, "documents").select("doc_id"))
+
+
+@query(
+    "q233_jpeg_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 3 * (gx.x // 8) + 5 * (gy.y // 8)) % 256 AS p
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum(p) AS BIGINT) AS px_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="real baseline JPEG scan round trip: per-8x8-block-constant "
+    "grayscale images through forward DCT -> flat-8 quant -> zigzag -> "
+    "Huffman scan with byte stuffing -> marker walk -> table read -> "
+    "Huffman decode -> dequant -> inverse DCT -> crop; the lossless "
+    "subset of a lossy container, pixel sums closed-form in the id",
+    tags=("llmops", "multimodal"),
+)
+def q233(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_roundtrip_stats
+
+    return jpeg_roundtrip_stats(load(spark, sf, "documents").select("doc_id"))

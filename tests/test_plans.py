@@ -1182,6 +1182,17 @@ def test_q232_png_resize_rgb_scan_stage_map(spark):
     assert "Join" not in p and "CartesianProduct" not in p
 
 
+def test_q233_jpeg_roundtrip_scan_stage_map(spark):
+    """The JPEG round-trip tier is the same shape as q230/q232: one
+    Arrow-batched mapInPandas over the id scan — no Exchange, no
+    Generate, no join. The entropy coder is per-row work; nothing
+    about a lossy container changes the plan."""
+    p = plan(spark, "q233_jpeg_roundtrip")
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
 def test_q231_temperature_mix_tau75_tiny_frame_tail(spark):
     """The τ=0.75 composed-sqrt weight changes only the weight
     expression: the plan shape must stay q224's — everything after

@@ -328,3 +328,113 @@ def test_png_resize_stats_matches_closed_form(spark):
         )
         assert (out[i].width, out[i].height) == (nw, nh)
         assert out[i].px_sum == expect, i
+
+
+def test_jpeg_scan_block_constant_identity():
+    """Per-8x8-block-constant grayscale images round-trip BIT-EXACTLY
+    through the real entropy-coded scan: the only nonzero coefficient
+    per block is DC = 8*(v-128) and the flat-8 quant table divides it
+    exactly — any Huffman/zigzag/stuffing/IDCT bug breaks identity."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray_pixels,
+        parse_jpeg_meta,
+    )
+
+    for i in (0, 1, 7, 19, 200):
+        w, h = 8 + i % 16, 8 + (i * 3) % 12
+        px = bytes(
+            (i + 3 * (x // 8) + 5 * (y // 8)) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        pay = encode_jpeg_gray_pixels(w, h, px)
+        meta = parse_jpeg_meta(pay)  # the container walk still passes
+        assert (meta["width"], meta["height"], meta["components"]) == (w, h, 1)
+        dw, dh, out = decode_jpeg_pixels(pay)
+        assert (dw, dh) == (w, h) and out == px, i
+
+
+def test_jpeg_scan_random_images_bounded_error_and_deterministic():
+    """General (non-block-constant) images are LOSSY by nature — the
+    decode must be deterministic and the error bounded by the flat-8
+    quantizer (each coefficient off by <= 4; the orthonormal IDCT
+    spreads that across 64 pixels, measured well under 16 levels)."""
+    import random
+
+    import numpy as np
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray_pixels,
+    )
+
+    rng = random.Random(0x1DC7)
+    for _ in range(8):
+        w, h = rng.randint(3, 40), rng.randint(3, 33)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        pay = encode_jpeg_gray_pixels(w, h, px)
+        one = decode_jpeg_pixels(pay)
+        assert one == decode_jpeg_pixels(pay)  # bit-deterministic
+        got = np.frombuffer(one[2], dtype=np.uint8).astype(int)
+        want = np.frombuffer(px, dtype=np.uint8).astype(int)
+        assert int(np.abs(got - want).max()) <= 16
+
+
+def test_jpeg_scan_huffman_stress_all_categories():
+    """A max-contrast checkerboard drives large AC coefficients through
+    every magnitude category and long zero runs through ZRL — the
+    Huffman edge cases a smooth image never visits. Round trip must be
+    deterministic and structurally clean (no marker emitted unstuffed
+    inside the scan)."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray_pixels,
+    )
+
+    w, h = 24, 24
+    px = bytes(255 if (x + y) % 2 == 0 else 0 for y in range(h) for x in range(w))
+    pay = encode_jpeg_gray_pixels(w, h, px)
+    d1 = decode_jpeg_pixels(pay)
+    assert d1 == decode_jpeg_pixels(pay)
+    assert (d1[0], d1[1]) == (w, h)
+
+
+def test_jpeg_scan_rejects_corruption():
+    import zlib as _zlib  # noqa: F401 — parallel structure with PNG tests
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray_pixels,
+        encode_jpeg,
+    )
+
+    pay = encode_jpeg_gray_pixels(16, 16, bytes(range(256)))
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(pay[: len(pay) // 2])  # truncated mid-segment
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\x00" + pay[1:])  # bad SOI
+    # the legacy STUB container (no decodable scan) must raise, not
+    # hallucinate pixels
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(encode_jpeg(8, 8, components=1))
+
+
+def test_jpeg_roundtrip_stats_matches_closed_form(spark):
+    """The q233 surface at tiny scale: px_sum equals the source
+    formula's sum computed independently (the round trip is exact on
+    block-constant pixels)."""
+    from kassette_server_spark.operators.multimodal import jpeg_roundtrip_stats
+
+    ids = [0, 3, 11, 21]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r for r in jpeg_roundtrip_stats(df).collect()}
+    for i in ids:
+        w, h = 8 + i % 16, 8 + (i * 3) % 12
+        expect = sum(
+            (i + 3 * (x // 8) + 5 * (y // 8)) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        assert (out[i].width, out[i].height) == (w, h)
+        assert out[i].px_sum == expect, i
