@@ -209,39 +209,35 @@ def encode_png_filtered(
     if len(filters) != height or any(f not in range(5) for f in filters):
         raise ValueError("filters must be height entries in 0..4")
     bpp, stride = channels, width * channels
+    # forward filtering is a PURE function of the original image (the
+    # a/b/c neighbors are original samples, not reconstructed ones —
+    # spec §9 defines reconstruction as the recurrence; filtering has
+    # none), so every filter type vectorizes whole-image with numpy.
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+    cur = img.astype(np.int64)
+    a = np.zeros_like(cur)  # left neighbor, bpp bytes back
+    a[:, bpp:] = cur[:, :-bpp]
+    b = np.zeros_like(cur)  # row above
+    b[1:] = cur[:-1]
+    c = np.zeros_like(cur)  # upper-left
+    c[1:, bpp:] = cur[:-1, :-bpp]
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    )
+    filtered_by_type = (
+        img,
+        ((cur - a) & 0xFF).astype(np.uint8),  # Sub
+        ((cur - b) & 0xFF).astype(np.uint8),  # Up
+        ((cur - (a + b) // 2) & 0xFF).astype(np.uint8),  # Average
+        ((cur - paeth) & 0xFF).astype(np.uint8),  # Paeth
+    )
     raw = bytearray()
-    prev = bytes(stride)  # row above the first row is all zeros (§9)
     for y in range(height):
-        cur = pixels[y * stride : (y + 1) * stride]
         f = filters[y]
         raw.append(f)
-        if f == 0:  # None
-            raw += cur
-        elif f == 1:  # Sub
-            raw += bytes(
-                (cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 0xFF
-                for i in range(stride)
-            )
-        elif f == 2:  # Up
-            raw += bytes((cur[i] - prev[i]) & 0xFF for i in range(stride))
-        elif f == 3:  # Average
-            raw += bytes(
-                (cur[i] - ((cur[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
-                & 0xFF
-                for i in range(stride)
-            )
-        else:  # Paeth
-            line = bytearray()
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line.append((cur[i] - pred) & 0xFF)
-            raw += line
-        prev = cur
+        raw += filtered_by_type[f][y].tobytes()
     ihdr = struct.pack(
         ">II5B", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
     )
@@ -706,14 +702,21 @@ def encode_jpeg_gray_pixels(width: int, height: int, pixels: bytes) -> bytes:
     padded[height:, :width] = img[-1:, :]  # replicate bottom edge
     padded[:, width:] = padded[:, width - 1 : width]  # then right edge
     m = _dct_matrix()
+    # batch the forward DCT across every block in one einsum
+    # (F = M·s·Mᵀ per block): identical float ops per block as the
+    # per-block matrix products, just fused
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    )  # (bh, bw, 8, 8)
+    coefs = np.einsum("ux,bcxy,vy->bcuv", m, blocks, m)
+    qall = np.round(coefs / _JPEG_SCAN_QUANT).astype(np.int64)
+    zz_idx = np.array(_ZIGZAG)
     w = _BitWriter()
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = m @ block @ m.T
-            q = np.round(coef / _JPEG_SCAN_QUANT).astype(np.int64)
-            zz = [int(q.flat[_ZIGZAG[k]]) for k in range(64)]
+            q = qall[by, bx]
+            zz = q.reshape(64)[zz_idx].tolist()
             size, bits = _magnitude(zz[0] - prev_dc)
             prev_dc = zz[0]
             code, length = _DC_CODES[size]
@@ -914,41 +917,49 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
     if end < scan_start:
         raise ValueError("missing EOI")
     reader = _BitReader(payload[scan_start:end])
-    qt = quant[tq]
+    qt = np.array(quant[tq], dtype=np.float64)
     dc_table, ac_table = huff[(0, dc_id)], huff[(1, ac_id)]
     m = _dct_matrix()
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    n_blocks = bh * bw
+    # entropy decode is inherently sequential; collect every block's
+    # dequantized coefficients first, then batch the IDCT in one einsum
+    zz_all = np.zeros((n_blocks, 64), dtype=np.float64)
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = [0] * 64
-            size = _huff_decode(reader, dc_table)
-            if size > 11:
-                raise ValueError("invalid DC size category")
-            prev_dc += _extend(reader.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63 or size == 0:
-                    raise ValueError("AC coefficient overruns block")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            for i in range(64):
-                coef[_ZIGZAG[i]] = zz[i] * qt[i]
-            block = m.T @ coef.reshape(8, 8) @ m + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.round(block), 0, 255
-            ).astype(np.uint8)
+    for b in range(n_blocks):
+        zz = zz_all[b]
+        size = _huff_decode(reader, dc_table)
+        if size > 11:
+            raise ValueError("invalid DC size category")
+        prev_dc += _extend(reader.bits(size), size)
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63 or size == 0:
+                raise ValueError("AC coefficient overruns block")
+            zz[k] = _extend(reader.bits(size), size)
+            k += 1
+    coefs = np.zeros((n_blocks, 64), dtype=np.float64)
+    coefs[:, np.array(_ZIGZAG)] = zz_all * qt  # dequant + de-zigzag
+    # s = Mᵀ·C·M per block, batched; identical float ops per block
+    blocks = (
+        np.einsum("ux,nuv,vy->nxy", m, coefs.reshape(n_blocks, 8, 8), m)
+        + 128.0
+    )
+    pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
+    out = (
+        pix.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+    )
     return width, height, out[:height, :width].tobytes()
 
 
