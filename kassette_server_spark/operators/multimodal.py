@@ -1005,6 +1005,70 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def transcode_png_to_jpeg(payload: bytes) -> bytes:
+    """Cross-format transcode — the format-normalization primitive a
+    training-data pipeline runs at scale (unify a mixed image corpus
+    into one container before feature extraction): full PNG pixel
+    decode (inflate + five-filter de-filter) → real baseline JPEG
+    encode (DCT + Huffman scan). Grayscale only (the JPEG scan
+    codec's subset); multi-channel PNGs raise rather than silently
+    drop chroma."""
+    w, h, ch, px = decode_png_pixels(payload)
+    if ch != 1:
+        raise ValueError(
+            "transcode supports grayscale PNGs (the JPEG scan codec is "
+            f"single-component); got {ch} channels"
+        )
+    return encode_jpeg_gray_pixels(w, h, px)
+
+
+def png_to_jpeg_transcode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The CROSS-CODEC member of the real-decode tier: per id, a
+    grayscale PNG whose pixels are constant per 8x8 block —
+    v(x, y) = (id + 3·(x div 8) + 5·(y div 8)) mod 256 — written with
+    CYCLING per-row filter types ((id+y) mod 5), transcoded to JPEG
+    through the full inflate → de-filter → DCT → Huffman → scan path,
+    then re-decoded with the JPEG decoder and summed. Chains BOTH
+    codecs' full machinery in one oracle-checked path: the PNG
+    de-filter must reconstruct exactly (any filter bug shifts pixels
+    into non-block-constant images, breaking the JPEG identity), and
+    the JPEG round trip is bit-exact on the block-constant result
+    (flat-8 quant divides DC = 8·(v−128) exactly), so the final pixel
+    sum stays closed-form in the id.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, width, height, px_sum)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                w, h = 8 + i % 16, 8 + (i * 3) % 12
+                px = bytes(
+                    (i + 3 * (x // 8) + 5 * (y // 8)) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                png = encode_png_filtered(
+                    w, h, px, channels=1,
+                    filters=[(i + y) % 5 for y in range(h)],
+                )
+                jpg = transcode_png_to_jpeg(png)
+                meta = parse_jpeg_meta(jpg)
+                dw, dh, dpx = decode_jpeg_pixels(jpg)
+                assert (dw, dh) == (meta["width"], meta["height"]) == (w, h)
+                rows.append((i, dw, dh, int(sum(dpx))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, px_sum long",
+    )
+
+
 MEDIA_META_SCHEMA = (
     "doc_id long, kind string, width long, height long, "
     "sample_rate long, n_samples long, duration_ms long"

@@ -27,6 +27,14 @@ first-class specs.
   at a lossy container's lossless subset, with the whole entropy
   coder in-path.
 
+- q234: PNG → JPEG transcode (multimodal.png_to_jpeg_transcode_stats)
+  — the format-normalization primitive (unify a mixed image corpus
+  into one container): cycling-filter PNG → full de-filter decode →
+  real JPEG scan encode → JPEG decode, BOTH codecs chained in one
+  oracle-checked path. A PNG de-filter bug would shift pixels into
+  non-block-constant images and break the JPEG lossless-subset
+  identity, so the single hash match pins both.
+
 Determinism: all-integer (pixel bytes, closed-form sums).
 
 Registered after the 50-spec driver window; first driver rows land
@@ -108,3 +116,34 @@ def q233(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import jpeg_roundtrip_stats
 
     return jpeg_roundtrip_stats(load(spark, sf, "documents").select("doc_id"))
+
+
+@query(
+    "q234_png_jpeg_transcode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 3 * (gx.x // 8) + 5 * (gy.y // 8)) % 256 AS p
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum(p) AS BIGINT) AS px_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="cross-format transcode (format normalization): cycling-filter "
+    "grayscale PNG -> full de-filter decode -> real JPEG scan encode -> "
+    "JPEG decode; both codecs' machinery chained in one path, pixel "
+    "sums closed-form on the block-constant lossless subset",
+    tags=("llmops", "multimodal"),
+)
+def q234(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import png_to_jpeg_transcode_stats
+
+    return png_to_jpeg_transcode_stats(
+        load(spark, sf, "documents").select("doc_id")
+    )

@@ -1193,6 +1193,16 @@ def test_q233_jpeg_roundtrip_scan_stage_map(spark):
     assert "Join" not in p and "CartesianProduct" not in p
 
 
+def test_q234_png_jpeg_transcode_scan_stage_map(spark):
+    """The cross-codec transcode tier keeps the q230/q232/q233 shape:
+    one Arrow-batched mapInPandas over the id scan — no Exchange, no
+    join. Chaining two codecs changes per-row work only."""
+    p = plan(spark, "q234_png_jpeg_transcode")
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
 def test_q231_temperature_mix_tau75_tiny_frame_tail(spark):
     """The τ=0.75 composed-sqrt weight changes only the weight
     expression: the plan shape must stay q224's — everything after

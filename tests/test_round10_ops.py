@@ -438,3 +438,47 @@ def test_jpeg_roundtrip_stats_matches_closed_form(spark):
         )
         assert (out[i].width, out[i].height) == (w, h)
         assert out[i].px_sum == expect, i
+
+
+def test_png_to_jpeg_transcode_identity_and_fences(spark):
+    """Cross-codec transcode: a cycling-filter grayscale PNG of
+    block-constant pixels transcodes to JPEG and decodes back to the
+    EXACT source pixels (both codecs' machinery in one path); RGB
+    PNGs are refused rather than silently flattened."""
+    import pytest as _pytest
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_png,
+        encode_png_filtered,
+        png_to_jpeg_transcode_stats,
+        transcode_png_to_jpeg,
+    )
+
+    i = 13
+    w, h = 8 + i % 16, 8 + (i * 3) % 12
+    px = bytes(
+        (i + 3 * (x // 8) + 5 * (y // 8)) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    png = encode_png_filtered(
+        w, h, px, channels=1, filters=[(i + y) % 5 for y in range(h)]
+    )
+    jpg = transcode_png_to_jpeg(png)
+    assert decode_jpeg_pixels(jpg) == (w, h, px)
+    with _pytest.raises(ValueError, match="grayscale"):
+        transcode_png_to_jpeg(encode_png(4, 4, bytes(48), channels=3))
+
+    # the q234 surface at tiny scale
+    ids = [0, 5, 16]
+    df = spark.createDataFrame([(j,) for j in ids], "doc_id long")
+    out = {r.doc_id: r for r in png_to_jpeg_transcode_stats(df).collect()}
+    for j in ids:
+        w, h = 8 + j % 16, 8 + (j * 3) % 12
+        expect = sum(
+            (j + 3 * (x // 8) + 5 * (y // 8)) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        assert out[j].px_sum == expect, j
