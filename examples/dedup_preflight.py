@@ -106,6 +106,25 @@ def main() -> None:
     )
     print(f"stream verdict schema: {verdicts.schema.simpleString()}")
 
+    # 6. the OTHER pre-flight→consumer wiring (r11): profile the join
+    # key you are about to shuffle on, then hand the hottest-key row
+    # straight to the salted join — the profiler's salt_r IS the
+    # replication factor, no manual re-derivation.
+    from kassette_server_spark.catalog import load as _load
+    from kassette_server_spark.operators.diagnostics import key_skew_profile
+    from kassette_server_spark.operators.layout import salted_join_from_profile
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id")
+    dims = ev.groupBy("user_id").count()
+    prof = key_skew_profile(ev, "user_id", target_partitions=32, top_n=1)
+    row = prof.collect()[0]
+    print(
+        f"join-key profile: skew_ratio={row.skew_ratio:.2f} "
+        f"max_cnt={row.max_cnt} salt_r={row.salt_r}"
+    )
+    joined = salted_join_from_profile(ev, dims, "user_id", row)
+    print(f"salted join rows (== plain join): {joined.count()}")
+
     spark.stop()
 
 
