@@ -296,7 +296,13 @@ def main() -> None:
         from kassette_server_spark.operators.multimodal import (
             jpeg_roundtrip_stats,
             png_resize_rgb_stats,
+            png_to_jpeg_transcode_stats,
         )
+
+        def png_jpeg_transcode():
+            # both codecs chained per row (PNG de-filter decode →
+            # JPEG DCT/Huffman encode → JPEG decode) — the q234 shape
+            return png_to_jpeg_transcode_stats(d.select("doc_id"))
 
         def jpeg_roundtrip():
             # the full entropy-coded JPEG scan round trip per row —
@@ -378,6 +384,7 @@ def main() -> None:
             "png_resize": (pngresize, rows_d),
             "png_resize_rgb": (pngresize_rgb, rows_d),
             "jpeg_roundtrip": (jpeg_roundtrip, rows_d),
+            "png_jpeg_transcode": (png_jpeg_transcode, rows_d),
             "curation_e2e": (curation_e2e, rows_d),
         }
 
