@@ -364,20 +364,26 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         elif f == 2:  # Up: uint8 add wraps = mod 256 exactly
             out[y] = line + up
         elif f == 3:  # Average: sequential in x (left is reconstructed)
-            row = out[y]
+            # plain-int lists: numpy scalar indexing per element is
+            # ~5x slower than list ops in a tight recurrence
+            ln, upl = line.tolist(), up.tolist()
+            row = [0] * rowlen
             for i in range(rowlen):
                 a = row[i - bpp] if i >= bpp else 0
-                row[i] = (int(line[i]) + (int(a) + int(up[i])) // 2) & 0xFF
+                row[i] = (ln[i] + (a + upl[i]) // 2) & 0xFF
+            out[y] = row
         else:  # Paeth: sequential in x
-            row = out[y]
+            ln, upl = line.tolist(), up.tolist()
+            row = [0] * rowlen
             for i in range(rowlen):
-                a = int(row[i - bpp]) if i >= bpp else 0
-                b = int(up[i])
-                c = int(up[i - bpp]) if i >= bpp else 0
+                a = row[i - bpp] if i >= bpp else 0
+                b = upl[i]
+                c = upl[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (int(line[i]) + pred) & 0xFF
+                row[i] = (ln[i] + pred) & 0xFF
+            out[y] = row
     return w, h, ch, out.tobytes()
 
 
@@ -986,11 +992,14 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for v in pdf[id_col]:
                 i = int(v)
                 w, h = 8 + i % 16, 8 + (i * 3) % 12
-                px = bytes(
-                    (i + 3 * (x // 8) + 5 * (y // 8)) % 256
-                    for y in range(h)
-                    for x in range(w)
-                )
+                px = (
+                    (
+                        i
+                        + 3 * (np.arange(w)[None, :] // 8)
+                        + 5 * (np.arange(h)[:, None] // 8)
+                    )
+                    % 256
+                ).astype(np.uint8).tobytes()
                 pay = encode_jpeg_gray_pixels(w, h, px)
                 dw, dh, dpx = decode_jpeg_pixels(pay)
                 assert (dw, dh) == (w, h)
@@ -1045,11 +1054,14 @@ def png_to_jpeg_transcode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFr
             for v in pdf[id_col]:
                 i = int(v)
                 w, h = 8 + i % 16, 8 + (i * 3) % 12
-                px = bytes(
-                    (i + 3 * (x // 8) + 5 * (y // 8)) % 256
-                    for y in range(h)
-                    for x in range(w)
-                )
+                px = (
+                    (
+                        i
+                        + 3 * (np.arange(w)[None, :] // 8)
+                        + 5 * (np.arange(h)[:, None] // 8)
+                    )
+                    % 256
+                ).astype(np.uint8).tobytes()
                 png = encode_png_filtered(
                     w, h, px, channels=1,
                     filters=[(i + y) % 5 for y in range(h)],
@@ -1601,11 +1613,10 @@ def png_resize_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for v in pdf[id_col]:
                 i = int(v)
                 w, h = 8 + i % 16, 8 + (i * 3) % 12
-                px = bytes(
-                    (i + 3 * x + 5 * y) % 256
-                    for y in range(h)
-                    for x in range(w)
-                )
+                px = (
+                    (i + 3 * np.arange(w)[None, :] + 5 * np.arange(h)[:, None])
+                    % 256
+                ).astype(np.uint8).tobytes()
                 rz = resize_png_payload(encode_png(w, h, px), w // 2, h // 2)
                 meta = parse_png_meta(rz)
                 _, _, _, rpx = decode_png_pixels(rz)
@@ -1645,14 +1656,22 @@ def png_resize_rgb_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for v in pdf[id_col]:
                 i = int(v)
                 w, h = 8 + i % 16, 8 + (i * 3) % 12
-                px = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        px.append((i + x + 2 * y) % 256)  # R
-                        px.append((i + 2 * x + y) % 256)  # G
-                        px.append((i + x + y) % 256)  # B
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                px = (
+                    np.stack(
+                        [
+                            (i + xs + 2 * ys) % 256,  # R
+                            (i + 2 * xs + ys) % 256,  # G
+                            (i + xs + ys) % 256,  # B
+                        ],
+                        axis=-1,
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                )
                 src = encode_png_filtered(
-                    w, h, bytes(px), channels=3,
+                    w, h, px, channels=3,
                     filters=[(i + y) % 5 for y in range(h)],
                 )
                 rz = resize_png_payload(src, w // 2, h // 2)
@@ -1703,14 +1722,22 @@ def image_channel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 # same pixels as a top-down RGB PNG (channel sums are
                 # row-order-invariant, so the BMP's bottom-up y works
                 # verbatim); decode must agree with the BMP walk
-                png_px = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        png_px.append((i + x + 2 * y) % 256)  # R
-                        png_px.append((i + 2 * x + y) % 256)  # G
-                        png_px.append((i + x + y) % 256)  # B
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                png_px = (
+                    np.stack(
+                        [
+                            (i + xs + 2 * ys) % 256,  # R
+                            (i + 2 * xs + ys) % 256,  # G
+                            (i + xs + ys) % 256,  # B
+                        ],
+                        axis=-1,
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                )
                 _, _, ch, rpx = decode_png_pixels(
-                    encode_png(w, h, bytes(png_px), channels=3)
+                    encode_png(w, h, png_px, channels=3)
                 )
                 a = np.frombuffer(rpx, dtype=np.uint8).reshape(-1, 3)
                 psums = a.sum(axis=0, dtype=np.int64)
