@@ -690,63 +690,84 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v > 0 else v + (1 << size) - 1)
 
 
-def encode_jpeg_gray_pixels(width: int, height: int, pixels: bytes) -> bytes:
-    """REAL baseline grayscale JPEG writer: a decodable entropy-coded
-    scan, not encode_jpeg's stub. ``pixels`` is row-major
-    width*height bytes. Partial edge blocks are padded by edge
-    replication (the conventional choice — keeps padded samples equal
-    to their block's edge, so per-block-constant images stay constant
-    per block)."""
-    if len(pixels) != width * height:
-        raise ValueError("pixels must be width*height bytes")
+def _emit_block(w: "_BitWriter", zz: list[int], prev_dc: int) -> int:
+    """Entropy-code one block's zigzagged quantized coefficients;
+    returns the new DC predictor."""
+    size, bits = _magnitude(zz[0] - prev_dc)
+    code, length = _DC_CODES[size]
+    w.put(code, length)
+    if size:
+        w.put(bits, size)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = _AC_CODES[0xF0]  # ZRL
+            w.put(c, ln)
+            run -= 16
+        size, bits = _magnitude(zz[k])
+        c, ln = _AC_CODES[(run << 4) | size]
+        w.put(c, ln)
+        w.put(bits, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = _AC_CODES[0x00]  # EOB
+        w.put(c, ln)
+    return zz[0]
+
+
+def encode_jpeg_pixels(
+    width: int, height: int, pixels: bytes, channels: int = 1
+) -> bytes:
+    """REAL baseline JPEG writer with a decodable entropy-coded scan
+    (not encode_jpeg's stub): grayscale or 3-component 4:4:4.
+    ``pixels`` is row-major width*height*channels bytes, samples
+    interleaved per pixel. Partial edge blocks are padded by edge
+    replication (keeps padded samples equal to their block's edge, so
+    per-block-constant images stay constant per block).
+
+    The 3-component form stores the channels VERBATIM (no YCbCr color
+    transform) — the bit-exactness a data pipeline wants from a
+    round trip; it is the components' semantics, not the container's,
+    that stays RGB, and decode_jpeg_pixels returns them unchanged.
+    MCUs interleave one 8x8 block per component at 1x1 sampling with
+    per-component DC predictors (spec §F.1.1.5.1); all components
+    share the flat quant table and the canonical Huffman tables."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (grayscale) or 3 (4:4:4)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels must be width*height*channels bytes")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("dimensions must fit in uint16")
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    )
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded = np.empty((bh * 8, bw * 8, channels), dtype=np.float64)
     padded[:height, :width] = img
     padded[height:, :width] = img[-1:, :]  # replicate bottom edge
     padded[:, width:] = padded[:, width - 1 : width]  # then right edge
     m = _dct_matrix()
-    # batch the forward DCT across every block in one einsum
-    # (F = M·s·Mᵀ per block): identical float ops per block as the
-    # per-block matrix products, just fused
+    # batch the forward DCT across every block and component in one
+    # einsum (F = M·s·Mᵀ per block): identical float ops per block as
+    # the per-block matrix products, just fused
     blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
-    )  # (bh, bw, 8, 8)
-    coefs = np.einsum("ux,bcxy,vy->bcuv", m, blocks, m)
+        padded.reshape(bh, 8, bw, 8, channels).transpose(0, 2, 4, 1, 3)
+        - 128.0
+    )  # (bh, bw, ch, 8, 8)
+    coefs = np.einsum("ux,bcnxy,vy->bcnuv", m, blocks, m)
     qall = np.round(coefs / _JPEG_SCAN_QUANT).astype(np.int64)
     zz_idx = np.array(_ZIGZAG)
     w = _BitWriter()
-    prev_dc = 0
+    prev_dc = [0] * channels
     for by in range(bh):
         for bx in range(bw):
-            q = qall[by, bx]
-            zz = q.reshape(64)[zz_idx].tolist()
-            size, bits = _magnitude(zz[0] - prev_dc)
-            prev_dc = zz[0]
-            code, length = _DC_CODES[size]
-            w.put(code, length)
-            if size:
-                w.put(bits, size)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    c, ln = _AC_CODES[0xF0]  # ZRL
-                    w.put(c, ln)
-                    run -= 16
-                size, bits = _magnitude(zz[k])
-                c, ln = _AC_CODES[(run << 4) | size]
-                w.put(c, ln)
-                w.put(bits, size)
-                run = 0
-            if last_nz < 63:
-                c, ln = _AC_CODES[0x00]  # EOB
-                w.put(c, ln)
+            for cn in range(channels):  # interleaved MCU, 1x1 sampling
+                zz = qall[by, bx, cn].reshape(64)[zz_idx].tolist()
+                prev_dc[cn] = _emit_block(w, zz, prev_dc[cn])
     scan = w.flush()
 
     def seg(marker: int, data: bytes) -> bytes:
@@ -758,12 +779,18 @@ def encode_jpeg_gray_pixels(width: int, height: int, pixels: bytes) -> bytes:
     # DQT in zigzag order (flat table — every order is the same table,
     # but the decoder still applies the real de-zigzag)
     dqt = bytes([0]) + bytes([_JPEG_SCAN_QUANT] * 64)
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    sof = struct.pack(">BHHB", 8, height, width, channels) + b"".join(
+        bytes([cn + 1, 0x11, 0]) for cn in range(channels)
+    )
     dht = (
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
     )
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    sos = (
+        bytes([channels])
+        + b"".join(bytes([cn + 1, 0x00]) for cn in range(channels))
+        + bytes([0, 63, 0])
+    )
     return (
         b"\xff\xd8"
         + seg(0xE0, app0)
@@ -774,6 +801,11 @@ def encode_jpeg_gray_pixels(width: int, height: int, pixels: bytes) -> bytes:
         + scan
         + b"\xff\xd9"
     )
+
+
+def encode_jpeg_gray_pixels(width: int, height: int, pixels: bytes) -> bytes:
+    """Grayscale shorthand for :func:`encode_jpeg_pixels`."""
+    return encode_jpeg_pixels(width, height, pixels, channels=1)
 
 
 class _BitReader:
@@ -829,17 +861,21 @@ def _extend(r: int, size: int) -> int:
     return r if r >= (1 << (size - 1)) else r - (1 << size) + 1
 
 
-def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL baseline grayscale JPEG pixel decode: marker walk, DQT and
-    DHT tables read FROM THE FILE (not assumed), Huffman-decoded MCUs
-    with byte unstuffing, dequantization, de-zigzag, inverse DCT,
-    level shift, clamp, edge-block crop. Raises ValueError on any
-    structural or entropy-stream corruption. Supports the subset
-    encode_jpeg_gray_pixels emits — baseline sequential (SOF0), one
-    component, 8-bit, no restart intervals; anything else raises
-    rather than mis-reads.
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline JPEG pixel decode: marker walk, DQT and DHT
+    tables read FROM THE FILE (not assumed), Huffman-decoded
+    MCU-interleaved blocks with byte unstuffing and per-component DC
+    predictors, dequantization, de-zigzag, inverse DCT, level shift,
+    clamp, edge-block crop. Raises ValueError on any structural or
+    entropy-stream corruption. Supports the subset
+    :func:`encode_jpeg_pixels` emits — baseline sequential (SOF0),
+    one or three components at 1x1 sampling, 8-bit, no restart
+    intervals; anything else raises rather than mis-reads. Components
+    are returned VERBATIM (no YCbCr→RGB transform — this decoder's
+    encoder stores channels untransformed for bit-exact round trips).
 
-    Returns (width, height, row-major pixel bytes)."""
+    Returns (width, height, components, row-major interleaved pixel
+    bytes)."""
     if payload[:3] != JPEG_SIG:
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -890,83 +926,113 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
             if marker != 0xC0:
                 raise ValueError("pixel decode supports baseline SOF0 only")
             precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
-            if precision != 8 or ncomp != 1:
+            if precision != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    "pixel decode supports 8-bit single-component JPEGs"
+                    "pixel decode supports 8-bit 1- or 3-component JPEGs"
                 )
-            # component spec starts at byte 6: id, sampling, quant id
-            if data[7] != 0x11:
-                raise ValueError("subsampled JPEGs not supported")
-            sof = (width, height, data[8])  # + quant table id
+            comps = []
+            for cn in range(ncomp):
+                # component spec: id, sampling, quant table id
+                cid, samp, ctq = data[6 + 3 * cn : 9 + 3 * cn]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEGs not supported")
+                comps.append((cid, ctq))
+            sof = (width, height, comps)
         elif marker == 0xDD:
             raise ValueError("restart intervals not supported")
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("SOS before SOF")
             ns = data[0]
-            if ns != 1:
-                raise ValueError("single-component scan expected")
-            dc_id, ac_id = data[2] >> 4, data[2] & 0x0F
+            if ns != len(sof[2]):
+                raise ValueError("scan must cover every frame component")
+            sel = {}  # component id -> (dc table, ac table)
+            for cn in range(ns):
+                cid = data[1 + 2 * cn]
+                tbl = data[2 + 2 * cn]
+                sel[cid] = (tbl >> 4, tbl & 0x0F)
             scan_start = pos + 2 + length
             break
         pos += 2 + length
     if sof is None or scan_start is None:
         raise ValueError("missing SOF/SOS")
-    width, height, tq = sof
-    if tq not in quant:
-        raise ValueError("missing quant table")
-    if (0, dc_id) not in huff or (1, ac_id) not in huff:
-        raise ValueError("missing Huffman table")
+    width, height, comps = sof
+    ncomp = len(comps)
+    per_comp = []  # (quant array, dc table, ac table) in frame order
+    for cid, ctq in comps:
+        if ctq not in quant:
+            raise ValueError("missing quant table")
+        if cid not in sel:
+            raise ValueError(f"component {cid} absent from scan")
+        dc_id, ac_id = sel[cid]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("missing Huffman table")
+        per_comp.append(
+            (
+                np.array(quant[ctq], dtype=np.float64),
+                huff[(0, dc_id)],
+                huff[(1, ac_id)],
+            )
+        )
     # entropy data runs to EOI; hand the reader the raw bytes (it
     # unstuffs) after locating the trailing marker
     end = payload.rfind(b"\xff\xd9")
     if end < scan_start:
         raise ValueError("missing EOI")
     reader = _BitReader(payload[scan_start:end])
-    qt = np.array(quant[tq], dtype=np.float64)
-    dc_table, ac_table = huff[(0, dc_id)], huff[(1, ac_id)]
     m = _dct_matrix()
     bw, bh = (width + 7) // 8, (height + 7) // 8
     n_blocks = bh * bw
     # entropy decode is inherently sequential; collect every block's
-    # dequantized coefficients first, then batch the IDCT in one einsum
-    zz_all = np.zeros((n_blocks, 64), dtype=np.float64)
-    prev_dc = 0
+    # coefficients first (MCU-interleaved at 1x1: one block per
+    # component, per-component DC predictors — spec §F.1.1.5.1), then
+    # batch the dequant + IDCT per component in one einsum each
+    zz_all = np.zeros((ncomp, n_blocks, 64), dtype=np.float64)
+    prev_dc = [0] * ncomp
     for b in range(n_blocks):
-        zz = zz_all[b]
-        size = _huff_decode(reader, dc_table)
-        if size > 11:
-            raise ValueError("invalid DC size category")
-        prev_dc += _extend(reader.bits(size), size)
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _huff_decode(reader, ac_table)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0x0F
-            k += run
-            if k > 63 or size == 0:
-                raise ValueError("AC coefficient overruns block")
-            zz[k] = _extend(reader.bits(size), size)
-            k += 1
-    coefs = np.zeros((n_blocks, 64), dtype=np.float64)
-    coefs[:, np.array(_ZIGZAG)] = zz_all * qt  # dequant + de-zigzag
-    # s = Mᵀ·C·M per block, batched; identical float ops per block
-    blocks = (
-        np.einsum("ux,nuv,vy->nxy", m, coefs.reshape(n_blocks, 8, 8), m)
-        + 128.0
-    )
-    pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
-    out = (
-        pix.reshape(bh, bw, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(bh * 8, bw * 8)
-    )
-    return width, height, out[:height, :width].tobytes()
+        for cn in range(ncomp):
+            _, dc_table, ac_table = per_comp[cn]
+            zz = zz_all[cn, b]
+            size = _huff_decode(reader, dc_table)
+            if size > 11:
+                raise ValueError("invalid DC size category")
+            prev_dc[cn] += _extend(reader.bits(size), size)
+            zz[0] = prev_dc[cn]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63 or size == 0:
+                    raise ValueError("AC coefficient overruns block")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+    zz_idx = np.array(_ZIGZAG)
+    out = np.empty((bh * 8, bw * 8, ncomp), dtype=np.uint8)
+    for cn in range(ncomp):
+        qt = per_comp[cn][0]
+        coefs = np.zeros((n_blocks, 64), dtype=np.float64)
+        coefs[:, zz_idx] = zz_all[cn] * qt  # dequant + de-zigzag
+        # s = Mᵀ·C·M per block, batched; identical float ops per block
+        blocks = (
+            np.einsum("ux,nuv,vy->nxy", m, coefs.reshape(n_blocks, 8, 8), m)
+            + 128.0
+        )
+        pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
+        out[:, :, cn] = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+    cropped = out[:height, :width]
+    if ncomp == 1:
+        cropped = cropped.reshape(height, width)
+    return width, height, ncomp, cropped.tobytes()
 
 
 def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1001,8 +1067,8 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     % 256
                 ).astype(np.uint8).tobytes()
                 pay = encode_jpeg_gray_pixels(w, h, px)
-                dw, dh, dpx = decode_jpeg_pixels(pay)
-                assert (dw, dh) == (w, h)
+                dw, dh, dch, dpx = decode_jpeg_pixels(pay)
+                assert (dw, dh, dch) == (w, h, 1)
                 rows.append((i, dw, dh, int(sum(dpx))))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "px_sum"]
@@ -1019,16 +1085,16 @@ def transcode_png_to_jpeg(payload: bytes) -> bytes:
     training-data pipeline runs at scale (unify a mixed image corpus
     into one container before feature extraction): full PNG pixel
     decode (inflate + five-filter de-filter) → real baseline JPEG
-    encode (DCT + Huffman scan). Grayscale only (the JPEG scan
-    codec's subset); multi-channel PNGs raise rather than silently
-    drop chroma."""
+    encode (DCT + Huffman scan). Grayscale and RGB (stored verbatim as
+    3 components at 4:4:4); alpha-bearing PNGs raise rather than
+    silently drop the alpha channel."""
     w, h, ch, px = decode_png_pixels(payload)
-    if ch != 1:
+    if ch not in (1, 3):
         raise ValueError(
-            "transcode supports grayscale PNGs (the JPEG scan codec is "
-            f"single-component); got {ch} channels"
+            "transcode supports grayscale/RGB PNGs (JPEG carries no "
+            f"alpha); got {ch} channels"
         )
-    return encode_jpeg_gray_pixels(w, h, px)
+    return encode_jpeg_pixels(w, h, px, channels=ch)
 
 
 def png_to_jpeg_transcode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1068,8 +1134,9 @@ def png_to_jpeg_transcode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 )
                 jpg = transcode_png_to_jpeg(png)
                 meta = parse_jpeg_meta(jpg)
-                dw, dh, dpx = decode_jpeg_pixels(jpg)
-                assert (dw, dh) == (meta["width"], meta["height"]) == (w, h)
+                dw, dh, dch, dpx = decode_jpeg_pixels(jpg)
+                assert (dw, dh, dch) == (w, h, 1)
+                assert (meta["width"], meta["height"]) == (w, h)
                 rows.append((i, dw, dh, int(sum(dpx))))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "px_sum"]
@@ -1078,6 +1145,66 @@ def png_to_jpeg_transcode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFr
     return df.mapInPandas(
         batches,
         schema="doc_id long, width long, height long, px_sum long",
+    )
+
+
+def png_to_jpeg_transcode_rgb_stats(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The RGB sibling of the cross-codec transcode tier: per id, an
+    RGB PNG with per-channel per-8x8-block-constant formulas —
+    R=(id+3·bx+5·by), G=(id+2·bx+7·by), B=(id+bx+by), all mod 256 with
+    bx=x div 8, by=y div 8 — written with CYCLING per-row filters,
+    transcoded to a 3-component 4:4:4 JPEG (verbatim channels,
+    MCU-interleaved blocks, per-component DC predictors), re-decoded,
+    and summed per channel. One oracle-checked path carries: the
+    bpp=3 PNG de-filter, the multi-component JPEG entropy coder, and
+    the component interleave — a predictor mix-up between components
+    breaks the per-channel sums even when the total survives.
+
+    Output: (doc_id, width, height, sum_r, sum_g, sum_b)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                w, h = 8 + i % 16, 8 + (i * 3) % 12
+                bx = np.arange(w)[None, :] // 8
+                by = np.arange(h)[:, None] // 8
+                px = (
+                    np.stack(
+                        [
+                            (i + 3 * bx + 5 * by) % 256,  # R
+                            (i + 2 * bx + 7 * by) % 256,  # G
+                            (i + bx + by) % 256,  # B
+                        ],
+                        axis=-1,
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+                png = encode_png_filtered(
+                    w, h, px, channels=3,
+                    filters=[(i + y) % 5 for y in range(h)],
+                )
+                jpg = transcode_png_to_jpeg(png)
+                dw, dh, dch, dpx = decode_jpeg_pixels(jpg)
+                assert (dw, dh, dch) == (w, h, 3)
+                a = np.frombuffer(dpx, dtype=np.uint8).reshape(-1, 3)
+                sums = a.sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (i, dw, dh, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, "
+        "sum_r long, sum_g long, sum_b long",
     )
 
 

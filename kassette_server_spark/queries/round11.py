@@ -35,6 +35,14 @@ first-class specs.
   non-block-constant images and break the JPEG lossless-subset
   identity, so the single hash match pins both.
 
+- q235: RGB PNG → 3-component JPEG transcode
+  (multimodal.png_to_jpeg_transcode_rgb_stats): the multi-component
+  generalization — channels stored VERBATIM at 4:4:4 (no YCbCr
+  transform, the bit-exactness a data pipeline wants),
+  MCU-interleaved blocks with per-component DC predictors (spec
+  §F.1.1.5.1). A predictor mix-up between components breaks the
+  per-channel sums even when the total survives.
+
 Determinism: all-integer (pixel bytes, closed-form sums).
 
 Registered after the 50-spec driver window; first driver rows land
@@ -145,5 +153,40 @@ def q234(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import png_to_jpeg_transcode_stats
 
     return png_to_jpeg_transcode_stats(
+        load(spark, sf, "documents").select("doc_id")
+    )
+
+
+@query(
+    "q235_png_jpeg_transcode_rgb",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 3 * (gx.x // 8) + 5 * (gy.y // 8)) % 256 AS pr,
+             (doc_id + 2 * (gx.x // 8) + 7 * (gy.y // 8)) % 256 AS pg,
+             (doc_id + (gx.x // 8) + (gy.y // 8)) % 256 AS pb
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum(pr) AS BIGINT) AS sum_r,
+           CAST(sum(pg) AS BIGINT) AS sum_g,
+           CAST(sum(pb) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="RGB cross-format transcode: cycling-filter RGB PNG -> bpp=3 "
+    "de-filter decode -> 3-component 4:4:4 JPEG (verbatim channels, "
+    "MCU-interleaved blocks, per-component DC predictors) -> decode; "
+    "per-channel sums closed-form on the block-constant lossless subset",
+    tags=("llmops", "multimodal"),
+)
+def q235(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import png_to_jpeg_transcode_rgb_stats
+
+    return png_to_jpeg_transcode_rgb_stats(
         load(spark, sf, "documents").select("doc_id")
     )

@@ -351,8 +351,8 @@ def test_jpeg_scan_block_constant_identity():
         pay = encode_jpeg_gray_pixels(w, h, px)
         meta = parse_jpeg_meta(pay)  # the container walk still passes
         assert (meta["width"], meta["height"], meta["components"]) == (w, h, 1)
-        dw, dh, out = decode_jpeg_pixels(pay)
-        assert (dw, dh) == (w, h) and out == px, i
+        dw, dh, dch, out = decode_jpeg_pixels(pay)
+        assert (dw, dh, dch) == (w, h, 1) and out == px, i
 
 
 def test_jpeg_scan_random_images_bounded_error_and_deterministic():
@@ -376,7 +376,7 @@ def test_jpeg_scan_random_images_bounded_error_and_deterministic():
         pay = encode_jpeg_gray_pixels(w, h, px)
         one = decode_jpeg_pixels(pay)
         assert one == decode_jpeg_pixels(pay)  # bit-deterministic
-        got = np.frombuffer(one[2], dtype=np.uint8).astype(int)
+        got = np.frombuffer(one[3], dtype=np.uint8).astype(int)
         want = np.frombuffer(px, dtype=np.uint8).astype(int)
         assert int(np.abs(got - want).max()) <= 16
 
@@ -466,9 +466,15 @@ def test_png_to_jpeg_transcode_identity_and_fences(spark):
         w, h, px, channels=1, filters=[(i + y) % 5 for y in range(h)]
     )
     jpg = transcode_png_to_jpeg(png)
-    assert decode_jpeg_pixels(jpg) == (w, h, px)
-    with _pytest.raises(ValueError, match="grayscale"):
-        transcode_png_to_jpeg(encode_png(4, 4, bytes(48), channels=3))
+    assert decode_jpeg_pixels(jpg) == (w, h, 1, px)
+    # alpha-bearing PNGs are refused (JPEG carries no alpha); RGB is
+    # transcoded as 3 verbatim components (r11 multi-component codec)
+    with _pytest.raises(ValueError, match="alpha"):
+        transcode_png_to_jpeg(encode_png(4, 4, bytes(64), channels=4))
+    rgb = bytes((7 * (x // 8) + 11 * (y // 8) + c) % 256
+                for y in range(16) for x in range(16) for c in range(3))
+    jpg3 = transcode_png_to_jpeg(encode_png(16, 16, rgb, channels=3))
+    assert decode_jpeg_pixels(jpg3) == (16, 16, 3, rgb)
 
     # the q234 surface at tiny scale
     ids = [0, 5, 16]
@@ -482,3 +488,71 @@ def test_png_to_jpeg_transcode_identity_and_fences(spark):
             for x in range(w)
         )
         assert out[j].px_sum == expect, j
+
+
+def test_jpeg_scan_rgb_identity_and_interleave():
+    """3-component 4:4:4: MCU-interleaved blocks with per-component DC
+    predictors round-trip block-constant RGB images bit-exactly; the
+    components come back verbatim (no color transform). A mixed-size
+    random image stays deterministic and bounded."""
+    import random
+
+    import numpy as np
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        parse_jpeg_meta,
+    )
+
+    for i in (0, 4, 13, 27):
+        w, h = 8 + i % 16, 8 + (i * 3) % 12
+        xs = np.arange(w)[None, :] // 8
+        ys = np.arange(h)[:, None] // 8
+        px = (
+            np.stack(
+                [
+                    (i + 3 * xs + 5 * ys) % 256,
+                    (i + 2 * xs + 7 * ys) % 256,
+                    (i + xs + ys) % 256,
+                ],
+                axis=-1,
+            )
+            .astype(np.uint8)
+            .tobytes()
+        )
+        pay = encode_jpeg_pixels(w, h, px, channels=3)
+        meta = parse_jpeg_meta(pay)
+        assert (meta["width"], meta["height"], meta["components"]) == (w, h, 3)
+        assert decode_jpeg_pixels(pay) == (w, h, 3, px), i
+
+    rng = random.Random(0x3C)
+    w, h = rng.randint(3, 30), rng.randint(3, 25)
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    pay = encode_jpeg_pixels(w, h, px, channels=3)
+    one = decode_jpeg_pixels(pay)
+    assert one == decode_jpeg_pixels(pay)
+    got = np.frombuffer(one[3], dtype=np.uint8).astype(int)
+    want = np.frombuffer(px, dtype=np.uint8).astype(int)
+    assert int(np.abs(got - want).max()) <= 16
+
+
+def test_png_to_jpeg_transcode_rgb_stats_matches_closed_form(spark):
+    """The q235 surface at tiny scale: per-channel sums equal the
+    per-channel block-constant formulas computed independently."""
+    from kassette_server_spark.operators.multimodal import (
+        png_to_jpeg_transcode_rgb_stats,
+    )
+
+    ids = [1, 6, 14]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r for r in png_to_jpeg_transcode_rgb_stats(df).collect()}
+    for i in ids:
+        w, h = 8 + i % 16, 8 + (i * 3) % 12
+        coords = [(x // 8, y // 8) for y in range(h) for x in range(w)]
+        er = sum((i + 3 * bx + 5 * by) % 256 for bx, by in coords)
+        eg = sum((i + 2 * bx + 7 * by) % 256 for bx, by in coords)
+        eb = sum((i + bx + by) % 256 for bx, by in coords)
+        r = out[i]
+        assert (r.width, r.height) == (w, h)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (er, eg, eb), i
