@@ -1574,6 +1574,96 @@ def bmp_channel_stats(payload: bytes) -> dict:
     return {"n_px": w * h, "sum_b": sb, "sum_g": sg, "sum_r": sr}
 
 
+def resample_wav_payload(payload: bytes, up: int, down: int) -> bytes:
+    """REAL rational resample of a mono PCM-16 WAV by LINEAR
+    interpolation (the decimation-only :func:`downsample_wav_payload`
+    keeps every factor-th frame; this one synthesizes frames at the
+    new grid): output sample j sits at input position j·down/up, so
+    with k = (j·down) div up and f = (j·down) mod up,
+
+        out[j] = s[k] + floor((s[k+1] − s[k]) · f / up)
+
+    computed with an EXACT integer floor that both engines agree on —
+    DuckDB's ``//`` truncates toward zero while Python/numpy floor
+    toward −∞, so the dividend is biased non-negative first
+    (+32768·up) and the bias subtracted after; with |Δ|·f <
+    32768·up the biased dividend is always ≥ 0 and truncation ≡
+    floor. Output length (n−1)·up div down + 1 covers the input span
+    exactly (the last output lands ON the last input sample, f = 0 —
+    no extrapolation). The new rate must be integral:
+    rate·up mod down == 0.
+
+    Upsampling (up > down) and downsampling (up < down) both work;
+    down-sampling by linear interp does NOT low-pass filter — aliasing
+    is the caller's concern, exactness is this function's."""
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be positive")
+    meta = parse_wav_meta(payload)
+    rate, ch = meta["sample_rate"], meta["channels"]
+    if ch != 1:
+        raise ValueError("resample supports mono PCM-16 WAVs")
+    if (rate * up) % down != 0:
+        raise ValueError("rate*up must be divisible by down")
+    s = np.array(parse_wav_samples(payload), dtype=np.int64)
+    n = len(s)
+    if n == 0:
+        return encode_wav(0, rate * up // down, 1, b"")
+    n_out = (n - 1) * up // down + 1
+    j = np.arange(n_out, dtype=np.int64)
+    pos = j * down
+    k = pos // up
+    f = pos - k * up
+    nxt = np.minimum(k + 1, n - 1)  # f==0 whenever k==n-1 (span bound)
+    delta = s[nxt] - s[k]
+    bias = 32768 * up
+    out = s[k] + (delta * f + bias) // up - 32768
+    frames = out.astype("<i2").tobytes()
+    return encode_wav(n_out, rate * up // down, 1, frames)
+
+
+def wav_resample_stats(
+    df: DataFrame, id_col: str = "doc_id", up: int = 3, down: int = 2
+) -> DataFrame:
+    """The AUDIO member of the real-transform tier: per id, a mono
+    PCM-16 WAV with LINE-formula samples s(i) = ((id + 7·i) mod 4001)
+    − 2000 at 48 kHz, resampled by up/down (default 3/2: 48 → 72 kHz)
+    through the full RIFF parse → integer linear interpolation →
+    re-encode round trip, then re-parsed and summed. Every output
+    value is the documented exact floor formula of two closed-form
+    inputs, so the post-resample sample sum is closed-form in the id —
+    the q230 recipe on the audio axis, with the engine-portable floor
+    (non-negative-biased dividend) keeping DuckDB's truncating ``//``
+    and numpy's flooring ``//`` in exact agreement.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, n_in, n_out, rate_out, sum_out)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                n = 64 + i % 64
+                s = (((i + 7 * np.arange(n, dtype=np.int64)) % 4001) - 2000)
+                wav = encode_wav(n, 48000, 1, s.astype("<i2").tobytes())
+                rz = resample_wav_payload(wav, up, down)
+                meta = parse_wav_meta(rz)
+                out = parse_wav_samples(rz)
+                rows.append(
+                    (i, n, len(out), meta["sample_rate"], int(sum(out)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_in", "n_out", "rate_out", "sum_out"],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, n_in long, n_out long, rate_out long, "
+        "sum_out long",
+    )
+
+
 def downsample_wav_payload(payload: bytes, factor: int) -> bytes:
     """REAL PCM decimation: keep every ``factor``-th sample frame and
     divide the sample rate, preserving duration. The rate must divide

@@ -43,6 +43,14 @@ first-class specs.
   §F.1.1.5.1). A predictor mix-up between components breaks the
   per-channel sums even when the total survives.
 
+- q236: WAV rational resample (multimodal.wav_resample_stats) — the
+  audio member of the real-transform tier: mono PCM-16 48→72 kHz by
+  EXACT integer linear interpolation. Cross-engine floor discipline:
+  DuckDB's ``//`` truncates toward zero while Python/numpy floor
+  toward −∞, so the interpolation dividend is biased non-negative
+  (+32768·up) and un-biased after — truncation ≡ floor on every
+  sample, and the post-resample sum stays closed-form in the id.
+
 Determinism: all-integer (pixel bytes, closed-form sums).
 
 Registered after the 50-spec driver window; first driver rows land
@@ -190,3 +198,37 @@ def q235(spark: SparkSession, sf: str) -> DataFrame:
     return png_to_jpeg_transcode_rgb_stats(
         load(spark, sf, "documents").select("doc_id")
     )
+
+
+@query(
+    "q236_wav_resample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n FROM documents),
+    o AS (
+      SELECT doc_id, n, (gj.j * 2) // 3 AS k, (gj.j * 2) % 3 AS f
+      FROM d,
+           unnest(CAST(range(0, (n - 1) * 3 // 2 + 1) AS BIGINT[])) AS gj(j)),
+    v AS (
+      SELECT doc_id, n,
+             (((doc_id + 7 * k) % 4001) - 2000)
+             + (((((doc_id + 7 * LEAST(k + 1, n - 1)) % 4001) - 2000)
+                 - (((doc_id + 7 * k) % 4001) - 2000)) * f + 98304) // 3
+             - 32768 AS val
+      FROM o)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_in,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(72000 AS BIGINT) AS rate_out,
+           CAST(sum(val) AS BIGINT) AS sum_out
+    FROM v GROUP BY doc_id, n
+    """,
+    doc="real audio resample: mono PCM-16 WAV 48->72 kHz by exact "
+    "integer linear interpolation (non-negative-biased floor keeps "
+    "DuckDB's truncating // and numpy's flooring // in agreement), "
+    "re-encoded and re-parsed; sample sums closed-form in the id",
+    tags=("llmops", "multimodal"),
+)
+def q236(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import wav_resample_stats
+
+    return wav_resample_stats(load(spark, sf, "documents").select("doc_id"))

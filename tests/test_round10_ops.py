@@ -633,3 +633,51 @@ def test_jpeg_scan_fuzz_corruption_rejected():
                 raise
             rejected += 1
     assert rejected >= 35  # almost every corruption must be caught
+
+
+def test_wav_resample_exact_and_validated(spark):
+    """Linear-interp resample: hand-checked values on a tiny ramp, the
+    exact engine-portable floor on negative deltas, rate validation,
+    both directions, and the q236 surface vs the closed form."""
+    import numpy as np
+
+    from kassette_server_spark.operators.multimodal import (
+        encode_wav,
+        parse_wav_meta,
+        parse_wav_samples,
+        resample_wav_payload,
+        wav_resample_stats,
+    )
+
+    # ramp 0,3,6 upsampled 3/2: positions 0, 2/3, 4/3, 2 → 0,2,4,6
+    wav = encode_wav(3, 48000, 1, np.array([0, 3, 6], dtype="<i2").tobytes())
+    rz = resample_wav_payload(wav, 3, 2)
+    assert parse_wav_samples(rz) == [0, 2, 4, 6]
+    assert parse_wav_meta(rz)["sample_rate"] == 72000
+
+    # negative delta: 6 → 0 descending; floor(-6*1/3) = -2 etc.
+    wav = encode_wav(2, 48000, 1, np.array([6, 0], dtype="<i2").tobytes())
+    assert parse_wav_samples(resample_wav_payload(wav, 3, 1)) == [6, 4, 2, 0]
+
+    with pytest.raises(ValueError, match="divisible"):
+        # 48000*3 = 144000 is not divisible by 7 (44100 would be!)
+        resample_wav_payload(encode_wav(4, 48000, 1), 3, 7)
+    with pytest.raises(ValueError, match="mono"):
+        resample_wav_payload(encode_wav(4, 48000, 2), 3, 2)
+
+    ids = [0, 9, 40]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r for r in wav_resample_stats(df).collect()}
+    for i in ids:
+        n = 64 + i % 64
+        s = [((i + 7 * k) % 4001) - 2000 for k in range(n)]
+        n_out = (n - 1) * 3 // 2 + 1
+        expect = 0
+        for j in range(n_out):
+            pos = j * 2
+            k, f = pos // 3, pos % 3
+            nxt = min(k + 1, n - 1)
+            expect += s[k] + ((s[nxt] - s[k]) * f + 98304) // 3 - 32768
+        r = out[i]
+        assert (r.n_in, r.n_out, r.rate_out) == (n, n_out, 72000)
+        assert r.sum_out == expect, i
