@@ -1337,6 +1337,225 @@ def encode_gif(width: int, height: int, n_frames: int = 1) -> bytes:
     return b"GIF89a" + lsd + frame * n_frames + b"\x3b"
 
 
+def _lzw_compress(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW compress (spec appendix F): variable-width codes
+    LSB-first, clear code 2^mcs, EOI clear+1, widths grow 1 past each
+    power of two up to 12 bits, dictionary reset via an explicit clear
+    when full. Width convention (matched by :func:`_lzw_decompress`
+    and derived in its docstring): the encoder bumps after ASSIGNING
+    code 2^width — every code emitted before the bump fit the old
+    width, and the just-assigned code is only ever emitted after it."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    emit(clear, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code <= 0xFFF:  # 12-bit ceiling
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # full: reset so the decoder's table tracks ours
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW decompress, the exact inverse of
+    :func:`_lzw_compress`. Width phase: when the DECODER has assigned
+    next_code == 2^width entries, the encoder (which runs one
+    assignment ahead at the moment it emits each code) has already
+    bumped — so the decoder bumps at next_code == 2^width, the
+    standard GIF convention (TIFF's "early change" is one code
+    earlier and deliberately NOT used). Raises on truncated streams
+    and codes beyond the table (+1 KwKwK case)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    acc = nacc = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nacc < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream (no EOI)")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"invalid LZW code {code}")
+        out += entry
+        if prev is not None and next_code <= 0xFFF:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif_pixels(width: int, height: int, pixels: bytes) -> bytes:
+    """REAL single-frame GIF89a writer with an actual LZW-compressed
+    pixel stream (encode_gif above keeps its stub for structure-walk
+    tests): a 256-entry grayscale IDENTITY global color table
+    (palette[i] = (i, i, i), so index == gray level), one image
+    descriptor, minimum code size 8, data in ≤255-byte sub-blocks.
+    GIF is LOSSLESS — the decoder returns these exact bytes."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("dimensions must fit in uint16")
+    # GCT flag + color resolution 8 + GCT size 2^(7+1)=256
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    lzw = _lzw_compress(pixels, 8)
+    blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    frame = (
+        b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0x00)
+        + bytes([8])  # LZW minimum code size
+        + blocks
+        + b"\x00"
+    )
+    return b"GIF89a" + lsd + gct + frame + b"\x3b"
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL GIF pixel decode for the single-frame non-interlaced
+    subset: signature + logical-screen walk (via the same structure
+    rules :func:`parse_gif_meta` enforces), global color table read,
+    first image descriptor, sub-block reassembly, full LZW
+    decompression (variable widths, clear/EOI, KwKwK, 12-bit resets).
+    Returns (width, height, palette-INDEX bytes) — with
+    :func:`encode_gif_pixels`' identity-gray palette the indices ARE
+    the gray levels; a caller with a different palette maps them.
+    Interlaced frames and local color tables raise (honest subset)."""
+    parse_gif_meta(payload)  # full structural validation first
+    width, height, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    while True:
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if ipacked & 0x80:
+                raise ValueError("local color tables not supported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIFs not supported")
+            mcs = payload[pos]
+            pos += 1
+            if not 2 <= mcs <= 8:
+                raise ValueError("bad LZW minimum code size")
+            chunks = []
+            while payload[pos] != 0:
+                size = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + size])
+                pos += 1 + size
+            idx = _lzw_decompress(b"".join(chunks), mcs)
+            if len(idx) != iw * ih:
+                raise ValueError(
+                    f"LZW stream decoded to {len(idx)} indices, "
+                    f"expected {iw * ih}"
+                )
+            return iw, ih, idx
+        if block == 0x3B:
+            raise ValueError("no image descriptor before trailer")
+
+
+def gif_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The GIF member of the real-decode tier — the LOSSLESS
+    palette-indexed counterpart of q233's lossy JPEG: per id, gradient
+    pixels p(x, y) = (id + 3x + 5y) mod 256 through the full LZW
+    compress → sub-block split → structural walk → sub-block
+    reassembly → LZW decompress round trip, re-summed off the decoded
+    indices. Identity is exact for ANY pixels (GIF is lossless), so
+    the gradient exercises long match chains, width growth, and the
+    KwKwK case while the sum stays closed-form in the id.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, width, height, px_sum)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                w, h = 8 + i % 16, 8 + (i * 3) % 12
+                px = (
+                    (i + 3 * np.arange(w)[None, :] + 5 * np.arange(h)[:, None])
+                    % 256
+                ).astype(np.uint8).tobytes()
+                pay = encode_gif_pixels(w, h, px)
+                dw, dh, out = decode_gif_pixels(pay)
+                assert (dw, dh) == (w, h) and out == px
+                rows.append((i, dw, dh, int(sum(out))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, px_sum long",
+    )
+
+
 def parse_gif_meta(payload: bytes) -> dict:
     """Real GIF header decode: signature, logical screen descriptor,
     then a full block walk (extensions' sub-block chains, image

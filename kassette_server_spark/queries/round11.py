@@ -51,6 +51,14 @@ first-class specs.
   (+32768·up) and un-biased after — truncation ≡ floor on every
   sample, and the post-resample sum stays closed-form in the id.
 
+- q237: GIF pixel round trip (multimodal.gif_roundtrip_stats) — the
+  LOSSLESS palette-indexed counterpart of q233's lossy JPEG: a real
+  GIF-variant LZW pair (variable code widths LSB-first, clear/EOI,
+  the KwKwK code==next_code case, 12-bit ceiling with explicit
+  resets), identity-gray global color table, ≤255-byte sub-block
+  split/reassembly. GIF is lossless, so decode(encode(x)) == x for
+  ANY pixels and the gradient's sum stays closed-form.
+
 Determinism: all-integer (pixel bytes, closed-form sums).
 
 Registered after the 50-spec driver window; first driver rows land
@@ -232,3 +240,31 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import wav_resample_stats
 
     return wav_resample_stats(load(spark, sf, "documents").select("doc_id"))
+
+
+@query(
+    "q237_gif_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, (doc_id + 3 * gx.x + 5 * gy.y) % 256 AS p
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum(p) AS BIGINT) AS px_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="real GIF pixel round trip: gradient indices through LZW "
+    "compress (variable widths, KwKwK, 12-bit resets) -> sub-block "
+    "split -> structural walk -> reassembly -> LZW decompress; GIF is "
+    "lossless so identity is exact and sums closed-form in the id",
+    tags=("llmops", "multimodal"),
+)
+def q237(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import gif_roundtrip_stats
+
+    return gif_roundtrip_stats(load(spark, sf, "documents").select("doc_id"))

