@@ -294,10 +294,20 @@ def main() -> None:
             return png_resize_stats(d.select("doc_id"))
 
         from kassette_server_spark.operators.multimodal import (
+            gif_roundtrip_stats,
             jpeg_roundtrip_stats,
             png_resize_rgb_stats,
             png_to_jpeg_transcode_stats,
+            wav_resample_stats,
         )
+
+        def gif_roundtrip():
+            # LZW compress/decompress per row — lossless identity path
+            return gif_roundtrip_stats(d.select("doc_id"))
+
+        def wav_resample():
+            # RIFF parse → integer linear interpolation → re-encode
+            return wav_resample_stats(d.select("doc_id"))
 
         def png_jpeg_transcode():
             # both codecs chained per row (PNG de-filter decode →
@@ -385,6 +395,8 @@ def main() -> None:
             "png_resize_rgb": (pngresize_rgb, rows_d),
             "jpeg_roundtrip": (jpeg_roundtrip, rows_d),
             "png_jpeg_transcode": (png_jpeg_transcode, rows_d),
+            "gif_roundtrip": (gif_roundtrip, rows_d),
+            "wav_resample": (wav_resample, rows_d),
             "curation_e2e": (curation_e2e, rows_d),
         }
 
