@@ -758,7 +758,9 @@ def encode_jpeg_pixels(
         padded.reshape(bh, 8, bw, 8, channels).transpose(0, 2, 4, 1, 3)
         - 128.0
     )  # (bh, bw, ch, 8, 8)
-    coefs = np.einsum("ux,bcnxy,vy->bcnuv", m, blocks, m)
+    # broadcast matmul (M·s·Mᵀ): same float ops as the einsum form but
+    # without einsum's per-call parse overhead on tiny operands
+    coefs = m @ blocks @ m.T
     qall = np.round(coefs / _JPEG_SCAN_QUANT).astype(np.int64)
     zz_idx = np.array(_ZIGZAG)
     w = _BitWriter()
@@ -1013,19 +1015,18 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 zz[k] = _extend(reader.bits(size), size)
                 k += 1
     zz_idx = np.array(_ZIGZAG)
+    # dequant + de-zigzag + IDCT for EVERY component in one batched
+    # matmul chain (s = Mᵀ·C·M; broadcast over (ncomp, n_blocks))
+    qts = np.stack([pc[0] for pc in per_comp])  # (ncomp, 64)
+    coefs = np.zeros((ncomp, n_blocks, 64), dtype=np.float64)
+    coefs[:, :, zz_idx] = zz_all * qts[:, None, :]
+    blocks = (m.T @ coefs.reshape(ncomp, n_blocks, 8, 8) @ m) + 128.0
+    pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
     out = np.empty((bh * 8, bw * 8, ncomp), dtype=np.uint8)
     for cn in range(ncomp):
-        qt = per_comp[cn][0]
-        coefs = np.zeros((n_blocks, 64), dtype=np.float64)
-        coefs[:, zz_idx] = zz_all[cn] * qt  # dequant + de-zigzag
-        # s = Mᵀ·C·M per block, batched; identical float ops per block
-        blocks = (
-            np.einsum("ux,nuv,vy->nxy", m, coefs.reshape(n_blocks, 8, 8), m)
-            + 128.0
-        )
-        pix = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
         out[:, :, cn] = (
-            pix.reshape(bh, bw, 8, 8)
+            pix[cn]
+            .reshape(bh, bw, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(bh * 8, bw * 8)
         )
