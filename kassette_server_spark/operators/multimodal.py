@@ -55,7 +55,14 @@ def _fake_decode(payload: bytes) -> dict:
 
 
 def real_decode(payload: bytes) -> dict:  # pragma: no cover - env has no codecs
-    """Plug point for a real codec (PIL.Image.open etc.)."""
+    """Plug point for a LIBRARY codec (PIL.Image.open etc.) covering
+    formats beyond the stdlib tier. NOTE the stdlib tier below is now
+    a real PIXEL tier for the formats a synthetic corpus exercises:
+    PNG (decode_png_pixels — all non-palette 8-bit color types, all
+    five filters), baseline JPEG (decode_jpeg_pixels — real Huffman
+    scan, 1/3 components), GIF (decode_gif_pixels — full LZW), BMP,
+    and WAV; this hook remains for progressive/subsampled JPEG, WebP,
+    TIFF, and friends."""
     raise NotImplementedError("image codec not available in this environment")
 
 
