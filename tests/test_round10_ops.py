@@ -771,3 +771,45 @@ def test_gif_pixel_roundtrip_and_fences(spark):
             (j + 3 * x + 5 * y) % 256 for y in range(h) for x in range(w)
         )
         assert out[j].px_sum == expect, j
+
+
+def test_codec_tier_runs_in_structured_streaming(spark):
+    """The codec tier is stateless mapInPandas, so the SAME operator
+    runs unchanged over a streaming source — the shape a 100 TB ingest
+    pipeline uses (decode/transform media as it lands, no batch/stream
+    fork). Stream output must equal the batch run row-for-row."""
+    from conftest import SF_SMOKE
+
+    from kassette_server_spark.catalog import load
+    from kassette_server_spark.operators.multimodal import gif_roundtrip_stats
+
+    batch = {
+        tuple(r)
+        for r in gif_roundtrip_stats(
+            load(spark, SF_SMOKE, "documents").select("doc_id")
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMOKE)
+        .select("doc_id")
+    )
+    q = (
+        gif_roundtrip_stats(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gif_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, width, height, px_sum FROM gif_stream_out"
+        ).collect()
+    }
+    assert got == batch and got
