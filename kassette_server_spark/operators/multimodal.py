@@ -307,10 +307,38 @@ def parse_png_meta(payload: bytes) -> dict:
     }
 
 
+def encode_png_palette(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """8-bit palette (color type 3) PNG writer: a PLTE chunk of up to
+    256 RGB triples, index samples filtered at filter 0. The palette
+    counterpart of :func:`encode_png` — GIF-style indexed images in
+    PNG's container."""
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height bytes")
+    if len(palette) % 3 != 0 or not 3 <= len(palette) <= 768:
+        raise ValueError("palette must be 1..256 RGB triples")
+    n_entries = len(palette) // 3
+    if indices and max(indices) >= n_entries:
+        raise ValueError("index beyond palette")
+    ihdr = struct.pack(">II5B", width, height, 8, 3, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + indices[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL PNG pixel decode for the 8-bit non-interlaced, non-palette
-    subset — grayscale, gray+alpha, RGB, and RGBA (color types 0/4/2/6;
-    VERDICT r10 #4 widened this from grayscale-only): the
+    """REAL PNG pixel decode for the 8-bit non-interlaced subset —
+    grayscale, gray+alpha, RGB, RGBA, and (since r11) PALETTE images
+    (color types 0/4/2/6/3; VERDICT r10 #4 widened this from
+    grayscale-only): the
     :func:`parse_png_meta` chunk/CRC walk, then full scanline
     DE-FILTERING per PNG spec §9 — all five filter types (None, Sub,
     Up, Average, Paeth) reconstructed exactly, not just the filter-0
@@ -326,22 +354,29 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     keep the scalar recurrence — their predictors are nonlinear in the
     not-yet-reconstructed left neighbor.
 
+    Palette images de-filter identically (bpp = 1 over index samples)
+    and are then EXPANDED through the file's PLTE table, so the return
+    is always real samples: (width, height, 3, RGB bytes) for palette
+    payloads. A palette image without PLTE, or an index beyond the
+    table, raises.
+
     Returns (width, height, channels, row-major interleaved pixel
     bytes)."""
     meta = parse_png_meta(payload)  # validates structure + stream length
     if meta["bit_depth"] != 8:
         raise ValueError("pixel decode supports 8-bit PNGs")
-    if meta["color_type"] == 3:
-        raise ValueError("pixel decode does not support palette PNGs")
     if meta["interlace"] != 0:
         raise ValueError("pixel decode does not support interlaced PNGs")
+    is_palette = meta["color_type"] == 3
     w, h, ch = meta["width"], meta["height"], meta["channels"]
-    pos, idat = 8, []
+    pos, idat, plte = 8, [], None
     while pos < len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         if ctype == b"IDAT":
             idat.append(payload[pos + 8 : pos + 8 + length])
+        elif ctype == b"PLTE":
+            plte = payload[pos + 8 : pos + 8 + length]
         elif ctype == b"IEND":
             break
         pos += 12 + length
@@ -391,6 +426,14 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 row[i] = (ln[i] + pred) & 0xFF
             out[y] = row
+    if is_palette:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(-1)
+        if idx.size and int(idx.max()) >= table.shape[0]:
+            raise ValueError("palette index beyond PLTE table")
+        return w, h, 3, table[idx].tobytes()  # one numpy gather
     return w, h, ch, out.tobytes()
 
 

@@ -875,3 +875,44 @@ def test_codec_ops_read_binary_columns_from_parquet(spark, tmp_path):
         elif r.kind == 2:
             dw, dh, out = decode_gif_pixels(pay)
             assert (dw, dh) == (r.w, r.h)
+
+
+def test_png_palette_decode_expands_plte():
+    """Palette (color type 3) PNGs decode to real RGB samples through
+    the file's PLTE table: 60 seeded round trips with random palettes
+    and index maps, plus the fences (index beyond palette at encode,
+    missing PLTE at decode)."""
+    import random
+
+    from kassette_server_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png_pixels,
+        encode_png_palette,
+        parse_png_meta,
+    )
+
+    rng = random.Random(0xB17)
+    for case in range(60):
+        w, h = rng.randint(1, 20), rng.randint(1, 16)
+        n_pal = rng.randint(1, 256)
+        palette = bytes(rng.randrange(256) for _ in range(3 * n_pal))
+        idx = bytes(rng.randrange(n_pal) for _ in range(w * h))
+        pay = encode_png_palette(w, h, idx, palette)
+        meta = parse_png_meta(pay)
+        assert meta["color_type"] == 3
+        dw, dh, ch, rgb = decode_png_pixels(pay)
+        assert (dw, dh, ch) == (w, h, 3)
+        assert rgb == b"".join(palette[3 * i : 3 * i + 3] for i in idx), case
+    with pytest.raises(ValueError, match="beyond palette"):
+        encode_png_palette(2, 1, bytes([0, 5]), bytes(9))
+    ihdr = struct.pack(">II5B", 2, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x00\x01")
+    bad = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", raw)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_pixels(bad)
