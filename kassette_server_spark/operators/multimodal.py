@@ -189,6 +189,102 @@ def encode_png(
     )
 
 
+#: Adam7 interlace passes (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _forward_filter(img, bpp: int, filters) -> bytes:
+    """Forward-filter an (h, w·bpp) uint8 image per spec §9 with the
+    chosen per-row filter types, returning the filter-byte-prefixed
+    scanline stream. Forward filtering is a PURE function of the
+    original image (the a/b/c neighbors are original samples — only
+    RECONSTRUCTION is a recurrence), so all five variants vectorize
+    whole-image and the per-row type just selects."""
+    height, stride = img.shape
+    cur = img.astype(np.int64)
+    a = np.zeros_like(cur)  # left neighbor, bpp bytes back
+    a[:, bpp:] = cur[:, :-bpp]
+    b = np.zeros_like(cur)  # row above
+    b[1:] = cur[:-1]
+    c = np.zeros_like(cur)  # upper-left
+    c[1:, bpp:] = cur[:-1, :-bpp]
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    paeth = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    filtered_by_type = (
+        img,
+        ((cur - a) & 0xFF).astype(np.uint8),  # Sub
+        ((cur - b) & 0xFF).astype(np.uint8),  # Up
+        ((cur - (a + b) // 2) & 0xFF).astype(np.uint8),  # Average
+        ((cur - paeth) & 0xFF).astype(np.uint8),  # Paeth
+    )
+    raw = bytearray()
+    for y in range(height):
+        f = filters[y]
+        raw.append(f)
+        raw += filtered_by_type[f][y].tobytes()
+    return bytes(raw)
+
+
+def _defilter(raw: bytes, w: int, h: int, bpp: int):
+    """Reconstruct an (h, w·bpp) uint8 image from a filter-byte-prefixed
+    scanline stream per spec §9 (the shared core of the sequential and
+    Adam7 decode paths): numpy-vectorized None/Sub/Up, scalar
+    plain-int recurrences for Average/Paeth."""
+    rowlen = w * bpp
+    stride = 1 + rowlen
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    ftypes = arr[:, 0]
+    lines = arr[:, 1:]
+    if int(ftypes.max(initial=0)) > 4:
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"unknown PNG filter type {bad}")
+    out = np.zeros((h, rowlen), dtype=np.uint8)
+    zero_row = np.zeros(rowlen, dtype=np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        line = lines[y]
+        up = out[y - 1] if y > 0 else zero_row
+        if f == 0:  # None: straight copy
+            out[y] = line
+        elif f == 1:  # Sub: prefix sum per channel lane, mod 256
+            out[y] = (
+                np.cumsum(line.reshape(w, bpp).astype(np.int64), axis=0)
+                .astype(np.uint8)
+                .reshape(rowlen)
+            )
+        elif f == 2:  # Up: uint8 add wraps = mod 256 exactly
+            out[y] = line + up
+        elif f == 3:  # Average: sequential in x (left is reconstructed)
+            ln, upl = line.tolist(), up.tolist()
+            row = [0] * rowlen
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (ln[i] + (a + upl[i]) // 2) & 0xFF
+            out[y] = row
+        else:  # Paeth: sequential in x
+            ln, upl = line.tolist(), up.tolist()
+            row = [0] * rowlen
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = upl[i]
+                c = upl[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (ln[i] + pred) & 0xFF
+            out[y] = row
+    return out
+
+
 def encode_png_filtered(
     width: int,
     height: int,
@@ -215,36 +311,13 @@ def encode_png_filtered(
         filters = [y % 5 for y in range(height)]
     if len(filters) != height or any(f not in range(5) for f in filters):
         raise ValueError("filters must be height entries in 0..4")
-    bpp, stride = channels, width * channels
-    # forward filtering is a PURE function of the original image (the
-    # a/b/c neighbors are original samples, not reconstructed ones —
-    # spec §9 defines reconstruction as the recurrence; filtering has
-    # none), so every filter type vectorizes whole-image with numpy.
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
-    cur = img.astype(np.int64)
-    a = np.zeros_like(cur)  # left neighbor, bpp bytes back
-    a[:, bpp:] = cur[:, :-bpp]
-    b = np.zeros_like(cur)  # row above
-    b[1:] = cur[:-1]
-    c = np.zeros_like(cur)  # upper-left
-    c[1:, bpp:] = cur[:-1, :-bpp]
-    p = a + b - c
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    paeth = np.where(
-        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    raw = _forward_filter(
+        np.frombuffer(pixels, dtype=np.uint8).reshape(
+            height, width * channels
+        ),
+        channels,
+        filters,
     )
-    filtered_by_type = (
-        img,
-        ((cur - a) & 0xFF).astype(np.uint8),  # Sub
-        ((cur - b) & 0xFF).astype(np.uint8),  # Up
-        ((cur - (a + b) // 2) & 0xFF).astype(np.uint8),  # Average
-        ((cur - paeth) & 0xFF).astype(np.uint8),  # Paeth
-    )
-    raw = bytearray()
-    for y in range(height):
-        f = filters[y]
-        raw.append(f)
-        raw += filtered_by_type[f][y].tobytes()
     ihdr = struct.pack(
         ">II5B", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
     )
@@ -307,6 +380,48 @@ def parse_png_meta(payload: bytes) -> dict:
     }
 
 
+def encode_png_interlaced(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    filters_seed: int = 0,
+) -> bytes:
+    """8-bit Adam7 INTERLACED PNG writer (interlace method 1): the
+    seven spec-§8.2 passes, each forward-filtered as its own sub-image
+    (per-row filter type (filters_seed + pass + row) mod 5, so every
+    filter appears across passes), concatenated and deflated. The test
+    counterpart of the decoder's interlaced branch — real progressive
+    encoders emit exactly this layout."""
+    if channels not in _PNG_COLOR_TYPE:
+        raise ValueError(f"channels must be one of {sorted(_PNG_COLOR_TYPE)}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels must be width*height*channels bytes")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if pw == 0 or ph == 0:
+            continue
+        raw += _forward_filter(
+            np.ascontiguousarray(sub).reshape(ph, pw * channels),
+            channels,
+            [(filters_seed + pi + y) % 5 for y in range(ph)],
+        )
+    ihdr = struct.pack(
+        ">II5B", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 1
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png_palette(
     width: int, height: int, indices: bytes, palette: bytes
 ) -> bytes:
@@ -360,13 +475,20 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     payloads. A palette image without PLTE, or an index beyond the
     table, raises.
 
+    Adam7 INTERLACED images (interlace method 1, r11) decode too: the
+    seven passes are independent sub-images — each de-filtered at its
+    own width with the same §9 rules, its neighbors drawn from within
+    the pass — scattered onto the output grid by the spec-§8.2
+    (x0, y0, dx, dy) lattice; empty passes store nothing. The output
+    is identical to the same image stored sequentially.
+
     Returns (width, height, channels, row-major interleaved pixel
     bytes)."""
     meta = parse_png_meta(payload)  # validates structure + stream length
     if meta["bit_depth"] != 8:
         raise ValueError("pixel decode supports 8-bit PNGs")
-    if meta["interlace"] != 0:
-        raise ValueError("pixel decode does not support interlaced PNGs")
+    if meta["interlace"] not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {meta['interlace']}")
     is_palette = meta["color_type"] == 3
     w, h, ch = meta["width"], meta["height"], meta["channels"]
     pos, idat, plte = 8, [], None
@@ -381,51 +503,24 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             break
         pos += 12 + length
     raw = zlib.decompress(b"".join(idat))
-    bpp, rowlen = ch, w * ch
-    stride = 1 + rowlen  # filter byte + samples
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-    ftypes = arr[:, 0]
-    lines = arr[:, 1:]
-    if int(ftypes.max(initial=0)) > 4:
-        bad = int(ftypes[ftypes > 4][0])
-        raise ValueError(f"unknown PNG filter type {bad}")
-    out = np.zeros((h, rowlen), dtype=np.uint8)
-    zero_row = np.zeros(rowlen, dtype=np.uint8)
-    for y in range(h):
-        f = int(ftypes[y])
-        line = lines[y]
-        up = out[y - 1] if y > 0 else zero_row
-        if f == 0:  # None: straight copy
-            out[y] = line
-        elif f == 1:  # Sub: prefix sum per channel lane, mod 256
-            out[y] = (
-                np.cumsum(line.reshape(w, bpp).astype(np.int64), axis=0)
-                .astype(np.uint8)
-                .reshape(rowlen)
-            )
-        elif f == 2:  # Up: uint8 add wraps = mod 256 exactly
-            out[y] = line + up
-        elif f == 3:  # Average: sequential in x (left is reconstructed)
-            # plain-int lists: numpy scalar indexing per element is
-            # ~5x slower than list ops in a tight recurrence
-            ln, upl = line.tolist(), up.tolist()
-            row = [0] * rowlen
-            for i in range(rowlen):
-                a = row[i - bpp] if i >= bpp else 0
-                row[i] = (ln[i] + (a + upl[i]) // 2) & 0xFF
-            out[y] = row
-        else:  # Paeth: sequential in x
-            ln, upl = line.tolist(), up.tolist()
-            row = [0] * rowlen
-            for i in range(rowlen):
-                a = row[i - bpp] if i >= bpp else 0
-                b = upl[i]
-                c = upl[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (ln[i] + pred) & 0xFF
-            out[y] = row
+    bpp = ch
+    if meta["interlace"] == 1:  # Adam7: seven independent sub-images
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        view = out.reshape(h, w, bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass stores nothing (spec §8.2)
+            size = ph * (1 + pw * bpp)
+            sub = _defilter(raw[pos : pos + size], pw, ph, bpp)
+            pos += size
+            view[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if pos != len(raw):
+            raise ValueError("interlaced pixel stream length mismatch")
+    else:
+        out = _defilter(raw, w, h, bpp)
     if is_palette:
         if plte is None or len(plte) % 3 != 0 or not plte:
             raise ValueError("palette PNG missing a valid PLTE chunk")
