@@ -1585,13 +1585,17 @@ def _lzw_decompress(data: bytes, mcs: int) -> bytes:
         prev = entry
 
 
-def encode_gif_pixels(width: int, height: int, pixels: bytes) -> bytes:
+def encode_gif_pixels(
+    width: int, height: int, pixels: bytes, interlaced: bool = False
+) -> bytes:
     """REAL single-frame GIF89a writer with an actual LZW-compressed
     pixel stream (encode_gif above keeps its stub for structure-walk
     tests): a 256-entry grayscale IDENTITY global color table
     (palette[i] = (i, i, i), so index == gray level), one image
     descriptor, minimum code size 8, data in ≤255-byte sub-blocks.
-    GIF is LOSSLESS — the decoder returns these exact bytes."""
+    ``interlaced`` stores rows in the four-pass appendix-E order with
+    the descriptor flag set. GIF is LOSSLESS — the decoder returns
+    these exact bytes."""
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height bytes")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
@@ -1599,6 +1603,15 @@ def encode_gif_pixels(width: int, height: int, pixels: bytes) -> bytes:
     # GCT flag + color resolution 8 + GCT size 2^(7+1)=256
     lsd = struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)
     gct = bytes(v for i in range(256) for v in (i, i, i))
+    if interlaced:
+        rows = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        order = (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+        pixels = rows[order].tobytes()
     lzw = _lzw_compress(pixels, 8)
     blocks = b"".join(
         bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
@@ -1606,7 +1619,7 @@ def encode_gif_pixels(width: int, height: int, pixels: bytes) -> bytes:
     )
     frame = (
         b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, width, height, 0x00)
+        + struct.pack("<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0x00)
         + bytes([8])  # LZW minimum code size
         + blocks
         + b"\x00"
@@ -1643,8 +1656,7 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes]:
             pos += 9
             if ipacked & 0x80:
                 raise ValueError("local color tables not supported")
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIFs not supported")
+            interlaced = bool(ipacked & 0x40)
             mcs = payload[pos]
             pos += 1
             if not 2 <= mcs <= 8:
@@ -1660,6 +1672,21 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes]:
                     f"LZW stream decoded to {len(idx)} indices, "
                     f"expected {iw * ih}"
                 )
+            if interlaced:
+                # GIF interlace (spec 89a appendix E) is pure row
+                # reordering: stored row order is passes 1-4 —
+                # every-8th from 0, every-8th from 4, every-4th from
+                # 2, every-2nd from 1 — so one gather restores it
+                rows = np.frombuffer(idx, dtype=np.uint8).reshape(ih, iw)
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                out = np.empty_like(rows)
+                out[order] = rows
+                idx = out.tobytes()
             return iw, ih, idx
         if block == 0x3B:
             raise ValueError("no image descriptor before trailer")

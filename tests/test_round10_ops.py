@@ -751,16 +751,15 @@ def test_gif_pixel_roundtrip_and_fences(spark):
     assert decode_gif_pixels(encode_gif_pixels(120, 90, big))[2] == big
     with pytest.raises(ValueError):
         decode_gif_pixels(pay[: len(pay) // 2])
-    # interlace flag set → honest refusal. The descriptor sits at the
-    # FIXED offset 6 (header) + 7 (LSD) + 768 (256-entry GCT): byte
-    # VALUE 0x2c also appears inside the identity palette, so
-    # searching for the separator would hit palette entry 44.
-    bad = bytearray(pay)
-    desc = 6 + 7 + 768
-    assert bad[desc] == 0x2C
-    bad[desc + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_gif_pixels(bytes(bad))
+    # interlaced storage (r11): four-pass appendix-E row order must
+    # decode back to the SAME pixels as sequential storage
+    ilv = encode_gif_pixels(w, h, px, interlaced=True)
+    assert ilv != pay  # genuinely different byte layout on disk
+    assert decode_gif_pixels(ilv) == (w, h, px)
+    for hh in (1, 2, 3, 7, 8, 9):  # heights around the pass strides
+        small = bytes(range(hh * 4))
+        got = decode_gif_pixels(encode_gif_pixels(4, hh, small, interlaced=True))
+        assert got == (4, hh, small), hh
 
     ids = [0, 7, 25]
     df = spark.createDataFrame([(j,) for j in ids], "doc_id long")
