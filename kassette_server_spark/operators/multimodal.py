@@ -1692,6 +1692,62 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("no image descriptor before trailer")
 
 
+def transcode_gif_to_png(payload: bytes) -> bytes:
+    """LOSSLESS indexed-to-indexed transcode: GIF frame → palette PNG
+    (color type 3), carrying the GIF's global color table over as the
+    PLTE verbatim. Both containers store palette indices, so the
+    transcode is exact for any image — the second direction of the
+    format-normalization pair (PNG→JPEG covered the lossy one)."""
+    w, h, idx = decode_gif_pixels(payload)
+    _, _, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    n = 2 << (packed & 0x07)
+    gct = payload[13 : 13 + 3 * n]
+    return encode_png_palette(w, h, idx, gct)
+
+
+def gif_to_png_transcode_stats(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The LOSSLESS cross-container transcode tier: per id, gradient
+    indices p(x, y) = (id + 3x + 5y) mod 256 stored as a GIF —
+    INTERLACED for odd ids, so both storage orders sit in-path —
+    transcoded to a palette PNG with the identity GCT carried over as
+    PLTE, then decoded through the PNG path (de-filter + PLTE
+    expansion). One hash chains: LZW decompress, appendix-E row
+    de-interlace, palette PNG encode, inflate/de-filter, PLTE gather.
+    The identity palette makes each RGB pixel (v, v, v), so
+    px_sum = 3 · Σv stays closed-form in the id.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, width, height, px_sum)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                w, h = 8 + i % 16, 8 + (i * 3) % 12
+                px = (
+                    (i + 3 * np.arange(w)[None, :] + 5 * np.arange(h)[:, None])
+                    % 256
+                ).astype(np.uint8).tobytes()
+                gif = encode_gif_pixels(w, h, px, interlaced=bool(i % 2))
+                png = transcode_gif_to_png(gif)
+                dw, dh, ch, rgb = decode_png_pixels(png)
+                assert (dw, dh, ch) == (w, h, 3)
+                rows.append((i, dw, dh, int(sum(rgb))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, px_sum long",
+    )
+
+
 def gif_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The GIF member of the real-decode tier — the LOSSLESS
     palette-indexed counterpart of q233's lossy JPEG: per id, gradient

@@ -106,11 +106,11 @@ _WINDOW: tuple[str, ...] = (
 # of round 11 alongside the r11 window above; r11-born specs take
 # first-row priority per the standing first-round policy):
 # r12 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + the r11-born wave's first driver rows (6: q232_png_resize_rgb,
+# + the r11-born wave's first driver rows (7: q232_png_resize_rgb,
 #   q233_jpeg_roundtrip, q234_png_jpeg_transcode,
 #   q235_png_jpeg_transcode_rgb, q236_wav_resample,
-#   q237_gif_roundtrip — queries/round11.py, all CI-locked at two
-#   SFs meanwhile)
+#   q237_gif_roundtrip, q238_gif_png_transcode — queries/round11.py,
+#   all CI-locked at two SFs meanwhile)
 # + the q135-q139 remainder of the r6 tier in q-number order:
 #   q135_mom_growth, q136_dow_seasonality, q137_cross_correlation,
 #   q138_integrity_audit, q139_conversion_time_stats (5, last green r6)
@@ -119,10 +119,10 @@ _WINDOW: tuple[str, ...] = (
 #   then q144_ks_drift through q157_budget_select (14, last green
 #   r7/r8) = 18 more; tail-fill from q158_roc_auc onward in q-number
 #   order until the window holds exactly 50.
-# Arithmetic: 6 + 6 + 5 + 4 + 14 = 35, so 15 tail slots:
-# q158_roc_auc through q172_tpch_q20_dominant_suppliers (15) = 50
-# exactly (all names q140-q178 verified against the registry at
-# write time; q173-q178 roll to r13). Every spec
+# Arithmetic: 6 + 7 + 5 + 4 + 14 = 36, so 14 tail slots:
+# q158_roc_auc through q171_bpe_merges (14) = 50 exactly (all names
+# q140-q178 verified against the registry at write time;
+# q172-q178 roll to r13). Every spec
 # stays locked by tests/test_oracle_parity*.py at sf0.001+sf0.01 in
 # every CI run regardless of rotation position; prioritize specs whose
 # OPERATORS changed since their last row.

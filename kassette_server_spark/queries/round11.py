@@ -59,6 +59,14 @@ first-class specs.
   split/reassembly. GIF is lossless, so decode(encode(x)) == x for
   ANY pixels and the gradient's sum stays closed-form.
 
+- q238: GIF → palette-PNG transcode
+  (multimodal.gif_to_png_transcode_stats) — the LOSSLESS direction of
+  the format-normalization pair: both containers store palette
+  indices, so the transcode is exact for any image; the GIF's global
+  color table carries over as PLTE verbatim, odd ids store the GIF
+  interlaced so both row orders sit in-path, and the identity palette
+  makes px_sum = 3·Σv closed-form.
+
 Determinism: all-integer (pixel bytes, closed-form sums).
 
 Registered after the 50-spec driver window; first driver rows land
@@ -268,3 +276,33 @@ def q237(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import gif_roundtrip_stats
 
     return gif_roundtrip_stats(load(spark, sf, "documents").select("doc_id"))
+
+
+@query(
+    "q238_gif_png_transcode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, (doc_id + 3 * gx.x + 5 * gy.y) % 256 AS p
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(3 * sum(p) AS BIGINT) AS px_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="lossless indexed transcode: gradient GIF (interlaced for odd "
+    "ids) -> palette PNG carrying the GCT as PLTE -> PNG decode with "
+    "PLTE expansion; identity palette makes px_sum = 3*sum(v), "
+    "closed-form in the id with LZW + de-interlace + de-filter chained",
+    tags=("llmops", "multimodal"),
+)
+def q238(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import gif_to_png_transcode_stats
+
+    return gif_to_png_transcode_stats(
+        load(spark, sf, "documents").select("doc_id")
+    )

@@ -1231,6 +1231,16 @@ def test_q237_gif_roundtrip_scan_stage_map(spark):
     assert "Join" not in p and "CartesianProduct" not in p
 
 
+def test_q238_gif_png_transcode_scan_stage_map(spark):
+    """The lossless transcode tier keeps the codec-tier shape: one
+    Arrow-batched mapInPandas over the id scan — no Exchange, no
+    join."""
+    p = plan(spark, "q238_gif_png_transcode")
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
 def test_q231_temperature_mix_tau75_tiny_frame_tail(spark):
     """The τ=0.75 composed-sqrt weight changes only the weight
     expression: the plan shape must stay q224's — everything after

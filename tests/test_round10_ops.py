@@ -945,3 +945,44 @@ def test_png_adam7_interlaced_decode():
     seq = encode_png_filtered(16, 12, px, channels=3)
     ilv = encode_png_interlaced(16, 12, px, channels=3)
     assert decode_png_pixels(seq) == decode_png_pixels(ilv) == (16, 12, 3, px)
+
+
+def test_gif_to_png_transcode_lossless(spark):
+    """Indexed-to-indexed transcode: any GIF frame (both storage
+    orders) becomes a palette PNG whose PLTE is the GCT verbatim and
+    whose decoded RGB equals palette[index] exactly; the q238 surface
+    matches 3*sum(v) under the identity palette."""
+    import random
+
+    import numpy as np
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_gif_pixels,
+        gif_to_png_transcode_stats,
+        parse_png_meta,
+        transcode_gif_to_png,
+    )
+
+    rng = random.Random(0x618)
+    for interlaced in (False, True):
+        w, h = rng.randint(2, 20), rng.randint(2, 17)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        png = transcode_gif_to_png(encode_gif_pixels(w, h, px, interlaced))
+        assert parse_png_meta(png)["color_type"] == 3
+        dw, dh, ch, rgb = decode_png_pixels(png)
+        assert (dw, dh, ch) == (w, h, 3)
+        # identity palette: every pixel expands to (v, v, v)
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+        assert (a[:, 0] == a[:, 1]).all() and (a[:, 1] == a[:, 2]).all()
+        assert a[:, 0].tobytes() == px
+
+    ids = [2, 5, 18]
+    df = spark.createDataFrame([(j,) for j in ids], "doc_id long")
+    out = {r.doc_id: r for r in gif_to_png_transcode_stats(df).collect()}
+    for j in ids:
+        w, h = 8 + j % 16, 8 + (j * 3) % 12
+        expect = 3 * sum(
+            (j + 3 * x + 5 * y) % 256 for y in range(h) for x in range(w)
+        )
+        assert out[j].px_sum == expect, j
