@@ -36,15 +36,15 @@ from . import round11 as _round11  # noqa: F401,E402  (q232+ — RGB PNG resize)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-11 window (executing the
-# plan written at the end of round 10 verbatim, confirmed by VERDICT r10
-# "Next round #1"): pinned core (6) + first driver rows for the two
-# r10-born specs (q230, q231 — both judge-verified against DuckDB at
-# sf0.01 in the r10 verdict run) + the stale tier in q-number order:
-# q93-q97 (5, last green r5) and q98-q134 (37, last green r6).
-# Arithmetic: 6 + 2 + 5 + 37 = 50 exactly. The q135-q139 remainder of
-# the r6 tier rolls to the r12 window (plan at the end of this file's
-# window comment block).
+# order (VERDICT r2 "Next round #1/#2"). Round-12 window (executing the
+# plan written at the end of round 11 verbatim, confirmed by VERDICT r11
+# "Next round #1"): pinned core (6) + first driver rows for the seven
+# r11-born codec specs (q232-q238 — all judge-verified against DuckDB at
+# sf0.01 in the r11 verdict run) + the stale tier in q-number order:
+# q135-q139 (5, last green r6), q140-q143 (4, r6), q144-q157 (14,
+# r7/r8), q158-q171 (14, r8/r9).
+# Arithmetic: 6 + 7 + 5 + 4 + 14 + 14 = 50 exactly. q172-q178 roll to
+# the r13 window (plan at the end of this file's window comment block).
 _WINDOW: tuple[str, ...] = (
     # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
@@ -53,79 +53,76 @@ _WINDOW: tuple[str, ...] = (
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-8: r10-born wave, first driver rows
-    "q230_png_resize",
-    "q231_temperature_mix_tau75",
-    # slots 9-13: stale tier, last driver-green r5 (q-number order)
-    "q93_hll_set_algebra",
-    "q94_scd2_history",
-    "q95_event_transitions",
-    "q96_kmeans",
-    "q97_salted_join",
-    # slots 14-50: stale tier, last driver-green r6 (q-number order)
-    "q98_attribution",
-    "q99_bm25_retrieval",
-    "q100_priority_sample",
-    "q101_grouped_regression",
-    "q102_pagerank",
-    "q103_zorder_stats",
-    "q104_value_outliers",
-    "q105_rolling_time_window",
-    "q106_copurchase_pairs",
-    "q107_table_profile",
-    "q108_entropy_by_source",
-    "q109_multimodal_decode_ext",
-    "q110_asof_forward_tolerance",
-    "q111_stratified_weighted_sample",
-    "q112_kl_divergence_by_source",
-    "q113_winsorized_stats",
-    "q114_chi_square_contingency",
-    "q115_hierarchy_closure",
-    "q116_peak_concurrency",
-    "q117_bigram_logprob",
-    "q118_power_iteration_pca",
-    "q119_sorted_neighborhood",
-    "q120_collocations_pmi",
-    "q121_association_rules",
-    "q122_snapshot_diff",
-    "q123_timed_funnel",
-    "q124_rfm_segmentation",
-    "q125_revenue_gini",
-    "q126_tpch_q7_volume_shipping",
-    "q127_tpch_q10_returned_items",
-    "q128_ewma_daily_counts",
-    "q129_cohort_ltv",
-    "q130_revenue_contribution",
-    "q131_event_trigrams",
-    "q132_transition_latency",
-    "q133_holt_trend",
-    "q134_rolling_volatility",
+    # slots 7-13: r11-born codec wave, first driver rows
+    "q232_png_resize_rgb",
+    "q233_jpeg_roundtrip",
+    "q234_png_jpeg_transcode",
+    "q235_png_jpeg_transcode_rgb",
+    "q236_wav_resample",
+    "q237_gif_roundtrip",
+    "q238_gif_png_transcode",
+    # slots 14-18: r6-tier remainder (q-number order, last green r6)
+    "q135_mom_growth",
+    "q136_dow_seasonality",
+    "q137_cross_correlation",
+    "q138_integrity_audit",
+    "q139_conversion_time_stats",
+    # slots 19-22: r6 tier (last green r6)
+    "q140_point_in_time_join",
+    "q141_dataset_split",
+    "q142_pareto_frontier",
+    "q143_weighted_median",
+    # slots 23-36: r7/r8 tier (last green r7/r8)
+    "q144_ks_drift",
+    "q145_benford_audit",
+    "q146_theil_sen_trend",
+    "q147_session_paths",
+    "q148_gap_fill",
+    "q149_mann_whitney",
+    "q150_cusum_changepoint",
+    "q151_type_affinity",
+    "q152_autocorrelation",
+    "q153_hist_drift",
+    "q154_ks_drift_binned",
+    "q155_data_contract",
+    "q156_share_shift",
+    "q157_budget_select",
+    # slots 37-50: r8/r9 tier (last green r8/r9)
+    "q158_roc_auc",
+    "q159_decile_lift",
+    "q160_threshold_metrics",
+    "q161_cohens_kappa",
+    "q162_ndcg",
+    "q163_key_skew_profile",
+    "q164_triangle_count",
+    "q165_rrf_fusion",
+    "q166_tpch_q17_small_qty",
+    "q167_tpch_q18_large_volume",
+    "q168_degree_assortativity",
+    "q169_label_propagation",
+    "q170_prefix_filter_join",
+    "q171_bpe_merges",
 )
 
-# R12 ROTATION PLAN (VERDICT r10 "Next round #9", written at the end
-# of round 11 alongside the r11 window above; r11-born specs take
+# R13 ROTATION PLAN (VERDICT r11 "Next round #5", written during
+# round 12 alongside the r12 window above; r12-born specs take
 # first-row priority per the standing first-round policy):
-# r12 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + the r11-born wave's first driver rows (7: q232_png_resize_rgb,
-#   q233_jpeg_roundtrip, q234_png_jpeg_transcode,
-#   q235_png_jpeg_transcode_rgb, q236_wav_resample,
-#   q237_gif_roundtrip, q238_gif_png_transcode — queries/round11.py,
-#   all CI-locked at two SFs meanwhile)
-# + the q135-q139 remainder of the r6 tier in q-number order:
-#   q135_mom_growth, q136_dow_seasonality, q137_cross_correlation,
-#   q138_integrity_audit, q139_conversion_time_stats (5, last green r6)
-# + the r6/r7 tier in q-number order: q140_point_in_time_join,
-#   q141_dataset_split, q142_pareto_frontier, q143_weighted_median (4),
-#   then q144_ks_drift through q157_budget_select (14, last green
-#   r7/r8) = 18 more; tail-fill from q158_roc_auc onward in q-number
-#   order until the window holds exactly 50.
-# Arithmetic: 6 + 7 + 5 + 4 + 14 = 36, so 14 tail slots:
-# q158_roc_auc through q171_bpe_merges (14) = 50 exactly (all names
-# q140-q178 verified against the registry at write time;
-# q172-q178 roll to r13). Every spec
-# stays locked by tests/test_oracle_parity*.py at sf0.001+sf0.01 in
-# every CI run regardless of rotation position; prioritize specs whose
-# OPERATORS changed since their last row.
+# r13 = pinned core (6: q01, q03, q08, q11, q24, q28)
+# + first driver rows for every r12-born spec (queries/round12.py —
+#   count fixed at round close; see the updated arithmetic below)
+# + the q172-q178 roll (7: q172_tpch_q20_dominant_suppliers,
+#   q173_spearman_corr, q174_welch_t_test, q175_rank_calibration,
+#   q176_mrr_at_10, q177_hellinger_drift, q178_seasonal_backtest,
+#   last green r8/r9)
+# + the r8 tier in q-number order from q179_compaction_plan through
+#   q201_log_rank (23 names, q179-q201 verified against the registry
+#   at write time), tail-truncated so the window holds exactly 50.
+# Arithmetic with 5 r12-born specs (q239-q243, final):
+# 6 + 5 + 7 + 23 = 41, so 9 more tail slots: q202_tpch_q1_pricing
+# through q210_tpch_q14_promo in q-number order; q211+ rolls to r14.
+# Every spec stays locked by tests/test_oracle_parity*.py at
+# sf0.001+sf0.01 in every CI run regardless of rotation position;
+# prioritize specs whose OPERATORS changed since their last row.
 
 # The driver checks exactly the first 50; a wrong-sized window silently
 # wastes slots (too small) or pushes debt out of the gate (too large).
