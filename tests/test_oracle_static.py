@@ -72,3 +72,15 @@ def test_bench_composed_tier_names_are_registered():
 
     missing = sorted(bench.COMPOSED - set(SPECS))
     assert not missing, f"COMPOSED tier names not in registry: {missing}"
+
+
+def test_bench_codec_tier_names_are_registered():
+    """Same lock for the CODEC band (VERDICT r11 #2): a rename or
+    retirement of a codec spec must fail here, not silently move its
+    cost between bands. Also pin the tiers disjoint — a spec counted
+    in two bands would double-subtract from core."""
+    import bench
+
+    missing = sorted(bench.CODEC - set(SPECS))
+    assert not missing, f"CODEC tier names not in registry: {missing}"
+    assert not (bench.CODEC & bench.COMPOSED)
