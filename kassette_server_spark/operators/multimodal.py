@@ -2034,9 +2034,14 @@ def resample_wav_payload(payload: bytes, up: int, down: int) -> bytes:
     computed with an EXACT integer floor that both engines agree on —
     DuckDB's ``//`` truncates toward zero while Python/numpy floor
     toward −∞, so the dividend is biased non-negative first
-    (+32768·up) and the bias subtracted after; with |Δ|·f <
-    32768·up the biased dividend is always ≥ 0 and truncation ≡
-    floor. Output length (n−1)·up div down + 1 covers the input span
+    (+65536·up) and the bias subtracted after. The bias covers the
+    FULL int16 delta range: |Δ| ≤ 65535 and f ≤ up−1, so
+    Δ·f + 65536·up ≥ 65536·up − 65535·(up−1) = up + 65535 > 0 for
+    every valid input — no sample-range precondition — and truncation
+    ≡ floor. (ADVICE r11: the former +32768·up bias went negative for
+    up ≥ 3 with near-full-range adjacent samples, so a DuckDB oracle
+    written per the old docstring could diverge even though the numpy
+    output was exact.) Output length (n−1)·up div down + 1 covers the input span
     exactly (the last output lands ON the last input sample, f = 0 —
     no extrapolation). The new rate must be integral:
     rate·up mod down == 0.
@@ -2063,8 +2068,8 @@ def resample_wav_payload(payload: bytes, up: int, down: int) -> bytes:
     f = pos - k * up
     nxt = np.minimum(k + 1, n - 1)  # f==0 whenever k==n-1 (span bound)
     delta = s[nxt] - s[k]
-    bias = 32768 * up
-    out = s[k] + (delta * f + bias) // up - 32768
+    bias = 65536 * up
+    out = s[k] + (delta * f + bias) // up - 65536
     frames = out.astype("<i2").tobytes()
     return encode_wav(n_out, rate * up // down, 1, frames)
 
@@ -2371,7 +2376,14 @@ def image_channel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     oracle-gated path: the BMP walk (bottom-up BGR, padded rows) and
     the PNG round trip (deflate, filtered scanlines, top-down RGB)
     must report identical channel sums or the row fails loudly rather
-    than emit one container's bytes unverified.
+    than emit one container's bytes unverified. Since r12 (ADVICE r11)
+    the cross-check runs on the ``id % 16 == 0`` SAMPLE only: the full
+    per-row PNG round trip doubled this already-benched spec's codec
+    work while duplicating coverage the dedicated q232/q235 specs
+    already provide, so q219 keeps its original BMP-only per-row cost
+    with a 1/16 cross-codec tripwire (deterministic in the id, hence
+    identical rows on both engines — the OUTPUT never depends on the
+    check).
 
     Output: (doc_id, n_px, sum_b, sum_g, sum_r, mean_b, mean_g,
     mean_r)."""
@@ -2384,34 +2396,38 @@ def image_channel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h = 8 + i % 16, 8 + (i * 3) % 12
                 bmp = encode_bmp_pixels(w, h, formula_bmp_pixels(i, w, h))
                 s = bmp_channel_stats(bmp)
-                # same pixels as a top-down RGB PNG (channel sums are
-                # row-order-invariant, so the BMP's bottom-up y works
-                # verbatim); decode must agree with the BMP walk
-                xs = np.arange(w)[None, :]
-                ys = np.arange(h)[:, None]
-                png_px = (
-                    np.stack(
-                        [
-                            (i + xs + 2 * ys) % 256,  # R
-                            (i + 2 * xs + ys) % 256,  # G
-                            (i + xs + ys) % 256,  # B
-                        ],
-                        axis=-1,
+                if i % 16 == 0:
+                    # sampled cross-codec tripwire (ADVICE r11): same
+                    # pixels as a top-down RGB PNG (channel sums are
+                    # row-order-invariant, so the BMP's bottom-up y
+                    # works verbatim); decode must agree with the BMP
+                    # walk. 1/16 of rows — the dedicated q232/q235
+                    # specs carry the full-coverage PNG paths.
+                    xs = np.arange(w)[None, :]
+                    ys = np.arange(h)[:, None]
+                    png_px = (
+                        np.stack(
+                            [
+                                (i + xs + 2 * ys) % 256,  # R
+                                (i + 2 * xs + ys) % 256,  # G
+                                (i + xs + ys) % 256,  # B
+                            ],
+                            axis=-1,
+                        )
+                        .astype(np.uint8)
+                        .tobytes()
                     )
-                    .astype(np.uint8)
-                    .tobytes()
-                )
-                _, _, ch, rpx = decode_png_pixels(
-                    encode_png(w, h, png_px, channels=3)
-                )
-                a = np.frombuffer(rpx, dtype=np.uint8).reshape(-1, 3)
-                psums = a.sum(axis=0, dtype=np.int64)
-                if (int(psums[2]), int(psums[1]), int(psums[0])) != (
-                    s["sum_b"], s["sum_g"], s["sum_r"],
-                ):
-                    raise ValueError(
-                        f"BMP/PNG channel-sum mismatch for id {i}"
+                    _, _, ch, rpx = decode_png_pixels(
+                        encode_png(w, h, png_px, channels=3)
                     )
+                    a = np.frombuffer(rpx, dtype=np.uint8).reshape(-1, 3)
+                    psums = a.sum(axis=0, dtype=np.int64)
+                    if (int(psums[2]), int(psums[1]), int(psums[0])) != (
+                        s["sum_b"], s["sum_g"], s["sum_r"],
+                    ):
+                        raise ValueError(
+                            f"BMP/PNG channel-sum mismatch for id {i}"
+                        )
                 rows.append((i, s["n_px"], s["sum_b"], s["sum_g"], s["sum_r"]))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_px", "sum_b", "sum_g", "sum_r"]

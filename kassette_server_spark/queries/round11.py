@@ -48,7 +48,8 @@ first-class specs.
   EXACT integer linear interpolation. Cross-engine floor discipline:
   DuckDB's ``//`` truncates toward zero while Python/numpy floor
   toward −∞, so the interpolation dividend is biased non-negative
-  (+32768·up) and un-biased after — truncation ≡ floor on every
+  (+65536·up, covering the full int16 delta range for any up;
+  ADVICE r11) and un-biased after — truncation ≡ floor on every
   sample, and the post-resample sum stays closed-form in the id.
 
 - q237: GIF pixel round trip (multimodal.gif_roundtrip_stats) — the
@@ -229,8 +230,8 @@ def q235(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, n,
              (((doc_id + 7 * k) % 4001) - 2000)
              + (((((doc_id + 7 * LEAST(k + 1, n - 1)) % 4001) - 2000)
-                 - (((doc_id + 7 * k) % 4001) - 2000)) * f + 98304) // 3
-             - 32768 AS val
+                 - (((doc_id + 7 * k) % 4001) - 2000)) * f + 196608) // 3
+             - 65536 AS val
       FROM o)
     SELECT doc_id, CAST(n AS BIGINT) AS n_in,
            CAST(count(*) AS BIGINT) AS n_out,

@@ -398,10 +398,17 @@ class StreamingSupervisor:
                 cids = list(self._stopping)
             if not cids:
                 break
-            if not all(
+            # Join EVERY drain in the snapshot before deciding whether
+            # to exit: all() over a generator short-circuits on the
+            # first wedged drain and would skip joining its (possibly
+            # instantly-joinable) siblings (ADVICE r11). The list
+            # comprehension evaluates every cid; one wedged drain still
+            # bounds the loop, but its siblings get awaited first.
+            results = [
                 self._await_stop(cid, DRAIN_TIMEOUT_S + START_WAIT_GRACE_S)
                 for cid in cids
-            ):
+            ]
+            if not all(results):
                 break  # a wedged drain: bounded exit, still tracked
 
 

@@ -659,6 +659,26 @@ def test_wav_resample_exact_and_validated(spark):
     wav = encode_wav(2, 48000, 1, np.array([6, 0], dtype="<i2").tobytes())
     assert parse_wav_samples(resample_wav_payload(wav, 3, 1)) == [6, 4, 2, 0]
 
+    # ADVICE r11 bias regression: up=3 with adjacent samples spanning
+    # the FULL int16 range (delta = -65535, f up to 2). The old
+    # +32768*up bias made the dividend negative here (-32766 at f=2),
+    # so a truncating engine would round toward zero while numpy
+    # floors; the +65536*up bias keeps the dividend positive for every
+    # valid int16 pair. Exact floors: floor(-65535*f/3) for f=1,2.
+    wav = encode_wav(
+        2, 48000, 1, np.array([32767, -32768], dtype="<i2").tobytes()
+    )
+    got = parse_wav_samples(resample_wav_payload(wav, 3, 1))
+    assert got == [
+        32767,
+        32767 + (-65535 * 1) // 3,  # floor, not truncate: -21845
+        32767 + (-65535 * 2) // 3,  # -43690 floored
+        -32768,
+    ]
+    # and the dividend-positivity invariant itself, at the worst case:
+    for up in (2, 3, 5, 7):
+        assert -65535 * (up - 1) + 65536 * up > 0
+
     with pytest.raises(ValueError, match="divisible"):
         # 48000*3 = 144000 is not divisible by 7 (44100 would be!)
         resample_wav_payload(encode_wav(4, 48000, 1), 3, 7)

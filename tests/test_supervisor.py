@@ -485,3 +485,66 @@ def test_stop_all_surfaces_wedged_start(recwarn):
     finally:
         sup_mod.START_WAIT_GRACE_S = old_grace
         sup_mod.DRAIN_TIMEOUT_S = old_drain
+
+
+def test_stop_all_joins_healthy_siblings_of_a_wedged_drain():
+    """ADVICE r11: stop_all's final join used all() over a generator,
+    which short-circuits on the first wedged drain and never awaited
+    the remaining (healthy, instantly-joinable) drains in the same
+    snapshot — shutdown could return with joinable drains still
+    running. Now every cid in the snapshot is awaited before the
+    bounded exit: the wedged drain still bounds the loop, but its
+    healthy sibling is joined and untracked first."""
+    import threading as _t
+    import time as _time
+
+    from kassette_server_spark.streaming import supervisor as sup_mod
+
+    release = _t.Event()
+    log: list = []
+
+    class WedgedQuery(FakeQuery):
+        def stop(self):
+            release.wait(30)
+            super().stop()
+
+    class SlowButHealthyQuery(FakeQuery):
+        def stop(self):
+            _time.sleep(0.05)  # real drain work, but joinable
+            super().stop()
+
+    old_drain = sup_mod.DRAIN_TIMEOUT_S
+    old_grace = sup_mod.START_WAIT_GRACE_S
+    sup_mod.DRAIN_TIMEOUT_S = 0.3
+    sup_mod.START_WAIT_GRACE_S = 0.1
+    try:
+        queries: dict[int, FakeQuery] = {}
+
+        def start(conn):
+            q = (WedgedQuery if conn.id == 10 else SlowButHealthyQuery)(
+                conn.id, log
+            )
+            queries[conn.id] = q
+            return q
+
+        sup = sup_mod.StreamingSupervisor(start)
+        # cid 10 (the WEDGED one) starts first, so its drain is FIRST
+        # in the _stopping snapshot — exactly the order in which the
+        # old short-circuit skipped the sibling.
+        sup.start_all({10: _conn(10), 11: _conn(11)})
+        sup.stop_all()  # bounded: returns despite the wedged 10
+        # the healthy sibling was joined (stopped AND untracked)
+        # before the bounded exit, not skipped
+        assert queries[11].stopped
+        with sup._lock:
+            still = set(sup._stopping)
+        assert still == {10}, still  # only the wedged drain remains
+        reason = sup.busy_reason()
+        assert reason is not None and "10" in reason
+        release.set()
+        sup.quiesce()
+        assert queries[10].stopped
+        assert sup.busy_reason() is None
+    finally:
+        sup_mod.DRAIN_TIMEOUT_S = old_drain
+        sup_mod.START_WAIT_GRACE_S = old_grace
