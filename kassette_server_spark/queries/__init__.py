@@ -33,6 +33,7 @@ from . import round9 as _round9  # noqa: F401,E402  (q213-q219 — BPE apply/voc
 from . import round9b as _round9b  # noqa: F401,E402  (q220-q229 — JL sketch, audio features, LSH band plan, ANN recall, temp mix, LM filter, embedding drift, fertility, cluster representatives)
 from . import round10 as _round10  # noqa: F401,E402  (q230+ — PNG resize tier)
 from . import round11 as _round11  # noqa: F401,E402  (q232+ — RGB PNG resize)
+from . import round12 as _round12  # noqa: F401,E402  (q239+ — product quantization)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import

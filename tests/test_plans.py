@@ -1249,3 +1249,37 @@ def test_q231_temperature_mix_tau75_tiny_frame_tail(spark):
     p = plan(spark, "q231_temperature_mix_tau75")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_q239_pq_codebook_one_shuffle_no_python(spark):
+    """PQ training's in-frame update cycle: assignment is map-only
+    (literal codebook, zero join), so the whole plan is scan →
+    explode → ONE group-hash Exchange carrying ≤ M·K rows per map
+    partition after partial aggregation. No Python in the plan."""
+    import re
+
+    p = plan(spark, "q239_pq_codebooks")
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_q240_pq_adc_corpus_never_shuffles(spark):
+    """ADC scoring: the encoded corpus stays in its scan stage — the
+    query frame (sample, with its 128-entry table) broadcasts, the
+    top-k prune is the shared MapInPandas partition-local pass, and
+    the only raw-shape join is the broadcast nested-loop score. The
+    training collects are bounded side jobs, not part of this plan."""
+    p = plan(spark, "q240_pq_adc_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "MapInPandas" in p
+
+
+def test_q241_pq_recall_no_cartesian(spark):
+    """The gate composes ADC and exact int8-L2 (each under its own
+    broadcast contract) with a |queries|·k-row hash join — no raw
+    cartesian anywhere."""
+    p = plan(spark, "q241_pq_recall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
