@@ -21,11 +21,22 @@
   low; the gate's value is that it REPORTS that, deterministically,
   instead of the index shipping unmeasured.
 
+Plus the JPEG restart-interval tier (VERDICT r11 #4 / #7):
+
+- q242: restart-bearing round trip (jpeg_restart_roundtrip_stats) —
+  DRI + RSTn every 2 MCUs on images up to 20 MCUs, so the modulo-8
+  marker sequence wraps; per-segment byte realignment, DC-predictor
+  resets, and the sequence check all sit in the oracle-gated path.
+- q243: JPEG leg of the image feature tier (jpeg_channel_stats) —
+  per-channel sums off a decoded 3-component restart-bearing JPEG
+  (block-constant channels keep the lossy container lossless).
+
 Determinism: everything after the int8 quantize (q77's established
 round(x·127/max|x|)) is exact int64 arithmetic; the only floats are
-q241's final n_hits/k division. Registered after the 50-spec driver
-window; first driver rows land per the standing rotation
-(queries/__init__.py r13 plan); locked meanwhile by
+q241's final n_hits/k division and q243's per-channel mean divisions
+(one IEEE division of exact integers each). Registered after the
+50-spec driver window; first driver rows land per the standing
+rotation (queries/__init__.py r13 plan); locked meanwhile by
 tests/test_oracle_parity*.py at two SFs.
 """
 
@@ -90,3 +101,80 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
     return pq_recall_at_k(
         load(spark, sf, "embeddings"), _queries(spark, sf), m=8, k=16, iters=2, topk=10
     )
+
+
+# q242/q243: the JPEG restart-interval tier (VERDICT r11 #4 / #7).
+# DRI/RSTn is the cheapest refused-subset extension with a real scale
+# payoff: restart segments reset DC predictors and byte alignment, so
+# one scan splits into independently-decodable chunks (parallel decode
+# at 100 TB; corruption contained to a segment). q242 wraps the
+# modulo-8 marker sequence (up to 20 MCUs, 9 restarts at interval 2);
+# q243 is the feature tier's JPEG leg — per-channel sums off the lossy
+# container's lossless (block-constant) subset, restart-bearing too.
+@query(
+    "q242_jpeg_restart_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 32 AS w, 8 + (doc_id * 3) % 24 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 3 * (gx.x // 8) + 5 * (gy.y // 8)) % 256 AS p
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST((((w + 7) // 8) * ((h + 7) // 8) - 1) // 2 AS BIGINT)
+             AS n_restarts,
+           CAST(sum(p) AS BIGINT) AS px_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="JPEG restart intervals (DRI/RSTn): block-constant grayscale "
+    "through the entropy scan with a restart every 2 MCUs — up to 9 "
+    "markers, modulo-8 sequence wrap, per-segment predictor resets and "
+    "byte realignment all in the oracle-gated path",
+    tags=("llmops", "multimodal"),
+)
+def q242(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_restart_roundtrip_stats
+
+    return jpeg_restart_roundtrip_stats(
+        load(spark, sf, "documents").select("doc_id"), restart_interval=2
+    )
+
+
+@query(
+    "q243_jpeg_channel_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 0 + 3 * (gx.x // 8) + 5 * (gy.y // 8)) % 256 AS c0,
+             (doc_id + 1 + 3 * (gx.x // 8) + 5 * (gy.y // 8)) % 256 AS c1,
+             (doc_id + 2 + 3 * (gx.x // 8) + 5 * (gy.y // 8)) % 256 AS c2
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w * h AS BIGINT) AS n_px,
+           CAST(sum(c0) AS BIGINT) AS sum_c0,
+           CAST(sum(c1) AS BIGINT) AS sum_c1,
+           CAST(sum(c2) AS BIGINT) AS sum_c2,
+           CAST(sum(c0) AS DOUBLE) / (w * h) AS mean_c0,
+           CAST(sum(c1) AS DOUBLE) / (w * h) AS mean_c1,
+           CAST(sum(c2) AS DOUBLE) / (w * h) AS mean_c2
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="image feature tier, JPEG leg: per-channel sums/means read off "
+    "a decoded 3-component restart-bearing JPEG (block-constant "
+    "channels keep the lossy container lossless and the sums "
+    "closed-form in the id)",
+    tags=("llmops", "multimodal"),
+)
+def q243(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_channel_stats
+
+    return jpeg_channel_stats(load(spark, sf, "documents").select("doc_id"))

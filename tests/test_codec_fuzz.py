@@ -1,0 +1,126 @@
+"""Cross-codec differential fuzzer (VERDICT r11 #6): random pixel
+arrays through every lossless container and every lossless transcode
+pair, asserting BYTE-IDENTICAL pixels after decode.
+
+The id-formula oracle specs (q230/q232/q237/q238/...) pin each codec
+path at fixed shapes; random composition ACROSS containers — arbitrary
+dims, filters, interlace layouts, IDAT splits, palettes — is the blind
+spot this closes. Every case is seeded (hypothesis-free determinism:
+a failure replays exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kassette_server_spark.operators.multimodal import (
+    bmp_channel_stats,
+    decode_gif_pixels,
+    decode_png_pixels,
+    encode_bmp_pixels,
+    encode_gif_pixels,
+    encode_png_filtered,
+    encode_png_interlaced,
+    encode_png_palette,
+    transcode_gif_to_png,
+    transcode_png_to_gif,
+)
+
+N_CASES = 120  # x2 parametrized classes = 240 seeded cases
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+def _dims(rng) -> tuple[int, int]:
+    # include degenerate 1-wide / 1-tall rasters: interlace passes go
+    # empty and filter left-neighbors vanish exactly there
+    return int(rng.integers(1, 41)), int(rng.integers(1, 41))
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_gray_pixels_identical_across_all_lossless_containers(seed):
+    """One random grayscale raster, five storage layouts, two
+    transcode directions — every decode must return the SAME bytes:
+
+      PNG sequential (random per-row filters, random IDAT split)
+      PNG Adam7 interlaced (random filter seed)
+      PNG palette (identity PLTE → RGB replication)
+      GIF (random interlace flag)
+      GIF→PNG and PNG→GIF transcodes
+    """
+    rng = _rng(seed)
+    w, h = _dims(rng)
+    v = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+    px = v.tobytes()
+
+    filters = [int(f) for f in rng.integers(0, 5, size=h)]
+    split = int(rng.integers(1, 64)) if rng.integers(0, 2) else None
+    seq = encode_png_filtered(w, h, px, channels=1, filters=filters, idat_split=split)
+    assert decode_png_pixels(seq) == (w, h, 1, px)
+
+    adam = encode_png_interlaced(w, h, px, channels=1, filters_seed=seed % 5)
+    assert decode_png_pixels(adam) == (w, h, 1, px)
+
+    identity = bytes(c for i in range(256) for c in (i, i, i))
+    pal = encode_png_palette(w, h, px, identity)
+    rgb = np.repeat(v, 3).tobytes()  # identity palette ⇒ gray triples
+    assert decode_png_pixels(pal) == (w, h, 3, rgb)
+
+    interlaced = bool(rng.integers(0, 2))
+    gif = encode_gif_pixels(w, h, px, interlaced=interlaced)
+    assert decode_gif_pixels(gif) == (w, h, px)
+
+    # transcodes: GIF -> palette PNG (identity GCT carries over) and
+    # grayscale PNG -> GIF; pixels must survive both directions
+    assert decode_png_pixels(transcode_gif_to_png(gif)) == (w, h, 3, rgb)
+    assert decode_gif_pixels(transcode_png_to_gif(seq)) == (w, h, px)
+    assert decode_gif_pixels(transcode_png_to_gif(adam)) == (w, h, px)
+
+    # and a full chain: PNG -> GIF -> PNG(palette) ends at the same gray
+    chained = decode_png_pixels(transcode_gif_to_png(transcode_png_to_gif(seq)))
+    assert chained == (w, h, 3, rgb)
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_rgb_pixels_identical_across_png_layouts_and_bmp(seed):
+    """One random RGB raster: sequential PNG (random filters/splits),
+    Adam7 PNG, and 24-bit BMP must agree — PNGs byte-for-byte, the BMP
+    via its exact per-channel sums (its reader is the stats walk)."""
+    rng = _rng(seed)
+    w, h = _dims(rng)
+    a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    px = a.tobytes()
+
+    filters = [int(f) for f in rng.integers(0, 5, size=h)]
+    split = int(rng.integers(1, 64)) if rng.integers(0, 2) else None
+    seq = encode_png_filtered(w, h, px, channels=3, filters=filters, idat_split=split)
+    assert decode_png_pixels(seq) == (w, h, 3, px)
+
+    adam = encode_png_interlaced(w, h, px, channels=3, filters_seed=seed % 5)
+    assert decode_png_pixels(adam) == (w, h, 3, px)
+
+    # BMP: bottom-up BGR rows, 4-byte padded
+    stride = ((w * 24 + 31) // 32) * 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = a[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    bmp = encode_bmp_pixels(w, h, bytes(rows))
+    s = bmp_channel_stats(bmp)
+    assert s["n_px"] == w * h
+    assert s["sum_r"] == int(a[:, :, 0].sum())
+    assert s["sum_g"] == int(a[:, :, 1].sum())
+    assert s["sum_b"] == int(a[:, :, 2].sum())
+
+
+def test_png_to_gif_rejects_color():
+    """RGB has no faithful 256-entry palette in general — the reverse
+    transcode must refuse, not quantize silently."""
+    rng = _rng(0)
+    px = rng.integers(0, 256, size=4 * 4 * 3, dtype=np.uint8).tobytes()
+    payload = encode_png_filtered(4, 4, px, channels=3)
+    with pytest.raises(ValueError, match="grayscale"):
+        transcode_png_to_gif(payload)

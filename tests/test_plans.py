@@ -1283,3 +1283,17 @@ def test_q241_pq_recall_no_cartesian(spark):
     p = plan(spark, "q241_pq_recall")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_q242_jpeg_restart_scan_stage_map(spark):
+    """Restart-bearing JPEG round trip: per-row codec work, one
+    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    p = plan(spark, "q242_jpeg_restart_roundtrip")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_q243_jpeg_channel_stats_scan_stage_map(spark):
+    p = plan(spark, "q243_jpeg_channel_stats")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

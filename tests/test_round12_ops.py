@@ -1,0 +1,220 @@
+"""Round-12 operator tests: JPEG restart intervals (DRI/RSTn) and the
+feature-tier JPEG leg (VERDICT r11 #4 / #7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _block_constant(w: int, h: int, ch: int = 1, seed: int = 7) -> bytes:
+    bx = np.arange(w)[None, :] // 8
+    by = np.arange(h)[:, None] // 8
+    if ch == 1:
+        return ((seed + 3 * bx + 5 * by) % 256).astype(np.uint8).tobytes()
+    return (
+        np.stack([(seed + c + 3 * bx + 5 * by) % 256 for c in range(ch)], axis=-1)
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
+def test_jpeg_restart_roundtrip_bit_exact_and_marker_count():
+    """Block-constant images are lossless through the restart-bearing
+    scan; the marker count is (n_mcus − 1) // interval and the
+    modulo-8 sequence wraps on large-enough images."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    for (w, h, ch, ri) in [
+        (16, 16, 1, 1),
+        (40, 32, 1, 2),  # 20 MCUs, 9 restarts: wraps past RST7
+        (24, 24, 3, 1),
+        (48, 40, 3, 3),
+        (17, 9, 1, 2),  # partial edge blocks
+        (8, 8, 1, 5),  # interval > MCU count: zero markers
+    ]:
+        px = _block_constant(w, h, ch)
+        pay = encode_jpeg_pixels(w, h, px, channels=ch, restart_interval=ri)
+        dw, dh, dch, dpx = decode_jpeg_pixels(pay)
+        assert (dw, dh, dch, dpx) == (w, h, ch, px)
+        n_mcus = ((w + 7) // 8) * ((h + 7) // 8)
+        n_rst = sum(pay.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+        assert n_rst == (n_mcus - 1) // ri
+    # the wrap case really does reuse RST0
+    pay = encode_jpeg_pixels(40, 32, _block_constant(40, 32), restart_interval=2)
+    assert pay.count(b"\xff\xd0") == 2  # SOI shares no bytes; RST0 twice
+
+
+def test_jpeg_restart_decode_equals_plain_decode_on_lossy_pixels():
+    """Restarts change the scan's framing, not its math: for ANY
+    pixels (including lossy, non-block-constant ones) the decoded
+    raster must be identical with and without restarts."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        w = int(rng.integers(8, 64))
+        h = int(rng.integers(8, 64))
+        ch = int(rng.choice([1, 3]))
+        ri = int(rng.integers(1, 6))
+        px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        plain = decode_jpeg_pixels(encode_jpeg_pixels(w, h, px, channels=ch))
+        rst = decode_jpeg_pixels(
+            encode_jpeg_pixels(w, h, px, channels=ch, restart_interval=ri)
+        )
+        assert plain == rst
+
+
+def test_jpeg_restart_corruption_fences():
+    """Out-of-sequence, missing, or malformed restart structure must
+    raise, never smear the raster."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    w, h = 40, 32
+    px = _block_constant(w, h)
+    good = encode_jpeg_pixels(w, h, px, restart_interval=1)
+
+    # swap a marker's index: sequence check must catch the lost MCUs
+    bad = bytearray(good)
+    i = bad.find(bytes([0xFF, 0xD0]), 2)  # skip SOI
+    bad[i + 1] = 0xD3
+    with pytest.raises(ValueError, match="restart sequence broken"):
+        decode_jpeg_pixels(bytes(bad))
+
+    # delete a marker entirely: realignment finds entropy bytes instead
+    bad = bytearray(good)
+    i = bad.find(bytes([0xFF, 0xD1]))
+    del bad[i : i + 2]
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg_pixels(bytes(bad))
+
+    # malformed DRI length
+    bad = bytearray(good)
+    i = bad.find(bytes([0xFF, 0xDD]))
+    bad[i + 3] = 5
+    with pytest.raises(ValueError, match="malformed DRI"):
+        decode_jpeg_pixels(bytes(bad))
+
+    # restart markers present but DRI absent: the unstuffing bit
+    # reader must reject the unexpected marker, not skip it
+    bad = bytearray(good)
+    i = bad.find(bytes([0xFF, 0xDD]))
+    del bad[i : i + 6]
+    with pytest.raises(ValueError, match="unexpected marker"):
+        decode_jpeg_pixels(bytes(bad))
+
+    # encoder fence
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg_pixels(8, 8, _block_constant(8, 8), restart_interval=-1)
+
+
+def test_jpeg_restart_segments_independently_decodable():
+    """THE scale property restarts buy: each restart segment decodes
+    with zero state from its predecessors (DC predictors reset, byte-
+    aligned start). Splitting the scan at RSTn markers and decoding
+    each chunk as its own single-segment scan must reproduce the
+    full-file raster block for block."""
+    from kassette_server_spark.operators.multimodal import (
+        _BitReader,
+        _canonical_codes,
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+    from kassette_server_spark.operators import multimodal as mm
+
+    w, h, ri = 40, 32, 2
+    px = _block_constant(w, h)
+    pay = encode_jpeg_pixels(w, h, px, restart_interval=ri)
+    # locate the scan body (after SOS segment) and split at markers
+    import re
+    import struct
+
+    pos = 2
+    scan_start = None
+    while pos + 4 <= len(pay):
+        marker = pay[pos + 1]
+        (length,) = struct.unpack_from(">H", pay, pos + 2)
+        if marker == 0xDA:
+            scan_start = pos + 2 + length
+            break
+        pos += 2 + length
+    body = pay[scan_start : pay.rfind(b"\xff\xd9")]
+    chunks = re.split(b"\xff[\xd0-\xd7]", body)
+    n_mcus = ((w + 7) // 8) * ((h + 7) // 8)
+    assert len(chunks) == (n_mcus - 1) // ri + 1
+
+    dc_tbl = {
+        (code, ln): sym
+        for sym, (code, ln) in _canonical_codes(
+            list(mm._DC_BITS), list(mm._DC_SYMBOLS)
+        ).items()
+    }
+    ac_tbl = {
+        (code, ln): sym
+        for sym, (code, ln) in _canonical_codes(
+            list(mm._AC_BITS), list(mm._AC_SYMBOLS)
+        ).items()
+    }
+    # decode each chunk independently: fresh reader, fresh DC predictor
+    decoded_dc = []
+    for chunk in chunks:
+        reader = _BitReader(chunk)
+        prev = 0
+        while True:
+            try:
+                size = mm._huff_decode(reader, dc_tbl)
+            except ValueError:
+                break  # chunk exhausted (pad bits)
+            prev += mm._extend(reader.bits(size), size)
+            decoded_dc.append(prev)
+            k = 1
+            while k < 64:
+                sym = mm._huff_decode(reader, ac_tbl)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += (sym >> 4) + 1
+                reader.bits(sym & 0x0F)
+            if reader.n == 0 and reader.pos >= len(chunk):
+                break
+    assert len(decoded_dc) == n_mcus
+    # cross-check against the full decoder's raster: block (by,bx) has
+    # constant value v, DC = 8*(v-128)/8 = v-128 after flat-8 quant
+    dw, dh, dch, dpx = decode_jpeg_pixels(pay)
+    a = np.frombuffer(dpx, dtype=np.uint8).reshape(h, w)
+    expect = [
+        int(a[by * 8, bx * 8]) - 128
+        for by in range((h + 7) // 8)
+        for bx in range((w + 7) // 8)
+    ]
+    assert decoded_dc == expect
+
+
+def test_jpeg_channel_stats_closed_form(spark):
+    from conftest import SF_SMOKE
+
+    from kassette_server_spark.catalog import load
+    from kassette_server_spark.operators.multimodal import jpeg_channel_stats
+
+    df = load(spark, SF_SMOKE, "documents").select("doc_id").limit(20)
+    out = {r["doc_id"]: r for r in jpeg_channel_stats(df).collect()}
+    for i, r in out.items():
+        w, h = 8 + i % 16, 8 + (i * 3) % 12
+        bx = np.arange(w)[None, :] // 8
+        by = np.arange(h)[:, None] // 8
+        assert r["n_px"] == w * h
+        for c in range(3):
+            expect = int(((i + c + 3 * bx + 5 * by) % 256).sum())
+            assert r[f"sum_c{c}"] == expect
+            assert r[f"mean_c{c}"] == expect / (w * h)
