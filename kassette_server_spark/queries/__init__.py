@@ -118,9 +118,13 @@ _WINDOW: tuple[str, ...] = (
 # + the r8 tier in q-number order from q179_compaction_plan through
 #   q201_log_rank (23 names, q179-q201 verified against the registry
 #   at write time), tail-truncated so the window holds exactly 50.
-# Arithmetic with 5 r12-born specs (q239-q243, final):
-# 6 + 5 + 7 + 23 = 41, so 9 more tail slots: q202_tpch_q1_pricing
-# through q210_tpch_q14_promo in q-number order; q211+ rolls to r14.
+# Arithmetic with 5 r12-born specs (q239_pq_codebooks,
+# q240_pq_adc_topk, q241_pq_recall, q242_jpeg_restart_roundtrip,
+# q243_jpeg_channel_stats — final):
+# 6 + 5 + 7 + 23 = 41, so 9 more tail slots:
+# q202_tpch_q2_min_cost_supplier through q210_tpch_q14_promo_share in
+# q-number order (names verified against the registry); q211+ rolls
+# to r14.
 # Every spec stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run regardless of rotation position;
 # prioritize specs whose OPERATORS changed since their last row.

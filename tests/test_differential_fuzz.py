@@ -40,7 +40,13 @@ from conftest import SF_CORRECT, SF_SMOKE
 from kassette_server_spark.catalog import load
 
 SEED = 20260813
-N_QUERIES = 460  # raised r11 (400 → 460, VERDICT r10 #8): the three
+N_QUERIES = 520  # raised r12 (460 → 520, VERDICT r11 #8): a NEW
+# correlated-aggregate-over-interval family (the q105/q144 value-offset
+# RANGE-frame shapes composed with [NOT] EXISTS — semi/anti join decides
+# frame membership before the window runs; plus a variant with a second
+# EXISTS over the windowed output) at 6% density, and the FK-pair share
+# rebalanced
+# (r11 raise: 400 → 460, VERDICT r10 #8): the three
 # r10-born families (window-over-window, per-group order-statistic
 # cut, keep-first anti-join span) promoted from 4% to full core
 # density (6% each ≈ 28 queries/seed) and a NEW outer-join-over-window
@@ -628,6 +634,60 @@ def _gen_outer_join_window_query(rng: random.Random, domains: dict) -> str:
     )
 
 
+def _gen_correlated_range_exists_query(rng: random.Random, domains: dict) -> str:
+    """Correlated-aggregate-over-interval (VERDICT r11 #8): the
+    q105/q144 value-offset RANGE-frame shapes COMPOSED with [NOT]
+    EXISTS. The semi/anti join decides WHICH rows exist before the
+    window runs, so frame contents depend on the correlation — the
+    divergence corners are RANGE peers at the semi-join boundary
+    (a row admitted by EXISTS whose frame neighbors were rejected),
+    NULL ordering inside the frame, and the decorrelation rewrite
+    interacting with the window's required sort. All aggregates are
+    exact-integer; ties aggregate together under RANGE so tie order
+    cannot matter."""
+    lt, rt, lk, rk = rng.choice(JOINS)
+    ints, strs, _dates = TABLES[lt]
+    pk = UNIQUE_KEY[lt]
+    acol = rng.choice(ints)
+    oc = rng.choice(ints)
+    part = rng.choice(strs)
+    quant = rng.choice(("EXISTS", "NOT EXISTS"))
+    p_fact = _predicate(rng, rt, "s1", domains)
+    p_dim = (
+        f"{_predicate(rng, lt, 't0', domains)} AND " if rng.random() < 0.4 else ""
+    )
+    n = rng.choice((1, 5, 100))
+    variant = rng.random()
+    if variant < 0.4:
+        frame = f"RANGE BETWEEN {n} PRECEDING AND CURRENT ROW"
+        win = f"CAST(sum(t0.{acol}) OVER (PARTITION BY t0.{part} ORDER BY t0.{oc} NULLS FIRST {frame}) AS BIGINT)"
+    elif variant < 0.7:
+        frame = f"RANGE BETWEEN CURRENT ROW AND {n} FOLLOWING"
+        win = f"CAST(count(*) OVER (PARTITION BY t0.{part} ORDER BY t0.{oc} NULLS FIRST {frame}) AS BIGINT)"
+    else:
+        frame = f"RANGE BETWEEN {n} PRECEDING AND {n} FOLLOWING"
+        agg = rng.choice(("min", "max"))
+        win = f"{agg}(t0.{acol}) OVER (PARTITION BY t0.{part} ORDER BY t0.{oc} NULLS FIRST {frame})"
+    inner = (
+        f"SELECT t0.{pk} AS k, t0.{part} AS g, t0.{oc} AS o, {win} AS w "
+        f"FROM {lt} t0 WHERE {p_dim}{quant} "
+        f"(SELECT 1 FROM {rt} s1 WHERE s1.{rk} = t0.{lk} AND {p_fact})"
+    )
+    if rng.random() < 0.3:
+        # a second correlated quantifier OVER the windowed result: the
+        # outer EXISTS sees a derived column the optimizer must not
+        # push below the window
+        return (
+            f"SELECT k, g, o, w FROM ({inner}) x "
+            f"WHERE EXISTS (SELECT 1 FROM {rt} s2 WHERE s2.{rk} = x.k) "
+            f"ORDER BY k NULLS FIRST, g NULLS FIRST, o NULLS FIRST, w NULLS FIRST"
+        )
+    return (
+        f"SELECT k, g, o, w FROM ({inner}) x "
+        f"ORDER BY k NULLS FIRST, g NULLS FIRST, o NULLS FIRST, w NULLS FIRST"
+    )
+
+
 def _gen_setop_query(rng: random.Random, domains: dict) -> str:
     """INTERSECT / EXCEPT nesting (VERDICT r6 #6): set-op DISTINCT
     semantics and duplicate elimination order are engine-internal; the
@@ -675,11 +735,13 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
         return _gen_keep_first_anti_join_query(rng, domains)
     if shape < 0.76:  # outer-join-over-window (q184/Q13 + rank cut)
         return _gen_outer_join_window_query(rng, domains)
-    if shape < 0.80:  # single table
+    if shape < 0.82:  # correlated RANGE-frame + EXISTS (r12, q105/q144)
+        return _gen_correlated_range_exists_query(rng, domains)
+    if shape < 0.85:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
         from_sql = f"{t} t0"
-    elif shape < 0.92:  # FK pair
+    elif shape < 0.95:  # FK pair
         lt, rt, lk, rk = rng.choice(JOINS)
         how = rng.choice(["JOIN", "LEFT JOIN", "LEFT JOIN", "FULL OUTER JOIN"])
         aliases = [(lt, "t0"), (rt, "t1")]
