@@ -74,6 +74,9 @@ CODEC = frozenset(
         "q236_wav_resample",
         "q237_gif_roundtrip",
         "q238_gif_png_transcode",
+        "q242_jpeg_restart_roundtrip",
+        "q243_jpeg_channel_stats",
+        "q244_jpeg_420_roundtrip",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"

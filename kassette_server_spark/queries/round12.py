@@ -178,3 +178,49 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import jpeg_channel_stats
 
     return jpeg_channel_stats(load(spark, sf, "documents").select("doc_id"))
+
+
+# q244: 4:2:0 chroma subsampling — the last refused sampling mode from
+# VERDICT r11's soft-edge list (a), and the layout nearly every
+# real-world photo JPEG uses. MCU = 16x16 tile carrying FOUR luma
+# blocks (Y at 2x2 sampling) + one block per chroma plane, each plane
+# 2x2 box-downsampled with exact round-half-up integer arithmetic.
+# Per-16x16-tile-constant channels survive the lossy path bit-exactly
+# (the box average of a constant is that constant), keeping the sums
+# closed-form in the id while the subsampled MCU parse, the
+# downsample/upsample pair, and restarts all sit in the gated path.
+@query(
+    "q244_jpeg_420_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 33 AS w, 16 + (doc_id * 3) % 25 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 0 + 3 * (gx.x // 16) + 5 * (gy.y // 16)) % 256 AS c0,
+             (doc_id + 1 + 3 * (gx.x // 16) + 5 * (gy.y // 16)) % 256 AS c1,
+             (doc_id + 2 + 3 * (gx.x // 16) + 5 * (gy.y // 16)) % 256 AS c2
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(((w + 15) // 16) * ((h + 15) // 16) AS BIGINT) AS n_mcus,
+           CAST(sum(c0) AS BIGINT) AS sum_c0,
+           CAST(sum(c1) AS BIGINT) AS sum_c1,
+           CAST(sum(c2) AS BIGINT) AS sum_c2
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="JPEG 4:2:0 chroma subsampling round trip: 3-component "
+    "tile-constant images through the four-luma-blocks-per-MCU "
+    "interleave, exact 2x2 box chroma downsample, restart markers, "
+    "and nearest-neighbor chroma upsample — bit-exact on the "
+    "tile-constant subset, sums closed-form in the id",
+    tags=("llmops", "multimodal"),
+)
+def q244(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_420_roundtrip_stats
+
+    return jpeg_420_roundtrip_stats(
+        load(spark, sf, "documents").select("doc_id"), restart_interval=2
+    )

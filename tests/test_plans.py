@@ -1297,3 +1297,11 @@ def test_q243_jpeg_channel_stats_scan_stage_map(spark):
     p = plan(spark, "q243_jpeg_channel_stats")
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_q244_jpeg_420_scan_stage_map(spark):
+    """4:2:0 round trip: per-row subsampled codec work, one
+    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    p = plan(spark, "q244_jpeg_420_roundtrip")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

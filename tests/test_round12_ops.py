@@ -218,3 +218,172 @@ def test_jpeg_channel_stats_closed_form(spark):
             expect = int(((i + c + 3 * bx + 5 * by) % 256).sum())
             assert r[f"sum_c{c}"] == expect
             assert r[f"mean_c{c}"] == expect / (w * h)
+
+
+# ---------------------------------------------------------------------------
+# JPEG 4:2:0 chroma subsampling (r12: VERDICT r11 soft-edge (a))
+# ---------------------------------------------------------------------------
+
+
+def _tile_constant(w: int, h: int, seed: int, tile: int = 16) -> np.ndarray:
+    tx = np.arange(w)[None, :] // tile
+    ty = np.arange(h)[:, None] // tile
+    return np.stack(
+        [(seed + c + 3 * tx + 5 * ty) % 256 for c in range(3)], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_420_tile_constant_bit_exact():
+    """Per-16x16-tile-constant images survive the full 4:2:0 path
+    bit-exactly: the 2x2 box average of a constant is that constant,
+    every coded block (4 luma + 2 chroma per MCU) is constant, and
+    the flat-8 quant divides the lone DC coefficient exactly."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    for (w, h, ri) in [
+        (16, 16, 0),  # single MCU
+        (48, 40, 2),  # 3x3 MCUs with restarts
+        (17, 16, 0),  # 1-px partial MCU column
+        (16, 17, 1),  # 1-px partial MCU row
+        (33, 25, 2),  # partial in both axes
+        (1, 1, 0),  # degenerate
+    ]:
+        px = _tile_constant(w, h, seed=w * 31 + h)
+        pay = encode_jpeg_pixels(
+            w, h, px.tobytes(), channels=3, restart_interval=ri,
+            subsampling="420",
+        )
+        assert decode_jpeg_pixels(pay) == (w, h, 3, px.tobytes())
+
+
+def test_jpeg_420_sof_declares_sampling_and_is_smaller():
+    """The SOF must declare Y at 2x2 / chroma at 1x1, and on real-sized
+    images the subsampled file must be smaller than 4:4:4 (half the
+    chroma blocks are coded)."""
+    from kassette_server_spark.operators.multimodal import (
+        encode_jpeg_pixels,
+        parse_jpeg_meta,
+    )
+
+    w, h = 64, 64
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    p420 = encode_jpeg_pixels(w, h, px, channels=3, subsampling="420")
+    p444 = encode_jpeg_pixels(w, h, px, channels=3, subsampling="444")
+    assert len(p420) < len(p444)
+    meta = parse_jpeg_meta(p420)
+    assert (meta["width"], meta["height"], meta["components"]) == (w, h, 3)
+    # SOF component bytes: id, (H<<4)|V, quant id
+    i = p420.find(b"\xff\xc0")
+    comp = p420[i + 4 + 6 :]
+    assert comp[1] == 0x22 and comp[4] == 0x11 and comp[7] == 0x11
+
+
+def test_jpeg_420_luma_full_resolution_on_lossy_content():
+    """On arbitrary content the luma plane is coded at full resolution:
+    its error is bounded by the flat-8 quantizer alone, identical to
+    the 4:4:4 grayscale path on the same plane."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        w = int(rng.integers(8, 49))
+        h = int(rng.integers(8, 49))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        pay = encode_jpeg_pixels(
+            w, h, px.tobytes(), channels=3, subsampling="420"
+        )
+        dw, dh, dch, dpx = decode_jpeg_pixels(pay)
+        got = np.frombuffer(dpx, np.uint8).reshape(h, w, 3)
+        gray = decode_jpeg_pixels(
+            encode_jpeg_pixels(w, h, px[:, :, 0].tobytes(), channels=1)
+        )[3]
+        assert got[:, :, 0].tobytes() == gray
+
+
+def test_jpeg_420_restart_framing_is_pure_framing():
+    """Restarts must not change 4:2:0 decode output on any content."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(23)
+    for _ in range(8):
+        w = int(rng.integers(1, 64))
+        h = int(rng.integers(1, 64))
+        ri = int(rng.integers(1, 4))
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        plain = decode_jpeg_pixels(
+            encode_jpeg_pixels(w, h, px, channels=3, subsampling="420")
+        )
+        rst = decode_jpeg_pixels(
+            encode_jpeg_pixels(
+                w, h, px, channels=3, subsampling="420", restart_interval=ri
+            )
+        )
+        assert plain == rst
+
+
+def test_jpeg_420_fences():
+    """Encoder and decoder refuse what they don't support, loudly."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    with pytest.raises(ValueError, match="3 components"):
+        encode_jpeg_pixels(8, 8, bytes(64), channels=1, subsampling="420")
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg_pixels(8, 8, bytes(192), channels=3, subsampling="422")
+
+    # decoder: rewrite a 4:2:0 SOF to declare 4:2:2 (2x1) — must refuse
+    px = _tile_constant(32, 32, seed=5).tobytes()
+    pay = bytearray(
+        encode_jpeg_pixels(32, 32, px, channels=3, subsampling="420")
+    )
+    i = pay.find(b"\xff\xc0")
+    assert pay[i + 4 + 6 + 1] == 0x22
+    pay[i + 4 + 6 + 1] = 0x21  # H=2, V=1
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg_pixels(bytes(pay))
+    # chroma at 2x2 alongside luma 2x2 is uniform (fine); chroma at
+    # 2x2 with luma 1x1 would invert the ratio — must refuse
+    pay = bytearray(
+        encode_jpeg_pixels(32, 32, px, channels=3, subsampling="444")
+    )
+    i = pay.find(b"\xff\xc0")
+    pay[i + 4 + 6 + 4] = 0x22  # component 2 upsampled above luma
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg_pixels(bytes(pay))
+
+
+def test_jpeg_420_fuzz_tile_constant_roundtrip():
+    """Seeded fuzz: random tile-constant rasters (arbitrary dims,
+    random tile values, random restart intervals) must all round-trip
+    bit-exactly through the 4:2:0 path."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    for seed in range(60):
+        rng = np.random.default_rng(seed)
+        w = int(rng.integers(1, 80))
+        h = int(rng.integers(1, 80))
+        tw = (w + 15) // 16
+        th = (h + 15) // 16
+        tiles = rng.integers(0, 256, size=(th, tw, 3), dtype=np.uint8)
+        px = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)[:h, :w]
+        ri = int(rng.integers(0, 4))
+        pay = encode_jpeg_pixels(
+            w, h, px.tobytes(), channels=3, restart_interval=ri,
+            subsampling="420",
+        )
+        assert decode_jpeg_pixels(pay) == (w, h, 3, px.tobytes()), seed
