@@ -77,6 +77,7 @@ CODEC = frozenset(
         "q242_jpeg_restart_roundtrip",
         "q243_jpeg_channel_stats",
         "q244_jpeg_420_roundtrip",
+        "q245_png_depth_roundtrip",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"

@@ -234,12 +234,18 @@ def _forward_filter(img, bpp: int, filters) -> bytes:
     return bytes(raw)
 
 
-def _defilter(raw: bytes, w: int, h: int, bpp: int):
-    """Reconstruct an (h, w·bpp) uint8 image from a filter-byte-prefixed
+def _defilter(raw: bytes, w: int, h: int, bpp: int, rowlen: int | None = None):
+    """Reconstruct an (h, rowlen) uint8 image from a filter-byte-prefixed
     scanline stream per spec §9 (the shared core of the sequential and
     Adam7 decode paths): numpy-vectorized None/Sub/Up, scalar
-    plain-int recurrences for Average/Paeth."""
-    rowlen = w * bpp
+    plain-int recurrences for Average/Paeth.
+
+    ``bpp`` is the FILTER UNIT in bytes (spec §9: max(1, bits-per-pixel
+    // 8) — channels at 8-bit, 2·channels at 16-bit, 1 for bit-packed
+    sub-8-bit rows). ``rowlen`` defaults to w·bpp (the unpacked case);
+    packed sub-byte rows pass ceil(w·depth/8) explicitly."""
+    if rowlen is None:
+        rowlen = w * bpp
     stride = 1 + rowlen
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     ftypes = arr[:, 0]
@@ -255,9 +261,9 @@ def _defilter(raw: bytes, w: int, h: int, bpp: int):
         up = out[y - 1] if y > 0 else zero_row
         if f == 0:  # None: straight copy
             out[y] = line
-        elif f == 1:  # Sub: prefix sum per channel lane, mod 256
+        elif f == 1:  # Sub: prefix sum per byte lane, mod 256
             out[y] = (
-                np.cumsum(line.reshape(w, bpp).astype(np.int64), axis=0)
+                np.cumsum(line.reshape(rowlen // bpp, bpp).astype(np.int64), axis=0)
                 .astype(np.uint8)
                 .reshape(rowlen)
             )
@@ -449,6 +455,197 @@ def encode_png_palette(
     )
 
 
+def encode_png_deep(
+    width: int,
+    height: int,
+    samples: bytes,
+    bit_depth: int,
+    channels: int = 1,
+    palette: bytes | None = None,
+    filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """PNG writer for the NON-8-bit depths (VERDICT r11 soft-edge (b)):
+
+    - ``bit_depth=16`` — grayscale/gray+alpha/RGB/RGBA (color types
+      0/4/2/6); ``samples`` is the big-endian sample stream
+      (w·h·channels·2 bytes, network byte order per spec §7.1). The
+      filter unit is 2·channels BYTES — §9 filters operate on bytes,
+      never on 16-bit words.
+    - ``bit_depth∈{1,2,4}`` — grayscale (color type 0) or, with
+      ``palette``, indexed (color type 3); ``samples`` is ONE byte per
+      sample (each < 2^depth), packed MSB-first into scanlines with
+      zero pad bits (spec §7.2), filter unit 1 byte.
+
+    ``filters[y]`` ∈ {0..4} per scanline (default: cycle y mod 5), so
+    Sub/Up/Average/Paeth all run over 16-bit and bit-packed rows —
+    layouts no 8-bit encoder can produce."""
+    if bit_depth not in (1, 2, 4, 16):
+        raise ValueError("encode_png_deep handles depths 1/2/4/16 "
+                         "(use encode_png* for 8)")
+    if filters is None:
+        filters = [y % 5 for y in range(height)]
+    if len(filters) != height or any(f not in range(5) for f in filters):
+        raise ValueError("filters must be height entries in 0..4")
+    if bit_depth == 16:
+        if palette is not None:
+            raise ValueError("16-bit palette PNGs do not exist (spec §11.2.2)")
+        if channels not in _PNG_COLOR_TYPE:
+            raise ValueError(f"channels must be one of {sorted(_PNG_COLOR_TYPE)}")
+        if len(samples) != width * height * channels * 2:
+            raise ValueError("samples must be w*h*channels 16-bit BE words")
+        color_type = _PNG_COLOR_TYPE[channels]
+        bpp = 2 * channels
+        img = np.frombuffer(samples, dtype=np.uint8).reshape(
+            height, width, bpp
+        )
+        if interlace:  # Adam7: each pass filtered as its own sub-image
+            raw = bytearray()
+            for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+                sub = img[y0::dy, x0::dx]
+                ph, pw = sub.shape[0], sub.shape[1]
+                if pw == 0 or ph == 0:
+                    continue
+                raw += _forward_filter(
+                    np.ascontiguousarray(sub).reshape(ph, pw * bpp),
+                    bpp,
+                    [(pi + y) % 5 for y in range(ph)],
+                )
+            raw = bytes(raw)
+        else:
+            raw = _forward_filter(img.reshape(height, width * bpp), bpp, filters)
+    else:
+        if interlace:
+            raise ValueError("sub-8-bit Adam7 not supported")
+        if channels != 1:
+            raise ValueError("sub-8-bit depths are single-channel "
+                             "(grayscale or palette index)")
+        if len(samples) != width * height:
+            raise ValueError("samples must be one byte per sample")
+        arr = np.frombuffer(samples, dtype=np.uint8).reshape(height, width)
+        if arr.size and int(arr.max()) >= (1 << bit_depth):
+            raise ValueError(f"sample exceeds {bit_depth}-bit range")
+        if palette is not None:
+            if len(palette) % 3 != 0 or not 3 <= len(palette) <= 3 * (1 << bit_depth):
+                raise ValueError("palette must be 1..2^depth RGB triples")
+            if arr.size and int(arr.max()) >= len(palette) // 3:
+                raise ValueError("index beyond palette")
+            color_type = 3
+        else:
+            color_type = 0
+        # pack MSB-first: spread each sample's depth bits, then packbits
+        # row-wise (numpy pads the trailing byte with zeros = spec §7.2)
+        spb = 8 // bit_depth  # samples per byte
+        rowlen = (width + spb - 1) // spb
+        bits = (
+            (arr[:, :, None] >> np.arange(bit_depth - 1, -1, -1)[None, None, :])
+            & 1
+        ).reshape(height, width * bit_depth)
+        packed = np.packbits(bits, axis=1)
+        assert packed.shape == (height, rowlen)
+        raw = _forward_filter(packed, 1, filters)
+    ihdr = struct.pack(
+        ">II5B", width, height, bit_depth, color_type, 0, 0, int(interlace)
+    )
+    chunks = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += _png_chunk(b"PLTE", palette)
+    return chunks + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def decode_png_pixels_deep(
+    payload: bytes,
+) -> tuple[int, int, int, int, bytes]:
+    """Depth-general PNG pixel decode (VERDICT r11 soft-edge (b)):
+    everything :func:`decode_png_pixels` handles PLUS 16-bit and
+    1/2/4-bit payloads. Returns (width, height, channels, bit_depth,
+    samples):
+
+    - depth 8 → delegates to the 8-bit path (palette expands through
+      PLTE to RGB, so palette returns depth 8 / 3 channels).
+    - depth 16 (color types 0/4/2/6, sequential or Adam7) → the
+      big-endian sample stream, w·h·channels·2 bytes. Filters
+      reconstruct over BYTES with a 2·channels filter unit (spec §9)
+      before the stream is read as 16-bit words.
+    - depths 1/2/4 (color types 0/3, sequential) → samples unpacked
+      MSB-first to ONE byte each at NATIVE range 0..2^depth−1 for
+      grayscale; palette indices expand through PLTE to RGB
+      (→ channels 3, bit_depth 8). Trailing scanline pad bits are
+      discarded per spec §7.2.
+
+    Raises on everything else (sub-8-bit Adam7, depth/color-type
+    combinations the spec forbids) rather than mis-reading."""
+    meta = parse_png_meta(payload)  # validates structure + stream length
+    depth = meta["bit_depth"]
+    if depth == 8:
+        w, h, ch, px = decode_png_pixels(payload)
+        return w, h, ch, 8, px
+    if meta["interlace"] not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {meta['interlace']}")
+    w, h, ch = meta["width"], meta["height"], meta["channels"]
+    is_palette = meta["color_type"] == 3
+    pos, idat, plte = 8, [], None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + length])
+        elif ctype == b"PLTE":
+            plte = payload[pos + 8 : pos + 8 + length]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(b"".join(idat))
+    if depth == 16:
+        if is_palette:
+            raise ValueError("16-bit palette PNGs do not exist")
+        bpp = 2 * ch
+        if meta["interlace"] == 1:
+            out = np.zeros((h, w * bpp), dtype=np.uint8)
+            view = out.reshape(h, w, bpp)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw == 0 or ph == 0:
+                    continue
+                size = ph * (1 + pw * bpp)
+                sub = _defilter(raw[pos : pos + size], pw, ph, bpp)
+                pos += size
+                view[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            if pos != len(raw):
+                raise ValueError("interlaced pixel stream length mismatch")
+        else:
+            out = _defilter(raw, w, h, bpp)
+        return w, h, ch, 16, out.tobytes()
+    if depth not in (1, 2, 4):
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if meta["color_type"] not in (0, 3):
+        raise ValueError("sub-8-bit depth is only valid for gray/palette")
+    if meta["interlace"] != 0:
+        raise ValueError("sub-8-bit Adam7 not supported")
+    spb = 8 // depth
+    rowlen = (w + spb - 1) // spb
+    packed = _defilter(raw, w, h, 1, rowlen=rowlen)
+    # unpack MSB-first, drop per-row pad bits, regroup depth bits
+    bits = np.unpackbits(packed, axis=1)[:, : w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    samples = (bits.reshape(h, w, depth) * weights[None, None, :]).sum(
+        axis=2
+    ).astype(np.uint8)
+    if is_palette:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples.reshape(-1)
+        if idx.size and int(idx.max()) >= table.shape[0]:
+            raise ValueError("palette index beyond PLTE table")
+        return w, h, 3, 8, table[idx].tobytes()
+    return w, h, 1, depth, samples.tobytes()
+
+
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL PNG pixel decode for the 8-bit non-interlaced subset —
     grayscale, gray+alpha, RGB, RGBA, and (since r11) PALETTE images
@@ -530,6 +727,93 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("palette index beyond PLTE table")
         return w, h, 3, table[idx].tobytes()  # one numpy gather
     return w, h, ch, out.tobytes()
+
+
+def png_depth_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The NON-8-bit PNG depth tier (VERDICT r11 soft-edge (b)) in one
+    oracle-gated pass — per id, at dims (8 + id mod 16) × (8 + 3·id
+    mod 12), five encode→decode round trips summed post-decode:
+
+    - sum16 — 16-bit grayscale, sequential, per-row filters cycling
+      0..4: v(x,y) = (1000·id + 257·x + 991·y) mod 65536. Sub/Up/
+      Average/Paeth all reconstruct over BYTES at a 2-byte filter
+      unit before the stream is read as big-endian words.
+    - sum16i — 16-bit RGB, ADAM7 interlaced: v_c(x,y) = (1000·id +
+      257·x + 991·y + 7777·c) mod 65536, summed over all channels —
+      the seven-pass lattice at a 6-byte filter unit.
+    - sum4 / sum2 / sum1 — 4/2/1-bit grayscale, MSB-first bit-packed
+      scanlines with zero pad bits (spec §7.2), filters over the
+      PACKED bytes: v(x,y) = (id + x + 2·y) mod 2^d for d=4,
+      (id + x + y) mod 2^d for d=2,1.
+    - sum_pal — 4-bit PALETTE: indices (id + x + 2·y) mod 16 through
+      PLTE entry k → (17k mod 256, 29k mod 256, 53k mod 256), the
+      decoded RGB summed over all three channels.
+
+    Every leg is a bit-exact lossless round trip, so each sum is
+    closed-form in the id. One Arrow-batched mapInPandas over ids —
+    scan-stage map, no shuffle. Output: (doc_id, width, height,
+    sum16, sum16i, sum4, sum2, sum1, sum_pal)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal4 = bytes(
+            v for k in range(16) for v in ((17 * k) % 256, (29 * k) % 256, (53 * k) % 256)
+        )
+        for pdf in it:
+            rows = []
+            for vv in pdf[id_col]:
+                i = int(vv)
+                w, h = 8 + i % 16, 8 + (i * 3) % 12
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                g16 = ((1000 * i + 257 * xs + 991 * ys) % 65536).astype(np.uint16)
+                pay = encode_png_deep(w, h, g16.astype(">u2").tobytes(), 16)
+                dw, dh, dch, dd, spx = decode_png_pixels_deep(pay)
+                assert (dw, dh, dch, dd) == (w, h, 1, 16)
+                sum16 = int(np.frombuffer(spx, dtype=">u2").sum(dtype=np.int64))
+
+                rgb16 = np.stack(
+                    [(1000 * i + 257 * xs + 991 * ys + 7777 * c) % 65536 for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint16)
+                pay = encode_png_deep(
+                    w, h, rgb16.astype(">u2").tobytes(), 16, channels=3, interlace=True
+                )
+                dw, dh, dch, dd, spx = decode_png_pixels_deep(pay)
+                assert (dw, dh, dch, dd) == (w, h, 3, 16)
+                sum16i = int(np.frombuffer(spx, dtype=">u2").sum(dtype=np.int64))
+
+                subs = []
+                for d, form in ((4, "x2y"), (2, "xy"), (1, "xy")):
+                    if form == "x2y":
+                        s = ((i + xs + 2 * ys) % (1 << d)).astype(np.uint8)
+                    else:
+                        s = ((i + xs + ys) % (1 << d)).astype(np.uint8)
+                    pay = encode_png_deep(w, h, s.tobytes(), d)
+                    dw, dh, dch, dd2, spx = decode_png_pixels_deep(pay)
+                    assert (dw, dh, dch, dd2) == (w, h, 1, d)
+                    subs.append(int(np.frombuffer(spx, dtype=np.uint8).sum(dtype=np.int64)))
+                sum4, sum2, sum1 = subs
+
+                idx = ((i + xs + 2 * ys) % 16).astype(np.uint8)
+                pay = encode_png_deep(w, h, idx.tobytes(), 4, palette=pal4)
+                dw, dh, dch, dd2, spx = decode_png_pixels_deep(pay)
+                assert (dw, dh, dch, dd2) == (w, h, 3, 8)
+                sum_pal = int(np.frombuffer(spx, dtype=np.uint8).sum(dtype=np.int64))
+
+                rows.append((i, w, h, sum16, sum16i, sum4, sum2, sum1, sum_pal))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "sum16", "sum16i",
+                    "sum4", "sum2", "sum1", "sum_pal",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, sum16 long, "
+        "sum16i long, sum4 long, sum2 long, sum1 long, sum_pal long",
+    )
 
 
 def resize_png_payload(payload: bytes, new_w: int, new_h: int) -> bytes:

@@ -224,3 +224,53 @@ def q244(spark: SparkSession, sf: str) -> DataFrame:
     return jpeg_420_roundtrip_stats(
         load(spark, sf, "documents").select("doc_id"), restart_interval=2
     )
+
+
+# q245: the non-8-bit PNG depth tier — VERDICT r11 soft-edge (b)
+# ("PNG decode is 8-bit only"). Five lossless legs per id: 16-bit gray
+# sequential (all five filters over a 2-byte unit), 16-bit RGB Adam7
+# (6-byte unit through the seven-pass lattice), 4/2/1-bit gray
+# (MSB-first bit-packed scanlines, filters over PACKED bytes), and a
+# 4-bit palette leg (indices through PLTE). Every sum is closed-form.
+@query(
+    "q245_png_depth_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 12 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (1000 * doc_id + 257 * gx.x + 991 * gy.y) % 65536 AS g16,
+             (1000 * doc_id + 257 * gx.x + 991 * gy.y + 0) % 65536
+               + (1000 * doc_id + 257 * gx.x + 991 * gy.y + 7777) % 65536
+               + (1000 * doc_id + 257 * gx.x + 991 * gy.y + 15554) % 65536
+               AS g16i,
+             (doc_id + gx.x + 2 * gy.y) % 16 AS g4,
+             (doc_id + gx.x + gy.y) % 4 AS g2,
+             (doc_id + gx.x + gy.y) % 2 AS g1,
+             ((doc_id + gx.x + 2 * gy.y) % 16 * 17) % 256
+               + ((doc_id + gx.x + 2 * gy.y) % 16 * 29) % 256
+               + ((doc_id + gx.x + 2 * gy.y) % 16 * 53) % 256 AS gp
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum(g16) AS BIGINT) AS sum16,
+           CAST(sum(g16i) AS BIGINT) AS sum16i,
+           CAST(sum(g4) AS BIGINT) AS sum4,
+           CAST(sum(g2) AS BIGINT) AS sum2,
+           CAST(sum(g1) AS BIGINT) AS sum1,
+           CAST(sum(gp) AS BIGINT) AS sum_pal
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="non-8-bit PNG depth tier: 16-bit sequential + Adam7 (byte-wise "
+    "filters at 2/6-byte units), 4/2/1-bit bit-packed scanlines, and a "
+    "4-bit palette leg — five lossless round trips per id, sums "
+    "closed-form",
+    tags=("llmops", "multimodal"),
+)
+def q245(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import png_depth_roundtrip_stats
+
+    return png_depth_roundtrip_stats(load(spark, sf, "documents").select("doc_id"))

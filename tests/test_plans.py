@@ -1305,3 +1305,11 @@ def test_q244_jpeg_420_scan_stage_map(spark):
     p = plan(spark, "q244_jpeg_420_roundtrip")
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_q245_png_depth_scan_stage_map(spark):
+    """Non-8-bit PNG depth tier: five per-row codec legs, one
+    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    p = plan(spark, "q245_png_depth_roundtrip")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

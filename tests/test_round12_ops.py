@@ -387,3 +387,133 @@ def test_jpeg_420_fuzz_tile_constant_roundtrip():
             subsampling="420",
         )
         assert decode_jpeg_pixels(pay) == (w, h, 3, px.tobytes()), seed
+
+
+# ---------------------------------------------------------------------------
+# Non-8-bit PNG depths (r12: VERDICT r11 soft-edge (b))
+# ---------------------------------------------------------------------------
+
+
+def test_png_16bit_roundtrip_all_filters_and_channels():
+    """16-bit samples survive every filter type at every channel
+    count: §9 filters run over BYTES at a 2·channels unit, never over
+    words."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels_deep,
+        encode_png_deep,
+    )
+
+    rng = np.random.default_rng(2)
+    for ch in (1, 2, 3, 4):
+        for _ in range(4):
+            w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+            be = (
+                rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+                .astype(">u2")
+                .tobytes()
+            )
+            for filters in (None, [0] * h, [4] * h, [3] * h):
+                pay = encode_png_deep(w, h, be, 16, channels=ch, filters=filters)
+                assert decode_png_pixels_deep(pay) == (w, h, ch, 16, be)
+
+
+def test_png_16bit_adam7_roundtrip():
+    """16-bit Adam7: seven passes at a wide filter unit, incl. the
+    degenerate dims where passes go empty."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels_deep,
+        encode_png_deep,
+    )
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 3):
+        for dims in [(1, 1), (1, 9), (9, 1), (5, 3)] + [
+            (int(rng.integers(2, 48)), int(rng.integers(2, 48))) for _ in range(6)
+        ]:
+            w, h = dims
+            be = (
+                rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+                .astype(">u2")
+                .tobytes()
+            )
+            pay = encode_png_deep(w, h, be, 16, channels=ch, interlace=True)
+            assert decode_png_pixels_deep(pay) == (w, h, ch, 16, be), dims
+
+
+def test_png_sub8_roundtrip_native_range():
+    """1/2/4-bit grayscale: MSB-first packing, zero pad bits, filters
+    over the packed bytes; decode returns NATIVE-range samples."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels_deep,
+        encode_png_deep,
+    )
+
+    rng = np.random.default_rng(4)
+    for d in (1, 2, 4):
+        for _ in range(8):
+            # widths straddling byte boundaries exercise pad bits
+            w, h = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+            s = rng.integers(0, 1 << d, size=(h, w), dtype=np.uint8)
+            pay = encode_png_deep(w, h, s.tobytes(), d)
+            assert decode_png_pixels_deep(pay) == (w, h, 1, d, s.tobytes())
+
+
+def test_png_sub8_palette_expands_through_plte():
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels_deep,
+        encode_png_deep,
+    )
+
+    rng = np.random.default_rng(6)
+    for d in (1, 2, 4):
+        n = 1 << d
+        pal = rng.integers(0, 256, size=n * 3, dtype=np.uint8).tobytes()
+        w, h = 19, 7
+        s = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+        pay = encode_png_deep(w, h, s.tobytes(), d, palette=pal)
+        gw, gh, gch, gd, px = decode_png_pixels_deep(pay)
+        tab = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+        assert (gw, gh, gch, gd) == (w, h, 3, 8)
+        assert px == tab[s.reshape(-1)].tobytes()
+
+
+def test_png_deep_depth8_delegates():
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels_deep,
+        encode_png_filtered,
+    )
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=11 * 6 * 3, dtype=np.uint8).tobytes()
+    pay = encode_png_filtered(11, 6, px, channels=3)
+    assert decode_png_pixels_deep(pay) == (11, 6, 3, 8, px)
+
+
+def test_png_deep_fences():
+    from kassette_server_spark.operators.multimodal import (
+        decode_png_pixels_deep,
+        encode_png_deep,
+    )
+
+    with pytest.raises(ValueError, match="16-bit palette"):
+        encode_png_deep(4, 4, bytes(32), 16, palette=bytes(12))
+    with pytest.raises(ValueError, match="single-channel"):
+        encode_png_deep(4, 4, bytes(32), 4, channels=2)
+    with pytest.raises(ValueError, match="range"):
+        encode_png_deep(4, 4, bytes([9] * 16), 2)
+    with pytest.raises(ValueError, match="Adam7"):
+        encode_png_deep(4, 4, bytes(16), 4, interlace=True)
+    with pytest.raises(ValueError, match="depths 1/2/4/16"):
+        encode_png_deep(4, 4, bytes(16), 8)
+    # decoder fence: a 3-bit depth IHDR must refuse (invalid per spec,
+    # but the stream length math can accidentally align)
+    good = encode_png_deep(8, 4, bytes(32), 4)
+    bad = bytearray(good)
+    assert bad[24] == 4  # IHDR bit depth byte
+    import struct as _s
+    import zlib as _z
+
+    bad[24] = 8  # lie: claim 8-bit; stream length check must catch it
+    bad[29:33] = _s.pack(">I", _z.crc32(bytes(bad[12:29])))
+    with pytest.raises(ValueError):
+        decode_png_pixels_deep(bytes(bad))
