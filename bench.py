@@ -78,6 +78,8 @@ CODEC = frozenset(
         "q243_jpeg_channel_stats",
         "q244_jpeg_420_roundtrip",
         "q245_png_depth_roundtrip",
+        "q246_g711_companding",
+        "q247_ima_adpcm",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"

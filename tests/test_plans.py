@@ -1313,3 +1313,19 @@ def test_q245_png_depth_scan_stage_map(spark):
     p = plan(spark, "q245_png_depth_roundtrip")
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_q246_g711_scan_stage_map(spark):
+    """G.711 both laws: per-row integer companding, one Arrow-batched
+    mapInPandas inside the scan stage, zero exchanges."""
+    p = plan(spark, "q246_g711_companding")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_q247_ima_adpcm_scan_stage_map(spark):
+    """IMA ADPCM: per-row sequential state machine, one Arrow-batched
+    mapInPandas inside the scan stage, zero exchanges."""
+    p = plan(spark, "q247_ima_adpcm")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

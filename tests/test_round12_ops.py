@@ -517,3 +517,102 @@ def test_png_deep_fences():
     bad[29:33] = _s.pack(">I", _z.crc32(bytes(bad[12:29])))
     with pytest.raises(ValueError):
         decode_png_pixels_deep(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding + IMA ADPCM (r12 audio codec tier)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_known_anchors_and_canonical_form():
+    """Public G.711 anchors: μ-law(+0) = 0xFF, A-law(+0) = 0xD5.
+    encode(decode(b)) == b for every byte — except μ-law's negative
+    zero 0x7F, which decodes to 0 and re-encodes as +0 (the spec's
+    one non-canonical code)."""
+    from kassette_server_spark.operators.multimodal import (
+        alaw_decode,
+        alaw_encode,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    assert mulaw_encode(np.array([0], np.int16))[0] == 0xFF
+    assert alaw_encode(np.array([0], np.int16))[0] == 0xD5
+    b = np.arange(256, dtype=np.uint8)
+    bad_mu = np.nonzero(mulaw_encode(mulaw_decode(b)) != b)[0]
+    assert list(bad_mu) == [0x7F]
+    assert mulaw_decode(np.array([0x7F], np.uint8))[0] == 0
+    assert np.array_equal(alaw_encode(alaw_decode(b)), b)
+
+
+def test_g711_full_range_error_bounds_and_monotonicity():
+    """Both laws over every int16 value: decode is monotone
+    nondecreasing in the sample and quantization error never exceeds
+    half the top-segment step (μ-law ≤ 644 incl. bias effects,
+    A-law ≤ 512)."""
+    from kassette_server_spark.operators.multimodal import (
+        alaw_decode,
+        alaw_encode,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    s = np.arange(-32768, 32768, dtype=np.int16)
+    md = mulaw_decode(mulaw_encode(s)).astype(np.int64)
+    ad = alaw_decode(alaw_encode(s)).astype(np.int64)
+    assert np.abs(md - s).max() <= 644
+    assert np.abs(ad - s).max() <= 512
+    assert np.all(np.diff(md) >= 0)
+    assert np.all(np.diff(ad) >= 0)
+
+
+def test_ima_adpcm_decode_is_encoder_predictor_walk():
+    """decode(encode(x)) must equal the encoder's internal predictor
+    sequence exactly — the invariant the recursive-CTE oracle relies
+    on — across random lengths, odd counts (padded nibble), and
+    nonzero initial state."""
+    from kassette_server_spark.operators.multimodal import (
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    rng = np.random.default_rng(9)
+    for _ in range(15):
+        n = int(rng.integers(1, 130))
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        p0 = int(rng.integers(-1000, 1000))
+        i0 = int(rng.integers(0, 89))
+        packed, fpred, fidx = ima_adpcm_encode(s, pred=p0, index=i0)
+        assert len(packed) == (n + 1) // 2
+        dec = ima_adpcm_decode(packed, n, pred=p0, index=i0)
+        assert int(dec[-1]) == fpred
+        assert 0 <= fidx <= 88
+
+
+def test_ima_adpcm_tracks_smooth_signals():
+    """On a band-limited signal the 4-bit codec tracks within the
+    adaptive step (no runaway drift)."""
+    from kassette_server_spark.operators.multimodal import (
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    t = np.arange(512)
+    s = (3000 * np.sin(t / 10)).astype(np.int16)
+    packed, _, _ = ima_adpcm_encode(s)
+    dec = ima_adpcm_decode(packed, 512)
+    assert np.abs(dec.astype(int) - s.astype(int)).max() < 2000
+
+
+def test_ima_adpcm_fences():
+    from kassette_server_spark.operators.multimodal import (
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    with pytest.raises(ValueError, match="step index"):
+        ima_adpcm_encode([0], index=89)
+    with pytest.raises(ValueError, match="step index"):
+        ima_adpcm_decode(b"\x00", 1, index=-1)
+    with pytest.raises(ValueError, match="not enough codes"):
+        ima_adpcm_decode(b"\x00", 3)
