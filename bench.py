@@ -47,6 +47,16 @@ COMPOSED = frozenset(
         "q226_embedding_drift",
         "q228_cluster_representatives",
         "q229_sketch_recall",
+        # PQ / IVF-PQ (r12): intrinsically iterative — each spec runs
+        # Lloyd training cycles as sequential bounded-collect jobs
+        # before the (fast, Arrow-batched) encode/search plan; their
+        # cost is job composition, not per-row work.
+        "q239_pq_codebooks",
+        "q240_pq_adc_topk",
+        "q241_pq_recall",
+        "q248_ivfpq_cells",
+        "q249_ivfpq_adc_topk",
+        "q250_ivfpq_recall",
     }
 )
 

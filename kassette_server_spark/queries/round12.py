@@ -46,6 +46,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load
 from ..operators.pq import (
+    ivfpq_adc_oracle_sql,
+    ivfpq_cell_oracle_sql,
+    ivfpq_recall_oracle_sql,
     pq_adc_oracle_sql,
     pq_codebook_oracle_sql,
     pq_recall_oracle_sql,
@@ -463,3 +466,57 @@ def q247(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import ima_adpcm_roundtrip_stats
 
     return ima_adpcm_roundtrip_stats(load(spark, sf, "documents").select("doc_id"))
+
+
+# q248-q250: IVF-PQ — the composed index a 100 TB corpus actually
+# serves from (coarse cells + PQ on RESIDUALS + nprobe cell pruning),
+# completing the ANN stack's scale path: int8 (q77) → JL sketch
+# (q220) → IVF (q83) → PQ/ADC (q239-q241) → IVF-PQ. The cell-
+# membership join is an EQUI-join (broadcast hash), unlike flat ADC's
+# nested-loop scan, and only nprobe/kc of the corpus is scored.
+@query(
+    "q248_ivfpq_cells",
+    oracle=ivfpq_cell_oracle_sql(kc=8, citers=2, dim=64),
+    doc="IVF coarse layout: 8 full-dimension integer centroids (q96 "
+    "Lloyd contract), per-cell population and exact residual moments "
+    "— the physical partitioning of a served 100 TB index",
+    tags=("llmops", "similarity", "pq", "ivf"),
+)
+def q248(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.pq import ivfpq_cell_stats
+
+    return ivfpq_cell_stats(load(spark, sf, "embeddings"), kc=8, iters=2)
+
+
+@query(
+    "q249_ivfpq_adc_topk",
+    oracle=ivfpq_adc_oracle_sql(kc=8, citers=2, m=8, k=16, d=8, riters=2, topk=10, nprobe=2),
+    doc="IVF-PQ search: probe the 2 nearest of 8 cells, per-cell "
+    "residual ADC tables, broadcast equi-join on cell id — exact "
+    "int64 distances, bit-portable ranks",
+    tags=("llmops", "similarity", "pq", "ivf"),
+)
+def q249(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.pq import ivfpq_adc_topk
+
+    return ivfpq_adc_topk(
+        load(spark, sf, "embeddings"), _queries(spark, sf),
+        kc=8, m=8, k=16, iters=2, topk=10, nprobe=2,
+    )
+
+
+@query(
+    "q250_ivfpq_recall",
+    oracle=ivfpq_recall_oracle_sql(kc=8, citers=2, m=8, k=16, d=8, riters=2, topk=10, nprobe=2),
+    doc="IVF-PQ acceptance gate: recall@10 against exact int8-L2 — "
+    "measures cell-pruning loss AND residual quantization loss "
+    "together on the query sample before the index serves",
+    tags=("llmops", "similarity", "pq", "ivf"),
+)
+def q250(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.pq import ivfpq_recall_at_k
+
+    return ivfpq_recall_at_k(
+        load(spark, sf, "embeddings"), _queries(spark, sf),
+        kc=8, m=8, k=16, iters=2, topk=10, nprobe=2,
+    )

@@ -1252,16 +1252,19 @@ def test_q231_temperature_mix_tau75_tiny_frame_tail(spark):
 
 
 def test_q239_pq_codebook_one_shuffle_no_python(spark):
-    """PQ training's in-frame update cycle: assignment is map-only
-    (literal codebook, zero join), so the whole plan is scan →
-    explode → ONE group-hash Exchange carrying ≤ M·K rows per map
-    partition after partial aggregation. No Python in the plan."""
+    """PQ training's in-frame update cycle: assignment + per-batch
+    partial aggregation is ONE Arrow-batched map-only pass (the
+    closure-captured codebook's vectorized numpy kernel — r12 moved
+    this off Catalyst expressions after the unrolled form blew
+    Janino's method limit and the HOF form ran interpreted at ~7 s per
+    pass), so the whole plan is scan → MapInPandas → ONE group-hash
+    Exchange carrying ≤ M·K partial rows per batch. No join anywhere."""
     import re
 
     p = plan(spark, "q239_pq_codebooks")
     assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
     assert "CartesianProduct" not in p and "Join" not in p
-    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MapInPandas" in p
 
 
 def test_q240_pq_adc_corpus_never_shuffles(spark):
@@ -1329,3 +1332,34 @@ def test_q247_ima_adpcm_scan_stage_map(spark):
     p = plan(spark, "q247_ima_adpcm")
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_q248_ivfpq_cells_one_shuffle_no_join(spark):
+    """IVF coarse layout: assignment + residual is one Arrow-batched
+    map-only pass; the only Exchange is the ≤ kc-row group hash."""
+    import re
+
+    p = plan(spark, "q248_ivfpq_cells")
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert "MapInPandas" in p
+
+
+def test_q249_ivfpq_cell_join_is_broadcast_hash(spark):
+    """IVF-PQ search: the cell-membership join is a broadcast
+    EQUI-join (hash, not nested loop — the pruning flat ADC lacks);
+    the corpus encode is a scan-stage MapInPandas and never shuffles."""
+    p = plan(spark, "q249_ivfpq_adc_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+
+
+def test_q250_ivfpq_recall_no_cartesian(spark):
+    """The IVF-PQ gate composes the cell-pruned search (broadcast hash
+    join) with the exact baseline (its own broadcast contract) and a
+    |queries|·k-row hash join — no raw cartesian anywhere."""
+    p = plan(spark, "q250_ivfpq_recall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p

@@ -160,3 +160,141 @@ def test_pq_dimension_fences(spark):
         pq_train(e, m=7, dim=D)
     with pytest.raises(ValueError, match="iters"):
         pq_train(e, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (r12): coarse cells + residual PQ + nprobe pruning
+# ---------------------------------------------------------------------------
+
+KC, NPROBE, TOPK = 8, 2, 10
+
+
+def _numpy_coarse(Q, ids, kc=KC, iters=2):
+    """Independent coarse-quantizer reference: seed = kc smallest ids,
+    Lloyd with floored integer means, final assignment. Returns
+    (assigned cids per row, book dict)."""
+    seeds = Q[np.argsort(ids)[:kc]]
+    book = {j: seeds[j].copy() for j in range(kc)}
+
+    def assign(book):
+        cids = sorted(book)
+        C = np.stack([book[c] for c in cids])
+        a = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        return np.array(cids)[a]
+
+    for _ in range(iters):
+        acids = assign(book)
+        book = {
+            int(c): np.floor_divide(
+                Q[acids == c].sum(axis=0), int((acids == c).sum())
+            )
+            for c in sorted(set(acids.tolist()))
+        }
+    return assign(book), book
+
+
+def test_ivfpq_cell_stats_match_numpy(spark):
+    """q248's per-cell populations and residual moments against the
+    independent numpy coarse quantizer."""
+    from kassette_server_spark.operators.pq import ivfpq_cell_stats
+
+    df = load(spark, SF_SMOKE, "embeddings")
+    got = {
+        int(r["cid"]): (int(r["n"]), int(r["r_sum"]), int(r["r_sqsum"]))
+        for r in ivfpq_cell_stats(df, kc=KC, iters=2).collect()
+    }
+    pdf = df.select("vec_id", "embedding").toPandas()
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(pdf["embedding"].values).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    mx = np.abs(X).max(axis=1)
+    Q = np.round(X * 127.0 / mx[:, None]).astype(np.int64)
+    acids, book = _numpy_coarse(Q, ids)
+    want = {}
+    for c in sorted(set(acids.tolist())):
+        R = Q[acids == c] - book[int(c)][None, :]
+        want[int(c)] = (
+            int((acids == c).sum()),
+            int(R.sum()),
+            int((R * R).sum()),
+        )
+    assert got == want
+
+
+def test_ivfpq_search_candidates_respect_probed_cells(spark):
+    """Every returned neighbor must live in one of its query's nprobe
+    probed cells (the pruning contract), ranks must be dense 1..topk,
+    and adc_dist nondecreasing within a query."""
+    from kassette_server_spark.operators.pq import (
+        ivf_train_coarse,
+        ivfpq_adc_topk,
+    )
+
+    df = load(spark, SF_SMOKE, "embeddings")
+    queries = df.filter("vec_id % 100 = 0")
+    out = ivfpq_adc_topk(
+        df, queries, kc=KC, m=M, k=K, iters=2, topk=TOPK, nprobe=NPROBE
+    ).toPandas()
+    coarse = ivf_train_coarse(df, kc=KC, iters=2)
+    cids = np.array([c for c, _ in coarse])
+    C = np.stack([np.array(v) for _, v in coarse])
+
+    pdf = df.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].values).astype(np.float64)
+    mx = np.abs(X).max(axis=1)
+    Q = np.round(X * 127.0 / mx[:, None]).astype(np.int64)
+    ids = pdf["vec_id"].to_numpy()
+    dist = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cell_of = dict(zip(ids.tolist(), cids[dist.argmin(axis=1)].tolist()))
+    probed = {
+        int(i): set(cids[np.argsort(dist[n], kind="stable")[:NPROBE]].tolist())
+        for n, i in enumerate(ids.tolist())
+    }
+    for qid, grp in out.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= TOPK
+        srt = grp.sort_values("rank")
+        assert (np.diff(srt["adc_dist"].to_numpy()) >= 0).all()
+        for nid in grp["neighbor_id"]:
+            assert cell_of[int(nid)] in probed[int(qid)], (qid, nid)
+
+
+def test_ivfpq_recall_bounds_and_join_consistency(spark):
+    """recall ∈ [0, 1], n_hits equals the actual intersection of the
+    two searches' neighbor sets per query."""
+    from kassette_server_spark.operators.pq import (
+        exact_int8_l2_topk,
+        ivfpq_adc_topk,
+        ivfpq_recall_at_k,
+    )
+
+    df = load(spark, SF_SMOKE, "embeddings")
+    queries = df.filter("vec_id % 100 = 0")
+    rec = ivfpq_recall_at_k(
+        df, queries, kc=KC, m=M, k=K, iters=2, topk=TOPK, nprobe=NPROBE
+    ).toPandas()
+    assert ((rec["recall"] >= 0) & (rec["recall"] <= 1)).all()
+    approx = ivfpq_adc_topk(
+        df, queries, kc=KC, m=M, k=K, iters=2, topk=TOPK, nprobe=NPROBE
+    ).toPandas()
+    exact = exact_int8_l2_topk(df, queries, topk=TOPK).toPandas()
+    for _, row in rec.iterrows():
+        a = set(approx[approx.query_id == row.query_id]["neighbor_id"])
+        e = set(exact[exact.query_id == row.query_id]["neighbor_id"])
+        assert int(row.n_hits) == len(a & e)
+
+
+def test_ivfpq_full_probe_equals_flat_residual_pq(spark):
+    """With nprobe = kc (no pruning) every corpus vector is scored, so
+    the only difference from flat PQ is residual-space quantization —
+    the result must still be a valid dense top-k per query."""
+    from kassette_server_spark.operators.pq import ivfpq_adc_topk
+
+    df = load(spark, SF_SMOKE, "embeddings")
+    queries = df.filter("vec_id % 200 = 0")
+    out = ivfpq_adc_topk(
+        df, queries, kc=KC, m=M, k=K, iters=2, topk=TOPK, nprobe=KC
+    ).toPandas()
+    for _, grp in out.groupby("query_id"):
+        assert len(grp) == TOPK
+        assert sorted(grp["rank"]) == list(range(1, TOPK + 1))
