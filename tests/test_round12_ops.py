@@ -616,3 +616,98 @@ def test_ima_adpcm_fences():
         ima_adpcm_decode(b"\x00", 1, index=-1)
     with pytest.raises(ValueError, match="not enough codes"):
         ima_adpcm_decode(b"\x00", 3)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (r12 late: the LAST refused JPEG mode)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_equals_baseline_on_any_content():
+    """Progressive reorders the scan, not the math: for ANY pixels the
+    SOF2 decode must be byte-identical to the SOF0 decode (same
+    quantized coefficients)."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.default_rng(31)
+    for _ in range(20):
+        w, h = int(rng.integers(1, 64)), int(rng.integers(1, 64))
+        ch = int(rng.choice([1, 3]))
+        px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        base = decode_jpeg_pixels(encode_jpeg_pixels(w, h, px, channels=ch))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive_pixels(w, h, px, channels=ch)
+        )
+        assert base == prog
+
+
+def test_jpeg_progressive_block_constant_bit_exact_and_scan_count():
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+        parse_jpeg_meta,
+    )
+
+    for i in (0, 5, 17, 99):
+        w, h = 8 + i % 24, 8 + (i * 3) % 16
+        px = _block_constant(w, h, ch=3, seed=i)
+        pay = encode_jpeg_progressive_pixels(w, h, px, channels=3)
+        assert parse_jpeg_meta(pay)["progressive"] is True
+        assert pay.count(b"\xff\xda") == 4  # DC + 3 AC scans
+        assert decode_jpeg_pixels(pay) == (w, h, 3, px)
+
+
+def test_jpeg_progressive_dc_prefix_is_a_preview():
+    """Truncating the file after the DC scan (plus EOI) must still
+    decode — to the per-block DC approximation. This is the transport
+    property progressive exists for: triage from the first bytes."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.default_rng(37)
+    w, h = 24, 16
+    px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    pay = encode_jpeg_progressive_pixels(w, h, px, channels=1)
+    first = pay.find(b"\xff\xda")
+    second = pay.find(b"\xff\xda", first + 2)
+    prefix = pay[:second] + b"\xff\xd9"
+    dw, dh, dch, dpx = decode_jpeg_pixels(prefix)
+    assert (dw, dh, dch) == (w, h, 1)
+    blocks = np.frombuffer(dpx, np.uint8).reshape(h // 8, 8, w // 8, 8)
+    assert (blocks == blocks[:, :1, :, :1]).all()  # per-block constant
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """A mostly-empty image makes consecutive all-zero AC bands; the
+    decoder's EOBRUN counter must skip them without consuming bits."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    w, h = 64, 64  # 64 blocks, constant image → every AC band empty
+    px = bytes([77] * (w * h))
+    pay = encode_jpeg_progressive_pixels(w, h, px, channels=1)
+    assert decode_jpeg_pixels(pay) == (w, h, 1, px)
+
+
+def test_jpeg_progressive_fences():
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    with pytest.raises(ValueError, match="channels"):
+        encode_jpeg_progressive_pixels(4, 4, bytes(32), channels=2)
+    # truncated mid-scan must raise, not return garbage
+    px = _block_constant(24, 16, ch=3, seed=3)
+    pay = encode_jpeg_progressive_pixels(24, 16, px, channels=3)
+    cut = pay[: pay.find(b"\xff\xda", pay.find(b"\xff\xda") + 2) + 20]
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(cut)
