@@ -711,3 +711,50 @@ def test_jpeg_progressive_fences():
     cut = pay[: pay.find(b"\xff\xda", pay.find(b"\xff\xda") + 2) + 20]
     with pytest.raises(ValueError):
         decode_jpeg_pixels(cut)
+
+
+def test_r12_codecs_run_in_structured_streaming(spark):
+    """The r12-late codec shapes are stateless mapInPandas like the
+    rest of the tier — the SAME operator runs unchanged over a
+    streaming source; stream output must equal the batch run
+    row-for-row (here: the 4:2:0 tier, the most structurally novel
+    shape of the wave)."""
+    from conftest import SF_SMOKE
+
+    from kassette_server_spark.catalog import load
+    from kassette_server_spark.operators.multimodal import (
+        jpeg_420_roundtrip_stats,
+    )
+
+    batch = {
+        tuple(r)
+        for r in jpeg_420_roundtrip_stats(
+            load(spark, SF_SMOKE, "documents").select("doc_id").limit(64)
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMOKE)
+        .select("doc_id")
+        .limit(64)
+    )
+    q = (
+        jpeg_420_roundtrip_stats(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("jpeg420_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, width, height, n_mcus, sum_c0, sum_c1, sum_c2 "
+            "FROM jpeg420_stream_out"
+        ).collect()
+    }
+    assert got == batch and got
