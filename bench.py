@@ -91,6 +91,7 @@ CODEC = frozenset(
         "q246_g711_companding",
         "q247_ima_adpcm",
         "q251_jpeg_progressive_roundtrip",
+        "q252_jpeg_422_roundtrip",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"

@@ -1170,6 +1170,14 @@ def _box_downsample_2x2(plane: "np.ndarray") -> "np.ndarray":
     ).astype(np.uint8)
 
 
+def _box_downsample_2x1(plane: "np.ndarray") -> "np.ndarray":
+    """Exact horizontal 2:1 box average with round-half-up:
+    (a+b+1) div 2 — the 4:2:2 chroma path (chroma halved in x only,
+    full vertical resolution). ``plane`` must have even width."""
+    s = plane.astype(np.int64)
+    return ((s[:, 0::2] + s[:, 1::2] + 1) // 2).astype(np.uint8)
+
+
 def encode_jpeg_pixels(
     width: int, height: int, pixels: bytes, channels: int = 1,
     restart_interval: int = 0, subsampling: str = "444",
@@ -1191,7 +1199,11 @@ def encode_jpeg_pixels(
     §F.1.1.5.1).
 
     ``subsampling="444"`` interleaves one 8x8 block per component per
-    MCU at 1x1 sampling. ``subsampling="420"`` (channels=3 only) is
+    MCU at 1x1 sampling. ``subsampling="422"`` (channels=3 only) keeps
+    full vertical chroma resolution and halves it horizontally: MCU =
+    a 16x8 tile with TWO component-1 blocks at 2x1 sampling, chroma
+    2:1 box-averaged in x with exact round-half-up ((a+b+1) div 2) —
+    the broadcast-video layout. ``subsampling="420"`` (channels=3 only) is
     the layout nearly every real-world photo JPEG uses: component 1
     at 2x2 sampling, components 2/3 at 1x1, MCU = a 16x16 pixel tile
     carrying FOUR component-1 blocks (raster order within the MCU,
@@ -1213,10 +1225,10 @@ def encode_jpeg_pixels(
     bounds corruption blast radius to one segment (VERDICT r11 #4)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (grayscale) or 3")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    if subsampling == "420" and channels != 3:
-        raise ValueError("4:2:0 requires 3 components")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
+    if subsampling != "444" and channels != 3:
+        raise ValueError("chroma subsampling requires 3 components")
     if len(pixels) != width * height * channels:
         raise ValueError("pixels must be width*height*channels bytes")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
@@ -1226,10 +1238,13 @@ def encode_jpeg_pixels(
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(
         height, width, channels
     )
-    # MCU geometry: 8x8 at 4:4:4 / grayscale, 16x16 at 4:2:0
-    mcu_px = 16 if subsampling == "420" else 8
-    mw, mh = (width + mcu_px - 1) // mcu_px, (height + mcu_px - 1) // mcu_px
-    padded = np.empty((mh * mcu_px, mw * mcu_px, channels), dtype=np.uint8)
+    # MCU geometry: 8x8 at 4:4:4 / grayscale, 16x16 at 4:2:0,
+    # 16x8 at 4:2:2 (chroma halved in x only)
+    mcu_w_px = 16 if subsampling in ("420", "422") else 8
+    mcu_h_px = 16 if subsampling == "420" else 8
+    mw = (width + mcu_w_px - 1) // mcu_w_px
+    mh = (height + mcu_h_px - 1) // mcu_h_px
+    padded = np.empty((mh * mcu_h_px, mw * mcu_w_px, channels), dtype=np.uint8)
     padded[:height, :width] = img
     padded[height:, :width] = img[-1:, :]  # replicate bottom edge
     padded[:, width:] = padded[:, width - 1 : width]  # then right edge
@@ -1253,6 +1268,13 @@ def encode_jpeg_pixels(
             blocks_of(padded[:, :, 0]),
             blocks_of(_box_downsample_2x2(padded[:, :, 1])),
             blocks_of(_box_downsample_2x2(padded[:, :, 2])),
+        ]
+    elif subsampling == "422":
+        samp = [(2, 1), (1, 1), (1, 1)]
+        comp_blocks = [
+            blocks_of(padded[:, :, 0]),
+            blocks_of(_box_downsample_2x1(padded[:, :, 1])),
+            blocks_of(_box_downsample_2x1(padded[:, :, 2])),
         ]
     else:
         samp = [(1, 1)] * channels
@@ -1800,22 +1822,25 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 # component spec: id, sampling, quant table id
                 cid, samp, ctq = data[6 + 3 * cn : 9 + 3 * cn]
                 sh, sv = samp >> 4, samp & 0x0F
-                if (sh, sv) not in ((1, 1), (2, 2)):
+                if (sh, sv) not in ((1, 1), (2, 1), (2, 2)):
                     raise ValueError(
-                        "sampling factors limited to 1x1 and 2x2"
+                        "sampling factors limited to 1x1, 2x1 and 2x2"
                     )
                 comps.append((cid, ctq, sh, sv))
             factors = {(sh, sv) for _, _, sh, sv in comps}
+            chroma_11 = ncomp == 3 and all(
+                c[2:] == (1, 1) for c in comps[1:]
+            )
             if factors not in ({(1, 1)}, {(2, 2)}) and not (
-                ncomp == 3
-                and comps[0][2:] == (2, 2)
-                and comps[1][2:] == (1, 1)
-                and comps[2][2:] == (1, 1)
+                chroma_11 and comps[0][2:] in ((2, 2), (2, 1))
             ):
                 # uniform sampling (all 1x1 — or all 2x2, which is the
-                # same layout at a bigger MCU) or 4:2:0; anything else
-                # (4:2:2, 4:1:1, ...) raises rather than mis-reads
-                raise ValueError("only uniform and 4:2:0 sampling supported")
+                # same layout at a bigger MCU), 4:2:0 (luma 2x2), or
+                # 4:2:2 (luma 2x1); anything else (4:1:1, inverted
+                # ratios, ...) raises rather than mis-reads
+                raise ValueError(
+                    "only uniform, 4:2:2 and 4:2:0 sampling supported"
+                )
             sof = (width, height, comps)
         elif marker == 0xDD:  # DRI
             if length != 4:
@@ -2185,6 +2210,67 @@ def jpeg_progressive_roundtrip_stats(
     return df.mapInPandas(
         batches,
         schema="doc_id long, width long, height long, n_scans long, "
+        "sum_c0 long, sum_c1 long, sum_c2 long",
+    )
+
+
+def jpeg_422_roundtrip_stats(
+    df: DataFrame, id_col: str = "doc_id", restart_interval: int = 2
+) -> DataFrame:
+    """4:2:2 chroma subsampling through the scan machinery — the
+    broadcast-video layout (chroma halved in x, full in y), completing
+    the JPEG sampling matrix beside 4:4:4 (q233/q243) and 4:2:0
+    (q244). Per id, a 3-component image with per-16x8-TILE-constant
+    channels ch_c(x, y) = (id + c + 3·(x div 16) + 5·(y div 8)) mod
+    256 at dims (16 + id mod 37) × (8 + 3·id mod 21) — partial MCUs
+    in both axes — encoded 4:2:2 (two luma blocks per MCU at 2x1,
+    chroma 2:1 box-averaged in x with exact round-half-up) with a
+    restart every 2 MCUs, decoded, channel-summed. Tile-constant
+    content survives the lossy path bit-exactly, keeping the sums
+    closed-form while the 2x1 MCU interleave and the horizontal
+    downsample/upsample pair sit in the oracle-gated path.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, width, height, n_mcus, sum_c0, sum_c1,
+    sum_c2)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                w, h = 16 + i % 37, 8 + (i * 3) % 21
+                tx = np.arange(w)[None, :] // 16
+                ty = np.arange(h)[:, None] // 8
+                px = (
+                    np.stack(
+                        [(i + c + 3 * tx + 5 * ty) % 256 for c in range(3)],
+                        axis=-1,
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+                pay = encode_jpeg_pixels(
+                    w, h, px, channels=3,
+                    restart_interval=restart_interval, subsampling="422",
+                )
+                dw, dh, dch, dpx = decode_jpeg_pixels(pay)
+                assert (dw, dh, dch) == (w, h, 3)
+                a = np.frombuffer(dpx, dtype=np.uint8).reshape(-1, 3)
+                s = a.sum(axis=0, dtype=np.int64)
+                n_mcus = ((w + 15) // 16) * ((h + 7) // 8)
+                rows.append((i, w, h, n_mcus, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_mcus",
+                    "sum_c0", "sum_c1", "sum_c2",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, n_mcus long, "
         "sum_c0 long, sum_c1 long, sum_c2 long",
     )
 

@@ -564,3 +564,43 @@ def q251(spark: SparkSession, sf: str) -> DataFrame:
     return jpeg_progressive_roundtrip_stats(
         load(spark, sf, "documents").select("doc_id")
     )
+
+
+# q252: 4:2:2 — the broadcast-video sampling layout, completing the
+# JPEG sampling matrix (4:4:4 q233/q243, 4:2:0 q244, progressive
+# q251). MCU = 16x8 tile with two 2x1 luma blocks; chroma 2:1
+# box-averaged in x only with exact round-half-up, so per-16x8-tile-
+# constant channels survive the lossy path bit-exactly.
+@query(
+    "q252_jpeg_422_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 37 AS w, 8 + (doc_id * 3) % 21 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 0 + 3 * (gx.x // 16) + 5 * (gy.y // 8)) % 256 AS c0,
+             (doc_id + 1 + 3 * (gx.x // 16) + 5 * (gy.y // 8)) % 256 AS c1,
+             (doc_id + 2 + 3 * (gx.x // 16) + 5 * (gy.y // 8)) % 256 AS c2
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(((w + 15) // 16) * ((h + 7) // 8) AS BIGINT) AS n_mcus,
+           CAST(sum(c0) AS BIGINT) AS sum_c0,
+           CAST(sum(c1) AS BIGINT) AS sum_c1,
+           CAST(sum(c2) AS BIGINT) AS sum_c2
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="JPEG 4:2:2 round trip: two-luma-block 16x8 MCUs, exact "
+    "horizontal 2:1 chroma box average, restart markers — bit-exact "
+    "on tile-constant content, sums closed-form in the id",
+    tags=("llmops", "multimodal"),
+)
+def q252(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_422_roundtrip_stats
+
+    return jpeg_422_roundtrip_stats(
+        load(spark, sf, "documents").select("doc_id"), restart_interval=2
+    )

@@ -1372,3 +1372,11 @@ def test_q251_jpeg_progressive_scan_stage_map(spark):
     p = plan(spark, "q251_jpeg_progressive_roundtrip")
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_q252_jpeg_422_scan_stage_map(spark):
+    """4:2:2 round trip: per-row subsampled codec work, one
+    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    p = plan(spark, "q252_jpeg_422_roundtrip")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

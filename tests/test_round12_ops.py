@@ -758,3 +758,47 @@ def test_r12_codecs_run_in_structured_streaming(spark):
         ).collect()
     }
     assert got == batch and got
+
+
+def test_jpeg_422_tile_constant_bit_exact_and_fuzz():
+    """4:2:2: per-16x8-tile-constant images are lossless (the 2:1
+    horizontal box average of a constant pair is that constant);
+    seeded fuzz over random tile values, dims, restart intervals."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    for seed in range(40):
+        rng = np.random.default_rng(1000 + seed)
+        w = int(rng.integers(1, 70))
+        h = int(rng.integers(1, 40))
+        tw, th = (w + 15) // 16, (h + 7) // 8
+        tiles = rng.integers(0, 256, size=(th, tw, 3), dtype=np.uint8)
+        px = np.repeat(np.repeat(tiles, 8, axis=0), 16, axis=1)[:h, :w]
+        ri = int(rng.integers(0, 4))
+        pay = encode_jpeg_pixels(
+            w, h, px.tobytes(), channels=3, restart_interval=ri,
+            subsampling="422",
+        )
+        assert decode_jpeg_pixels(pay) == (w, h, 3, px.tobytes()), seed
+
+
+def test_jpeg_422_luma_full_resolution_and_sof_bytes():
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(77)
+    w, h = 29, 13
+    px3 = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    pay = encode_jpeg_pixels(w, h, px3.tobytes(), channels=3, subsampling="422")
+    got = np.frombuffer(decode_jpeg_pixels(pay)[3], np.uint8).reshape(h, w, 3)
+    gray = decode_jpeg_pixels(
+        encode_jpeg_pixels(w, h, px3[:, :, 0].tobytes(), channels=1)
+    )[3]
+    assert got[:, :, 0].tobytes() == gray
+    i = pay.find(b"\xff\xc0")
+    assert pay[i + 4 + 6 + 1] == 0x21  # luma 2x1
+    assert pay[i + 4 + 6 + 4] == 0x11 and pay[i + 4 + 6 + 7] == 0x11
