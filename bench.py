@@ -92,6 +92,7 @@ CODEC = frozenset(
         "q247_ima_adpcm",
         "q251_jpeg_progressive_roundtrip",
         "q252_jpeg_422_roundtrip",
+        "q253_wav_codec_container",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"

@@ -3956,3 +3956,250 @@ def ima_adpcm_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFram
         schema="doc_id long, n long, code_sum long, decoded_sum long, "
         "final_pred long, final_index long",
     )
+
+
+# --- compressed WAV containers (A-law / μ-law / IMA ADPCM) ------------------
+#
+# The G.711 and IMA codecs above move raw sample arrays; real corpora
+# carry them inside WAV containers with format tags 6 (A-law),
+# 7 (μ-law) and 0x11 (IMA ADPCM). The ADPCM layout is the interesting
+# one at 100 TB: the stream is split into independent BLOCKS, each
+# opening with (first sample verbatim, step index) — so any block
+# decodes with no state from its predecessors, the same
+# parallel-decode property JPEG restart markers buy (q242), and
+# corruption stays contained to one block.
+
+_WAV_FMT_ALAW, _WAV_FMT_MULAW, _WAV_FMT_IMA = 6, 7, 0x11
+
+
+def _wav_container(
+    fmt_tag: int,
+    sample_rate: int,
+    block_align: int,
+    bits: int,
+    n_samples: int,
+    data: bytes,
+) -> bytes:
+    """RIFF/fmt(+fact)/data assembly — mono. Non-PCM formats carry the
+    spec-mandated ``fact`` chunk with the true sample count (the data
+    size alone under-determines it for block codecs)."""
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, 1, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    fact = (
+        b"" if fmt_tag == 1
+        else b"fact" + struct.pack("<II", 4, n_samples)
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_compressed(
+    samples: "np.ndarray",
+    sample_rate: int = 8000,
+    codec: str = "mulaw",
+    block_align: int = 256,
+) -> bytes:
+    """int16 mono samples → a compressed WAV: ``codec`` ∈ {"alaw",
+    "mulaw", "ima"}. G.711 writes one companded byte per sample
+    (format 6/7, bits=8). "ima" writes format 0x11 blocks of
+    ``block_align`` bytes — per block a 4-byte header (first sample
+    verbatim as int16 LE, current step index, reserved 0) then
+    (block_align−4)·2 nibbles, so samples_per_block =
+    1 + (block_align−4)·2; the final block zero-pads its nibble tail
+    and the fact chunk records the true count. The step index CARRIES
+    across blocks (per the IMA recommended practice) but the predictor
+    re-seeds from each header — the property that makes every block
+    independently decodable."""
+    s = np.asarray(samples, dtype=np.int16)
+    n = int(s.size)
+    if n == 0:
+        raise ValueError("need at least one sample")
+    if codec == "alaw":
+        return _wav_container(
+            _WAV_FMT_ALAW, sample_rate, 1, 8, n, alaw_encode(s).tobytes()
+        )
+    if codec == "mulaw":
+        return _wav_container(
+            _WAV_FMT_MULAW, sample_rate, 1, 8, n, mulaw_encode(s).tobytes()
+        )
+    if codec != "ima":
+        raise ValueError("codec must be 'alaw', 'mulaw' or 'ima'")
+    if block_align < 8:
+        raise ValueError("ima block_align must be >= 8")
+    spb = 1 + (block_align - 4) * 2
+    out = bytearray()
+    index = 0
+    for b0 in range(0, n, spb):
+        first = int(s[b0])
+        chunk = s[b0 + 1 : b0 + spb]
+        out += struct.pack("<hBB", first, index, 0)
+        packed, _, index = ima_adpcm_encode(chunk, pred=first, index=index)
+        out += packed.ljust(block_align - 4, b"\x00")
+    return _wav_container(_WAV_FMT_IMA, sample_rate, block_align, 4, n, bytes(out))
+
+
+def parse_wav_meta_ext(payload: bytes) -> dict:
+    """:func:`parse_wav_meta` for the compressed formats too: walks
+    RIFF chunks, reads fmt AND fact, and derives the sample count per
+    format (PCM/G.711 from data size; IMA ADPCM from the fact chunk,
+    cross-checked against the block arithmetic)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF header")
+    pos, fmt, data_size, fact_n = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"fact":
+            (fact_n,) = struct.unpack_from("<I", payload, pos + 8)
+        elif cid == b"data":
+            data_size = length
+        pos += 8 + length + (length & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if block_align == 0 or sample_rate == 0:
+        raise ValueError("zero block_align/sample_rate in fmt chunk")
+    if audio_format == 1:
+        n_samples = data_size // block_align
+    elif audio_format in (_WAV_FMT_ALAW, _WAV_FMT_MULAW):
+        n_samples = fact_n if fact_n is not None else data_size // channels
+    elif audio_format == _WAV_FMT_IMA:
+        if fact_n is None:
+            raise ValueError("IMA ADPCM WAV requires a fact chunk")
+        spb = 1 + (block_align - 4) * 2
+        max_n = (data_size // block_align + 1) * spb
+        if fact_n > max_n:
+            raise ValueError("fact sample count exceeds block capacity")
+        n_samples = fact_n
+    else:
+        raise ValueError(f"unsupported WAV format {audio_format}")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // sample_rate,
+        "audio_format": audio_format,
+        "fmt": "wav",
+    }
+
+
+def decode_wav_compressed(payload: bytes) -> "np.ndarray":
+    """Compressed WAV → int16 samples, dispatched on the format tag:
+    PCM-16 verbatim, G.711 through the companding tables, IMA ADPCM
+    block by block (each block re-seeds the predictor from its header
+    — blocks decode independently, in any order)."""
+    meta = parse_wav_meta_ext(payload)
+    n = meta["n_samples"]
+    # find the data chunk
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + length]
+            break
+        pos += 8 + length + (length & 1)
+    if data is None:
+        raise ValueError("missing data chunk")
+    af = meta["audio_format"]
+    if af == 1:
+        return np.frombuffer(data, dtype="<i2")[:n].astype(np.int16)
+    if af in (_WAV_FMT_ALAW, _WAV_FMT_MULAW):
+        codes = np.frombuffer(data[:n], dtype=np.uint8)
+        return alaw_decode(codes) if af == _WAV_FMT_ALAW else mulaw_decode(codes)
+    # IMA: re-read block_align from fmt (meta carries bits=4)
+    block_align = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            block_align = struct.unpack_from("<HHIIHH", payload, pos + 8)[4]
+            break
+        pos += 8 + length + (length & 1)
+    spb = 1 + (block_align - 4) * 2
+    out = np.empty(n, dtype=np.int16)
+    wrote = 0
+    for boff in range(0, len(data), block_align):
+        if wrote >= n:
+            break
+        first, index, _ = struct.unpack_from("<hBB", data, boff)
+        if not 0 <= index <= 88:
+            raise ValueError("corrupt IMA block header: bad step index")
+        out[wrote] = first
+        wrote += 1
+        take = min(spb - 1, n - wrote)
+        if take > 0:
+            nib = data[boff + 4 : boff + 4 + (take + 1) // 2]
+            out[wrote : wrote + take] = ima_adpcm_decode(
+                nib, take, pred=first, index=index
+            )
+            wrote += take
+    if wrote != n:
+        raise ValueError("truncated IMA ADPCM data")
+    return out
+
+
+def wav_codec_container_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The compressed-WAV container tier — per id, n = 64 + id mod 64
+    full-range samples s_j = ((7919·id + 104729·j) mod 65536) − 32768
+    travel through THREE real containers: A-law WAV (format 6), μ-law
+    WAV (format 7), and IMA ADPCM WAV (format 0x11, block_align=12 →
+    17 samples per block, several blocks per file incl. a zero-padded
+    partial tail governed by the fact chunk). Each payload is
+    re-parsed (RIFF walk + fact) and block-decoded; decoded sums are
+    closed-form via the q246 CASE ladders and the q247 recurrence
+    extended with the per-block predictor re-seed. The IMA blocks are
+    the audio twin of JPEG restart segments: independently decodable
+    chunks of one stream — the property that parallelizes decode at
+    100 TB.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, n, n_blocks, alaw_sum, mulaw_sum,
+    ima_sum)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                n = 64 + i % 64
+                j = np.arange(n, dtype=np.int64)
+                s = ((7919 * i + 104729 * j) % 65536 - 32768).astype(np.int16)
+                sums = {}
+                for codec in ("alaw", "mulaw", "ima"):
+                    pay = encode_wav_compressed(
+                        s, codec=codec, block_align=12
+                    )
+                    meta = parse_wav_meta_ext(pay)
+                    assert meta["n_samples"] == n
+                    dec = decode_wav_compressed(pay)
+                    sums[codec] = int(dec.astype(np.int64).sum())
+                n_blocks = (n + 16) // 17  # spb = 1 + (12-4)*2 = 17
+                rows.append(
+                    (i, n, n_blocks, sums["alaw"], sums["mulaw"], sums["ima"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n", "n_blocks",
+                    "alaw_sum", "mulaw_sum", "ima_sum",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, n long, n_blocks long, alaw_sum long, "
+        "mulaw_sum long, ima_sum long",
+    )

@@ -109,22 +109,23 @@ _WINDOW: tuple[str, ...] = (
 # round 12 alongside the r12 window above; r12-born specs take
 # first-row priority per the standing first-round policy):
 # r13 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + first driver rows for every r12-born spec (14: q239_pq_codebooks,
+# + first driver rows for every r12-born spec (15: q239_pq_codebooks,
 #   q240_pq_adc_topk, q241_pq_recall, q242_jpeg_restart_roundtrip,
 #   q243_jpeg_channel_stats, q244_jpeg_420_roundtrip,
 #   q245_png_depth_roundtrip, q246_g711_companding, q247_ima_adpcm,
 #   q248_ivfpq_cells, q249_ivfpq_adc_topk, q250_ivfpq_recall,
-#   q251_jpeg_progressive_roundtrip, q252_jpeg_422_roundtrip — final;
-#   names verified against the registry at round close)
+#   q251_jpeg_progressive_roundtrip, q252_jpeg_422_roundtrip,
+#   q253_wav_codec_container — final; names verified against the
+#   registry at round close)
 # + the q172-q178 roll (7: q172_tpch_q20_dominant_suppliers,
 #   q173_spearman_corr, q174_welch_t_test, q175_rank_calibration,
 #   q176_mrr_at_10, q177_hellinger_drift, q178_seasonal_backtest,
 #   last green r8/r9)
-# + the r8 tier in q-number order from q179_compaction_plan through
-#   q201_log_rank (23 names, q179-q201 verified against the registry
-#   at write time), tail-truncated so the window holds exactly 50.
-# Arithmetic: 6 + 14 + 7 + 23 = 50 exactly; q202+ (the TPC-H
-# completion tier) rolls to r14.
+# + the r8 tier in q-number order from q179_compaction_plan,
+#   tail-truncated so the window holds exactly 50: 22 names,
+#   q179-q200 (verified against the registry at write time).
+# Arithmetic: 6 + 15 + 7 + 22 = 50 exactly; q201_log_rank and q202+
+# (the TPC-H completion tier) roll to r14.
 # Every spec stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run regardless of rotation position;
 # prioritize specs whose OPERATORS changed since their last row.

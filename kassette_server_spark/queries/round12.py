@@ -604,3 +604,136 @@ def q252(spark: SparkSession, sf: str) -> DataFrame:
     return jpeg_422_roundtrip_stats(
         load(spark, sf, "documents").select("doc_id"), restart_interval=2
     )
+
+
+# q253: the compressed-WAV container tier — A-law/μ-law (formats 6/7)
+# and IMA ADPCM (format 0x11) through REAL RIFF containers with fact
+# chunks and block framing. The IMA blocks re-seed the predictor from
+# each 4-byte header (index carries), so every block decodes
+# independently — the audio twin of JPEG restart segments. The oracle
+# composes the q246 CASE ladders with the q247 recursive CTE extended
+# by the per-block re-seed (j mod 17 = 0 → predictor := raw sample).
+@query(
+    "q253_wav_codec_container",
+    oracle=f"""
+    WITH RECURSIVE samples AS (
+      SELECT doc_id, j.j,
+             (7919 * doc_id + 104729 * j.j) % 65536 - 32768 AS s
+      FROM documents,
+           unnest(CAST(range(0, 128) AS BIGINT[])) AS j(j)
+      WHERE j.j < 64 + doc_id % 64
+    ),
+    mu AS (
+      SELECT doc_id, s, CASE WHEN s < 0 THEN 128 ELSE 0 END AS sign,
+             LEAST(abs(s), 32635) + 132 AS mag FROM samples),
+    mu2 AS (
+      SELECT doc_id, s, sign, mag,
+             CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+                  WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+                  WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+                  WHEN mag >= 256 THEN 1 ELSE 0 END AS exp FROM mu),
+    mu3 AS (
+      SELECT doc_id, sign, exp, (mag // (1 << (exp + 3))) % 16 AS mant
+      FROM mu2),
+    mu4 AS (
+      SELECT doc_id,
+             CASE WHEN sign = 128
+                  THEN -(((mant * 8 + 132) * (1 << exp)) - 132)
+                  ELSE ((mant * 8 + 132) * (1 << exp)) - 132 END AS dec
+      FROM mu3),
+    al AS (
+      SELECT doc_id, CASE WHEN s >= 0 THEN 128 ELSE 0 END AS sign,
+             LEAST(abs(s), 32767) AS mag FROM samples),
+    al2 AS (
+      SELECT doc_id, sign, mag,
+             CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+                  WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+                  WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+                  WHEN mag >= 256 THEN 1 ELSE 0 END AS exp FROM al),
+    al3 AS (
+      SELECT doc_id, sign, exp,
+             CASE WHEN exp = 0 THEN mag // 16
+                  ELSE (mag // (1 << (exp + 3))) % 16 END AS mant FROM al2),
+    al4 AS (
+      SELECT doc_id,
+             CASE WHEN sign = 128
+                  THEN CASE WHEN exp = 0 THEN mant * 16 + 8
+                            ELSE (mant * 16 + 264) * (1 << (exp - 1)) END
+                  ELSE -(CASE WHEN exp = 0 THEN mant * 16 + 8
+                              ELSE (mant * 16 + 264) * (1 << (exp - 1)) END)
+             END AS dec FROM al3),
+    steps(doc_id, j, pred, idx, acc_pred) AS (
+      SELECT doc_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT doc_id, j,
+             CASE WHEN j % 17 = 0 THEN x
+                  ELSE GREATEST(-32768, LEAST(32767,
+                    pred + CASE WHEN sgn = 1 THEN -diff ELSE diff END))
+             END AS pred,
+             CASE WHEN j % 17 = 0 THEN idx
+                  ELSE GREATEST(0, LEAST(88, idx +
+                    CASE mag WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1
+                             WHEN 3 THEN -1 WHEN 4 THEN 2 WHEN 5 THEN 4
+                             WHEN 6 THEN 6 ELSE 8 END))
+             END AS idx,
+             acc_pred + CASE WHEN j % 17 = 0 THEN x
+                  ELSE GREATEST(-32768, LEAST(32767,
+                    pred + CASE WHEN sgn = 1 THEN -diff ELSE diff END))
+             END
+      FROM (
+        SELECT *,
+               (step // 8) + b2 * step + b1 * (step // 2) + b0 * (step // 4)
+                 AS diff,
+               4 * b2 + 2 * b1 + b0 AS mag
+        FROM (
+          SELECT *, CASE WHEN r2 >= step // 4 THEN 1 ELSE 0 END AS b0
+          FROM (
+            SELECT *,
+                   CASE WHEN r1 >= step // 2 THEN 1 ELSE 0 END AS b1,
+                   r1 - CASE WHEN r1 >= step // 2 THEN step // 2 ELSE 0 END
+                     AS r2
+            FROM (
+              SELECT *,
+                     CASE WHEN ad >= step THEN 1 ELSE 0 END AS b2,
+                     ad - CASE WHEN ad >= step THEN step ELSE 0 END AS r1
+              FROM (
+                SELECT doc_id, j + 1 AS j, pred, idx, acc_pred,
+                       list_extract({_IMA_STEPS_SQL}, idx + 1) AS step,
+                       CASE WHEN x - pred < 0 THEN 1 ELSE 0 END AS sgn,
+                       abs(x - pred) AS ad, x
+                FROM (
+                  SELECT *,
+                         (7919 * doc_id + 104729 * (j + 1)) % 65536 - 32768
+                           AS x
+                  FROM steps WHERE j + 1 < 64 + doc_id % 64
+                )
+              )
+            )
+          )
+        )
+      )
+    ),
+    mu_agg AS (SELECT doc_id, CAST(sum(dec) AS BIGINT) AS mulaw_sum
+               FROM mu4 GROUP BY doc_id),
+    a_agg AS (SELECT doc_id, CAST(sum(dec) AS BIGINT) AS alaw_sum
+              FROM al4 GROUP BY doc_id),
+    ima_agg AS (SELECT doc_id, acc_pred AS ima_sum FROM steps
+                WHERE j = 63 + doc_id % 64)
+    SELECT m.doc_id, CAST(64 + m.doc_id % 64 AS BIGINT) AS n,
+           CAST((64 + m.doc_id % 64 + 16) // 17 AS BIGINT) AS n_blocks,
+           a.alaw_sum, m.mulaw_sum, i.ima_sum
+    FROM mu_agg m JOIN a_agg a USING (doc_id) JOIN ima_agg i USING (doc_id)
+    """,
+    doc="compressed WAV containers: A-law/mu-law (formats 6/7) and "
+    "block-framed IMA ADPCM (format 0x11) through real RIFF+fact "
+    "parse and block decode; IMA blocks re-seed the predictor per "
+    "header — independently decodable, the audio twin of JPEG "
+    "restarts",
+    tags=("llmops", "multimodal", "audio"),
+)
+def q253(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import wav_codec_container_stats
+
+    return wav_codec_container_stats(load(spark, sf, "documents").select("doc_id"))

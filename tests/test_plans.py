@@ -1380,3 +1380,11 @@ def test_q252_jpeg_422_scan_stage_map(spark):
     p = plan(spark, "q252_jpeg_422_roundtrip")
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_q253_wav_container_scan_stage_map(spark):
+    """Compressed-WAV container tier: per-row RIFF+codec work, one
+    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    p = plan(spark, "q253_wav_codec_container")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

@@ -802,3 +802,126 @@ def test_jpeg_422_luma_full_resolution_and_sof_bytes():
     i = pay.find(b"\xff\xc0")
     assert pay[i + 4 + 6 + 1] == 0x21  # luma 2x1
     assert pay[i + 4 + 6 + 4] == 0x11 and pay[i + 4 + 6 + 7] == 0x11
+
+
+# ---------------------------------------------------------------------------
+# Compressed WAV containers (r12 late)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_compressed_roundtrips_match_raw_codecs():
+    """Container round trips must equal the raw-codec paths exactly:
+    G.711 bytes verbatim; IMA block-framed with per-header predictor
+    re-seed and carried step index."""
+    from kassette_server_spark.operators.multimodal import (
+        alaw_decode,
+        alaw_encode,
+        decode_wav_compressed,
+        encode_wav_compressed,
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+        mulaw_decode,
+        mulaw_encode,
+        parse_wav_meta_ext,
+    )
+
+    rng = np.random.default_rng(8)
+    for _ in range(10):
+        n = int(rng.integers(1, 300))
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        for codec in ("alaw", "mulaw", "ima"):
+            pay = encode_wav_compressed(s, codec=codec, block_align=12)
+            meta = parse_wav_meta_ext(pay)
+            assert meta["n_samples"] == n
+            dec = decode_wav_compressed(pay)
+            if codec == "alaw":
+                assert np.array_equal(dec, alaw_decode(alaw_encode(s)))
+            elif codec == "mulaw":
+                assert np.array_equal(dec, mulaw_decode(mulaw_encode(s)))
+            else:
+                spb, out, idx = 17, [], 0
+                for b0 in range(0, n, spb):
+                    first = int(s[b0])
+                    out.append(first)
+                    chunk = s[b0 + 1 : b0 + spb]
+                    packed, _, idx2 = ima_adpcm_encode(chunk, pred=first, index=idx)
+                    if len(chunk):
+                        out.extend(
+                            ima_adpcm_decode(
+                                packed, len(chunk), pred=first, index=idx
+                            ).tolist()
+                        )
+                    idx = idx2
+                assert dec.tolist() == out
+
+
+def test_wav_ima_blocks_decode_independently():
+    """Each IMA block's header re-seeds the predictor, so decoding any
+    SINGLE block in isolation (fresh file with just that block and its
+    header) reproduces the full decode's samples for that span — the
+    parallel-decode property."""
+    import struct as _s
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_wav_compressed,
+        encode_wav_compressed,
+    )
+
+    rng = np.random.default_rng(10)
+    n = 17 * 4  # four full blocks at block_align=12
+    s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    pay = encode_wav_compressed(s, codec="ima", block_align=12)
+    full = decode_wav_compressed(pay)
+    # extract the data chunk
+    pos = 12
+    while pay[pos : pos + 4] != b"data":
+        (length,) = _s.unpack_from("<I", pay, pos + 4)
+        pos += 8 + length + (length & 1)
+    data = pay[pos + 8 :]
+    for b in range(4):
+        block = data[b * 12 : (b + 1) * 12]
+        first, index, _ = _s.unpack_from("<hBB", block, 0)
+        # a standalone file containing just this block
+        single = encode_wav_compressed(
+            full[b * 17 : (b + 1) * 17], codec="ima", block_align=12
+        )
+        # decoding the block's nibbles with its header state matches
+        from kassette_server_spark.operators.multimodal import ima_adpcm_decode
+
+        got = [first] + ima_adpcm_decode(
+            block[4:], 16, pred=first, index=index
+        ).tolist()
+        assert got == full[b * 17 : (b + 1) * 17].tolist()
+
+
+def test_wav_compressed_fences():
+    import struct as _s
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_wav_compressed,
+        encode_wav_compressed,
+        parse_wav_meta_ext,
+    )
+
+    s = np.zeros(40, dtype=np.int16)
+    with pytest.raises(ValueError, match="codec"):
+        encode_wav_compressed(s, codec="mp3")
+    with pytest.raises(ValueError, match="block_align"):
+        encode_wav_compressed(s, codec="ima", block_align=4)
+    with pytest.raises(ValueError, match="at least one"):
+        encode_wav_compressed(np.zeros(0, dtype=np.int16))
+    pay = bytearray(encode_wav_compressed(s, codec="ima", block_align=12))
+    # corrupt a block header's step index beyond 88
+    pos = 12
+    while pay[pos : pos + 4] != b"data":
+        (length,) = _s.unpack_from("<I", bytes(pay), pos + 4)
+        pos += 8 + length + (length & 1)
+    pay[pos + 8 + 2] = 200
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_compressed(bytes(pay))
+    # fact chunk claiming more samples than the blocks can carry
+    pay = bytearray(encode_wav_compressed(s, codec="ima", block_align=12))
+    i = bytes(pay).find(b"fact")
+    pay[i + 8 : i + 12] = _s.pack("<I", 10_000)
+    with pytest.raises(ValueError, match="fact sample count"):
+        parse_wav_meta_ext(bytes(pay))
