@@ -124,3 +124,39 @@ def test_png_to_gif_rejects_color():
     payload = encode_png_filtered(4, 4, px, channels=3)
     with pytest.raises(ValueError, match="grayscale"):
         transcode_png_to_gif(payload)
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_jpeg_mode_matrix_agrees_on_tile_constant_rasters(seed):
+    """One random per-16x16-tile-constant RGB raster through the FULL
+    JPEG mode matrix — baseline 4:4:4, 4:2:2, 4:2:0 (each with and
+    without restart markers) and progressive — must decode to the
+    SAME source bytes: tile-constant content is in every mode's
+    lossless subset (constant blocks have a lone DC coefficient the
+    flat quant divides exactly; box averages of constants are those
+    constants), so any divergence is a codec bug, not quantization."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    w = int(rng.integers(1, 70))
+    h = int(rng.integers(1, 70))
+    tiles = rng.integers(
+        0, 256, size=((h + 15) // 16, (w + 15) // 16, 3), dtype=np.uint8
+    )
+    px = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)[:h, :w].tobytes()
+    ri = int(rng.integers(0, 3))
+    payloads = [
+        encode_jpeg_pixels(w, h, px, channels=3, subsampling="444",
+                           restart_interval=ri),
+        encode_jpeg_pixels(w, h, px, channels=3, subsampling="422",
+                           restart_interval=ri),
+        encode_jpeg_pixels(w, h, px, channels=3, subsampling="420",
+                           restart_interval=ri),
+        encode_jpeg_progressive_pixels(w, h, px, channels=3),
+    ]
+    for pay in payloads:
+        assert decode_jpeg_pixels(pay) == (w, h, 3, px)
