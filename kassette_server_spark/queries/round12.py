@@ -31,12 +31,32 @@ Plus the JPEG restart-interval tier (VERDICT r11 #4 / #7):
   per-channel sums off a decoded 3-component restart-bearing JPEG
   (block-constant channels keep the lossy container lossless).
 
+The late-r12 wave (q244+) closes every remaining soft edge from
+VERDICT r11 and completes two codec matrices:
+
+- q244/q252/q251: the JPEG sampling/mode matrix — 4:2:0 (four-luma-
+  block 16x16 MCUs, exact 2x2 box chroma), 4:2:2 (two-luma-block
+  16x8 MCUs, horizontal 2:1 box), and PROGRESSIVE (SOF2 spectral
+  selection, EOBRUN, coefficient accumulation, DC-prefix preview).
+- q245: the non-8-bit PNG depths — 16-bit sequential + Adam7
+  (byte-wise filters at 2/6-byte units) and 1/2/4-bit bit-packed
+  rows, gray + palette.
+- q246/q247/q253: the telephony audio tier — G.711 μ-law/A-law
+  (exact segment/mantissa CASE-ladder oracle), IMA ADPCM (sequential
+  predictor/step-index recurrence oracled as a DuckDB RECURSIVE CTE),
+  and both inside real RIFF WAV containers with fact chunks and
+  block-framed ADPCM (per-block predictor re-seed → independently
+  decodable blocks, the audio twin of JPEG restarts).
+- q248-q250: IVF-PQ — coarse cells + PQ on residuals + nprobe
+  pruning with a broadcast hash join on cell id, the composed index
+  a 100 TB corpus actually serves from.
+
 Determinism: everything after the int8 quantize (q77's established
 round(x·127/max|x|)) is exact int64 arithmetic; the only floats are
-q241's final n_hits/k division and q243's per-channel mean divisions
-(one IEEE division of exact integers each). Registered after the
-50-spec driver window; first driver rows land per the standing
-rotation (queries/__init__.py r13 plan); locked meanwhile by
+the recall divisions (q241/q250) and q243's per-channel means (one
+IEEE division of exact integers each). Registered after the 50-spec
+driver window; first driver rows land per the standing rotation
+(queries/__init__.py r13 plan); locked meanwhile by
 tests/test_oracle_parity*.py at two SFs.
 """
 
