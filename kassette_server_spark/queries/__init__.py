@@ -37,15 +37,14 @@ from . import round12 as _round12  # noqa: F401,E402  (q239+ — product quantiz
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-12 window (executing the
-# plan written at the end of round 11 verbatim, confirmed by VERDICT r11
-# "Next round #1"): pinned core (6) + first driver rows for the seven
-# r11-born codec specs (q232-q238 — all judge-verified against DuckDB at
-# sf0.01 in the r11 verdict run) + the stale tier in q-number order:
-# q135-q139 (5, last green r6), q140-q143 (4, r6), q144-q157 (14,
-# r7/r8), q158-q171 (14, r8/r9).
-# Arithmetic: 6 + 7 + 5 + 4 + 14 + 14 = 50 exactly. q172-q178 roll to
-# the r13 window (plan at the end of this file's window comment block).
+# order (VERDICT r2 "Next round #1/#2"). Round-13 window (executing the
+# plan written at the end of round 12 verbatim, confirmed by VERDICT r12
+# "Next round #2"): pinned core (6) + first driver rows for all fifteen
+# r12-born specs (q239-q253 — all judge-verified against DuckDB at
+# sf0.01 in the r12 verdict run) + the q172-q178 roll (7, last green
+# r8/r9) + the r8 tier q179-q200 in q-number order (22).
+# Arithmetic: 6 + 15 + 7 + 22 = 50 exactly. q201+ roll to the r14
+# window (plan at the end of this file's window comment block).
 _WINDOW: tuple[str, ...] = (
     # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
@@ -54,55 +53,53 @@ _WINDOW: tuple[str, ...] = (
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-13: r11-born codec wave, first driver rows
-    "q232_png_resize_rgb",
-    "q233_jpeg_roundtrip",
-    "q234_png_jpeg_transcode",
-    "q235_png_jpeg_transcode_rgb",
-    "q236_wav_resample",
-    "q237_gif_roundtrip",
-    "q238_gif_png_transcode",
-    # slots 14-18: r6-tier remainder (q-number order, last green r6)
-    "q135_mom_growth",
-    "q136_dow_seasonality",
-    "q137_cross_correlation",
-    "q138_integrity_audit",
-    "q139_conversion_time_stats",
-    # slots 19-22: r6 tier (last green r6)
-    "q140_point_in_time_join",
-    "q141_dataset_split",
-    "q142_pareto_frontier",
-    "q143_weighted_median",
-    # slots 23-36: r7/r8 tier (last green r7/r8)
-    "q144_ks_drift",
-    "q145_benford_audit",
-    "q146_theil_sen_trend",
-    "q147_session_paths",
-    "q148_gap_fill",
-    "q149_mann_whitney",
-    "q150_cusum_changepoint",
-    "q151_type_affinity",
-    "q152_autocorrelation",
-    "q153_hist_drift",
-    "q154_ks_drift_binned",
-    "q155_data_contract",
-    "q156_share_shift",
-    "q157_budget_select",
-    # slots 37-50: r8/r9 tier (last green r8/r9)
-    "q158_roc_auc",
-    "q159_decile_lift",
-    "q160_threshold_metrics",
-    "q161_cohens_kappa",
-    "q162_ndcg",
-    "q163_key_skew_profile",
-    "q164_triangle_count",
-    "q165_rrf_fusion",
-    "q166_tpch_q17_small_qty",
-    "q167_tpch_q18_large_volume",
-    "q168_degree_assortativity",
-    "q169_label_propagation",
-    "q170_prefix_filter_join",
-    "q171_bpe_merges",
+    # slots 7-21: r12-born PQ/IVF-PQ/codec wave, first driver rows
+    "q239_pq_codebooks",
+    "q240_pq_adc_topk",
+    "q241_pq_recall",
+    "q242_jpeg_restart_roundtrip",
+    "q243_jpeg_channel_stats",
+    "q244_jpeg_420_roundtrip",
+    "q245_png_depth_roundtrip",
+    "q246_g711_companding",
+    "q247_ima_adpcm",
+    "q248_ivfpq_cells",
+    "q249_ivfpq_adc_topk",
+    "q250_ivfpq_recall",
+    "q251_jpeg_progressive_roundtrip",
+    "q252_jpeg_422_roundtrip",
+    "q253_wav_codec_container",
+    # slots 22-28: q172-q178 roll (last green r8/r9)
+    "q172_tpch_q20_dominant_suppliers",
+    "q173_spearman_corr",
+    "q174_welch_t_test",
+    "q175_rank_calibration",
+    "q176_mrr_at_10",
+    "q177_hellinger_drift",
+    "q178_seasonal_backtest",
+    # slots 29-50: r8 tier in q-number order (last green r8)
+    "q179_compaction_plan",
+    "q180_k_anonymity",
+    "q181_quantile_normalize",
+    "q182_item_item_cosine",
+    "q183_tpch_q9_profit",
+    "q184_tpch_q13_custdist",
+    "q185_tpch_q15_top_supplier",
+    "q186_tpch_q19_disjunctive",
+    "q187_tpch_q21_waiting",
+    "q188_tpch_q22_idle_customers",
+    "q189_join_cardinality",
+    "q190_anova_f",
+    "q191_kcore",
+    "q192_edit_distance_pairs",
+    "q193_zonemap_pruning",
+    "q194_oov_rate",
+    "q195_hard_negatives",
+    "q196_two_proportion_z",
+    "q197_gini_stump",
+    "q198_per_class_prf",
+    "q199_wilson_ci",
+    "q200_kaplan_meier",
 )
 
 # R13 ROTATION PLAN (VERDICT r11 "Next round #5", written during
