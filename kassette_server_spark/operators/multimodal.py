@@ -1561,7 +1561,6 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     sof = None
     coef: list["np.ndarray"] = []
     prev_dc: list[int] = []
-    eob_ac: dict[int, int] = {}
     n_blocks = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1686,7 +1685,10 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 table = huff.get((1, ac_id))
                 if table is None:
                     raise ValueError("missing Huffman table")
-                eobrun = eob_ac.get(fi, 0)
+                # spec G.1.2.2 scopes EOBRUN to a single scan: start at 0
+                # here and refuse a leftover below, rather than silently
+                # skipping blocks of the component's next AC scan.
+                eobrun = 0
                 for b in range(n_blocks):
                     if eobrun:
                         eobrun -= 1
@@ -1708,7 +1710,10 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                             raise ValueError("AC coefficient overruns band")
                         coef[fi][b, k] = _extend(reader.bits(s), s) << al
                         k += 1
-                eob_ac[fi] = eobrun
+                if eobrun:
+                    raise ValueError(
+                        "EOBRUN extends past the end of the scan"
+                    )
             pos = end
             continue
         pos += 2 + length
@@ -1827,6 +1832,13 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                         "sampling factors limited to 1x1, 2x1 and 2x2"
                     )
                 comps.append((cid, ctq, sh, sv))
+            if ncomp == 1:
+                # spec A.2: a single-component scan is non-interleaved —
+                # one 8x8 block per MCU in raster order, sampling factors
+                # ignored. Force 1x1 rather than reusing the interleaved
+                # MCU geometry (a 2x2 declaration would scramble block
+                # order whenever the counts happen to align).
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
             factors = {(sh, sv) for _, _, sh, sv in comps}
             chroma_11 = ncomp == 3 and all(
                 c[2:] == (1, 1) for c in comps[1:]
@@ -2150,9 +2162,12 @@ def jpeg_progressive_roundtrip_stats(
     pass a LOSSY full-range image v_c = (id + 7x + 13y + c) mod 256 is
     encoded both baseline and progressive and the two decodes are
     asserted BYTE-IDENTICAL — progressive reorders the scan, not the
-    math. n_scans is counted off the actual payload's SOS markers
-    (byte stuffing guarantees 0xFFDA cannot appear inside entropy
-    data).
+    math. The differential leg triples the per-row codec work, so it
+    samples ids (id % 16 == 0, the q219 precedent per ADVICE r11/r12);
+    full-density coverage of the same property lives in the 60-case
+    JPEG mode-matrix fuzzer (tests/test_codec_fuzz.py). n_scans is
+    counted off the actual payload's SOS markers (byte stuffing
+    guarantees 0xFFDA cannot appear inside entropy data).
 
     One Arrow-batched mapInPandas over ids — scan-stage map, no
     shuffle. Output: (doc_id, width, height, n_scans, sum_c0, sum_c1,
@@ -2181,23 +2196,26 @@ def jpeg_progressive_roundtrip_stats(
                 a = np.frombuffer(dpx, dtype=np.uint8).reshape(-1, 3)
                 s = a.sum(axis=0, dtype=np.int64)
                 # lossy differential leg: progressive == baseline decode
-                xs = np.arange(w)[None, :]
-                ys = np.arange(h)[:, None]
-                lossy = (
-                    np.stack(
-                        [(i + 7 * xs + 13 * ys + c) % 256 for c in range(3)],
-                        axis=-1,
+                # (sampled — see docstring; the fuzzer covers full density)
+                if i % 16 == 0:
+                    xs = np.arange(w)[None, :]
+                    ys = np.arange(h)[:, None]
+                    lossy = (
+                        np.stack(
+                            [(i + 7 * xs + 13 * ys + c) % 256
+                             for c in range(3)],
+                            axis=-1,
+                        )
+                        .astype(np.uint8)
+                        .tobytes()
                     )
-                    .astype(np.uint8)
-                    .tobytes()
-                )
-                base = decode_jpeg_pixels(
-                    encode_jpeg_pixels(w, h, lossy, channels=3)
-                )
-                prog = decode_jpeg_pixels(
-                    encode_jpeg_progressive_pixels(w, h, lossy, channels=3)
-                )
-                assert base == prog
+                    base = decode_jpeg_pixels(
+                        encode_jpeg_pixels(w, h, lossy, channels=3)
+                    )
+                    prog = decode_jpeg_pixels(
+                        encode_jpeg_progressive_pixels(w, h, lossy, channels=3)
+                    )
+                    assert base == prog
                 rows.append((i, w, h, n_scans, int(s[0]), int(s[1]), int(s[2])))
             yield pd.DataFrame(
                 rows,
@@ -3677,21 +3695,28 @@ def audio_frame_features(
 #
 # The telephony codecs every speech-corpus pipeline meets: 16-bit PCM
 # compressed 2:1 into one logarithmic byte per sample. Both directions
-# are EXACT integer maps (ITU-T G.711 tables are generated by the
-# segment/mantissa arithmetic below — no floats anywhere), so encode →
-# decode is deterministic and a DuckDB oracle can replay the same CASE
-# ladder. decode(encode(x)) is the standard quantization (each segment
-# keeps 4 mantissa bits); encode(decode(b)) == b for every byte — the
-# canonical-form property the round-trip tests pin.
+# are EXACT integer maps built from G.711's segment/mantissa arithmetic
+# (no floats anywhere), so encode → decode is deterministic and a DuckDB
+# oracle can replay the same CASE ladder. DECODE is bit-exact against
+# the ITU-T G.711 expansion tables for all 256 codes in both laws.
+# ENCODE takes magnitude as abs(s); the canonical ITU/Sun reference
+# instead ones'-complements negatives (mag = -s-1) before the segment
+# search, so on negative segment-boundary samples the two differ by one
+# code level (381/65536 μ-law, 127/65536 A-law) — within one
+# quantization step, and self-consistent: decode(encode(x)) is the
+# standard segment quantization and encode(decode(b)) == b for every
+# byte — the canonical-form property the round-trip tests pin.
 
 _MULAW_BIAS = 0x84  # 132
 _MULAW_CLIP = 32635
 
 
 def mulaw_encode(samples: "np.ndarray") -> "np.ndarray":
-    """int16 PCM → μ-law bytes (G.711): bias, clip, 8-segment exponent
-    (the top set bit of the biased magnitude), 4-bit mantissa, ones'
-    complement. Vectorized integer numpy; no lookup tables."""
+    """int16 PCM → μ-law bytes (G.711 segment arithmetic): bias, clip,
+    8-segment exponent (the top set bit of the biased magnitude), 4-bit
+    mantissa, ones' complement. Magnitude is abs(s) — see the block
+    comment above for the one-level boundary delta vs the ITU encode
+    tables; decode is table-exact. Vectorized integer numpy."""
     s = samples.astype(np.int64)
     sign = np.where(s < 0, 0x80, 0x00)
     mag = np.minimum(np.abs(s), _MULAW_CLIP) + _MULAW_BIAS
@@ -3716,10 +3741,13 @@ def mulaw_decode(codes: "np.ndarray") -> "np.ndarray":
 
 
 def alaw_encode(samples: "np.ndarray") -> "np.ndarray":
-    """int16 PCM → A-law bytes (G.711): segment 0 keeps magnitude bits
-    7..4 (step 16 on the 16-bit scale), segments 1..7 take the 4 bits
-    under the top set bit; sign bit marks POSITIVE samples; final
-    XOR 0x55 (even-bit inversion). Vectorized integer numpy."""
+    """int16 PCM → A-law bytes (G.711 segment arithmetic): segment 0
+    keeps magnitude bits 7..4 (step 16 on the 16-bit scale), segments
+    1..7 take the 4 bits under the top set bit; sign bit marks POSITIVE
+    samples; final XOR 0x55 (even-bit inversion). Magnitude is abs(s) —
+    see the block comment above for the one-level boundary delta vs the
+    ITU encode tables; decode is table-exact. Vectorized integer
+    numpy."""
     s = samples.astype(np.int64)
     sign = np.where(s >= 0, 0x80, 0x00)  # A-law marks POSITIVE samples
     mag = np.minimum(np.abs(s), 32767)

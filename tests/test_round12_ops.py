@@ -931,3 +931,29 @@ def test_wav_compressed_fences():
     pay[i + 8 : i + 12] = _s.pack("<I", 10_000)
     with pytest.raises(ValueError, match="fact sample count"):
         parse_wav_meta_ext(bytes(pay))
+
+
+def test_jpeg_single_component_sampling_factors_ignored():
+    """Spec A.2: a one-component scan is non-interleaved (one 8x8 block
+    per MCU, raster order) and sampling factors are ignored. A grayscale
+    JPEG whose SOF declares H=V=2 must decode identically to the 1x1
+    declaration, not through the interleaved four-block MCU geometry
+    (ADVICE r12)."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    # 16x16 per-8x8-block-constant grayscale: 4 blocks, so a wrongly
+    # interleaved 2x2 reading would have exactly the block count it
+    # needs to mis-order silently.
+    bx = np.arange(16)[None, :] // 8
+    by = np.arange(16)[:, None] // 8
+    px = ((5 + 3 * bx + 5 * by) % 256).astype(np.uint8).tobytes()
+    pay = bytearray(encode_jpeg_pixels(16, 16, px, channels=1))
+    i = pay.find(b"\xff\xc0")
+    assert pay[i + 4 + 6 + 1] == 0x11
+    pay[i + 4 + 6 + 1] = 0x22  # declare H=V=2 on the lone component
+    w, h, c, out = decode_jpeg_pixels(bytes(pay))
+    assert (w, h, c) == (16, 16, 1)
+    assert out == px
