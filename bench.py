@@ -93,6 +93,7 @@ CODEC = frozenset(
         "q251_jpeg_progressive_roundtrip",
         "q252_jpeg_422_roundtrip",
         "q253_wav_codec_container",
+        "q254_compressed_audio_features",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"

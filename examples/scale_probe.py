@@ -411,6 +411,39 @@ def main() -> None:
             )
             return ivfpq_adc_topk(emb, q, kc=8, m=8, k=16, iters=2, topk=10, nprobe=2)
 
+        def pq_adc():
+            # FLAT ADC baseline beside ivfpq_search: same codebook math
+            # but every corpus row scored per query (broadcast nested
+            # loop) — the pair the nprobe/kc pruning claim is measured
+            # against
+            from kassette_server_spark.operators.pq import pq_adc_topk
+
+            q = emb.where(
+                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000_000)
+            )
+            return pq_adc_topk(emb, q, m=8, k=16, iters=2, topk=10)
+
+        from kassette_server_spark.operators.multimodal import (
+            jpeg_422_roundtrip_stats,
+            jpeg_progressive_roundtrip_stats,
+            wav_codec_container_stats,
+        )
+
+        def jpeg_422():
+            # 4:2:2 subsampled round trip — two-luma-block MCUs; map-only
+            return jpeg_422_roundtrip_stats(d.select("doc_id"))
+
+        def jpeg_progressive():
+            # SOF2 multi-scan encode + coefficient-accumulation decode
+            # (+ the id%16-sampled baseline-vs-progressive differential
+            # leg) — map-only
+            return jpeg_progressive_roundtrip_stats(d.select("doc_id"))
+
+        def wav_codec():
+            # G.711 + IMA ADPCM inside real RIFF containers: encode,
+            # container walk, block-framed decode — map-only
+            return wav_codec_container_stats(d.select("doc_id"))
+
         rows_d, rows_l, rows_o, rows_c, rows_v = (
             5_000 * scale,
             600_000 * scale,
@@ -444,6 +477,10 @@ def main() -> None:
             "g711": (g711, rows_d),
             "ima_adpcm": (ima_adpcm, rows_d),
             "ivfpq_search": (ivfpq_search, rows_v),
+            "pq_adc": (pq_adc, rows_v),
+            "jpeg_422": (jpeg_422, rows_d),
+            "jpeg_progressive": (jpeg_progressive, rows_d),
+            "wav_codec": (wav_codec, rows_d),
         }
 
     def run_thunk(f) -> float:

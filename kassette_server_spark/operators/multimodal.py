@@ -4231,3 +4231,64 @@ def wav_codec_container_stats(df: DataFrame, id_col: str = "doc_id") -> DataFram
         schema="doc_id long, n long, n_blocks long, alaw_sum long, "
         "mulaw_sum long, ima_sum long",
     )
+
+
+def compressed_audio_frame_features(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The q221 frame-feature tier over COMPRESSED audio (VERDICT r12
+    "Next round #8" — the q243 move for audio): per id, the q253
+    sample stream (n = 64 + id mod 64, s_j = ((7919·id + 104729·j)
+    mod 65536) − 32768) is encoded into a μ-law WAV (format 7) and a
+    block-framed IMA ADPCM WAV (format 0x11, block_align=12 → 17
+    samples/block), each container re-DECODED from its RIFF bytes,
+    and the decoded streams reduced to q221's per-frame features
+    (Σ|s|, Σs², zero crossings). Frames are BLOCK-ALIGNED: μ-law
+    frames of 16 (bytes are per-sample, any framing works), IMA
+    frames of 17 == the ADPCM block span, so each frame decodes from
+    exactly one independently-seeded block and the oracle's
+    block-reseeded recurrence stays closed-form per frame.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, codec, frame_id, n_samples, sum_abs,
+    sum_sq, zero_crossings)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                n = 64 + i % 64
+                j = np.arange(n, dtype=np.int64)
+                s = ((7919 * i + 104729 * j) % 65536 - 32768).astype(np.int16)
+                for codec, frame in (("mulaw", 16), ("ima", 17)):
+                    pay = encode_wav_compressed(s, codec=codec, block_align=12)
+                    dec = decode_wav_compressed(pay).astype(np.int64)
+                    assert dec.size == n
+                    for f0 in range(0, n, frame):
+                        c = dec[f0 : f0 + frame]
+                        zc = int(((c[:-1] < 0) != (c[1:] < 0)).sum())
+                        rows.append(
+                            (
+                                i,
+                                codec,
+                                f0 // frame,
+                                int(c.size),
+                                int(np.abs(c).sum()),
+                                int((c * c).sum()),
+                                zc,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "frame_id", "n_samples",
+                    "sum_abs", "sum_sq", "zero_crossings",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, codec string, frame_id long, n_samples long, "
+        "sum_abs long, sum_sq long, zero_crossings long",
+    )

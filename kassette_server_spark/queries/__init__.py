@@ -34,6 +34,7 @@ from . import round9b as _round9b  # noqa: F401,E402  (q220-q229 — JL sketch, 
 from . import round10 as _round10  # noqa: F401,E402  (q230+ — PNG resize tier)
 from . import round11 as _round11  # noqa: F401,E402  (q232+ — RGB PNG resize)
 from . import round12 as _round12  # noqa: F401,E402  (q239+ — product quantization)
+from . import round13 as _round13  # noqa: F401,E402  (q254+ — compressed-audio features)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import

@@ -298,3 +298,170 @@ def test_ivfpq_full_probe_equals_flat_residual_pq(spark):
     for _, grp in out.groupby("query_id"):
         assert len(grp) == TOPK
         assert sorted(grp["rank"]) == list(range(1, TOPK + 1))
+
+
+def test_ivfpq_index_partition_pruned_search(spark, tmp_path):
+    """The SCALE.md claim demonstrated: an index written cell-partitioned
+    (ivfpq_write_index) makes the nprobe search a PARTITION-PRUNED scan —
+    the literal ccid IN-list lands in the FileScan's PartitionFilters,
+    only the probed cells' directories are read, and the results are
+    identical to the in-memory ivfpq_adc_topk with the same codebooks."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.pq import (
+        ivfpq_adc_topk,
+        ivfpq_search_index,
+        ivfpq_write_index,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    # two query rows probe <= 4 of the 8 cells, so pruning must drop
+    # at least half the directories
+    q = emb.where(F.col("vec_id").isin([0, 250]))
+    path = str(tmp_path / "ivfpq_index")
+    coarse, book = ivfpq_write_index(emb, path, kc=8, m=M, k=K, iters=2, dim=D)
+
+    res = ivfpq_search_index(
+        spark, path, q, coarse, book, m=M, k=K, dim=D, topk=5, nprobe=2
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    p = buf.getvalue()
+    scan = p[p.index("Scan parquet") :]
+    pf = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ccid" in pf and " IN (" in pf
+
+    # files actually read: only the probed cells' directories
+    import os
+
+    all_cells = {
+        e.split("=")[1] for e in os.listdir(path) if e.startswith("ccid=")
+    }
+    probed = {
+        s.strip() for s in pf[pf.index("IN (") + 4 : pf.index(")")].split(",")
+    }
+    assert probed < all_cells  # strictly fewer: pruning is real
+
+    expect = ivfpq_adc_topk(
+        emb, q, kc=8, m=M, k=K, iters=2, dim=D, topk=5, nprobe=2,
+        coarse=coarse, book=book,
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+# -- streaming index maintenance (VERDICT r12 #7) ------------------------------
+def _emb_batches(spark):
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    b0 = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1)
+    return emb, b0, b1
+
+
+def test_pq_index_stream_matches_batch_twin(spark, tmp_path):
+    """Incremental encode against a pinned codebook generation is
+    bit-identical to a batch rebuild over the concatenation, replayed
+    batches are fenced, and same-distribution batches don't trip the
+    re-train gate."""
+    from kassette_server_spark.operators.pq import (
+        ivf_train_coarse,
+        ivfpq_encode,
+        ivfpq_fit_err,
+        ivfpq_train_residual,
+        pq_index_monitor,
+        read_pq_index,
+    )
+
+    emb, b0, b1 = _emb_batches(spark)
+    coarse = ivf_train_coarse(b0, kc=8, iters=2, dim=D)
+    book = ivfpq_train_residual(b0, coarse, m=M, k=K, iters=2, dim=D)
+    base = ivfpq_fit_err(b0, coarse, book, m=M, dim=D)
+    assert base[0] == b0.count() and base[1] > 0
+
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "gate")
+    r0 = pq_index_monitor(b0, 0, idx, store, coarse, book, base, m=M, dim=D)
+    assert r0 is not None and (r0["n"], r0["err_sum"]) == base
+    assert not r0["retrain"]  # the training corpus itself never trips
+    r1 = pq_index_monitor(b1, 1, idx, store, coarse, book, base, m=M, dim=D)
+    assert r1 is not None and r1["n"] == emb.count()
+    # same distribution: stays under 1.5x the baseline mean error
+    assert not r1["retrain"]
+
+    # re-delivery is idempotent: no append, no report, store unmoved
+    assert pq_index_monitor(b1, 1, idx, store, coarse, book, base, m=M, dim=D) is None
+
+    streamed = sorted(
+        (r["vec_id"], r["ccid"], tuple(r["codes"]), r["qerr"])
+        for r in read_pq_index(spark, idx).collect()
+    )
+    twin = sorted(
+        (r["neighbor_id"], r["ccid"], tuple(r["codes"]), r["qerr"])
+        for r in ivfpq_encode(
+            b0.unionByName(b1), coarse, book, m=M, dim=D, with_err=True
+        ).collect()
+    )
+    assert streamed == twin
+
+
+def test_pq_index_retrain_gate_fires_on_shift(spark, tmp_path):
+    """Vectors unlike the training corpus raise the mean residual
+    error past the 3/2 gate — the signal that codebook generation g+1
+    is due."""
+    import numpy as np
+
+    from kassette_server_spark.operators.pq import (
+        ivf_train_coarse,
+        ivfpq_fit_err,
+        ivfpq_train_residual,
+        pq_index_monitor,
+    )
+
+    emb, b0, _ = _emb_batches(spark)
+    coarse = ivf_train_coarse(b0, kc=8, iters=2, dim=D)
+    book = ivfpq_train_residual(b0, coarse, m=M, k=K, iters=2, dim=D)
+    base = ivfpq_fit_err(b0, coarse, book, m=M, dim=D)
+
+    rng = np.random.default_rng(7)
+    shifted = spark.createDataFrame(
+        [
+            (10_000 + i, [float(x) for x in rng.choice([-1.0, 1.0], size=D)])
+            for i in range(64)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    r = pq_index_monitor(
+        shifted, 0, str(tmp_path / "idx"), str(tmp_path / "gate"),
+        coarse, book, base, m=M, dim=D,
+    )
+    assert r is not None and r["retrain"]
+
+
+def test_pq_index_uncommitted_batch_invisible(spark, tmp_path):
+    """A crash mid-append (no _SUCCESS) is invisible to readers and the
+    retry re-appends cleanly."""
+    import os
+
+    from kassette_server_spark.operators.pq import (
+        ivf_train_coarse,
+        ivfpq_train_residual,
+        pq_index_append,
+        read_pq_index,
+    )
+
+    _, b0, _ = _emb_batches(spark)
+    coarse = ivf_train_coarse(b0, kc=8, iters=2, dim=D)
+    book = ivfpq_train_residual(b0, coarse, m=M, k=K, iters=2, dim=D)
+    idx = str(tmp_path / "idx")
+    assert pq_index_append(b0, 0, idx, coarse, book, m=M, dim=D)
+    os.remove(os.path.join(idx, "batch-0", "_SUCCESS"))  # simulate crash
+    assert read_pq_index(spark, idx) is None
+    assert pq_index_append(b0, 0, idx, coarse, book, m=M, dim=D)  # retry
+    assert read_pq_index(spark, idx).count() == b0.count()
