@@ -103,27 +103,34 @@ _WINDOW: tuple[str, ...] = (
     "q200_kaplan_meier",
 )
 
-# R13 ROTATION PLAN (VERDICT r11 "Next round #5", written during
-# round 12 alongside the r12 window above; r12-born specs take
+# R14 ROTATION PLAN (VERDICT r12 "Next round #10", written during
+# round 13 alongside the r13 window above; r13-born specs take
 # first-row priority per the standing first-round policy):
-# r13 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + first driver rows for every r12-born spec (15: q239_pq_codebooks,
-#   q240_pq_adc_topk, q241_pq_recall, q242_jpeg_restart_roundtrip,
-#   q243_jpeg_channel_stats, q244_jpeg_420_roundtrip,
-#   q245_png_depth_roundtrip, q246_g711_companding, q247_ima_adpcm,
-#   q248_ivfpq_cells, q249_ivfpq_adc_topk, q250_ivfpq_recall,
-#   q251_jpeg_progressive_roundtrip, q252_jpeg_422_roundtrip,
-#   q253_wav_codec_container — final; names verified against the
-#   registry at round close)
-# + the q172-q178 roll (7: q172_tpch_q20_dominant_suppliers,
-#   q173_spearman_corr, q174_welch_t_test, q175_rank_calibration,
-#   q176_mrr_at_10, q177_hellinger_drift, q178_seasonal_backtest,
-#   last green r8/r9)
-# + the r8 tier in q-number order from q179_compaction_plan,
-#   tail-truncated so the window holds exactly 50: 22 names,
-#   q179-q200 (verified against the registry at write time).
-# Arithmetic: 6 + 15 + 7 + 22 = 50 exactly; q201_log_rank and q202+
-# (the TPC-H completion tier) roll to r14.
+# r14 = pinned core (6: q01, q03, q08, q11, q24, q28)
+# + first driver row for the r13-born spec (1: q254_compressed_audio_features)
+# + q201_log_rank (1, last green r9 — the oldest singleton)
+# + the MEASURED stalest tier: the 40 specs whose last driver-green
+#   round is r7 per the CORRECTNESS_r* ledger (q-number order):
+#   q02_predicates, q04_multiway_broadcast_join, q05_left_join,
+#   q06_semi_join, q07_anti_join, q09_count_distinct, q10_rollup,
+#   q12_window_running_sum, q13_window_lag, q14_topk, q15_setops,
+#   q16_string_fns, q17_date_fns, q18_math_fns, q19_case_nullif,
+#   q20_json_extract, q21_cast_semantics, q22_rules_map_hide_delete,
+#   q23_timestamp_skew, q25_dedup_exact, q26_correlated_subquery,
+#   q27_exists, q42_topk_per_group, q43_pivot, q44_cube,
+#   q45_exact_median, q46_histogram, q48_range_join,
+#   q49_regexp_extract, q50_posexplode, q70_benchmark_contamination,
+#   q71_quality_filter, q72_sequence_packing, q73_tfidf_top_terms,
+#   q74_ngram_novelty, q78_domain_mix, q79_shuffle_shards,
+#   q80_repetition_filter, q81_pii_scrub, q82_chunk_documents
+# + the two oldest r8 greens (2: q30_dedup_exact_text,
+#   q31_dedup_ngram_jaccard).
+# Arithmetic: 6 + 1 + 1 + 40 + 2 = 50 exactly.
+# NOTE: VERDICT r12 #10 sketched q202-q211 (TPC-H completion, last
+# green r10) + the r9 remainder for this window, but the ledger the
+# same item tells us to keep shows the r7-green tier above is 3 rounds
+# staler — the ledger wins; q202-q211 and the rest of the r8 tier
+# (q32-q83) roll to r15.
 # Every spec stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run regardless of rotation position;
 # prioritize specs whose OPERATORS changed since their last row.
