@@ -160,3 +160,98 @@ def test_jpeg_mode_matrix_agrees_on_tile_constant_rasters(seed):
     ]
     for pay in payloads:
         assert decode_jpeg_pixels(pay) == (w, h, 3, px)
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_jpeg_lossy_differential_on_random_rasters(seed):
+    """ARBITRARY (lossy) rasters — the properties that hold regardless
+    of quantization (VERDICT r12 #9, extending the mode matrix beyond
+    its lossless tile-constant subset):
+
+      * progressive decode == baseline decode byte-for-byte (SOF2
+        reorders the scan, never the math);
+      * restart framing never changes decoded bytes in ANY sampling
+        mode (RSTn resets predictors/alignment, not coefficients).
+    """
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.default_rng(10_000 + seed)
+    w = int(rng.integers(1, 49))
+    h = int(rng.integers(1, 49))
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    base = decode_jpeg_pixels(encode_jpeg_pixels(w, h, px, channels=3))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive_pixels(w, h, px, channels=3))
+    assert prog == base
+    ri = int(rng.integers(1, 4))
+    for sub in ("444", "422", "420"):
+        plain = decode_jpeg_pixels(
+            encode_jpeg_pixels(w, h, px, channels=3, subsampling=sub)
+        )
+        framed = decode_jpeg_pixels(
+            encode_jpeg_pixels(
+                w, h, px, channels=3, subsampling=sub, restart_interval=ri
+            )
+        )
+        assert framed == plain
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_compressed_wav_containers_match_raw_codec_composition(seed):
+    """Random int16 PCM of random length through each compressed WAV
+    container (VERDICT r12 #9): container encode → RIFF walk → decode
+    must equal the raw codec composition applied directly —
+    G.711 via decode(encode(s)), IMA via an independent block walk
+    over the primitives (header sample verbatim, predictor re-seeded
+    per block, step index carried) — and the fact chunk must carry
+    the true sample count."""
+    from kassette_server_spark.operators.multimodal import (
+        alaw_decode,
+        alaw_encode,
+        decode_wav_compressed,
+        encode_wav_compressed,
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+        mulaw_decode,
+        mulaw_encode,
+        parse_wav_meta_ext,
+    )
+
+    rng = np.random.default_rng(20_000 + seed)
+    n = int(rng.integers(1, 400))
+    s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+
+    for codec, enc, dec in (
+        ("mulaw", mulaw_encode, mulaw_decode),
+        ("alaw", alaw_encode, alaw_decode),
+    ):
+        pay = encode_wav_compressed(s, codec=codec)
+        assert parse_wav_meta_ext(pay)["n_samples"] == n
+        got = decode_wav_compressed(pay)
+        ref = dec(enc(s))
+        assert got.tolist() == ref.tolist()
+
+    ba = int(rng.choice([8, 12, 16, 32]))
+    spb = 1 + (ba - 4) * 2
+    pay = encode_wav_compressed(s, codec="ima", block_align=ba)
+    assert parse_wav_meta_ext(pay)["n_samples"] == n
+    got = decode_wav_compressed(pay)
+    ref = []
+    index = 0
+    for b0 in range(0, n, spb):
+        first = int(s[b0])
+        chunk = s[b0 + 1 : b0 + spb]
+        ref.append(first)
+        start_index = index  # header state: where this block's stream begins
+        packed, _, index = ima_adpcm_encode(chunk, pred=first, index=start_index)
+        # independently decodable: decode each block from ITS header
+        # state alone (predictor = header sample, index = block start),
+        # never from the running encoder state
+        dec_chunk = ima_adpcm_decode(
+            packed, len(chunk), pred=first, index=start_index
+        )
+        ref.extend(int(x) for x in dec_chunk)
+    assert got.tolist() == ref

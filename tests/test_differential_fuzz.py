@@ -40,7 +40,11 @@ from conftest import SF_CORRECT, SF_SMOKE
 from kassette_server_spark.catalog import load
 
 SEED = 20260813
-N_QUERIES = 520  # raised r12 (460 → 520, VERDICT r11 #8): a NEW
+N_QUERIES = 560  # raised r13 (520 → 560, VERDICT r12 #9): a NEW
+# grouping-sets-over-window family (ROLLUP/CUBE/GROUPING SETS
+# aggregating a windowed subquery's rank/dense_rank/RANGE-sum column —
+# window evaluation before grouping-set expansion) at 6% density
+# (r12 raise: 460 → 520, VERDICT r11 #8): a NEW
 # correlated-aggregate-over-interval family (the q105/q144 value-offset
 # RANGE-frame shapes composed with [NOT] EXISTS — semi/anti join decides
 # frame membership before the window runs; plus a variant with a second
@@ -708,6 +712,61 @@ def _gen_setop_query(rng: random.Random, domains: dict) -> str:
     return f"SELECT v FROM {body} u ORDER BY v NULLS FIRST"
 
 
+def _gen_grouping_sets_over_window_query(rng: random.Random, domains: dict) -> str:
+    """r13 family (VERDICT r12 #9): GROUPING SETS / ROLLUP / CUBE over
+    a WINDOWED subquery — the super-aggregate rows aggregate a column
+    that was itself produced by a window function, so the engines must
+    agree on window evaluation BEFORE grouping-set expansion AND on
+    the null-row semantics afterwards (the q62 grouping surface
+    composed with the q11/q217 window seam). Window kinds restricted
+    to the tie-deterministic set: rank / dense_rank / default-RANGE
+    sum (peers aggregate together) / row_number over a pk-tiebroken
+    unique order."""
+    t = rng.choice([x for x in TABLES if UNIQUE_KEY[x]])
+    ints, strs, dates = TABLES[t]
+    pk = UNIQUE_KEY[t]
+    g1 = rng.choice(strs + ints)
+    g2 = rng.choice([c for c in strs + ints if c != g1])
+    ordc = rng.choice(ints + dates)
+    acol = rng.choice(ints)
+    kind = rng.choice(["rank", "dense_rank", "sum_range", "row_number"])
+    if kind == "rank":
+        win = f"rank() OVER (PARTITION BY t0.{g1} ORDER BY t0.{ordc} NULLS FIRST)"
+    elif kind == "dense_rank":
+        win = (
+            f"dense_rank() OVER (PARTITION BY t0.{g1} "
+            f"ORDER BY t0.{ordc} NULLS FIRST)"
+        )
+    elif kind == "sum_range":
+        win = (
+            f"CAST(sum(t0.{acol}) OVER (PARTITION BY t0.{g1} "
+            f"ORDER BY t0.{ordc} NULLS FIRST) AS BIGINT)"
+        )
+    else:
+        win = (
+            f"row_number() OVER (PARTITION BY t0.{g1} "
+            f"ORDER BY t0.{ordc} NULLS FIRST, t0.{pk} NULLS FIRST)"
+        )
+    pred = _predicate(rng, t, "t0", domains)
+    gs = rng.choice(
+        [
+            "ROLLUP (g1, g2)",
+            "CUBE (g1, g2)",
+            "GROUPING SETS ((g1, g2), (g1), ())",
+            "GROUPING SETS ((g1), (g2), ())",
+        ]
+    )
+    return (
+        f"SELECT g1, g2, CAST(count(*) AS BIGINT) AS cnt, "
+        f"CAST(sum(w) AS BIGINT) AS sw, min(w) AS mnw, max(w) AS mxw "
+        f"FROM (SELECT t0.{g1} AS g1, t0.{g2} AS g2, {win} AS w "
+        f"FROM {t} t0 WHERE {pred}) v "
+        f"GROUP BY {gs} "
+        f"ORDER BY g1 NULLS FIRST, g2 NULLS FIRST, cnt NULLS FIRST, "
+        f"sw NULLS FIRST, mnw NULLS FIRST, mxw NULLS FIRST"
+    )
+
+
 def _gen_query(rng: random.Random, domains: dict) -> str:
     shape = rng.random()
     if shape < 0.06:  # INTERSECT/EXCEPT/UNION nesting
@@ -737,7 +796,9 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
         return _gen_outer_join_window_query(rng, domains)
     if shape < 0.82:  # correlated RANGE-frame + EXISTS (r12, q105/q144)
         return _gen_correlated_range_exists_query(rng, domains)
-    if shape < 0.85:  # single table
+    if shape < 0.88:  # grouping sets over window (r13, VERDICT r12 #9)
+        return _gen_grouping_sets_over_window_query(rng, domains)
+    if shape < 0.91:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
         from_sql = f"{t} t0"
