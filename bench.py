@@ -98,6 +98,21 @@ CODEC = frozenset(
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
 
+# Measured band thresholds (VERDICT r12 #4: the composed band needed a
+# re-derived basis for its 16-member tier and the codec band had no
+# stated threshold at all). Basis: the r13 quiet-box run — 253 specs,
+# sentinel samples 0.321/0.179/0.131/0.104 — measured core 0.659
+# s/spec (214), COMPOSED 3.052 (16, incl. the six PQ/IVF-PQ members),
+# CODEC 2.223 (23, after the q251 differential-leg sampling; 24 from
+# r14 with q254). Thresholds are ~1.2x those measurements to absorb
+# ordinary driver-box load; interpretation rule: compare sentinel_last
+# FIRST — a tier above band with a proportionally hot sentinel is box
+# load, a tier above band with flat sentinels is a plan regression.
+# Re-derive (quiet box, full run, state the new basis here) whenever
+# tier MEMBERSHIP changes — a band carried across a membership change
+# is exactly the false alarm VERDICT r12 flagged.
+BANDS_S_PER_SPEC = {"core": 0.80, "composed": 3.7, "codec": 2.8}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -196,6 +211,7 @@ def main() -> None:
             "sentinel_first": sentinel_first,
             "sentinel_last": sentinel_last,
             "sentinel_samples": sentinel_samples,
+            "bands_s_per_spec": BANDS_S_PER_SPEC,
             "sf": sf,
             "full_map": "BENCH_FULL.json",
         }
