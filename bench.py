@@ -57,6 +57,7 @@ COMPOSED = frozenset(
         "q248_ivfpq_cells",
         "q249_ivfpq_adc_topk",
         "q250_ivfpq_recall",
+        "q255_ivfpq_qerr_by_cell",
     }
 )
 
@@ -103,8 +104,10 @@ assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
 # stated threshold at all). Basis: the r13 quiet-box run — 253 specs,
 # sentinel samples 0.321/0.179/0.131/0.104 — measured core 0.659
 # s/spec (214), COMPOSED 3.052 (16, incl. the six PQ/IVF-PQ members),
-# CODEC 2.223 (23, after the q251 differential-leg sampling; 24 from
-# r14 with q254). Thresholds are ~1.2x those measurements to absorb
+# CODEC 2.223 (23, incl. q254, after the q251 differential-leg
+# sampling). q255 (r13-born, ~5.5 s Lloyd composition like q250)
+# joined COMPOSED after that run: expected tier mean ≈ 3.2, still
+# inside the band. Thresholds are ~1.2x those measurements to absorb
 # ordinary driver-box load; interpretation rule: compare sentinel_last
 # FIRST — a tier above band with a proportionally hot sentinel is box
 # load, a tier above band with flat sentinels is a plan regression.

@@ -1062,21 +1062,11 @@ def ivfpq_cell_oracle_sql(kc: int = 8, citers: int = 2, dim: int = 64) -> str:
     )
 
 
-def _ivfpq_scored_ctes(
-    kc: int,
-    citers: int,
-    m: int,
-    k: int,
-    d: int,
-    riters: int,
-    nprobe: int,
-    query_pred: str,
-) -> str:
-    """CTE chain through ``scored``: residual PQ training (biased
-    floored mean at +256·n — residual components span ±254), corpus
-    encode, per-(query, probed-cell) residual ADC tables, and the
-    cell-membership equi-join sum."""
-    dim = m * d
+def _respq_encode_ctes(m: int, k: int, d: int, riters: int) -> list[str]:
+    """CTE parts through ``renc``: residual sub-vectors, residual PQ
+    training (biased floored mean at +256·n — residual components span
+    ±254), and the final per-(vector, sub-space) code assignment.
+    Appended after ``_ivf_ctes`` (which defines ``resid``)."""
     parts = [
         f"rsub AS (SELECT vec_id, ccid, gm.m AS m,"
         f" list_slice(rv, CAST(gm.m*{d}+1 AS BIGINT),"
@@ -1104,13 +1094,34 @@ def _ivfpq_scored_ctes(
             f" FROM rs{it} GROUP BY m, cid)",
         ]
     rfinal = f"rc{riters}"
-    cfinal = f"cc{citers}"
     parts += [
         f"renc AS (SELECT vec_id, ccid, m, cid FROM ("
         f" SELECT p.vec_id, p.ccid, p.m, c.cid,"
         f" row_number() OVER (PARTITION BY p.vec_id, p.m ORDER BY"
         f" {_zdist('p.s', 'c.c')}, c.cid) AS rn"
         f" FROM rsub p JOIN {rfinal} c ON p.m = c.m) z WHERE rn = 1)",
+    ]
+    return parts
+
+
+def _ivfpq_scored_ctes(
+    kc: int,
+    citers: int,
+    m: int,
+    k: int,
+    d: int,
+    riters: int,
+    nprobe: int,
+    query_pred: str,
+) -> str:
+    """CTE chain through ``scored``: residual PQ training + corpus
+    encode (_respq_encode_ctes), per-(query, probed-cell) residual ADC
+    tables, and the cell-membership equi-join sum."""
+    dim = m * d
+    rfinal = f"rc{riters}"
+    cfinal = f"cc{citers}"
+    parts = _respq_encode_ctes(m, k, d, riters)
+    parts += [
         f"probes AS (SELECT query_id, pcid, qv FROM ("
         f" SELECT q.vec_id AS query_id, c.cid AS pcid, q.qv,"
         f" row_number() OVER (PARTITION BY q.vec_id ORDER BY"
@@ -1158,6 +1169,84 @@ def ivfpq_adc_oracle_sql(
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc, neighbor_id) AS rk FROM scored) t
     WHERE rk <= {topk}
+    """
+    )
+
+
+def ivfpq_qerr_by_cell(
+    vectors: DataFrame,
+    kc: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The q255 spec surface: per coarse cell, the exact residual
+    quantization error Σ||r_m − cent_m[code_m]||² of its members under
+    the trained residual codebooks — the PRECISE statistic the
+    streaming index's re-train gate (pq_index_monitor) folds and
+    compares, surfaced as an oracle-checkable batch query so the
+    gate's arithmetic has a driver row, not just fixture tests. One
+    map-only encode pass (books are closure captures) + one ≤ kc-row
+    group exchange. Output: (cid, n, err_sum, err_min, err_max)."""
+    coarse = ivf_train_coarse(
+        vectors, kc=kc, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    book = ivfpq_train_residual(
+        vectors, coarse, m=m, k=k, iters=iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    enc = ivfpq_encode(
+        vectors, coarse, book, m=m, dim=dim,
+        id_col=id_col, vec_col=vec_col, with_err=True,
+    )
+    return enc.groupBy("ccid").agg(
+        F.count("*").alias("n"),
+        F.sum("qerr").alias("err_sum"),
+        F.min("qerr").alias("err_min"),
+        F.max("qerr").alias("err_max"),
+    ).select(
+        F.col("ccid").cast("long").alias("cid"),
+        F.col("n").cast("long"),
+        F.col("err_sum").cast("long"),
+        F.col("err_min").cast("long"),
+        F.col("err_max").cast("long"),
+    )
+
+
+def ivfpq_qerr_oracle_sql(
+    kc: int = 8,
+    citers: int = 2,
+    m: int = 8,
+    k: int = 16,
+    d: int = 8,
+    riters: int = 2,
+) -> str:
+    """q255 oracle: replay coarse Lloyd → residuals → residual PQ →
+    final code assignment, then per-vector Σ sub-space distance to the
+    CHOSEN centroid, grouped by cell."""
+    dim = m * d
+    parts = _respq_encode_ctes(m, k, d, riters)
+    parts += [
+        f"verr AS (SELECT p.vec_id, p.ccid,"
+        f" sum({_zdist('p.s', 'c.c')}) AS qerr"
+        f" FROM rsub p"
+        f" JOIN renc e ON e.vec_id = p.vec_id AND e.m = p.m"
+        f" JOIN rc{riters} c ON c.m = p.m AND c.cid = e.cid"
+        f" GROUP BY p.vec_id, p.ccid)",
+    ]
+    return (
+        _ivf_ctes(kc, citers, dim)
+        + ",\n"
+        + ",\n".join(parts)
+        + """
+    SELECT CAST(ccid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qerr) AS BIGINT) AS err_sum,
+           CAST(min(qerr) AS BIGINT) AS err_min,
+           CAST(max(qerr) AS BIGINT) AS err_max
+    FROM verr GROUP BY ccid
     """
     )
 

@@ -9,6 +9,12 @@ streaming-index era's remaining seams (VERDICT r12 "Next round" #7/#8).
   CASE ladder and q253's block-reseeded recursive recurrence with a
   per-frame LAG-based zero-crossing count — fully closed-form.
 
+- q255: per-cell residual quantization error under the trained
+  IVF-PQ codebooks (pq.ivfpq_qerr_by_cell) — the streaming re-train
+  gate's exact statistic (pq_index_monitor) surfaced as an
+  oracle-checkable batch query; the oracle extends the q249/q250
+  replay chain with a chosen-centroid distance join.
+
 Determinism: everything is exact int64 (companded decode midpoints,
 ADPCM predictor walk, integer frame reductions). Registered after the
 50-spec r13 driver window; first driver rows land per the standing
@@ -147,3 +153,21 @@ def q254(spark: SparkSession, sf: str) -> DataFrame:
     return compressed_audio_frame_features(
         load(spark, sf, "documents").select("doc_id")
     )
+
+
+from ..operators.pq import ivfpq_qerr_oracle_sql  # noqa: E402
+
+
+@query(
+    "q255_ivfpq_qerr_by_cell",
+    oracle=ivfpq_qerr_oracle_sql(kc=8, citers=2, m=8, k=16, d=8, riters=2),
+    doc="per-cell residual quantization error under the trained "
+    "IVF-PQ codebooks — the streaming re-train gate's exact statistic "
+    "as an oracle-checkable batch query (count, sum, min, max of "
+    "sum-of-subspace distances to the chosen centroids)",
+    tags=("llmops", "similarity", "pq", "ivf"),
+)
+def q255(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.pq import ivfpq_qerr_by_cell
+
+    return ivfpq_qerr_by_cell(load(spark, sf, "embeddings"), kc=8, m=8, k=16, iters=2)
