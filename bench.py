@@ -95,6 +95,7 @@ CODEC = frozenset(
         "q252_jpeg_422_roundtrip",
         "q253_wav_codec_container",
         "q254_compressed_audio_features",
+        "q256_jpeg_411_roundtrip",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
@@ -105,9 +106,11 @@ assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
 # sentinel samples 0.321/0.179/0.131/0.104 — measured core 0.659
 # s/spec (214), COMPOSED 3.052 (16, incl. the six PQ/IVF-PQ members),
 # CODEC 2.223 (23, incl. q254, after the q251 differential-leg
-# sampling). q255 (r13-born, ~5.5 s Lloyd composition like q250)
-# joined COMPOSED after that run: expected tier mean ≈ 3.2, still
-# inside the band. Thresholds are ~1.2x those measurements to absorb
+# sampling). Two r13-born specs joined tiers after that run: q255
+# (~5.5 s Lloyd composition like q250) into COMPOSED — expected tier
+# mean ≈ 3.2 — and q256 (4:1:1, measured 3.62 s at sf0.1, the
+# jpeg_422 shape) into CODEC — expected tier mean ≈ 2.3; both inside
+# their bands. Thresholds are ~1.2x those measurements to absorb
 # ordinary driver-box load; interpretation rule: compare sentinel_last
 # FIRST — a tier above band with a proportionally hot sentinel is box
 # load, a tier above band with flat sentinels is a plan regression.

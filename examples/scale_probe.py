@@ -444,6 +444,15 @@ def main() -> None:
             # container walk, block-framed decode — map-only
             return wav_codec_container_stats(d.select("doc_id"))
 
+        def jpeg_411():
+            # 4:1:1 subsampled round trip — four-luma-block 32x8 MCUs,
+            # exact 4:1 horizontal box chroma; map-only
+            from kassette_server_spark.operators.multimodal import (
+                jpeg_411_roundtrip_stats,
+            )
+
+            return jpeg_411_roundtrip_stats(d.select("doc_id"))
+
         rows_d, rows_l, rows_o, rows_c, rows_v = (
             5_000 * scale,
             600_000 * scale,
@@ -481,6 +490,7 @@ def main() -> None:
             "jpeg_422": (jpeg_422, rows_d),
             "jpeg_progressive": (jpeg_progressive, rows_d),
             "wav_codec": (wav_codec, rows_d),
+            "jpeg_411": (jpeg_411, rows_d),
         }
 
     def run_thunk(f) -> float:

@@ -1178,6 +1178,17 @@ def _box_downsample_2x1(plane: "np.ndarray") -> "np.ndarray":
     return ((s[:, 0::2] + s[:, 1::2] + 1) // 2).astype(np.uint8)
 
 
+def _box_downsample_4x1(plane: "np.ndarray") -> "np.ndarray":
+    """Exact horizontal 4:1 box average with round-half-up:
+    (a+b+c+d+2) div 4 — the 4:1:1 chroma path (the DV-video layout:
+    chroma quartered in x, full vertical resolution). ``plane`` must
+    have width divisible by 4."""
+    s = plane.astype(np.int64)
+    return (
+        (s[:, 0::4] + s[:, 1::4] + s[:, 2::4] + s[:, 3::4] + 2) // 4
+    ).astype(np.uint8)
+
+
 def encode_jpeg_pixels(
     width: int, height: int, pixels: bytes, channels: int = 1,
     restart_interval: int = 0, subsampling: str = "444",
@@ -1214,7 +1225,11 @@ def encode_jpeg_pixels(
     16x16 tile survive the full 4:2:0 round trip bit-exactly (the
     box average of a constant is that constant, every coded block is
     constant, and the flat-8 quant divides its lone DC coefficient
-    exactly).
+    exactly). ``subsampling="411"`` (channels=3 only, r13) is the
+    DV-video layout: component 1 at 4x1 sampling, MCU = a 32x8 pixel
+    tile carrying FOUR component-1 blocks side by side, chroma
+    4:1 box-averaged in x only ((a+b+c+d+2) div 4) — images constant
+    per 32x8 tile survive the round trip bit-exactly.
 
     ``restart_interval`` > 0 writes a DRI segment and an RSTn marker
     (modulo-8 sequence, spec §E.2.4) after every ``restart_interval``
@@ -1225,8 +1240,8 @@ def encode_jpeg_pixels(
     bounds corruption blast radius to one segment (VERDICT r11 #4)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (grayscale) or 3")
-    if subsampling not in ("444", "422", "420"):
-        raise ValueError("subsampling must be '444', '422' or '420'")
+    if subsampling not in ("444", "422", "420", "411"):
+        raise ValueError("subsampling must be '444', '422', '420' or '411'")
     if subsampling != "444" and channels != 3:
         raise ValueError("chroma subsampling requires 3 components")
     if len(pixels) != width * height * channels:
@@ -1239,8 +1254,9 @@ def encode_jpeg_pixels(
         height, width, channels
     )
     # MCU geometry: 8x8 at 4:4:4 / grayscale, 16x16 at 4:2:0,
-    # 16x8 at 4:2:2 (chroma halved in x only)
-    mcu_w_px = 16 if subsampling in ("420", "422") else 8
+    # 16x8 at 4:2:2 (chroma halved in x only), 32x8 at 4:1:1
+    # (chroma quartered in x only)
+    mcu_w_px = {"420": 16, "422": 16, "411": 32}.get(subsampling, 8)
     mcu_h_px = 16 if subsampling == "420" else 8
     mw = (width + mcu_w_px - 1) // mcu_w_px
     mh = (height + mcu_h_px - 1) // mcu_h_px
@@ -1275,6 +1291,13 @@ def encode_jpeg_pixels(
             blocks_of(padded[:, :, 0]),
             blocks_of(_box_downsample_2x1(padded[:, :, 1])),
             blocks_of(_box_downsample_2x1(padded[:, :, 2])),
+        ]
+    elif subsampling == "411":
+        samp = [(4, 1), (1, 1), (1, 1)]
+        comp_blocks = [
+            blocks_of(padded[:, :, 0]),
+            blocks_of(_box_downsample_4x1(padded[:, :, 1])),
+            blocks_of(_box_downsample_4x1(padded[:, :, 2])),
         ]
     else:
         samp = [(1, 1)] * channels
@@ -1827,9 +1850,9 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 # component spec: id, sampling, quant table id
                 cid, samp, ctq = data[6 + 3 * cn : 9 + 3 * cn]
                 sh, sv = samp >> 4, samp & 0x0F
-                if (sh, sv) not in ((1, 1), (2, 1), (2, 2)):
+                if (sh, sv) not in ((1, 1), (2, 1), (2, 2), (4, 1)):
                     raise ValueError(
-                        "sampling factors limited to 1x1, 2x1 and 2x2"
+                        "sampling factors limited to 1x1, 2x1, 2x2 and 4x1"
                     )
                 comps.append((cid, ctq, sh, sv))
             if ncomp == 1:
@@ -1844,14 +1867,15 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 c[2:] == (1, 1) for c in comps[1:]
             )
             if factors not in ({(1, 1)}, {(2, 2)}) and not (
-                chroma_11 and comps[0][2:] in ((2, 2), (2, 1))
+                chroma_11 and comps[0][2:] in ((2, 2), (2, 1), (4, 1))
             ):
                 # uniform sampling (all 1x1 — or all 2x2, which is the
-                # same layout at a bigger MCU), 4:2:0 (luma 2x2), or
-                # 4:2:2 (luma 2x1); anything else (4:1:1, inverted
-                # ratios, ...) raises rather than mis-reads
+                # same layout at a bigger MCU), 4:2:0 (luma 2x2), 4:2:2
+                # (luma 2x1), or 4:1:1 (luma 4x1); anything else
+                # (inverted ratios, 1x4, non-dyadic, ...) raises rather
+                # than mis-reads
                 raise ValueError(
-                    "only uniform, 4:2:2 and 4:2:0 sampling supported"
+                    "only uniform, 4:2:2, 4:2:0 and 4:1:1 sampling supported"
                 )
             sof = (width, height, comps)
         elif marker == 0xDD:  # DRI
@@ -4291,4 +4315,66 @@ def compressed_audio_frame_features(
         batches,
         schema="doc_id long, codec string, frame_id long, n_samples long, "
         "sum_abs long, sum_sq long, zero_crossings long",
+    )
+
+
+def jpeg_411_roundtrip_stats(
+    df: DataFrame, id_col: str = "doc_id", restart_interval: int = 2
+) -> DataFrame:
+    """4:1:1 chroma subsampling through the scan machinery — the
+    DV-video layout (chroma quartered in x, full in y), completing the
+    JPEG sampling matrix's last member beside 4:4:4 (q233/q243),
+    4:2:0 (q244) and 4:2:2 (q252). Per id, a 3-component image with
+    per-32x8-TILE-constant channels ch_c(x, y) = (id + c +
+    3·(x div 32) + 5·(y div 8)) mod 256 at dims (32 + id mod 41) ×
+    (8 + 3·id mod 21) — partial MCUs in both axes — encoded 4:1:1
+    (FOUR luma blocks per 32x8 MCU at 4x1, chroma 4:1 box-averaged in
+    x with exact round-half-up (a+b+c+d+2) div 4) with a restart every
+    2 MCUs, decoded, channel-summed. Tile-constant content survives
+    the lossy path bit-exactly, keeping the sums closed-form while the
+    4x1 MCU interleave and the quartering downsample/upsample pair sit
+    in the oracle-gated path.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, width, height, n_mcus, sum_c0, sum_c1,
+    sum_c2)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                w, h = 32 + i % 41, 8 + (i * 3) % 21
+                tx = np.arange(w)[None, :] // 32
+                ty = np.arange(h)[:, None] // 8
+                px = (
+                    np.stack(
+                        [(i + c + 3 * tx + 5 * ty) % 256 for c in range(3)],
+                        axis=-1,
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+                pay = encode_jpeg_pixels(
+                    w, h, px, channels=3,
+                    restart_interval=restart_interval, subsampling="411",
+                )
+                dw, dh, dch, dpx = decode_jpeg_pixels(pay)
+                assert (dw, dh, dch) == (w, h, 3)
+                a = np.frombuffer(dpx, dtype=np.uint8).reshape(-1, 3)
+                s = a.sum(axis=0, dtype=np.int64)
+                n_mcus = ((w + 31) // 32) * ((h + 7) // 8)
+                rows.append((i, w, h, n_mcus, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_mcus",
+                    "sum_c0", "sum_c1", "sum_c2",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, n_mcus long, "
+        "sum_c0 long, sum_c1 long, sum_c2 long",
     )

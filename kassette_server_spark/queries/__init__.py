@@ -107,7 +107,9 @@ _WINDOW: tuple[str, ...] = (
 # round 13 alongside the r13 window above; r13-born specs take
 # first-row priority per the standing first-round policy):
 # r14 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + first driver row for the r13-born spec (1: q254_compressed_audio_features)
+# + first driver rows for the three r13-born specs (3:
+#   q254_compressed_audio_features, q255_ivfpq_qerr_by_cell,
+#   q256_jpeg_411_roundtrip)
 # + q201_log_rank (1, last green r9 — the oldest singleton)
 # + the MEASURED stalest tier: the 40 specs whose last driver-green
 #   round is r7 per the CORRECTNESS_r* ledger (q-number order):
@@ -123,14 +125,12 @@ _WINDOW: tuple[str, ...] = (
 #   q71_quality_filter, q72_sequence_packing, q73_tfidf_top_terms,
 #   q74_ngram_novelty, q78_domain_mix, q79_shuffle_shards,
 #   q80_repetition_filter, q81_pii_scrub, q82_chunk_documents
-# + the two oldest r8 greens (2: q30_dedup_exact_text,
-#   q31_dedup_ngram_jaccard).
-# Arithmetic: 6 + 1 + 1 + 40 + 2 = 50 exactly.
+# Arithmetic: 6 + 3 + 1 + 40 = 50 exactly.
 # NOTE: VERDICT r12 #10 sketched q202-q211 (TPC-H completion, last
 # green r10) + the r9 remainder for this window, but the ledger the
 # same item tells us to keep shows the r7-green tier above is 3 rounds
 # staler — the ledger wins; q202-q211 and the rest of the r8 tier
-# (q32-q83) roll to r15.
+# (q30-q83) roll to r15.
 # Every spec stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run regardless of rotation position;
 # prioritize specs whose OPERATORS changed since their last row.

@@ -9,6 +9,12 @@ streaming-index era's remaining seams (VERDICT r12 "Next round" #7/#8).
   CASE ladder and q253's block-reseeded recursive recurrence with a
   per-frame LAG-based zero-crossing count — fully closed-form.
 
+- q256: JPEG 4:1:1 (multimodal.jpeg_411_roundtrip_stats) — the
+  DV-video layout completing the sampling matrix's last member: FOUR
+  luma blocks per 32x8 MCU at 4x1, chroma 4:1 box-averaged in x with
+  exact round-half-up, restart markers composing; per-32x8-tile-
+  constant channels keep the lossy path bit-exact and the sums
+  closed-form.
 - q255: per-cell residual quantization error under the trained
   IVF-PQ codebooks (pq.ivfpq_qerr_by_cell) — the streaming re-train
   gate's exact statistic (pq_index_monitor) surfaced as an
@@ -171,3 +177,38 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.pq import ivfpq_qerr_by_cell
 
     return ivfpq_qerr_by_cell(load(spark, sf, "embeddings"), kc=8, m=8, k=16, iters=2)
+
+
+@query(
+    "q256_jpeg_411_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 32 + doc_id % 41 AS w, 8 + (doc_id * 3) % 21 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 0 + 3 * (gx.x // 32) + 5 * (gy.y // 8)) % 256 AS c0,
+             (doc_id + 1 + 3 * (gx.x // 32) + 5 * (gy.y // 8)) % 256 AS c1,
+             (doc_id + 2 + 3 * (gx.x // 32) + 5 * (gy.y // 8)) % 256 AS c2
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(((w + 31) // 32) * ((h + 7) // 8) AS BIGINT) AS n_mcus,
+           CAST(sum(c0) AS BIGINT) AS sum_c0,
+           CAST(sum(c1) AS BIGINT) AS sum_c1,
+           CAST(sum(c2) AS BIGINT) AS sum_c2
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="JPEG 4:1:1 round trip: four-luma-block 32x8 MCUs, exact "
+    "horizontal 4:1 chroma box average, restart markers — bit-exact "
+    "on tile-constant content, sums closed-form in the id",
+    tags=("llmops", "multimodal"),
+)
+def q256(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_411_roundtrip_stats
+
+    return jpeg_411_roundtrip_stats(
+        load(spark, sf, "documents").select("doc_id"), restart_interval=2
+    )

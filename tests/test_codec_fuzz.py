@@ -187,7 +187,7 @@ def test_jpeg_lossy_differential_on_random_rasters(seed):
     prog = decode_jpeg_pixels(encode_jpeg_progressive_pixels(w, h, px, channels=3))
     assert prog == base
     ri = int(rng.integers(1, 4))
-    for sub in ("444", "422", "420"):
+    for sub in ("444", "422", "420", "411"):
         plain = decode_jpeg_pixels(
             encode_jpeg_pixels(w, h, px, channels=3, subsampling=sub)
         )
@@ -255,3 +255,33 @@ def test_compressed_wav_containers_match_raw_codec_composition(seed):
         )
         ref.extend(int(x) for x in dec_chunk)
     assert got.tolist() == ref
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_jpeg_full_matrix_with_411_on_32x16_tiles(seed):
+    """One random per-32x16-tile-constant RGB raster through the
+    COMPLETE sampling matrix including 4:1:1 (r13, q256): 32x16 tiles
+    are constant over every mode's box-average span (4 px horizontally
+    for 4:1:1, 2x2 for 4:2:0, 2 px for 4:2:2), so all five coded forms
+    must decode to the SAME source bytes."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.default_rng(30_000 + seed)
+    w = int(rng.integers(1, 100))
+    h = int(rng.integers(1, 50))
+    tiles = rng.integers(
+        0, 256, size=((h + 15) // 16, (w + 31) // 32, 3), dtype=np.uint8
+    )
+    px = np.repeat(np.repeat(tiles, 16, axis=0), 32, axis=1)[:h, :w].tobytes()
+    ri = int(rng.integers(0, 3))
+    payloads = [
+        encode_jpeg_pixels(w, h, px, channels=3, subsampling=s,
+                           restart_interval=ri)
+        for s in ("444", "422", "420", "411")
+    ] + [encode_jpeg_progressive_pixels(w, h, px, channels=3)]
+    for pay in payloads:
+        assert decode_jpeg_pixels(pay) == (w, h, 3, px)

@@ -1388,3 +1388,11 @@ def test_q253_wav_container_scan_stage_map(spark):
     p = plan(spark, "q253_wav_codec_container")
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_q256_jpeg_411_scan_stage_map(spark):
+    """4:1:1 round trip: per-row codec work, one Arrow-batched
+    mapInPandas inside the scan stage, zero exchanges."""
+    p = plan(spark, "q256_jpeg_411_roundtrip")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

@@ -340,23 +340,25 @@ def test_jpeg_420_fences():
 
     with pytest.raises(ValueError, match="3 components"):
         encode_jpeg_pixels(8, 8, bytes(64), channels=1, subsampling="420")
-    # 4:2:2 became a supported mode in q252; 4:1:1 is the still-refused
-    # layout the encoder fence now guards.
+    # 4:2:2 became a supported mode in q252 and 4:1:1 in q256 (r13);
+    # 4:4:0 (vertical-only halving) is the still-refused layout the
+    # encoder fence now guards.
     with pytest.raises(ValueError, match="subsampling"):
-        encode_jpeg_pixels(8, 8, bytes(192), channels=3, subsampling="411")
+        encode_jpeg_pixels(8, 8, bytes(192), channels=3, subsampling="440")
     # and 4:2:2 itself round-trips bit-exactly on tile-constant rasters
     px = _tile_constant(32, 32, seed=5).tobytes()
     pay422 = encode_jpeg_pixels(32, 32, px, channels=3, subsampling="422")
     w, h, c, out = decode_jpeg_pixels(pay422)
     assert (w, h, c) == (32, 32, 3) and out == px
 
-    # decoder: rewrite a 4:2:0 SOF to declare 4:1:1 (4x1) — must refuse
+    # decoder: rewrite a 4:2:0 SOF to declare 1x4 (inverted 4:1:1 —
+    # vertical quartering is not a supported layout) — must refuse
     pay = bytearray(
         encode_jpeg_pixels(32, 32, px, channels=3, subsampling="420")
     )
     i = pay.find(b"\xff\xc0")
     assert pay[i + 4 + 6 + 1] == 0x22
-    pay[i + 4 + 6 + 1] = 0x41  # H=4, V=1 — 4:1:1, unsupported
+    pay[i + 4 + 6 + 1] = 0x14  # H=1, V=4 — unsupported
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg_pixels(bytes(pay))
     # chroma at 2x2 alongside luma 2x2 is uniform (fine); chroma at
