@@ -96,6 +96,7 @@ CODEC = frozenset(
         "q253_wav_codec_container",
         "q254_compressed_audio_features",
         "q256_jpeg_411_roundtrip",
+        "q257_jpeg_progressive_420",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
@@ -108,9 +109,9 @@ assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
 # CODEC 2.223 (23, incl. q254, after the q251 differential-leg
 # sampling). Two r13-born specs joined tiers after that run: q255
 # (~5.5 s Lloyd composition like q250) into COMPOSED — expected tier
-# mean ≈ 3.2 — and q256 (4:1:1, measured 3.62 s at sf0.1, the
-# jpeg_422 shape) into CODEC — expected tier mean ≈ 2.3; both inside
-# their bands. Thresholds are ~1.2x those measurements to absorb
+# mean ≈ 3.2 — and q256/q257 (4:1:1 at 3.62 s, progressive-4:2:0 at
+# 5.73 s measured at sf0.1) into CODEC — expected tier mean ≈ 2.4;
+# all inside their bands. Thresholds are ~1.2x those measurements to absorb
 # ordinary driver-box load; interpretation rule: compare sentinel_last
 # FIRST — a tier above band with a proportionally hot sentinel is box
 # load, a tier above band with flat sentinels is a plan regression.

@@ -453,6 +453,16 @@ def main() -> None:
 
             return jpeg_411_roundtrip_stats(d.select("doc_id"))
 
+        def jpeg_prog_420():
+            # progressive + 4:2:0 together (the real-world progressive
+            # photo layout): MCU-interleaved DC scan + per-component
+            # real-grid AC scans; map-only
+            from kassette_server_spark.operators.multimodal import (
+                jpeg_progressive_420_roundtrip_stats,
+            )
+
+            return jpeg_progressive_420_roundtrip_stats(d.select("doc_id"))
+
         rows_d, rows_l, rows_o, rows_c, rows_v = (
             5_000 * scale,
             600_000 * scale,
@@ -491,6 +501,7 @@ def main() -> None:
             "jpeg_progressive": (jpeg_progressive, rows_d),
             "wav_codec": (wav_codec, rows_d),
             "jpeg_411": (jpeg_411, rows_d),
+            "jpeg_prog_420": (jpeg_prog_420, rows_d),
         }
 
     def run_thunk(f) -> float:

@@ -1372,7 +1372,8 @@ def encode_jpeg_gray_pixels(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def encode_jpeg_progressive_pixels(
-    width: int, height: int, pixels: bytes, channels: int = 1
+    width: int, height: int, pixels: bytes, channels: int = 1,
+    subsampling: str = "444",
 ) -> bytes:
     """REAL progressive JPEG writer (SOF2, spectral selection): the
     LAST refused JPEG mode (VERDICT r11 soft-edge (a)). The image's
@@ -1393,69 +1394,116 @@ def encode_jpeg_progressive_pixels(
     At 100 TB the point is transport: a DC-only prefix of the file
     already renders a 1/64-resolution preview, so a pipeline can
     triage/thumbnail from the first kilobytes of each blob without
-    fetching tails. Grayscale or 3-component 4:4:4; no subsampling or
-    restarts in this mode (refused rather than mis-written).
-    Decodable by :func:`decode_jpeg_pixels`, which routes SOF2 files
-    to the multi-scan coefficient-accumulation path."""
+    fetching tails. Grayscale or 3-component at 4:4:4, 4:2:2, 4:2:0
+    or 4:1:1 (r13: the subsampled progressive forms real-world photo
+    JPEGs actually use — the DC scan MCU-interleaves Hi x Vi luma
+    blocks over the padded grid, while the per-component AC scans
+    walk the component's REAL block grid in raster order per spec
+    §A.2.2, excluding MCU-alignment pad blocks); no restarts in this
+    mode (refused rather than mis-written). Decodable by
+    :func:`decode_jpeg_pixels`, which routes SOF2 files to the
+    multi-scan coefficient-accumulation path."""
     if channels not in (1, 3):
-        raise ValueError("channels must be 1 (grayscale) or 3 (4:4:4)")
+        raise ValueError("channels must be 1 (grayscale) or 3")
+    if subsampling not in ("444", "422", "420", "411"):
+        raise ValueError("subsampling must be '444', '422', '420' or '411'")
+    if subsampling != "444" and channels != 3:
+        raise ValueError("chroma subsampling requires 3 components")
     if len(pixels) != width * height * channels:
         raise ValueError("pixels must be width*height*channels bytes")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("dimensions must fit in uint16")
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    padded = np.empty((bh * 8, bw * 8, channels), dtype=np.uint8)
+    if subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        downs = _box_downsample_2x2
+    elif subsampling == "422":
+        samp = [(2, 1), (1, 1), (1, 1)]
+        downs = _box_downsample_2x1
+    elif subsampling == "411":
+        samp = [(4, 1), (1, 1), (1, 1)]
+        downs = _box_downsample_4x1
+    else:
+        samp = [(1, 1)] * channels
+        downs = None
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
+    mcu_w_px, mcu_h_px = 8 * hmax, 8 * vmax
+    mw = (width + mcu_w_px - 1) // mcu_w_px
+    mh = (height + mcu_h_px - 1) // mcu_h_px
+    padded = np.empty((mh * mcu_h_px, mw * mcu_w_px, channels), dtype=np.uint8)
     padded[:height, :width] = img
     padded[height:, :width] = img[-1:, :]
     padded[:, width:] = padded[:, width - 1 : width]
     zz_idx = np.array(_ZIGZAG)
-    comp_zz = []
+    comp_zz = []   # per comp: (rows_c*cols_c, 64) over the PADDED grid
+    grids = []     # per comp: (cols_c, bw_real, bh_real)
     for cn in range(channels):
-        plane = padded[:, :, cn].astype(np.float64)
+        sh, sv = samp[cn]
+        plane = padded[:, :, cn]
+        if (sh, sv) != (hmax, vmax):
+            plane = downs(plane)  # chroma: exact box average
+        rows_c, cols_c = mh * sv, mw * sh
         tiles = (
-            plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            plane.astype(np.float64)
+            .reshape(rows_c, 8, cols_c, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
         )
-        comp_zz.append(_dct_quantize(tiles)[:, zz_idx])  # (bh*bw, 64)
+        comp_zz.append(_dct_quantize(tiles)[:, zz_idx])
+        # the component's REAL block grid (spec A.1.1 dimensions) —
+        # AC scans never code the MCU-alignment pad blocks
+        cw_px = -(-width * sh // hmax)
+        ch_px = -(-height * sv // vmax)
+        grids.append((cols_c, -(-cw_px // 8), -(-ch_px // 8)))
 
-    # scan 1: DC, interleaved
+    # scan 1: DC, MCU-interleaved (Hi x Vi blocks per component in
+    # raster order within each MCU — spec §A.2.3)
     w = _BitWriter()
     prev_dc = [0] * channels
-    for b in range(bh * bw):
-        for cn in range(channels):
-            dc = int(comp_zz[cn][b, 0])
-            size, bits = _magnitude(dc - prev_dc[cn])
-            code, length = _DC_CODES[size]
-            w.put(code, length)
-            if size:
-                w.put(bits, size)
-            prev_dc[cn] = dc
+    for my in range(mh):
+        for mx in range(mw):
+            for cn in range(channels):
+                sh, sv = samp[cn]
+                for vy in range(sv):
+                    for hx in range(sh):
+                        b = (my * sv + vy) * (mw * sh) + mx * sh + hx
+                        dc = int(comp_zz[cn][b, 0])
+                        size, bits = _magnitude(dc - prev_dc[cn])
+                        code, length = _DC_CODES[size]
+                        w.put(code, length)
+                        if size:
+                            w.put(bits, size)
+                        prev_dc[cn] = dc
     dc_scan = w.flush()
 
-    # scans 2..: AC per component, raster order, EOB (= EOBRUN 1)
+    # scans 2..: AC per component, the REAL grid in raster order,
+    # EOB (= EOBRUN 1)
     ac_scans = []
     for cn in range(channels):
+        cols_c, bw_real, bh_real = grids[cn]
         w = _BitWriter()
-        for b in range(bh * bw):
-            zz = comp_zz[cn][b]
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    c, ln = _AC_CODES[0xF0]
-                    w.put(c, ln)
-                    run -= 16
-                size, bits = _magnitude(int(zz[k]))
-                c, ln = _AC_CODES[(run << 4) | size]
-                w.put(c, ln)
-                w.put(bits, size)
+        for by in range(bh_real):
+            for bx in range(bw_real):
+                zz = comp_zz[cn][by * cols_c + bx]
                 run = 0
-            if last_nz < 63:
-                c, ln = _AC_CODES[0x00]  # EOB = EOBRUN of exactly 1
-                w.put(c, ln)
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        c, ln = _AC_CODES[0xF0]
+                        w.put(c, ln)
+                        run -= 16
+                    size, bits = _magnitude(int(zz[k]))
+                    c, ln = _AC_CODES[(run << 4) | size]
+                    w.put(c, ln)
+                    w.put(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    c, ln = _AC_CODES[0x00]  # EOB = EOBRUN of exactly 1
+                    w.put(c, ln)
         ac_scans.append(w.flush())
 
     def seg(marker: int, data: bytes) -> bytes:
@@ -1466,7 +1514,8 @@ def encode_jpeg_progressive_pixels(
     )
     dqt = bytes([0]) + bytes([_JPEG_SCAN_QUANT] * 64)
     sof = struct.pack(">BHHB", 8, height, width, channels) + b"".join(
-        bytes([cn + 1, 0x11, 0]) for cn in range(channels)
+        bytes([cn + 1, (samp[cn][0] << 4) | samp[cn][1], 0])
+        for cn in range(channels)
     )
     dht = (
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
@@ -1634,13 +1683,45 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for cn in range(ncomp):
                 cid, samp, ctq = data[6 + 3 * cn : 9 + 3 * cn]
-                if samp != 0x11:
-                    raise ValueError("subsampled progressive not supported")
-                comps.append((cid, ctq))
+                sh, sv = samp >> 4, samp & 0x0F
+                if (sh, sv) not in ((1, 1), (2, 1), (2, 2), (4, 1)):
+                    raise ValueError(
+                        "sampling factors limited to 1x1, 2x1, 2x2 and 4x1"
+                    )
+                comps.append((cid, ctq, sh, sv))
+            if ncomp == 1:
+                # spec A.2: single-component scans are non-interleaved,
+                # sampling factors ignored (mirror the baseline path)
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
+            factors = {(sh, sv) for _, _, sh, sv in comps}
+            chroma_11 = ncomp == 3 and all(
+                c[2:] == (1, 1) for c in comps[1:]
+            )
+            if factors not in ({(1, 1)}, {(2, 2)}) and not (
+                chroma_11 and comps[0][2:] in ((2, 2), (2, 1), (4, 1))
+            ):
+                raise ValueError(
+                    "only uniform, 4:2:2, 4:2:0 and 4:1:1 sampling supported"
+                )
             sof = (width, height, comps)
-            bw, bh = (width + 7) // 8, (height + 7) // 8
-            n_blocks = bw * bh
-            coef = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]
+            hmax = max(sh for _, _, sh, _ in comps)
+            vmax = max(sv for _, _, _, sv in comps)
+            mw = (width + 8 * hmax - 1) // (8 * hmax)
+            mh = (height + 8 * vmax - 1) // (8 * vmax)
+            # per component: the PADDED (MCU-aligned) grid holds the
+            # coefficients; the REAL grid (spec A.1.1) is what AC and
+            # non-interleaved scans walk — pad blocks get DC only
+            geo = []  # (cols_c, rows_c, bw_real, bh_real)
+            for _, _, sh, sv in comps:
+                cw_px = -(-width * sh // hmax)
+                ch_px = -(-height * sv // vmax)
+                geo.append(
+                    (mw * sh, mh * sv, -(-cw_px // 8), -(-ch_px // 8))
+                )
+            coef = [
+                np.zeros((cols_c * rows_c, 64), dtype=np.int64)
+                for cols_c, rows_c, _, _ in geo
+            ]
             prev_dc = [0] * ncomp
         elif marker == 0xDD:
             raise ValueError("restart intervals not supported in progressive")
@@ -1654,7 +1735,7 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 cid = data[1 + 2 * cn]
                 tbl = data[2 + 2 * cn]
                 frame_idx = next(
-                    (i for i, (fcid, _) in enumerate(comps) if fcid == cid), None
+                    (i for i, c in enumerate(comps) if c[0] == cid), None
                 )
                 if frame_idx is None:
                     raise ValueError(f"scan component {cid} absent from frame")
@@ -1678,23 +1759,84 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                     end = nf
                     break
             reader = _BitReader(payload[scan_start:end])
+            def scan_order(fi: int) -> list[int]:
+                """Padded-grid indices in the order this scan codes
+                component fi's blocks: MCU-interleaved (Hi x Vi per
+                MCU, spec A.2.3) when the scan has several components,
+                the REAL grid in raster order (spec A.2.2 — pad blocks
+                excluded) when it has one."""
+                cols_c, rows_c, bw_real, bh_real = geo[fi]
+                _, _, sh, sv = comps[fi]
+                if ns > 1:
+                    return [
+                        (my * sv + vy) * cols_c + mx * sh + hx
+                        for my in range(mh)
+                        for mx in range(mw)
+                        for vy in range(sv)
+                        for hx in range(sh)
+                    ]
+                return [
+                    by * cols_c + bx
+                    for by in range(bh_real)
+                    for bx in range(bw_real)
+                ]
+
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan must have Se = 0")
+                orders = [scan_order(fi) for fi, _, _ in sel]
+                n_units = len(orders[0])
                 if ah == 0:  # first DC pass (any Al): baseline DC + shift
-                    for b in range(n_blocks):
-                        for fi, dc_id, _ in sel:
-                            table = huff.get((0, dc_id))
-                            if table is None:
-                                raise ValueError("missing Huffman table")
+                    # interleaved: component blocks alternate per MCU —
+                    # walk all components' order lists in lockstep over
+                    # MCUs. With ns == 1 this degenerates to the raster.
+                    pos_in = [0] * len(sel)
+                    if ns > 1:
+                        for my in range(mh):
+                            for mx in range(mw):
+                                for si, (fi, dc_id, _) in enumerate(sel):
+                                    _, _, sh, sv = comps[fi]
+                                    table = huff.get((0, dc_id))
+                                    if table is None:
+                                        raise ValueError("missing Huffman table")
+                                    for _ in range(sh * sv):
+                                        b = orders[si][pos_in[si]]
+                                        pos_in[si] += 1
+                                        size = _huff_decode(reader, table)
+                                        if size > 11:
+                                            raise ValueError(
+                                                "invalid DC size category"
+                                            )
+                                        prev_dc[fi] += _extend(
+                                            reader.bits(size), size
+                                        )
+                                        coef[fi][b, 0] = prev_dc[fi] << al
+                    else:
+                        fi, dc_id, _ = sel[0]
+                        table = huff.get((0, dc_id))
+                        if table is None:
+                            raise ValueError("missing Huffman table")
+                        for b in orders[0]:
                             size = _huff_decode(reader, table)
                             if size > 11:
                                 raise ValueError("invalid DC size category")
                             prev_dc[fi] += _extend(reader.bits(size), size)
                             coef[fi][b, 0] = prev_dc[fi] << al
                 else:  # DC refinement: one appended bit per block
-                    for b in range(n_blocks):
-                        for fi, _, _ in sel:
+                    if ns > 1:
+                        pos_in = [0] * len(sel)
+                        for my in range(mh):
+                            for mx in range(mw):
+                                for si, (fi, _, _) in enumerate(sel):
+                                    _, _, sh, sv = comps[fi]
+                                    for _ in range(sh * sv):
+                                        b = orders[si][pos_in[si]]
+                                        pos_in[si] += 1
+                                        if reader.bit():
+                                            coef[fi][b, 0] |= 1 << al
+                    else:
+                        fi = sel[0][0]
+                        for b in orders[0]:
                             if reader.bit():
                                 coef[fi][b, 0] |= 1 << al
             else:
@@ -1712,7 +1854,7 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 # here and refuse a leftover below, rather than silently
                 # skipping blocks of the component's next AC scan.
                 eobrun = 0
-                for b in range(n_blocks):
+                for b in scan_order(fi):
                     if eobrun:
                         eobrun -= 1
                         continue
@@ -1745,23 +1887,31 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     width, height, comps = sof
     ncomp = len(comps)
     m = _dct_matrix()
-    bw, bh = (width + 7) // 8, (height + 7) // 8
     zz_idx = np.array(_ZIGZAG)
-    out = np.empty((bh * 8, bw * 8, ncomp), dtype=np.uint8)
-    for cn, (_, ctq) in enumerate(comps):
+    out = np.empty((mh * vmax * 8, mw * hmax * 8, ncomp), dtype=np.uint8)
+    for cn, (_, ctq, sh, sv) in enumerate(comps):
         if ctq not in quant:
             raise ValueError("missing quant table")
         qt = np.array(quant[ctq], dtype=np.float64)
-        cf = np.zeros((n_blocks, 64), dtype=np.float64)
+        cols_c, rows_c, _, _ = geo[cn]
+        cf = np.zeros((rows_c * cols_c, 64), dtype=np.float64)
         cf[:, zz_idx] = coef[cn] * qt[None, :]
         blocks = (m.T @ cf.reshape(-1, 8, 8) @ m) + 128.0
-        out[:, :, cn] = (
+        plane = (
             np.clip(np.round(blocks), 0, 255)
             .astype(np.uint8)
-            .reshape(bh, bw, 8, 8)
+            .reshape(rows_c, cols_c, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
+            .reshape(rows_c * 8, cols_c * 8)
         )
+        # chroma upsampling: nearest-neighbor back to the MCU grid —
+        # the exact inverse of the encoder's box average on
+        # tile-constant content (mirrors the baseline path)
+        if sv != vmax:
+            plane = np.repeat(plane, vmax // sv, axis=0)
+        if sh != hmax:
+            plane = np.repeat(plane, hmax // sh, axis=1)
+        out[:, :, cn] = plane
     cropped = out[:height, :width]
     if ncomp == 1:
         cropped = cropped.reshape(height, width)
@@ -4376,5 +4526,67 @@ def jpeg_411_roundtrip_stats(
     return df.mapInPandas(
         batches,
         schema="doc_id long, width long, height long, n_mcus long, "
+        "sum_c0 long, sum_c1 long, sum_c2 long",
+    )
+
+
+def jpeg_progressive_420_roundtrip_stats(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Progressive + 4:2:0 TOGETHER — the combination nearly every
+    real-world progressive photo JPEG actually is (r13, closing the
+    last named gap between the mode matrix's rows: q251 covered
+    progressive at 4:4:4, q244 covered 4:2:0 baseline). Per id, a
+    3-component image with per-16x16-TILE-constant channels
+    ch_c(x, y) = (id + c + 3·(x div 16) + 5·(y div 16)) mod 256 at
+    dims (16 + id mod 37) × (16 + 3·id mod 29) — partial MCUs both
+    axes — ships as SOF2 with luma 2x2: an MCU-interleaved DC scan
+    (four luma blocks per MCU over the PADDED grid) then one
+    non-interleaved AC scan per component over its REAL block grid
+    (spec §A.2.2 — MCU-alignment pad blocks carry DC only). Decoded
+    by the coefficient-accumulation path with nearest-neighbor chroma
+    upsample; tile-constant content survives bit-exactly, keeping the
+    sums closed-form. n_scans counted off the payload's SOS markers.
+
+    One Arrow-batched mapInPandas over ids — scan-stage map, no
+    shuffle. Output: (doc_id, width, height, n_scans, sum_c0, sum_c1,
+    sum_c2)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                w, h = 16 + i % 37, 16 + (i * 3) % 29
+                tx = np.arange(w)[None, :] // 16
+                ty = np.arange(h)[:, None] // 16
+                px = (
+                    np.stack(
+                        [(i + c + 3 * tx + 5 * ty) % 256 for c in range(3)],
+                        axis=-1,
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+                pay = encode_jpeg_progressive_pixels(
+                    w, h, px, channels=3, subsampling="420"
+                )
+                n_scans = pay.count(b"\xff\xda")
+                dw, dh, dch, dpx = decode_jpeg_pixels(pay)
+                assert (dw, dh, dch) == (w, h, 3)
+                a = np.frombuffer(dpx, dtype=np.uint8).reshape(-1, 3)
+                s = a.sum(axis=0, dtype=np.int64)
+                rows.append((i, w, h, n_scans, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_scans",
+                    "sum_c0", "sum_c1", "sum_c2",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, n_scans long, "
         "sum_c0 long, sum_c1 long, sum_c2 long",
     )

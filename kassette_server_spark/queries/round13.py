@@ -15,6 +15,11 @@ streaming-index era's remaining seams (VERDICT r12 "Next round" #7/#8).
   exact round-half-up, restart markers composing; per-32x8-tile-
   constant channels keep the lossy path bit-exact and the sums
   closed-form.
+- q257: progressive + 4:2:0 together (jpeg_progressive_420_
+  roundtrip_stats) — SOF2 with luma 2x2: MCU-interleaved DC scan over
+  the padded grid, per-component AC scans over the REAL block grid
+  (spec A.2.2, pad blocks DC-only), nearest-neighbor chroma upsample;
+  the layout nearly every real-world progressive photo JPEG uses.
 - q255: per-cell residual quantization error under the trained
   IVF-PQ codebooks (pq.ivfpq_qerr_by_cell) — the streaming re-train
   gate's exact statistic (pq_index_monitor) surfaced as an
@@ -211,4 +216,40 @@ def q256(spark: SparkSession, sf: str) -> DataFrame:
 
     return jpeg_411_roundtrip_stats(
         load(spark, sf, "documents").select("doc_id"), restart_interval=2
+    )
+
+
+@query(
+    "q257_jpeg_progressive_420",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 37 AS w, 16 + (doc_id * 3) % 29 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 0 + 3 * (gx.x // 16) + 5 * (gy.y // 16)) % 256 AS c0,
+             (doc_id + 1 + 3 * (gx.x // 16) + 5 * (gy.y // 16)) % 256 AS c1,
+             (doc_id + 2 + 3 * (gx.x // 16) + 5 * (gy.y // 16)) % 256 AS c2
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS n_scans,
+           CAST(sum(c0) AS BIGINT) AS sum_c0,
+           CAST(sum(c1) AS BIGINT) AS sum_c1,
+           CAST(sum(c2) AS BIGINT) AS sum_c2
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="progressive + 4:2:0 together (the real-world progressive "
+    "photo layout): SOF2 with luma 2x2, MCU-interleaved DC scan over "
+    "the padded grid, per-component AC scans over the REAL block grid "
+    "— bit-exact on tile-constant content, sums closed-form",
+    tags=("llmops", "multimodal"),
+)
+def q257(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_progressive_420_roundtrip_stats
+
+    return jpeg_progressive_420_roundtrip_stats(
+        load(spark, sf, "documents").select("doc_id")
     )

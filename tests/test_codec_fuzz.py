@@ -183,9 +183,6 @@ def test_jpeg_lossy_differential_on_random_rasters(seed):
     w = int(rng.integers(1, 49))
     h = int(rng.integers(1, 49))
     px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
-    base = decode_jpeg_pixels(encode_jpeg_pixels(w, h, px, channels=3))
-    prog = decode_jpeg_pixels(encode_jpeg_progressive_pixels(w, h, px, channels=3))
-    assert prog == base
     ri = int(rng.integers(1, 4))
     for sub in ("444", "422", "420", "411"):
         plain = decode_jpeg_pixels(
@@ -197,6 +194,12 @@ def test_jpeg_lossy_differential_on_random_rasters(seed):
             )
         )
         assert framed == plain
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive_pixels(
+                w, h, px, channels=3, subsampling=sub
+            )
+        )
+        assert prog == plain
 
 
 @pytest.mark.parametrize("seed", range(60))
@@ -282,6 +285,9 @@ def test_jpeg_full_matrix_with_411_on_32x16_tiles(seed):
         encode_jpeg_pixels(w, h, px, channels=3, subsampling=s,
                            restart_interval=ri)
         for s in ("444", "422", "420", "411")
-    ] + [encode_jpeg_progressive_pixels(w, h, px, channels=3)]
+    ] + [
+        encode_jpeg_progressive_pixels(w, h, px, channels=3, subsampling=s)
+        for s in ("444", "422", "420", "411")
+    ]
     for pay in payloads:
         assert decode_jpeg_pixels(pay) == (w, h, 3, px)

@@ -1396,3 +1396,11 @@ def test_q256_jpeg_411_scan_stage_map(spark):
     p = plan(spark, "q256_jpeg_411_roundtrip")
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_q257_jpeg_progressive_420_scan_stage_map(spark):
+    """Progressive 4:2:0: per-row multi-scan codec work, one
+    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    p = plan(spark, "q257_jpeg_progressive_420")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
