@@ -959,3 +959,74 @@ def test_jpeg_single_component_sampling_factors_ignored():
     w, h, c, out = decode_jpeg_pixels(bytes(pay))
     assert (w, h, c) == (16, 16, 1)
     assert out == px
+
+
+def test_jpeg_progressive_420_dc_prefix_previews_and_streaming_parity(spark):
+    """r13 companions for q257/q254:
+
+    (a) the DC-prefix transport property survives subsampling — a
+        progressive-4:2:0 file truncated after its interleaved DC scan
+        still decodes, and the LUMA plane is per-8x8-block constant
+        (chroma blocks cover 16x16 after upsample);
+    (b) the q254 compressed-audio feature operator is a stateless
+        mapInPandas like the rest of the codec tier: the SAME operator
+        over a streaming source equals the batch run row-for-row.
+    """
+    import numpy as np
+
+    from conftest import SF_SMOKE
+
+    from kassette_server_spark.catalog import load
+    from kassette_server_spark.operators.multimodal import (
+        compressed_audio_frame_features,
+        decode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.default_rng(53)
+    w, h = 32, 32
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    pay = encode_jpeg_progressive_pixels(
+        w, h, px, channels=3, subsampling="420"
+    )
+    first = pay.find(b"\xff\xda")
+    second = pay.find(b"\xff\xda", first + 2)
+    prefix = pay[:second] + b"\xff\xd9"
+    dw, dh, dch, dpx = decode_jpeg_pixels(prefix)
+    assert (dw, dh, dch) == (w, h, 3)
+    luma = np.frombuffer(dpx, np.uint8).reshape(h, w, 3)[:, :, 0]
+    blocks = luma.reshape(h // 8, 8, w // 8, 8)
+    assert (blocks == blocks[:, :1, :, :1]).all()
+
+    batch = {
+        tuple(r)
+        for r in compressed_audio_frame_features(
+            load(spark, SF_SMOKE, "documents").select("doc_id").limit(48)
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMOKE)
+        .select("doc_id")
+        .limit(48)
+    )
+    q = (
+        compressed_audio_frame_features(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("caff_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, codec, frame_id, n_samples, sum_abs, sum_sq, "
+            "zero_crossings FROM caff_stream_out"
+        ).collect()
+    }
+    assert got == batch and got
