@@ -97,6 +97,7 @@ CODEC = frozenset(
         "q254_compressed_audio_features",
         "q256_jpeg_411_roundtrip",
         "q257_jpeg_progressive_420",
+        "q258_jpeg_ac_refine",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"

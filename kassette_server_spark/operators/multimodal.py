@@ -1373,7 +1373,7 @@ def encode_jpeg_gray_pixels(width: int, height: int, pixels: bytes) -> bytes:
 
 def encode_jpeg_progressive_pixels(
     width: int, height: int, pixels: bytes, channels: int = 1,
-    subsampling: str = "444",
+    subsampling: str = "444", ac_refine: bool = False,
 ) -> bytes:
     """REAL progressive JPEG writer (SOF2, spectral selection): the
     LAST refused JPEG mode (VERDICT r11 soft-edge (a)). The image's
@@ -1402,7 +1402,18 @@ def encode_jpeg_progressive_pixels(
     §A.2.2, excluding MCU-alignment pad blocks); no restarts in this
     mode (refused rather than mis-written). Decodable by
     :func:`decode_jpeg_pixels`, which routes SOF2 files to the
-    multi-scan coefficient-accumulation path."""
+    multi-scan coefficient-accumulation path.
+
+    ``ac_refine=True`` (r13) ships each AC band as TWO scans —
+    successive approximation per spec §G.1.2.3: a first pass at Al=1
+    (coefficients coarsened to v div 2, EOB/EOBRUN as usual) then a
+    refinement scan (Ah=1, Al=0) carrying one sign bit per
+    newly-significant coefficient and one correction bit per
+    previously-nonzero coefficient, with correction bits buffered
+    behind the next ZRL/coefficient/EOBRUN symbol exactly as the
+    standard's encoder does. The decoded raster is BIT-IDENTICAL to
+    the single-pass form — successive approximation reorders bit
+    transport, not the math."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (grayscale) or 3")
     if subsampling not in ("444", "422", "420", "411"):
@@ -1479,24 +1490,29 @@ def encode_jpeg_progressive_pixels(
 
     # scans 2..: AC per component, the REAL grid in raster order,
     # EOB (= EOBRUN 1)
-    ac_scans = []
-    for cn in range(channels):
+    def ac_first_pass(cn: int, al: int) -> bytes:
+        """One spectral-selection AC scan at point transform ``al``:
+        values v div 2^al (sign-preserving), EOB per all-zero tail."""
         cols_c, bw_real, bh_real = grids[cn]
         w = _BitWriter()
         for by in range(bh_real):
             for bx in range(bw_real):
                 zz = comp_zz[cn][by * cols_c + bx]
+                vals = [
+                    (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> al)
+                    for k in range(64)
+                ]
                 run = 0
-                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                last_nz = max((k for k in range(1, 64) if vals[k]), default=0)
                 for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
+                    if vals[k] == 0:
                         run += 1
                         continue
                     while run >= 16:
                         c, ln = _AC_CODES[0xF0]
                         w.put(c, ln)
                         run -= 16
-                    size, bits = _magnitude(int(zz[k]))
+                    size, bits = _magnitude(vals[k])
                     c, ln = _AC_CODES[(run << 4) | size]
                     w.put(c, ln)
                     w.put(bits, size)
@@ -1504,7 +1520,84 @@ def encode_jpeg_progressive_pixels(
                 if last_nz < 63:
                     c, ln = _AC_CODES[0x00]  # EOB = EOBRUN of exactly 1
                     w.put(c, ln)
-        ac_scans.append(w.flush())
+        return w.flush()
+
+    def ac_refinement(cn: int, al: int) -> bytes:
+        """The §G.1.2.3 correction scan (Ah = al+1, Al = al): one sign
+        bit per newly-significant coefficient, one correction bit per
+        previously-nonzero coefficient, correction bits buffered
+        behind the next emitted symbol; trailing zeros fold into
+        EOBRUN with their corrections held until it flushes."""
+        cols_c, bw_real, bh_real = grids[cn]
+        w = _BitWriter()
+        state = {"eobrun": 0, "held": []}
+
+        def emit_eobrun() -> None:
+            if state["eobrun"] > 0:
+                nbits = state["eobrun"].bit_length() - 1
+                c, ln = _AC_CODES[nbits << 4]
+                w.put(c, ln)
+                if nbits:
+                    w.put(state["eobrun"] & ((1 << nbits) - 1), nbits)
+                state["eobrun"] = 0
+                for bit in state["held"]:
+                    w.put(bit, 1)
+                state["held"] = []
+
+        for by in range(bh_real):
+            for bx in range(bw_real):
+                zz = comp_zz[cn][by * cols_c + bx]
+                absv = [abs(int(zz[k])) >> al for k in range(64)]
+                eob = max((k for k in range(1, 64) if absv[k]), default=0)
+                r = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    temp = absv[k]
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        emit_eobrun()
+                        c, ln = _AC_CODES[0xF0]
+                        w.put(c, ln)
+                        r -= 16
+                        for bit in br:
+                            w.put(bit, 1)
+                        br = []
+                    if temp > 1:  # previously nonzero: correction bit
+                        br.append(temp & 1)
+                        continue
+                    emit_eobrun()  # newly significant at this precision
+                    c, ln = _AC_CODES[(r << 4) | 1]
+                    w.put(c, ln)
+                    w.put(0 if int(zz[k]) < 0 else 1, 1)
+                    for bit in br:
+                        w.put(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    state["eobrun"] += 1
+                    state["held"].extend(br)
+                    # the canonical baseline AC table defines only the
+                    # degenerate EOBRUN symbol 0x00 (no r>0 EOBRUN
+                    # codes), so flush per block — EOBRUN is always 1
+                    # on the wire here, like the first pass; the
+                    # decoder handles spec-general EOBRUN spans anyway
+                    emit_eobrun()
+        emit_eobrun()
+        return w.flush()
+
+    # (header byte triple, entropy bytes) per AC scan
+    if ac_refine:
+        ac_scans = [
+            ((1, 63, 0x01), ac_first_pass(cn, 1)) for cn in range(channels)
+        ] + [
+            ((1, 63, 0x10), ac_refinement(cn, 0)) for cn in range(channels)
+        ]
+        ac_comps = list(range(channels)) * 2
+    else:
+        ac_scans = [((1, 63, 0x00), ac_first_pass(cn, 0)) for cn in range(channels)]
+        ac_comps = list(range(channels))
 
     def seg(marker: int, data: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
@@ -1535,9 +1628,9 @@ def encode_jpeg_progressive_pixels(
         + bytes([0, 0, 0])
     )
     out += seg(0xDA, sos_dc) + dc_scan
-    for cn in range(channels):
-        sos_ac = bytes([1, cn + 1, 0x00, 1, 63, 0])  # AC table 0, Ss=1..63
-        out += seg(0xDA, sos_ac) + ac_scans[cn]
+    for cn, ((ss_b, se_b, ahal), bits_) in zip(ac_comps, ac_scans):
+        sos_ac = bytes([1, cn + 1, 0x00, ss_b, se_b, ahal])
+        out += seg(0xDA, sos_ac) + bits_
     return out + b"\xff\xd9"
 
 
@@ -1842,10 +1935,6 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             else:
                 if ns != 1:
                     raise ValueError("progressive AC scans carry one component")
-                if ah != 0:
-                    raise ValueError(
-                        "AC successive-approximation refinement not supported"
-                    )
                 fi, _, ac_id = sel[0]
                 table = huff.get((1, ac_id))
                 if table is None:
@@ -1854,27 +1943,89 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 # here and refuse a leftover below, rather than silently
                 # skipping blocks of the component's next AC scan.
                 eobrun = 0
-                for b in scan_order(fi):
-                    if eobrun:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        sym = _huff_decode(reader, table)
-                        r, s = sym >> 4, sym & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            eobrun = (1 << r) - 1  # EOBRUN (spec §G.1.2.2)
-                            if r:
-                                eobrun += reader.bits(r)
-                            break
-                        k += r
-                        if k > se:
-                            raise ValueError("AC coefficient overruns band")
-                        coef[fi][b, k] = _extend(reader.bits(s), s) << al
-                        k += 1
+                if ah == 0:  # first pass at point transform al
+                    for b in scan_order(fi):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = _huff_decode(reader, table)
+                            r, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1  # EOBRUN (§G.1.2.2)
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "AC coefficient overruns band"
+                                )
+                            coef[fi][b, k] = _extend(reader.bits(s), s) << al
+                            k += 1
+                else:  # §G.1.2.3 refinement: correction bit = 1 << al
+                    if ah != al + 1:
+                        raise ValueError(
+                            "AC refinement must advance one bit (Ah = Al+1)"
+                        )
+                    p1 = 1 << al
+                    for b in scan_order(fi):
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = _huff_decode(reader, table)
+                                r, s = sym >> 4, sym & 0x0F
+                                val = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += reader.bits(r)
+                                        break
+                                    # ZRL: skip 16 zero-history coeffs
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "refinement magnitude must be 1"
+                                        )
+                                    val = p1 if reader.bit() else -p1
+                                # advance past r zero-history positions,
+                                # correcting nonzero-history ones en route
+                                while k <= se:
+                                    cur = int(coef[fi][b, k])
+                                    if cur != 0:
+                                        if reader.bit() and (cur & p1) == 0:
+                                            coef[fi][b, k] = cur + (
+                                                p1 if cur >= 0 else -p1
+                                            )
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val:
+                                    if k > se:
+                                        raise ValueError(
+                                            "AC coefficient overruns band"
+                                        )
+                                    coef[fi][b, k] = val
+                                k += 1
+                        if eobrun > 0:
+                            # EOB region: corrections for every nonzero-
+                            # history coefficient from k to band end
+                            while k <= se:
+                                cur = int(coef[fi][b, k])
+                                if cur != 0:
+                                    if reader.bit() and (cur & p1) == 0:
+                                        coef[fi][b, k] = cur + (
+                                            p1 if cur >= 0 else -p1
+                                        )
+                                k += 1
+                            eobrun -= 1
                 if eobrun:
                     raise ValueError(
                         "EOBRUN extends past the end of the scan"
@@ -4531,7 +4682,7 @@ def jpeg_411_roundtrip_stats(
 
 
 def jpeg_progressive_420_roundtrip_stats(
-    df: DataFrame, id_col: str = "doc_id"
+    df: DataFrame, id_col: str = "doc_id", ac_refine: bool = False
 ) -> DataFrame:
     """Progressive + 4:2:0 TOGETHER — the combination nearly every
     real-world progressive photo JPEG actually is (r13, closing the
@@ -4547,6 +4698,10 @@ def jpeg_progressive_420_roundtrip_stats(
     by the coefficient-accumulation path with nearest-neighbor chroma
     upsample; tile-constant content survives bit-exactly, keeping the
     sums closed-form. n_scans counted off the payload's SOS markers.
+    ``ac_refine=True`` (q258) ships each AC band as a §G.1.2.3
+    successive-approximation pair (first pass at Al=1 + correction
+    scan), so the file carries 7 scans instead of 4 — same decoded
+    bytes, the bit-transport reordering exercised end to end.
 
     One Arrow-batched mapInPandas over ids — scan-stage map, no
     shuffle. Output: (doc_id, width, height, n_scans, sum_c0, sum_c1,
@@ -4569,7 +4724,8 @@ def jpeg_progressive_420_roundtrip_stats(
                     .tobytes()
                 )
                 pay = encode_jpeg_progressive_pixels(
-                    w, h, px, channels=3, subsampling="420"
+                    w, h, px, channels=3, subsampling="420",
+                    ac_refine=ac_refine,
                 )
                 n_scans = pay.count(b"\xff\xda")
                 dw, dh, dch, dpx = decode_jpeg_pixels(pay)

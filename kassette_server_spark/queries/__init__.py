@@ -107,14 +107,15 @@ _WINDOW: tuple[str, ...] = (
 # round 13 alongside the r13 window above; r13-born specs take
 # first-row priority per the standing first-round policy):
 # r14 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + first driver rows for the four r13-born specs (4:
+# + first driver rows for the five r13-born specs (5:
 #   q254_compressed_audio_features, q255_ivfpq_qerr_by_cell,
-#   q256_jpeg_411_roundtrip, q257_jpeg_progressive_420)
+#   q256_jpeg_411_roundtrip, q257_jpeg_progressive_420,
+#   q258_jpeg_ac_refine)
 # + q201_log_rank (1, last green r9 — the oldest singleton)
-# + the MEASURED stalest tier: the 39 oldest specs whose last
+# + the MEASURED stalest tier: the 38 oldest specs whose last
 #   driver-green round is r7 per the CORRECTNESS_r* ledger (q-number
-#   order, tail-truncated by one so the window holds exactly 50 —
-#   q82_chunk_documents rolls to r15):
+#   order, tail-truncated by two so the window holds exactly 50 —
+#   q81_pii_scrub and q82_chunk_documents roll to r15):
 #   q02_predicates, q04_multiway_broadcast_join, q05_left_join,
 #   q06_semi_join, q07_anti_join, q09_count_distinct, q10_rollup,
 #   q12_window_running_sum, q13_window_lag, q14_topk, q15_setops,
@@ -126,13 +127,13 @@ _WINDOW: tuple[str, ...] = (
 #   q49_regexp_extract, q50_posexplode, q70_benchmark_contamination,
 #   q71_quality_filter, q72_sequence_packing, q73_tfidf_top_terms,
 #   q74_ngram_novelty, q78_domain_mix, q79_shuffle_shards,
-#   q80_repetition_filter, q81_pii_scrub
-# Arithmetic: 6 + 4 + 1 + 39 = 50 exactly.
+#   q80_repetition_filter
+# Arithmetic: 6 + 5 + 1 + 38 = 50 exactly.
 # NOTE: VERDICT r12 #10 sketched q202-q211 (TPC-H completion, last
 # green r10) + the r9 remainder for this window, but the ledger the
 # same item tells us to keep shows the r7-green tier above is 3 rounds
 # staler — the ledger wins; q202-q211 and the rest of the r8 tier
-# (q30-q83, and q82_chunk_documents) roll to r15.
+# (q30-q83, and q81/q82) roll to r15.
 # Every spec stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run regardless of rotation position;
 # prioritize specs whose OPERATORS changed since their last row.

@@ -20,6 +20,10 @@ streaming-index era's remaining seams (VERDICT r12 "Next round" #7/#8).
   the padded grid, per-component AC scans over the REAL block grid
   (spec A.2.2, pad blocks DC-only), nearest-neighbor chroma upsample;
   the layout nearly every real-world progressive photo JPEG uses.
+- q258: AC successive approximation (spec G.1.2.3) over
+  progressive 4:2:0 — each AC band as a coarse Al=1 pass plus a
+  correction scan (sign bits, buffered correction bits, EOB-region
+  corrections); 7 scans, decoded bit-identical to single-pass.
 - q255: per-cell residual quantization error under the trained
   IVF-PQ codebooks (pq.ivfpq_qerr_by_cell) — the streaming re-train
   gate's exact statistic (pq_index_monitor) surfaced as an
@@ -252,4 +256,41 @@ def q257(spark: SparkSession, sf: str) -> DataFrame:
 
     return jpeg_progressive_420_roundtrip_stats(
         load(spark, sf, "documents").select("doc_id")
+    )
+
+
+@query(
+    "q258_jpeg_ac_refine",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 37 AS w, 16 + (doc_id * 3) % 29 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 0 + 3 * (gx.x // 16) + 5 * (gy.y // 16)) % 256 AS c0,
+             (doc_id + 1 + 3 * (gx.x // 16) + 5 * (gy.y // 16)) % 256 AS c1,
+             (doc_id + 2 + 3 * (gx.x // 16) + 5 * (gy.y // 16)) % 256 AS c2
+      FROM dims,
+           unnest(CAST(range(0, w) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, h) AS BIGINT[])) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(7 AS BIGINT) AS n_scans,
+           CAST(sum(c0) AS BIGINT) AS sum_c0,
+           CAST(sum(c1) AS BIGINT) AS sum_c1,
+           CAST(sum(c2) AS BIGINT) AS sum_c2
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="AC successive approximation (spec G.1.2.3) over progressive "
+    "4:2:0: each AC band ships as a coarse Al=1 pass plus a "
+    "correction scan (sign bits, buffered correction bits, EOB "
+    "regions) — 7 scans, decoded bit-identical to the single-pass "
+    "form; sums closed-form on tile-constant content",
+    tags=("llmops", "multimodal"),
+)
+def q258(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_progressive_420_roundtrip_stats
+
+    return jpeg_progressive_420_roundtrip_stats(
+        load(spark, sf, "documents").select("doc_id"), ac_refine=True
     )

@@ -291,3 +291,42 @@ def test_jpeg_full_matrix_with_411_on_32x16_tiles(seed):
     ]
     for pay in payloads:
         assert decode_jpeg_pixels(pay) == (w, h, 3, px)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_jpeg_ac_successive_approximation_differential(seed):
+    """AC successive approximation (spec G.1.2.3, r13): the two-pass
+    AC transport (coarse Al=1 pass + correction scan with sign bits,
+    buffered correction bits, and EOB-region corrections) must decode
+    BIT-IDENTICAL to the single-pass progressive form and to baseline,
+    on arbitrary rasters, in every sampling mode."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.default_rng(40_000 + seed)
+    w = int(rng.integers(1, 56))
+    h = int(rng.integers(1, 56))
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    sub = ("444", "422", "420", "411")[seed % 4]
+    base = decode_jpeg_pixels(
+        encode_jpeg_pixels(w, h, px, channels=3, subsampling=sub)
+    )
+    pay = encode_jpeg_progressive_pixels(
+        w, h, px, channels=3, subsampling=sub, ac_refine=True
+    )
+    assert pay.count(b"\xff\xda") == 7  # 1 DC + 3 coarse AC + 3 refine
+    assert decode_jpeg_pixels(pay) == base
+
+    # fence: a refinement scan must advance exactly one bit — rewrite
+    # the first refinement SOS header's Ah/Al byte from 0x10 to 0x20
+    bad = bytearray(pay)
+    p = -1
+    for _ in range(5):  # fifth SOS = first refinement scan
+        p = bad.find(b"\xff\xda", p + 2)
+    assert bad[p + 2 + 2 + 1 + 2 * 1 + 2] == 0x10  # Ah=1, Al=0
+    bad[p + 2 + 2 + 1 + 2 * 1 + 2] = 0x20
+    with pytest.raises(ValueError, match="Ah = Al"):
+        decode_jpeg_pixels(bytes(bad))

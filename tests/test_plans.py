@@ -1404,3 +1404,11 @@ def test_q257_jpeg_progressive_420_scan_stage_map(spark):
     p = plan(spark, "q257_jpeg_progressive_420")
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_q258_jpeg_ac_refine_scan_stage_map(spark):
+    """AC successive approximation: per-row 7-scan codec work, one
+    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    p = plan(spark, "q258_jpeg_ac_refine")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
