@@ -38,14 +38,16 @@ from . import round13 as _round13  # noqa: F401,E402  (q254+ — compressed-audi
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-13 window (executing the
-# plan written at the end of round 12 verbatim, confirmed by VERDICT r12
-# "Next round #2"): pinned core (6) + first driver rows for all fifteen
-# r12-born specs (q239-q253 — all judge-verified against DuckDB at
-# sf0.01 in the r12 verdict run) + the q172-q178 roll (7, last green
-# r8/r9) + the r8 tier q179-q200 in q-number order (22).
-# Arithmetic: 6 + 15 + 7 + 22 = 50 exactly. q201+ roll to the r14
-# window (plan at the end of this file's window comment block).
+# order (VERDICT r2 "Next round #1/#2"). Round-14 window (executing the
+# plan written at the end of round 13 verbatim, confirmed by VERDICT r13
+# "Next round #1"): pinned core (6) + first driver rows for the five
+# r13-born specs (q254-q258 — all judge-verified against DuckDB at
+# sf0.01 in the r13 verdict run) + q201_log_rank (1, last green r9,
+# the oldest singleton) + the MEASURED stalest tier: the 38 oldest
+# specs whose last driver-green round is r7 per the CORRECTNESS_r*
+# ledger, in q-number order, tail-truncated by two so the window holds
+# exactly 50 (q81/q82 roll to r15).
+# Arithmetic: 6 + 5 + 1 + 38 = 50 exactly.
 _WINDOW: tuple[str, ...] = (
     # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
@@ -54,86 +56,83 @@ _WINDOW: tuple[str, ...] = (
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-21: r12-born PQ/IVF-PQ/codec wave, first driver rows
-    "q239_pq_codebooks",
-    "q240_pq_adc_topk",
-    "q241_pq_recall",
-    "q242_jpeg_restart_roundtrip",
-    "q243_jpeg_channel_stats",
-    "q244_jpeg_420_roundtrip",
-    "q245_png_depth_roundtrip",
-    "q246_g711_companding",
-    "q247_ima_adpcm",
-    "q248_ivfpq_cells",
-    "q249_ivfpq_adc_topk",
-    "q250_ivfpq_recall",
-    "q251_jpeg_progressive_roundtrip",
-    "q252_jpeg_422_roundtrip",
-    "q253_wav_codec_container",
-    # slots 22-28: q172-q178 roll (last green r8/r9)
-    "q172_tpch_q20_dominant_suppliers",
-    "q173_spearman_corr",
-    "q174_welch_t_test",
-    "q175_rank_calibration",
-    "q176_mrr_at_10",
-    "q177_hellinger_drift",
-    "q178_seasonal_backtest",
-    # slots 29-50: r8 tier in q-number order (last green r8)
-    "q179_compaction_plan",
-    "q180_k_anonymity",
-    "q181_quantile_normalize",
-    "q182_item_item_cosine",
-    "q183_tpch_q9_profit",
-    "q184_tpch_q13_custdist",
-    "q185_tpch_q15_top_supplier",
-    "q186_tpch_q19_disjunctive",
-    "q187_tpch_q21_waiting",
-    "q188_tpch_q22_idle_customers",
-    "q189_join_cardinality",
-    "q190_anova_f",
-    "q191_kcore",
-    "q192_edit_distance_pairs",
-    "q193_zonemap_pruning",
-    "q194_oov_rate",
-    "q195_hard_negatives",
-    "q196_two_proportion_z",
-    "q197_gini_stump",
-    "q198_per_class_prf",
-    "q199_wilson_ci",
-    "q200_kaplan_meier",
+    # slots 7-11: r13-born wave, first driver rows
+    "q254_compressed_audio_features",
+    "q255_ivfpq_qerr_by_cell",
+    "q256_jpeg_411_roundtrip",
+    "q257_jpeg_progressive_420",
+    "q258_jpeg_ac_refine",
+    # slot 12: the oldest singleton (last green r9)
+    "q201_log_rank",
+    # slots 13-50: r7-stale tier in q-number order (last green r7)
+    "q02_predicates",
+    "q04_multiway_broadcast_join",
+    "q05_left_join",
+    "q06_semi_join",
+    "q07_anti_join",
+    "q09_count_distinct",
+    "q10_rollup",
+    "q12_window_running_sum",
+    "q13_window_lag",
+    "q14_topk",
+    "q15_setops",
+    "q16_string_fns",
+    "q17_date_fns",
+    "q18_math_fns",
+    "q19_case_nullif",
+    "q20_json_extract",
+    "q21_cast_semantics",
+    "q22_rules_map_hide_delete",
+    "q23_timestamp_skew",
+    "q25_dedup_exact",
+    "q26_correlated_subquery",
+    "q27_exists",
+    "q42_topk_per_group",
+    "q43_pivot",
+    "q44_cube",
+    "q45_exact_median",
+    "q46_histogram",
+    "q48_range_join",
+    "q49_regexp_extract",
+    "q50_posexplode",
+    "q70_benchmark_contamination",
+    "q71_quality_filter",
+    "q72_sequence_packing",
+    "q73_tfidf_top_terms",
+    "q74_ngram_novelty",
+    "q78_domain_mix",
+    "q79_shuffle_shards",
+    "q80_repetition_filter",
 )
 
-# R14 ROTATION PLAN (VERDICT r12 "Next round #10", written during
-# round 13 alongside the r13 window above; r13-born specs take
-# first-row priority per the standing first-round policy):
-# r14 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + first driver rows for the five r13-born specs (5:
-#   q254_compressed_audio_features, q255_ivfpq_qerr_by_cell,
-#   q256_jpeg_411_roundtrip, q257_jpeg_progressive_420,
-#   q258_jpeg_ac_refine)
-# + q201_log_rank (1, last green r9 — the oldest singleton)
-# + the MEASURED stalest tier: the 38 oldest specs whose last
-#   driver-green round is r7 per the CORRECTNESS_r* ledger (q-number
-#   order, tail-truncated by two so the window holds exactly 50 —
-#   q81_pii_scrub and q82_chunk_documents roll to r15):
-#   q02_predicates, q04_multiway_broadcast_join, q05_left_join,
-#   q06_semi_join, q07_anti_join, q09_count_distinct, q10_rollup,
-#   q12_window_running_sum, q13_window_lag, q14_topk, q15_setops,
-#   q16_string_fns, q17_date_fns, q18_math_fns, q19_case_nullif,
-#   q20_json_extract, q21_cast_semantics, q22_rules_map_hide_delete,
-#   q23_timestamp_skew, q25_dedup_exact, q26_correlated_subquery,
-#   q27_exists, q42_topk_per_group, q43_pivot, q44_cube,
-#   q45_exact_median, q46_histogram, q48_range_join,
-#   q49_regexp_extract, q50_posexplode, q70_benchmark_contamination,
-#   q71_quality_filter, q72_sequence_packing, q73_tfidf_top_terms,
-#   q74_ngram_novelty, q78_domain_mix, q79_shuffle_shards,
-#   q80_repetition_filter
-# Arithmetic: 6 + 5 + 1 + 38 = 50 exactly.
-# NOTE: VERDICT r12 #10 sketched q202-q211 (TPC-H completion, last
-# green r10) + the r9 remainder for this window, but the ledger the
-# same item tells us to keep shows the r7-green tier above is 3 rounds
-# staler — the ledger wins; q202-q211 and the rest of the r8 tier
-# (q30-q83, and q81/q82) roll to r15.
+# R15 ROTATION PLAN (VERDICT r13 "Next round #8", written during
+# round 14 alongside the r14 window above; ledger recomputed from
+# CORRECTNESS_r01-r13 with the r14 window simulated green):
+# r15 = pinned core (6: q01, q03, q08, q11, q24, q28)
+# + the r14 truncation roll, last green r7 (2: q81_pii_scrub,
+#   q82_chunk_documents — the two stalest specs in the registry)
+# + the COMPLETE r8-green tier in q-number order (29:
+#   q30_dedup_exact_text, q31_dedup_ngram_jaccard,
+#   q32_dedup_minhash_lsh, q33_simhash, q34_ann_cosine_topk,
+#   q35_embedding_near_dup, q36_text_quality_stats, q37_language_id,
+#   q38_token_counts, q39_doc_fingerprint, q40_approx_aggregates,
+#   q41_multimodal_meta, q47_asof_join, q51_token_frequencies,
+#   q52_ivf_topk, q53_tpch_q1_pricing_summary,
+#   q54_tpch_q3_shipping_priority, q55_tpch_q5_local_volume,
+#   q56_time_rollup, q57_simhash_near_dup, q58_normalize_text,
+#   q59_unpivot, q60_mode_per_group, q61_stats_moments,
+#   q62_grouping_sets, q75_funnel, q76_retention_cohorts,
+#   q77_quantized_ann, q83_semantic_dedup)
+# + the head of the r10-green tier in q-number order (13:
+#   q202_tpch_q2_min_cost_supplier, q203_tpch_q4_priority_check,
+#   q204_tpch_q6_forecast_revenue, q205_tpch_q7_volume_shipping,
+#   q206_tpch_q8_market_share, q207_tpch_q10_returned_items,
+#   q208_tpch_q11_important_stock, q209_tpch_q12_shipmode_priority,
+#   q210_tpch_q14_promo_share, q211_tpch_q16_supplier_counts,
+#   q212_shingle_saturation, q213_bpe_token_counts,
+#   q214_bpe_sequence_packing — the r10 remainder q215+ and q63+
+#   roll to r16)
+# Arithmetic: 6 + 2 + 29 + 13 = 50 exactly.
 # Every spec stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run regardless of rotation position;
 # prioritize specs whose OPERATORS changed since their last row.
