@@ -90,6 +90,31 @@ def main() -> None:
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, twin))
     print("pruned search == in-memory search: OK")
+
+    # --- the re-train FLIP (VERDICT r13 #4) --------------------------------
+    # When pq_index_monitor's gate reports retrain=True, the caller
+    # trains generation g+1 on the CURRENT corpus and commits a fresh
+    # index directory; searchers pick up the new generation while g
+    # stays immutable and readable. codebooks.json is the commit marker
+    # (written last, atomically), so a crash mid-flip is invisible and
+    # the retry is idempotent.
+    from kassette_server_spark.operators.pq import (
+        ivfpq_committed_generations,
+        ivfpq_search_generation,
+        ivfpq_write_generation,
+    )
+
+    gens_root = os.path.join(out, "generations")
+    ivfpq_write_generation(emb, gens_root, 0, kc=8, m=8, k=16, iters=2)
+    # ... gate fires (pq_index_monitor -> retrain=True) ...
+    current_corpus = emb  # served corpus + the drifted stream, in production
+    ivfpq_write_generation(current_corpus, gens_root, 1, kc=8, m=8, k=16, iters=2)
+    print(f"committed generations: {ivfpq_committed_generations(gens_root)}")
+    latest = ivfpq_search_generation(spark, gens_root, q, topk=10, nprobe=2)
+    pinned = ivfpq_search_generation(spark, gens_root, q, generation=0, topk=10, nprobe=2)
+    print(
+        f"gen-1 (default) rows: {latest.count()}, gen-0 (pinned) rows: {pinned.count()}"
+    )
     if len(sys.argv) <= 2:
         shutil.rmtree(out)
     spark.stop()

