@@ -1412,3 +1412,30 @@ def test_q258_jpeg_ac_refine_scan_stage_map(spark):
     p = plan(spark, "q258_jpeg_ac_refine")
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_q254_compressed_audio_scan_stage_map(spark):
+    """Compressed-audio frame features: per-row μ-law/ADPCM decode +
+    integer frame reductions, one Arrow-batched mapInPandas inside the
+    scan stage, zero exchanges — frames never cross rows, so the map
+    is the whole plan (VERDICT r13 #5)."""
+    p = plan(spark, "q254_compressed_audio_features")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_q255_ivfpq_qerr_exchange_bounded_by_cells(spark):
+    """Per-cell quantization error: the corpus is encoded in a
+    scan-stage mapInPandas and the ONLY exchange is the per-cell
+    aggregate — partial HashAggregate first, so the shuffle carries
+    ≤ kc rows per map partition, never the corpus; and no join of any
+    kind (the chosen-centroid distances ride the encode, they are not
+    re-joined) (VERDICT r13 #5)."""
+    import re
+
+    p = plan(spark, "q255_ivfpq_qerr_by_cell")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "MapInPandas" in p
+    # partial-aggregate-before-shuffle: two HashAggregates around the one Exchange
+    assert len(re.findall(r"HashAggregate", p)) >= 2
