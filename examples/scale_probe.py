@@ -463,6 +463,26 @@ def main() -> None:
 
             return jpeg_progressive_420_roundtrip_stats(d.select("doc_id"))
 
+        def jpeg_ac_refine():
+            # AC successive approximation over progressive 4:2:0 —
+            # the registry's heaviest per-row codec (7 scans); map-only
+            from kassette_server_spark.operators.multimodal import (
+                jpeg_progressive_420_roundtrip_stats,
+            )
+
+            return jpeg_progressive_420_roundtrip_stats(
+                d.select("doc_id"), ac_refine=True
+            )
+
+        def compressed_audio():
+            # μ-law + block-framed ADPCM frame features from RIFF
+            # payloads — per-row decode + integer reductions; map-only
+            from kassette_server_spark.operators.multimodal import (
+                compressed_audio_frame_features,
+            )
+
+            return compressed_audio_frame_features(d.select("doc_id"))
+
         rows_d, rows_l, rows_o, rows_c, rows_v = (
             5_000 * scale,
             600_000 * scale,
@@ -502,6 +522,8 @@ def main() -> None:
             "wav_codec": (wav_codec, rows_d),
             "jpeg_411": (jpeg_411, rows_d),
             "jpeg_prog_420": (jpeg_prog_420, rows_d),
+            "jpeg_ac_refine": (jpeg_ac_refine, rows_d),
+            "compressed_audio": (compressed_audio, rows_d),
         }
 
     def run_thunk(f) -> float:

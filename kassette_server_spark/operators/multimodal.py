@@ -41,6 +41,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .spread import spread as _spread
+
 META_SCHEMA = "doc_id long, n_bytes long, width long, height long, fmt string"
 
 
@@ -76,7 +78,7 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
 
-    return df.mapInPandas(batches, schema=META_SCHEMA)
+    return _spread(df).mapInPandas(batches, schema=META_SCHEMA)
 
 
 AUDIO_META_SCHEMA = "doc_id long, n_bytes long, sample_rate long, n_samples long, duration_ms long, fmt string"
@@ -108,7 +110,7 @@ def decode_audio_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
 
-    return df.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+    return _spread(df).mapInPandas(batches, schema=AUDIO_META_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 10):  # pragma: no cover - stub
@@ -809,7 +811,7 @@ def png_depth_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, sum16 long, "
         "sum16i long, sum4 long, sum2 long, sum1 long, sum_pal long",
@@ -1709,7 +1711,9 @@ def _extend(r: int, size: int) -> int:
     return r if r >= (1 << (size - 1)) else r - (1 << size) + 1
 
 
-def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
+def _decode_jpeg_progressive(
+    payload: bytes, allow_partial: bool = False
+) -> tuple[int, int, int, bytes]:
     """Progressive (SOF2) pixel decode — spectral selection with
     successive-approximation DC (first pass at any Al, plus DC
     refinement scans); AC refinement (Ah>0 with Ss>0) and subsampled/
@@ -1727,6 +1731,8 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     coef: list["np.ndarray"] = []
     prev_dc: list[int] = []
     n_blocks = 0
+    saw_eoi = False
+    delivered: dict[tuple[int, int], int] = {}  # (comp, k) -> final Al
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1735,6 +1741,7 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             pos += 1
             continue
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         if marker in _JPEG_STANDALONE:
             pos += 2
@@ -1836,6 +1843,9 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
             ahal = data[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
+            for fi, _, _ in sel:  # record delivery for the EOI completeness check
+                for k in range(ss, se + 1):
+                    delivered[(fi, k)] = al
             # locate the entropy segment's end: the next real marker
             p = pos + 2 + length
             scan_start = p
@@ -2035,8 +2045,32 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 2 + length
     if sof is None:
         raise ValueError("missing SOF")
+    if not saw_eoi and not allow_partial:
+        # a progressive stream cut between scans still parses cleanly —
+        # every surviving scan is self-consistent — but the image would
+        # silently reconstruct from PARTIAL coefficients (missing AC
+        # bands render as flat 0x80 blocks). EOI is the completeness
+        # witness; without it the decode is data loss, not a preview.
+        # ``allow_partial=True`` is the EXPLICIT preview opt-in (spec
+        # §G.2 — a DC-only prefix is the progressive feature).
+        raise ValueError("truncated progressive JPEG: missing EOI")
     width, height, comps = sof
     ncomp = len(comps)
+    # completeness witness #2: every component's full spectrum must
+    # have been delivered down to point-transform 0. A corrupted SOS
+    # FRAMING byte makes the previous scan's entropy-end search swallow
+    # the whole next scan as trailing bytes — the file still ends in
+    # EOI, but a band is missing or stuck at Al=1 and the image would
+    # silently reconstruct from partial coefficients.
+    for fi in range(ncomp if not allow_partial else 0):
+        for k in range(64):
+            got_al = delivered.get((fi, k))
+            if got_al != 0:
+                raise ValueError(
+                    "incomplete progressive delivery: component "
+                    f"{fi} coefficient {k} "
+                    + ("never scanned" if got_al is None else f"stuck at Al={got_al}")
+                )
     m = _dct_matrix()
     zz_idx = np.array(_ZIGZAG)
     out = np.empty((mh * vmax * 8, mw * hmax * 8, ncomp), dtype=np.uint8)
@@ -2069,7 +2103,9 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, ncomp, cropped.tobytes()
 
 
-def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+def decode_jpeg_pixels(
+    payload: bytes, allow_partial: bool = False
+) -> tuple[int, int, int, bytes]:
     """REAL baseline JPEG pixel decode: marker walk, DQT and DHT
     tables read FROM THE FILE (not assumed), Huffman-decoded
     MCU-interleaved blocks with byte unstuffing and per-component DC
@@ -2136,7 +2172,7 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 i += 17 + n
         elif marker in _JPEG_SOF:
             if marker == 0xC2:  # progressive: multi-scan accumulation path
-                return _decode_jpeg_progressive(payload)
+                return _decode_jpeg_progressive(payload, allow_partial=allow_partial)
             if marker != 0xC0:
                 raise ValueError(
                     "pixel decode supports baseline SOF0 and progressive SOF2"
@@ -2345,7 +2381,7 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["doc_id", "width", "height", "px_sum"]
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, px_sum long",
     )
@@ -2398,7 +2434,7 @@ def jpeg_restart_roundtrip_stats(
                 columns=["doc_id", "width", "height", "n_restarts", "px_sum"],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, n_restarts long, "
         "px_sum long",
@@ -2466,7 +2502,7 @@ def jpeg_420_roundtrip_stats(
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, n_mcus long, "
         "sum_c0 long, sum_c1 long, sum_c2 long",
@@ -2550,7 +2586,7 @@ def jpeg_progressive_roundtrip_stats(
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, n_scans long, "
         "sum_c0 long, sum_c1 long, sum_c2 long",
@@ -2611,7 +2647,7 @@ def jpeg_422_roundtrip_stats(
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, n_mcus long, "
         "sum_c0 long, sum_c1 long, sum_c2 long",
@@ -2664,7 +2700,7 @@ def jpeg_channel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 columns=["doc_id", "n_px", "sum_c0", "sum_c1", "sum_c2"],
             )
 
-    out = df.mapInPandas(
+    out = _spread(df).mapInPandas(
         batches,
         schema="doc_id long, n_px long, sum_c0 long, sum_c1 long, "
         "sum_c2 long",
@@ -2741,7 +2777,7 @@ def png_to_jpeg_transcode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 rows, columns=["doc_id", "width", "height", "px_sum"]
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, px_sum long",
     )
@@ -2800,7 +2836,7 @@ def png_to_jpeg_transcode_rgb_stats(
                 columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, "
         "sum_r long, sum_g long, sum_b long",
@@ -2874,7 +2910,7 @@ def decode_media_meta(
                 rows.append(row)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
+    return _spread(df).mapInPandas(batches, schema=MEDIA_META_SCHEMA)
 
 
 def encode_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2908,7 +2944,7 @@ def encode_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     )
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
 
-    return df.mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _spread(df).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 # --- GIF (stdlib-only, real container structure) ---------------------------
@@ -3212,7 +3248,7 @@ def gif_to_png_transcode_stats(
                 rows, columns=["doc_id", "width", "height", "px_sum"]
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, px_sum long",
     )
@@ -3249,7 +3285,7 @@ def gif_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["doc_id", "width", "height", "px_sum"]
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, px_sum long",
     )
@@ -3402,7 +3438,7 @@ def encode_media_payloads_ext(df: DataFrame, id_col: str = "doc_id") -> DataFram
                     payloads.append(encode_bmp(4 + (i * 3) % 50, 4 + i % 40))
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
 
-    return df.mapInPandas(batches, schema=f"{id_col} long, payload binary")
+    return _spread(df).mapInPandas(batches, schema=f"{id_col} long, payload binary")
 
 
 # --- media transforms (round 9): resize / downsample / frame-sample ---------
@@ -3580,7 +3616,7 @@ def wav_resample_stats(
                 columns=["doc_id", "n_in", "n_out", "rate_out", "sum_out"],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, n_in long, n_out long, rate_out long, "
         "sum_out long",
@@ -3720,7 +3756,7 @@ def transform_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                          "sample_rate", "n_samples", "duration_ms"],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, kind string, width long, height long, "
         "n_frames long, sample_rate long, n_samples long, duration_ms long",
@@ -3765,7 +3801,7 @@ def png_resize_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["doc_id", "width", "height", "px_sum"]
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, px_sum long",
     )
@@ -3826,7 +3862,7 @@ def png_resize_rgb_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, "
         "sum_r long, sum_g long, sum_b long",
@@ -3903,7 +3939,7 @@ def image_channel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["doc_id", "n_px", "sum_b", "sum_g", "sum_r"]
             )
 
-    out = df.mapInPandas(
+    out = _spread(df).mapInPandas(
         batches,
         schema="doc_id long, n_px long, sum_b long, sum_g long, sum_r long",
     )
@@ -4009,7 +4045,7 @@ def audio_frame_features(
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, frame_id long, n_samples long, sum_abs long, "
         "sum_sq long, zero_crossings long",
@@ -4026,11 +4062,16 @@ def audio_frame_features(
 # the ITU-T G.711 expansion tables for all 256 codes in both laws.
 # ENCODE takes magnitude as abs(s); the canonical ITU/Sun reference
 # instead ones'-complements negatives (mag = -s-1) before the segment
-# search, so on negative segment-boundary samples the two differ by one
-# code level (381/65536 μ-law, 127/65536 A-law) — within one
-# quantization step, and self-consistent: decode(encode(x)) is the
+# search, so on negative quantization-interval-boundary samples the two
+# differ by one code level — EXACTLY 127/65536 inputs in each law (one
+# per interior boundary of the 128 negative codes; measured exhaustively
+# against a G.191-STL-style reference in tests/test_conformance.py,
+# which corrected this comment's earlier 381 μ-law estimate) — within
+# one quantization step, and self-consistent: decode(encode(x)) is the
 # standard segment quantization and encode(decode(b)) == b for every
-# byte — the canonical-form property the round-trip tests pin.
+# byte — the canonical-form property the round-trip tests pin. DECODE
+# is conformance-pinned against the full 256-entry Sun/CCITT expansion
+# tables for both laws in the same file.
 
 _MULAW_BIAS = 0x84  # 132
 _MULAW_CLIP = 32635
@@ -4150,7 +4191,7 @@ def g711_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, n long, mu_code_sum long, mu_decoded_sum long, "
         "a_code_sum long, a_decoded_sum long",
@@ -4304,7 +4345,7 @@ def ima_adpcm_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, n long, code_sum long, decoded_sum long, "
         "final_pred long, final_index long",
@@ -4466,9 +4507,16 @@ def decode_wav_compressed(payload: bytes) -> "np.ndarray":
     if data is None:
         raise ValueError("missing data chunk")
     af = meta["audio_format"]
+    # the data slice can be SHORTER than the chunk header declared
+    # (truncated file) — returning fewer samples than the container
+    # promised would be silent data loss, so length-check before decode
     if af == 1:
-        return np.frombuffer(data, dtype="<i2")[:n].astype(np.int16)
+        if len(data) < 2 * n:
+            raise ValueError("truncated PCM data")
+        return np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.int16)
     if af in (_WAV_FMT_ALAW, _WAV_FMT_MULAW):
+        if len(data) < n:
+            raise ValueError("truncated G.711 data")
         codes = np.frombuffer(data[:n], dtype=np.uint8)
         return alaw_decode(codes) if af == _WAV_FMT_ALAW else mulaw_decode(codes)
     # IMA: re-read block_align from fmt (meta carries bits=4)
@@ -4551,7 +4599,7 @@ def wav_codec_container_stats(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, n long, n_blocks long, alaw_sum long, "
         "mulaw_sum long, ima_sum long",
@@ -4612,7 +4660,7 @@ def compressed_audio_frame_features(
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, codec string, frame_id long, n_samples long, "
         "sum_abs long, sum_sq long, zero_crossings long",
@@ -4674,7 +4722,7 @@ def jpeg_411_roundtrip_stats(
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, n_mcus long, "
         "sum_c0 long, sum_c1 long, sum_c2 long",
@@ -4741,7 +4789,7 @@ def jpeg_progressive_420_roundtrip_stats(
                 ],
             )
 
-    return df.mapInPandas(
+    return _spread(df).mapInPandas(
         batches,
         schema="doc_id long, width long, height long, n_scans long, "
         "sum_c0 long, sum_c1 long, sum_c2 long",

@@ -330,3 +330,250 @@ def test_jpeg_ac_successive_approximation_differential(seed):
     bad[p + 2 + 2 + 1 + 2 * 1 + 2] = 0x20
     with pytest.raises(ValueError, match="Ah = Al"):
         decode_jpeg_pixels(bytes(bad))
+
+
+# --- r14 robustness growth (VERDICT r13 #6) ---------------------------------
+
+# the exception classes a decoder may raise on corrupt input — the same
+# set decode_media_meta degrades to kind='unknown' (a 100 TB scan must
+# survive them; anything ELSE escaping a decoder is a bug)
+import struct as _struct
+import zlib as _zlib
+
+CORRUPT_EXC = (
+    ValueError,
+    _struct.error,
+    _zlib.error,
+    KeyError,
+    IndexError,
+    ZeroDivisionError,
+)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_jpeg_ac_refine_full_density_all_modes(seed):
+    """AC successive approximation at FULL matrix density: every seed
+    exercises ALL FOUR sampling modes (the original differential ran
+    one mode per seed), asserting the 7-scan two-pass AC transport
+    decodes bit-identical to baseline in each."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.default_rng(50_000 + seed)
+    w = int(rng.integers(1, 49))
+    h = int(rng.integers(1, 49))
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    for sub in ("444", "422", "420", "411"):
+        base = decode_jpeg_pixels(
+            encode_jpeg_pixels(w, h, px, channels=3, subsampling=sub)
+        )
+        pay = encode_jpeg_progressive_pixels(
+            w, h, px, channels=3, subsampling=sub, ac_refine=True
+        )
+        assert decode_jpeg_pixels(pay) == base
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_jpeg_lossless_matrix_includes_ac_refine(seed):
+    """The tile-constant LOSSLESS property extended to the AC-refine
+    coded form: per-32x16-tile-constant rasters must survive the
+    two-pass AC transport bit-exactly in every sampling mode, like
+    every other member of the matrix."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.default_rng(60_000 + seed)
+    w = int(rng.integers(1, 100))
+    h = int(rng.integers(1, 50))
+    tiles = rng.integers(
+        0, 256, size=((h + 15) // 16, (w + 31) // 32, 3), dtype=np.uint8
+    )
+    px = np.repeat(np.repeat(tiles, 16, axis=0), 32, axis=1)[:h, :w].tobytes()
+    for sub in ("444", "422", "420", "411"):
+        pay = encode_jpeg_progressive_pixels(
+            w, h, px, channels=3, subsampling=sub, ac_refine=True
+        )
+        assert decode_jpeg_pixels(pay) == (w, h, 3, px)
+
+
+def _corrupt_corpus(seed: int):
+    """(kind, payload, decode, expected) tuples for one seeded raster/
+    signal across every container the tier decodes."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        decode_wav_compressed,
+        encode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+        encode_wav_compressed,
+    )
+
+    rng = np.random.default_rng(70_000 + seed)
+    w = int(rng.integers(2, 33))
+    h = int(rng.integers(2, 33))
+    gray = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    n = int(rng.integers(8, 300))
+    pcm = rng.integers(-32768, 32768, size=n).astype(np.int16)
+
+    png = encode_png_filtered(
+        w, h, gray, channels=1,
+        filters=[int(f) for f in rng.integers(0, 5, size=h)],
+    )
+    adam = encode_png_interlaced(w, h, rgb, channels=3, filters_seed=seed % 5)
+    jb = encode_jpeg_pixels(w, h, rgb, channels=3, subsampling="420",
+                            restart_interval=2)
+    jp = encode_jpeg_progressive_pixels(w, h, rgb, channels=3,
+                                        subsampling="420", ac_refine=True)
+    gif = encode_gif_pixels(w, h, gray, interlaced=bool(rng.integers(0, 2)))
+    wavs = [
+        encode_wav_compressed(pcm, codec=c) for c in ("mulaw", "alaw", "ima")
+    ]
+    return [
+        ("png", png, decode_png_pixels, decode_png_pixels(png)),
+        ("png_adam7", adam, decode_png_pixels, decode_png_pixels(adam)),
+        ("jpeg", jb, decode_jpeg_pixels, decode_jpeg_pixels(jb)),
+        ("jpeg_prog", jp, decode_jpeg_pixels, decode_jpeg_pixels(jp)),
+        ("gif", gif, decode_gif_pixels, decode_gif_pixels(gif)),
+    ] + [
+        (f"wav{i}", pay, lambda p: decode_wav_compressed(p).tolist(),
+         decode_wav_compressed(pay).tolist())
+        for i, pay in enumerate(wavs)
+    ]
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_truncated_payloads_raise_or_decode_complete(seed):
+    """TRUNCATION sweep over every container: a payload cut at an
+    arbitrary interior byte must either raise one of the corrupt-input
+    classes (decode_media_meta's degrade set) or — when the cut only
+    removed trailing framing the stream does not need (post-IEND
+    bytes, EOI, terminator) — decode to EXACTLY the uncut result.
+    Returning fewer/other pixels or samples silently is the one
+    forbidden outcome (silent data loss at 100 TB)."""
+    rng = np.random.default_rng(80_000 + seed)
+    for kind, pay, decode, expect in _corrupt_corpus(seed):
+        for _ in range(8):
+            cut = int(rng.integers(1, len(pay)))
+            try:
+                got = decode(pay[:cut])
+            except CORRUPT_EXC:
+                continue
+            assert got == expect, (kind, cut, len(pay))
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_bitflipped_png_raises_or_decodes_identically(seed):
+    """PNG carries per-chunk CRCs, so EVERY single-bit flip anywhere in
+    the payload must be detected (raise) — or, vacuously, still decode
+    to the identical pixels. Silent different-pixel output would mean
+    the CRC walk is skippable."""
+    rng = np.random.default_rng(90_000 + seed)
+    rows = _corrupt_corpus(seed)
+    for kind, pay, decode, expect in rows:
+        if not kind.startswith("png"):
+            continue
+        for _ in range(16):
+            pos = int(rng.integers(0, len(pay)))
+            bit = 1 << int(rng.integers(0, 8))
+            bad = bytearray(pay)
+            bad[pos] ^= bit
+            try:
+                got = decode(bytes(bad))
+            except CORRUPT_EXC:
+                continue
+            assert got == expect, (kind, pos, bit)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_bitflipped_jpeg_markers_raise_or_decode_identically(seed):
+    """JPEG has no integrity check over entropy data (a flipped
+    Huffman bit legitimately decodes to different pixels — true of
+    every conforming decoder), and a flipped marker ID can legally
+    retarget a segment (DHT → skippable APPn loads a stale table —
+    also undetectable by design). What IS always checkable is the
+    0xFF FRAMING byte: the walk expects a marker exactly there, the
+    entropy reader verifies the RSTn sequence, and EOI is required —
+    so flips of any marker's 0xFF prefix must raise or leave the
+    decode unchanged, never mis-decode."""
+    def true_marker_offsets(pay: bytes) -> list[int]:
+        # walk the REAL structure: a 0xFF inside a length-prefixed
+        # segment payload (DHT symbol lists, DQT values) is table DATA,
+        # not framing — flipping it is entropy-class corruption JPEG
+        # cannot detect. Only genuine marker prefixes qualify.
+        offs = [0]
+        pos, in_scan = 2, False
+        while pos + 1 < len(pay):
+            if in_scan:
+                if pay[pos] != 0xFF or pay[pos + 1] == 0x00:
+                    pos += 1
+                    continue
+                m = pay[pos + 1]
+                offs.append(pos)
+                if 0xD0 <= m <= 0xD7:  # RSTn: still inside the scan
+                    pos += 2
+                    continue
+                in_scan = False
+                if m == 0xD9:
+                    break
+                (ln,) = _struct.unpack_from(">H", pay, pos + 2)
+                in_scan = m == 0xDA
+                pos += 2 + ln
+                continue
+            assert pay[pos] == 0xFF, pos
+            m = pay[pos + 1]
+            offs.append(pos)
+            if m == 0xD9:
+                break
+            if 0xD0 <= m <= 0xD8:
+                pos += 2
+                continue
+            (ln,) = _struct.unpack_from(">H", pay, pos + 2)
+            in_scan = m == 0xDA
+            pos += 2 + ln
+        return offs
+
+    rng = np.random.default_rng(100_000 + seed)
+    for kind, pay, decode, expect in _corrupt_corpus(seed):
+        if not kind.startswith("jpeg"):
+            continue
+        marker_offsets = true_marker_offsets(pay)
+        for _ in range(8):
+            pos = marker_offsets[int(rng.integers(0, len(marker_offsets)))]
+            bit = 1 << int(rng.integers(0, 8))
+            bad = bytearray(pay)
+            bad[pos] ^= bit
+            try:
+                got = decode(bytes(bad))
+            except CORRUPT_EXC:
+                continue
+            assert got == expect, (kind, pos, bit)
+
+
+def test_random_blobs_degrade_to_unknown_in_media_meta(spark):
+    """decode_media_meta over random byte blobs (no known magic) and
+    over corrupt-but-magic'd payloads: every row lands kind='unknown'
+    or a well-formed kind — never an executor-killing exception."""
+    import pandas as pd
+
+    from kassette_server_spark.operators.multimodal import decode_media_meta
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(64):
+        blob = bytes(rng.integers(0, 256, size=int(rng.integers(0, 64)), dtype=np.uint8).tolist())
+        rows.append((i, blob))
+    # corrupt-but-magic'd: valid signatures, garbage bodies
+    for i, sig in enumerate(
+        [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RIFF", b"GIF89a", b"BM"]
+    ):
+        rows.append((100 + i, sig + bytes(rng.integers(0, 256, size=32, dtype=np.uint8).tolist())))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    out = decode_media_meta(df).collect()
+    assert len(out) == len(rows)
+    kinds = {r["kind"] for r in out}
+    assert kinds <= {"unknown", "png", "jpeg", "wav", "gif", "bmp"}

@@ -40,7 +40,12 @@ from conftest import SF_CORRECT, SF_SMOKE
 from kassette_server_spark.catalog import load
 
 SEED = 20260813
-N_QUERIES = 560  # raised r13 (520 → 560, VERDICT r12 #9): a NEW
+N_QUERIES = 600  # raised r14 (560 → 600, VERDICT r13 #7), adding a
+# NEW distinct-aggregates-under-join-fan-out family (count(DISTINCT),
+# sum(DISTINCT), count(DISTINCT CASE WHEN ...) grouped by a join-side
+# key, inner and LEFT joins — duplicate elimination after fan-out,
+# NULL exclusion from DISTINCT sets, NULL-key groups) at 5% density.
+# Prior raise r13 (520 → 560, VERDICT r12 #9): a NEW
 # grouping-sets-over-window family (ROLLUP/CUBE/GROUPING SETS
 # aggregating a windowed subquery's rank/dense_rank/RANGE-sum column —
 # window evaluation before grouping-set expansion) at 6% density
@@ -767,6 +772,39 @@ def _gen_grouping_sets_over_window_query(rng: random.Random, domains: dict) -> s
     )
 
 
+def _gen_distinct_agg_join_query(rng: random.Random, domains: dict) -> str:
+    """r14 family (VERDICT r13 #7 raise): DISTINCT aggregates under
+    join fan-out. An FK join duplicates one side's rows per matching
+    row of the other, so the engines must agree on duplicate
+    elimination AFTER the join, on NULL exclusion from the DISTINCT
+    set, and on the conditional count(DISTINCT CASE WHEN ... END)
+    form (a non-matching row yields NULL, which the DISTINCT count
+    must NOT count — and a LEFT JOIN's unmatched rows put the whole
+    group under a NULL key)."""
+    lt, rt, lk, rk = rng.choice(JOINS)
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    g = rng.choice(TABLES[rt][1] + TABLES[rt][0])
+    dcol = rng.choice(TABLES[lt][0])
+    cpred = _predicate(rng, lt, "t0", domains)
+    where = (
+        f" WHERE {_predicate(rng, lt, 't0', domains)}"
+        if rng.random() < 0.6
+        else ""
+    )
+    return (
+        f"SELECT t1.{g} AS g, "
+        f"CAST(count(DISTINCT t0.{dcol}) AS BIGINT) AS cd, "
+        f"CAST(sum(DISTINCT t0.{dcol}) AS BIGINT) AS sd, "
+        f"CAST(count(DISTINCT CASE WHEN {cpred} THEN t0.{dcol} END) "
+        f"AS BIGINT) AS ccd, "
+        f"CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM {lt} t0 {how} {rt} t1 ON t0.{lk} = t1.{rk}{where} "
+        f"GROUP BY t1.{g} "
+        f"ORDER BY g NULLS FIRST, cd NULLS FIRST, sd NULLS FIRST, "
+        f"ccd NULLS FIRST, cnt NULLS FIRST"
+    )
+
+
 def _gen_query(rng: random.Random, domains: dict) -> str:
     shape = rng.random()
     if shape < 0.06:  # INTERSECT/EXCEPT/UNION nesting
@@ -798,11 +836,13 @@ def _gen_query(rng: random.Random, domains: dict) -> str:
         return _gen_correlated_range_exists_query(rng, domains)
     if shape < 0.88:  # grouping sets over window (r13, VERDICT r12 #9)
         return _gen_grouping_sets_over_window_query(rng, domains)
-    if shape < 0.91:  # single table
+    if shape < 0.93:  # DISTINCT aggregates under join fan-out (r14)
+        return _gen_distinct_agg_join_query(rng, domains)
+    if shape < 0.95:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
         from_sql = f"{t} t0"
-    elif shape < 0.95:  # FK pair
+    elif shape < 0.975:  # FK pair
         lt, rt, lk, rk = rng.choice(JOINS)
         how = rng.choice(["JOIN", "LEFT JOIN", "LEFT JOIN", "FULL OUTER JOIN"])
         aliases = [(lt, "t0"), (rt, "t1")]

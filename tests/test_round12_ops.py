@@ -685,7 +685,7 @@ def test_jpeg_progressive_dc_prefix_is_a_preview():
     first = pay.find(b"\xff\xda")
     second = pay.find(b"\xff\xda", first + 2)
     prefix = pay[:second] + b"\xff\xd9"
-    dw, dh, dch, dpx = decode_jpeg_pixels(prefix)
+    dw, dh, dch, dpx = decode_jpeg_pixels(prefix, allow_partial=True)
     assert (dw, dh, dch) == (w, h, 1)
     blocks = np.frombuffer(dpx, np.uint8).reshape(h // 8, 8, w // 8, 8)
     assert (blocks == blocks[:, :1, :, :1]).all()  # per-block constant
@@ -992,7 +992,7 @@ def test_jpeg_progressive_420_dc_prefix_previews_and_streaming_parity(spark):
     first = pay.find(b"\xff\xda")
     second = pay.find(b"\xff\xda", first + 2)
     prefix = pay[:second] + b"\xff\xd9"
-    dw, dh, dch, dpx = decode_jpeg_pixels(prefix)
+    dw, dh, dch, dpx = decode_jpeg_pixels(prefix, allow_partial=True)
     assert (dw, dh, dch) == (w, h, 3)
     luma = np.frombuffer(dpx, np.uint8).reshape(h, w, 3)[:, :, 0]
     blocks = luma.reshape(h // 8, 8, w // 8, 8)
