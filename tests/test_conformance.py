@@ -639,3 +639,96 @@ def test_wav_mulaw_container_from_foreign_writer_decodes_via_table():
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     got = decode_wav_compressed(payload).astype(int).tolist()
     assert got == list(ULAW_TABLE)
+
+
+def test_png_adam7_interlaced_foreign_fixture_decodes():
+    """Adam7 PNG assembled fresh from spec §8.2's pass grid (literal
+    offsets/steps) with per-pass §9 filtering — an interlace layout
+    ordering this repo's encoder does not produce byte-for-byte."""
+    ADAM7 = (  # (x0, y0, dx, dy) per spec §8.2
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    w, h = 9, 7
+    img = [[_pix(x, y, 0) for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    fts = [0, 1, 2, 3, 4, 1, 2]
+    for (x0, y0, dx, dy), ft in zip(ADAM7, fts):
+        rows = [
+            bytes(img[y][x] for x in range(x0, w, dx))
+            for y in range(y0, h, dy)
+        ]
+        rows = [r for r in rows if r]
+        if not rows:
+            continue
+        raw += _filter_rows(rows, 1, [ft] * len(rows))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)  # interlace=1
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    gw, gh, ch, px = decode_png_pixels(payload)
+    assert (gw, gh, ch) == (w, h, 1)
+    assert px == bytes(v for row in img for v in row)
+
+
+def test_jpeg_annex_k_progressive_dc_only_decodes():
+    """Hand-assembled PROGRESSIVE (SOF2) gray JPEG with Annex K
+    tables: a DC scan (Ss=0, Se=0) followed by one full AC scan
+    (Ss=1, Se=63) that is a single EOB per block — DC-only blocks, so
+    the expected image is the same closed-form constant tiles as the
+    baseline fixture, delivered through the multi-scan accumulation
+    path instead."""
+    dcs_tab = _huff_codes(ANNEX_K_DC_BITS, ANNEX_K_DC_VALS)
+    acs_tab = _huff_codes(ANNEX_K_AC_BITS, ANNEX_K_AC_VALS)
+    dc_coeffs = [6, -9]
+    width = 16
+
+    zz_quant = bytes(ANNEX_K_LUMA_QUANT[ZIGZAG[k]] for k in range(64))
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + zz_quant
+    sof = (
+        b"\xff\xc2"  # SOF2: progressive
+        + struct.pack(">HBHHB", 8 + 3, 8, 8, width, 1)
+        + bytes([1, 0x11, 0])
+    )
+    dht_payload = (
+        bytes([0x00]) + bytes(ANNEX_K_DC_BITS) + bytes(ANNEX_K_DC_VALS)
+        + bytes([0x10]) + bytes(ANNEX_K_AC_BITS) + bytes(ANNEX_K_AC_VALS)
+    )
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + len(dht_payload)) + dht_payload
+
+    # scan 1: DC, Ss=Se=0, Ah=Al=0
+    sos1 = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
+    w1 = _Bits()
+    pred = 0
+    for dc in dc_coeffs:
+        diff = dc - pred
+        pred = dc
+        if diff == 0:
+            w1.put(*dcs_tab[0])
+        else:
+            mag = abs(diff)
+            cat = mag.bit_length()
+            w1.put(*dcs_tab[cat])
+            bits = diff if diff > 0 else diff + (1 << cat) - 1
+            w1.put(bits & ((1 << cat) - 1), cat)
+    scan1 = w1.done()
+
+    # scan 2: AC band 1..63, Ah=Al=0 — one EOB (run length 1) per block
+    sos2 = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0])
+    w2 = _Bits()
+    for _ in dc_coeffs:
+        w2.put(*acs_tab[0x00])
+    scan2 = w2.done()
+
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht + sos1 + scan1 + sos2 + scan2
+        + b"\xff\xd9"
+    )
+    gw, gh, ch, px = decode_jpeg_pixels(payload)
+    assert (gw, gh, ch) == (width, 8, 1)
+    img = np.frombuffer(px, dtype=np.uint8).reshape(8, width)
+    for i, dc in enumerate(dc_coeffs):
+        assert (img[:, 8 * i : 8 * (i + 1)] == 128 + dc * 2).all()

@@ -1184,8 +1184,8 @@ def test_q229_sketch_recall_no_cartesian(spark):
 
 def test_q230_png_resize_scan_stage_map(spark):
     """The PNG resize tier is one Arrow-batched mapInPandas directly
-    over the id scan — no Exchange anywhere (nothing to shuffle: every
-    payload is built, transformed, and re-parsed within its input
+    over the id scan — no exchange beyond the round-robin input spread
+    (payloads are built, transformed, and re-parsed within their map
     partition), no Generate, no join of any kind."""
     p = plan(spark, "q230_png_resize")
     assert_spread_map(p)
@@ -1215,8 +1215,8 @@ def test_q233_jpeg_roundtrip_scan_stage_map(spark):
 
 def test_q234_png_jpeg_transcode_scan_stage_map(spark):
     """The cross-codec transcode tier keeps the q230/q232/q233 shape:
-    one Arrow-batched mapInPandas over the id scan — no Exchange, no
-    join. Chaining two codecs changes per-row work only."""
+    one Arrow-batched mapInPandas over the id scan — no exchange beyond
+    the round-robin input spread, no join. Chaining two codecs changes per-row work only."""
     p = plan(spark, "q234_png_jpeg_transcode")
     assert_spread_map(p)
     assert "Join" not in p and "CartesianProduct" not in p
@@ -1232,8 +1232,8 @@ def test_q235_png_jpeg_transcode_rgb_scan_stage_map(spark):
 
 def test_q236_wav_resample_scan_stage_map(spark):
     """The audio resample tier keeps the codec-tier shape: one
-    Arrow-batched mapInPandas over the id scan — no Exchange, no
-    join."""
+    Arrow-batched mapInPandas over the id scan — no exchange beyond
+    the round-robin input spread, no join."""
     p = plan(spark, "q236_wav_resample")
     assert_spread_map(p)
     assert "Join" not in p and "CartesianProduct" not in p
@@ -1249,8 +1249,8 @@ def test_q237_gif_roundtrip_scan_stage_map(spark):
 
 def test_q238_gif_png_transcode_scan_stage_map(spark):
     """The lossless transcode tier keeps the codec-tier shape: one
-    Arrow-batched mapInPandas over the id scan — no Exchange, no
-    join."""
+    Arrow-batched mapInPandas over the id scan — no exchange beyond
+    the round-robin input spread, no join."""
     p = plan(spark, "q238_gif_png_transcode")
     assert_spread_map(p)
     assert "Join" not in p and "CartesianProduct" not in p
@@ -1305,7 +1305,7 @@ def test_q241_pq_recall_no_cartesian(spark):
 
 def test_q242_jpeg_restart_scan_stage_map(spark):
     """Restart-bearing JPEG round trip: per-row codec work, one
-    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    Arrow-batched mapInPandas behind at most the round-robin input spread."""
     p = plan(spark, "q242_jpeg_restart_roundtrip")
     assert_spread_map(p)
 
@@ -1317,28 +1317,28 @@ def test_q243_jpeg_channel_stats_scan_stage_map(spark):
 
 def test_q244_jpeg_420_scan_stage_map(spark):
     """4:2:0 round trip: per-row subsampled codec work, one
-    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    Arrow-batched mapInPandas behind at most the round-robin input spread."""
     p = plan(spark, "q244_jpeg_420_roundtrip")
     assert_spread_map(p)
 
 
 def test_q245_png_depth_scan_stage_map(spark):
     """Non-8-bit PNG depth tier: five per-row codec legs, one
-    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    Arrow-batched mapInPandas behind at most the round-robin input spread."""
     p = plan(spark, "q245_png_depth_roundtrip")
     assert_spread_map(p)
 
 
 def test_q246_g711_scan_stage_map(spark):
     """G.711 both laws: per-row integer companding, one Arrow-batched
-    mapInPandas inside the scan stage, zero exchanges."""
+    mapInPandas behind at most the round-robin input spread."""
     p = plan(spark, "q246_g711_companding")
     assert_spread_map(p)
 
 
 def test_q247_ima_adpcm_scan_stage_map(spark):
     """IMA ADPCM: per-row sequential state machine, one Arrow-batched
-    mapInPandas inside the scan stage, zero exchanges."""
+    mapInPandas behind at most the round-robin input spread."""
     p = plan(spark, "q247_ima_adpcm")
     assert_spread_map(p)
 
@@ -1384,35 +1384,35 @@ def test_q251_jpeg_progressive_scan_stage_map(spark):
 
 def test_q252_jpeg_422_scan_stage_map(spark):
     """4:2:2 round trip: per-row subsampled codec work, one
-    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    Arrow-batched mapInPandas behind at most the round-robin input spread."""
     p = plan(spark, "q252_jpeg_422_roundtrip")
     assert_spread_map(p)
 
 
 def test_q253_wav_container_scan_stage_map(spark):
     """Compressed-WAV container tier: per-row RIFF+codec work, one
-    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    Arrow-batched mapInPandas behind at most the round-robin input spread."""
     p = plan(spark, "q253_wav_codec_container")
     assert_spread_map(p)
 
 
 def test_q256_jpeg_411_scan_stage_map(spark):
     """4:1:1 round trip: per-row codec work, one Arrow-batched
-    mapInPandas inside the scan stage, zero exchanges."""
+    mapInPandas behind at most the round-robin input spread."""
     p = plan(spark, "q256_jpeg_411_roundtrip")
     assert_spread_map(p)
 
 
 def test_q257_jpeg_progressive_420_scan_stage_map(spark):
     """Progressive 4:2:0: per-row multi-scan codec work, one
-    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    Arrow-batched mapInPandas behind at most the round-robin input spread."""
     p = plan(spark, "q257_jpeg_progressive_420")
     assert_spread_map(p)
 
 
 def test_q258_jpeg_ac_refine_scan_stage_map(spark):
     """AC successive approximation: per-row 7-scan codec work, one
-    Arrow-batched mapInPandas inside the scan stage, zero exchanges."""
+    Arrow-batched mapInPandas behind at most the round-robin input spread."""
     p = plan(spark, "q258_jpeg_ac_refine")
     assert_spread_map(p)
 
