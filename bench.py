@@ -102,28 +102,32 @@ CODEC = frozenset(
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
 
-# Measured band thresholds (VERDICT r12 #4: the composed band needed a
-# re-derived basis for its 16-member tier and the codec band had no
-# stated threshold at all). Basis: the r13 quiet-box run — 253 specs,
-# sentinel samples 0.321/0.179/0.131/0.104 — measured core 0.659
-# s/spec (214), COMPOSED 3.052 (16, incl. the six PQ/IVF-PQ members),
-# CODEC 2.223 (23, incl. q254, after the q251 differential-leg
-# sampling). Two r13-born specs joined tiers after that run: q255
-# (~5.5 s Lloyd composition like q250) into COMPOSED — expected tier
-# mean ≈ 3.2 (composed band re-derived 3.7 → 3.8 for the 17-member
-# tier per the membership rule below) — and q256/q257 (4:1:1 at
-# 3.62 s, progressive-4:2:0 at 5.73 s measured at sf0.1) into CODEC —
-# expected tier mean ≈ 2.4; all inside their bands. The PQ family
-# reports median-of-3 (see high_variance below): its cost is
-# sequential Lloyd/search JOBS, and scheduler swing at sf0.1 dwarfs
-# plan work (quiet best-of-3: q249 1.1 s vs 5-10 s session readings). Thresholds are ~1.2x those measurements to absorb
-# ordinary driver-box load; interpretation rule: compare sentinel_last
+# Measured band thresholds. r14 basis (this round's quiet full run —
+# 257 specs, sentinel samples 0.375/0.168/0.672(*)/0.169; the r14 box
+# floors at ~0.17 on the sentinel, ~1.6x the r13 box's 0.104 basis):
+# core 1.069 raw = 0.66 sentinel-normalized — IDENTICAL to the r13
+# basis, band stays 0.80 (stated at the 0.10-0.13 sentinel; apply the
+# sentinel ratio before comparing). COMPOSED (17 members incl. q255)
+# measured 5.12 isolated-fresh-session at a 0.177 sentinel = 3.0
+# normalized — inside the 3.8 band re-derived in r13; the 8.28 raw
+# inside the full run is self-heat ((*) the mid-run sentinel hit 0.672
+# exactly while the PQ family's sequential Lloyd jobs were saturating
+# the box — the interpretation rule's textbook case). CODEC re-derived
+# for the 26-member tier (VERDICT r13 #2): after the r14 input-width
+# spread (operators/spread.py — the tier had been running single-core
+# on one-file inputs) the tier measures 1.167 raw at the 1.6x-hot
+# sentinel ≈ 0.72 normalized; band = 1.4 (≈2x the quiet basis). The
+# old 2.8 band could NOT catch a regression back to the single-core
+# plan (which measured 2.2 quiet); 1.4 can. The PQ family reports
+# median-of-3 (see high_variance below): its cost is sequential
+# Lloyd/search JOBS, and scheduler swing at sf0.1 dwarfs plan work.
+# Interpretation rule: compare sentinel_last (and the mid-run samples)
 # FIRST — a tier above band with a proportionally hot sentinel is box
 # load, a tier above band with flat sentinels is a plan regression.
 # Re-derive (quiet box, full run, state the new basis here) whenever
 # tier MEMBERSHIP changes — a band carried across a membership change
 # is exactly the false alarm VERDICT r12 flagged.
-BANDS_S_PER_SPEC = {"core": 0.80, "composed": 3.8, "codec": 2.8}
+BANDS_S_PER_SPEC = {"core": 0.80, "composed": 3.8, "codec": 1.4}
 
 
 def main() -> None:
