@@ -41,7 +41,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .spread import spread as _spread
+from .layout import ensure_scan_parallelism as _spread
 
 META_SCHEMA = "doc_id long, n_bytes long, width long, height long, fmt string"
 

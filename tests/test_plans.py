@@ -27,7 +27,7 @@ def plan(spark, name: str) -> str:
 
 def assert_spread_map(p: str) -> None:
     """The codec-tier map plan after r14's input-width guard
-    (operators/spread.py): the ONLY exchange allowed is the single
+    (operators/layout.py ensure_scan_parallelism): the ONLY exchange allowed is the single
     explicit ROUND-ROBIN repartition that widens a too-narrow input
     before the Arrow-batched map — bytes-per-row rows, no key, exempt
     from AQE coalescing. Any hash/range exchange, or a second exchange
