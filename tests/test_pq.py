@@ -626,3 +626,83 @@ def test_ivfpq_generation_flip_end_to_end(spark, tmp_path):
         )
     )
     assert res0_after == res0
+
+
+def test_pq_index_monitor_through_real_writestream(spark, tmp_path):
+    """The index monitor driven by an ACTUAL Structured Streaming query
+    (file source → foreachBatch(pq_index_monitor)) rather than direct
+    calls: batches land as committed index directories, the gate store
+    folds across micro-batches, and the resulting index is bit-identical
+    to the batch-rebuild twin under the pinned codebooks."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.pq import (
+        ivf_train_coarse,
+        ivfpq_encode,
+        ivfpq_fit_err,
+        ivfpq_train_residual,
+        pq_index_monitor,
+        read_pq_index,
+    )
+
+    emb, b0, b1 = _emb_batches(spark)
+    coarse = ivf_train_coarse(b0, kc=8, iters=2, dim=D)
+    book = ivfpq_train_residual(b0, coarse, m=M, k=K, iters=2, dim=D)
+    base = ivfpq_fit_err(b0, coarse, book, m=M, dim=D)
+
+    src = tmp_path / "src"
+    for i, part in enumerate((b0, b1)):
+        part.select("vec_id", "embedding").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        ).write.json(str(src / f"b{i}"))
+
+    idx, store = str(tmp_path / "idx"), str(tmp_path / "gate")
+    reports = []
+
+    def body(batch_df, batch_id):
+        bdf = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        r = pq_index_monitor(
+            bdf, batch_id, idx, store, coarse, book, base, m=M, dim=D
+        )
+        if r is not None:
+            reports.append(r)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "8")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert reports and reports[-1]["n"] == emb.count()
+    assert not reports[-1]["retrain"]  # same distribution as training
+    batch_dirs = [
+        e for e in os.listdir(idx)
+        if e.startswith("batch-") and os.path.exists(os.path.join(idx, e, "_SUCCESS"))
+    ]
+    assert batch_dirs  # at least one committed micro-batch directory
+
+    streamed = sorted(
+        (r["neighbor_id"], r["ccid"], tuple(r["codes"]), r["qerr"])
+        for r in read_pq_index(spark, idx).collect()
+    )
+    twin = sorted(
+        (r["neighbor_id"], r["ccid"], tuple(r["codes"]), r["qerr"])
+        for r in ivfpq_encode(
+            emb.select("vec_id", "embedding"), coarse, book, m=M, dim=D,
+            with_err=True,
+        ).collect()
+    )
+    assert streamed == twin
