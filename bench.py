@@ -102,23 +102,22 @@ CODEC = frozenset(
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
 
-# Measured band thresholds. r14 basis (this round's quiet full run —
-# 257 specs, sentinel samples 0.375/0.168/0.672(*)/0.169; the r14 box
-# floors at ~0.17 on the sentinel, ~1.6x the r13 box's 0.104 basis):
-# core 1.069 raw = 0.66 sentinel-normalized — IDENTICAL to the r13
-# basis, band stays 0.80 (stated at the 0.10-0.13 sentinel; apply the
+# Measured band thresholds. r14 basis (quiet full run AFTER the two
+# r14 engine fixes — the input-width guard on the codec maps and the
+# AppStatusListener retention cap in session.py — 257 specs, 289.1 s,
+# sentinel samples 0.361/0.222/0.127/0.137): core 0.906 raw at a
+# ~1.3x sentinel = 0.69 normalized — the r13 basis (0.659) within
+# noise; band stays 0.80 (stated at the 0.10-0.13 sentinel; apply the
 # sentinel ratio before comparing). COMPOSED (17 members incl. q255)
-# measured 5.12 isolated-fresh-session at a 0.177 sentinel = 3.0
-# normalized — inside the 3.8 band re-derived in r13; the 8.28 raw
-# inside the full run is self-heat ((*) the mid-run sentinel hit 0.672
-# exactly while the PQ family's sequential Lloyd jobs were saturating
-# the box — the interpretation rule's textbook case). CODEC re-derived
-# for the 26-member tier (VERDICT r13 #2): after the r14 input-width
-# spread (operators/spread.py — the tier had been running single-core
-# on one-file inputs) the tier measures 1.167 raw at the 1.6x-hot
-# sentinel ≈ 0.72 normalized; band = 1.4 (≈2x the quiet basis). The
-# old 2.8 band could NOT catch a regression back to the single-core
-# plan (which measured 2.2 quiet); 1.4 can. The PQ family reports
+# 4.52 raw = 3.4 normalized — inside the 3.8 band (the 8.28 reading
+# before the retention cap was listener-state GC debt: with the
+# default 100k-task retention the mid-run sentinel hit 0.672; capped,
+# the spike is gone and q249 read 7.9 instead of 32.4). CODEC
+# re-derived for the 26-member tier (VERDICT r13 #2): 0.704 raw after
+# the input-width guard (the tier had been running single-core on
+# one-file inputs); band = 1.4 (~2x the quiet basis) — the old 2.8
+# band could NOT catch a regression back to the single-core plan
+# (which measured 2.2 quiet); 1.4 can. The PQ family reports
 # median-of-3 (see high_variance below): its cost is sequential
 # Lloyd/search JOBS, and scheduler swing at sf0.1 dwarfs plan work.
 # Interpretation rule: compare sentinel_last (and the mid-run samples)

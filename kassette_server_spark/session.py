@@ -61,6 +61,17 @@ def get_spark(
         # SURVEY §1.2, processor/transformer.go:118-120, 168-173)
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # Even with the UI off, AppStatusListener retains job/stage/task
+        # rows in driver memory (defaults: 1000 stages, 100k tasks, 1000
+        # SQL executions). A long bench session accumulates thousands of
+        # jobs (the PQ family alone runs dozens per spec), and the
+        # listener state becomes GC debt that shows up as mid-run
+        # sentinel inflation (r14: 0.672 vs a 0.17 floor). Nothing in
+        # the engine reads this history — keep only a short window.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.sql.ui.retainedExecutions", "10")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
