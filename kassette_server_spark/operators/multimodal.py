@@ -752,8 +752,8 @@ def png_depth_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFram
       decoded RGB summed over all three channels.
 
     Every leg is a bit-exact lossless round trip, so each sum is
-    closed-form in the id. One Arrow-batched mapInPandas over ids —
-    scan-stage map, no shuffle. Output: (doc_id, width, height,
+    closed-form in the id. One Arrow-batched mapInPandas over ids
+    behind the input-width guard, no per-key shuffle. Output: (doc_id, width, height,
     sum16, sum16i, sum4, sum2, sum1, sum_pal)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2356,8 +2356,9 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     container's lossless subset. The Huffman coder, stuffing, zigzag,
     and IDCT all sit in-path: any bug breaks the identity.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, px_sum)."""
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, px_sum)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2404,8 +2405,9 @@ def jpeg_restart_roundtrip_stats(
     each segment is independently decodable — one scan splits into
     parallel decode work and corruption stays contained to a segment.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, n_restarts, px_sum)."""
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, n_restarts, px_sum)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2464,8 +2466,9 @@ def jpeg_420_roundtrip_stats(
     a normalization pass writes — the compression real photo
     pipelines take.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, n_mcus, sum_c0, sum_c1,
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, n_mcus, sum_c0, sum_c1,
     sum_c2)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2530,8 +2533,9 @@ def jpeg_progressive_roundtrip_stats(
     counted off the actual payload's SOS markers (byte stuffing
     guarantees 0xFFDA cannot appear inside entropy data).
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, n_scans, sum_c0, sum_c1,
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, n_scans, sum_c0, sum_c1,
     sum_c2)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2609,8 +2613,9 @@ def jpeg_422_roundtrip_stats(
     closed-form while the 2x1 MCU interleave and the horizontal
     downsample/upsample pair sit in the oracle-gated path.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, n_mcus, sum_c0, sum_c1,
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, n_mcus, sum_c0, sum_c1,
     sum_c2)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2667,8 +2672,9 @@ def jpeg_channel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     sums are closed-form in the id — the feature tier now covers BMP
     (q219), PNG (q232/q235 paths) and JPEG containers.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, n_px, sum_c0, sum_c1, sum_c2,
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, n_px, sum_c0, sum_c1, sum_c2,
     mean_c0..mean_c2)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2746,8 +2752,9 @@ def png_to_jpeg_transcode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFr
     (flat-8 quant divides DC = 8·(v−128) exactly), so the final pixel
     sum stays closed-form in the id.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, px_sum)."""
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, px_sum)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -3226,8 +3233,9 @@ def gif_to_png_transcode_stats(
     The identity palette makes each RGB pixel (v, v, v), so
     px_sum = 3 · Σv stays closed-form in the id.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, px_sum)."""
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, px_sum)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -3264,8 +3272,9 @@ def gif_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the gradient exercises long match chains, width growth, and the
     KwKwK case while the sum stays closed-form in the id.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, px_sum)."""
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, px_sum)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -3594,8 +3603,9 @@ def wav_resample_stats(
     (non-negative-biased dividend) keeping DuckDB's truncating ``//``
     and numpy's flooring ``//`` in exact agreement.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, n_in, n_out, rate_out, sum_out)."""
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, n_in, n_out, rate_out, sum_out)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -3714,8 +3724,9 @@ def transform_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     encode → transform → decode round trip; expected values are
     closed-form in the id (the q84 oracle recipe).
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle; at 100 TB the payloads come from parquet binary columns
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle; at 100 TB the payloads come from parquet binary columns
     and the same function maps over them unchanged.
 
     Output: (doc_id, kind, width, height, n_frames, sample_rate,
@@ -3776,8 +3787,9 @@ def png_resize_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     encode → inflate → de-filter → resize → deflate → decode, CRCs and
     all, end to end.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle; at 100 TB the payloads come from parquet binary columns
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle; at 100 TB the payloads come from parquet binary columns
     and the same function maps over them unchanged.
 
     Output: (doc_id, width, height, px_sum) — post-resize values read
@@ -3823,8 +3835,9 @@ def png_resize_rgb_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     stay closed-form in the id — the q230 oracle recipe with three
     sums.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, sum_r, sum_g, sum_b)."""
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, sum_r, sum_g, sum_b)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -3996,8 +4009,9 @@ def audio_frame_features(
     frame is PARTIAL when 512+id%512 is not a multiple of ``frame``
     (n_samples spans 512..1023, so most docs exercise the edge).
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle; at 100 TB the payloads come off a parquet binary column
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle; at 100 TB the payloads come off a parquet binary column
     and the same function maps over them unchanged (the decode is
     per-row local; frames never cross rows, so no repartitioning).
 
@@ -4151,8 +4165,9 @@ def g711_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     At 100 TB the point is the 2:1 storage cut on speech corpora with
     a closed-form, shuffle-free map.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, n, mu_code_sum, mu_decoded_sum,
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, n, mu_code_sum, mu_decoded_sum,
     a_code_sum, a_decoded_sum)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4310,8 +4325,9 @@ def ima_adpcm_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFram
     RECURSIVE CTE over (predictor, step index) — the first
     genuinely sequential codec oracle in the suite.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, n, code_sum, decoded_sum, final_pred,
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, n, code_sum, decoded_sum, final_pred,
     final_index)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4566,8 +4582,9 @@ def wav_codec_container_stats(df: DataFrame, id_col: str = "doc_id") -> DataFram
     chunks of one stream — the property that parallelizes decode at
     100 TB.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, n, n_blocks, alaw_sum, mulaw_sum,
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, n, n_blocks, alaw_sum, mulaw_sum,
     ima_sum)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4622,8 +4639,9 @@ def compressed_audio_frame_features(
     exactly one independently-seeded block and the oracle's
     block-reseeded recurrence stays closed-form per frame.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, codec, frame_id, n_samples, sum_abs,
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, codec, frame_id, n_samples, sum_abs,
     sum_sq, zero_crossings)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4684,8 +4702,9 @@ def jpeg_411_roundtrip_stats(
     4x1 MCU interleave and the quartering downsample/upsample pair sit
     in the oracle-gated path.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, n_mcus, sum_c0, sum_c1,
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, n_mcus, sum_c0, sum_c1,
     sum_c2)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4751,8 +4770,9 @@ def jpeg_progressive_420_roundtrip_stats(
     scan), so the file carries 7 scans instead of 4 — same decoded
     bytes, the bit-transport reordering exercised end to end.
 
-    One Arrow-batched mapInPandas over ids — scan-stage map, no
-    shuffle. Output: (doc_id, width, height, n_scans, sum_c0, sum_c1,
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, width, height, n_scans, sum_c0, sum_c1,
     sum_c2)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
