@@ -1575,7 +1575,12 @@ def ivfpq_write_generation(
     committed the call is an idempotent no-op that returns the
     COMMITTED codebooks (retraining is seeded deterministically, but
     the commit marker, not determinism, is what fences the replay).
-    Never touches other generations."""
+    Never touches other generations.
+
+    At-scale note: the tempfile+rename commit is atomic on POSIX
+    filesystems; on an object store (no atomic rename) use a
+    put-if-absent on the sidecar key — the protocol is unchanged, only
+    the primitive that makes the marker appear whole-or-not-at-all."""
     import os
     import shutil
     import tempfile
