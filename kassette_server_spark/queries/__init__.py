@@ -38,16 +38,13 @@ from . import round13 as _round13  # noqa: F401,E402  (q254+ — compressed-audi
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-14 window (executing the
-# plan written at the end of round 13 verbatim, confirmed by VERDICT r13
-# "Next round #1"): pinned core (6) + first driver rows for the five
-# r13-born specs (q254-q258 — all judge-verified against DuckDB at
-# sf0.01 in the r13 verdict run) + q201_log_rank (1, last green r9,
-# the oldest singleton) + the MEASURED stalest tier: the 38 oldest
-# specs whose last driver-green round is r7 per the CORRECTNESS_r*
-# ledger, in q-number order, tail-truncated by two so the window holds
-# exactly 50 (q81/q82 roll to r15).
-# Arithmetic: 6 + 5 + 1 + 38 = 50 exactly.
+# order (VERDICT r2 "Next round #1/#2"). Round-15 window (executing the
+# plan written at the end of round 14 verbatim, confirmed by VERDICT r14
+# "Next round #1"): pinned core (6) + the r14 truncation roll (2: the
+# two stalest specs, last green r7) + the COMPLETE r8-green tier in
+# q-number order (29) + the head of the r10-green tier in q-number
+# order (13: TPC-H completion q202-q211 + q212-q214).
+# Arithmetic: 6 + 2 + 29 + 13 = 50 exactly.
 _WINDOW: tuple[str, ...] = (
     # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
@@ -56,83 +53,83 @@ _WINDOW: tuple[str, ...] = (
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-11: r13-born wave, first driver rows
-    "q254_compressed_audio_features",
-    "q255_ivfpq_qerr_by_cell",
-    "q256_jpeg_411_roundtrip",
-    "q257_jpeg_progressive_420",
-    "q258_jpeg_ac_refine",
-    # slot 12: the oldest singleton (last green r9)
-    "q201_log_rank",
-    # slots 13-50: r7-stale tier in q-number order (last green r7)
-    "q02_predicates",
-    "q04_multiway_broadcast_join",
-    "q05_left_join",
-    "q06_semi_join",
-    "q07_anti_join",
-    "q09_count_distinct",
-    "q10_rollup",
-    "q12_window_running_sum",
-    "q13_window_lag",
-    "q14_topk",
-    "q15_setops",
-    "q16_string_fns",
-    "q17_date_fns",
-    "q18_math_fns",
-    "q19_case_nullif",
-    "q20_json_extract",
-    "q21_cast_semantics",
-    "q22_rules_map_hide_delete",
-    "q23_timestamp_skew",
-    "q25_dedup_exact",
-    "q26_correlated_subquery",
-    "q27_exists",
-    "q42_topk_per_group",
-    "q43_pivot",
-    "q44_cube",
-    "q45_exact_median",
-    "q46_histogram",
-    "q48_range_join",
-    "q49_regexp_extract",
-    "q50_posexplode",
-    "q70_benchmark_contamination",
-    "q71_quality_filter",
-    "q72_sequence_packing",
-    "q73_tfidf_top_terms",
-    "q74_ngram_novelty",
-    "q78_domain_mix",
-    "q79_shuffle_shards",
-    "q80_repetition_filter",
+    # slots 7-8: r14 truncation roll (last green r7, stalest in registry)
+    "q81_pii_scrub",
+    "q82_chunk_documents",
+    # slots 9-37: the complete r8-green tier in q-number order
+    "q30_dedup_exact_text",
+    "q31_dedup_ngram_jaccard",
+    "q32_dedup_minhash_lsh",
+    "q33_simhash",
+    "q34_ann_cosine_topk",
+    "q35_embedding_near_dup",
+    "q36_text_quality_stats",
+    "q37_language_id",
+    "q38_token_counts",
+    "q39_doc_fingerprint",
+    "q40_approx_aggregates",
+    "q41_multimodal_meta",
+    "q47_asof_join",
+    "q51_token_frequencies",
+    "q52_ivf_topk",
+    "q53_tpch_q1_pricing_summary",
+    "q54_tpch_q3_shipping_priority",
+    "q55_tpch_q5_local_volume",
+    "q56_time_rollup",
+    "q57_simhash_near_dup",
+    "q58_normalize_text",
+    "q59_unpivot",
+    "q60_mode_per_group",
+    "q61_stats_moments",
+    "q62_grouping_sets",
+    "q75_funnel",
+    "q76_retention_cohorts",
+    "q77_quantized_ann",
+    "q83_semantic_dedup",
+    # slots 38-50: head of the r10-green tier in q-number order
+    "q202_tpch_q2_min_cost_supplier",
+    "q203_tpch_q4_priority_check",
+    "q204_tpch_q6_forecast_revenue",
+    "q205_tpch_q7_volume_shipping",
+    "q206_tpch_q8_market_share",
+    "q207_tpch_q10_returned_items",
+    "q208_tpch_q11_important_stock",
+    "q209_tpch_q12_shipmode_priority",
+    "q210_tpch_q14_promo_share",
+    "q211_tpch_q16_supplier_counts",
+    "q212_shingle_saturation",
+    "q213_bpe_token_counts",
+    "q214_bpe_sequence_packing",
 )
 
-# R15 ROTATION PLAN (VERDICT r13 "Next round #8", written during
-# round 14 alongside the r14 window above; ledger recomputed from
-# CORRECTNESS_r01-r13 with the r14 window simulated green):
-# r15 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + the r14 truncation roll, last green r7 (2: q81_pii_scrub,
-#   q82_chunk_documents — the two stalest specs in the registry)
-# + the COMPLETE r8-green tier in q-number order (29:
-#   q30_dedup_exact_text, q31_dedup_ngram_jaccard,
-#   q32_dedup_minhash_lsh, q33_simhash, q34_ann_cosine_topk,
-#   q35_embedding_near_dup, q36_text_quality_stats, q37_language_id,
-#   q38_token_counts, q39_doc_fingerprint, q40_approx_aggregates,
-#   q41_multimodal_meta, q47_asof_join, q51_token_frequencies,
-#   q52_ivf_topk, q53_tpch_q1_pricing_summary,
-#   q54_tpch_q3_shipping_priority, q55_tpch_q5_local_volume,
-#   q56_time_rollup, q57_simhash_near_dup, q58_normalize_text,
-#   q59_unpivot, q60_mode_per_group, q61_stats_moments,
-#   q62_grouping_sets, q75_funnel, q76_retention_cohorts,
-#   q77_quantized_ann, q83_semantic_dedup)
-# + the head of the r10-green tier in q-number order (13:
-#   q202_tpch_q2_min_cost_supplier, q203_tpch_q4_priority_check,
-#   q204_tpch_q6_forecast_revenue, q205_tpch_q7_volume_shipping,
-#   q206_tpch_q8_market_share, q207_tpch_q10_returned_items,
-#   q208_tpch_q11_important_stock, q209_tpch_q12_shipmode_priority,
-#   q210_tpch_q14_promo_share, q211_tpch_q16_supplier_counts,
-#   q212_shingle_saturation, q213_bpe_token_counts,
-#   q214_bpe_sequence_packing — the r10 remainder q215+ and q63+
-#   roll to r16)
-# Arithmetic: 6 + 2 + 29 + 13 = 50 exactly.
+# R16 ROTATION PLAN (VERDICT r14 "Next round #8", written during
+# round 15 alongside the r15 window above; ledger recomputed from
+# CORRECTNESS_r01-r14 with the r15 window simulated green. After r15
+# the stalest driver evidence is the complete r10-green tier — 31
+# specs, last green r10 — then the r11-green tier):
+# r16 = pinned core (6: q01, q03, q08, q11, q24, q28)
+# + the COMPLETE r10-green tier in q-number order (31:
+#   q63_hash_sample, q64_string_agg, q65_window_extras,
+#   q66_embedding_centroid, q67_stratified_sample,
+#   q68_near_dup_clusters, q69_hopping_window, q84_multimodal_decode,
+#   q85_countmin_heavy_hitters, q86_bloom_membership,
+#   q87_full_outer_join, q88_approx_quantiles,
+#   q89_quantiles_per_group, q90_hll_per_group, q91_fuzzy_match,
+#   q92_substring_dedup, q215_substring_dedup_removal, q216_bpe_vocab,
+#   q217_curation_pipeline_e2e, q218_multimodal_transform,
+#   q219_image_channel_stats, q220_jl_projection,
+#   q221_audio_frame_features, q222_lsh_band_plan, q223_ann_recall,
+#   q224_temperature_mix, q225_lm_quality_filter, q226_embedding_drift,
+#   q227_tokenizer_fertility, q228_cluster_representatives,
+#   q229_sketch_recall)
+# + the head of the r11-green tier in q-number order (13:
+#   q93_hll_set_algebra, q94_scd2_history, q95_event_transitions,
+#   q96_kmeans, q97_salted_join, q98_attribution, q99_bm25_retrieval,
+#   q100_priority_sample, q101_grouped_regression, q102_pagerank,
+#   q103_zorder_stats, q104_value_outliers, q105_rolling_time_window
+#   — the r11 remainder q106+ rolls to r17, together with
+#   q259_mjpeg_avi_frames if new this round)
+# Arithmetic: 6 + 31 + 13 = 50 exactly.
 # Every spec stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run regardless of rotation position;
 # prioritize specs whose OPERATORS changed since their last row.
