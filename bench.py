@@ -128,6 +128,59 @@ assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
 # is exactly the false alarm VERDICT r12 flagged.
 BANDS_S_PER_SPEC = {"core": 0.80, "composed": 3.8, "codec": 1.4}
 
+# Outlier self-adjudication (VERDICT r14 #2): a spec reading more than
+# RECHECK_RATIO x its committed BENCH_FULL.json reference inside a
+# sweep is automatically RE-RUN (best-of-2) at the END of the sweep in
+# the same session, and BOTH readings land in the JSON under
+# `rechecks`. Motivation: the r14 driver map read q226 at 39.9 s
+# (11.8x its r13 reading) while every quiet measurement — including
+# the judge's own isolated best-of-3 — read ~3 s; the sentinel
+# protocol brackets box load but cannot localize a one-spec transient,
+# so the harness itself must produce the second reading instead of a
+# human re-measuring each round. The recheck block samples the
+# sentinel first: a recheck that is STILL hot under a hot sentinel is
+# box load; still hot under a quiet sentinel is a real regression.
+RECHECK_RATIO = 3.0
+RECHECK_FLOOR_S = 0.5  # ignore ratio trips inside scheduler noise
+RECHECK_MAX = 20  # bound added sweep time; worst offenders first
+
+
+def select_outliers(
+    timings: dict[str, float],
+    reference: dict[str, float],
+    ratio: float = RECHECK_RATIO,
+    floor: float = RECHECK_FLOOR_S,
+    cap: int = RECHECK_MAX,
+) -> list[tuple[str, float, float]]:
+    """(name, sweep_s, ref_s) for every spec tripping the recheck rule,
+    worst ratio first, capped. Specs absent from the reference (new
+    this round) are never outliers — there is nothing to contradict."""
+    return sorted(
+        (
+            (name, t, reference[name])
+            for name, t in timings.items()
+            if name in reference and t > floor and t > ratio * reference[name]
+        ),
+        key=lambda x: -(x[1] / x[2]),
+    )[:cap]
+
+
+def load_reference_timings(path: str) -> dict[str, float]:
+    """Per-spec reference = the committed previous-generation
+    BENCH_FULL.json (read BEFORE the sweep overwrites it). Empty when
+    absent/unparseable — first generation has nothing to adjudicate
+    against."""
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return {
+            str(k): float(v)
+            for k, v in doc.get("queries", {}).items()
+            if isinstance(v, (int, float)) and v > 0
+        }
+    except (OSError, ValueError):
+        return {}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,6 +194,10 @@ def main() -> None:
     # every banner/warning — Python or JVM child — lands on stderr.
     result_fd = os.dup(1)
     os.dup2(2, 1)
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo_dir, "BENCH_FULL.json")
+    reference = load_reference_timings(full_path)  # before the overwrite
 
     spark = get_spark(app_name="kassette-bench")
     specs = all_specs()
@@ -206,6 +263,22 @@ def main() -> None:
             )
 
     sentinel_samples.append(round(min(time_spec(SENTINEL) for _ in range(2)), 4))
+
+    # end-of-sweep outlier rechecks (VERDICT r14 #2): same session, so
+    # a transient that hit only one stretch of the sweep has passed by
+    # now, while a plan regression reproduces.
+    outliers = select_outliers(timings, reference)
+    rechecks: dict[str, dict[str, float]] = {}
+    if outliers:
+        sentinel_recheck = round(min(time_spec(SENTINEL) for _ in range(2)), 4)
+        for name, t, ref in outliers:
+            rechecks[name] = {
+                "sweep": t,
+                "ref": ref,
+                "recheck": round(min(time_spec(name) for _ in range(2)), 4),
+                "sentinel_at_recheck": sentinel_recheck,
+            }
+
     sentinel_first, sentinel_last = sentinel_samples[0], sentinel_samples[-1]
     total = round(sum(timings.values()), 4)
 
@@ -242,6 +315,7 @@ def main() -> None:
             "sentinel_last": sentinel_last,
             "sentinel_samples": sentinel_samples,
             "bands_s_per_spec": BANDS_S_PER_SPEC,
+            "rechecks": rechecks,
             "sf": sf,
             "full_map": "BENCH_FULL.json",
         }
@@ -265,6 +339,10 @@ def main() -> None:
             "composed_tier": sorted(COMPOSED),
             "codec_tier": sorted(CODEC),
             "median_of_3": sorted(high_variance),
+            "rechecks": rechecks,
+            "recheck_rule": f"sweep > {RECHECK_RATIO}x committed "
+            f"BENCH_FULL reference and > {RECHECK_FLOOR_S}s -> "
+            "best-of-2 re-run at end of sweep, same session",
             "spread_sec": spreads,
             "variance_note": "median-of-3 specs are iterative "
             "(fixpoint CC / banded verify) and swing with per-job "

@@ -16,8 +16,16 @@ replicate the small side S ways.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Round-robin repartition as it prints in the analyzed logical plan:
+# ``Repartition <n>, true`` (shuffle=true). RepartitionByExpression
+# (hash/range) prints differently and does NOT suppress the spread —
+# a hash layout for a join is not a width guarantee for a map stage.
+_RR_REPARTITION = re.compile(r"\bRepartition \d+, true\b")
 
 
 def write_bucketed(
@@ -148,6 +156,17 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     """
     if df.isStreaming:
         return df
+    # Chained spread-wrapped maps (decode(encode(df)) compositions) must
+    # not double-shuffle: the file probe below reads LEAF inputFiles(),
+    # so an outer call would re-repartition a plan an inner call already
+    # widened — a second round-robin Exchange moving the full payload
+    # bytes (ADVICE r14). A round-robin Repartition anywhere in the
+    # analyzed plan means the fan-out already happened; no-op.
+    try:
+        if _RR_REPARTITION.search(df._jdf.queryExecution().analyzed().toString()):
+            return df
+    except Exception:
+        pass  # plan introspection is best-effort; fall through to probe
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         n_splits = len(df.inputFiles()) or None

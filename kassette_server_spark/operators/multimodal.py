@@ -1715,15 +1715,27 @@ def _decode_jpeg_progressive(
     payload: bytes, allow_partial: bool = False
 ) -> tuple[int, int, int, bytes]:
     """Progressive (SOF2) pixel decode — spectral selection with
-    successive-approximation DC (first pass at any Al, plus DC
-    refinement scans); AC refinement (Ah>0 with Ss>0) and subsampled/
-    restart-bearing progressive files raise rather than mis-read.
+    successive approximation on BOTH the DC and AC bands (first pass
+    at any Al plus refinement scans down to Al=0), subsampled
+    components (4:2:2/4:2:0/4:1:1), and restart intervals.
     Coefficients ACCUMULATE across scans into per-component buffers
     (spec §G.2) — a DC-only prefix already determines the 1/64-scale
     image — and one dequant+IDCT pass at EOI produces the raster.
     Progressive reorders the scan, not the math: the output is
     BIT-IDENTICAL to baseline-decoding the same quantized
-    coefficients, which the tests assert on lossy content."""
+    coefficients, which the tests assert on lossy content.
+
+    Completeness policy (ADVICE r14): a stream that ends in EOI but
+    simply never scans some AC band is SPEC-LEGAL (T.81 lets the
+    encoder omit high-frequency bands entirely); those coefficients
+    reconstruct as zeros, matching libjpeg-style decoders. Two
+    conditions still raise unless ``allow_partial=True``: a missing
+    EOI (truncation — the decode would be silent data loss, not an
+    encoder choice), and a band DELIVERED at Ah>0 but never refined to
+    Al=0 (the corrupted-SOS-framing signature: a broken framing byte
+    makes the entropy-end search swallow the refinement scan, which is
+    indistinguishable from this state). ``allow_partial=True`` is the
+    explicit preview opt-in that accepts both."""
     pos = 2
     quant: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
@@ -2056,20 +2068,30 @@ def _decode_jpeg_progressive(
         raise ValueError("truncated progressive JPEG: missing EOI")
     width, height, comps = sof
     ncomp = len(comps)
-    # completeness witness #2: every component's full spectrum must
-    # have been delivered down to point-transform 0. A corrupted SOS
-    # FRAMING byte makes the previous scan's entropy-end search swallow
-    # the whole next scan as trailing bytes — the file still ends in
-    # EOI, but a band is missing or stuck at Al=1 and the image would
-    # silently reconstruct from partial coefficients.
+    # completeness witness #2: any band that STARTED successive
+    # approximation (delivered at Ah>0) must have been refined down to
+    # point-transform 0. A corrupted SOS FRAMING byte makes the
+    # previous scan's entropy-end search swallow the refinement scan as
+    # trailing bytes — the file still ends in EOI, but the band is
+    # stuck at Al>=1 and the image would silently reconstruct at half
+    # precision. Bands never scanned at all are spec-legal omission
+    # and reconstruct as zeros (ADVICE r14; see docstring).
     for fi in range(ncomp if not allow_partial else 0):
         for k in range(64):
             got_al = delivered.get((fi, k))
+            if got_al is None:
+                # Never scanned AND the stream ended in EOI: spec-legal
+                # band omission — T.81 lets an encoder skip high-
+                # frequency bands outright, and libjpeg-style decoders
+                # reconstruct them as zeros (which `coef`'s zero
+                # initialization already does). Only a band that WAS
+                # delivered but stuck at Al>0 remains a corruption
+                # witness (ADVICE r14).
+                continue
             if got_al != 0:
                 raise ValueError(
                     "incomplete progressive delivery: component "
-                    f"{fi} coefficient {k} "
-                    + ("never scanned" if got_al is None else f"stuck at Al={got_al}")
+                    f"{fi} coefficient {k} stuck at Al={got_al}"
                 )
     m = _dct_matrix()
     zz_idx = np.array(_ZIGZAG)

@@ -1393,7 +1393,24 @@ def read_pq_index(spark, index_path: str) -> DataFrame | None:
     )
     if not dirs:
         return None
-    return spark.read.parquet(*dirs)
+    # mergeSchema: batch dirs written before the id_alias change carry
+    # ``vec_id`` instead of ``neighbor_id``; without the merge the read
+    # takes ONE file's schema and the other generation's ids silently
+    # read as null. The merge is over a handful of 4-column schemas —
+    # footer-only work, no data cost (ADVICE r14).
+    enc = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    # Backward compat (ADVICE r14): a mixed pre/post-upgrade directory
+    # surfaces BOTH id columns with nulls from the schema union.
+    # Normalize on read so pq_index_search works across an upgrade
+    # without rebuilding the index.
+    if "vec_id" in enc.columns:
+        if "neighbor_id" in enc.columns:
+            enc = enc.withColumn(
+                "neighbor_id", F.coalesce("neighbor_id", "vec_id")
+            ).drop("vec_id")
+        else:
+            enc = enc.withColumnRenamed("vec_id", "neighbor_id")
+    return enc
 
 
 def pq_index_search(
@@ -1468,16 +1485,21 @@ def pq_index_monitor(
     )
     if generation_committed(store_path, batch_id):
         return None
+    # Read the 1-row store BEFORE the batch directory: a replayed batch
+    # older than ``merged_through`` is already folded, and the store
+    # probe is a single-row read while the batch dir is a full (if
+    # small) parquet scan (ADVICE r14 — don't pay the re-read when both
+    # fences are committed).
+    old = read_store(spark, store_path)
+    prev = old.collect()[0] if old is not None else None
+    if prev is not None and batch_id <= int(prev["merged_through"]):
+        return None
     bdf = spark.read.parquet(_index_batch_dir(index_path, batch_id))
     brow = bdf.agg(
         F.count("*").alias("n"), F.sum("qerr").alias("e")
     ).collect()[0]
     bn, be = int(brow["n"]), int(brow["e"] or 0)
-    old = read_store(spark, store_path)
-    if old is not None:
-        prev = old.collect()[0]
-        if batch_id <= int(prev["merged_through"]):
-            return None
+    if prev is not None:
         n, e = int(prev["n"]) + bn, int(prev["err_sum"]) + be
     else:
         n, e = bn, be

@@ -84,3 +84,39 @@ def test_bench_codec_tier_names_are_registered():
     missing = sorted(bench.CODEC - set(SPECS))
     assert not missing, f"CODEC tier names not in registry: {missing}"
     assert not (bench.CODEC & bench.COMPOSED)
+
+
+def test_bench_outlier_recheck_rule():
+    """VERDICT r14 #2: the recheck selector trips only on >ratio x the
+    committed reference AND above the absolute floor, ranks worst
+    ratio first, caps the list, and never flags specs without a
+    reference row (new this round)."""
+    import bench
+
+    ref = {"a": 1.0, "b": 0.1, "c": 2.0, "d": 0.05}
+    timings = {
+        "a": 3.5,   # 3.5x ref, above floor -> outlier
+        "b": 0.4,   # 4x ref but under the 0.5s floor -> noise, skip
+        "c": 40.0,  # 20x ref -> outlier, ranked first
+        "d": 0.6,   # 12x ref and above floor -> outlier
+        "e": 99.0,  # no reference row -> never an outlier
+    }
+    got = bench.select_outliers(timings, ref)
+    assert [n for n, _, _ in got] == ["c", "d", "a"]
+    assert got[0] == ("c", 40.0, 2.0)
+    # the cap bounds added sweep time
+    big = {f"q{i}": 10.0 for i in range(50)}
+    capped = bench.select_outliers(big, {k: 1.0 for k in big})
+    assert len(capped) == bench.RECHECK_MAX
+
+
+def test_bench_reference_loader_tolerates_absence(tmp_path):
+    import bench
+
+    assert bench.load_reference_timings(str(tmp_path / "missing.json")) == {}
+    p = tmp_path / "garbage.json"
+    p.write_text("{not json")
+    assert bench.load_reference_timings(str(p)) == {}
+    q = tmp_path / "ok.json"
+    q.write_text('{"queries": {"a": 1.5, "bad": "x", "zero": 0}}')
+    assert bench.load_reference_timings(str(q)) == {"a": 1.5}

@@ -1441,3 +1441,26 @@ def test_q255_ivfpq_qerr_exchange_bounded_by_cells(spark):
     assert "MapInPandas" in p
     # partial-aggregate-before-shuffle: two HashAggregates around the one Exchange
     assert len(re.findall(r"HashAggregate", p)) >= 2
+
+
+def test_chained_spread_maps_single_exchange(spark, tmp_path):
+    """ADVICE r14: decode(encode(df)) compositions must not
+    double-shuffle — ensure_scan_parallelism detects the inner
+    round-robin spread already in the analyzed plan and no-ops on the
+    outer map, so the composed plan still satisfies the spread lock
+    (<=1 Exchange, round-robin only) instead of inserting a second
+    exchange that moves the full encoded payload bytes."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_media_meta,
+        encode_media_payloads,
+    )
+
+    path = str(tmp_path / "onefile")
+    spark.range(64).withColumnRenamed("id", "doc_id").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = decode_media_meta(encode_media_payloads(spark.read.parquet(path)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert_spread_map(buf.getvalue())

@@ -542,6 +542,55 @@ def test_pq_index_search_matches_in_memory(spark, tmp_path):
     assert sorted(map(tuple, res.collect())) == sorted(map(tuple, twin.collect()))
 
 
+def test_pq_index_vec_id_batch_dirs_normalized_on_read(spark, tmp_path):
+    """ADVICE r14: batch dirs written before the id_alias change carry
+    ``vec_id``; a mixed pre/post-upgrade index must read back with a
+    single ``neighbor_id`` column (no nulls) and search identically to
+    a rebuilt in-memory index — no directory rebuild required."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.pq import (
+        ivf_train_coarse,
+        ivfpq_adc_topk,
+        ivfpq_encode,
+        ivfpq_train_residual,
+        pq_index_append,
+        pq_index_search,
+        read_pq_index,
+    )
+
+    emb, b0, b1 = _emb_batches(spark)
+    coarse = ivf_train_coarse(b0, kc=8, iters=2, dim=D)
+    book = ivfpq_train_residual(b0, coarse, m=M, k=K, iters=2, dim=D)
+    idx = str(tmp_path / "idx")
+
+    # batch 0: OLD layout (vec_id alias), written the way the previous
+    # pq_index_append did — encode + parquet + _SUCCESS marker
+    old_dir = os.path.join(idx, "batch-0")
+    ivfpq_encode(
+        b0, coarse, book, m=M, dim=D, id_alias="vec_id", with_err=True
+    ).write.mode("overwrite").parquet(old_dir)
+    # batch 1: NEW layout via the current append path
+    assert pq_index_append(b1, 1, idx, coarse, book, m=M, dim=D)
+
+    enc = read_pq_index(spark, idx)
+    assert "vec_id" not in enc.columns and "neighbor_id" in enc.columns
+    assert enc.where(F.col("neighbor_id").isNull()).count() == 0
+    assert enc.count() == emb.count()
+
+    q = emb.where(F.col("vec_id").isin([0, 250]))
+    res = pq_index_search(
+        spark, idx, q, coarse, book, m=M, k=K, dim=D, topk=5, nprobe=2
+    )
+    twin = ivfpq_adc_topk(
+        emb, q, kc=8, m=M, k=K, iters=2, dim=D, topk=5, nprobe=2,
+        coarse=coarse, book=book,
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, twin.collect()))
+
+
 def test_ivfpq_generation_flip_end_to_end(spark, tmp_path):
     """VERDICT r13 #4: the re-train loop CLOSED — the gate fires on a
     drifted stream, generation 1 trains on the current corpus and

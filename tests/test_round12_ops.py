@@ -691,6 +691,36 @@ def test_jpeg_progressive_dc_prefix_is_a_preview():
     assert (blocks == blocks[:, :1, :, :1]).all()  # per-block constant
 
 
+def test_jpeg_progressive_eoi_band_omission_decodes_by_default():
+    """ADVICE r14: a stream that ends in EOI but never scans some AC
+    bands is spec-legal encoder choice (T.81 band omission — DC-only
+    previews being the canonical case); it must decode WITHOUT
+    ``allow_partial``, identically to the opt-in path, with the omitted
+    bands reconstructed as zeros. Truncation (missing EOI) must still
+    raise by default."""
+    import pytest
+
+    from kassette_server_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.default_rng(41)
+    w, h = 24, 16
+    px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    pay = encode_jpeg_progressive_pixels(w, h, px, channels=1)
+    first = pay.find(b"\xff\xda")
+    second = pay.find(b"\xff\xda", first + 2)
+    dc_only = pay[:second] + b"\xff\xd9"  # EOI'd: intentional omission
+    assert decode_jpeg_pixels(dc_only) == decode_jpeg_pixels(
+        dc_only, allow_partial=True
+    )
+    with pytest.raises(
+        ValueError, match="unterminated progressive scan|missing EOI"
+    ):
+        decode_jpeg_pixels(pay[:second])  # truncated: still data loss
+
+
 def test_jpeg_progressive_eobrun_spans_blocks():
     """A mostly-empty image makes consecutive all-zero AC bands; the
     decoder's EOBRUN counter must skip them without consuming bits."""
