@@ -98,6 +98,7 @@ CODEC = frozenset(
         "q256_jpeg_411_roundtrip",
         "q257_jpeg_progressive_420",
         "q258_jpeg_ac_refine",
+        "q259_mjpeg_avi_frames",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"

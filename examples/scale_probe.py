@@ -101,6 +101,9 @@ def run(df: DataFrame) -> float:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    # optional comma-list of shape names: run only those (64x probes of
+    # the top scale claims shouldn't pay for the whole 38-shape sweep)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark(app_name="scale-probe")
 
     li = load(spark, sf_dir, "lineitem")
@@ -483,6 +486,15 @@ def main() -> None:
 
             return compressed_audio_frame_features(d.select("doc_id"))
 
+        def mjpeg_avi():
+            # MJPEG-in-AVI frame sampling (r15): RIFF container walk +
+            # every-2nd-frame baseline-JPEG entropy decode; map-only
+            from kassette_server_spark.operators.multimodal import (
+                mjpeg_avi_frame_stats,
+            )
+
+            return mjpeg_avi_frame_stats(d.select("doc_id"), every_n=2)
+
         rows_d, rows_l, rows_o, rows_c, rows_v = (
             5_000 * scale,
             600_000 * scale,
@@ -524,6 +536,7 @@ def main() -> None:
             "jpeg_prog_420": (jpeg_prog_420, rows_d),
             "jpeg_ac_refine": (jpeg_ac_refine, rows_d),
             "compressed_audio": (compressed_audio, rows_d),
+            "mjpeg_avi": (mjpeg_avi, rows_d),
         }
 
     def run_thunk(f) -> float:
@@ -537,10 +550,14 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {}
     for scale in (1, n):
         for name, (df, rows) in probes(scale).items():
+            if only is not None and name not in only:
+                continue
             best = min(run(df) for _ in range(2))
             results.setdefault(name, {})[scale] = best
             print(f"{name:16s} {scale}x  {best:7.2f} s  {rows / best / 1e6:8.2f} M rows/s")
         for name, (f, rows) in probe_thunks(scale).items():
+            if only is not None and name not in only:
+                continue
             best = min(run_thunk(f) for _ in range(2))
             results.setdefault(name, {})[scale] = best
             print(f"{name:16s} {scale}x  {best:7.2f} s  {rows / best / 1e6:8.2f} M rows/s")

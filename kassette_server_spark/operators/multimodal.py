@@ -11,10 +11,12 @@ schemas. Two tiers of codecs:
   dimensions/components/progressive flag) — see encode_png/
   parse_png_meta, encode_wav/parse_wav_meta, encode_jpeg/
   parse_jpeg_meta and the sniffing decode_media_meta.
-- Stubbed hooks where the environment lacks the library (full pixel
-  decode needs PIL, video needs ffmpeg): `decode_image_meta` keeps its
-  deterministic fake for the plumbing-only contract (q41), and
-  frame_sample raises NotImplementedError at the plug point.
+- One stubbed hook where the environment lacks the library
+  (`real_decode` for PIL-tier formats — WebP/TIFF/...);
+  `decode_image_meta` keeps its deterministic fake for the
+  plumbing-only contract (q41). Video is REAL as of r15: MJPEG-in-AVI
+  (RIFF walk + per-frame baseline-JPEG decode, `encode_avi_mjpeg` /
+  `parse_avi_meta` / `decode_avi_frames` / `frame_sample`).
 - REAL transforms (round 9) on uncompressed containers, stdlib byte
   surgery only: nearest-neighbor resize on 24bpp BMP pixel arrays
   (resize_bmp_payload), PCM decimation on WAV sample frames
@@ -113,9 +115,9 @@ def decode_audio_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
     return _spread(df).mapInPandas(batches, schema=AUDIO_META_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_n: int = 10):  # pragma: no cover - stub
-    """Video frame sampling hook — requires ffmpeg; stubbed."""
-    raise NotImplementedError("video codec not available in this environment")
+# frame_sample (video) is REAL as of r15 — see the AVI/MJPEG section at
+# the end of this module: RIFF container walk + per-frame baseline-JPEG
+# decode, no ffmpeg needed.
 
 
 # --- real stdlib codecs ------------------------------------------------------
@@ -2913,6 +2915,9 @@ def decode_media_meta(
                     elif payload[:3] == JPEG_SIG:
                         m = parse_jpeg_meta(payload)
                         row.update(kind="jpeg", width=m["width"], height=m["height"])
+                    elif payload[:4] == b"RIFF" and payload[8:12] == AVI_FOURCC:
+                        m = parse_avi_meta(payload)
+                        row.update(kind="avi", width=m["width"], height=m["height"])
                     elif payload[:4] == b"RIFF":
                         m = parse_wav_meta(payload)
                         row.update(
@@ -4836,3 +4841,358 @@ def jpeg_progressive_420_roundtrip_stats(
         schema="doc_id long, width long, height long, n_scans long, "
         "sum_c0 long, sum_c1 long, sum_c2 long",
     )
+
+
+# --- AVI / MJPEG (VERDICT r14 #3: the last plug point becomes a codec) ------
+#
+# MJPEG-in-AVI is the one video layout decodable with ZERO new decode
+# math: the RIFF container (same chunk grammar WAV already uses, spec:
+# Microsoft RIFF/AVI RIFF file reference, public) frames a sequence of
+# ordinary baseline JPEGs as '00dc' chunks inside a 'LIST/movi', with
+# an 'idx1' index of (fourcc, flags, offset, size) records. Every
+# frame is independently decodable — the intra-blob parallel-decode
+# property the JPEG restart tier already exploits, at frame rather
+# than restart-segment granularity: at 100 TB a long clip splits on
+# idx1 entries and frames decode concurrently.
+#
+# Reference parity: kassette-server has no video path at all — this
+# tier is engine-native surface (SURVEY.md §2.3 north-star), like the
+# rest of the codec matrix.
+
+AVI_FOURCC = b"AVI "
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    """RIFF chunk: fourcc + LE u32 size + data, padded to word align
+    (the pad byte is NOT counted in size — RIFF spec)."""
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _walk_riff(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each chunk in
+    data[pos:end], enforcing declared-size consistency."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body_start = pos + 8
+        body_end = body_start + size
+        if body_end > end:
+            raise ValueError(f"truncated RIFF chunk {fourcc!r}")
+        yield fourcc, body_start, body_end
+        pos = body_end + (size & 1)  # skip the alignment pad
+
+
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: int = 10,
+    channels: int = 1,
+) -> bytes:
+    """Minimal REAL MJPEG-in-AVI writer (stdlib only): RIFF('AVI ')
+    with a spec-layout header path (LIST hdrl → avih + LIST strl →
+    strh('vids'/'MJPG') + strf(BITMAPINFOHEADER)), each frame an
+    independent baseline JPEG in a '00dc' chunk under LIST movi, and
+    an idx1 index whose offsets use the standard convention (byte
+    offset of the chunk fourcc from the START of the movi list data,
+    so the first frame sits at offset 4). Every length field is
+    consistent, so the parser's walk exercises real structure.
+
+    ``frames`` are raw pixel buffers (width*height*channels bytes,
+    same contract as encode_jpeg_pixels)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    if not (0 < fps <= 1_000_000):
+        raise ValueError("fps out of range")
+    jpegs = [
+        encode_jpeg_pixels(width, height, f, channels=channels)
+        for f in frames
+    ]
+    movi_body = b"movi"
+    offsets = []
+    for j in jpegs:
+        offsets.append(len(movi_body))  # == offset-from-movi-data-start
+        movi_body += _riff_chunk(b"00dc", j)
+    idx = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, len(j))  # AVIIF_KEYFRAME
+        for off, j in zip(offsets, jpegs)
+    )
+    buf_size = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        buf_size * fps,  # dwMaxBytesPerSec (upper bound)
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        len(jpegs),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        buf_size,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate (rate/scale = fps)
+            0,  # dwStart
+            len(jpegs),  # dwLength (in frames)
+            buf_size,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (default)
+            0,  # dwSampleSize (0: variable-size samples)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        8 * channels,  # biBitCount
+        b"MJPG",  # biCompression fourcc
+        width * height * channels,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = _riff_chunk(
+        b"LIST",
+        b"hdrl"
+        + _riff_chunk(b"avih", avih)
+        + _riff_chunk(
+            b"LIST",
+            b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    body = (
+        AVI_FOURCC + hdrl + _riff_chunk(b"LIST", movi_body) + _riff_chunk(b"idx1", idx)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_parse(payload: bytes) -> tuple[dict, list[tuple[int, int]]]:
+    """Shared RIFF walk: returns (meta, [(frame_start, frame_end)]).
+
+    Verifies the RIFF/AVI signature and declared size, reads avih/strh/
+    strf out of LIST hdrl, collects '00dc' chunk spans from LIST movi,
+    and CROSS-CHECKS the three frame counts (avih.dwTotalFrames,
+    strh.dwLength, actual movi chunks) plus every idx1 record's offset
+    and size against the chunks actually found — a corrupted index or
+    a lying header raises instead of silently mis-sampling."""
+    if payload[:4] != b"RIFF" or payload[8:12] != AVI_FOURCC:
+        raise ValueError("not an AVI: bad RIFF signature")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        raise ValueError("truncated AVI: RIFF size overruns payload")
+    end = 8 + riff_size
+    avih = strh = strf = None
+    frames: list[tuple[int, int]] = []
+    idx_records: list[tuple[int, int]] = []
+    movi_data_start = None
+    for fourcc, s, e in _walk_riff(payload, 12, end):
+        if fourcc == b"LIST" and payload[s : s + 4] == b"hdrl":
+            for f2, s2, e2 in _walk_riff(payload, s + 4, e):
+                if f2 == b"avih":
+                    avih = payload[s2:e2]
+                elif f2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    for f3, s3, e3 in _walk_riff(payload, s2 + 4, e2):
+                        if f3 == b"strh" and strh is None:
+                            strh = payload[s3:e3]
+                        elif f3 == b"strf" and strf is None:
+                            strf = payload[s3:e3]
+        elif fourcc == b"LIST" and payload[s : s + 4] == b"movi":
+            movi_data_start = s
+            for f2, s2, e2 in _walk_riff(payload, s + 4, e):
+                if f2 == b"00dc":
+                    frames.append((s2, e2))
+                elif f2 == b"LIST" and payload[s2 : s2 + 4] == b"rec ":
+                    # interleaved-writer grouping: frames nested one
+                    # level down inside LIST 'rec ' (AVI spec; common
+                    # in foreign muxers). Audio ('01wb') and other
+                    # stream chunks are skipped at either level.
+                    for f3, s3, e3 in _walk_riff(payload, s2 + 4, e2):
+                        if f3 == b"00dc":
+                            frames.append((s3, e3))
+        elif fourcc == b"idx1":
+            for off in range(s, e, 16):
+                rec_fourcc = payload[off : off + 4]
+                _, rec_off, rec_size = struct.unpack_from("<III", payload, off + 4)
+                if rec_fourcc == b"00dc":
+                    idx_records.append((rec_off, rec_size))
+    if avih is None or strh is None or strf is None:
+        raise ValueError("missing AVI header chunk (avih/strh/strf)")
+    if movi_data_start is None or not frames:
+        raise ValueError("missing LIST movi or no frames")
+    usec, _, _, _, total_frames, _, n_streams, _, width, height = struct.unpack_from(
+        "<10I", avih, 0
+    )
+    if strh[:4] != b"vids" or strh[4:8] != b"MJPG":
+        raise ValueError("not an MJPEG video stream")
+    scale, rate, _, length = struct.unpack_from("<IIII", strh, 20)
+    bit_count = struct.unpack_from("<H", strf, 14)[0]
+    if strf[16:20] != b"MJPG":
+        raise ValueError("strf biCompression is not MJPG")
+    if not (total_frames == length == len(frames)):
+        raise ValueError(
+            f"frame-count mismatch: avih={total_frames} strh={length} "
+            f"movi={len(frames)}"
+        )
+    if idx_records:
+        if len(idx_records) != len(frames):
+            raise ValueError("idx1 entry count != movi frame count")
+        for (rec_off, rec_size), (fs, fe) in zip(idx_records, frames):
+            # standard convention: offset of the chunk FOURCC from the
+            # start of the movi list data ('movi' fourcc itself = 0)
+            if movi_data_start + rec_off != fs - 8 or rec_size != fe - fs:
+                raise ValueError("idx1 offset/size disagrees with movi chunk")
+    meta = {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": len(frames),
+        "fps": int(rate // scale) if scale else 0,
+        "usec_per_frame": int(usec),
+        "n_streams": int(n_streams),
+        "bit_count": int(bit_count),
+        "codec": "MJPG",
+        "n_bytes": len(payload),
+    }
+    return meta, frames
+
+
+def parse_avi_meta(payload: bytes) -> dict:
+    """AVI metadata via the verified RIFF walk (see _avi_parse)."""
+    return _avi_parse(payload)[0]
+
+
+def decode_avi_frames(
+    payload: bytes, every_n: int = 1
+) -> list[tuple[int, int, int, int, bytes]]:
+    """Decode every ``every_n``-th '00dc' frame through the real
+    baseline-JPEG decoder: [(frame_idx, width, height, channels,
+    pixels)]. Frame sampling SKIPS the entropy decode of unselected
+    frames entirely — the chunk walk is O(bytes) but the expensive
+    Huffman+IDCT work only runs on selected frames, which is the point
+    of frame sampling in a training-data pipeline."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    _, frames = _avi_parse(payload)
+    out = []
+    for i, (s, e) in enumerate(frames):
+        if i % every_n:
+            continue
+        w, h, ch, px = decode_jpeg_pixels(payload[s:e])
+        out.append((i, w, h, ch, px))
+    return out
+
+
+AVI_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, px_sum long"
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling (closes the package's last
+    NotImplementedError, VERDICT r14 #3): binary MJPEG-in-AVI column →
+    one row per sampled frame with decoded-pixel statistics, via
+    Arrow-batched mapInPandas behind the input-width guard. Unselected
+    frames are never entropy-decoded. Corrupt payloads must not kill a
+    100 TB scan: any parse/decode failure yields zero rows for that
+    document (filter-side semantics, matching decode_media_meta's
+    kind='unknown' degradation)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    decoded = decode_avi_frames(bytes(payload), every_n)
+                except (ValueError, struct.error, IndexError):
+                    continue
+                for idx, w, h, ch, px in decoded:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            w,
+                            h,
+                            int(np.frombuffer(px, np.uint8).sum(dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "px_sum"],
+            )
+
+    return _spread(df).mapInPandas(batches, schema=AVI_FRAME_SCHEMA)
+
+
+def mjpeg_avi_frame_stats(
+    df: DataFrame, id_col: str = "doc_id", every_n: int = 2
+) -> DataFrame:
+    """q259 operator: per id, a REAL MJPEG-in-AVI clip with
+    nf = 2 + id mod 3 frames at dims (8 + id mod 16) × (8 + 3·id mod
+    12), frame f's grayscale pixels per-8x8-block-constant
+    v(x, y, f) = (id + 7·f + 3·(x div 8) + 5·(y div 8)) mod 256 —
+    q233's lossless-subset identity per frame, so each sampled frame's
+    decoded pixel sum stays closed-form in (id, f). The clip goes
+    through the FULL container path (RIFF walk, header cross-checks,
+    idx1 verification) and every ``every_n``-th frame through the full
+    JPEG entropy decode; sampling skips the other frames' entropy work
+    entirely.
+
+    One Arrow-batched mapInPandas over ids behind the input-width
+    guard (layout.ensure_scan_parallelism — no-op on many-split
+    corpora), no per-key shuffle. Output: (doc_id, frame_idx, width,
+    height, px_sum), one row per SAMPLED frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                w, h = 8 + i % 16, 8 + (i * 3) % 12
+                nf = 2 + i % 3
+                frames = [
+                    (
+                        (
+                            i
+                            + 7 * f
+                            + 3 * (np.arange(w)[None, :] // 8)
+                            + 5 * (np.arange(h)[:, None] // 8)
+                        )
+                        % 256
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                    for f in range(nf)
+                ]
+                pay = encode_avi_mjpeg(w, h, frames, fps=10, channels=1)
+                for idx, dw, dh, dch, dpx in decode_avi_frames(pay, every_n):
+                    assert (dw, dh, dch) == (w, h, 1)
+                    rows.append(
+                        (
+                            i,
+                            idx,
+                            dw,
+                            dh,
+                            int(np.frombuffer(dpx, np.uint8).sum(dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "px_sum"],
+            )
+
+    return _spread(df).mapInPandas(batches, schema=AVI_FRAME_SCHEMA)

@@ -35,6 +35,7 @@ from . import round10 as _round10  # noqa: F401,E402  (q230+ — PNG resize tier
 from . import round11 as _round11  # noqa: F401,E402  (q232+ — RGB PNG resize)
 from . import round12 as _round12  # noqa: F401,E402  (q239+ — product quantization)
 from . import round13 as _round13  # noqa: F401,E402  (q254+ — compressed-audio features)
+from . import round15 as _round15  # noqa: F401,E402  (q259 — MJPEG-in-AVI frame sampling)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import

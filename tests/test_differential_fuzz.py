@@ -40,7 +40,14 @@ from conftest import SF_CORRECT, SF_SMOKE
 from kassette_server_spark.catalog import load
 
 SEED = 20260813
-N_QUERIES = 600  # raised r14 (560 → 600, VERDICT r13 #7), adding a
+N_QUERIES = 640  # raised r15 (600 → 640, VERDICT r14 #7), adding a
+# NEW correlated-under-outer-join / EXISTS-in-CASE family (correlated
+# count(*)/sum/min/max whose correlation key is an outer join's
+# null-extended side — the classic COUNT bug — plus EXISTS and NOT
+# EXISTS as CASE values in the select list, grouped and ungrouped;
+# decorrelation under null-extension is the divergence class the
+# other families don't reach) at 6% density.
+# Prior raise r14 (560 → 600, VERDICT r13 #7), adding a
 # NEW distinct-aggregates-under-join-fan-out family (count(DISTINCT),
 # sum(DISTINCT), count(DISTINCT CASE WHEN ...) grouped by a join-side
 # key, inner and LEFT joins — duplicate elimination after fan-out,
@@ -805,44 +812,131 @@ def _gen_distinct_agg_join_query(rng: random.Random, domains: dict) -> str:
     )
 
 
+def _gen_correlated_under_outer_join_query(
+    rng: random.Random, domains: dict
+) -> str:
+    """r15 family (VERDICT r14 #7): correlated subqueries evaluated
+    over the NULL-EXTENDED side of an outer join, and EXISTS used as a
+    VALUE (inside CASE in the select list) rather than a WHERE
+    predicate — the two places where decorrelation must preserve
+    null-extension semantics, the classic cross-engine divergence the
+    other families don't reach. Variants:
+
+    - the COUNT-bug shape: a correlated count(*) whose correlation key
+      comes from the preserved-row side — an unmatched row correlates
+      on NULL, the subquery is empty, and the count must be 0 via the
+      empty aggregate, never null-extended away (a naive decorrelation
+      to LEFT JOIN + count(col) yields NULL — the textbook bug);
+    - a correlated scalar sum/min/max over the same null-extended key
+      (empty group → NULL, surfaced through coalesce so the total
+      order is stable);
+    - EXISTS-in-CASE as a grouped value: the CASE distinguishes
+      unmatched rows (key IS NULL) from matched-but-EXISTS-false, so a
+      decorrelation that conflates the two flips the grouped sum;
+    - NOT EXISTS in CASE over an ungrouped projection.
+
+    The outer join's ON clause carries an extra right-side predicate
+    half the time to fabricate unmatched rows at real density."""
+    a, b, c, k1l, k1r, k2l, k2r = rng.choice(CHAINS)
+    on = f"t0.{k1l} = t1.{k1r}"
+    if rng.random() < 0.5:
+        on += f" AND {_predicate(rng, b, 't1', domains)}"
+    spred = (
+        f" AND {_predicate(rng, c, 's', domains)}"
+        if rng.random() < 0.5
+        else ""
+    )
+    variant = rng.random()
+    if variant < 0.3:
+        sub = (
+            f"(SELECT CAST(count(*) AS BIGINT) FROM {c} s "
+            f"WHERE s.{k2r} = t1.{k2l}{spred})"
+        )
+        body = (
+            f"SELECT t0.{k1l} AS k, t1.{k1r} AS jk, {sub} AS sub_cnt "
+            f"FROM {a} t0 LEFT JOIN {b} t1 ON {on}"
+        )
+        order = ["k", "jk", "sub_cnt"]
+    elif variant < 0.55:
+        agg = rng.choice(["sum", "min", "max"])
+        icol = rng.choice(TABLES[c][0])
+        sub = (
+            f"(SELECT CAST({agg}(s.{icol}) AS BIGINT) FROM {c} s "
+            f"WHERE s.{k2r} = t1.{k2l}{spred})"
+        )
+        body = (
+            f"SELECT t0.{k1l} AS k, t1.{k1r} AS jk, "
+            f"coalesce({sub}, -1) AS sub_v "
+            f"FROM {a} t0 LEFT JOIN {b} t1 ON {on}"
+        )
+        order = ["k", "jk", "sub_v"]
+    elif variant < 0.85:
+        g = rng.choice(TABLES[a][1])
+        flag = (
+            f"CASE WHEN t1.{k2l} IS NULL THEN -1 "
+            f"WHEN EXISTS (SELECT 1 FROM {c} s "
+            f"WHERE s.{k2r} = t1.{k2l}{spred}) THEN 1 ELSE 0 END"
+        )
+        body = (
+            f"SELECT t0.{g} AS g, CAST(sum({flag}) AS BIGINT) AS f_sum, "
+            f"count(*) AS cnt FROM {a} t0 LEFT JOIN {b} t1 ON {on} "
+            f"GROUP BY t0.{g}"
+        )
+        order = ["g", "f_sum", "cnt"]
+    else:
+        flag = (
+            f"CASE WHEN NOT EXISTS (SELECT 1 FROM {c} s "
+            f"WHERE s.{k2r} = t1.{k2l}{spred}) THEN 'none' ELSE 'some' END"
+        )
+        body = (
+            f"SELECT t0.{k1l} AS k, t1.{k1r} AS jk, {flag} AS tag "
+            f"FROM {a} t0 LEFT JOIN {b} t1 ON {on}"
+        )
+        order = ["k", "jk", "tag"]
+    ordsql = ", ".join(f"{x} NULLS FIRST" for x in order)
+    return f"{body} ORDER BY {ordsql}"
+
+
 def _gen_query(rng: random.Random, domains: dict) -> str:
     shape = rng.random()
-    if shape < 0.06:  # INTERSECT/EXCEPT/UNION nesting
+    if shape < 0.055:  # INTERSECT/EXCEPT/UNION nesting
         return _gen_setop_query(rng, domains)
-    if shape < 0.14:  # correlated scalar subqueries (q26 shape)
+    if shape < 0.125:  # correlated scalar subqueries (q26 shape)
         return _gen_scalar_subquery_query(rng, domains)
-    if shape < 0.24:  # window functions over a single table
+    if shape < 0.215:  # window functions over a single table
         return _gen_window_query(rng, domains)
-    if shape < 0.30:  # rank-then-filter (WindowGroupLimit shape)
+    if shape < 0.272:  # rank-then-filter (WindowGroupLimit shape)
         return _gen_rank_filter_query(rng, domains)
-    if shape < 0.36:  # conditional aggregates (contract predicates)
+    if shape < 0.329:  # conditional aggregates (contract predicates)
         return _gen_conditional_agg_query(rng, domains)
-    if shape < 0.42:  # window over aggregate (Q15/Q11 — q185/q208)
+    if shape < 0.386:  # window over aggregate (Q15/Q11 — q185/q208)
         return _gen_window_over_agg_query(rng, domains)
-    if shape < 0.48:  # num/den share pairs (Q8/Q14 — q206/q210)
+    if shape < 0.443:  # num/den share pairs (Q8/Q14 — q206/q210)
         return _gen_share_pair_query(rng, domains)
-    if shape < 0.52:  # EXISTS + NOT EXISTS residuals (Q21 — q187)
+    if shape < 0.481:  # EXISTS + NOT EXISTS residuals (Q21 — q187)
         return _gen_double_exists_query(rng, domains)
     # the three r10-born families at full core density (VERDICT r10 #8)
-    if shape < 0.58:  # window over window (q217 packing seam)
+    if shape < 0.538:  # window over window (q217 packing seam)
         return _gen_window_over_window_query(rng, domains)
-    if shape < 0.64:  # per-group order-statistic cut (q225/q159/q181)
+    if shape < 0.595:  # per-group order-statistic cut (q225/q159/q181)
         return _gen_group_order_statistic_query(rng, domains)
-    if shape < 0.70:  # keep-first anti-join span algebra (q215)
+    if shape < 0.652:  # keep-first anti-join span algebra (q215)
         return _gen_keep_first_anti_join_query(rng, domains)
-    if shape < 0.76:  # outer-join-over-window (q184/Q13 + rank cut)
+    if shape < 0.709:  # outer-join-over-window (q184/Q13 + rank cut)
         return _gen_outer_join_window_query(rng, domains)
-    if shape < 0.82:  # correlated RANGE-frame + EXISTS (r12, q105/q144)
+    if shape < 0.766:  # correlated RANGE-frame + EXISTS (r12, q105/q144)
         return _gen_correlated_range_exists_query(rng, domains)
-    if shape < 0.88:  # grouping sets over window (r13, VERDICT r12 #9)
+    if shape < 0.823:  # grouping sets over window (r13, VERDICT r12 #9)
         return _gen_grouping_sets_over_window_query(rng, domains)
-    if shape < 0.93:  # DISTINCT aggregates under join fan-out (r14)
+    if shape < 0.873:  # DISTINCT aggregates under join fan-out (r14)
         return _gen_distinct_agg_join_query(rng, domains)
-    if shape < 0.95:  # single table
+    if shape < 0.933:  # correlated-under-outer-join / EXISTS-in-CASE (r15)
+        return _gen_correlated_under_outer_join_query(rng, domains)
+    if shape < 0.955:  # single table
         t = rng.choice(list(TABLES))
         aliases = [(t, "t0")]
         from_sql = f"{t} t0"
-    elif shape < 0.975:  # FK pair
+    elif shape < 0.978:  # FK pair
         lt, rt, lk, rk = rng.choice(JOINS)
         how = rng.choice(["JOIN", "LEFT JOIN", "LEFT JOIN", "FULL OUTER JOIN"])
         aliases = [(lt, "t0"), (rt, "t1")]

@@ -1464,3 +1464,11 @@ def test_chained_spread_maps_single_exchange(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert_spread_map(buf.getvalue())
+
+
+def test_q259_mjpeg_avi_spread_scan_stage_map(spark):
+    """The video tier keeps the codec-tier plan shape: one Arrow-batched
+    mapInPandas behind the input-width guard — <=1 Exchange, round-robin
+    only (VERDICT r14 #3)."""
+    p = plan(spark, "q259_mjpeg_avi_frames")
+    assert_spread_map(p)

@@ -1,0 +1,196 @@
+"""Round-15 operator tests: the MJPEG-in-AVI video codec
+(VERDICT r14 "Next round #3" — the package's last NotImplementedError
+plug point becomes a real codec).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from kassette_server_spark.operators.multimodal import (
+    AVI_FOURCC,
+    _riff_chunk,
+    decode_avi_frames,
+    encode_avi_mjpeg,
+    encode_jpeg_pixels,
+    parse_avi_meta,
+)
+
+
+def _block_frames(i: int, w: int, h: int, nf: int) -> list[bytes]:
+    """q259's id-formula rasters: per-8x8-block-constant grayscale."""
+    return [
+        (
+            (
+                i
+                + 7 * f
+                + 3 * (np.arange(w)[None, :] // 8)
+                + 5 * (np.arange(h)[:, None] // 8)
+            )
+            % 256
+        )
+        .astype(np.uint8)
+        .tobytes()
+        for f in range(nf)
+    ]
+
+
+def test_avi_mjpeg_round_trip_bit_exact():
+    """Block-constant frames survive the full container + entropy path
+    bit-exactly (q233's lossless-subset identity, per frame)."""
+    for i in (0, 3, 17, 99):
+        w, h = 8 + i % 16, 8 + (i * 3) % 12
+        frames = _block_frames(i, w, h, 2 + i % 3)
+        pay = encode_avi_mjpeg(w, h, frames, fps=10, channels=1)
+        dec = decode_avi_frames(pay, every_n=1)
+        assert len(dec) == len(frames)
+        for (idx, dw, dh, dch, dpx), orig in zip(dec, frames):
+            assert (dw, dh, dch) == (w, h, 1)
+            assert dpx == orig, f"frame {idx} not bit-exact"
+
+
+def test_avi_meta_fields_and_frame_sampling():
+    w, h = 16, 12
+    frames = _block_frames(5, w, h, 5)
+    pay = encode_avi_mjpeg(w, h, frames, fps=25, channels=1)
+    m = parse_avi_meta(pay)
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, 5)
+    assert m["fps"] == 25 and m["codec"] == "MJPG"
+    assert m["usec_per_frame"] == 1_000_000 // 25
+    # sampling decodes only the selected frames, preserving indices
+    assert [d[0] for d in decode_avi_frames(pay, every_n=2)] == [0, 2, 4]
+    assert [d[0] for d in decode_avi_frames(pay, every_n=3)] == [0, 3]
+    with pytest.raises(ValueError):
+        decode_avi_frames(pay, every_n=0)
+
+
+def test_avi_header_cross_checks_raise():
+    """A lying header or corrupted index raises instead of
+    mis-sampling: dwTotalFrames vs strh.dwLength vs movi chunks vs
+    idx1 records are all cross-checked."""
+    w, h = 16, 8
+    pay = encode_avi_mjpeg(w, h, _block_frames(1, w, h, 3), channels=1)
+
+    # avih.dwTotalFrames lie
+    bad = bytearray(pay)
+    p = pay.find(b"avih") + 8  # chunk body
+    struct.pack_into("<I", bad, p + 16, 99)  # dwTotalFrames field
+    with pytest.raises(ValueError, match="frame-count mismatch"):
+        parse_avi_meta(bytes(bad))
+
+    # idx1 offset corruption
+    bad = bytearray(pay)
+    p = pay.rfind(b"idx1")
+    bad[p + 16] ^= 0xFF  # first record's offset
+    with pytest.raises(ValueError, match="idx1"):
+        parse_avi_meta(bytes(bad))
+
+    # truncation
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi_meta(pay[: len(pay) // 2])
+
+    # wrong codec fourcc in strh
+    bad = bytearray(pay)
+    p = pay.find(b"strh") + 8
+    bad[p + 4 : p + 8] = b"H264"
+    with pytest.raises(ValueError, match="MJPEG"):
+        parse_avi_meta(bytes(bad))
+
+    # not an AVI at all
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi_meta(b"\x00" * 32)
+
+
+def test_avi_foreign_writer_layout_decodes():
+    """A foreign-muxer-shaped AVI — JUNK padding chunk, frames grouped
+    inside LIST 'rec ' with interleaved audio '01wb' chunks, no idx1 —
+    must parse and decode: the walker skips unknown chunks at every
+    level and descends into rec groups (the OpenDML interleave
+    convention). Assembled HERE by hand, not by encode_avi_mjpeg, so
+    the two code paths are independent."""
+    w, h = 16, 8
+    frames = _block_frames(9, w, h, 2)
+    jpegs = [encode_jpeg_pixels(w, h, f, channels=1) for f in frames]
+    avih = struct.pack(
+        "<14I", 100_000, 0, 0, 0, len(jpegs), 0, 2, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4h", 0, 0, 0, 0, 1, 10, 0, len(jpegs), 0, 0, 0, 0, 0, w, h
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 8, b"MJPG", w * h, 0, 0, 0, 0
+    )
+    hdrl = _riff_chunk(
+        b"LIST",
+        b"hdrl"
+        + _riff_chunk(b"avih", avih)
+        + _riff_chunk(
+            b"LIST",
+            b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    movi_body = b"movi"
+    for j in jpegs:
+        rec = _riff_chunk(b"00dc", j) + _riff_chunk(b"01wb", b"\x00\x01" * 8)
+        movi_body += _riff_chunk(b"LIST", b"rec " + rec)
+    body = (
+        AVI_FOURCC
+        + _riff_chunk(b"JUNK", b"\x00" * 11)  # odd size: exercises padding
+        + hdrl
+        + _riff_chunk(b"LIST", movi_body)
+    )
+    pay = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    m = parse_avi_meta(pay)
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, 2)
+    dec = decode_avi_frames(pay, every_n=1)
+    assert [d[4] for d in dec] == frames  # bit-exact through foreign layout
+
+
+def test_frame_sample_operator_skips_corrupt_payloads(spark):
+    """frame_sample: real payloads yield per-sampled-frame rows with
+    closed-form sums; corrupt/alien payloads yield zero rows (a bad
+    blob must not kill a 100 TB scan)."""
+    from kassette_server_spark.operators.multimodal import frame_sample
+
+    w, h = 16, 8
+    good0 = encode_avi_mjpeg(w, h, _block_frames(0, w, h, 3), channels=1)
+    good1 = encode_avi_mjpeg(w, h, _block_frames(1, w, h, 4), channels=1)
+    rows = [
+        (0, bytearray(good0)),
+        (1, bytearray(good1)),
+        (2, bytearray(good0[: len(good0) // 2])),  # truncated
+        (3, bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = frame_sample(df, every_n=2).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r["px_sum"] for r in out}
+    assert set(got) == {(0, 0), (0, 2), (1, 0), (1, 2)}
+    for (i, f), s in got.items():
+        exp = int(
+            np.frombuffer(_block_frames(i, w, h, f + 1)[f], np.uint8).sum()
+        )
+        assert s == exp
+
+
+def test_decode_media_meta_sniffs_avi(spark):
+    """The media sniffer distinguishes RIFF/AVI from RIFF/WAVE and
+    reports video dimensions."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_media_meta,
+        encode_wav,
+    )
+
+    avi = encode_avi_mjpeg(16, 8, _block_frames(2, 16, 8, 2), channels=1)
+    wav = encode_wav(256, 8000)
+    df = spark.createDataFrame(
+        [(0, bytearray(avi)), (1, bytearray(wav))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_media_meta(df).collect()}
+    assert out[0]["kind"] == "avi"
+    assert (out[0]["width"], out[0]["height"]) == (16, 8)
+    assert out[1]["kind"] == "wav"
