@@ -573,14 +573,16 @@ def decode_png_pixels_deep(
       big-endian sample stream, w·h·channels·2 bytes. Filters
       reconstruct over BYTES with a 2·channels filter unit (spec §9)
       before the stream is read as 16-bit words.
-    - depths 1/2/4 (color types 0/3, sequential) → samples unpacked
+    - depths 1/2/4 (color types 0/3, sequential or Adam7 — interlace
+      support completed r15 for the PngSuite grid) → samples unpacked
       MSB-first to ONE byte each at NATIVE range 0..2^depth−1 for
       grayscale; palette indices expand through PLTE to RGB
       (→ channels 3, bit_depth 8). Trailing scanline pad bits are
-      discarded per spec §7.2.
+      discarded per spec §7.2; interlaced passes are reduced images,
+      so each pass's rows carry their own pad bits (§8.2).
 
-    Raises on everything else (sub-8-bit Adam7, depth/color-type
-    combinations the spec forbids) rather than mis-reading."""
+    Raises on depth/color-type combinations the spec forbids rather
+    than mis-reading."""
     meta = parse_png_meta(payload)  # validates structure + stream length
     depth = meta["bit_depth"]
     if depth == 8:
@@ -628,17 +630,41 @@ def decode_png_pixels_deep(
         raise ValueError(f"unsupported PNG bit depth {depth}")
     if meta["color_type"] not in (0, 3):
         raise ValueError("sub-8-bit depth is only valid for gray/palette")
-    if meta["interlace"] != 0:
-        raise ValueError("sub-8-bit Adam7 not supported")
-    spb = 8 // depth
-    rowlen = (w + spb - 1) // spb
-    packed = _defilter(raw, w, h, 1, rowlen=rowlen)
-    # unpack MSB-first, drop per-row pad bits, regroup depth bits
-    bits = np.unpackbits(packed, axis=1)[:, : w * depth]
     weights = 1 << np.arange(depth - 1, -1, -1)
-    samples = (bits.reshape(h, w, depth) * weights[None, None, :]).sum(
-        axis=2
-    ).astype(np.uint8)
+
+    def _unpack(packed: "np.ndarray", pw: int) -> "np.ndarray":
+        # MSB-first, drop per-row pad bits, regroup depth bits (§7.2)
+        bits = np.unpackbits(packed, axis=1)[:, : pw * depth]
+        return (
+            (bits.reshape(-1, pw, depth) * weights[None, None, :])
+            .sum(axis=2)
+            .astype(np.uint8)
+        )
+
+    if meta["interlace"] == 1:
+        # sub-8 Adam7 (r15, PngSuite grid): each pass is its own
+        # bit-packed sub-image — per-pass scanlines carry their OWN
+        # trailing pad bits (spec §8.2: passes are reduced images), so
+        # unpack per pass BEFORE scattering into the full sample grid.
+        samples = np.zeros((h, w), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            rowlen = (pw * depth + 7) // 8
+            size = ph * (1 + rowlen)
+            packed = _defilter(raw[pos : pos + size], pw, ph, 1, rowlen=rowlen)
+            pos += size
+            samples[y0::dy, x0::dx] = _unpack(packed, pw)
+        if pos != len(raw):
+            raise ValueError("interlaced pixel stream length mismatch")
+    else:
+        spb = 8 // depth
+        rowlen = (w + spb - 1) // spb
+        packed = _defilter(raw, w, h, 1, rowlen=rowlen)
+        samples = _unpack(packed, w)
     if is_palette:
         if plte is None or len(plte) % 3 != 0 or not plte:
             raise ValueError("palette PNG missing a valid PLTE chunk")

@@ -39,6 +39,7 @@ import struct
 import zlib
 
 import numpy as np
+import pytest
 
 from kassette_server_spark.operators.multimodal import (
     _IMA_INDEX_TABLE,
@@ -732,3 +733,200 @@ def test_jpeg_annex_k_progressive_dc_only_decodes():
     img = np.frombuffer(px, dtype=np.uint8).reshape(8, width)
     for i, dc in enumerate(dc_coeffs):
         assert (img[:, 8 * i : 8 * (i + 1)] == 128 + dc * 2).all()
+
+
+def test_jpeg_annex_k_ac_successive_approximation_decodes():
+    """Hand-assembled PROGRESSIVE gray JPEG with Annex K tables
+    exercising AC SUCCESSIVE APPROXIMATION — the one JPEG feature whose
+    foreign-stream leg was missing (VERDICT r14 #5). Scan plan:
+
+      1. DC scan (Ss=0, Se=0, Ah=0, Al=0);
+      2. AC first pass at REDUCED precision (Ss=1, Se=63, Ah=0, Al=1):
+         each block codes its one AC coefficient as value >> 1
+         (truncated toward zero per spec §G.1.2.2);
+      3. AC refinement (Ss=1, Se=63, Ah=1, Al=0): per block one EOB
+         symbol opening the EOB region, then the §G.1.2.3 correction
+         bit for the nonzero-history coefficient.
+
+    Expected pixels are computed by an independent in-test IDCT from
+    the FULL-precision coefficients dequantized through the Annex K
+    table — a refinement bug (wrong correction-bit order, wrong p1
+    scale, EOB-region miscount) shifts whole tiles."""
+    dcs_tab = _huff_codes(ANNEX_K_DC_BITS, ANNEX_K_DC_VALS)
+    acs_tab = _huff_codes(ANNEX_K_AC_BITS, ANNEX_K_AC_VALS)
+    # (DC, AC at zigzag k=1) per block; AC values pick both refinement
+    # cases: odd |v| (correction bit 1) and even |v| (bit 0), both signs
+    blocks = [(6, 5), (-9, -6), (0, 3), (4, -7)]
+    width = 8 * len(blocks)
+
+    zz_quant = bytes(ANNEX_K_LUMA_QUANT[ZIGZAG[k]] for k in range(64))
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + zz_quant
+    sof = (
+        b"\xff\xc2"
+        + struct.pack(">HBHHB", 8 + 3, 8, 8, width, 1)
+        + bytes([1, 0x11, 0])
+    )
+    dht_payload = (
+        bytes([0x00]) + bytes(ANNEX_K_DC_BITS) + bytes(ANNEX_K_DC_VALS)
+        + bytes([0x10]) + bytes(ANNEX_K_AC_BITS) + bytes(ANNEX_K_AC_VALS)
+    )
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + len(dht_payload)) + dht_payload
+
+    # scan 1: DC at Al=0
+    sos1 = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
+    w1 = _Bits()
+    pred = 0
+    for dc, _ in blocks:
+        diff = dc - pred
+        pred = dc
+        if diff == 0:
+            w1.put(*dcs_tab[0])
+        else:
+            cat = abs(diff).bit_length()
+            w1.put(*dcs_tab[cat])
+            w1.put((diff if diff > 0 else diff + (1 << cat) - 1) & ((1 << cat) - 1), cat)
+    scan1 = w1.done()
+
+    # scan 2: AC first pass at Al=1 — coefficient k=1 coded as v >> 1
+    # toward zero, then EOB for the band tail
+    sos2 = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 1])
+    w2 = _Bits()
+    for _, ac in blocks:
+        t = abs(ac) >> 1
+        t = t if ac > 0 else -t
+        size = abs(t).bit_length()
+        w2.put(*acs_tab[size])  # run=0, size
+        w2.put((t if t > 0 else t + (1 << size) - 1) & ((1 << size) - 1), size)
+        w2.put(*acs_tab[0x00])  # EOB for k=2..63
+    scan2 = w2.done()
+
+    # scan 3: AC refinement Ah=1, Al=0 (the SOS approximation byte
+    # packs Ah<<4 | Al = 0x10) — EOB region + one correction bit per
+    # nonzero-history coefficient (here: exactly k=1)
+    sos3 = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0x10])
+    w3 = _Bits()
+    for _, ac in blocks:
+        w3.put(*acs_tab[0x00])  # EOB: no new significant coefficients
+        w3.put(abs(ac) & 1, 1)  # correction bit for k=1
+    scan3 = w3.done()
+
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht
+        + sos1 + scan1 + sos2 + scan2 + sos3 + scan3 + b"\xff\xd9"
+    )
+    gw, gh, ch, px = decode_jpeg_pixels(payload)
+    assert (gw, gh, ch) == (width, 8, 1)
+
+    # independent IDCT reference over the full-precision coefficients
+    m = np.zeros((8, 8))
+    for i in range(8):
+        c = np.sqrt(0.125) if i == 0 else 0.5
+        for j in range(8):
+            m[i, j] = c * np.cos((2 * j + 1) * i * np.pi / 16.0)
+    img = np.frombuffer(px, dtype=np.uint8).reshape(8, gw)
+    for bi, (dc, ac) in enumerate(blocks):
+        F = np.zeros((8, 8))
+        F[0, 0] = dc * ANNEX_K_LUMA_QUANT[0]
+        F[0, 1] = ac * ANNEX_K_LUMA_QUANT[1]  # zigzag k=1 = raster (0,1)
+        expect = np.clip(np.round(m.T @ F @ m + 128.0), 0, 255).astype(np.uint8)
+        got = img[:, 8 * bi : 8 * (bi + 1)]
+        assert (got == expect).all(), (bi, got[0].tolist(), expect[0].tolist())
+
+
+# ---------------------------------------------------------------------------
+# PngSuite-style grid: every legal color-type x depth x interlace combo
+# (VERDICT r14 #5) through one foreign writer.
+# ---------------------------------------------------------------------------
+
+_ADAM7 = (  # (x0, y0, dx, dy) per spec §8.2 — independent literal
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+# spec §11.2.2 legal (color type, bit depth) pairs
+_PNG_GRID = [
+    (ctype, depth, interlace)
+    for ctype, depths in (
+        (0, (1, 2, 4, 8, 16)),
+        (2, (8, 16)),
+        (3, (1, 2, 4, 8)),
+        (4, (8, 16)),
+        (6, (8, 16)),
+    )
+    for depth in depths
+    for interlace in (0, 1)
+]
+
+
+def _pack_png_row(pixels, depth: int) -> bytes:
+    """pixels: list of per-pixel channel tuples in native range."""
+    if depth == 8:
+        return bytes(v for p in pixels for v in p)
+    if depth == 16:
+        return b"".join(struct.pack(">H", v) for p in pixels for v in p)
+    ppb = 8 // depth
+    row = bytearray((len(pixels) * depth + 7) // 8)
+    for i, (v,) in enumerate(pixels):
+        row[i // ppb] |= v << (8 - depth * (i % ppb + 1))
+    return bytes(row)
+
+
+@pytest.mark.parametrize("ctype,depth,interlace", _PNG_GRID)
+def test_png_foreign_grid_decodes(ctype, depth, interlace):
+    """30-combination PngSuite-style matrix: one foreign writer (fresh
+    §9 forward filter, fresh §8.2 Adam7 split, MSB-first sub-8 packing,
+    big-endian 16-bit) across all 15 legal color-type x depth pairs,
+    sequential AND interlaced, odd 9x7 dims so every scanline carries
+    pad bits at sub-8 depths and Adam7 passes hit partial windows."""
+    w, h = 9, 7
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    nmax = (1 << depth) - 1
+    plte = b""
+    if ctype == 3:
+        n_entries = 1 << depth
+        plte = bytes((i * 3 + c * 7 + 5) % 256 for i in range(n_entries) for c in range(3))
+    img = [
+        [
+            tuple((x * 7 + y * 13 + c * 5 + 3) % (nmax + 1) for c in range(channels))
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    bpp = max(1, channels * depth // 8)
+    raw = bytearray()
+    if interlace == 0:
+        rows = [_pack_png_row(img[y], depth) for y in range(h)]
+        raw += _filter_rows(rows, bpp, [y % 5 for y in range(h)])
+    else:
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            rows = [
+                _pack_png_row([img[y][x] for x in range(x0, w, dx)], depth)
+                for y in range(y0, h, dy)
+            ]
+            rows = [r for r in rows if r]
+            if not rows:
+                continue
+            raw += _filter_rows(rows, bpp, [(pi + ri) % 5 for ri in range(len(rows))])
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    body = _chunk(b"IHDR", ihdr)
+    if plte:
+        body += _chunk(b"PLTE", plte)
+    body += _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    payload = b"\x89PNG\r\n\x1a\n" + body
+
+    gw, gh, ch, gdepth, px = decode_png_pixels_deep(payload)
+    assert (gw, gh) == (w, h)
+    if ctype == 3:
+        assert (ch, gdepth) == (3, 8)
+        expect = b"".join(
+            plte[p[0] * 3 : p[0] * 3 + 3] for row in img for p in row
+        )
+    else:
+        assert ch == channels and gdepth == depth
+        if depth == 16:
+            expect = b"".join(
+                struct.pack(">H", v) for row in img for p in row for v in p
+            )
+        else:  # 8-bit bytes or native-range sub-8 samples, one per byte
+            expect = bytes(v for row in img for p in row for v in p)
+    assert px == expect
