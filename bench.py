@@ -99,6 +99,7 @@ CODEC = frozenset(
         "q257_jpeg_progressive_420",
         "q258_jpeg_ac_refine",
         "q259_mjpeg_avi_frames",
+        "q260_mjpeg_avi_resample",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"

@@ -5222,3 +5222,87 @@ def mjpeg_avi_frame_stats(
             )
 
     return _spread(df).mapInPandas(batches, schema=AVI_FRAME_SCHEMA)
+
+
+def mjpeg_avi_resample_stats(
+    df: DataFrame, id_col: str = "doc_id", every_n: int = 2
+) -> DataFrame:
+    """q260 operator — the video RESIZE + RE-MUX pipeline (the
+    transform leg of the multimodal brief, at clip granularity):
+    per id, a real MJPEG-in-AVI clip with nf = 2 + id mod 3 frames at
+    EVEN dims (16 + 2·(id mod 8)) × (16 + 2·(3·id mod 6)), frame f's
+    grayscale pixels constant per 16x16 tile —
+    v(x, y, f) = (id + 7·f + 3·(x div 16) + 5·(y div 16)) mod 256.
+    Every ``every_n``-th frame is decoded, nearest-neighbor
+    HALF-SCALED (exact 2x decimation: even dims make the q232 index
+    map (x·w) div (w/2) collapse to 2x), and the scaled frames are
+    re-encoded into a NEW AVI at half dims, which is then re-parsed
+    and re-decoded for the output statistics. 16x16-tile-constant
+    sources halve into 8x8-BLOCK-constant frames, so the re-encoded
+    JPEGs stay in the lossless subset and every sampled frame's final
+    pixel sum is closed-form: the half-scaled pixel is
+    (id + 7·f + 3·(x div 8) + 5·(y div 8)) mod 256 over the half grid.
+
+    The whole chain — container walk, frame sampling, pixel decimate,
+    JPEG re-encode, container re-mux, second full parse+decode — sits
+    in one oracle-gated path. One Arrow-batched mapInPandas behind the
+    input-width guard, no per-key shuffle. Output: (doc_id, frame_idx
+    [ORIGINAL index], width, height, px_sum), one row per sampled
+    frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for v in pdf[id_col]:
+                i = int(v)
+                w, h = 16 + 2 * (i % 8), 16 + 2 * ((i * 3) % 6)
+                nf = 2 + i % 3
+                frames = [
+                    (
+                        (
+                            i
+                            + 7 * f
+                            + 3 * (np.arange(w)[None, :] // 16)
+                            + 5 * (np.arange(h)[:, None] // 16)
+                        )
+                        % 256
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                    for f in range(nf)
+                ]
+                pay = encode_avi_mjpeg(w, h, frames, fps=10, channels=1)
+                sampled = decode_avi_frames(pay, every_n)
+                orig_idx = [s[0] for s in sampled]
+                halved = [
+                    np.frombuffer(px, np.uint8)
+                    .reshape(fh, fw)[::2, ::2]
+                    .tobytes()
+                    for _, fw, fh, _, px in (
+                        (s[0], s[1], s[2], s[3], s[4]) for s in sampled
+                    )
+                ]
+                pay2 = encode_avi_mjpeg(
+                    w // 2, h // 2, halved, fps=10, channels=1
+                )
+                meta2 = parse_avi_meta(pay2)
+                assert meta2["n_frames"] == len(halved)
+                for (ni, dw, dh, dch, dpx), oi in zip(
+                    decode_avi_frames(pay2, 1), orig_idx
+                ):
+                    assert (dw, dh, dch) == (w // 2, h // 2, 1)
+                    rows.append(
+                        (
+                            i,
+                            oi,
+                            dw,
+                            dh,
+                            int(np.frombuffer(dpx, np.uint8).sum(dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "px_sum"],
+            )
+
+    return _spread(df).mapInPandas(batches, schema=AVI_FRAME_SCHEMA)

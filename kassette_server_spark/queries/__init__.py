@@ -35,7 +35,7 @@ from . import round10 as _round10  # noqa: F401,E402  (q230+ — PNG resize tier
 from . import round11 as _round11  # noqa: F401,E402  (q232+ — RGB PNG resize)
 from . import round12 as _round12  # noqa: F401,E402  (q239+ — product quantization)
 from . import round13 as _round13  # noqa: F401,E402  (q254+ — compressed-audio features)
-from . import round15 as _round15  # noqa: F401,E402  (q259 — MJPEG-in-AVI frame sampling)
+from . import round15 as _round15  # noqa: F401,E402  (q259-q260 — MJPEG-in-AVI video tier)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
@@ -129,7 +129,7 @@ _WINDOW: tuple[str, ...] = (
 #   q100_priority_sample, q101_grouped_regression, q102_pagerank,
 #   q103_zorder_stats, q104_value_outliers, q105_rolling_time_window
 #   — the r11 remainder q106+ rolls to r17, together with
-#   q259_mjpeg_avi_frames if new this round)
+#   q259_mjpeg_avi_frames / q260_mjpeg_avi_resample if new this round)
 # Arithmetic: 6 + 31 + 13 = 50 exactly.
 # Every spec stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run regardless of rotation position;

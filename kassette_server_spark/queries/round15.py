@@ -1,5 +1,12 @@
 """Round-15 specs: the video modality becomes a real codec.
 
+- q260: video resize + re-mux (multimodal.mjpeg_avi_resample_stats):
+  sample every 2nd frame, exact 2x nearest-neighbor decimation, JPEG
+  re-encode, NEW AVI re-mux, full second parse+decode — the transform
+  leg of the multimodal brief at clip granularity; 16x16-tile-constant
+  sources halve into the JPEG lossless subset so the final sums stay
+  closed-form in (id, frame).
+
 - q259: MJPEG-in-AVI frame sampling
   (multimodal.mjpeg_avi_frame_stats — closes the package's LAST
   NotImplementedError plug point, VERDICT r14 "Next round #3"): per
@@ -70,5 +77,44 @@ def q259(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import mjpeg_avi_frame_stats
 
     return mjpeg_avi_frame_stats(
+        load(spark, sf, "documents").select("doc_id"), every_n=2
+    )
+
+
+@query(
+    "q260_mjpeg_avi_resample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             (16 + 2 * (doc_id % 8)) // 2 AS nw,
+             (16 + 2 * ((doc_id * 3) % 6)) // 2 AS nh,
+             2 + doc_id % 3 AS nf
+      FROM documents),
+    fr AS (
+      SELECT doc_id, nw, nh, f.f AS frame_idx
+      FROM dims, unnest(CAST(range(0, nf) AS BIGINT[])) AS f(f)
+      WHERE f.f % 2 = 0),
+    px AS (
+      SELECT doc_id, frame_idx, nw, nh,
+             (doc_id + 7 * frame_idx + 3 * (gx.x // 8) + 5 * (gy.y // 8))
+               % 256 AS p
+      FROM fr,
+           unnest(CAST(range(0, nw) AS BIGINT[])) AS gx(x),
+           unnest(CAST(range(0, nh) AS BIGINT[])) AS gy(y))
+    SELECT doc_id, frame_idx,
+           CAST(nw AS BIGINT) AS width, CAST(nh AS BIGINT) AS height,
+           CAST(sum(p) AS BIGINT) AS px_sum
+    FROM px GROUP BY doc_id, frame_idx, nw, nh
+    """,
+    doc="video resize + re-mux: MJPEG-in-AVI clip -> sample every 2nd "
+    "frame -> exact 2x nearest-neighbor decimation -> JPEG re-encode -> "
+    "new AVI -> full re-parse + re-decode; 16x16-tile-constant sources "
+    "halve into the JPEG lossless subset, sums closed-form in (id, frame)",
+    tags=("llmops", "multimodal", "video"),
+)
+def q260(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import mjpeg_avi_resample_stats
+
+    return mjpeg_avi_resample_stats(
         load(spark, sf, "documents").select("doc_id"), every_n=2
     )

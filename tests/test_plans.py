@@ -1472,3 +1472,10 @@ def test_q259_mjpeg_avi_spread_scan_stage_map(spark):
     only (VERDICT r14 #3)."""
     p = plan(spark, "q259_mjpeg_avi_frames")
     assert_spread_map(p)
+
+
+def test_q260_mjpeg_avi_resample_spread_scan_stage_map(spark):
+    """The video resize + re-mux chain keeps the codec-tier plan shape:
+    one Arrow-batched mapInPandas behind the input-width guard."""
+    p = plan(spark, "q260_mjpeg_avi_resample")
+    assert_spread_map(p)

@@ -194,3 +194,53 @@ def test_decode_media_meta_sniffs_avi(spark):
     assert out[0]["kind"] == "avi"
     assert (out[0]["width"], out[0]["height"]) == (16, 8)
     assert out[1]["kind"] == "wav"
+
+
+def test_mjpeg_avi_resample_chain_closed_form():
+    """q260's per-id chain on fixed ids: sample -> exact 2x decimation
+    -> re-encode -> re-mux -> re-decode, final sums equal the
+    closed-form half-grid formula."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_avi_frames,
+        parse_avi_meta,
+    )
+
+    for i in (0, 7, 23):
+        w, h = 16 + 2 * (i % 8), 16 + 2 * ((i * 3) % 6)
+        nf = 2 + i % 3
+        frames = [
+            (
+                (
+                    i
+                    + 7 * f
+                    + 3 * (np.arange(w)[None, :] // 16)
+                    + 5 * (np.arange(h)[:, None] // 16)
+                )
+                % 256
+            )
+            .astype(np.uint8)
+            .tobytes()
+            for f in range(nf)
+        ]
+        pay = encode_avi_mjpeg(w, h, frames, channels=1)
+        sampled = decode_avi_frames(pay, 2)
+        halved = [
+            np.frombuffer(px, np.uint8).reshape(fh, fw)[::2, ::2].tobytes()
+            for _, fw, fh, _, px in sampled
+        ]
+        pay2 = encode_avi_mjpeg(w // 2, h // 2, halved, channels=1)
+        m2 = parse_avi_meta(pay2)
+        assert (m2["width"], m2["height"]) == (w // 2, h // 2)
+        for (ni, dw, dh, dch, dpx), (oi, *_rest) in zip(
+            decode_avi_frames(pay2, 1), sampled
+        ):
+            expect = (
+                (
+                    i
+                    + 7 * oi
+                    + 3 * (np.arange(w // 2)[None, :] // 8)
+                    + 5 * (np.arange(h // 2)[:, None] // 8)
+                )
+                % 256
+            ).astype(np.uint8)
+            assert dpx == expect.tobytes(), (i, oi)
