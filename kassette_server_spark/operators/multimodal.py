@@ -5022,36 +5022,59 @@ def _avi_parse(payload: bytes) -> tuple[dict, list[tuple[int, int]]]:
     frames: list[tuple[int, int]] = []
     idx_records: list[tuple[int, int]] = []
     movi_data_start = None
+    # Two-phase walk: the hdrl pass binds strh/strf to the VIDEO
+    # stream's strl and learns its stream INDEX — interleaved files
+    # commonly list the audio stream first, so both "first strl" and a
+    # hardcoded '00dc' would mis-read them ('01dc' carries the video
+    # when audio is stream 0). movi/idx1 spans are collected raw and
+    # filtered by the learned fourcc after.
+    strl_idx = 0
+    video_idx = None
+    movi_spans: list[tuple[int, int]] = []
     for fourcc, s, e in _walk_riff(payload, 12, end):
         if fourcc == b"LIST" and payload[s : s + 4] == b"hdrl":
             for f2, s2, e2 in _walk_riff(payload, s + 4, e):
                 if f2 == b"avih":
                     avih = payload[s2:e2]
                 elif f2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    cand_strh = cand_strf = None
                     for f3, s3, e3 in _walk_riff(payload, s2 + 4, e2):
-                        if f3 == b"strh" and strh is None:
-                            strh = payload[s3:e3]
-                        elif f3 == b"strf" and strf is None:
-                            strf = payload[s3:e3]
+                        if f3 == b"strh" and cand_strh is None:
+                            cand_strh = payload[s3:e3]
+                        elif f3 == b"strf" and cand_strf is None:
+                            cand_strf = payload[s3:e3]
+                    if (
+                        video_idx is None
+                        and cand_strh is not None
+                        and cand_strh[:4] == b"vids"
+                    ):
+                        strh, strf, video_idx = cand_strh, cand_strf, strl_idx
+                    strl_idx += 1
         elif fourcc == b"LIST" and payload[s : s + 4] == b"movi":
             movi_data_start = s
-            for f2, s2, e2 in _walk_riff(payload, s + 4, e):
-                if f2 == b"00dc":
-                    frames.append((s2, e2))
-                elif f2 == b"LIST" and payload[s2 : s2 + 4] == b"rec ":
-                    # interleaved-writer grouping: frames nested one
-                    # level down inside LIST 'rec ' (AVI spec; common
-                    # in foreign muxers). Audio ('01wb') and other
-                    # stream chunks are skipped at either level.
-                    for f3, s3, e3 in _walk_riff(payload, s2 + 4, e2):
-                        if f3 == b"00dc":
-                            frames.append((s3, e3))
+            movi_spans.append((s + 4, e))
         elif fourcc == b"idx1":
-            for off in range(s, e, 16):
-                rec_fourcc = payload[off : off + 4]
-                _, rec_off, rec_size = struct.unpack_from("<III", payload, off + 4)
-                if rec_fourcc == b"00dc":
-                    idx_records.append((rec_off, rec_size))
+            idx_records.append((s, e))  # resolved below
+    vid_dc = b"%02ddc" % (video_idx if video_idx is not None else 0)
+    for ms, me in movi_spans:
+        for f2, s2, e2 in _walk_riff(payload, ms, me):
+            if f2 == vid_dc:
+                frames.append((s2, e2))
+            elif f2 == b"LIST" and payload[s2 : s2 + 4] == b"rec ":
+                # interleaved-writer grouping: frames nested one level
+                # down inside LIST 'rec ' (AVI spec; common in foreign
+                # muxers). Other streams' chunks skip at either level.
+                for f3, s3, e3 in _walk_riff(payload, s2 + 4, e2):
+                    if f3 == vid_dc:
+                        frames.append((s3, e3))
+    resolved_idx: list[tuple[int, int]] = []
+    for s, e in idx_records:
+        for off in range(s, e, 16):
+            rec_fourcc = payload[off : off + 4]
+            _, rec_off, rec_size = struct.unpack_from("<III", payload, off + 4)
+            if rec_fourcc == vid_dc:
+                resolved_idx.append((rec_off, rec_size))
+    idx_records = resolved_idx
     if avih is None or strh is None or strf is None:
         raise ValueError("missing AVI header chunk (avih/strh/strf)")
     if movi_data_start is None or not frames:

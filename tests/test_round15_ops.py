@@ -244,3 +244,49 @@ def test_mjpeg_avi_resample_chain_closed_form():
                 % 256
             ).astype(np.uint8)
             assert dpx == expect.tobytes(), (i, oi)
+
+
+def test_avi_audio_first_stream_layout_decodes():
+    """A foreign AVI listing the AUDIO stream first (stream 0 = 'auds',
+    stream 1 = 'vids') numbers the video chunks '01dc' — the parser
+    must bind strh/strf to the vids strl by TYPE, learn the stream
+    index, and collect the right chunks, not assume stream 0."""
+    w, h = 16, 8
+    frames = _block_frames(4, w, h, 3)
+    jpegs = [encode_jpeg_pixels(w, h, f, channels=1) for f in frames]
+    avih = struct.pack(
+        "<14I", 100_000, 0, 0, 0, len(jpegs), 0, 2, 0, w, h, 0, 0, 0, 0
+    )
+    aud_strh = b"auds" + b"\x00\x00\x00\x00" + struct.pack(
+        "<IHHIIIIIIII4h", 0, 0, 0, 0, 1, 8000, 0, 8000, 0, 0, 1, 0, 0, 0, 0
+    )
+    aud_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    vid_strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4h", 0, 0, 0, 0, 1, 10, 0, len(jpegs), 0, 0, 0, 0, 0, w, h
+    )
+    vid_strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 8, b"MJPG", w * h, 0, 0, 0, 0
+    )
+    hdrl = _riff_chunk(
+        b"LIST",
+        b"hdrl"
+        + _riff_chunk(b"avih", avih)
+        + _riff_chunk(
+            b"LIST",
+            b"strl" + _riff_chunk(b"strh", aud_strh) + _riff_chunk(b"strf", aud_strf),
+        )
+        + _riff_chunk(
+            b"LIST",
+            b"strl" + _riff_chunk(b"strh", vid_strh) + _riff_chunk(b"strf", vid_strf),
+        ),
+    )
+    movi_body = b"movi"
+    for j in jpegs:
+        movi_body += _riff_chunk(b"00wb", b"\x01\x02" * 6)  # audio: stream 0
+        movi_body += _riff_chunk(b"01dc", j)  # video: stream 1
+    body = AVI_FOURCC + hdrl + _riff_chunk(b"LIST", movi_body)
+    pay = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    m = parse_avi_meta(pay)
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, 3)
+    assert [d[4] for d in decode_avi_frames(pay, every_n=1)] == frames
