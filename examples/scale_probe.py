@@ -130,8 +130,22 @@ def main() -> None:
         sess = sessionize_batch(e.select("user_id", "ts", "event_id"), gap_minutes=30)
         # exact dedup (digest shuffle shape)
         ded = exact_dedup(d.select("doc_id", "text"))
-        # MinHash-LSH candidate pairs (banded self-join shape)
+        # MinHash-LSH candidate pairs (banded self-join shape).
+        # NOTE (r15 64x finding): the suffix amplifier keeps copies as
+        # GENUINE near-dups, so this shape's candidate-pair count grows
+        # ~quadratically in N by construction (a 64-copy clique is
+        # 64·63/2 pairs) — it measures duplicate-density growth, not
+        # corpus growth (116.6x at 64x). The shuffle-text variant below
+        # is the corpus-growth measurement; this one stays for
+        # round-over-round continuity with the r12/r13 sweeps.
         mh = minhash_lsh_pairs(d.select("doc_id", "text"), threshold=0.8)
+        # MinHash-LSH on shuffled-text copies: near-dup density stays
+        # scale-free (see amplify's text_mode doc), so the reading is
+        # the banded join's true corpus-scaling behavior
+        d_shuf = amplify(
+            docs, scale, ["doc_id"], text_col="text", text_mode="shuffle"
+        )
+        mh_shuf = minhash_lsh_pairs(d_shuf.select("doc_id", "text"), threshold=0.8)
         # priority sample (zero-shuffle partial top-k shape)
         ps = priority_sample(d.select("doc_id", F.length("text").alias("w")), "doc_id", "w", 100)
         # dataset split + audit (map-only + single agg)
@@ -153,6 +167,7 @@ def main() -> None:
             "sessionize": (sess, rows_e),
             "exact_dedup": (ded, rows_d),
             "minhash_lsh": (mh, rows_d),
+            "minhash_lsh_shuf": (mh_shuf, rows_d),
             "priority_sample": (ps, rows_d),
             "dataset_split": (sp, rows_d),
             "point_in_time": (pit, rows_o),
