@@ -104,7 +104,18 @@ CODEC = frozenset(
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
 
-# Measured band thresholds. r14 basis (quiet full run AFTER the two
+# Measured band thresholds. r15 basis re-derivation (CODEC membership
+# changed 26 → 28 with q259/q260, so the band comment restates the
+# basis per the standing rule): quiet r15 full run 288.6 s / 259
+# (sentinel samples 0.321/0.209/0.130/0.124 — hot first third, the
+# recheck block adjudicated q84/q78/q80 as that transient: sweep
+# 15.5/4.1/3.0 s, recheck 0.68/0.78/0.69 at sentinel 0.120). CODEC
+# outlier-adjusted mean 0.662 s/spec for 28 members (q259 0.76,
+# q260 0.95 — both in class); band STAYS 1.4 (~2x basis). Core
+# adjusted 0.833 raw with the hot first third included — band stays
+# 0.80 with the sentinel-first interpretation rule below. COMPOSED
+# 4.20 raw (band 3.8; isolated PQ medians match the r13/r14 class).
+# Prior r14 basis (quiet full run AFTER the two
 # r14 engine fixes — the input-width guard on the codec maps and the
 # AppStatusListener retention cap in session.py — 257 specs, 289.1 s,
 # sentinel samples 0.361/0.222/0.127/0.137): core 0.906 raw at a
