@@ -24,9 +24,10 @@ schemas. Two tiers of codecs:
   streams (sample_gif_frames_payload), and per-channel pixel feature
   extraction (bmp_channel_stats) — the resize / frame-sample /
   feature-extract entries of the multimodal brief, value-verified
-  against closed-form oracles (q218/q219). Compressed-pixel formats
-  (JPEG/PNG pixel transforms, real video) stay behind the plug points
-  above.
+  against closed-form oracles (q218/q219). Compressed-pixel
+  transforms joined in r10-r15: PNG/JPEG full pixel codecs and
+  transcodes (q230+), the audio codecs (G.711/IMA, q246+), and the
+  video resize + re-mux chain (mjpeg_avi_resample_stats, q260).
 
 Scale notes (100 TB of media):
 - Binary payloads ride in parquet/Arrow pages; mapInPandas streams
@@ -65,8 +66,9 @@ def real_decode(payload: bytes) -> dict:  # pragma: no cover - env has no codecs
     PNG (decode_png_pixels — all non-palette 8-bit color types, all
     five filters), baseline JPEG (decode_jpeg_pixels — real Huffman
     scan, 1/3 components), GIF (decode_gif_pixels — full LZW), BMP,
-    and WAV; this hook remains for progressive/subsampled JPEG, WebP,
-    TIFF, and friends."""
+    and WAV — and since r13 progressive/subsampled/AC-refined JPEG,
+    since r15 MJPEG-in-AVI video; this hook remains for WebP, TIFF,
+    and friends."""
     raise NotImplementedError("image codec not available in this environment")
 
 
@@ -3510,8 +3512,10 @@ def encode_media_payloads_ext(df: DataFrame, id_col: str = "doc_id") -> DataFram
 # four are still REAL for uncompressed containers — nearest-neighbor
 # resize on 24bpp BMP pixel arrays, PCM decimation on WAV sample
 # frames, and every-Nth-frame selection on GIF block streams are pure
-# stdlib byte surgery. Full-pixel JPEG/video transforms remain behind
-# the frame_sample/real_decode NotImplementedError plug points.
+# stdlib byte surgery. Full-pixel JPEG transforms joined in r11-r13
+# (scan codec + transcodes) and video in r15 (MJPEG-in-AVI: the real
+# frame_sample at the end of this module); only the PIL-tier formats
+# (WebP/TIFF) remain behind the real_decode plug point.
 
 
 def encode_bmp_pixels(width: int, height: int, pixels: bytes) -> bytes:
