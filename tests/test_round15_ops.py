@@ -290,3 +290,35 @@ def test_avi_audio_first_stream_layout_decodes():
     m = parse_avi_meta(pay)
     assert (m["width"], m["height"], m["n_frames"]) == (w, h, 3)
     assert [d[4] for d in decode_avi_frames(pay, every_n=1)] == frames
+
+
+def test_avi_mjpeg_color_frames_round_trip():
+    """3-channel frames ride the same container (biBitCount=24):
+    per-8x8-block-constant channels survive the per-frame JPEG path
+    bit-exactly, and the meta reports the color depth."""
+    w, h, i = 16, 8, 11
+    frames = [
+        np.stack(
+            [
+                (
+                    i
+                    + c
+                    + 7 * f
+                    + 3 * (np.arange(w)[None, :] // 8)
+                    + 5 * (np.arange(h)[:, None] // 8)
+                )
+                % 256
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+        .astype(np.uint8)
+        .tobytes()
+        for f in range(3)
+    ]
+    pay = encode_avi_mjpeg(w, h, frames, fps=10, channels=3)
+    m = parse_avi_meta(pay)
+    assert (m["width"], m["height"], m["n_frames"], m["bit_count"]) == (w, h, 3, 24)
+    for (idx, dw, dh, dch, dpx), orig in zip(decode_avi_frames(pay, 1), frames):
+        assert (dw, dh, dch) == (w, h, 3)
+        assert dpx == orig, idx
