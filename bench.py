@@ -182,15 +182,29 @@ def load_reference_timings(path: str) -> dict[str, float]:
     """Per-spec reference = the committed previous-generation
     BENCH_FULL.json (read BEFORE the sweep overwrites it). Empty when
     absent/unparseable — first generation has nothing to adjudicate
-    against."""
+    against.
+
+    A spec the previous sweep ITSELF adjudicated (a `rechecks` entry)
+    uses its recheck reading as the reference, not the hot sweep
+    value — otherwise one transient poisons the next round's detector
+    (a q84 sweep reading of 15.5 s with a 0.68 s recheck must not set
+    the bar at 3x15.5)."""
     try:
         with open(path) as f:
             doc = json.load(f)
-        return {
+        ref = {
             str(k): float(v)
             for k, v in doc.get("queries", {}).items()
             if isinstance(v, (int, float)) and v > 0
         }
+        for k, rc in doc.get("rechecks", {}).items():
+            try:
+                v = float(rc["recheck"])
+            except (TypeError, KeyError, ValueError):
+                continue
+            if k in ref and v > 0:
+                ref[k] = v
+        return ref
     except (OSError, ValueError):
         return {}
 

@@ -120,3 +120,19 @@ def test_bench_reference_loader_tolerates_absence(tmp_path):
     q = tmp_path / "ok.json"
     q.write_text('{"queries": {"a": 1.5, "bad": "x", "zero": 0}}')
     assert bench.load_reference_timings(str(q)) == {"a": 1.5}
+
+
+def test_bench_reference_prefers_recheck_readings(tmp_path):
+    """A spec the previous sweep adjudicated must contribute its
+    RECHECK reading as the next round's reference — the hot sweep
+    value would set the outlier bar at 3x the transient."""
+    import bench
+
+    p = tmp_path / "full.json"
+    p.write_text(
+        '{"queries": {"a": 15.5, "b": 1.0},'
+        ' "rechecks": {"a": {"sweep": 15.5, "ref": 2.3, "recheck": 0.68},'
+        '              "zz": {"recheck": 1.0}}}'
+    )
+    got = bench.load_reference_timings(str(p))
+    assert got == {"a": 0.68, "b": 1.0}
