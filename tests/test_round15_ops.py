@@ -322,3 +322,52 @@ def test_avi_mjpeg_color_frames_round_trip():
     for (idx, dw, dh, dch, dpx), orig in zip(decode_avi_frames(pay, 1), frames):
         assert (dw, dh, dch) == (w, h, 3)
         assert dpx == orig, idx
+
+
+def test_frame_sample_over_structured_stream(spark, tmp_path):
+    """frame_sample is streaming-ready: the input-width guard passes
+    streaming frames through untouched and the Arrow-batched map runs
+    per micro-batch — a parquet file-source stream of AVI payloads
+    yields exactly the batch twin's rows."""
+    from kassette_server_spark.operators.multimodal import frame_sample
+
+    w, h = 16, 8
+    rows0 = [(0, bytearray(encode_avi_mjpeg(w, h, _block_frames(0, w, h, 3), channels=1)))]
+    rows1 = [
+        (1, bytearray(encode_avi_mjpeg(w, h, _block_frames(1, w, h, 4), channels=1))),
+        (2, bytearray(b"corrupt")),  # must not kill the stream
+    ]
+    src = tmp_path / "src"
+    schema = "doc_id long, payload binary"
+    for i, rows in enumerate((rows0, rows1)):
+        spark.createDataFrame(rows, schema).write.parquet(str(src / f"b{i}"))
+
+    got: list[tuple] = []
+
+    def body(batch_df, batch_id):
+        got.extend(
+            (r["doc_id"], r["frame_idx"], r["px_sum"])
+            for r in batch_df.collect()
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        frame_sample(stream, every_n=2)
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = spark.createDataFrame(rows0 + rows1, schema)
+    twin = sorted(
+        (r["doc_id"], r["frame_idx"], r["px_sum"])
+        for r in frame_sample(batch, every_n=2).collect()
+    )
+    assert sorted(got) == twin and len(twin) == 4
