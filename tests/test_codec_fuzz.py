@@ -433,12 +433,31 @@ def _corrupt_corpus(seed: int):
     wavs = [
         encode_wav_compressed(pcm, codec=c) for c in ("mulaw", "alaw", "ima")
     ]
+    from kassette_server_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    n_frames = int(rng.integers(1, 5))
+    avi = encode_avi_mjpeg(
+        w, h,
+        [
+            rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+            for _ in range(n_frames)
+        ],
+        channels=1,
+    )
+
+    def _decode_avi(p: bytes):
+        return decode_avi_frames(p, 1)
+
     return [
         ("png", png, decode_png_pixels, decode_png_pixels(png)),
         ("png_adam7", adam, decode_png_pixels, decode_png_pixels(adam)),
         ("jpeg", jb, decode_jpeg_pixels, decode_jpeg_pixels(jb)),
         ("jpeg_prog", jp, decode_jpeg_pixels, decode_jpeg_pixels(jp)),
         ("gif", gif, decode_gif_pixels, decode_gif_pixels(gif)),
+        ("avi", avi, _decode_avi, _decode_avi(avi)),
     ] + [
         (f"wav{i}", pay, lambda p: decode_wav_compressed(p).tolist(),
          decode_wav_compressed(pay).tolist())
@@ -577,3 +596,43 @@ def test_random_blobs_degrade_to_unknown_in_media_meta(spark):
     assert len(out) == len(rows)
     kinds = {r["kind"] for r in out}
     assert kinds <= {"unknown", "png", "jpeg", "wav", "gif", "bmp"}
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_bitflipped_avi_structure_raises_or_decodes_identically(seed):
+    """AVI has no integrity check over frame bytes (a flip inside a
+    '00dc' JPEG payload is entropy-class corruption, legal to decode
+    differently — true of every conforming reader). Every byte OUTSIDE
+    the frame spans is STRUCTURE the parser cross-checks (RIFF
+    fourccs/sizes, avih/strh frame counts, idx1 offsets/sizes): a flip
+    there must raise one of the corrupt-input classes or leave the
+    decoded frames bit-identical, never silently mis-sample."""
+    from kassette_server_spark.operators.multimodal import (
+        _avi_parse,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(110_000 + seed)
+    w = int(rng.integers(2, 25))
+    h = int(rng.integers(2, 25))
+    frames = [
+        rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        for _ in range(int(rng.integers(1, 5)))
+    ]
+    pay = encode_avi_mjpeg(w, h, frames, channels=1)
+    expect = decode_avi_frames(pay, 1)
+    spans = _avi_parse(pay)[1]
+    structural = [
+        i for i in range(len(pay)) if not any(s <= i < e for s, e in spans)
+    ]
+    for _ in range(16):
+        pos = structural[int(rng.integers(0, len(structural)))]
+        bit = 1 << int(rng.integers(0, 8))
+        bad = bytearray(pay)
+        bad[pos] ^= bit
+        try:
+            got = decode_avi_frames(bytes(bad), 1)
+        except CORRUPT_EXC:
+            continue
+        assert got == expect, (pos, bit)
