@@ -5171,7 +5171,17 @@ def frame_sample(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     decoded = decode_avi_frames(bytes(payload), every_n)
-                except (ValueError, struct.error, IndexError):
+                except (
+                    # decode_media_meta's full degrade set: a crafted
+                    # frame can reach any of these through the JPEG
+                    # decoder (zero sampling factors, missing tables)
+                    ValueError,
+                    struct.error,
+                    zlib.error,
+                    KeyError,
+                    IndexError,
+                    ZeroDivisionError,
+                ):
                     continue
                 for idx, w, h, ch, px in decoded:
                     rows.append(
