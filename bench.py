@@ -157,6 +157,77 @@ RECHECK_RATIO = 3.0
 RECHECK_FLOOR_S = 0.5  # ignore ratio trips inside scheduler noise
 RECHECK_MAX = 20  # bound added sweep time; worst offenders first
 
+# Recheck escalation (VERDICT r15 #3): the same-session recheck cannot
+# clear SESSION-LOCAL Python-worker heat — r15's q84 (3.89 s) and q118
+# (4.14 s) "failed" their rechecks at a clean q14_topk sentinel yet
+# read 0.68/1.64 s in the committed quiet sweep, because the JVM
+# sentinel is blind to Arrow/Python-worker-pool state. Two fixes:
+# (a) a second, tiny mapInPandas sentinel (time_py_sentinel) sampled
+#     alongside q14_topk brackets exactly that state;
+# (b) a recheck still > ESCALATE_RATIO x its reference while BOTH
+#     sentinels are clean escalates to ONE fresh-subprocess re-run
+#     (new JVM + new Python-worker pool), recorded in the same
+#     `rechecks` entry — the harness produces the isolated reading a
+#     judge previously had to take by hand.
+COMPACT_DOC_MAX = 1500  # bytes; r15's capture window kept only 2,273
+ESCALATE_RATIO = 2.5
+ESCALATE_MAX = 5  # each escalation pays a ~20-30 s JVM cold start
+ESCALATE_SENTINEL_CLEAN = 1.5  # "clean" = within 1.5x the session min
+ESCALATE_TIMEOUT_S = 300
+
+
+def time_py_sentinel(spark) -> float:
+    """Arrow/Python-worker sentinel: a fixed tiny mapInPandas identity
+    over 8 partitions. Pure JVM load leaves it flat; a hot Python
+    worker pool / Arrow channel (the q84/q118 failure mode) shows up
+    here and nowhere in q14_topk."""
+
+    def _ident(batches):
+        yield from batches
+
+    t0 = time.perf_counter()
+    spark.range(0, 8192, 1, 8).mapInPandas(_ident, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def fresh_subprocess_time(name: str, sf_dir: str, repo_dir: str):
+    """Best-of-2 (after one codegen warmup) for one spec in a FRESH
+    subprocess — new JVM, new Python-worker pool, no session-local
+    heat. Returns seconds, or None if the subprocess fails/times out
+    (recorded as-is; never fails the sweep)."""
+    import subprocess
+
+    code = (
+        "import sys, time\n"
+        f"sys.path.insert(0, {repo_dir!r})\n"
+        "from kassette_server_spark.queries import all_specs\n"
+        "from kassette_server_spark.session import get_spark\n"
+        "spark = get_spark(app_name='kassette-bench-escalate')\n"
+        f"spec = all_specs()[{name!r}]\n"
+        "def run():\n"
+        f"    spec.fn(spark, {sf_dir!r}).write.format('noop')"
+        ".mode('overwrite').save()\n"
+        "run()\n"
+        "times = []\n"
+        "for _ in range(2):\n"
+        "    t0 = time.perf_counter(); run()\n"
+        "    times.append(time.perf_counter() - t0)\n"
+        "print('ESCALATED_BEST %.4f' % min(times), file=sys.stderr)\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=ESCALATE_TIMEOUT_S,
+        )
+        m = re.search(r"ESCALATED_BEST ([0-9.]+)", proc.stderr + proc.stdout)
+        return float(m.group(1)) if m else None
+    except Exception:
+        return None
+
 
 def select_outliers(
     timings: dict[str, float],
@@ -198,15 +269,100 @@ def load_reference_timings(path: str) -> dict[str, float]:
             if isinstance(v, (int, float)) and v > 0
         }
         for k, rc in doc.get("rechecks", {}).items():
-            try:
-                v = float(rc["recheck"])
-            except (TypeError, KeyError, ValueError):
-                continue
-            if k in ref and v > 0:
+            # the most-isolated prior reading wins: fresh-subprocess
+            # escalation > same-session recheck > (never) the hot sweep
+            v = None
+            for key in ("fresh_subprocess", "recheck"):
+                try:
+                    v = float(rc[key])
+                    break
+                except (TypeError, KeyError, ValueError):
+                    continue
+            if v is not None and k in ref and v > 0:
                 ref[k] = v
         return ref
     except (OSError, ValueError):
         return {}
+
+
+def build_compact_doc(
+    *,
+    timings: dict[str, float],
+    total: float,
+    core_total: float,
+    n_core: int,
+    composed_total: float,
+    n_composed: int,
+    codec_total: float,
+    n_codec: int,
+    sentinel: str,
+    sentinel_samples: list[float],
+    py_sentinel_samples: list[float],
+    rechecks: dict[str, dict],
+    sf: float,
+) -> str:
+    """The single stdout JSON line, size-gated.
+
+    The driver archives only a finite TAIL of stdout; the 142-entry
+    per-query map overflowed it in r6 (parsed:null, VERDICT r6 #2) and
+    the r15 recheck feature re-introduced the same failure by embedding
+    the full 16-entry rechecks map (VERDICT r15 "What's wrong" #1 —
+    the capture kept only the final 2,273 bytes and beheaded the JSON).
+    So: slowest-10 queries only, rechecks as count + the 3 worst by
+    sweep/ref ratio, and a hard assert against COMPACT_DOC_MAX. The
+    full maps live in BENCH_FULL.json."""
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    rechecks_compact = {
+        "count": len(rechecks),
+        "top3": {
+            n: {
+                "sweep": rc["sweep"],
+                "recheck": rc["recheck"],
+                **(
+                    {"fresh": rc["fresh_subprocess"]}
+                    if "fresh_subprocess" in rc
+                    else {}
+                ),
+            }
+            for n, rc in sorted(
+                rechecks.items(),
+                key=lambda kv: -(kv[1]["sweep"] / kv[1]["ref"]),
+            )[:3]
+        },
+    }
+    doc = json.dumps(
+        {
+            "metric": "declared_query_set_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "n_queries": len(timings),
+            "sec_per_query": round(total / max(1, len(timings)), 4),
+            "core_sec_per_query": round(core_total / max(1, n_core), 4),
+            "composed_sec_per_query": round(
+                composed_total / max(1, n_composed), 4
+            ),
+            "codec_sec_per_query": round(codec_total / max(1, n_codec), 4),
+            "n_core": n_core,
+            "n_composed": n_composed,
+            "n_codec": n_codec,
+            "sentinel": sentinel,
+            "sentinel_first": sentinel_samples[0],
+            "sentinel_last": sentinel_samples[-1],
+            "sentinel_samples": sentinel_samples,
+            "py_sentinel_samples": py_sentinel_samples,
+            "bands_s_per_spec": BANDS_S_PER_SPEC,
+            "rechecks": rechecks_compact,
+            "sf": sf,
+            "full_map": "BENCH_FULL.json",
+        }
+    )
+    assert len(doc) < COMPACT_DOC_MAX, (
+        f"compact stdout doc is {len(doc)} bytes (cap {COMPACT_DOC_MAX}) — "
+        "it would overflow the driver's stdout tail capture and the round "
+        "would record parsed:null; trim it, never widen it"
+    )
+    return doc
 
 
 def main() -> None:
@@ -247,8 +403,14 @@ def main() -> None:
     # q202-q211 stretch at ~2x with quiet endpoints (VERDICT r9 "What's
     # wrong" #1); three-plus samples bracket every third of the sweep.
     SENTINEL = "q14_topk"
+    # warm the Python-worker pool once so the first py-sentinel sample
+    # measures steady state, not worker-process fork cost
+    time_py_sentinel(spark)
     sentinel_samples: list[float] = [
         round(min(time_spec(SENTINEL) for _ in range(2)), 4)
+    ]
+    py_sentinel_samples: list[float] = [
+        round(min(time_py_sentinel(spark) for _ in range(2)), 4)
     ]
 
     # best-of-2: first run pays whole-stage-codegen compilation for the
@@ -260,6 +422,9 @@ def main() -> None:
     high_variance = {
         "q57_simhash_near_dup",
         "q68_near_dup_clusters",
+        # iterative/multi-job: 3 power iterations x broadcast+checkpoint
+        # — swung 1.6-8 s across six r15 measurements (VERDICT r15 #2)
+        "q118_power_iteration_pca",
         # the PQ/IVF-PQ family runs sequential Lloyd/search JOBS whose
         # per-job scheduler overhead dominates at sf0.1 — quiet-box
         # best-of-3 reads q249 at 1.1 s vs 5-10 s inside a long bench
@@ -288,8 +453,14 @@ def main() -> None:
             sentinel_samples.append(
                 round(min(time_spec(SENTINEL) for _ in range(2)), 4)
             )
+            py_sentinel_samples.append(
+                round(min(time_py_sentinel(spark) for _ in range(2)), 4)
+            )
 
     sentinel_samples.append(round(min(time_spec(SENTINEL) for _ in range(2)), 4))
+    py_sentinel_samples.append(
+        round(min(time_py_sentinel(spark) for _ in range(2)), 4)
+    )
 
     # end-of-sweep outlier rechecks (VERDICT r14 #2): same session, so
     # a transient that hit only one stretch of the sweep has passed by
@@ -298,13 +469,42 @@ def main() -> None:
     rechecks: dict[str, dict[str, float]] = {}
     if outliers:
         sentinel_recheck = round(min(time_spec(SENTINEL) for _ in range(2)), 4)
+        py_sentinel_recheck = round(
+            min(time_py_sentinel(spark) for _ in range(2)), 4
+        )
+        # "clean" = within ESCALATE_SENTINEL_CLEAN x this session's own
+        # minimum, i.e. the box is at its observed-best on BOTH the JVM
+        # and the Python-worker axes right now
+        jvm_clean = sentinel_recheck <= ESCALATE_SENTINEL_CLEAN * min(
+            sentinel_samples
+        )
+        py_clean = py_sentinel_recheck <= ESCALATE_SENTINEL_CLEAN * min(
+            py_sentinel_samples
+        )
+        escalated = 0
         for name, t, ref in outliers:
-            rechecks[name] = {
+            rc: dict[str, float] = {
                 "sweep": t,
                 "ref": ref,
                 "recheck": round(min(time_spec(name) for _ in range(2)), 4),
                 "sentinel_at_recheck": sentinel_recheck,
+                "py_sentinel_at_recheck": py_sentinel_recheck,
             }
+            # VERDICT r15 #3: still >2.5x reference with both sentinels
+            # clean — same-session state the sentinels can't see, or a
+            # real regression; one fresh subprocess decides which.
+            if (
+                rc["recheck"] > ESCALATE_RATIO * ref
+                and jvm_clean
+                and py_clean
+                and escalated < ESCALATE_MAX
+            ):
+                fresh = fresh_subprocess_time(name, sf_dir, repo_dir)
+                rc["fresh_subprocess"] = (
+                    round(fresh, 4) if fresh is not None else None
+                )
+                escalated += 1
+            rechecks[name] = rc
 
     sentinel_first, sentinel_last = sentinel_samples[0], sentinel_samples[-1]
     total = round(sum(timings.values()), 4)
@@ -315,37 +515,20 @@ def main() -> None:
     n_codec = sum(1 for n in timings if n in CODEC)
     core_total = round(total - composed_total - codec_total, 4)
     n_core = len(timings) - n_composed - n_codec
-    # The driver archives only a finite TAIL of stdout; the 142-entry
-    # per-query map overflowed it and r6 still recorded parsed:null
-    # (VERDICT r6 "What's wrong" #2). The sole stdout line is therefore
-    # a COMPACT summary (slowest-10 only) that fits the capture window;
-    # the full per-query map goes to the BENCH_FULL.json repo artifact.
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    doc = json.dumps(
-        {
-            "metric": "declared_query_set_total_wall_clock",
-            "value": total,
-            "unit": "sec",
-            "queries": slowest,
-            "n_queries": len(timings),
-            "sec_per_query": round(total / len(timings), 4),
-            "core_sec_per_query": round(core_total / max(1, n_core), 4),
-            "composed_sec_per_query": round(
-                composed_total / max(1, n_composed), 4
-            ),
-            "codec_sec_per_query": round(codec_total / max(1, n_codec), 4),
-            "n_core": n_core,
-            "n_composed": n_composed,
-            "n_codec": n_codec,
-            "sentinel": SENTINEL,
-            "sentinel_first": sentinel_first,
-            "sentinel_last": sentinel_last,
-            "sentinel_samples": sentinel_samples,
-            "bands_s_per_spec": BANDS_S_PER_SPEC,
-            "rechecks": rechecks,
-            "sf": sf,
-            "full_map": "BENCH_FULL.json",
-        }
+    doc = build_compact_doc(
+        timings=timings,
+        total=total,
+        core_total=core_total,
+        n_core=n_core,
+        composed_total=composed_total,
+        n_composed=n_composed,
+        codec_total=codec_total,
+        n_codec=n_codec,
+        sentinel=SENTINEL,
+        sentinel_samples=sentinel_samples,
+        py_sentinel_samples=py_sentinel_samples,
+        rechecks=rechecks,
+        sf=sf,
     )
     full = json.dumps(
         {
@@ -358,6 +541,7 @@ def main() -> None:
             "sentinel_first": sentinel_first,
             "sentinel_last": sentinel_last,
             "sentinel_samples": sentinel_samples,
+            "py_sentinel_samples": py_sentinel_samples,
             "core_sec_per_query": round(core_total / max(1, n_core), 4),
             "composed_sec_per_query": round(
                 composed_total / max(1, n_composed), 4
@@ -370,6 +554,10 @@ def main() -> None:
             "recheck_rule": f"sweep > {RECHECK_RATIO}x committed "
             f"BENCH_FULL reference and > {RECHECK_FLOOR_S}s -> "
             "best-of-2 re-run at end of sweep, same session",
+            "escalate_rule": f"recheck still > {ESCALATE_RATIO}x reference "
+            f"with BOTH sentinels <= {ESCALATE_SENTINEL_CLEAN}x their "
+            "session min -> one fresh-subprocess best-of-2 "
+            f"(cap {ESCALATE_MAX}), recorded as fresh_subprocess",
             "spread_sec": spreads,
             "variance_note": "median-of-3 specs are iterative "
             "(fixpoint CC / banded verify) and swing with per-job "

@@ -39,13 +39,15 @@ from . import round15 as _round15  # noqa: F401,E402  (q259-q260 — MJPEG-in-AV
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import
-# order (VERDICT r2 "Next round #1/#2"). Round-15 window (executing the
-# plan written at the end of round 14 verbatim, confirmed by VERDICT r14
-# "Next round #1"): pinned core (6) + the r14 truncation roll (2: the
-# two stalest specs, last green r7) + the COMPLETE r8-green tier in
-# q-number order (29) + the head of the r10-green tier in q-number
-# order (13: TPC-H completion q202-q211 + q212-q214).
-# Arithmetic: 6 + 2 + 29 + 13 = 50 exactly.
+# order (VERDICT r2 "Next round #1/#2"). Round-16 window: the plan
+# written at the end of round 15 with VERDICT r15 "Next round #2"
+# applied — the last two r11-head slots (q104/q105, both green r11 and
+# locked by tests/test_oracle_parity*.py) are swapped for the r15-born
+# video tier q259/q260, so new operators get driver rows the round
+# after birth (the q254-q258 precedent); q104/q105 roll to r17.
+# r16 = pinned core (6) + the COMPLETE r10-green tier in q-number
+# order (31) + the r11-green head q93-q103 (11) + the video tier (2).
+# Arithmetic: 6 + 31 + 11 + 2 = 50 exactly.
 _WINDOW: tuple[str, ...] = (
     # slots 1-6: pinned core (driver-green every round it has run)
     "q01_scan_filter",
@@ -54,83 +56,88 @@ _WINDOW: tuple[str, ...] = (
     "q11_window_rank",
     "q24_sessionize",
     "q28_pipeline_e2e",
-    # slots 7-8: r14 truncation roll (last green r7, stalest in registry)
-    "q81_pii_scrub",
-    "q82_chunk_documents",
-    # slots 9-37: the complete r8-green tier in q-number order
-    "q30_dedup_exact_text",
-    "q31_dedup_ngram_jaccard",
-    "q32_dedup_minhash_lsh",
-    "q33_simhash",
-    "q34_ann_cosine_topk",
-    "q35_embedding_near_dup",
-    "q36_text_quality_stats",
-    "q37_language_id",
-    "q38_token_counts",
-    "q39_doc_fingerprint",
-    "q40_approx_aggregates",
-    "q41_multimodal_meta",
-    "q47_asof_join",
-    "q51_token_frequencies",
-    "q52_ivf_topk",
-    "q53_tpch_q1_pricing_summary",
-    "q54_tpch_q3_shipping_priority",
-    "q55_tpch_q5_local_volume",
-    "q56_time_rollup",
-    "q57_simhash_near_dup",
-    "q58_normalize_text",
-    "q59_unpivot",
-    "q60_mode_per_group",
-    "q61_stats_moments",
-    "q62_grouping_sets",
-    "q75_funnel",
-    "q76_retention_cohorts",
-    "q77_quantized_ann",
-    "q83_semantic_dedup",
-    # slots 38-50: head of the r10-green tier in q-number order
-    "q202_tpch_q2_min_cost_supplier",
-    "q203_tpch_q4_priority_check",
-    "q204_tpch_q6_forecast_revenue",
-    "q205_tpch_q7_volume_shipping",
-    "q206_tpch_q8_market_share",
-    "q207_tpch_q10_returned_items",
-    "q208_tpch_q11_important_stock",
-    "q209_tpch_q12_shipmode_priority",
-    "q210_tpch_q14_promo_share",
-    "q211_tpch_q16_supplier_counts",
-    "q212_shingle_saturation",
-    "q213_bpe_token_counts",
-    "q214_bpe_sequence_packing",
+    # slots 7-37: the complete r10-green tier in q-number order
+    "q63_hash_sample",
+    "q64_string_agg",
+    "q65_window_extras",
+    "q66_embedding_centroid",
+    "q67_stratified_sample",
+    "q68_near_dup_clusters",
+    "q69_hopping_window",
+    "q84_multimodal_decode",
+    "q85_countmin_heavy_hitters",
+    "q86_bloom_membership",
+    "q87_full_outer_join",
+    "q88_approx_quantiles",
+    "q89_quantiles_per_group",
+    "q90_hll_per_group",
+    "q91_fuzzy_match",
+    "q92_substring_dedup",
+    "q215_substring_dedup_removal",
+    "q216_bpe_vocab",
+    "q217_curation_pipeline_e2e",
+    "q218_multimodal_transform",
+    "q219_image_channel_stats",
+    "q220_jl_projection",
+    "q221_audio_frame_features",
+    "q222_lsh_band_plan",
+    "q223_ann_recall",
+    "q224_temperature_mix",
+    "q225_lm_quality_filter",
+    "q226_embedding_drift",
+    "q227_tokenizer_fertility",
+    "q228_cluster_representatives",
+    "q229_sketch_recall",
+    # slots 38-48: head of the r11-green tier in q-number order
+    "q93_hll_set_algebra",
+    "q94_scd2_history",
+    "q95_event_transitions",
+    "q96_kmeans",
+    "q97_salted_join",
+    "q98_attribution",
+    "q99_bm25_retrieval",
+    "q100_priority_sample",
+    "q101_grouped_regression",
+    "q102_pagerank",
+    "q103_zorder_stats",
+    # slots 49-50: the r15-born MJPEG-in-AVI video tier (first driver
+    # rows — judge-verified at sf0.01 in r15, no driver row yet)
+    "q259_mjpeg_avi_frames",
+    "q260_mjpeg_avi_resample",
 )
 
-# R16 ROTATION PLAN (VERDICT r14 "Next round #8", written during
-# round 15 alongside the r15 window above; ledger recomputed from
-# CORRECTNESS_r01-r14 with the r15 window simulated green. After r15
-# the stalest driver evidence is the complete r10-green tier — 31
-# specs, last green r10 — then the r11-green tier):
-# r16 = pinned core (6: q01, q03, q08, q11, q24, q28)
-# + the COMPLETE r10-green tier in q-number order (31:
-#   q63_hash_sample, q64_string_agg, q65_window_extras,
-#   q66_embedding_centroid, q67_stratified_sample,
-#   q68_near_dup_clusters, q69_hopping_window, q84_multimodal_decode,
-#   q85_countmin_heavy_hitters, q86_bloom_membership,
-#   q87_full_outer_join, q88_approx_quantiles,
-#   q89_quantiles_per_group, q90_hll_per_group, q91_fuzzy_match,
-#   q92_substring_dedup, q215_substring_dedup_removal, q216_bpe_vocab,
-#   q217_curation_pipeline_e2e, q218_multimodal_transform,
-#   q219_image_channel_stats, q220_jl_projection,
-#   q221_audio_frame_features, q222_lsh_band_plan, q223_ann_recall,
-#   q224_temperature_mix, q225_lm_quality_filter, q226_embedding_drift,
-#   q227_tokenizer_fertility, q228_cluster_representatives,
-#   q229_sketch_recall)
-# + the head of the r11-green tier in q-number order (13:
-#   q93_hll_set_algebra, q94_scd2_history, q95_event_transitions,
-#   q96_kmeans, q97_salted_join, q98_attribution, q99_bm25_retrieval,
-#   q100_priority_sample, q101_grouped_regression, q102_pagerank,
-#   q103_zorder_stats, q104_value_outliers, q105_rolling_time_window
-#   — the r11 remainder q106+ rolls to r17, together with
-#   q259_mjpeg_avi_frames / q260_mjpeg_avi_resample if new this round)
-# Arithmetic: 6 + 31 + 13 = 50 exactly.
+# R17 ROTATION PLAN (VERDICT r15 "Next round #8", written during
+# round 16 alongside the r16 window above; ledger recomputed from
+# CORRECTNESS_r01-r15 with the r16 window simulated green. After r16
+# the stalest driver evidence is the r11-green remainder — 33 specs,
+# last green r11: the rolled q104/q105, q106-q134, and q230/q231 —
+# then the r12-green tier):
+# r17 = pinned core (6: q01, q03, q08, q11, q24, q28)
+# + the COMPLETE r11-green remainder in q-number order (33:
+#   q104_value_outliers, q105_rolling_time_window,
+#   q106_copurchase_pairs, q107_table_profile,
+#   q108_entropy_by_source, q109_multimodal_decode_ext,
+#   q110_asof_forward_tolerance, q111_stratified_weighted_sample,
+#   q112_kl_divergence_by_source, q113_winsorized_stats,
+#   q114_chi_square_contingency, q115_hierarchy_closure,
+#   q116_peak_concurrency, q117_bigram_logprob,
+#   q118_power_iteration_pca, q119_sorted_neighborhood,
+#   q120_collocations_pmi, q121_association_rules,
+#   q122_snapshot_diff, q123_timed_funnel, q124_rfm_segmentation,
+#   q125_revenue_gini, q126_tpch_q7_volume_shipping,
+#   q127_tpch_q10_returned_items, q128_ewma_daily_counts,
+#   q129_cohort_ltv, q130_revenue_contribution, q131_event_trigrams,
+#   q132_transition_latency, q133_holt_trend, q134_rolling_volatility,
+#   q230_png_resize, q231_temperature_mix_tau75)
+# + the head of the r12-green tier in q-number order (10:
+#   q135_mom_growth, q136_dow_seasonality, q137_cross_correlation,
+#   q138_integrity_audit, q139_conversion_time_stats,
+#   q140_point_in_time_join, q141_dataset_split,
+#   q142_pareto_frontier, q143_weighted_median, q144_ks_drift
+#   — the r12 remainder q145+ rolls to r18)
+# + the r16-born AVI audio tier (1: q261_avi_audio_extract — first
+#   driver row the round after birth, the q254-q260 precedent)
+# Arithmetic: 6 + 33 + 10 + 1 = 50 exactly.
 # Every spec stays locked by tests/test_oracle_parity*.py at
 # sf0.001+sf0.01 in every CI run regardless of rotation position;
 # prioritize specs whose OPERATORS changed since their last row.

@@ -136,3 +136,83 @@ def test_bench_reference_prefers_recheck_readings(tmp_path):
     )
     got = bench.load_reference_timings(str(p))
     assert got == {"a": 0.68, "b": 1.0}
+
+
+def test_bench_reference_prefers_fresh_subprocess_over_recheck(tmp_path):
+    """VERDICT r15 #3: when a recheck escalated to a fresh-subprocess
+    re-run, THAT is the most isolated prior reading and becomes the
+    reference; a failed escalation (null) falls back to the recheck."""
+    import bench
+
+    p = tmp_path / "full.json"
+    p.write_text(
+        '{"queries": {"a": 15.5, "b": 4.1, "c": 1.0},'
+        ' "rechecks": {'
+        '   "a": {"sweep": 15.5, "ref": 2.3, "recheck": 3.9,'
+        '         "fresh_subprocess": 1.04},'
+        '   "b": {"sweep": 4.1, "ref": 1.0, "recheck": 2.8,'
+        '         "fresh_subprocess": null}}}'
+    )
+    got = bench.load_reference_timings(str(p))
+    assert got == {"a": 1.04, "b": 2.8, "c": 1.0}
+
+
+def test_bench_compact_doc_fits_capture_window_worst_case():
+    """VERDICT r15 "What's wrong" #1: the r15 compact stdout doc
+    embedded the full 16-entry rechecks map, overflowed the driver's
+    ~2.3 KB stdout tail capture, and the round recorded parsed:null —
+    the exact r6 failure the code comments warned about. Lock the doc
+    under COMPACT_DOC_MAX at WORST-CASE inputs: a full-registry-sized
+    timing map with the longest real spec names, the recheck list at
+    its RECHECK_MAX cap, every top-3 entry carrying a fresh_subprocess
+    reading, and five sentinel samples on both axes."""
+    import json
+
+    import bench
+
+    long_names = sorted(SPECS, key=len, reverse=True)
+    timings = {n: 123.4567 for n in long_names}
+    rechecks = {
+        n: {
+            "sweep": 123.4567,
+            "ref": 1.2345,
+            "recheck": 12.3456,
+            "sentinel_at_recheck": 0.3148,
+            "py_sentinel_at_recheck": 0.1234,
+            "fresh_subprocess": 1.0412,
+        }
+        for n in long_names[: bench.RECHECK_MAX]
+    }
+    doc = bench.build_compact_doc(
+        timings=timings,
+        total=12345.6789,
+        core_total=1234.5678,
+        n_core=214,
+        composed_total=123.4567,
+        n_composed=17,
+        codec_total=123.4567,
+        n_codec=28,
+        sentinel="q14_topk",
+        sentinel_samples=[0.4297, 0.3148, 0.2099, 0.1304, 0.1244],
+        py_sentinel_samples=[0.1234, 0.1234, 0.1234, 0.1234, 0.1234],
+        rechecks=rechecks,
+        sf=0.1,
+    )
+    assert len(doc) < bench.COMPACT_DOC_MAX
+    parsed = json.loads(doc)
+    assert parsed["rechecks"]["count"] == bench.RECHECK_MAX
+    assert len(parsed["rechecks"]["top3"]) == 3
+    assert len(parsed["queries"]) == 10
+    # every top3 entry carries the escalated reading when present
+    for rc in parsed["rechecks"]["top3"].values():
+        assert rc["fresh"] == 1.0412
+
+
+def test_bench_window_has_video_tier_first_rows():
+    """VERDICT r15 #2: q259/q260 must be inside the 50-spec driver
+    window this round (first driver rows the round after birth)."""
+    from kassette_server_spark.queries import _WINDOW
+
+    assert "q259_mjpeg_avi_frames" in _WINDOW
+    assert "q260_mjpeg_avi_resample" in _WINDOW
+    assert len(_WINDOW) == 50
