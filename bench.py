@@ -100,11 +100,16 @@ CODEC = frozenset(
         "q258_jpeg_ac_refine",
         "q259_mjpeg_avi_frames",
         "q260_mjpeg_avi_resample",
+        "q261_avi_audio_extract",
     }
 )
 assert not (COMPOSED & CODEC), "a spec may belong to exactly one band"
 
-# Measured band thresholds. r15 basis re-derivation (CODEC membership
+# Measured band thresholds. r16 basis note (CODEC membership changed
+# 28 → 29 with q261, re-derived on this round's quiet sweep — see the
+# "Measured (round 16)" BASELINE.md section when it lands; q261 is an
+# in-class G.711+container spec, isolated ≈0.6-0.8 s at sf0.1).
+# Prior r15 basis re-derivation (CODEC membership
 # changed 26 → 28 with q259/q260, so the band comment restates the
 # basis per the standing rule): quiet r15 full run 288.6 s / 259
 # (sentinel samples 0.321/0.209/0.130/0.124 — hot first third, the

@@ -510,6 +510,17 @@ def main() -> None:
 
             return mjpeg_avi_frame_stats(d.select("doc_id"), every_n=2)
 
+        def avi_audio():
+            # AVI audio-track extraction (r16): two-strl container
+            # write+walk, dual-stream idx1 verification, interleaved
+            # chunk reassembly, G.711 decode + one JPEG frame decode;
+            # map-only like the rest of the codec tier
+            from kassette_server_spark.operators.multimodal import (
+                avi_audio_stats,
+            )
+
+            return avi_audio_stats(d.select("doc_id"))
+
         rows_d, rows_l, rows_o, rows_c, rows_v = (
             5_000 * scale,
             600_000 * scale,
@@ -552,6 +563,7 @@ def main() -> None:
             "jpeg_ac_refine": (jpeg_ac_refine, rows_d),
             "compressed_audio": (compressed_audio, rows_d),
             "mjpeg_avi": (mjpeg_avi, rows_d),
+            "avi_audio": (avi_audio, rows_d),
         }
 
     def run_thunk(f) -> float:

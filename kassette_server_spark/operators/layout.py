@@ -22,10 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Round-robin repartition as it prints in the analyzed logical plan:
-# ``Repartition <n>, true`` (shuffle=true). RepartitionByExpression
+# ``Repartition <n>, true`` (shuffle=true), width CAPTURED — the guard
+# compares it to the target (ADVICE r15: a caller's df.repartition(2)
+# upstream of a codec map must not suppress the spread and leave the
+# CPU-heavy stage at 2 tasks; only a repartition at least as wide as
+# the target is a width guarantee). RepartitionByExpression
 # (hash/range) prints differently and does NOT suppress the spread —
 # a hash layout for a join is not a width guarantee for a map stage.
-_RR_REPARTITION = re.compile(r"\bRepartition \d+, true\b")
+_RR_REPARTITION = re.compile(r"\bRepartition (\d+), true\b")
 
 
 def write_bucketed(
@@ -156,18 +160,25 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     """
     if df.isStreaming:
         return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     # Chained spread-wrapped maps (decode(encode(df)) compositions) must
     # not double-shuffle: the file probe below reads LEAF inputFiles(),
     # so an outer call would re-repartition a plan an inner call already
     # widened — a second round-robin Exchange moving the full payload
-    # bytes (ADVICE r14). A round-robin Repartition anywhere in the
-    # analyzed plan means the fan-out already happened; no-op.
+    # bytes (ADVICE r14). A round-robin Repartition AT LEAST AS WIDE AS
+    # THE TARGET anywhere in the analyzed plan means the fan-out already
+    # happened; a NARROWER one (e.g. a caller's df.repartition(2) for
+    # unrelated reasons) is exactly the single-partition trap this
+    # guard exists to prevent and must NOT suppress the spread
+    # (ADVICE r15).
     try:
-        if _RR_REPARTITION.search(df._jdf.queryExecution().analyzed().toString()):
+        widths = _RR_REPARTITION.findall(
+            df._jdf.queryExecution().analyzed().toString()
+        )
+        if widths and max(int(w) for w in widths) >= target:
             return df
     except Exception:
         pass  # plan introspection is best-effort; fall through to probe
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         n_splits = len(df.inputFiles()) or None
     except Exception:

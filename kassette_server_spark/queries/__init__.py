@@ -36,6 +36,7 @@ from . import round11 as _round11  # noqa: F401,E402  (q232+ — RGB PNG resize)
 from . import round12 as _round12  # noqa: F401,E402  (q239+ — product quantization)
 from . import round13 as _round13  # noqa: F401,E402  (q254+ — compressed-audio features)
 from . import round15 as _round15  # noqa: F401,E402  (q259-q260 — MJPEG-in-AVI video tier)
+from . import round16 as _round16  # noqa: F401,E402  (q261 — AVI audio extraction)
 
 # The driver's correctness gate hash-checks only the FIRST 50 registered
 # specs each round, so exposure order is a rotation schedule, not import

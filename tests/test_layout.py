@@ -124,3 +124,22 @@ def test_ensure_scan_parallelism_handles_in_memory_relations(spark):
     local = spark.createDataFrame([(i,) for i in range(10)], "x long")
     out = ensure_scan_parallelism(local, min_partitions=4)
     assert out.rdd.getNumPartitions() >= 4
+
+
+def test_ensure_scan_parallelism_narrow_repartition_does_not_suppress(spark):
+    """ADVICE r15: a caller's NARROW df.repartition(2) upstream must
+    not suppress the spread — that is the single-partition trap the
+    guard exists to prevent. Only a round-robin repartition at least
+    as wide as the target no-ops the helper (the chained-spread case,
+    ADVICE r14, stays a no-op)."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    narrow = docs.repartition(2)
+    widened = ensure_scan_parallelism(narrow, min_partitions=8)
+    assert widened is not narrow
+    assert widened.rdd.getNumPartitions() >= 8
+    # wide-enough inner repartition: outer call stays a no-op
+    wide = docs.repartition(8)
+    assert ensure_scan_parallelism(wide, min_partitions=8) is wide
+    # exactly at target counts as wide enough; above target too
+    wider = docs.repartition(16)
+    assert ensure_scan_parallelism(wider, min_partitions=8) is wider

@@ -1479,3 +1479,10 @@ def test_q260_mjpeg_avi_resample_spread_scan_stage_map(spark):
     one Arrow-batched mapInPandas behind the input-width guard."""
     p = plan(spark, "q260_mjpeg_avi_resample")
     assert_spread_map(p)
+
+
+def test_q261_avi_audio_spread_scan_stage_map(spark):
+    """The AVI audio-extraction tier keeps the codec-tier plan shape:
+    one Arrow-batched mapInPandas behind the input-width guard."""
+    p = plan(spark, "q261_avi_audio_extract")
+    assert_spread_map(p)
