@@ -4498,18 +4498,61 @@ def encode_wav_compressed(
         )
     if codec != "ima":
         raise ValueError("codec must be 'alaw', 'mulaw' or 'ima'")
+    return _wav_container(
+        _WAV_FMT_IMA, sample_rate, block_align, 4, n,
+        _ima_block_stream(s, block_align),
+    )
+
+
+def _ima_block_stream(s: "np.ndarray", block_align: int) -> bytes:
+    """int16 samples → IMA ADPCM block stream (shared by the WAV data
+    chunk and the AVI 'NNwb' chunks): per block a 4-byte header (first
+    sample verbatim, current step index, reserved 0) then nibbles; the
+    step index carries across blocks, the predictor re-seeds from each
+    header — every block independently decodable."""
     if block_align < 8:
         raise ValueError("ima block_align must be >= 8")
     spb = 1 + (block_align - 4) * 2
     out = bytearray()
     index = 0
-    for b0 in range(0, n, spb):
+    for b0 in range(0, int(s.size), spb):
         first = int(s[b0])
         chunk = s[b0 + 1 : b0 + spb]
         out += struct.pack("<hBB", first, index, 0)
         packed, _, index = ima_adpcm_encode(chunk, pred=first, index=index)
         out += packed.ljust(block_align - 4, b"\x00")
-    return _wav_container(_WAV_FMT_IMA, sample_rate, block_align, 4, n, bytes(out))
+    return bytes(out)
+
+
+def _ima_decode_block_stream(
+    data: bytes, n: int, block_align: int
+) -> "np.ndarray":
+    """IMA ADPCM block stream → ``n`` int16 samples (shared by the WAV
+    and AVI decode paths). Raises on corrupt headers or a stream
+    shorter than the promised sample count."""
+    if block_align < 8:
+        raise ValueError("ima block_align must be >= 8")
+    spb = 1 + (block_align - 4) * 2
+    out = np.empty(n, dtype=np.int16)
+    wrote = 0
+    for boff in range(0, len(data), block_align):
+        if wrote >= n:
+            break
+        first, index, _ = struct.unpack_from("<hBB", data, boff)
+        if not 0 <= index <= 88:
+            raise ValueError("corrupt IMA block header: bad step index")
+        out[wrote] = first
+        wrote += 1
+        take = min(spb - 1, n - wrote)
+        if take > 0:
+            nib = data[boff + 4 : boff + 4 + (take + 1) // 2]
+            out[wrote : wrote + take] = ima_adpcm_decode(
+                nib, take, pred=first, index=index
+            )
+            wrote += take
+    if wrote != n:
+        raise ValueError("truncated IMA ADPCM data")
+    return out
 
 
 def parse_wav_meta_ext(payload: bytes) -> dict:
@@ -4602,27 +4645,7 @@ def decode_wav_compressed(payload: bytes) -> "np.ndarray":
             block_align = struct.unpack_from("<HHIIHH", payload, pos + 8)[4]
             break
         pos += 8 + length + (length & 1)
-    spb = 1 + (block_align - 4) * 2
-    out = np.empty(n, dtype=np.int16)
-    wrote = 0
-    for boff in range(0, len(data), block_align):
-        if wrote >= n:
-            break
-        first, index, _ = struct.unpack_from("<hBB", data, boff)
-        if not 0 <= index <= 88:
-            raise ValueError("corrupt IMA block header: bad step index")
-        out[wrote] = first
-        wrote += 1
-        take = min(spb - 1, n - wrote)
-        if take > 0:
-            nib = data[boff + 4 : boff + 4 + (take + 1) // 2]
-            out[wrote : wrote + take] = ima_adpcm_decode(
-                nib, take, pred=first, index=index
-            )
-            wrote += take
-    if wrote != n:
-        raise ValueError("truncated IMA ADPCM data")
-    return out
+    return _ima_decode_block_stream(data, n, block_align)
 
 
 def wav_codec_container_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -4915,7 +4938,12 @@ def _walk_riff(data: bytes, pos: int, end: int):
 
 # WAVEFORMATEX tags the AVI audio path reads/writes — same registry
 # values the WAV container tier uses (_WAV_FMT_* above; 1 = PCM16)
-_AVI_AUDIO_CODECS = {"pcm16": 1, "alaw": _WAV_FMT_ALAW, "mulaw": _WAV_FMT_MULAW}
+_AVI_AUDIO_CODECS = {
+    "pcm16": 1,
+    "alaw": _WAV_FMT_ALAW,
+    "mulaw": _WAV_FMT_MULAW,
+    "ima": _WAV_FMT_IMA,
+}
 
 
 def encode_avi_mjpeg(
@@ -4927,6 +4955,7 @@ def encode_avi_mjpeg(
     audio: "np.ndarray | None" = None,
     audio_codec: str = "mulaw",
     sample_rate: int = 8000,
+    ima_block_align: int = 12,
 ) -> bytes:
     """Minimal REAL MJPEG-in-AVI writer (stdlib only): RIFF('AVI ')
     with a spec-layout header path (LIST hdrl → avih + LIST strl →
@@ -4944,8 +4973,11 @@ def encode_avi_mjpeg(
     stream — a second strl (strh 'auds' + strf WAVEFORMATEX), the
     encoded bytes split across '01wb' chunks one per video frame (the
     standard capture-muxer layout), idx1 records for both streams.
-    ``audio_codec`` ∈ {"mulaw", "alaw", "pcm16"} reuses the G.711
-    companders / PCM the WAV tier already has."""
+    ``audio_codec`` ∈ {"mulaw", "alaw", "pcm16", "ima"} reuses the
+    G.711 companders / PCM / IMA ADPCM block codec the WAV tier
+    already has; chunk splits always fall on coding-unit boundaries
+    (samples for PCM/G.711, whole blocks for IMA — each block is
+    independently decodable, so chunks are too)."""
     if not frames:
         raise ValueError("need at least one frame")
     if not (0 < fps <= 1_000_000):
@@ -4969,12 +5001,16 @@ def encode_avi_mjpeg(
             data, block_align, bits = s.astype("<i2").tobytes(), 2, 16
         elif audio_codec == "alaw":
             data, block_align, bits = alaw_encode(s).tobytes(), 1, 8
-        else:
+        elif audio_codec == "mulaw":
             data, block_align, bits = mulaw_encode(s).tobytes(), 1, 8
-        # interleave: split on sample boundaries, one chunk per frame
-        # (trailing frames may get an empty chunk — still written, the
-        # spec allows zero-length stream chunks)
-        per = -(-n_samples // len(jpegs)) * block_align
+        else:  # ima: block codec, chunks must split on block bounds
+            data = _ima_block_stream(s, ima_block_align)
+            block_align, bits = ima_block_align, 4
+        # interleave: split on coding-unit (block_align) boundaries,
+        # one chunk per frame (trailing frames may get an empty chunk
+        # — still written, the spec allows zero-length stream chunks)
+        n_units = len(data) // block_align
+        per = -(-n_units // len(jpegs)) * block_align
         audio_chunks = [
             data[k : k + per] for k in range(0, per * len(jpegs), per)
         ]
@@ -5292,6 +5328,13 @@ def extract_avi_audio(payload: bytes) -> tuple[dict, "np.ndarray"]:
         codes = np.frombuffer(data[:n], dtype=np.uint8)
         return meta, (
             alaw_decode(codes) if fmt == _WAV_FMT_ALAW else mulaw_decode(codes)
+        )
+    if fmt == _WAV_FMT_IMA:
+        # chunk splits fall on block boundaries (the writer's
+        # invariant), so the concatenation is a plain block stream —
+        # identical decode to the WAV data chunk
+        return meta, _ima_decode_block_stream(
+            data, n, meta["audio_block_align"]
         )
     raise ValueError(f"unsupported AVI audio format tag {fmt}")
 

@@ -636,3 +636,55 @@ def test_bitflipped_avi_structure_raises_or_decodes_identically(seed):
         except CORRUPT_EXC:
             continue
         assert got == expect, (pos, bit)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_bitflipped_dual_stream_avi_raises_or_extracts_identically(seed):
+    """The r16 dual-stream container under the same contract: a flip
+    in STRUCTURE (anything outside the video frame spans and audio
+    chunk spans — fourccs, sizes, both strls, dual-stream idx1) must
+    raise a corrupt-input class or leave BOTH streams' decode
+    bit-identical; flips INSIDE audio chunk data are entropy-class
+    (G.711 bytes are raw codes) and out of scope, like JPEG payload
+    flips."""
+    from kassette_server_spark.operators.multimodal import (
+        _avi_parse,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        extract_avi_audio,
+    )
+
+    rng = np.random.default_rng(120_000 + seed)
+    w = int(rng.integers(2, 17))
+    h = int(rng.integers(2, 17))
+    frames = [
+        rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        for _ in range(int(rng.integers(1, 4)))
+    ]
+    samples = rng.integers(-32768, 32768, size=int(rng.integers(8, 96))).astype(
+        np.int16
+    )
+    codec = ("mulaw", "alaw", "pcm16", "ima")[seed % 4]
+    pay = encode_avi_mjpeg(w, h, frames, audio=samples, audio_codec=codec)
+    expect_frames = decode_avi_frames(pay, 1)
+    _, expect_audio = extract_avi_audio(pay)
+    _, fspans, aspans = _avi_parse(pay)
+    payload_spans = list(fspans) + list(aspans)
+    structural = [
+        i
+        for i in range(len(pay))
+        if not any(s <= i < e for s, e in payload_spans)
+    ]
+    for _ in range(12):
+        pos = structural[int(rng.integers(0, len(structural)))]
+        bit = 1 << int(rng.integers(0, 8))
+        bad = bytes(
+            pay[:pos] + bytes([pay[pos] ^ bit]) + pay[pos + 1 :]
+        )
+        try:
+            got_frames = decode_avi_frames(bad, 1)
+            _, got_audio = extract_avi_audio(bad)
+        except CORRUPT_EXC:
+            continue
+        assert got_frames == expect_frames, (pos, bit)
+        assert np.array_equal(got_audio, expect_audio), (pos, bit)

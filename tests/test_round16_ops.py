@@ -51,11 +51,24 @@ def _clip(i: int, n_samples: int = 64, codec: str = "mulaw") -> tuple:
 def test_avi_audio_round_trip_all_codecs():
     """Each audio codec path through the container equals the
     standalone coder: mu-law/A-law midpoint reconstruction, PCM16
-    verbatim. Meta carries the WAVEFORMATEX fields."""
+    verbatim, IMA ADPCM through the block predictor walk (the AVI
+    chunk concatenation must equal the WAV data-chunk decode — chunk
+    splits fall on block boundaries by the writer's invariant)."""
+    from kassette_server_spark.operators.multimodal import (
+        decode_wav_compressed,
+        encode_wav_compressed,
+    )
+
+    def ima_expect(s):
+        return decode_wav_compressed(
+            encode_wav_compressed(s, codec="ima", block_align=12)
+        )
+
     for codec, fmt, expect_fn in (
         ("mulaw", 7, lambda s: mulaw_decode(mulaw_encode(s))),
         ("alaw", 6, lambda s: alaw_decode(alaw_encode(s))),
         ("pcm16", 1, lambda s: s),
+        ("ima", 0x11, ima_expect),
     ):
         pay, s, _ = _clip(5, codec=codec)
         meta, dec = extract_avi_audio(pay)
@@ -63,6 +76,17 @@ def test_avi_audio_round_trip_all_codecs():
         assert meta["audio_rate"] == 8000
         assert meta["n_audio_samples"] == 64
         assert np.array_equal(dec, expect_fn(s)), codec
+
+
+def test_avi_audio_ima_chunks_are_block_aligned():
+    """IMA chunks split on whole 12-byte blocks so every chunk decodes
+    independently; the parser's idx1 verification covers them too."""
+    pay, s, frames = _clip(8, codec="ima")
+    meta, _, aspans = _avi_parse(pay)
+    assert meta["audio_fmt"] == 0x11
+    assert meta["audio_block_align"] == 12
+    for a, b in aspans:
+        assert (b - a) % 12 == 0
 
 
 def test_avi_audio_interleave_one_chunk_per_frame():
