@@ -65,7 +65,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _partition_topk_then_rank, quantize_int8
+from .similarity import _partition_topk_then_rank, _rank_topk, quantize_int8
 
 Codebook = dict[int, list[tuple[int, tuple[int, ...]]]]
 """Per sub-space m: [(cid, centroid components)] — integers, cid-sorted."""
@@ -90,6 +90,36 @@ def _np_vecs(col: "pd.Series") -> "np.ndarray":
     return np.array([np.asarray(v, dtype=np.int64) for v in col], dtype=np.int64)
 
 
+def _np_fvecs(col) -> "np.ndarray":
+    """Arrow list column (or a plain list of lists) → (n, dim) float64."""
+    return np.array([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
+
+
+def _quantize_np(V: "np.ndarray") -> "np.ndarray":
+    """Vectorized int8 quantization, bit-identical to
+    ``similarity.quantize_int8``'s Catalyst spelling
+    ``round(x · 127 / max|x|)`` (r16 optimization: the HOF expression
+    runs interpreted at ~3.5 µs/element — guide §4.2 — while this
+    kernel is three numpy passes; parity was verified element-wise on
+    every SF's embeddings table before the swap).
+
+    Exactness: y = x·127/mx is two correctly-rounded IEEE ops in both
+    spellings; |y| ≤ 127, so floor(|y|) and |y| − floor(|y|) are exact
+    (≤ 53-bit significands) and the half-up tie test is an exact
+    comparison. Spark's Round(double) is BigDecimal HALF_UP on the
+    shortest decimal representation — away from zero on exact binary
+    ties, and the shortest repr preserves every ≥ .5 comparison — so
+    where(frac ≥ 0.5, up) · sign reproduces it bit-for-bit. An
+    all-zero vector (mx = 0) quantizes to zeros, matching Spark's
+    non-ANSI NaN→0 long cast."""
+    mx = np.max(np.abs(V), axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        y = np.where(mx > 0.0, V * 127.0 / mx, 0.0)
+    ay = np.abs(y)
+    f = np.floor(ay)
+    return (np.sign(y) * np.where(ay - f >= 0.5, f + 1.0, f)).astype(np.int64)
+
+
 def _assign_np(S: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
     """Exact-int64 squared-L2 argmin of each row of S (n, d) against
     cents (k, d); ties → first (= smallest cid, cid-sorted input)."""
@@ -102,22 +132,79 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str, id_alias: str) -> DataF
     return df.select(F.col(id_col).alias(id_alias), qvec.alias("qv"))
 
 
-def _seed_codebook(qdf: DataFrame, m: int, k: int, dim: int) -> Codebook:
+def _raw(df: DataFrame, id_col: str, vec_col: str, id_alias: str) -> DataFrame:
+    """(id, v: array<double>) — the un-quantized input frame the
+    Arrow kernels quantize in-batch (r16: quantization moved off the
+    interpreted Catalyst HOFs into the numpy kernels every consumer
+    already runs — guide §4.2; ~0.45 s/pass at 2 k rows removed from
+    every training/encode/probe pass)."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+
+def _prep_np(
+    col,
+    quantize: bool,
+    coarse_np: tuple["np.ndarray", "np.ndarray"] | None,
+) -> "np.ndarray":
+    """Shared input prep for the training kernels: int8-quantize raw
+    doubles (or take integer vectors as-is), then optionally subtract
+    the assigned coarse centroid (the IVF residual). Fusing the
+    residual step here (r16) removes the separate _assign_residual
+    Python pass that every residual-training job used to chain in
+    front of its update kernel — identical exact-int64 residuals,
+    one JVM↔Python crossing per job instead of two (guide §4.1)."""
+    V = _quantize_np(_np_fvecs(col)) if quantize else _np_vecs(col)
+    if coarse_np is not None:
+        _cids, cents = coarse_np
+        V = V - cents[_assign_np(V, cents)]
+    return V
+
+
+def _seed_codebook(
+    qdf: DataFrame,
+    m: int,
+    k: int,
+    dim: int,
+    quantize: bool = False,
+    coarse: list[tuple[int, tuple[int, ...]]] | None = None,
+) -> Codebook:
     """Init: the K rows with the smallest ids, sliced into subvectors
     (q96's deterministic seeding on every sub-space at once). Bounded
-    collect: k rows."""
+    collect: k rows. ``quantize=True``: the frame carries raw ``v``
+    doubles and the k seed rows quantize driver-side (_quantize_np is
+    per-vector, so quantizing only the collected rows is identical to
+    quantizing all rows first). ``coarse``: seed from the rows'
+    residuals against their assigned coarse centroid, computed
+    driver-side on the same k rows (row-wise, so restriction to the
+    seed rows commutes with the transform)."""
     d = dim // m
     rows = qdf.orderBy("_pid").limit(k).collect()
+    coarse_np = _np_book({0: coarse}, 1)[0] if coarse is not None else None
+    field = "v" if quantize else "qv"
+    if rows:
+        Q = _prep_np([r[field] for r in rows], quantize, coarse_np)
+        vecs = [tuple(int(x) for x in Q[i]) for i in range(len(rows))]
+    else:
+        vecs = []
     book: Codebook = {}
     for mi in range(m):
         book[mi] = [
-            (j, tuple(int(v) for v in r["qv"][mi * d : (mi + 1) * d]))
-            for j, r in enumerate(rows)
+            (j, v[mi * d : (mi + 1) * d]) for j, v in enumerate(vecs)
         ]
     return book
 
 
-def _update_frame(qdf: DataFrame, book: Codebook, m: int, d: int) -> DataFrame:
+def _update_frame(
+    qdf: DataFrame,
+    book: Codebook,
+    m: int,
+    d: int,
+    quantize: bool = False,
+    coarse: list[tuple[int, tuple[int, ...]]] | None = None,
+) -> DataFrame:
     """One Lloyd update as a DataFrame: assign every (vector, m) to its
     nearest centroid and PARTIALLY aggregate per Arrow batch (one
     vectorized numpy kernel — (n, k, d) broadcast diff, exact int64 —
@@ -131,8 +218,15 @@ def _update_frame(qdf: DataFrame, book: Codebook, m: int, d: int) -> DataFrame:
     to interpreted mode) and higher-order functions are CodegenFallback
     closures — measured 7.3 s per pass over 2000 rows vs milliseconds
     for the batched kernel. Assignment ties → np.argmin's first
-    minimum == smallest cid (cid-sorted codebook)."""
+    minimum == smallest cid (cid-sorted codebook).
+
+    ``quantize=True``: input carries raw ``v`` doubles; the kernel
+    int8-quantizes in-batch (bit-identical — see _quantize_np).
+    ``coarse``: the kernel additionally subtracts each row's assigned
+    coarse centroid (fused IVF residual — see _prep_np)."""
     nb = _np_book(book, m)
+    coarse_np = _np_book({0: coarse}, 1)[0] if coarse is not None else None
+    vec_field = "v" if quantize else "qv"
     cols = ["m", "cid", "n"] + [f"s_{j}" for j in range(d)]
     schema = "m long, cid long, n long, " + ", ".join(
         f"s_{j} long" for j in range(d)
@@ -142,7 +236,7 @@ def _update_frame(qdf: DataFrame, book: Codebook, m: int, d: int) -> DataFrame:
         for pdf in it:
             if not len(pdf):
                 continue
-            V = _np_vecs(pdf["qv"])
+            V = _prep_np(pdf[vec_field], quantize, coarse_np)
             rows = []
             for mi in range(m):
                 cids, cents = nb[mi]
@@ -157,7 +251,7 @@ def _update_frame(qdf: DataFrame, book: Codebook, m: int, d: int) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    partial = qdf.select("qv").mapInPandas(batches, schema=schema)
+    partial = qdf.select(vec_field).mapInPandas(batches, schema=schema)
     return partial.groupBy("m", "cid").agg(
         F.sum("n").alias("n"),
         *[F.sum(f"s_{j}").alias(f"s_{j}") for j in range(d)],
@@ -188,10 +282,10 @@ def pq_train(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     d = dim // m
-    qdf = _quantized(df, id_col, vec_col, "_pid")
-    book = _seed_codebook(qdf, m, k, dim)
+    vdf = _raw(df, id_col, vec_col, "_pid")
+    book = _seed_codebook(vdf, m, k, dim, quantize=True)
     for _ in range(iters):
-        rows = _update_frame(qdf, book, m, d).collect()  # bounded: <= m*k
+        rows = _update_frame(vdf, book, m, d, quantize=True).collect()  # bounded: <= m*k
         book = {mi: [] for mi in range(m)}
         for r in sorted(rows, key=lambda r: (r["m"], r["cid"])):
             coords = tuple(_floored_mean(int(r[f"s_{j}"]), int(r["n"])) for j in range(d))
@@ -222,15 +316,15 @@ def pq_fit_summary(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d = dim // m
-    qdf = _quantized(df, id_col, vec_col, "_pid")
-    book = _seed_codebook(qdf, m, k, dim)
+    vdf = _raw(df, id_col, vec_col, "_pid")
+    book = _seed_codebook(vdf, m, k, dim, quantize=True)
     for _ in range(iters - 1):
-        rows = _update_frame(qdf, book, m, d).collect()
+        rows = _update_frame(vdf, book, m, d, quantize=True).collect()
         book = {mi: [] for mi in range(m)}
         for r in sorted(rows, key=lambda r: (r["m"], r["cid"])):
             coords = tuple(_floored_mean(int(r[f"s_{j}"]), int(r["n"])) for j in range(d))
             book[int(r["m"])].append((int(r["cid"]), coords))
-    upd = _update_frame(qdf, book, m, d)
+    upd = _update_frame(vdf, book, m, d, quantize=True)
     cx = [F.expr(f"(s_{j} + 128*n) div n - 128") for j in range(d)]
     return upd.select(
         F.col("m").cast("long").alias("m"),
@@ -256,14 +350,14 @@ def pq_encode(
     100 TB this is the write path of the compressed index: 8 bytes per
     vector out."""
     d = dim // m
-    qdf = _quantized(df, id_col, vec_col, id_alias)
+    vdf = _raw(df, id_col, vec_col, id_alias)
     nb = _np_book(book, m)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
-            V = _np_vecs(pdf["qv"])
+            V = _quantize_np(_np_fvecs(pdf["v"]))
             codes = np.stack(
                 [
                     nb[mi][0][_assign_np(V[:, mi * d : (mi + 1) * d], nb[mi][1])]
@@ -275,7 +369,7 @@ def pq_encode(
                 {id_alias: pdf[id_alias].values, "codes": list(codes)}
             )
 
-    return qdf.mapInPandas(batches, schema=f"{id_alias} long, codes array<long>")
+    return vdf.mapInPandas(batches, schema=f"{id_alias} long, codes array<long>")
 
 
 def _adc_table_np(qv_rows: "np.ndarray", book: Codebook, m: int, k: int, d: int) -> "np.ndarray":
@@ -296,19 +390,21 @@ def _adc_table_np(qv_rows: "np.ndarray", book: Codebook, m: int, k: int, d: int)
 
 
 def _adc_table_frame(
-    qdf: DataFrame, book: Codebook, m: int, k: int, d: int, id_name: str
+    vdf: DataFrame, book: Codebook, m: int, k: int, d: int, id_name: str
 ) -> DataFrame:
     """(id, tab array<long> of length M·K) over a (small, by contract)
-    query frame — one Arrow-batched pass."""
+    raw query frame — one Arrow-batched pass that quantizes in-batch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
-            tab = _adc_table_np(_np_vecs(pdf["qv"]), book, m, k, d)
+            tab = _adc_table_np(
+                _quantize_np(_np_fvecs(pdf["v"])), book, m, k, d
+            )
             yield pd.DataFrame({id_name: pdf[id_name].values, "tab": list(tab)})
 
-    return qdf.mapInPandas(batches, schema=f"{id_name} long, tab array<long>")
+    return vdf.mapInPandas(batches, schema=f"{id_name} long, tab array<long>")
 
 
 def pq_adc_topk(
@@ -338,7 +434,7 @@ def pq_adc_topk(
         book = pq_train(vectors, m=m, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col)
     enc = pq_encode(vectors, book, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
     q = _adc_table_frame(
-        _quantized(queries, id_col, vec_col, "query_id"), book, m, k, d, "query_id"
+        _raw(queries, id_col, vec_col, "query_id"), book, m, k, d, "query_id"
     )
     adc = reduce(
         add,
@@ -364,32 +460,126 @@ def pq_adc_topk(
     )
 
 
+# Query-sample bound for the fused exact baseline (the ANN-stack
+# contract: queries are a sample). Matches brute_force_topk's
+# max_query_broadcast_rows memory envelope — 10⁵ rows · dim · 8 B of
+# closure-captured int64 is the same budget the broadcast path holds.
+EXACT_BASELINE_MAX_QUERY_ROWS = 100_000
+
+
 def exact_int8_l2_topk(
     vectors: DataFrame,
     queries: DataFrame,
     topk: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = EXACT_BASELINE_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """The exact baseline ADC is judged against: full-dimension squared
     L2 over the SAME int8 quantization (so recall isolates what PQ's
     codebook loses, not what int8 loses — that gate is q77/q229's).
-    Broadcast queries + shared partition-local prune, like q77.
+
+    r16 (guide §4.2): one fused Arrow kernel over the corpus scan. The
+    bounded query sample is collected + quantized driver-side and rides
+    into the kernel as a closure capture; each corpus batch quantizes
+    in-batch and scores every (candidate, query) pair with exact-int64
+    matrix products — ‖c − q‖² = c·c − 2 c·q + q·q, every term an
+    integer, so the distances are the zip_with fold's bit-for-bit — and
+    a running per-partition top-k under the window's exact total order
+    (l2 asc, neighbor_id asc) keeps the only exchange at
+    |queries|·k·partitions rows. This replaced a broadcast crossJoin
+    whose per-pair distance ran as interpreted HOF closures
+    (~15 µs/pair — the same CodegenFallback cost the PQ kernels were
+    moved off in r12); a query sample past ``max_query_rows`` falls
+    back to that join path (identical results, no driver collect).
 
     Output: (query_id, neighbor_id, l2_dist, rank)."""
-    q = _quantized(queries, id_col, vec_col, "query_id").withColumnRenamed("qv", "qqv")
-    c = _quantized(vectors, id_col, vec_col, "neighbor_id")
-    dist = F.aggregate(
-        F.zip_with(F.col("qqv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", (-dist).cast("double").alias("neg_l2"))
-    )
-    ranked = _partition_topk_then_rank(scored, topk, "neg_l2")
+    qrows = None
+    if max_query_rows is not None:
+        # limit(cap+1): if it returns ≤ cap rows we hold the WHOLE
+        # sample (one job, no separate count); cap+1 rows ⇒ too big.
+        qrows = (
+            _raw(queries, id_col, vec_col, "query_id")
+            .limit(max_query_rows + 1)
+            .collect()
+        )
+        if len(qrows) > max_query_rows:
+            qrows = None
+    if qrows is not None:
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        Q = (
+            _quantize_np(_np_fvecs([r["v"] for r in qrows]))
+            if len(qrows)
+            else np.zeros((0, 1), dtype=np.int64)
+        )
+        Q2 = (Q * Q).sum(axis=1)
+        nq = len(qids)
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            best: pd.DataFrame | None = None
+            # bound the (chunk, nq) distance block at ~32 MB of int64
+            chunk = max(1, 4_000_000 // max(1, nq))
+            for pdf in it:
+                if not len(pdf) or not nq:
+                    continue
+                C = _quantize_np(_np_fvecs(pdf["v"]))
+                nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+                C2 = (C * C).sum(axis=1)
+                for lo in range(0, len(C), chunk):
+                    hi = min(lo + chunk, len(C))
+                    d2 = (
+                        C2[lo:hi, None]
+                        + Q2[None, :]
+                        - 2 * (C[lo:hi] @ Q.T)
+                    )  # exact int64
+                    qcol = np.broadcast_to(qids, d2.shape).ravel()
+                    ncol = np.repeat(nids[lo:hi], nq)
+                    keep = ncol != qcol
+                    part = pd.DataFrame(
+                        {
+                            "query_id": qcol[keep],
+                            "neighbor_id": ncol[keep],
+                            "l2": d2.ravel()[keep],
+                        }
+                    )
+                    best = (
+                        part
+                        if best is None
+                        else pd.concat((best, part), ignore_index=True)
+                    )
+                    best = (
+                        best.sort_values(["query_id", "l2", "neighbor_id"])
+                        .groupby("query_id", sort=False)
+                        .head(topk)
+                    )
+            if best is not None and len(best):
+                out = best[["query_id", "neighbor_id"]].copy()
+                # ints < 2^53 — exact through the double score column
+                out["neg_l2"] = -best["l2"].astype("float64")
+                yield out
+
+        pruned = _raw(vectors, id_col, vec_col, "neighbor_id").mapInPandas(
+            batches, schema="query_id long, neighbor_id long, neg_l2 double"
+        )
+        ranked = _rank_topk(pruned, topk, "neg_l2")
+    else:
+        q = _quantized(queries, id_col, vec_col, "query_id").withColumnRenamed(
+            "qv", "qqv"
+        )
+        c = _quantized(vectors, id_col, vec_col, "neighbor_id")
+        dist = F.aggregate(
+            F.zip_with(F.col("qqv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id", "neighbor_id", (-dist).cast("double").alias("neg_l2")
+            )
+        )
+        ranked = _partition_topk_then_rank(scored, topk, "neg_l2")
     return ranked.select(
         "query_id",
         "neighbor_id",
@@ -611,32 +801,43 @@ def ivf_train_coarse(
 
 
 def _assign_residual(
-    qdf: DataFrame, coarse: list[tuple[int, tuple[int, ...]]], dim: int, id_name: str
+    vdf: DataFrame,
+    coarse: list[tuple[int, tuple[int, ...]]],
+    dim: int,
+    id_name: str,
+    with_moments: bool = False,
 ) -> DataFrame:
-    """(id, qv) → (id, ccid, rv): nearest coarse cell (exact int64
-    squared L2, ties → smaller cid) and the integer residual against
-    its centroid. One Arrow-batched map-only pass — the coarse book is
-    a closure capture (see _update_frame for why numpy here)."""
+    """(id, v) → (id, ccid, rv): int8-quantize in-batch, nearest
+    coarse cell (exact int64 squared L2, ties → smaller cid) and the
+    integer residual against its centroid. One Arrow-batched map-only
+    pass — the coarse book is a closure capture (see _update_frame for
+    why numpy here). ``with_moments=True`` appends the exact residual
+    moments rs = Σ_j r_j and rq = Σ_j r_j² per row (r16: computed here
+    in the same kernel instead of as interpreted F.aggregate folds
+    over the output arrays — identical exact-int64 sums)."""
     cids, cents = _np_book({0: coarse}, 1)[0]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
-            V = _np_vecs(pdf["qv"])
+            V = _quantize_np(_np_fvecs(pdf["v"]))
             a = _assign_np(V, cents)
             rv = V - cents[a]
-            yield pd.DataFrame(
-                {
-                    id_name: pdf[id_name].values,
-                    "ccid": cids[a],
-                    "rv": list(rv),
-                }
-            )
+            out = {
+                id_name: pdf[id_name].values,
+                "ccid": cids[a],
+                "rv": list(rv),
+            }
+            if with_moments:
+                out["rs"] = rv.sum(axis=1)
+                out["rq"] = (rv * rv).sum(axis=1)
+            yield pd.DataFrame(out)
 
-    return qdf.mapInPandas(
-        batches, schema=f"{id_name} long, ccid long, rv array<long>"
-    )
+    schema = f"{id_name} long, ccid long, rv array<long>"
+    if with_moments:
+        schema += ", rs long, rq long"
+    return vdf.mapInPandas(batches, schema=schema)
 
 
 def ivfpq_train_residual(
@@ -654,13 +855,11 @@ def ivfpq_train_residual(
     seeding, same integer floored-mean update — Python // floors
     negatives exactly)."""
     d = dim // m
-    qdf = _quantized(vectors, id_col, vec_col, "_pid")
-    res = _assign_residual(qdf, coarse, dim, "_pid").select(
-        "_pid", F.col("rv").alias("qv")
-    )
-    book = _seed_codebook(res, m, k, dim)
+    vdf = _raw(vectors, id_col, vec_col, "_pid")
+    book = _seed_codebook(vdf, m, k, dim, quantize=True, coarse=coarse)
     for _ in range(iters):
-        rows = _update_frame(res, book, m, d).collect()  # bounded: <= m*k
+        # bounded: <= m*k; quantize+residual fused into the kernel
+        rows = _update_frame(vdf, book, m, d, quantize=True, coarse=coarse).collect()
         book = {mi: [] for mi in range(m)}
         for r in sorted(rows, key=lambda r: (r["m"], r["cid"])):
             coords = tuple(
@@ -687,12 +886,10 @@ def ivfpq_cell_stats(
     coarse = ivf_train_coarse(
         vectors, kc=kc, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
     )
-    qdf = _quantized(vectors, id_col, vec_col, "_pid")
-    res = _assign_residual(qdf, coarse, dim, "_pid")
-    rsum = F.aggregate("rv", F.lit(0).cast("long"), lambda a, x: a + x)
-    rsq = F.aggregate("rv", F.lit(0).cast("long"), lambda a, x: a + x * x)
+    vdf = _raw(vectors, id_col, vec_col, "_pid")
+    res = _assign_residual(vdf, coarse, dim, "_pid", with_moments=True)
     return (
-        res.select("ccid", rsum.alias("rs"), rsq.alias("rq"))
+        res.select("ccid", "rs", "rq")
         .groupBy("ccid")
         .agg(
             F.count("*").alias("n"),
@@ -772,7 +969,7 @@ def ivfpq_encode(
     quantization error Σ_m ||r_m − cent_m[code_m]||² — the additive
     statistic the streaming index's re-train gate watches."""
     d = dim // m
-    qdf = _quantized(vectors, id_col, vec_col, id_alias)
+    vdf = _raw(vectors, id_col, vec_col, id_alias)
     ccids, ccents = _np_book({0: coarse}, 1)[0]
     nb = _np_book(book, m)
 
@@ -780,7 +977,7 @@ def ivfpq_encode(
         for pdf in it:
             if not len(pdf):
                 continue
-            V = _np_vecs(pdf["qv"])
+            V = _quantize_np(_np_fvecs(pdf["v"]))
             a = _assign_np(V, ccents)
             rv = V - ccents[a]
             cols, errs = [], None
@@ -806,7 +1003,7 @@ def ivfpq_encode(
     schema = f"{id_alias} long, ccid long, codes array<long>"
     if with_err:
         schema += ", qerr long"
-    return qdf.mapInPandas(enc_batches, schema=schema)
+    return vdf.mapInPandas(enc_batches, schema=schema)
 
 
 def _ivfpq_probe_frame(
@@ -826,13 +1023,13 @@ def _ivfpq_probe_frame(
     Output: (query_id, pcid, tab)."""
     d = dim // m
     ccids, ccents = _np_book({0: coarse}, 1)[0]
-    qq = _quantized(queries, id_col, vec_col, "query_id")
+    qq = _raw(queries, id_col, vec_col, "query_id")
 
     def probe_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
-            V = _np_vecs(pdf["qv"])
+            V = _quantize_np(_np_fvecs(pdf["v"]))
             diff = V[:, None, :] - ccents[None, :, :]
             cd = (diff * diff).sum(axis=2)  # (n, kc)
             order = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]

@@ -62,6 +62,42 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _np_fmat(col) -> "object":
+    """Arrow list column (or list of lists) → (n, dim) float64."""
+    import numpy as np
+
+    return np.array(
+        [np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64
+    )
+
+
+def _ordered_dot_np(C, Q):
+    """(n, d) × (m, d) → (n, m) pairwise dots with the SAME left-fold
+    index order as :func:`dot` (((0+x₁y₁)+x₂y₂)+…): the loop runs the
+    fold over dims, vectorized across pairs — each element sees one
+    IEEE multiply and one IEEE add per dim in index order, so every
+    pair's dot is bit-identical to the Catalyst fold (r16, guide
+    §4.2: the fold itself was an interpreted CodegenFallback closure
+    per element per pair)."""
+    import numpy as np
+
+    acc = np.zeros((C.shape[0], Q.shape[0]), dtype=np.float64)
+    for j in range(C.shape[1]):
+        acc = acc + C[:, j : j + 1] * Q[None, :, j]
+    return acc
+
+
+def _ordered_norm_np(V):
+    """Row norms with :func:`norm`'s exact fold order (then one
+    correctly-rounded sqrt) — bit-identical to the Catalyst fold."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc = acc + V[:, j] * V[:, j]
+    return np.sqrt(acc)
+
+
 def _partition_topk_then_rank(scored: DataFrame, k: int, score_col: str) -> DataFrame:
     """Shared finisher for broadcast-scored ANN: partition-LOCAL top-k
     prune, then the global ranking window.
@@ -98,6 +134,16 @@ def _partition_topk_then_rank(scored: DataFrame, k: int, score_col: str) -> Data
     pruned = scored.mapInPandas(
         prune, schema=f"query_id long, neighbor_id long, {score_col} double"
     )
+    return _rank_topk(pruned, k, score_col)
+
+
+def _rank_topk(pruned: DataFrame, k: int, score_col: str) -> DataFrame:
+    """The global ranking tail shared by every partition-local top-k
+    prune (the window over |queries|·k·partitions rows). Split out
+    (r16) so kernels that already prune in-batch — the fused exact-L2
+    baseline — skip the redundant second prune pass."""
+    from pyspark.sql import Window as W
+
     w = W.partitionBy("query_id").orderBy(F.col(score_col).desc(), F.col("neighbor_id"))
     return (
         pruned.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -125,8 +171,32 @@ def brute_force_topk(
     while each pass broadcasts only one chunk. A partition-local
     top-k prune (see _partition_topk_then_rank) keeps the only
     exchange at |queries|·k·partitions rows.
+
+    r16 (guide §4.2): when the query sample fits the broadcast cap it
+    is collected driver-side (one `limit(cap+1)` job — ≤ cap rows ⇒
+    the whole sample) and the scoring runs as ONE fused Arrow kernel
+    over the corpus scan: per batch, norms and pairwise dots are
+    computed with the exact Catalyst fold order (_ordered_dot_np /
+    _ordered_norm_np — bit-identical scores) and a running
+    per-partition top-k under the window's total order replaces the
+    separate prune pass. This removes the per-pair interpreted-HOF
+    dot (~2·dim closure invocations per pair) and one JVM↔Python
+    crossing; the memory envelope is the same rows·dim·8 bytes the
+    broadcast held. Past the cap: the chunked broadcast-crossJoin
+    path below, unchanged.
     """
     if max_query_broadcast_rows is not None:
+        qrows = (
+            queries.select(
+                F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+            )
+            .limit(max_query_broadcast_rows + 1)
+            .collect()
+        )
+        if len(qrows) <= max_query_broadcast_rows:
+            return _brute_force_topk_fused(
+                vectors, qrows, k, id_col, vec_col
+            )
         n_queries = queries.count()
         if n_queries > max_query_broadcast_rows:
             # ONE level of hash chunking; each chunk takes the direct
@@ -171,6 +241,75 @@ def brute_force_topk(
         )
     )
     return _partition_topk_then_rank(scored, k, "cos")
+
+
+def _brute_force_topk_fused(
+    vectors: DataFrame,
+    qrows: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The bounded-sample fast path of :func:`brute_force_topk`: the
+    collected query matrix rides into one corpus kernel as a closure
+    capture; scores are bit-identical to the crossJoin+HOF spelling
+    (see _ordered_dot_np) and the in-kernel running top-k uses the
+    same pandas sort (cos desc, neighbor_id asc — NaNs last) the
+    shared prune pass used, so the ranking window sees the same rows."""
+    import numpy as np
+    import pandas as pd
+
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    nq = len(qids)
+    Q = _np_fmat([r["qv"] for r in qrows]) if nq else None
+    qn = _ordered_norm_np(Q) if nq else None
+
+    def batches(it):
+        best: pd.DataFrame | None = None
+        # bound the (chunk, nq) float64 score block at ~32 MB
+        chunk = max(1, 4_000_000 // max(1, nq))
+        for pdf in it:
+            if not len(pdf) or not nq:
+                continue
+            C = _np_fmat(pdf["cv"])
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cn = _ordered_norm_np(C)
+            for lo in range(0, len(C), chunk):
+                hi = min(lo + chunk, len(C))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = _ordered_dot_np(C[lo:hi], Q) / (
+                        qn[None, :] * cn[lo:hi, None]
+                    )
+                qcol = np.broadcast_to(qids, cos.shape).ravel()
+                ncol = np.repeat(nids[lo:hi], nq)
+                keep = ncol != qcol
+                part = pd.DataFrame(
+                    {
+                        "query_id": qcol[keep],
+                        "neighbor_id": ncol[keep],
+                        "cos": cos.ravel()[keep],
+                    }
+                )
+                best = (
+                    part
+                    if best is None
+                    else pd.concat((best, part), ignore_index=True)
+                )
+                best = (
+                    best.sort_values(
+                        ["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+        if best is not None and len(best):
+            yield best[["query_id", "neighbor_id", "cos"]]
+
+    pruned = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).mapInPandas(batches, schema="query_id long, neighbor_id long, cos double")
+    return _rank_topk(pruned, k, "cos")
 
 
 def quantize_int8(vec_col: str = "embedding"):
@@ -913,27 +1052,49 @@ def jl_project_vec(
 ) -> DataFrame:
     """:func:`jl_project` in ARRAY form — (id, sketch array<double>)
     instead of long (id, k, proj) rows — the shape the search path
-    consumes (cosine over the 16-component sketch). Same plan-build
-    sign matrix, same index-order folds, same scale literal; the long
-    form stays the oracle-facing spec surface (q220)."""
+    consumes (cosine over the 16-component sketch). Same sign matrix,
+    same index-order folds, same scale literal; the long form stays
+    the oracle-facing spec surface (q220).
+
+    r16 (guide §4.2): the out_dim × in_dim fold chain ran as
+    interpreted HOF closures (~1 000 element-closures per row); this
+    Arrow kernel runs the SAME folds vectorized across rows — for
+    each component the j-loop applies one IEEE multiply (x_j·s_jk is
+    an exact sign flip) and one IEEE add per row in index order, then
+    one product with the identical scale literal — so every sketch
+    component is bit-identical to the Catalyst fold (locked by
+    test_jl_project_vec_matches_long_form against the untouched long
+    form). q220's long form keeps the pure-JVM spelling: its plan
+    lock pins the zero-Python scan-stage shape that composes into a
+    consumer's scan at 100 TB."""
     import math
 
+    import numpy as np
+    import pandas as pd
+
     scale = 1.0 / math.sqrt(out_dim)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    comps = []
-    for k in range(out_dim):
-        signs = F.array(*[F.lit(_jl_sign(seed, j, k)) for j in range(in_dim)])
-        comps.append(
-            F.aggregate(
-                F.zip_with(v, signs, lambda x, s: x * s),
-                F.lit(0.0),
-                lambda a, x: a + x,
+    S = np.array(
+        [[_jl_sign(seed, j, k) for k in range(out_dim)] for j in range(in_dim)],
+        dtype=np.float64,
+    )  # (in_dim, out_dim)
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = _np_fmat(pdf["v"])
+            acc = np.zeros((len(V), out_dim), dtype=np.float64)
+            for j in range(in_dim):
+                acc = acc + V[:, j : j + 1] * S[j][None, :]
+            acc = acc * scale
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, out_col: list(acc)}
             )
-            * F.lit(scale)
-        )
+
     return df.select(
-        F.col(id_col).alias(id_col), F.array(*comps).alias(out_col)
-    )
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).mapInPandas(batches, schema=f"{id_col} long, {out_col} array<double>")
 
 
 def sketch_recall_at_k(

@@ -91,8 +91,19 @@ def test_q26_decorrelated_to_broadcast(spark):
 
 
 def test_q34_queries_broadcast_corpus_not_shuffled(spark):
+    """r16: the bounded query sample is a closure capture of ONE fused
+    scoring kernel over the corpus scan (guide §4.2 — the crossJoin's
+    per-pair HOF dot ran interpreted); the corpus still never
+    shuffles — the only exchange is the |queries|·k·partitions-row
+    ranking window's."""
+    import re
+
     p = plan(spark, "q34_ann_cosine_topk")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+    assert "CartesianProduct" not in p
+    # one exchange: the ranking window's (the corpus scan feeds the
+    # kernel directly)
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 1
 
 
 def test_q62_grouping_sets_single_scan_expand(spark):
@@ -1174,12 +1185,14 @@ def test_q228_representatives_window_per_cluster(spark):
 
 
 def test_q229_sketch_recall_no_cartesian(spark):
-    """Two brute passes under the broadcast-query contract plus one
-    top-k-frame join — broadcast nested loops only, no raw cartesian,
-    and the sketch map itself adds no exchange."""
+    """Two brute passes, each the r16 fused scoring kernel over its
+    corpus scan (full-width and sketch-space), plus one top-k-frame
+    join — no cartesian of any kind, and the sketch map chains into
+    the scoring kernel's scan stage with no exchange between them."""
     p = plan(spark, "q229_sketch_recall")
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p
 
 
 def test_q230_png_resize_scan_stage_map(spark):
