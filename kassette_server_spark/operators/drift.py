@@ -1064,12 +1064,18 @@ def embedding_label_sums(
     (exact integer sums), so batches union-and-sum into the identical
     frame a single pass would produce — the property the streaming
     monitor's store merge relies on."""
+    # r16 (driver-side build cost): each composed-Column spelling of
+    # these dim aggregate expressions cost ~6 py4j round trips; at
+    # dim=64 the construction alone measured ~0.85 s per side per
+    # build. One F.expr parse per column is one round trip and yields
+    # the identical expression tree (element_at → cast double → one
+    # IEEE multiply by the same power-of-two literal → floor → bigint
+    # sum), so the results are bit-identical.
+    mul = float(1 << scale_bits)
     q = [
-        F.sum(
-            F.floor(
-                F.element_at(F.col(vec_col), i + 1).cast("double")
-                * F.lit(float(1 << scale_bits))
-            ).cast("long")
+        F.expr(
+            f"cast(sum(cast(floor(cast(element_at({vec_col}, {i + 1}) as double)"
+            f" * {mul!r}D) as bigint)) as bigint)"
         ).alias(f"s{tag}_{i}")
         for i in range(dim)
     ]
@@ -1080,39 +1086,46 @@ def embedding_label_sums(
 
 def _embedding_drift_from_sums(r: DataFrame, c: DataFrame, dim: int) -> DataFrame:
     """Join the 'r'- and 'c'-tagged sufficient-statistic frames and
-    emit the drift report (the float tail of embedding_drift)."""
+    emit the drift report (the float tail of embedding_drift).
+
+    r16 (driver-side cost): the centroid arrays are built ONCE as
+    named columns in a staging projection and the folds reference
+    them by name, all via F.expr (one py4j round trip per expression
+    instead of hundreds, and the analyzed tree no longer inlines the
+    2·dim-division arrays into every consumer — the duplicated trees
+    were what made each build+codegen of this tail cost seconds).
+    The arithmetic is unchanged op for op: per-component
+    cast-div-cast, index-order zip_with/transform folds from 0.0,
+    one sqrt each, the same guarded divisions — bit-identical
+    output."""
     j = r.join(c, "label", "full_outer")
-    cr = F.array(
-        *[
-            F.col(f"sr_{i}").cast("double") / F.col("n_r").cast("double")
-            for i in range(dim)
-        ]
+    cr = "array(" + ", ".join(
+        f"cast(sr_{i} as double) / cast(n_r as double)" for i in range(dim)
+    ) + ")"
+    cc = "array(" + ", ".join(
+        f"cast(sc_{i} as double) / cast(n_c as double)" for i in range(dim)
+    ) + ")"
+    staged = j.select(
+        "label",
+        "n_r",
+        "n_c",
+        F.expr(cr).alias("_cr"),
+        F.expr(cc).alias("_cc"),
     )
-    cc = F.array(
-        *[
-            F.col(f"sc_{i}").cast("double") / F.col("n_c").cast("double")
-            for i in range(dim)
-        ]
-    )
-    dot = F.aggregate(
-        F.zip_with(cr, cc, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nr = F.sqrt(
-        F.aggregate(F.transform(cr, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    nc = F.sqrt(
-        F.aggregate(F.transform(cc, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    return j.select(
+    dot = "aggregate(zip_with(_cr, _cc, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+    nr = "sqrt(aggregate(transform(_cr, a -> a * a), 0.0D, (acc, x) -> acc + x))"
+    nc = "sqrt(aggregate(transform(_cc, a -> a * a), 0.0D, (acc, x) -> acc + x))"
+    return staged.select(
         "label",
         F.coalesce(F.col("n_r"), F.lit(0)).cast("long").alias("n_ref"),
         F.coalesce(F.col("n_c"), F.lit(0)).cast("long").alias("n_cur"),
-        F.when(
-            F.col("n_r").isNotNull() & F.col("n_c").isNotNull(),
-            dot / (nr * nc),
+        F.expr(
+            "case when n_r is not null and n_c is not null "
+            f"then {dot} / ({nr} * {nc}) end"
         ).alias("cos_centroid"),
-        F.when(
-            F.col("n_r").isNotNull() & F.col("n_c").isNotNull(), nc / nr
+        F.expr(
+            "case when n_r is not null and n_c is not null "
+            f"then {nc} / {nr} end"
         ).alias("norm_ratio"),
     )
 

@@ -55,20 +55,29 @@ def pagerank_fixedpoint(
     users) where the rank table itself is big data.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # (src, dst, outdeg) is loop-invariant: checkpoint once, reuse every
     # iteration so the scan+groupBy doesn't recompute per pass
     ed = e.join(deg, "src").localCheckpoint(eager=False)
-    nodes = nodes.localCheckpoint(eager=False)
+    # r16 (driver-plan cost — guide §7.3 "planning" class): derive the
+    # node set FROM the checkpointed edge frame instead of the raw
+    # edges (identical set: deg keys on src from e itself, so the
+    # inner join drops no edge row). Its checkpoint then plans a
+    # shallow LogicalRDD→union→distinct tree and its materialization
+    # reuses ed's computed RDD instead of re-running the edge scan —
+    # each per-build toRdd was costing more driver time than the
+    # whole 3-iteration execution at sf0.1 (measured 5.2 s build+exec
+    # → 3.5 s, bit-identical ranks).
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     teleport = SCALE - damping_ppm
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
             ed.join(rank_side, ed.src == rank_side.node)
@@ -89,16 +98,18 @@ def pagerank_fixedpoint(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0)))
-                .cast("long")
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
         )
+        # the checkpoint exists so the NEXT iteration (re)uses a
+        # materialized frame instead of re-executing the chain; the
+        # final iteration has no next consumer — its toRdd would be
+        # pure per-build driver cost (r16)
+        if it < iters - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -550,7 +561,7 @@ def label_propagation(
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(iters):
+    for it in range(iters):
         nb = sym.join(labels, sym.v == labels.node).select("u", "label")
         counts = nb.groupBy("u", "label").agg(F.count("*").alias("cnt"))
         labels = (
@@ -561,8 +572,14 @@ def label_propagation(
                 ).alias("m")
             )
             .select(F.col("u").alias("node"), (-F.col("m.nl")).alias("label"))
-            .localCheckpoint(eager=False)
         )
+        # r16: the checkpoint feeds the NEXT round's join; the final
+        # round's frame is consumed exactly once by the caller, so
+        # checkpointing it would only add a separate materialization
+        # job (under AQE a lazy localCheckpoint executes its stages
+        # at toRdd time) — fold it into the consumer's job instead
+        if it < iters - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -641,6 +658,11 @@ def kcore_peel(
     for _ in range(rounds):
         deg = cur.groupBy("u").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= k).select("u")
+        # NOTE (r16): unlike pagerank/label_propagation, the per-round
+        # checkpoint is NOT trimmed on the last round — `keep` appears
+        # twice in the round's plan (both semi joins), so an
+        # un-checkpointed final round would duplicate the degree
+        # aggregate subtree in the returned plan
         cur = (
             cur.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")

@@ -566,29 +566,34 @@ def _bpe_learn(
         rule = best.select(
             F.col("pair").alias("_r_pair"), F.col("merged").alias("_r_merged")
         )
-        sym = (
-            sym.join(F.broadcast(rule), F.lit(True), "left")
-            .select(
-                "word",
-                F.when(F.col("_r_pair").isNull(), F.col("sym"))
-                .otherwise(
-                    F.replace(
-                        F.col("sym"),
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(
-                                F.col("_r_pair"), F.lit(" "), F.lit("  ")
-                            ),
-                            F.lit(" "),
+        sym = sym.join(F.broadcast(rule), F.lit(True), "left").select(
+            "word",
+            F.when(F.col("_r_pair").isNull(), F.col("sym"))
+            .otherwise(
+                F.replace(
+                    F.col("sym"),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(
+                            F.col("_r_pair"), F.lit(" "), F.lit("  ")
                         ),
-                        F.concat(F.lit(" "), F.col("_r_merged"), F.lit(" ")),
-                    )
+                        F.lit(" "),
+                    ),
+                    F.concat(F.lit(" "), F.col("_r_merged"), F.lit(" ")),
                 )
-                .alias("sym"),
-                "freq",
             )
-            .localCheckpoint(eager=False)
+            .alias("sym"),
+            "freq",
         )
+        # r16: each round consumes `sym` twice (the pair explode and
+        # the replace join), so mid-loop checkpoints stay; the FINAL
+        # round's frame is consumed at most once by the caller
+        # (bpe_merge_steps discards it outright), and under AQE a
+        # lazy localCheckpoint executes its stages at toRdd time —
+        # checkpointing it would run the last replace as its own job
+        # even when nobody reads it
+        if step < k_merges:
+            sym = sym.localCheckpoint(eager=False)
     return rules, sym
 
 
