@@ -687,21 +687,29 @@ def positional_kgrams(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:
     """(id, pos, gram): every *full* k-token gram with its 1-based
-    token position. Pure JVM (split → sequence → slice → posexplode);
-    docs shorter than k tokens emit no grams — mirrored by the
-    oracle's ``range(1, greatest(len - k + 2, 1))`` upper-exclusive
-    emptiness."""
+    token position. Pure JVM; docs shorter than k tokens emit no grams
+    — mirrored by the oracle's ``range(1, greatest(len - k + 2, 1))``
+    upper-exclusive emptiness.
+
+    r16: the sliding window is arrays_zip over k shifted slices
+    (whole-stage codegen) and the gram string is concatenated AFTER
+    the posexplode from the struct's fields — the previous
+    transform(sequence, i -> concat_ws(slice)) lambda ran as an
+    interpreted CodegenFallback closure per gram (~3x slower on this
+    corpus-sized pass) for bit-identical output.  With m =
+    max(n-k+1, 0) every slice has exactly m elements, so arrays_zip
+    never null-pads and the k struct fields are exactly the old
+    slice(toks, i, k) window."""
     toks = tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(k)])
     return df.select(
-        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "gram")
-    ).select("id", (F.col("pos0") + 1).alias("pos"), "gram")
+        F.col(id_col).alias("id"), F.posexplode(z).alias("pos0", "s")
+    ).select(
+        "id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat_ws(" ", *[F.col("s")[str(i)] for i in range(k)]).alias("gram"),
+    )
 
 
 def duplicated_span_stats(
@@ -795,38 +803,51 @@ def remove_duplicated_spans(
         (F.count("*").over(occ_w) > 1).alias("_dup"),
         (F.row_number().over(keep_w) == 1).alias("_keeper"),
     )
+    # r16: the cut positions are aggregated to ONE small array per
+    # affected doc and the cleaned text is rebuilt ROW-LOCALLY from the
+    # original tokens.  The previous spelling exploded every token of
+    # every document and pushed the token STRINGS through an anti join
+    # plus a collect_list re-aggregation — two corpus-sized shuffles of
+    # payload bytes to move a decision that is fully determined by the
+    # (id, tp) cut set (guide §8: shuffle the lightweight proxy, keep
+    # the payload in place).  Only covered positions (dup-ratio-
+    # bounded) are shuffled now; document text never crosses an
+    # exchange before the final id join.
     covered = (
         marked.where(F.col("_dup") & ~F.col("_keeper"))
         .select(
             "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tp")
         )
-        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("tp").alias("_cov"))
     )
-    toks = base.select(
-        "id", F.posexplode(tokens("_txt")).alias("tp0", "tok")
-    ).select("id", (F.col("tp0") + 1).alias("tp"), "tok")
-    kept = toks.join(covered, ["id", "tp"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.count("*").alias("_n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
-                lambda x: x.tok,
+    toks_arr = tokens("_txt")
+    # array_except(sequence, cov) keeps surviving 1-based positions in
+    # ascending order with a hash lookup per element (no O(n·|cov|)
+    # membership scans); element_at re-reads the token at each kept
+    # position, so join order — and therefore the rebuilt string — is
+    # identical to the old position-sorted re-concat.
+    kept_arr = F.when(F.col("_cov").isNull(), toks_arr).otherwise(
+        F.transform(
+            F.array_except(
+                F.sequence(F.lit(1), F.size(toks_arr)), F.col("_cov")
             ),
-        ).alias("cleaned_text"),
+            lambda tp: F.element_at(toks_arr, tp),
+        )
     )
-    n_tok = F.size(tokens("_txt")).cast("long")
+    n_tok = F.size(toks_arr).cast("long")
     return (
-        base.select("id", n_tok.alias("n_tokens"))
-        .join(rebuilt, "id", "left")
+        base.join(covered, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            n_tok.alias("n_tokens"),
+            # size(NULL) is -1 under legacy sizeOfNull, so branch on the
+            # null explicitly rather than coalescing the size
+            F.when(F.col("_cov").isNull(), F.lit(0))
+            .otherwise(F.size("_cov"))
             .cast("long")
             .alias("n_removed"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            F.concat_ws(" ", kept_arr).alias("cleaned_text"),
         )
     )
 

@@ -299,20 +299,25 @@ def bigram_logprob_by_doc(
     toks = tokens(text_col)
     # the gram stream feeds BOTH the LM fit (bi counts) and the scoring
     # join; checkpoint it so the tokenize+explode pass runs once, not
-    # per consumer
+    # per consumer.  The adjacent-pair array is built with arrays_zip
+    # over two shifted slices (whole-stage codegen) rather than a
+    # transform/element_at lambda: higher-order functions run as
+    # interpreted CodegenFallback closures per element, ~5x slower on
+    # this corpus-sized pass for bit-identical output.
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
     grams = (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(
-                F.transform(
-                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                    lambda w, i: F.struct(
-                        w.alias("w1"), F.element_at(toks, i + 2).alias("w2")
-                    ),
-                )
+                F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
             ).alias("pos", "g"),
         )
-        .select("doc_id", "pos", "g.w1", "g.w2")
+        .select(
+            "doc_id",
+            "pos",
+            F.col("g")["0"].alias("w1"),
+            F.col("g")["1"].alias("w2"),
+        )
         .localCheckpoint(eager=False)
     )
     bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("cb"))

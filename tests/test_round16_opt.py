@@ -137,3 +137,124 @@ def test_jl_project_vec_kernel_matches_long_form(spark, dim, out_dim):
     for r in jl_project_vec(df, in_dim=dim, out_dim=out_dim).collect():
         for k, x in enumerate(r["sketch"]):
             assert x == long[(r["vec_id"], k)]
+
+
+# -- text/dedup tier: codegen respellings of interpreted HOF builds ----------
+#
+# r16 also replaced interpreted transform(...) lambdas with arrays_zip
+# sliding windows (positional_kgrams, the bigram gram stream) and made
+# remove_duplicated_spans rebuild cleaned text ROW-LOCALLY from the
+# covered-position set instead of re-aggregating every exploded token.
+# These tests pin the equivalences on adversarial shapes (short docs,
+# empty strings, consecutive spaces, full-coverage removals) that the
+# sf fixtures may not contain.
+
+ADVERSARIAL_DOCS = [
+    (0, "a b c d e f g h i j"),          # normal, longer than k
+    (1, "a b c d e f g h"),              # exactly k tokens (one gram)
+    (2, "a b c"),                        # shorter than k: no grams
+    (3, ""),                             # empty text -> [''] token
+    (4, "x  y"),                         # consecutive spaces -> '' token
+    (5, "a b c d e f g h i j"),          # exact dup of doc 0
+    (6, "z z z z z z z z z z z z"),      # within-doc repetition
+    (7, "q r s a b c d e f g h i j t"),  # contains doc 0 as a span
+]
+
+
+def _kgrams_reference(spark, df, k):
+    """The pre-r16 transform(sequence, slice) spelling, kept inline as
+    the reference the zip build must reproduce."""
+    from kassette_server_spark.operators.dedup import tokens
+
+    toks = tokens("_txt")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col("id"), F.posexplode(grams).alias("pos0", "gram")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "gram")
+
+
+@pytest.mark.parametrize("k", [2, 8])
+def test_positional_kgrams_zip_matches_reference(spark, k):
+    from kassette_server_spark.operators.dedup import positional_kgrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in ADVERSARIAL_DOCS], "id long, _txt string"
+    )
+    got = positional_kgrams(df, "_txt", "id", k).collect()
+    want = _kgrams_reference(spark, df, k).collect()
+    key = lambda r: (r["id"], r["pos"])
+    assert {key(r): r["gram"] for r in got} == {key(r): r["gram"] for r in want}
+    assert len(got) == len(want)
+
+
+def test_remove_duplicated_spans_row_local_rebuild(spark):
+    from kassette_server_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in ADVERSARIAL_DOCS], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=8).collect()}
+    # doc 0 is the keeper (min id): untouched
+    assert out[0]["n_removed"] == 0
+    assert out[0]["cleaned_text"] == "a b c d e f g h i j"
+    # doc 5 duplicates doc 0 entirely: every position covered
+    assert out[5]["n_removed"] == out[5]["n_tokens"] == 10
+    assert out[5]["cleaned_text"] == ""
+    # doc 7 contains doc 0's grams as an interior span: the covered
+    # span [4, 13] is cut, the flanks survive in order
+    assert out[7]["cleaned_text"] == "q r s t"
+    assert out[7]["n_removed"] == 10
+    # short/empty/multi-space docs pass through untouched
+    for i in (2, 3, 4):
+        assert out[i]["n_removed"] == 0
+    assert out[3]["cleaned_text"] == ""
+    assert out[4]["cleaned_text"] == "x  y"
+    # n_tokens is the whitespace token count (split keeps empties)
+    assert out[3]["n_tokens"] == 1
+    assert out[4]["n_tokens"] == 3
+
+
+def test_bigram_gram_stream_zip_matches_reference(spark):
+    from kassette_server_spark.operators.dedup import tokens
+    from kassette_server_spark.operators.textstats import bigram_logprob_by_doc
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in ADVERSARIAL_DOCS], "doc_id long, text string"
+    )
+    # reference gram stream: the pre-r16 transform/element_at spelling
+    toks = tokens("text")
+    ref = (
+        df.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda w, i: F.struct(
+                        w.alias("w1"), F.element_at(toks, i + 2).alias("w2")
+                    ),
+                )
+            ).alias("pos", "g"),
+        ).select("doc_id", "pos", "g.w1", "g.w2")
+    )
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    got = (
+        df.select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
+            ).alias("pos", "g"),
+        ).select(
+            "doc_id", "pos",
+            F.col("g")["0"].alias("w1"), F.col("g")["1"].alias("w2"),
+        )
+    )
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    # end-to-end: the scored frame on the adversarial corpus is stable
+    rows = bigram_logprob_by_doc(df).collect()
+    assert {r["doc_id"] for r in rows} == {i for i, t in ADVERSARIAL_DOCS if len(t.split(" ")) >= 2}
