@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .dedup import shingles, tokens
+from .dedup import _shingle_concat, _shingle_zip, shingle_table, shingles, tokens
 from .layout import ensure_scan_parallelism
 
 # C4-style heuristics, tuned so the synthetic corpus exercises every
@@ -58,15 +58,16 @@ def contamination(
     # depends on shingle-set identity — any collision-free hash yields
     # identical counts, so the join keys can be 4× narrower than the
     # oracle's md5 (which DuckDB shares) without affecting parity.
+    # both shingle streams use dedup's lambda-free zip-explode build
+    # (r16): distinct the window structs, concat after the explode —
+    # whole-stage codegen, identical rows to the old explode(shingles)
     bench_hashes = (
-        benchmark.select(F.explode(shingles(text_col, k)).alias("sh"))
-        .select(F.xxhash64("sh").alias("h"))
+        benchmark.select(F.explode(F.array_distinct(_shingle_zip(tokens(text_col), k))).alias("_w"))
+        .select(F.xxhash64(_shingle_concat(F.col("_w"), k)).alias("h"))
         .distinct()
     )
-    corpus_sh = ensure_scan_parallelism(
-        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    ).select("doc_id", F.explode(shingles(text_col, k)).alias("sh")).select(
-        "doc_id", F.xxhash64("sh").alias("h")
+    corpus_sh = shingle_table(corpus, text_col, id_col, k).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
     hits = (
         corpus_sh.join(bench_hashes, "h")
@@ -508,10 +509,8 @@ def ngram_novelty(
     # map-side combined (hot shingles — common 3-grams at corpus
     # scale — reduce to partials, never buffer a group), and the final
     # join is per-doc row counts only.
-    sh = ensure_scan_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    ).select("doc_id", F.explode(shingles(text_col, k)).alias("sh")).select(
-        "doc_id", F.xxhash64("sh").alias("h")
+    sh = shingle_table(df, text_col, id_col, k).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
     n_shingles = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     n_novel = (
