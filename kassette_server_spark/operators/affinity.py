@@ -40,19 +40,18 @@ def copurchase_pairs(
     baskets = items.groupBy("basket").agg(
         F.array_sort(F.collect_set("item")).alias("it")
     )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("it"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("it"), i + 2, F.size(F.col("it"))),
-                        lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.item_a", "p.item_b")
+    # ordered pairs (a < b) by chained generators: posexplode the
+    # sorted array, then explode each element's tail slice — both are
+    # codegen GenerateExec nodes (r16: the previous nested
+    # transform/flatten lambdas ran interpreted per pair; identical
+    # rows, 0-row exceptAll diff)
+    pairs = (
+        baskets.select("it", F.posexplode("it").alias("i", "item_a"))
+        .select(
+            "item_a",
+            F.explode(F.slice("it", F.col("i") + 2, F.size("it"))).alias("item_b"),
+        )
+    )
     return (
         pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").alias("support"))
@@ -145,19 +144,15 @@ def item_item_cosine(
         .groupBy("it")
         .agg(F.count("*").alias("cnt"))
     )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("its"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("its"), i + 2, F.size(F.col("its"))),
-                        lambda y: F.struct(x.alias("item_i"), y.alias("item_j")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.item_i", "p.item_j")
+    # same chained-generator pair build as copurchase_pairs (r16):
+    # codegen explodes instead of interpreted nested transform lambdas
+    pairs = (
+        baskets.select("its", F.posexplode("its").alias("i", "item_i"))
+        .select(
+            "item_i",
+            F.explode(F.slice("its", F.col("i") + 2, F.size("its"))).alias("item_j"),
+        )
+    )
     co = pairs.groupBy("item_i", "item_j").agg(F.count("*").alias("co_cnt"))
     ni = norms.select(F.col("it").alias("item_i"), F.col("cnt").alias("cnt_i"))
     nj = norms.select(F.col("it").alias("item_j"), F.col("cnt").alias("cnt_j"))

@@ -341,49 +341,51 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     Σ(2·bit−1) over tokens. Output (doc_id, fp_hi, fp_lo) as two
     BIGINT halves (portable across engines without uint64).
 
-    Plumbing: no per-position explode at all. Each distinct (doc,
-    token-hash) row carries its 16 hex-nibble values as plain int
-    columns, and ONE groupBy(doc_id) evaluates 64 codegen'd
-    sum(m·(2·bit−1)) expressions — the shuffle is keyed by doc alone
-    (the smallest possible keyspace) and carries 64 longs per doc
-    after map-side combine. Fingerprint assembly is then a row-local
-    expression, no further shuffle. Integer-identical to the per-bit
-    per-occurrence formulation the oracle uses.
+    Plumbing (r16): ONE doc-keyed shuffle, straight from the token
+    explode. The md5 hex prefix is decoded into two 32-bit halves with
+    conv() (2 expressions/row, not 16 substring+instr nibble probes),
+    and ONE groupBy(doc_id) evaluates count(*) plus 64 codegen'd
+    sum(bit_p) expressions — map-side combine reduces every partition
+    to 65 longs per doc before the exchange, so the shuffle carries
+    the same bytes the old two-shuffle (pre-agg by (doc, token-hash),
+    then re-agg by doc) spelling paid TWO exchanges to move (measured
+    2.5 → 1.7 s on the sf0.1 corpus, 0-row diff). The majority test
+    w_p = Σ(2·bit−1) > 0 is equivalently 2·Σbit_p > n_tokens — exact
+    integers, identical to the per-bit per-occurrence formulation the
+    oracle uses.
     """
-    # pre-aggregate token multiplicity: natural text repeats tokens
-    # heavily, so summing m·(2·bit−1) over DISTINCT (doc, token) rows
-    # cuts the per-nibble work by the repetition factor —
-    # integer-exact, so the oracle (which sums per occurrence) agrees.
     from .layout import ensure_scan_parallelism
 
     tok = (
         ensure_scan_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select("doc_id", F.explode(tokens(text_col)).alias("tok"))
-        .groupBy("doc_id", F.md5(F.col("tok")).alias("h"))
-        .agg(F.count("*").alias("m"))
+        .select("doc_id", F.md5("tok").alias("h"))
     )
-    nibs = tok.select(
+    halves = tok.select(
         "doc_id",
-        "m",
-        *[
-            F.expr(f"instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1").alias(f"v{i}")
-            for i in range(16)
-        ],
+        F.expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").alias("x1"),
+        F.expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").alias("x2"),
     )
-    # bit p = 4·i + j lives in nibble column v{i}; all shift amounts
-    # are literals so the whole agg stays in whole-stage codegen
-    weights = nibs.groupBy("doc_id").agg(
-        *[
-            F.sum(F.col("m") * (F.expr(f"(v{p // 4} >> {p % 4}) & 1") * 2 - 1)).alias(f"w{p}")
-            for p in range(64)
-        ]
+
+    # bit p = 4·i + j lives in hex char i+1 (chars are MSB-first within
+    # each conv'd half); all shift amounts are literals so the whole
+    # agg stays in whole-stage codegen
+    def _bit(p: int) -> str:
+        i, j = p // 4, p % 4
+        if i < 8:
+            return f"((x1 >> {4 * (7 - i) + j}) & 1)"
+        return f"((x2 >> {4 * (15 - i) + j}) & 1)"
+
+    weights = halves.groupBy("doc_id").agg(
+        F.count("*").alias("mtot"),
+        *[F.sum(F.expr(_bit(p))).alias(f"b{p}") for p in range(64)],
     )
     fp_hi = sum(
-        (F.expr(f"CASE WHEN w{p} > 0 THEN CAST({1 << (p - 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        (F.expr(f"CASE WHEN 2*b{p} > mtot THEN CAST({1 << (p - 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
         for p in range(32, 64)
     )
     fp_lo = sum(
-        (F.expr(f"CASE WHEN w{p} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        (F.expr(f"CASE WHEN 2*b{p} > mtot THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
         for p in range(32)
     )
     return weights.select("doc_id", fp_hi.alias("fp_hi"), fp_lo.alias("fp_lo"))
