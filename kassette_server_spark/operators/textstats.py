@@ -526,13 +526,21 @@ def _bpe_learn(
     learned rule has been applied — the word→tokenization map that
     :func:`bpe_token_counts` consumes.
 
-    The per-round replace rides a broadcast LEFT join on a constant-
-    true condition (1-row build side): when a round's winner exists the
-    join multiplies nothing and the replace applies; when the pair
-    frame is EMPTY the null-extended row leaves ``sym`` untouched, so
-    a corpus that runs out of pairs (all single-symbol words) keeps its
-    vocabulary instead of cross-joining it away to an empty frame.
+    Each round's winner is decided by a deterministic total order
+    (freq desc, pair asc — a 1-row TakeOrdered), COLLECTED (bounded:
+    exactly one row at any corpus size) and inlined into the next
+    round's replace as string LITERALS (r16: the previous spelling
+    pinned the winner with an eager localCheckpoint and re-attached it
+    through a broadcast left join on a constant-true condition — one
+    extra materialization job plus a BroadcastExchange per round for
+    a row the driver already had in hand from the TakeOrdered). A
+    round whose pair frame is EMPTY (all single-symbol words) appends
+    an empty rule frame and leaves ``sym`` untouched, so subsequent
+    rounds see the preserved vocabulary — same semantics as the old
+    null-extended join.
     """
+    spark = words.sparkSession
+    _RULE_SCHEMA = "step long, pair string, merged string, freq long"
     sym = words.select(
         "word",
         F.concat(
@@ -545,17 +553,22 @@ def _bpe_learn(
 
     rules: list[DataFrame] = []
     for step in range(1, k_merges + 1):
-        pair_list = F.expr(
-            "transform(slice(split(trim(sym), '  '), 1, "
-            "size(split(trim(sym), '  ')) - 1), "
-            "(x, i) -> concat(x, ' ', split(trim(sym), '  ')[i + 1]))"
-        )
+        # adjacent symbol pairs via the codegen zip of two shifted
+        # slices (r16: the transform(slice, (x,i) -> concat) lambda ran
+        # interpreted per pair and re-split `sym` three times per row)
+        spl = F.split(F.trim(F.col("sym")), "  ")
+        n1 = F.size(spl) - 1
+        pair_zip = F.arrays_zip(F.slice(spl, 1, n1), F.slice(spl, 2, n1))
         pairs = (
-            sym.select(F.explode(pair_list).alias("pair"), "freq")
+            sym.select(F.explode(pair_zip).alias("_z"), "freq")
+            .select(
+                F.concat_ws(" ", F.col("_z")["0"], F.col("_z")["1"]).alias("pair"),
+                "freq",
+            )
             .groupBy("pair")
             .agg(F.sum("freq").alias("freq"))
         )
-        best = (
+        won = (
             pairs.orderBy(F.col("freq").desc(), F.col("pair").asc())
             .limit(1)
             .select(
@@ -564,39 +577,27 @@ def _bpe_learn(
                 F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
                 "freq",
             )
-            .localCheckpoint(eager=True)  # 1 row; pins the winner so the
-            # replace below and the output row can't recompute divergently
+            .collect()
         )
-        rules.append(best)
-        rule = best.select(
-            F.col("pair").alias("_r_pair"), F.col("merged").alias("_r_merged")
-        )
-        sym = sym.join(F.broadcast(rule), F.lit(True), "left").select(
+        rules.append(spark.createDataFrame(won, _RULE_SCHEMA))
+        if not won:
+            continue  # pair space dry: vocabulary (and sym) unchanged
+        pair, merged = won[0]["pair"], won[0]["merged"]
+        sym = sym.select(
             "word",
-            F.when(F.col("_r_pair").isNull(), F.col("sym"))
-            .otherwise(
-                F.replace(
-                    F.col("sym"),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(
-                            F.col("_r_pair"), F.lit(" "), F.lit("  ")
-                        ),
-                        F.lit(" "),
-                    ),
-                    F.concat(F.lit(" "), F.col("_r_merged"), F.lit(" ")),
-                )
-            )
-            .alias("sym"),
+            F.replace(
+                F.col("sym"),
+                F.lit(" " + pair.replace(" ", "  ") + " "),
+                F.lit(" " + merged + " "),
+            ).alias("sym"),
             "freq",
         )
-        # r16: each round consumes `sym` twice (the pair explode and
-        # the replace join), so mid-loop checkpoints stay; the FINAL
-        # round's frame is consumed at most once by the caller
-        # (bpe_merge_steps discards it outright), and under AQE a
-        # lazy localCheckpoint executes its stages at toRdd time —
-        # checkpointing it would run the last replace as its own job
-        # even when nobody reads it
+        # each round consumes `sym` twice (the pair explode and the
+        # replace), so mid-loop checkpoints stay; the FINAL round's
+        # frame is consumed at most once by the caller (bpe_merge_steps
+        # discards it outright), and under AQE a lazy localCheckpoint
+        # executes its stages at toRdd time — checkpointing it would
+        # run the last replace as its own job even when nobody reads it
         if step < k_merges:
             sym = sym.localCheckpoint(eager=False)
     return rules, sym

@@ -72,6 +72,22 @@ def get_spark(
         .config("spark.ui.retainedStages", "100")
         .config("spark.ui.retainedTasks", "2000")
         .config("spark.sql.ui.retainedExecutions", "10")
+        # ContextCleaner only reclaims shuffle files, broadcasts and
+        # localCheckpoint RDD blocks when a DRIVER GC collects their
+        # handles; the default periodic-GC interval is 30 MINUTES, so a
+        # long session accumulates gigabytes of dead block/shuffle
+        # state until the heap cap forces a major GC — measured on a
+        # full 260-spec run: driver RSS 1.0 → 7.9 GB (the 8g cap),
+        # with the Python-exchange sentinel at 2.5x its floor and one
+        # codec spec at 9 s in the pressure window, all recovering the
+        # moment the JVM finally collected (RSS back to 4.6 GB). A
+        # 1-minute cadence keeps cleanup continuous; on a real cluster
+        # the same setting bounds executor shuffle-file debris in
+        # long-running drivers (streaming, notebook, bench alike).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Fork Python workers from a daemon that has numpy/pandas/
         # pyarrow and the engine's kernel modules ALREADY imported
