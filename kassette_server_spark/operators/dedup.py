@@ -396,6 +396,7 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph by min-label
     propagation: every node converges to the smallest id reachable from
@@ -424,12 +425,19 @@ def connected_components(
       a separate changed-count. Near-dup components are
       overwhelmingly tiny stars, so convergence is 2-3 rounds.
     """
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Correctness never needs the edge dedup (min-label propagation is
+    # idempotent under duplicate edges — every aggregate is a min), so
+    # ``edges_unique=True`` callers whose pair frame is unique BY
+    # CONSTRUCTION (a verified-pair output is one row per (a,b) from
+    # its groupBy) skip a full exchange+aggregate of the edge frame;
+    # leave it False for dup-heavy inputs, where one dedup here shrinks
+    # every iteration's join instead (r16).
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    if not edges_unique:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint(eager=True)
     all_nodes = nodes.select(F.col(id_col).alias("doc_id"))
     touched = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = touched.select("doc_id", F.col("doc_id").alias("cluster_id"))

@@ -802,7 +802,11 @@ def q_stratified(spark: SparkSession, sf: str) -> DataFrame:
 def q_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
-    labels = dedup.connected_components(pairs, docs.select("doc_id"))
+    # minhash_lsh_pairs emits one verified row per (doc_a, doc_b) —
+    # unique by construction, so CC may skip its edge dedup exchange
+    labels = dedup.connected_components(
+        pairs, docs.select("doc_id"), edges_unique=True
+    )
     return labels.select(
         "doc_id", "cluster_id", (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper")
     )

@@ -343,7 +343,11 @@ def q228(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
-    labels = dedup.connected_components(pairs, docs.select("doc_id"))
+    # minhash_lsh_pairs emits one verified row per (doc_a, doc_b) —
+    # unique by construction, so CC may skip its edge dedup exchange
+    labels = dedup.connected_components(
+        pairs, docs.select("doc_id"), edges_unique=True
+    )
     return dedup.select_cluster_representatives(docs, labels)
 
 

@@ -88,6 +88,20 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
         )
+        # NOTE: the obvious refinements were measured and REJECTED on
+        # this box: -XX:+ExplicitGCInvokesConcurrent and/or
+        # G1PeriodicGCInterval+low-IHOP turn the once-a-minute cleanup
+        # into long-lived concurrent marking cycles whose background
+        # threads tax all 32 executor cores continuously (sentinels
+        # ~2x floor for the whole run), while the plain STW System.gc()
+        # finishes in well under a second at the 1-2 GB live set and
+        # leaves the other 59+ seconds untouched.
+    )
+    _java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if _java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", _java_opts)
+    builder = (
+        builder
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Fork Python workers from a daemon that has numpy/pandas/
         # pyarrow and the engine's kernel modules ALREADY imported
