@@ -579,7 +579,14 @@ def _bpe_learn(
             )
             .collect()
         )
-        rules.append(spark.createDataFrame(won, _RULE_SCHEMA))
+        # parallelize(_, 1): createDataFrame(list) would slice the one
+        # row over defaultParallelism (32) partitions, and a k-rule
+        # union then schedules 32*k near-empty tasks per consumer —
+        # measured 1.5 s of pure task overhead on q171's 5-rule union
+        # vs ~0.15 s with single-partition frames (r16)
+        rules.append(
+            spark.createDataFrame(spark.sparkContext.parallelize(won, 1), _RULE_SCHEMA)
+        )
         if not won:
             continue  # pair space dry: vocabulary (and sym) unchanged
         pair, merged = won[0]["pair"], won[0]["merged"]
