@@ -100,7 +100,9 @@ def validate_contract(
             )
         )
     else:  # uniqueness-only contract: stack(0, ...) would not parse
-        report = spark.createDataFrame([], REPORT_SCHEMA)
+        from .store import local_frame
+
+        report = local_frame(spark, [], REPORT_SCHEMA)
     for name, keys in (unique_keys or {}).items():
         per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
         uniq = _finish_report(

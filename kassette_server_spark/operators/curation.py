@@ -264,7 +264,10 @@ def domain_mix(
     ``floor`` exact. Output: (id, domain, bucket, threshold, keep).
     """
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
+    from .store import local_frame
+
+    wdf = local_frame(
+        spark,
         [(k, float(v)) for k, v in sorted(weights.items())],
         f"{domain_col} string, w double",
     )

@@ -161,7 +161,9 @@ def benford_audit(df: DataFrame, cents_col: str) -> DataFrame:
     """
     spark = df.sparkSession
     p_rows = [(str(d), BENFORD_P[d]) for d in range(1, 10)]
-    p_tbl = spark.createDataFrame(p_rows, "digit string, p double")
+    from .store import local_frame
+
+    p_tbl = local_frame(spark, p_rows, "digit string, p double")
     digit = F.substring(F.col(cents_col).cast("string"), 1, 1)
     obs = df.select(digit.alias("digit")).groupBy("digit").agg(
         F.count("*").alias("observed")
@@ -1231,7 +1233,9 @@ def embedding_sums_merge_into_store(
     else:
         merged = new
     rows = merged.collect()  # bounded: label-cardinality rows
-    out = spark.createDataFrame(rows, merged.schema).withColumn(
+    from .store import local_frame
+
+    out = local_frame(spark, rows, merged.schema).withColumn(
         "merged_through", F.lit(int(batch_id))
     )
     write_store(out, store_path, int(batch_id))

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .store import generation_committed, read_store, write_store
+from .store import generation_committed, local_frame, read_store, write_store
 
 
 def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -146,7 +146,7 @@ def scd2_merge_into_store(
         )
     merged = scd2_apply(target, batch_df, keys, ts_col)
     rows = merged.collect()
-    out = spark.createDataFrame(rows, merged.schema).withColumn(
+    out = local_frame(spark, rows, merged.schema).withColumn(
         "merged_through", F.lit(int(batch_id))
     )
     write_store(out, store_path, int(batch_id))

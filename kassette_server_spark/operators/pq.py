@@ -1700,8 +1700,10 @@ def pq_index_monitor(
         n, e = int(prev["n"]) + bn, int(prev["err_sum"]) + be
     else:
         n, e = bn, be
-    out = spark.createDataFrame(
-        [(n, e, int(batch_id))], "n long, err_sum long, merged_through long"
+    from .store import local_frame
+
+    out = local_frame(
+        spark, [(n, e, int(batch_id))], "n long, err_sum long, merged_through long"
     )
     write_store(out, store_path, int(batch_id))
     n0, e0 = base

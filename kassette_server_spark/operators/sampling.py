@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .store import next_generation, read_store, write_store
+from .store import local_frame, next_generation, read_store, write_store
 
 _U_HEX_CHARS = 13  # 52 bits: the largest md5 prefix exactly representable in a double
 _U_DENOM = float(1 << 52)
@@ -108,7 +108,7 @@ def priority_sample_merge_into_store(
         .limit(k)
     )
     rows = top.collect()
-    out = spark.createDataFrame(rows, top.schema)
+    out = local_frame(spark, rows, top.schema)
     write_store(out, store_path, next_generation(store_path))
 
 

@@ -33,7 +33,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .store import generation_committed, next_generation, read_store, write_store
+from .store import (
+    generation_committed,
+    local_frame,
+    next_generation,
+    read_store,
+    write_store,
+)
 
 # 15 hex chars = 60 bits keeps the parsed hash strictly below 2^63 so
 # the BIGINT cast is exact and positive in both engines.
@@ -341,8 +347,8 @@ def binned_quantiles(
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = bins.select("bin", F.sum("cnt").over(w).alias("cum"))
     tot = bins.agg(F.sum("cnt").alias("n"))
-    qdf = df.sparkSession.createDataFrame(
-        list(quantiles), "label string, num long, den long"
+    qdf = local_frame(
+        df.sparkSession, list(quantiles), "label string, num long, den long"
     )
     return (
         cum.crossJoin(F.broadcast(tot))
@@ -399,8 +405,8 @@ def binned_quantiles_by(
     )
     cum = bins.select(by, "bin", F.sum("cnt").over(w).alias("cum"))
     tot = bins.groupBy(by).agg(F.sum("cnt").alias("n"))
-    qdf = df.sparkSession.createDataFrame(
-        list(quantiles), "label string, num long, den long"
+    qdf = local_frame(
+        df.sparkSession, list(quantiles), "label string, num long, den long"
     )
     return (
         cum.join(F.broadcast(tot), by)
@@ -445,7 +451,7 @@ def hll_merge_into_store(
         merged = new
     # materialize before rewriting the store we just read
     rows = merged.collect()
-    out = spark.createDataFrame(rows, merged.schema)
+    out = local_frame(spark, rows, merged.schema)
     write_store(out, store_path, next_generation(store_path))
 
 
@@ -629,7 +635,7 @@ def countmin_merge_into_store(
     else:  # first batch: no committed store yet
         merged = new
     rows = merged.collect()  # bounded: <= depth*width rows
-    out = spark.createDataFrame(rows, merged.schema).withColumn(
+    out = local_frame(spark, rows, merged.schema).withColumn(
         "merged_through", F.lit(int(batch_id))
     )
     write_store(out, store_path, int(batch_id))
@@ -649,7 +655,7 @@ def bloom_merge_into_store(
     old = read_store(spark, store_path)
     merged = old.unionByName(new).distinct() if old is not None else new
     rows = merged.collect()  # bounded: <= m_bits rows
-    out = spark.createDataFrame(rows, merged.schema)
+    out = local_frame(spark, rows, merged.schema)
     write_store(out, store_path, next_generation(store_path))
 
 
@@ -718,7 +724,7 @@ def hist_merge_into_store(
     else:  # first batch: no committed store yet
         merged = new
     rows = merged.collect()  # bounded: <= num_bins rows
-    out = spark.createDataFrame(rows, merged.schema).withColumn(
+    out = local_frame(spark, rows, merged.schema).withColumn(
         "merged_through", F.lit(int(batch_id))
     )
     write_store(out, store_path, int(batch_id))
@@ -743,8 +749,8 @@ def hist_store_quantiles(
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = bins.select("bin", F.sum("cnt").over(w).alias("cum"))
     tot = bins.agg(F.sum("cnt").alias("n"))
-    qdf = store.sparkSession.createDataFrame(
-        list(quantiles), "label string, num long, den long"
+    qdf = local_frame(
+        store.sparkSession, list(quantiles), "label string, num long, den long"
     )
     return (
         cum.crossJoin(F.broadcast(tot))

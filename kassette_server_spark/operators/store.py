@@ -124,3 +124,17 @@ def next_generation(store_path: str) -> int:
     idempotent max/union merges, where replay is harmless)."""
     gens = committed_generations(store_path)
     return (gens[-1] + 1) if gens else 0
+
+
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """A DataFrame over a driver-local row list in ONE slice.
+
+    ``createDataFrame(list)`` parallelizes even a 1-row list over
+    ``defaultParallelism`` slices, so every consumer action schedules
+    cores-many near-empty tasks (32 at local[32]; measured 1.5 s for a
+    5-frame union) and a store write commits that many task files.
+    Every caller here holds a small bounded list (registers, rules,
+    thresholds, sample reservoirs), where one slice is strictly better
+    at any scale — the frame's plan, schema and row order are
+    identical to the list form (r16)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

@@ -106,7 +106,9 @@ class DeliveryLedger:
                     return df
                 # recovery found only an uncommitted first-compaction
                 # tmp (fresh ledger) — genuinely empty
-            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+            from ..operators.store import local_frame
+
+            return local_frame(self.spark, [], LEDGER_SCHEMA)
 
     def compact(self) -> int:
         """Rewrite the append-only status log to ONE latest row per
@@ -296,8 +298,12 @@ def job_health(ledger: DeliveryLedger, connections) -> DataFrame:
     """M3 GetJobHealth (jobs/jobsdb.go:852-936): latest failed statuses
     enriched with source/destination names, newest first."""
     rows = [(c.id, c.source.name, c.destination.name) for c in connections]
-    conf = ledger.spark.createDataFrame(
-        rows, "connection_id int, source_name string, destination_name string"
+    from ..operators.store import local_frame
+
+    conf = local_frame(
+        ledger.spark,
+        rows,
+        "connection_id int, source_name string, destination_name string",
     )
     st = ledger.latest_state().filter(F.col("state") == STATE_FAILED)
     return (
