@@ -732,7 +732,9 @@ def lsh_band_plan(
         )
 
     df = (
-        spark.range(1, n_hashes + 1)
+        # one slice: a cores-wide Range for n_hashes rows schedules
+        # defaultParallelism near-empty tasks per consumer (r16)
+        spark.range(1, n_hashes + 1, 1, 1)
         .select(F.col("id").alias("r"))
         .withColumn("b", F.expr(f"{n_hashes} div r").cast("long"))
         .where(F.col("b") >= 1)

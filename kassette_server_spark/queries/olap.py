@@ -480,7 +480,9 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q48(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events").select("event_id", "value")
-    bands = spark.range(0, 10).select(
+    # single-slice range: 10 rows over a cores-wide Range would schedule
+    # defaultParallelism near-empty tasks to build the broadcast (r16)
+    bands = spark.range(0, 10, 1, 1).select(
         F.col("id").alias("band_id"),
         (F.col("id") * 50.0).alias("lo"),
         (F.col("id") * 50.0 + 74.99).alias("hi"),

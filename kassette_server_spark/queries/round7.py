@@ -343,7 +343,9 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("x"))
     )
-    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    # single-slice range: 7 rows over a cores-wide Range would schedule
+    # defaultParallelism near-empty tasks to build the broadcast (r16)
+    lags = spark.range(1, 8, 1, 1).select(F.col("id").cast("int").alias("lag"))
     a = daily.select(F.col("t"), F.col("d"), F.col("x").alias("xa")).crossJoin(
         F.broadcast(lags)
     )
