@@ -258,3 +258,42 @@ def test_bigram_gram_stream_zip_matches_reference(spark):
     # end-to-end: the scored frame on the adversarial corpus is stable
     rows = bigram_logprob_by_doc(df).collect()
     assert {r["doc_id"] for r in rows} == {i for i, t in ADVERSARIAL_DOCS if len(t.split(" ")) >= 2}
+
+
+def test_zipimporter_invalidate_stat_guard(tmp_path):
+    """The worker daemon's zipimporter patch: an UNCHANGED archive's
+    invalidate_caches() becomes a stat-only no-op (the per-task cost
+    every Python worker paid re-parsing pyspark.zip's central
+    directory), while a REPLACED archive is re-read exactly like
+    upstream — new modules become importable, removed ones vanish."""
+    import os
+    import sys
+    import zipfile
+    import zipimport
+
+    # importing the daemon module applies the class patch
+    import kassette_server_spark.worker_daemon  # noqa: F401
+
+    zp = str(tmp_path / "mods.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("modA.py", "VALUE = 1\n")
+    imp = zipimport.zipimporter(zp)
+    assert imp.find_spec("modA") is not None
+
+    # unchanged archive: invalidate is a no-op (stamp survives)
+    imp.invalidate_caches()
+    stamp = imp._kss_zip_stat
+    assert stamp == (os.stat(zp).st_mtime_ns, os.stat(zp).st_size)
+    imp.invalidate_caches()
+    assert imp._kss_zip_stat == stamp
+
+    # replaced archive: re-read picks up the new directory
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("modB.py", "VALUE = 2\n")
+    os.utime(zp, (os.path.getmtime(zp) + 2, os.path.getmtime(zp) + 2))
+    imp.invalidate_caches()
+    assert imp.find_spec("modB") is not None
+    assert imp.find_spec("modA") is None
+    assert imp._kss_zip_stat != stamp
+    sys.modules.pop("modA", None)
+    sys.modules.pop("modB", None)
