@@ -47,9 +47,17 @@ def parse_envelope(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     has no parseable batch array are dropped, like the reference's
     ``ok=false`` path."""
     env = F.from_json(F.col(payload_col), ENVELOPE_SCHEMA)
+    # No explicit ``batch IS NOT NULL`` filter: the non-outer posexplode
+    # below already emits ZERO rows for a null (or empty) batch array,
+    # so the filter never changed the output — and it was actively
+    # harmful: Catalyst pushes filters through exchanges, so a caller
+    # that repartitions the raw input saw the full to_json→from_json
+    # round trip DUPLICATED below the exchange and evaluated serially
+    # on the (often single-task) scan stage just to test a condition
+    # the generator enforces anyway (q28: 1.57 s single-task stage →
+    # scan+shuffle only).
     return (
         df.withColumn("_env", env)
-        .filter(F.col("_env.batch").isNotNull())
         .select(
             "*",
             F.col("_env.writeKey").alias("write_key"),
@@ -150,6 +158,10 @@ def correct_timestamp_skew(
     orig = tolerant_timestamp(_event_str(ev, "originalTimestamp"), clock)
     sent = tolerant_timestamp(_event_str(ev, "sentAt"), clock)
     received = tolerant_timestamp(F.col("received_at_raw"), clock)
+    # event_ts references the three staged COLUMNS, not fresh copies of
+    # the parse chains: inlining them doubled every 6-format
+    # try_to_timestamp coalesce in the analyzed tree (the q226 staging
+    # trick from drift.py — same results, half the plan to analyze).
     return (
         df.withColumn("original_ts", orig)
         .withColumn("sent_ts", sent)
@@ -157,7 +169,8 @@ def correct_timestamp_skew(
         .withColumn(
             "event_ts",
             F.timestamp_micros(
-                F.unix_micros(received) - (F.unix_micros(sent) - F.unix_micros(orig))
+                F.unix_micros(F.col("received_ts"))
+                - (F.unix_micros(F.col("sent_ts")) - F.unix_micros(F.col("original_ts")))
             ),
         )
     )
