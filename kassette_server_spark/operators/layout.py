@@ -21,15 +21,22 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Round-robin repartition as it prints in the analyzed logical plan:
-# ``Repartition <n>, true`` (shuffle=true), width CAPTURED — the guard
-# compares it to the target (ADVICE r15: a caller's df.repartition(2)
-# upstream of a codec map must not suppress the spread and leave the
-# CPU-heavy stage at 2 tasks; only a repartition at least as wide as
-# the target is a width guarantee). RepartitionByExpression
-# (hash/range) prints differently and does NOT suppress the spread —
-# a hash layout for a join is not a width guarantee for a map stage.
-_RR_REPARTITION = re.compile(r"\bRepartition (\d+), true\b")
+# A prior width-guaranteeing spread as it prints in the analyzed
+# logical plan, width CAPTURED — the guard compares it to the target
+# (ADVICE r15: a caller's df.repartition(2) upstream of a codec map
+# must not suppress the spread and leave the CPU-heavy stage at 2
+# tasks; only a repartition at least as wide as the target is a width
+# guarantee). Two spellings count: an explicit round-robin
+# ``Repartition <n>, true`` (a caller's df.repartition(n), or this
+# helper's own map-typed fallback) and this helper's content-hash form
+# ``RepartitionByExpression [xxhash64(...)], <n>``. A GENERIC
+# RepartitionByExpression (a hash layout for a join) still does NOT
+# suppress the spread — a join layout is not a width guarantee for a
+# map stage.
+_RR_REPARTITION = re.compile(
+    r"\bRepartition (\d+), true\b"
+    r"|\bRepartitionByExpression \[xxhash64\([^\]]*\)\], (\d+)"
+)
 
 
 def write_bucketed(
@@ -172,10 +179,13 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     # guard exists to prevent and must NOT suppress the spread
     # (ADVICE r15).
     try:
-        widths = _RR_REPARTITION.findall(
-            df._jdf.queryExecution().analyzed().toString()
-        )
-        if widths and max(int(w) for w in widths) >= target:
+        widths = [
+            int(a or b)
+            for a, b in _RR_REPARTITION.findall(
+                df._jdf.queryExecution().analyzed().toString()
+            )
+        ]
+        if widths and max(widths) >= target:
             return df
     except Exception:
         pass  # plan introspection is best-effort; fall through to probe
@@ -186,8 +196,40 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     if n_splits is None:  # non-file-backed plan: rare, and small by nature
         n_splits = df.rdd.getNumPartitions()
     if n_splits < target:
+        # Spread by a CONTENT hash, not round-robin: every keyless
+        # repartition(n) first pays a full local sort of its input
+        # (spark.sql.execution.sortBeforeRepartition, required so task
+        # retries reproduce the row→partition assignment), which on the
+        # skinny-row inputs this guard fires for is most of the
+        # exchange's cost (events table at sf0.1: 0.40 s round-robin vs
+        # 0.25 s hash for the same noop). xxhash64 over the row's
+        # hashable columns is deterministic under retry BY CONSTRUCTION
+        # (guide §2.5: derive synthetic keys deterministically), needs
+        # no sort, and repartition(N, expr) is REPARTITION_BY_NUM —
+        # AQE never coalesces it, so the width guarantee holds. Frames
+        # whose every column is unhashable (map/variant) fall back to
+        # the round-robin spelling.
+        keys = [
+            F.col(f.name) for f in df.schema.fields if _hashable(f.dataType)
+        ]
+        if keys:
+            return df.repartition(target, F.xxhash64(*keys))
         return df.repartition(target)
     return df
+
+
+def _hashable(dt) -> bool:
+    """True when xxhash64 accepts the type: atomic types, and
+    arrays/structs of hashable types; maps/variants are not hashable
+    in Spark."""
+    name = dt.typeName()
+    if name in ("map", "variant", "udt"):
+        return False
+    if name == "array":
+        return _hashable(dt.elementType)
+    if name == "struct":
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def zorder_key(x, y, bits: int = 10):

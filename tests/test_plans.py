@@ -28,12 +28,17 @@ def plan(spark, name: str) -> str:
 def assert_spread_map(p: str) -> None:
     """The codec-tier map plan after r14's input-width guard
     (operators/layout.py ensure_scan_parallelism): the ONLY exchange allowed is the single
-    explicit ROUND-ROBIN repartition that widens a too-narrow input
-    before the Arrow-batched map — bytes-per-row rows, no key, exempt
-    from AQE coalescing. Any hash/range exchange, or a second exchange
-    of any kind, still fails the lock; on a real many-split corpus the
-    spread is a no-op and the plan collapses back to the pure
-    scan-stage map."""
+    explicit width-guaranteeing spread that widens a too-narrow input
+    before the Arrow-batched map. Since r16 the spread is a CONTENT-
+    HASH repartition — ``hashpartitioning(xxhash64(...), N),
+    REPARTITION_BY_NUM`` (deterministic under retry, no
+    sort-before-repartition pass, exempt from AQE coalescing because
+    the partition count is user-pinned) — with the round-robin
+    spelling kept as the all-columns-unhashable fallback. Any OTHER
+    hash/range exchange (a join/aggregation layout leaking in), or a
+    second exchange of any kind, still fails the lock; on a real
+    many-split corpus the spread is a no-op and the plan collapses
+    back to the pure scan-stage map."""
     import re as _re
 
     assert "MapInPandas" in p
@@ -41,11 +46,16 @@ def assert_spread_map(p: str) -> None:
     assert len(node_ids) <= 1, node_ids
     if node_ids:
         # the detail section names the partitioning; it must be the
-        # explicit round-robin spread, never a hash/range shuffle
+        # explicit spread (content-hash xxhash64 REPARTITION_BY_NUM or
+        # the round-robin fallback), never a generic hash/range shuffle
         args = _re.findall(
             r"\(\d+\) Exchange\nInput[^\n]*\nArguments: ([^\n]*)", p
         )
-        assert args and all("RoundRobinPartitioning" in a for a in args), args
+        assert args and all(
+            "RoundRobinPartitioning" in a
+            or ("hashpartitioning(xxhash64(" in a and "REPARTITION_BY_NUM" in a)
+            for a in args
+        ), args
 
 
 def test_q01_filter_and_projection_pushdown(spark):
@@ -1459,9 +1469,9 @@ def test_q255_ivfpq_qerr_exchange_bounded_by_cells(spark):
 def test_chained_spread_maps_single_exchange(spark, tmp_path):
     """ADVICE r14: decode(encode(df)) compositions must not
     double-shuffle — ensure_scan_parallelism detects the inner
-    round-robin spread already in the analyzed plan and no-ops on the
+    width-guaranteeing spread already in the analyzed plan and no-ops on the
     outer map, so the composed plan still satisfies the spread lock
-    (<=1 Exchange, round-robin only) instead of inserting a second
+    (<=1 Exchange, spread-shaped only) instead of inserting a second
     exchange that moves the full encoded payload bytes."""
     from kassette_server_spark.operators.multimodal import (
         decode_media_meta,

@@ -297,3 +297,38 @@ def test_zipimporter_invalidate_stat_guard(tmp_path):
     assert imp._kss_zip_stat != stamp
     sys.modules.pop("modA", None)
     sys.modules.pop("modB", None)
+
+
+def test_hash_spread_and_roundrobin_fallback(spark, tmp_path):
+    """ensure_scan_parallelism (r16): a too-narrow hashable input
+    spreads via the content-hash repartition (deterministic under
+    retry, no sort-before-repartition pass, REPARTITION_BY_NUM so AQE
+    keeps the width); a frame whose every column is unhashable
+    (map-typed) falls back to the round-robin spelling; and the
+    spread actually yields the target partition count."""
+    from pyspark.sql import functions as F
+
+    from kassette_server_spark.operators.layout import ensure_scan_parallelism
+
+    path = str(tmp_path / "narrow")
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+
+    spread = ensure_scan_parallelism(df)
+    plan = spread._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression [xxhash64(" in plan
+    assert spread.rdd.getNumPartitions() == target
+    # rows unchanged
+    assert spread.count() == 100
+
+    # all-unhashable frame: round-robin fallback
+    mdf = df.select(F.create_map(F.lit("k"), F.col("id")).alias("m"))
+    fallback = ensure_scan_parallelism(mdf)
+    fplan = fallback._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression" not in fplan
+    assert f"Repartition {target}, true" in fplan
+
+    # idempotence: a second wrap detects the hash spread and no-ops
+    again = ensure_scan_parallelism(spread)
+    assert again is spread
