@@ -47,13 +47,47 @@ def table_path(sf_dir: str, name: str) -> str:
 _TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+# Resolved-relation cache — the metastore role. Every
+# ``spark.read.parquet`` call re-runs DataSource resolution (Hadoop
+# conf construction + XML parse, path glob, footer schema inference):
+# ~0.10 s per call measured on this box, identical path or not. A real
+# catalog resolves a table once and hands back the relation; queries
+# here re-loaded the same static tables on every build (2-4 loads per
+# spec), which was pure driver latency. The cache stores the resolved
+# PLAN only — every action still scans parquet from disk; no data or
+# results are memoized. It lives ON the SparkSession python object (a
+# different session — even one whose py4j target id collides after a
+# JVM restart — never reuses another session's plans) and is keyed by
+# the table path's (mtime_ns, size) stamp, so a rewritten fixture
+# re-resolves exactly like Spark's own FileStatusCache expects.
+_RELATION_CACHE_MAX = 256
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    cache = getattr(spark, "_kss_relation_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._kss_relation_cache = cache
+        except Exception:  # exotic session proxies: skip caching
+            stamp = None
+    key = (os.path.abspath(path), stamp)
+    if stamp is not None:
+        cached = cache.get(key)
+        if cached is not None:
+            return cached
     ts_cols = _TS_COLUMNS.get(name, ())
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(path)
     for c in ts_cols:
         dtype = dict(df.dtypes).get(c)
         if dtype == "bigint":
@@ -62,6 +96,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # timestamp_ntz (or date): cast interprets the naive value in
             # the session time zone (UTC) — no instant shift.
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if stamp is not None:
+        if len(cache) >= _RELATION_CACHE_MAX:
+            cache.clear()  # bounded; repopulates on demand
+        cache[key] = df
     return df
 
 

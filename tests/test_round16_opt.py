@@ -332,3 +332,33 @@ def test_hash_spread_and_roundrobin_fallback(spark, tmp_path):
     # idempotence: a second wrap detects the hash spread and no-ops
     again = ensure_scan_parallelism(spread)
     assert again is spread
+
+
+def test_relation_cache_reuses_plan_and_sees_rewrites(spark, tmp_path):
+    """catalog.load (r16): the resolved relation is reused within a
+    session (plan-only — every action still scans parquet), and a
+    REWRITTEN table re-resolves so new data is visible."""
+    import shutil
+
+    from kassette_server_spark import catalog
+
+    sfd = str(tmp_path / "sfx")
+    import os
+
+    os.makedirs(sfd)
+    spark.range(5).withColumnRenamed("id", "r_regionkey").write.parquet(
+        catalog.table_path(sfd, "region")
+    )
+    d1 = catalog.load(spark, sfd, "region")
+    d2 = catalog.load(spark, sfd, "region")
+    assert d2 is d1  # same resolved plan object
+    assert d1.count() == 5
+
+    # rewrite the table: the stamp changes, load re-resolves, new rows
+    shutil.rmtree(catalog.table_path(sfd, "region"))
+    spark.range(7).withColumnRenamed("id", "r_regionkey").write.parquet(
+        catalog.table_path(sfd, "region")
+    )
+    d3 = catalog.load(spark, sfd, "region")
+    assert d3 is not d1
+    assert d3.count() == 7
