@@ -383,27 +383,6 @@ def chi_square_oracle_sql(table: str, row_col: str, col_col: str) -> str:
     """
 
 
-def _quintile_thresholds(vals: DataFrame, col: str) -> DataFrame:
-    """ONE-row frame (t1..t4): exact order-statistic quintile cuts of
-    ``vals[col]`` — smallest value whose cumulative count reaches
-    ⌈k·n/5⌉. Same integer rule as winsorized_stats; no global
-    row_number, so no single-partition sort at scale."""
-    from pyspark.sql import Window
-
-    counts = vals.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = counts.select("v", F.sum("cnt").over(w).alias("cum"))
-    tot = counts.agg(F.sum("cnt").alias("n"))
-    return cum.crossJoin(F.broadcast(tot)).agg(
-        *[
-            F.min(
-                F.when(F.col("cum") * 5 >= F.col("n") * k, F.col("v"))
-            ).alias(f"t{k}")
-            for k in (1, 2, 3, 4)
-        ]
-    )
-
-
 def rfm_scores(
     orders: DataFrame,
     cust_col: str = "o_custkey",
@@ -453,12 +432,47 @@ def rfm_scores(
         )
         return (F.lit(6) - raw) if invert else raw
 
-    out = per_cust
-    for metric in ("recency_days", "frequency", "monetary_cents"):
-        th = _quintile_thresholds(per_cust, metric).select(
-            *[F.col(f"t{k}").alias(f"{metric}_t{k}") for k in (1, 2, 3, 4)]
-        )
-        out = out.join(F.broadcast(th))
+    # All 12 quintile cuts in ONE pipeline: unpivot the three metrics
+    # to (metric, v) rows and run a single counts→cumulative-window→
+    # min-when aggregation, partitioned BY METRIC. Identical cuts to
+    # three _quintile_thresholds calls (same integer rule per metric),
+    # but the plan carries ONE copy of the threshold pipeline instead
+    # of three — and the cumulative window is metric-partitioned
+    # instead of three global single-partition windows (r16; the
+    # per_cust subtree also appears twice instead of four times).
+    from pyspark.sql import Window
+
+    metrics = ("recency_days", "frequency", "monetary_cents")
+    vals = per_cust.selectExpr(
+        "stack(3, "
+        + ", ".join(f"'{m}', {m}" for m in metrics)
+        + ") as (metric, v)"
+    )
+    counts = vals.groupBy("metric", "v").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "metric",
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("metric")).alias("n"),
+    )
+    th = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("metric") == m) & (F.col("cum") * 5 >= F.col("n") * k),
+                    F.col("v"),
+                )
+            ).alias(f"{m}_t{k}")
+            for m in metrics
+            for k in (1, 2, 3, 4)
+        ]
+    )
+    out = per_cust.join(F.broadcast(th))
     r = score("recency_days", invert=True)  # recent (small) = high score
     f = score("frequency", invert=False)
     m = score("monetary_cents", invert=False)
