@@ -81,6 +81,7 @@ def item_item_cosine(
     item_col: str,
     cap: int = 50,
     top_n: int = 20,
+    broadcast_norms: bool = False,
 ) -> DataFrame:
     """Item-item cosine similarity from a (user, item) interaction log
     — the classic ItemCF / "customers who bought X also bought Y"
@@ -156,6 +157,15 @@ def item_item_cosine(
     co = pairs.groupBy("item_i", "item_j").agg(F.count("*").alias("co_cnt"))
     ni = norms.select(F.col("it").alias("item_i"), F.col("cnt").alias("cnt_i"))
     nj = norms.select(F.col("it").alias("item_j"), F.col("cnt").alias("cnt_j"))
+    # the norms frame descends from the checkpointed baskets, so it
+    # carries no size statistics and Catalyst will NOT auto-broadcast
+    # it — the big pair frame pays two sort-merge shuffles against a
+    # table bounded by the item vocabulary. Same opt-in pattern as
+    # pagerank's broadcast_ranks (q102): pass True when items are a
+    # bounded dimension (product catalog, parts); leave False for
+    # open-ended item spaces.
+    if broadcast_norms:
+        ni, nj = F.broadcast(ni), F.broadcast(nj)
     scored = (
         co.join(ni, "item_i")
         .join(nj, "item_j")

@@ -324,8 +324,10 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     )
     # cap=20 BINDS at this basket size (~40 items/customer), so the
     # spec exercises the estimator the operator actually is at scale —
-    # and the pair volume stays |users|*190 instead of |users|*800
-    return item_item_cosine(inter, "u", "it", cap=20, top_n=20)
+    # and the pair volume stays |users|*190 instead of |users|*800.
+    # Items here are parts — a bounded dimension — so the norms frame
+    # broadcasts (r16; see item_item_cosine.broadcast_norms).
+    return item_item_cosine(inter, "u", "it", cap=20, top_n=20, broadcast_norms=True)
 
 
 # -- remaining TPC-H shapes ---------------------------------------------------
