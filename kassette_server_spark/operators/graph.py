@@ -531,6 +531,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Deterministic synchronous label propagation: ``iters`` rounds of
     "adopt the most common label among my neighbors" (ties: LOWEST
@@ -569,7 +570,13 @@ def label_propagation(
         "node", F.col("node").alias("label")
     )
     for it in range(iters):
-        nb = sym.join(labels, sym.v == labels.node).select("u", "label")
+        # the per-round label frame is checkpoint-derived (no size
+        # statistics) so Catalyst plans a sort-merge join that shuffles
+        # the EDGE frame every round; for dimension-bounded node sets
+        # the hint turns it into a BroadcastHashJoin and the edges
+        # never shuffle (the pagerank broadcast_ranks pattern, r16)
+        label_side = F.broadcast(labels) if broadcast_labels else labels
+        nb = sym.join(label_side, sym.v == labels.node).select("u", "label")
         counts = nb.groupBy("u", "label").agg(F.count("*").alias("cnt"))
         labels = (
             counts.groupBy("u")

@@ -423,7 +423,11 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
     tags=("graph", "scale"),
 )
 def q169(spark: SparkSession, sf: str) -> DataFrame:
-    lab = label_propagation(_copurchase_edges(spark, sf), iters=3)
+    # parts are a bounded dimension: broadcast the per-round labels so
+    # the edge frame never shuffles (r16; see label_propagation)
+    lab = label_propagation(
+        _copurchase_edges(spark, sf), iters=3, broadcast_labels=True
+    )
     sizes = lab.groupBy("label").agg(F.count("*").alias("size"))
     tot = lab.agg(
         F.count("*").alias("n_nodes"),
