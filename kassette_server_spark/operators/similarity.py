@@ -431,6 +431,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_centroid_broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     centroid (max cosine; deterministic tie-break on centroid id).
@@ -440,17 +441,64 @@ def ivf_assign(
     clustered by `centroid_id`, so a query only scans its probed
     clusters (partition pruning does the rest).
     """
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
     from .layout import ensure_scan_parallelism
 
     # per-vector scoring against every centroid is the CPU-heavy head;
     # fan a narrow scan out first (no-op at scale)
     v = ensure_scan_parallelism(
         vectors.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("vv"))
-    ).withColumn("vn", norm(F.col("vv")))
-    scored = v.join(F.broadcast(c)).select(
+    )
+    # The centroid table is bounded by construction (IVF coarse cells).
+    # Collect it once (cid-ascending) and score each Arrow batch with
+    # the exact-fold kernels (guide §4.2; the old broadcast-join path
+    # evaluated the dot/norm HOF folds as interpreted CodegenFallback
+    # closures per (vector, centroid) pair, and BUILDING those lambda
+    # expressions cost ~0.5 s of py4j per call — r16). Bit-parity:
+    # _ordered_dot_np/_ordered_norm_np run the Catalyst fold order;
+    # IEEE multiply is commutative; sim = dot / (vn·cn) divides the
+    # same operands; np.argmax over cid-ascending rows picks the FIRST
+    # maximum = the lowest centroid_id among ties AND prefers NaN like
+    # Spark's struct max (NaN sorts greatest, all-NaN ties fall to the
+    # first = lowest cid). Oversized centroid tables keep the
+    # broadcast-join path.
+    cap = max_centroid_broadcast_rows
+    crows = centroids.select(
+        F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cv")
+    ).orderBy("centroid_id").limit(cap + 1).collect()
+    if 0 < len(crows) <= cap:  # empty centroid table: join path (empty out)
+        import numpy as np
+
+        cids = np.array([r.centroid_id for r in crows], dtype=np.int64)
+        C = _np_fmat([r.cv for r in crows])
+        cn = _ordered_norm_np(C)
+
+        def assign_batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = _np_fmat(pdf["vv"])
+                vn = _ordered_norm_np(V)
+                sims = _ordered_dot_np(V, C) / (vn[:, None] * cn[None, :])
+                best = np.argmax(sims, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values,
+                        "centroid_id": cids[best],
+                        "vv": pdf["vv"].values,
+                        "vn": vn,
+                    }
+                )
+
+        return v.mapInPandas(
+            assign_batches,
+            schema="vec_id long, centroid_id long, vv array<double>, vn double",
+        )
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = v.withColumn("vn", norm(F.col("vv"))).join(F.broadcast(c)).select(
         "vec_id",
         "vv",
         "vn",

@@ -362,3 +362,39 @@ def test_relation_cache_reuses_plan_and_sees_rewrites(spark, tmp_path):
     d3 = catalog.load(spark, sfd, "region")
     assert d3 is not d1
     assert d3.count() == 7
+
+
+def test_ivf_assign_fused_equals_join_path(spark):
+    """ivf_assign (r16): the fused Arrow-kernel assignment is
+    row-identical to the broadcast-join + max_by fallback, including
+    ties (duplicate centroids at different ids pick the LOWEST id) and
+    a zero-norm vector (NaN sims)."""
+    from kassette_server_spark.operators.similarity import ivf_assign
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.7, 0.7]),
+            (4, [0.0, 0.0]),  # zero norm: all sims NaN
+            (5, [-1.0, -1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),
+            (11, [0.0, 1.0]),
+            (12, [1.0, 0.0]),  # duplicate of 10: ties must pick 10
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    fused = ivf_assign(vecs, cents).orderBy("vec_id").collect()
+    joined = ivf_assign(
+        vecs, cents, max_centroid_broadcast_rows=0
+    ).orderBy("vec_id").collect()
+    assert len(fused) == len(joined) == 5
+    for a, b in zip(fused, joined):
+        assert (a.vec_id, a.centroid_id, a.vv) == (b.vec_id, b.centroid_id, b.vv)
+        assert a.vn == b.vn  # exact fold parity
+    assert {r.vec_id: r.centroid_id for r in fused}[1] == 10  # tie -> lowest cid
