@@ -163,6 +163,15 @@ def _prep_np(
     return V
 
 
+def _collect_seed_rows(qdf: DataFrame, k: int) -> list:
+    """The K rows with the smallest ids — ONE bounded (k-row) collect.
+    Callers that train a coarse quantizer AND a residual codebook off
+    the same frame collect max(kc, k) rows once and slice (r17): the
+    seed definition is a prefix of the _pid total order, so the first
+    kc of k collected rows ARE the kc-row collect."""
+    return qdf.orderBy("_pid").limit(k).collect()
+
+
 def _seed_codebook(
     qdf: DataFrame,
     m: int,
@@ -170,6 +179,7 @@ def _seed_codebook(
     dim: int,
     quantize: bool = False,
     coarse: list[tuple[int, tuple[int, ...]]] | None = None,
+    rows: list | None = None,
 ) -> Codebook:
     """Init: the K rows with the smallest ids, sliced into subvectors
     (q96's deterministic seeding on every sub-space at once). Bounded
@@ -179,9 +189,13 @@ def _seed_codebook(
     quantizing all rows first). ``coarse``: seed from the rows'
     residuals against their assigned coarse centroid, computed
     driver-side on the same k rows (row-wise, so restriction to the
-    seed rows commutes with the transform)."""
+    seed rows commutes with the transform). ``rows``: pre-collected
+    seed rows (≥ k of them, _pid-ascending) — skips this call's
+    collect job entirely (r17 ladder fusion)."""
     d = dim // m
-    rows = qdf.orderBy("_pid").limit(k).collect()
+    if rows is None:
+        rows = _collect_seed_rows(qdf, k)
+    rows = rows[:k]
     coarse_np = _np_book({0: coarse}, 1)[0] if coarse is not None else None
     field = "v" if quantize else "qv"
     if rows:
@@ -224,6 +238,23 @@ def _update_frame(
     int8-quantizes in-batch (bit-identical — see _quantize_np).
     ``coarse``: the kernel additionally subtracts each row's assigned
     coarse centroid (fused IVF residual — see _prep_np)."""
+    partial = _update_partials(qdf, book, m, d, quantize, coarse)
+    return partial.groupBy("m", "cid").agg(
+        F.sum("n").alias("n"),
+        *[F.sum(f"s_{j}").alias(f"s_{j}") for j in range(d)],
+    )
+
+
+def _update_partials(
+    qdf: DataFrame,
+    book: Codebook,
+    m: int,
+    d: int,
+    quantize: bool = False,
+    coarse: list[tuple[int, tuple[int, ...]]] | None = None,
+) -> DataFrame:
+    """The map-only half of one Lloyd update: ≤ M·K partial
+    (m, cid, n, s_0..s_{d-1}) rows PER ARROW BATCH, nothing shuffled."""
     nb = _np_book(book, m)
     coarse_np = _np_book({0: coarse}, 1)[0] if coarse is not None else None
     vec_field = "v" if quantize else "qv"
@@ -251,11 +282,44 @@ def _update_frame(
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    partial = qdf.select(vec_field).mapInPandas(batches, schema=schema)
-    return partial.groupBy("m", "cid").agg(
-        F.sum("n").alias("n"),
-        *[F.sum(f"s_{j}").alias(f"s_{j}") for j in range(d)],
-    )
+    return qdf.select(vec_field).mapInPandas(batches, schema=schema)
+
+
+def _update_book(
+    qdf: DataFrame,
+    book: Codebook,
+    m: int,
+    d: int,
+    quantize: bool = False,
+    coarse: list[tuple[int, tuple[int, ...]]] | None = None,
+) -> Codebook:
+    """One Lloyd update folded driver-side (r17): collect the map-only
+    partials (≤ M·K rows per Arrow batch — bounded by the codebook
+    size × batch count, the same boundedness the old ≤ M·K-row collect
+    asserted) and sum them in Python instead of through a groupBy
+    Exchange + final-aggregate stage. Python ints are exact (arbitrary
+    precision) and integer addition is order-free, so the folded sums
+    — and therefore the floored-mean centroids — are bit-identical to
+    the in-frame aggregate's. Each training round is then ONE map-only
+    job instead of a two-stage shuffle job; at sf0.1 the PQ family's
+    cost is sequential job structure, and on a cluster the removed
+    exchange is a real (if tiny) shuffle every round."""
+    partial = _update_partials(qdf, book, m, d, quantize, coarse)
+    acc: dict[tuple[int, int], list[int]] = {}
+    for r in partial.collect():
+        key = (int(r["m"]), int(r["cid"]))
+        got = acc.get(key)
+        if got is None:
+            acc[key] = [int(r["n"])] + [int(r[f"s_{j}"]) for j in range(d)]
+        else:
+            got[0] += int(r["n"])
+            for j in range(d):
+                got[j + 1] += int(r[f"s_{j}"])
+    out: Codebook = {mi: [] for mi in range(m)}
+    for (mi, cid) in sorted(acc):
+        n, *sums = acc[(mi, cid)]
+        out[mi].append((cid, tuple(_floored_mean(s, n) for s in sums)))
+    return out
 
 
 def _floored_mean(s: int, n: int) -> int:
@@ -272,24 +336,21 @@ def pq_train(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_rows: list | None = None,
 ) -> Codebook:
     """Train the M sub-codebooks: ``iters`` assignment+update cycles,
     returning the codebook AFTER the final update (integer centroids;
-    empty clusters dropped). Each cycle costs one map-only pass + one
-    ≤ M·K-row shuffle + one bounded collect."""
+    empty clusters dropped). Each cycle is ONE map-only job whose
+    ≤ M·K-per-batch partials fold driver-side (r17, _update_book)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     if iters < 1:
         raise ValueError("iters must be >= 1")
     d = dim // m
     vdf = _raw(df, id_col, vec_col, "_pid")
-    book = _seed_codebook(vdf, m, k, dim, quantize=True)
+    book = _seed_codebook(vdf, m, k, dim, quantize=True, rows=seed_rows)
     for _ in range(iters):
-        rows = _update_frame(vdf, book, m, d, quantize=True).collect()  # bounded: <= m*k
-        book = {mi: [] for mi in range(m)}
-        for r in sorted(rows, key=lambda r: (r["m"], r["cid"])):
-            coords = tuple(_floored_mean(int(r[f"s_{j}"]), int(r["n"])) for j in range(d))
-            book[int(r["m"])].append((int(r["cid"]), coords))
+        book = _update_book(vdf, book, m, d, quantize=True)
     return book
 
 
@@ -319,11 +380,7 @@ def pq_fit_summary(
     vdf = _raw(df, id_col, vec_col, "_pid")
     book = _seed_codebook(vdf, m, k, dim, quantize=True)
     for _ in range(iters - 1):
-        rows = _update_frame(vdf, book, m, d, quantize=True).collect()
-        book = {mi: [] for mi in range(m)}
-        for r in sorted(rows, key=lambda r: (r["m"], r["cid"])):
-            coords = tuple(_floored_mean(int(r[f"s_{j}"]), int(r["n"])) for j in range(d))
-            book[int(r["m"])].append((int(r["cid"]), coords))
+        book = _update_book(vdf, book, m, d, quantize=True)
     upd = _update_frame(vdf, book, m, d, quantize=True)
     cx = [F.expr(f"(s_{j} + 128*n) div n - 128") for j in range(d)]
     return upd.select(
@@ -792,11 +849,13 @@ def ivf_train_coarse(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_rows: list | None = None,
 ) -> list[tuple[int, tuple[int, ...]]]:
     """The coarse quantizer: full-dimension k-means = PQ training with
     a single sub-space (m=1, d=dim). Returns [(cid, centroid)]."""
     return pq_train(
-        vectors, m=1, k=kc, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+        vectors, m=1, k=kc, iters=iters, dim=dim, id_col=id_col,
+        vec_col=vec_col, seed_rows=seed_rows,
     )[0]
 
 
@@ -849,6 +908,7 @@ def ivfpq_train_residual(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_rows: list | None = None,
 ) -> Codebook:
     """Train the M residual sub-codebooks: the pq_train Lloyd loop fed
     residual vectors instead of raw quantized ones (same smallest-id
@@ -856,16 +916,13 @@ def ivfpq_train_residual(
     negatives exactly)."""
     d = dim // m
     vdf = _raw(vectors, id_col, vec_col, "_pid")
-    book = _seed_codebook(vdf, m, k, dim, quantize=True, coarse=coarse)
+    book = _seed_codebook(
+        vdf, m, k, dim, quantize=True, coarse=coarse, rows=seed_rows
+    )
     for _ in range(iters):
-        # bounded: <= m*k; quantize+residual fused into the kernel
-        rows = _update_frame(vdf, book, m, d, quantize=True, coarse=coarse).collect()
-        book = {mi: [] for mi in range(m)}
-        for r in sorted(rows, key=lambda r: (r["m"], r["cid"])):
-            coords = tuple(
-                _floored_mean(int(r[f"s_{j}"]), int(r["n"])) for j in range(d)
-            )
-            book[int(r["m"])].append((int(r["cid"]), coords))
+        # quantize+residual fused into the kernel; partials folded
+        # driver-side (one map-only job per round — _update_book)
+        book = _update_book(vdf, book, m, d, quantize=True, coarse=coarse)
     return book
 
 
@@ -931,14 +988,22 @@ def ivfpq_adc_topk(
     Output: (query_id, neighbor_id, adc_dist, rank), rank 1..topk by
     (adc_dist asc, neighbor_id asc), self-pairs excluded."""
     d = dim // m
+    seeds = None
+    if coarse is None and book is None:
+        # one max(kc, k)-row seed collect shared by both trainings
+        # (r17): the coarse seed is a prefix of the residual seed
+        seeds = _collect_seed_rows(
+            _raw(vectors, id_col, vec_col, "_pid"), max(kc, k)
+        )
     if coarse is None:
         coarse = ivf_train_coarse(
-            vectors, kc=kc, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+            vectors, kc=kc, iters=iters, dim=dim, id_col=id_col,
+            vec_col=vec_col, seed_rows=seeds,
         )
     if book is None:
         book = ivfpq_train_residual(
             vectors, coarse, m=m, k=k, iters=iters, dim=dim,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, seed_rows=seeds,
         )
     enc = ivfpq_encode(
         vectors, coarse, book, m=m, dim=dim, id_col=id_col, vec_col=vec_col
@@ -1101,14 +1166,20 @@ def ivfpq_write_index(
     opened, not merely never scored. Returns (coarse, book) — the tiny
     codebooks the searcher needs (persist them beside the index; they
     are ≤ kc·dim + M·K·d ints)."""
+    seeds = None
+    if coarse is None and book is None:
+        seeds = _collect_seed_rows(
+            _raw(vectors, id_col, vec_col, "_pid"), max(kc, k)
+        )
     if coarse is None:
         coarse = ivf_train_coarse(
-            vectors, kc=kc, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+            vectors, kc=kc, iters=iters, dim=dim, id_col=id_col,
+            vec_col=vec_col, seed_rows=seeds,
         )
     if book is None:
         book = ivfpq_train_residual(
             vectors, coarse, m=m, k=k, iters=iters, dim=dim,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, seed_rows=seeds,
         )
     enc = ivfpq_encode(
         vectors, coarse, book, m=m, dim=dim, id_col=id_col, vec_col=vec_col
@@ -1388,12 +1459,16 @@ def ivfpq_qerr_by_cell(
     gate's arithmetic has a driver row, not just fixture tests. One
     map-only encode pass (books are closure captures) + one ≤ kc-row
     group exchange. Output: (cid, n, err_sum, err_min, err_max)."""
+    seeds = _collect_seed_rows(
+        _raw(vectors, id_col, vec_col, "_pid"), max(kc, k)
+    )
     coarse = ivf_train_coarse(
-        vectors, kc=kc, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+        vectors, kc=kc, iters=iters, dim=dim, id_col=id_col,
+        vec_col=vec_col, seed_rows=seeds,
     )
     book = ivfpq_train_residual(
         vectors, coarse, m=m, k=k, iters=iters, dim=dim,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, seed_rows=seeds,
     )
     enc = ivfpq_encode(
         vectors, coarse, book, m=m, dim=dim,

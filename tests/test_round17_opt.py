@@ -6,6 +6,14 @@ from __future__ import annotations
 import math
 
 from kassette_server_spark.operators.evaluation import spearman_by
+from kassette_server_spark.operators.pq import (
+    _collect_seed_rows,
+    _floored_mean,
+    _raw,
+    _seed_codebook,
+    _update_book,
+    _update_frame,
+)
 
 
 def _two_ranks(vals):
@@ -52,3 +60,45 @@ def test_spearman_joint_window_tie_dense_parity(spark):
             assert rho is None
         else:
             assert rho == expected, f"group {g}: {rho} != {expected}"
+
+
+def _vec_frame(spark, n=60, dim=8, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_update_book_matches_in_frame_aggregate(spark):
+    """The r17 driver-side partial fold (_update_book) must produce
+    the exact codebook the in-frame groupBy aggregate produces —
+    same clusters, same floored-mean integer centroids."""
+    dim, m, k = 8, 2, 4
+    d = dim // m
+    df = _vec_frame(spark, n=60, dim=dim)
+    vdf = _raw(df, "vec_id", "embedding", "_pid").repartition(5)
+    book0 = _seed_codebook(vdf, m, k, dim, quantize=True)
+    got = _update_book(vdf, book0, m, d, quantize=True)
+    rows = _update_frame(vdf, book0, m, d, quantize=True).collect()
+    want = {mi: [] for mi in range(m)}
+    for r in sorted(rows, key=lambda r: (r["m"], r["cid"])):
+        coords = tuple(
+            _floored_mean(int(r[f"s_{j}"]), int(r["n"])) for j in range(d)
+        )
+        want[int(r["m"])].append((int(r["cid"]), coords))
+    assert got == want
+
+
+def test_seed_rows_prefix_slicing(spark):
+    """A max(kc, k)-row seed collect sliced to kc rows must seed the
+    identical coarse codebook as a direct kc-row collect."""
+    dim = 8
+    df = _vec_frame(spark, n=40, dim=dim)
+    vdf = _raw(df, "vec_id", "embedding", "_pid")
+    rows16 = _collect_seed_rows(vdf, 16)
+    direct = _seed_codebook(vdf, 1, 4, dim, quantize=True)
+    sliced = _seed_codebook(vdf, 1, 4, dim, quantize=True, rows=rows16)
+    assert direct == sliced
