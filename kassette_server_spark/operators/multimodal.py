@@ -1524,18 +1524,23 @@ def encode_jpeg_progressive_pixels(
     # EOB (= EOBRUN 1)
     def ac_first_pass(cn: int, al: int) -> bytes:
         """One spectral-selection AC scan at point transform ``al``:
-        values v div 2^al (sign-preserving), EOB per all-zero tail."""
+        values v div 2^al (sign-preserving), EOB per all-zero tail.
+        The per-coefficient shift/sign math is vectorized per
+        component (r17): one numpy pass computes every block's shifted
+        values and last-nonzero index, the Python loop only walks the
+        (sparse) nonzero prefix — same bits emitted."""
         cols_c, bw_real, bh_real = grids[cn]
+        zzc = comp_zz[cn].astype(np.int64)
+        shifted = np.sign(zzc) * (np.abs(zzc) >> al)
+        nz = shifted[:, 1:] != 0
+        lnz_all = np.where(nz.any(axis=1), 63 - np.argmax(nz[:, ::-1], axis=1), 0)
         w = _BitWriter()
         for by in range(bh_real):
             for bx in range(bw_real):
-                zz = comp_zz[cn][by * cols_c + bx]
-                vals = [
-                    (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> al)
-                    for k in range(64)
-                ]
+                bi = by * cols_c + bx
+                last_nz = int(lnz_all[bi])
+                vals = shifted[bi].tolist()
                 run = 0
-                last_nz = max((k for k in range(1, 64) if vals[k]), default=0)
                 for k in range(1, last_nz + 1):
                     if vals[k] == 0:
                         run += 1
@@ -1561,6 +1566,11 @@ def encode_jpeg_progressive_pixels(
         behind the next emitted symbol; trailing zeros fold into
         EOBRUN with their corrections held until it flushes."""
         cols_c, bw_real, bh_real = grids[cn]
+        zzc = comp_zz[cn].astype(np.int64)
+        absv_all = np.abs(zzc) >> al
+        neg_all = zzc < 0
+        nzr = absv_all[:, 1:] != 0
+        eob_all = np.where(nzr.any(axis=1), 63 - np.argmax(nzr[:, ::-1], axis=1), 0)
         w = _BitWriter()
         state = {"eobrun": 0, "held": []}
 
@@ -1578,9 +1588,10 @@ def encode_jpeg_progressive_pixels(
 
         for by in range(bh_real):
             for bx in range(bw_real):
-                zz = comp_zz[cn][by * cols_c + bx]
-                absv = [abs(int(zz[k])) >> al for k in range(64)]
-                eob = max((k for k in range(1, 64) if absv[k]), default=0)
+                bi = by * cols_c + bx
+                absv = absv_all[bi].tolist()
+                neg = neg_all[bi].tolist()
+                eob = int(eob_all[bi])
                 r = 0
                 br: list[int] = []
                 for k in range(1, 64):
@@ -1602,7 +1613,7 @@ def encode_jpeg_progressive_pixels(
                     emit_eobrun()  # newly significant at this precision
                     c, ln = _AC_CODES[(r << 4) | 1]
                     w.put(c, ln)
-                    w.put(0 if int(zz[k]) < 0 else 1, 1)
+                    w.put(0 if neg[k] else 1, 1)
                     for bit in br:
                         w.put(bit, 1)
                     br = []
@@ -1694,9 +1705,30 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
+        # bulk form of k chained bit() calls: identical refill rules
+        # (byte-at-a-time with 0xFF00 unstuffing), but takes all the
+        # accumulator's available bits per refill instead of one
         v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        while k:
+            if self.n == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    if self.pos >= len(self.data):
+                        raise ValueError("truncated JPEG entropy stream")
+                    if self.data[self.pos] != 0x00:
+                        raise ValueError(
+                            f"unexpected marker 0xff{self.data[self.pos]:02x} in scan"
+                        )
+                    self.pos += 1
+                self.acc = b
+                self.n = 8
+            take = k if k < self.n else self.n
+            self.n -= take
+            v = (v << take) | ((self.acc >> self.n) & ((1 << take) - 1))
+            k -= take
         return v
 
     def restart(self, expected: int) -> None:
