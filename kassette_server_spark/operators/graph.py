@@ -25,7 +25,7 @@ simplification; rankings are unaffected for comparison purposes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000  # 1.0 in micro-units
@@ -55,10 +55,18 @@ def pagerank_fixedpoint(
     users) where the rank table itself is big data.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # (src, dst, outdeg) is loop-invariant: checkpoint once, reuse every
-    # iteration so the scan+groupBy doesn't recompute per pass
-    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    # iteration so the scan doesn't recompute per pass. outdeg rides a
+    # count-over-window on src (r17) — ONE exchange of the edge frame
+    # instead of the old groupBy (exchange) + sort-merge join back
+    # (two more exchanges); identical rows since the join was a
+    # self-derived inner join on src (never dropped an edge), and the
+    # skew exposure is unchanged — the join already clustered by src.
+    # Measured at sf0.1 (q102, same-session alternation):
+    # 2.7-3.2 → 2.1-2.8 s, 0-row diff.
+    ed = e.withColumn(
+        "outdeg", F.count("*").over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=False)
     # r16 (driver-plan cost — guide §7.3 "planning" class): derive the
     # node set FROM the checkpointed edge frame instead of the raw
     # edges (identical set: deg keys on src from e itself, so the
