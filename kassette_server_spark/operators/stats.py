@@ -719,11 +719,19 @@ def weighted_median_by(
     win = Window.partitionBy("grp").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = vw.select("grp", "v", F.sum("w").over(win).alias("cum"))
-    tot = vw.groupBy("grp").agg(F.sum("w").alias("tot"))
+    # r17: the group total rides the SAME grp-partitioned window
+    # (unbounded frame) instead of a second aggregate + broadcast
+    # join-back — one fewer pass over vw and one fewer join, the
+    # oracle's own spelling; the final aggregate reuses the window's
+    # partitioning. Identical rows (0-row exceptAll diff).
+    cum = vw.select(
+        "grp",
+        "v",
+        F.sum("w").over(win).alias("cum"),
+        F.sum("w").over(Window.partitionBy("grp")).alias("tot"),
+    )
     return (
-        cum.join(F.broadcast(tot), "grp")
-        .where(F.col("cum") * 2 >= F.col("tot"))
+        cum.where(F.col("cum") * 2 >= F.col("tot"))
         .groupBy("grp")
         .agg(F.min("v").alias("wmedian"), F.first("tot").alias("tot_weight"))
     )

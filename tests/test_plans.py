@@ -296,11 +296,13 @@ def test_q141_dataset_split_single_exchange(spark):
     assert p.count("Exchange (") == 1
 
 
-def test_q143_weighted_median_broadcast_totals(spark):
-    """The totals frame joins back broadcast — no second data-sized
-    shuffle after the cumulative window."""
+def test_q143_weighted_median_no_join(spark):
+    """r17: the group total rides the same grp-partitioned window as
+    the cumulative sum — no join-back at all, and the only exchanges
+    are the (grp, v) aggregate and the window partitioning."""
     p = plan(spark, "q143_weighted_median")
-    assert "BroadcastExchange" in p
+    assert "Join" not in p
+    assert p.count("Exchange (") <= 2
 
 
 def test_q142_pareto_local_prune_before_global_window(spark):
