@@ -60,6 +60,21 @@ def get_spark(
         # are non-ANSI: failed casts drop/null rather than error —
         # SURVEY §1.2, processor/transformer.go:118-120, 168-173)
         .config("spark.sql.ansi.enabled", "false")
+        # PySpark 4 wraps EVERY DataFrame API call in a call-site
+        # capture for error context: a Python stack walk plus 3-4 py4j
+        # roundtrips (PySparkCurrentOrigin.set/clear, conf.get) per
+        # call, purely to enrich error MESSAGES with user line numbers.
+        # On a 0.4-0.65 ms/roundtrip driver that is 2-3 ms of pure
+        # overhead per DataFrame operation — measured 15 % of
+        # build-heavy specs' wall (interleaved A/B over
+        # q68/q217/q124/q28: 9.03→7.82 s and 7.86→6.67 s). The engine
+        # surfaces failures through the oracle/tests, not interactive
+        # tracebacks, so the context is dead weight; flip the env var
+        # when debugging a query interactively.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         .config("spark.ui.enabled", "false")
         # Even with the UI off, AppStatusListener retains job/stage/task
         # rows in driver memory (defaults: 1000 stages, 100k tasks, 1000
