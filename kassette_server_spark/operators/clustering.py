@@ -176,8 +176,18 @@ def power_iteration_top_component(
 
     Output: (dim, vj) — the unit direction × v_scale, 1-based dims.
     """
+    # ONE tiny aggregate answers both bounded questions (r17): the
+    # broadcast gate's row count and the dimensionality. n_dims =
+    # max(size(vec)) is provably the old dims.distinct() set's max —
+    # posexplode emits contiguous 0..len-1 per row, so the union of
+    # (pos+1) values is exactly 1..max(size) — and replaces a distinct
+    # + count over the EXPLODED frame (rows × dims) with a scan-local
+    # max over rows.
+    meta = df.agg(
+        F.count("*").alias("n"), F.max(F.size(F.col(vec_col))).alias("nd")
+    ).collect()[0]
     if broadcast_dot is None:
-        broadcast_dot = df.count() <= BROADCAST_DOT_MAX_ROWS  # one scan
+        broadcast_dot = int(meta["n"] or 0) <= BROADCAST_DOT_MAX_ROWS
     x = df.select(
         F.col(id_col).alias("rid"),
         F.posexplode(F.col(vec_col)).alias("pos", "xval"),
@@ -200,11 +210,23 @@ def power_iteration_top_component(
         # keeps its default false). Storage cost is the same block
         # store localCheckpoint would use.
         x = x.repartition("rid").persist()
-    dims = x.select("dim").distinct()
-    n_dims = dims.count()  # bounded: embedding dimensionality
+        # materialize the cached frame NOW: planning the first
+        # iteration against an unbuilt InMemoryRelation re-inserts the
+        # rid ENSURE_REQUIREMENTS exchange the explicit repartition
+        # exists to eliminate (the old dims.count() did this by
+        # accident; wide mode keeps one bounded action for it)
+        x.count()
+    n_dims = int(meta["nd"])  # bounded: embedding dimensionality
     seed = int(round(v_scale / n_dims**0.5))
-    v = dims.select("dim", F.lit(seed).cast("long").alias("vj"))
-    for _ in range(iters):
+    # dim spelled as the same INT type x carries (pos + 1), so the
+    # per-iteration USING joins stay coercion-free and the output
+    # schema is unchanged
+    v = (
+        df.sparkSession.range(1, n_dims + 1, 1, 1)
+        .select(F.col("id").cast("int").alias("dim"))
+        .select("dim", F.lit(seed).cast("long").alias("vj"))
+    )
+    for it in range(iters):
         dot = (
             x.join(F.broadcast(v), "dim")
             .groupBy("rid")
@@ -258,7 +280,10 @@ def power_iteration_top_component(
             _capture_plans.append(
                 vq._jdf.queryExecution().executedPlan().toString()
             )
-        v = vq.localCheckpoint(eager=False)
+        # the checkpoint feeds the NEXT iteration's broadcast; the
+        # final round's frame is consumed exactly once by the caller
+        # (the pagerank/LPA final-round rule, r16) — skip it there
+        v = vq if it == iters - 1 else vq.localCheckpoint(eager=False)
     return v
 
 
