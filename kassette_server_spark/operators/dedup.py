@@ -1004,23 +1004,24 @@ def prefix_filtered_jaccard_pairs(
     # head of the pipeline (see shingle_table)
     sh = shingle_table(df, text_col, id_col, k).localCheckpoint(eager=True)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     # global rarity rank within each doc: rarest shingles first, total
-    # order via the shingle itself as tiebreak
+    # order via the shingle itself as tiebreak. Document frequency and
+    # per-doc size both ride count-over-windows on the materialized
+    # shingle frame (r17) instead of two aggregate+join-back passes —
+    # the same rows (the joins were self-derived inner joins on their
+    # own grouping keys, never dropping a row), two fewer joins, and
+    # the rank window shares the ns window's doc_id exchange.
     ranked = (
-        sh.join(dfreq, "shingle")
-        .select(
-            "doc_id",
-            "shingle",
-            F.row_number()
-            .over(
+        sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+        .withColumn("ns", F.count("*").over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "_pos",
+            F.row_number().over(
                 Window.partitionBy("doc_id").orderBy(
                     F.col("_df").asc(), F.col("shingle").asc()
                 )
-            )
-            .alias("_pos"),
+            ),
         )
-        .join(counts, "doc_id")
     )
     prefix_len = (
         F.col("ns")

@@ -605,8 +605,11 @@ def test_q170_prefix_join_not_allpairs(spark):
     p = plan(spark, "q170_prefix_filter_join")
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     # the prefix frame appears on BOTH sides of the candidate self-join
-    # (same subtree listed twice), so exactly two Window nodes
-    assert p.count("Window (") == 2
+    # (same subtree listed twice); r17 attaches _df and ns as
+    # count-over-windows (three Window nodes per side) instead of two
+    # aggregate+join-back passes, so six Window nodes and NO
+    # SortMergeJoin below the candidate self-join
+    assert p.count("Window (") == 6
     # the shingle frame is checkpointed: no parquet re-scan anywhere
     assert "Scan parquet" not in p
     assert "Scan ExistingRDD" in p
