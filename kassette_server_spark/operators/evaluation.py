@@ -177,36 +177,33 @@ def decile_lift(
     base = df.where(F.col(s).isNotNull() & F.col(y).isNotNull()).select(
         F.col(s).alias("_s"), F.col(y).cast("long").alias("_y")
     )
-    # materialize the value-count frame ONCE (eager localCheckpoint —
-    # the cohens_kappa / graph.py precedent): three branches consume it
-    # (cumulative cuts, totals, bucketed re-aggregation) and without
-    # the checkpoint each branch re-scans the base table — one scan vs
-    # three is the difference that matters at 100 TB. The frame itself
-    # is bounded by score cardinality, not row count.
-    counts = (
-        base.groupBy("_s")
-        .agg(F.count("*").alias("_cnt"), F.sum("_y").alias("_pos"))
-        .localCheckpoint(eager=True)
+    counts = base.groupBy("_s").agg(
+        F.count("*").alias("_cnt"), F.sum("_y").alias("_pos")
     )
+    # r17: the bucket is PER-ROW ARITHMETIC off the cumulative window.
+    # With cut_k = min{s : cum(s)·B ≥ n·k}, a value s exceeds cut_k
+    # iff its PREDECESSOR already met quota k — (cum−cnt)·B ≥ n·k — so
+    # #{k ∈ 1..B−1 : s > cut_k} = min((cum−cnt)·B div n, B−1) exactly
+    # (integer floor division of nonnegative BIGINTs). That replaces
+    # the old three-branch pipeline (cuts aggregate + totals aggregate
+    # + two broadcast crossJoins over an eagerly-checkpointed counts
+    # frame) with ONE linear pass: the group total rides the same
+    # global window, nothing is materialized, identical buckets
+    # (0-row exceptAll diff, oracle unchanged).
     wcum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
     cum = counts.select(
-        "_s", "_cnt", "_pos", F.sum("_cnt").over(wcum).alias("_cum")
+        "_s",
+        "_cnt",
+        "_pos",
+        F.sum("_cnt").over(wcum).alias("_cum"),
+        F.sum("_cnt").over(wall).alias("_n"),
     )
-    tot = counts.agg(F.sum("_cnt").alias("_n"))
-    cuts = cum.crossJoin(F.broadcast(tot)).agg(
-        *[
-            F.min(F.when(F.col("_cum") * B >= F.col("_n") * k, F.col("_s"))).alias(
-                f"_t{k}"
-            )
-            for k in range(1, B)
-        ]
-    )
-    bucket_asc = F.lit(1)
-    for k in range(1, B):
-        bucket_asc = bucket_asc + (F.col("_s") > F.col(f"_t{k}")).cast("int")
+    bucket_asc = F.lit(1) + F.least(
+        F.expr(f"((_cum - _cnt) * {B}) div _n"), F.lit(B - 1)
+    ).cast("int")
     per_decile = (
-        cum.crossJoin(F.broadcast(cuts))
-        .withColumn("decile", (F.lit(B + 1) - bucket_asc).cast("long"))
+        cum.withColumn("decile", (F.lit(B + 1) - bucket_asc).cast("long"))
         .groupBy("decile")
         .agg(F.sum("_cnt").alias("n"), F.sum("_pos").alias("pos"))
     )
@@ -973,40 +970,34 @@ def rank_calibration_bins(
     base = df.where(F.col(s).isNotNull() & F.col(y).isNotNull()).select(
         F.col(s).alias("_s"), F.col(y).cast("long").alias("_y")
     )
-    counts = (
-        base.groupBy("_s")
-        .agg(F.count("*").alias("_cnt"), F.sum("_y").alias("_pos"))
-        .localCheckpoint(eager=True)
+    counts = base.groupBy("_s").agg(
+        F.count("*").alias("_cnt"), F.sum("_y").alias("_pos")
     )
+    # r17: same linearization as decile_lift — the bin is per-row
+    # arithmetic off the cumulative window (see decile_lift for the
+    # cut-equivalence proof), and the population total rides the same
+    # global window, so the cuts/tot aggregates, both crossJoins and
+    # the eager checkpoint disappear. Identical bins and values.
     wcum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
     wprev = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
     cum = counts.select(
         "_s",
         "_cnt",
         "_pos",
         F.sum("_cnt").over(wcum).alias("_cum"),
+        F.sum("_cnt").over(wall).alias("_n"),
         (
             2 * F.coalesce(F.sum("_cnt").over(wprev), F.lit(0))
             + F.col("_cnt")
             + 1
         ).alias("_two_rank"),
     )
-    tot = counts.agg(F.sum("_cnt").alias("_n"))
-    cuts = cum.crossJoin(F.broadcast(tot)).agg(
-        *[
-            F.min(F.when(F.col("_cum") * B >= F.col("_n") * k, F.col("_s"))).alias(
-                f"_t{k}"
-            )
-            for k in range(1, B)
-        ]
+    bucket = F.lit(1).cast("long") + F.least(
+        F.expr(f"((_cum - _cnt) * {B}) div _n"), F.lit(B - 1).cast("long")
     )
-    bucket = F.lit(1).cast("long")
-    for k in range(1, B):
-        bucket = bucket + (F.col("_s") > F.col(f"_t{k}")).cast("long")
     per_bin = (
-        cum.crossJoin(F.broadcast(cuts))
-        .crossJoin(F.broadcast(tot))
-        .withColumn("bin", bucket)
+        cum.withColumn("bin", bucket)
         .groupBy("bin")
         .agg(
             F.sum("_cnt").alias("n"),
@@ -1313,19 +1304,23 @@ def gini_stump(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     base = df.where(F.col(s).isNotNull() & F.col(y).isNotNull()).select(
         F.col(s).alias("_s"), F.col(y).cast("long").alias("_y")
     )
-    # two consumers (cumulative candidates, totals) — materialize the
-    # value-cardinality count frame once instead of scanning base twice
     counts = base.groupBy("_s").agg(
         F.count("*").alias("_cnt"), F.sum("_y").alias("_pos")
-    ).localCheckpoint(eager=True)
+    )
+    # r17: the split totals ride the same global window as the
+    # cumulative candidate counts (unbounded frame) — no totals
+    # aggregate, no broadcast crossJoin, no checkpoint; counts has one
+    # consumer and the whole stump is one linear pipeline.
     wcum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
     cum = counts.select(
         "_s",
         F.sum("_cnt").over(wcum).alias("_nl"),
         F.sum("_pos").over(wcum).alias("_pl"),
+        F.sum("_cnt").over(wall).alias("_n"),
+        F.sum("_pos").over(wall).alias("_p"),
     )
-    tot = counts.agg(F.sum("_cnt").alias("_n"), F.sum("_pos").alias("_p"))
-    cand = cum.crossJoin(F.broadcast(tot)).where(F.col("_nl") < F.col("_n"))
+    cand = cum.where(F.col("_nl") < F.col("_n"))
     nl, pl = F.col("_nl").cast("double"), F.col("_pl").cast("double")
     nn, pp = F.col("_n").cast("double"), F.col("_p").cast("double")
     nr = nn - nl

@@ -455,13 +455,12 @@ def test_q158_auc_ranks_over_distinct_values(spark):
 
 
 def test_q159_decile_lift_single_base_scan(spark):
-    """The value-count frame is localCheckpointed: the three consuming
-    branches (cuts, totals, bucketed re-agg) read the materialized
-    frame, not the parquet — exactly one base-table scan."""
+    """r17: buckets are per-row arithmetic off the cumulative window
+    and the total rides the same global window — ONE linear pipeline:
+    one base scan, no joins, no checkpoint."""
     p = plan(spark, "q159_decile_lift")
-    assert p.count("Scan parquet") == 0  # checkpoint feeds the whole plan
-    assert "Scan ExistingRDD" in p
-    assert "BroadcastNestedLoopJoin" in p  # 1-row cuts/totals frames
+    assert p.count("Scan parquet") == 2  # one node: tree + detail
+    assert "Join" not in p
 
 
 def test_q160_threshold_metrics_one_scan_one_shuffle(spark):
@@ -846,11 +845,12 @@ def test_q196_two_proportion_single_scan(spark):
 
 
 def test_q197_gini_stump_value_bounded(spark):
-    """Candidates come from the checkpointed value-count frame (one
-    base scan total); the argmin is an aggregate, not a sort+limit."""
+    """r17: split totals ride the same global window as the cumulative
+    candidate counts — one base scan, no joins; the argmin is an
+    aggregate, not a sort+limit."""
     p = plan(spark, "q197_gini_stump")
-    assert "Scan ExistingRDD" in p
-    assert "Scan parquet" not in p  # checkpoint severed the re-scan
+    assert p.count("Scan parquet") == 2  # one node: tree + detail
+    assert "Join" not in p
     assert "TakeOrderedAndProject" not in p  # struct-min aggregate
 
 
@@ -912,12 +912,11 @@ def test_q178_seasonal_single_window_partitioned(spark):
 
 
 def test_q175_calibration_off_checkpointed_counts(spark):
-    """The value-count frame is materialized once (decile_lift's
-    single-scan discipline); cuts and totals ride broadcasts."""
+    """r17: bins are per-row arithmetic off the cumulative window (the
+    decile_lift linearization) — one base scan, no joins at all."""
     p = plan(spark, "q175_rank_calibration")
-    assert "Scan ExistingRDD" in p
-    assert "Scan parquet" not in p
-    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("Scan parquet") == 2  # one node: tree + detail
+    assert "Join" not in p
 
 
 def test_q177_hellinger_cells_aggregated_once(spark):
